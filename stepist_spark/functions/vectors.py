@@ -1,0 +1,111 @@
+"""Vector operations over embedding columns (``array<float>``).
+
+Dot product / cosine as JVM-side higher-order functions
+(``zip_with`` + ``aggregate``: sequential left-fold in double, so the
+result is deterministic and reproducible in the DuckDB oracle, which
+folds lists in the same order). No UDFs, no collect.
+
+Scale note: brute-force top-k is a broadcast nested loop — correct at
+any |corpus| as long as |queries| is small (queries broadcast, corpus
+streams). The sub-linear path is random-hyperplane LSH bucketing
+(:mod:`stepist_spark.operators.similarity`), which turns the search
+into an equi-join on bucket signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed random-hyperplane constants for sign-LSH (8 planes × 64 dims),
+# generated once from a linear congruential generator so they are plain
+# literals shared with the oracle SQL. Values in [-1, 1).
+_LCG_M = 2_147_483_647
+_LCG_A = 48_271
+
+
+def _lcg_stream(seed: int, n: int) -> list[float]:
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (_LCG_A * x) % _LCG_M
+        out.append(2.0 * x / _LCG_M - 1.0)
+    return out
+
+
+N_PLANES = 8
+DIM = 64
+HYPERPLANES: list[list[float]] = [
+    _lcg_stream(seed=1234 + 7 * p, n=DIM) for p in range(N_PLANES)
+]
+
+
+def to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB mirror: same element order, same double accumulation."""
+    return f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (acc, x) -> acc + x))"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {norm_sql(a)} > 0 AND {norm_sql(b)} > 0 "
+        f"THEN {dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}) ELSE 0.0 END"
+    )
+
+
+def hyperplane_literal(p: int) -> Column:
+    return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
+
+
+def hyperplane_literal_sql(p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in HYPERPLANES[p]) + "]"
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-LSH bucket id: bit p is 1 iff dot(vec, plane_p) >= 0.
+
+    Vectors with high cosine similarity land in the same bucket with
+    high probability, turning ANN search into an equi-join on this
+    bigint — the 100 TB-scale path for similarity search.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        bit = F.when(dot(vec, hyperplane_literal(p)) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def lsh_bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
+    terms = []
+    for p in range(n_planes):
+        d = dot_sql(vec, hyperplane_literal_sql(p))
+        terms.append(f"(CASE WHEN {d} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {p})")
+    return "(" + " + ".join(terms) + ")"

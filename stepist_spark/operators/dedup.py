@@ -1,0 +1,138 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard
+near-dup — all expressed as DataFrame transformations whose physical
+shape survives a 100× scale-up:
+
+- exact dedup: one hash-aggregate shuffle keyed on the content hash;
+- MinHash-LSH: explode→partial-min aggregation (one shuffle), then an
+  equi-join on (band, band-hash) buckets — candidate pairs only, never
+  the full |docs|² cross product;
+- Jaccard verification runs only on LSH candidates.
+
+The reference has no dedup operators (SURVEY.md §2.2 'absent'); these
+are the BASELINE.json LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stepist_spark.functions import hashing
+from stepist_spark.functions.text import tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: content md5 → member count +
+    canonical (min) id. Output: ``content_hash, n_dups, canonical_id``
+    for groups with >1 member."""
+    hashed = df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text. Single shuffle: window
+    row_number over the content hash, keep rn=1."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Signature of ``n_hashes`` minhashes split into ``bands`` bands of
+    ``n_hashes // bands`` rows each; two docs are candidates if any
+    band matches exactly. The band match is an equi-join on
+    (band_index, band_value-struct) — shuffle partitioned by band
+    value, so only colliding docs meet. Output: ``id_a < id_b`` pairs,
+    distinct.
+    """
+    rows_per_band = n_hashes // bands
+    if rows_per_band * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=n_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"mh{b * rows_per_band + r}").alias(f"h{r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_structs).alias("bk"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, (F.col("l.bk") == F.col("r.bk")) & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs (verification stage).
+
+    Joins the token sets onto the (small relative to |docs|²) candidate
+    set, computes |A∩B| / |A∪B| with JVM array intrinsics. Output:
+    ``id_a, id_b, jaccard`` (rounded, ≥ threshold).
+    """
+    sets = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_set"),
+    )
+    joined = (
+        candidates.join(sets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
+        .join(sets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_set", "set_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint (near-dup via small
+    Hamming distance on the output)."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    return hashing.simhash(toks, "_id", "_toks").withColumnRenamed("_id", id_col)
+
+
+def fingerprint_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Shingle fingerprint: min 32-bit hash over k-word shingles plus a
+    whole-document md5 — a compact near-dup / containment signature.
+    Documents shorter than k tokens fingerprint to NULL min-shingle."""
+    toks = tokens(F.col(text_col))
+    sh = hashing.shingles(toks, k)
+    min_shingle = F.array_min(F.transform(sh, lambda s: hashing.word_hash32(s)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("doc_md5"),
+        min_shingle.alias("min_shingle_hash"),
+        F.size(sh).alias("n_shingles"),
+    )

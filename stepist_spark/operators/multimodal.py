@@ -1,0 +1,139 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
+operators with correct batch shapes, partition-friendly layouts. The
+actual media decode is STUBBED (`_decode_image_stub`): the container
+has no image/audio libraries, so decode produces a deterministic fake
+derived from the bytes; swap ``DECODER`` for a real backend (PIL,
+torchaudio, ffmpeg) in production. Everything downstream of decode
+(feature columns, resize metadata, frame sampling) exercises the real
+distributed path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried alongside the opaque payload. At 100 TB the
+# payload column dominates; keep it out of every shuffle that doesn't
+# need it (select metadata first, join payload back by id).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, byte_mean double, feature array<double>"
+)
+
+
+def _decode_image_stub(payload: bytes) -> list[float]:
+    """Deterministic fake decode: 8 coarse byte-histogram features.
+
+    Stands in for a real decoder (raises nothing so pipelines are
+    testable end-to-end); replace via ``DECODER`` for real media. A
+    production build decodes with PIL/ffmpeg here — the surrounding
+    Arrow batch plumbing is unchanged.
+    """
+    if payload is None:
+        return [0.0] * 8
+    counts = [0] * 8
+    for b in payload:
+        counts[b >> 5] += 1
+    total = max(len(payload), 1)
+    return [c / total for c in counts]
+
+
+DECODER = _decode_image_stub
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    ``mapInPandas`` so each task processes whole record batches; the
+    decode function sees raw bytes and returns a fixed-width feature
+    vector. Partitioning: upstream should repartition by size, not
+    count, when payloads are skewed (`df.repartition(n)` after filter).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(DECODER)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "byte_mean": pdf["payload"].map(
+                        lambda b: 0.0 if b is None or len(b) == 0 else sum(b) / len(b)
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (explode over the sampling grid, JVM-side); the actual
+    frame decode is the stubbed DECODER applied to the payload."""
+    video = media.filter(F.col("kind") == "video")
+    grid = F.sequence(
+        F.lit(0).cast("long"),
+        F.coalesce(F.col("meta.duration_ms"), F.lit(0).cast("long")),
+        F.lit(every_ms).cast("long"),
+    )
+    return video.select(
+        "media_id",
+        F.explode(grid).alias("frame_ts_ms"),
+        F.col("mime"),
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = patterned
+    bytes). Generated distributed via ``spark.range`` — no driver loop."""
+    base = spark.range(n).withColumnRenamed("id", "media_id")
+    kind = (
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode(
+        F.concat_ws("", F.array_repeat(F.conv(F.col("media_id") % 256, 10, 16), 32)),
+        "utf-8",
+    ).cast("binary")
+    return base.select(
+        "media_id",
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            (F.col("media_id") * 100 % 5000).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )

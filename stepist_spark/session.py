@@ -1,0 +1,106 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode settings are tuned for the test harness (local[N] on one
+host); the same builder flags are what we would ship on a real
+multi-executor cluster — AQE on (runtime re-plan, skew-join handling,
+partition coalescing), Arrow for every Python<->JVM hop, UTC session
+timezone so results are comparable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+# Shuffle-partition default: ~cores locally. On a real cluster this is
+# overridden (or left to AQE's coalescing, which shrinks post-shuffle
+# partitions to `advisoryPartitionSizeInBytes` automatically).
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "stepist_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    The configuration favors the declarative path: AQE enabled so the
+    physical plan adapts to runtime statistics (broadcast-join demotion/
+    promotion, skew splitting, partition coalescing), Arrow enabled so
+    the pandas-UDF escape hatch pays batch — not per-row — serde costs.
+    """
+    n = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MiB input splits — the at-scale default; at 100 TB this
+        # yields ~800k map tasks, the right granularity for 1000 execs.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-provided parquet tables.
+
+    Plain `spark.read.parquet` — column pruning and predicate pushdown
+    reach the scan via Catalyst, so callers should select/filter on the
+    returned DataFrame rather than materialize it.
+
+    TIMESTAMP(NANOS) handling: Spark has no nanosecond timestamp type
+    and refuses NANOS parquet columns outright (the driver's events.ts
+    is NANOS). We read them as raw longs (`nanosAsLong`) and convert to
+    TIMESTAMP_NTZ at microsecond precision — lossless for this data
+    (all values are µs-aligned) and identical to what DuckDB sees.
+    Note: filters on a converted column are evaluated post-scan (the
+    cast defeats parquet predicate pushdown on that one column); filter
+    on the raw long when pruning matters at scale.
+    """
+    path = table_path(sf_dir, name)
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(
+            c, F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names annotated TIMESTAMP(NANOS) in the parquet footer."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for col in pq.ParquetFile(path).schema:
+        lt = getattr(col, "logical_type", None)
+        if lt is not None and "Timestamp" in str(lt) and "nanoseconds" in str(lt):
+            out.append(col.name)
+    return out
