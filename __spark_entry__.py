@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (revenue by nation, TPC-H Q5 shape)
+  over /root/testdata/sf0.001, built through the stepist_spark Pipeline
+  API so the smoke check exercises the composition layer end-to-end.
+- ``queries()``: every implemented operator from SURVEY.md §2 as a
+  named (spark, sf_dir) -> DataFrame callable.
+- ``oracle_sql()``: the DuckDB-dialect equivalent for each query
+  (omitted only for genuinely approximation-bearing ops, which get the
+  driver's rows-only check).
 """
 
 from __future__ import annotations
@@ -16,23 +19,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from stepist_spark.pipeline import Pipeline
+    from stepist_spark.queries.relational import q03_revenue_by_nation
+
+    sf_dir = "/root/testdata/sf0.001"
+    pipe = Pipeline().add(lambda df: df, name="flagship")
+    base = q03_revenue_by_nation(spark, sf_dir)
+    return pipe.run(base).orderBy(F.col("revenue").desc(), F.col("n_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from stepist_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-dialect oracle for each query (same aliases, same rounding)."""
+    from stepist_spark.queries import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

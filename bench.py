@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is forced with .collect() (materializes the full result on the
+driver — all registered queries are aggregates/top-k, so results are small
+even at large SF). A throwaway warmup query amortizes JVM/codegen startup
+so per-query numbers measure the plan, not session bring-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from stepist_spark.queries import all_queries
+    from stepist_spark.session import get_spark, load_table
+
+    spark = get_spark(app_name="stepist_spark_bench")
+
+    # Warmup: touch the big fact table once so JVM classloading, codegen
+    # and parquet footer caching don't bill the first measured query.
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        try:
+            spec.spark(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; report the failure
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

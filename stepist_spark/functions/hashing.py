@@ -77,7 +77,7 @@ def minhash_signature(
     """
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
-    tok = df.select(id_col, F.explode_outer(F.col(tokens_col)).alias("_tok"))
+    tok = df.select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
     h = word_hash32(F.col("_tok"))
     aggs = [F.min(minhash_of_hash(h, i)).alias(f"mh{i}") for i in range(n_hashes)]
     return tok.groupBy(id_col).agg(*aggs)
@@ -111,24 +111,24 @@ def simhash(df: DataFrame, id_col: str, tokens_col: str, bits: int = SIMHASH_BIT
     by `bits` before the first (partial) aggregation; for 100 TB runs
     prefer bits=32 and pre-aggregate token counts per doc first.
     """
-    tok = df.select(id_col, F.explode_outer(F.col(tokens_col)).alias("_tok"))
+    tok = df.select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
     tok = tok.withColumn("_h", word_hash32(F.col("_tok")))
     bitted = tok.select(
         id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_b")
     )
     signed = bitted.withColumn(
         "_s",
-        F.when(F.shiftright(F.col("_h"), F.col("_b")).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-            F.lit(-1)
-        ),
+        F.when(F.expr("(_h >> _b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
     )
     per_bit = signed.groupBy(id_col, "_b").agg(F.sum("_s").alias("_bitsum"))
     return per_bit.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("_bitsum") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("_b"))).otherwise(
-                F.lit(0)
+            F.when(F.col("_bitsum") > 0, F.expr("shiftleft(cast(1 as bigint), _b)")).otherwise(
+                F.lit(0).cast("bigint")
             )
-        ).alias("simhash")
+        )
+        .cast("bigint")
+        .alias("simhash")
     )
 
 
@@ -147,7 +147,7 @@ def simhash_sql(table: str, id_expr: str, tokens_expr: str, bits: int = SIMHASH_
                sum(CASE WHEN ((_h >> _b) & 1) = 1 THEN 1 ELSE -1 END) AS _bitsum
         FROM _bits GROUP BY _id, _b
     )
-    SELECT _id, sum(CASE WHEN _bitsum > 0 THEN (1::BIGINT << _b) ELSE 0 END) AS simhash
+    SELECT _id, CAST(sum(CASE WHEN _bitsum > 0 THEN (1::BIGINT << _b) ELSE 0 END) AS BIGINT) AS simhash
     FROM _per_bit GROUP BY _id
     """
 

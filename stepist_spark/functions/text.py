@@ -102,23 +102,65 @@ def quality_score(text: Column) -> Column:
     0.4 · min(tokens/100, 1) + 0.3 · (1 − punct_ratio) + 0.3 · min(avg_len/8, 1).
 
     Cheap length/punctuation-based filtering, the standard first pass
-    of a pretraining-data pipeline.
+    of a pretraining-data pipeline. Float variant for users; oracle
+    queries use :func:`quality_score_scaled` (exact integer arithmetic
+    — composite FP scores land on decimal .5 rounding boundaries where
+    engines legitimately disagree by one ulp).
     """
-    n = token_count(text).cast("double")
-    return F.round(
-        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
-        + F.lit(0.3) * F.least(avg_token_len(text) / F.lit(8.0), F.lit(1.0)),
-        6,
-    )
+    return quality_score_scaled(text).cast("double") / F.lit(1_000_000.0)
 
 
-def quality_score_sql(expr: str) -> str:
-    return (
-        f"round(0.4 * least(CAST({token_count_sql(expr)} AS DOUBLE) / 100.0, 1.0) "
-        f"+ 0.3 * (1.0 - {punct_ratio_sql(expr)}) "
-        f"+ 0.3 * least({avg_token_len_sql(expr)} / 8.0, 1.0), 6)"
+def _intdiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative bigints without relying
+    on engine-specific div operators: (a - a%b)/b — the numerator is an
+    exact multiple of b and both fit in 2^53, so the FP quotient is the
+    exact integer on every IEEE engine."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+def _intdiv_sql(a: str, b: str) -> str:
+    return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+
+def quality_score_scaled(text: Column) -> Column:
+    """Integer-scaled quality score in [0, 1_000_000]: same formula as
+    :func:`quality_score` with every term in exact bigint arithmetic,
+    so Spark and any oracle engine agree bit-for-bit. Empty docs
+    score 0."""
+    toks = tokens(text)
+    n = F.size(toks).cast("bigint")
+    total_chars = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+    stripped = F.length(F.regexp_replace(text, PUNCT_RE, "")).cast("bigint")
+    tlen = F.length(text).cast("bigint")
+    part1 = F.lit(4000).cast("bigint") * F.least(n, F.lit(100).cast("bigint"))
+    part2 = F.when(
+        tlen > 0, _intdiv(F.lit(300000).cast("bigint") * stripped, tlen)
+    ).otherwise(F.lit(300000).cast("bigint"))
+    part3 = F.when(
+        n > 0,
+        _intdiv(
+            F.lit(300000).cast("bigint") * F.least(total_chars, F.lit(8).cast("bigint") * n),
+            F.lit(8).cast("bigint") * n,
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return F.when(n > 0, part1 + part2 + part3).otherwise(F.lit(0).cast("bigint"))
+
+
+def quality_score_scaled_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    n = f"len({toks})"
+    total = f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS BIGINT)"
+    stripped = f"length(regexp_replace({expr}, '{PUNCT_RE_SQL}', '', 'g'))"
+    part1 = f"4000 * least({n}, 100)"
+    part2 = (
+        f"CASE WHEN length({expr}) > 0 THEN {_intdiv_sql(f'300000 * {stripped}', f'length({expr})')} "
+        f"ELSE 300000 END"
     )
+    part3 = (
+        f"CASE WHEN {n} > 0 THEN {_intdiv_sql(f'300000 * least({total}, 8 * {n})', f'8 * {n}')} "
+        f"ELSE 0 END"
+    )
+    return f"CASE WHEN {n} > 0 THEN CAST({part1} + {part2} + {part3} AS BIGINT) ELSE 0 END"
 
 
 def lang_id(text: Column) -> Column:

@@ -109,9 +109,12 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    # single division of identical integers → bit-identical on every
+    # IEEE engine; deliberately NOT rounded (rounding would reintroduce
+    # .5-boundary rounding-mode divergence across engines)
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     return (
-        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -134,5 +137,5 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
         F.col(id_col),
         F.md5(F.col(text_col)).alias("doc_md5"),
         min_shingle.alias("min_shingle_hash"),
-        F.size(sh).alias("n_shingles"),
+        F.size(sh).cast("bigint").alias("n_shingles"),
     )

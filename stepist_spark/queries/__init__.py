@@ -1,0 +1,41 @@
+"""Query registry: every operator from SURVEY.md §2 exposed as a named
+query with (a) a Spark DataFrame builder and (b) a DuckDB-dialect
+oracle SQL string over the same tables — the driver's correctness gate
+(CORRECTNESS_r{N}.json) runs both and hash-compares.
+
+Cross-engine conventions (both sides, always):
+- identical output column aliases;
+- every double aggregate explicitly ROUNDed (2 dp money, 4 dp means,
+  6 dp ratios/similarities) so FP summation-order noise can't flip the
+  value hash;
+- every LIMIT/top-k carries a unique deterministic tiebreak;
+- timestamps stay µs-aligned (events.ts is ns in parquet but
+  zero-padded; SESSION loads it as timestamp_ntz losslessly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from stepist_spark.queries import llm_text, llm_vectors, relational
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (relational, llm_text, llm_vectors):
+        for spec in mod.QUERIES:
+            if spec.name in out:
+                raise ValueError(f"duplicate query name {spec.name}")
+            out[spec.name] = spec
+    return out

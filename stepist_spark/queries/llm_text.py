@@ -1,0 +1,277 @@
+"""LLM-data-pipeline text operators over the ``documents`` table:
+exact dedup, MinHash signatures, LSH near-dup candidates, Jaccard
+verification, SimHash, fingerprinting, token statistics, quality
+scoring, language ID.
+
+The driver corpus contains no natural duplicates, so the dedup queries
+plant deterministic duplicates — UNION ALL with shifted doc_ids and
+(for near-dup) a suffixed copy — identically on both engines. The
+operators still scan the full real corpus; the plants guarantee
+nonempty, discriminating outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stepist_spark.functions import hashing
+from stepist_spark.functions import text as TX
+from stepist_spark.operators import dedup
+from stepist_spark.queries import QuerySpec
+from stepist_spark.session import load_table
+
+N_HASHES = 8
+BANDS = 4
+
+# ---- shared corpus builders (Spark + SQL must stay in lockstep) ----------
+
+def _docs_with_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(plants)
+
+
+EXACT_DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzplantedtoken")).alias("text"),
+    )
+    return docs.unionByName(plants)
+
+
+NEAR_DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text || ' zzplantedtoken' AS text
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _minhash_sig_sql(corpus_sql: str) -> str:
+    """Signature CTE body shared by the LSH/jaccard oracles."""
+    h = hashing.word_hash32_sql("_tok")
+    aggs = ", ".join(
+        f"min({hashing.minhash_of_hash_sql(h, i)}) AS mh{i}" for i in range(N_HASHES)
+    )
+    return f"""
+corpus AS ({corpus_sql}),
+toks AS (
+    SELECT doc_id AS _id, unnest({TX.tokens_sql('text')}) AS _tok FROM corpus
+),
+sig AS (SELECT _id, {aggs} FROM toks GROUP BY _id)
+"""
+
+
+def _bands_sql() -> str:
+    rows_per_band = N_HASHES // BANDS
+    parts = []
+    for b in range(BANDS):
+        cols = ", ".join(
+            f"mh{b * rows_per_band + r} AS h{r}" for r in range(rows_per_band)
+        )
+        parts.append(f"SELECT _id, {b} AS band, {cols} FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+_CAND_JOIN_SQL = (
+    "bands a JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 "
+    "AND a._id < b._id"
+)
+
+
+# --------------------------------------------------------------------------
+# t01 — exact duplicate groups (hash-groupBy dedup)
+def t01_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs_with_exact_dups(spark, sf), "doc_id", "text")
+
+
+T01_SQL = f"""
+WITH corpus AS ({EXACT_DUP_CORPUS_SQL})
+SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+# t02 — surviving rows after exact dedup (keep min doc_id per text)
+def t02_dedup_exact_count(spark: SparkSession, sf: str) -> DataFrame:
+    kept = dedup.dedup_exact(_docs_with_exact_dups(spark, sf), "doc_id", "text")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("doc_id")).alias("sum_ids"),
+    )
+
+
+T02_SQL = f"""
+WITH corpus AS ({EXACT_DUP_CORPUS_SQL}),
+ranked AS (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM corpus
+)
+SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM ranked WHERE rn = 1
+"""
+
+
+# t03 — per-document token statistics.
+# Ratio columns are single divisions of identical integers on both
+# engines — bit-identical IEEE doubles, so they ship UNROUNDED (rounding
+# would reintroduce .5-boundary rounding-mode divergence).
+def t03_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(txt).cast("bigint").alias("n_tokens"),
+        TX.avg_token_len(txt).alias("avg_token_len"),
+        TX.punct_ratio(txt).alias("punct_ratio"),
+        F.length(txt).cast("bigint").alias("n_chars_computed"),
+    )
+
+
+T03_SQL = f"""
+SELECT doc_id,
+       {TX.token_count_sql('text')} AS n_tokens,
+       {TX.avg_token_len_sql('text')} AS avg_token_len,
+       {TX.punct_ratio_sql('text')} AS punct_ratio,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+# t04 — quality scoring aggregated by source. Scores are integer-scaled
+# (exact bigint arithmetic end-to-end): composite FP scores land on
+# decimal .5 rounding boundaries where engines disagree by one ulp.
+def t04_quality_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select("source", TX.quality_score_scaled(F.col("text")).alias("q"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q").alias("sum_quality_scaled"),
+        F.min("q").alias("min_quality_scaled"),
+    )
+
+
+T04_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum({TX.quality_score_scaled_sql('text')}) AS BIGINT) AS sum_quality_scaled,
+       min({TX.quality_score_scaled_sql('text')}) AS min_quality_scaled
+FROM documents GROUP BY source
+"""
+
+
+# t05 — language-ID heuristic vs the labeled lang column
+def t05_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+T05_SQL = f"""
+SELECT doc_id, lang, {TX.lang_id_sql('text')} AS lang_guess FROM documents
+"""
+
+
+# t06 — MinHash signatures (8 portable universal hashes over tokens)
+def t06_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.col("doc_id").alias("_id"), TX.tokens(F.col("text")).alias("_toks"))
+    sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=N_HASHES)
+    return sig.withColumnRenamed("_id", "doc_id")
+
+
+T06_SQL = f"""
+WITH {_minhash_sig_sql("SELECT doc_id, text FROM documents")}
+SELECT _id AS doc_id, {", ".join(f"mh{i}" for i in range(N_HASHES))} FROM sig
+"""
+
+
+# t07 — MinHash-LSH near-duplicate candidate pairs (banded signature join)
+def t07_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _docs_with_near_dups(spark, sf), "doc_id", "text", n_hashes=N_HASHES, bands=BANDS
+    )
+
+
+T07_SQL = f"""
+WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL)},
+bands AS ({_bands_sql()})
+SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}
+"""
+
+
+# t08 — exact Jaccard verification of the LSH candidates
+def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf)
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
+    return dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.5)
+
+
+T08_SQL = f"""
+WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL)},
+bands AS ({_bands_sql()}),
+cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
+sets AS (SELECT doc_id AS _sid, list_distinct({TX.tokens_sql('text')}) AS _set FROM corpus)
+SELECT id_a, id_b,
+       CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
+            THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa._set, sb._set)))
+            ELSE 0.0 END AS jaccard
+FROM cands
+JOIN sets sa ON sa._sid = id_a
+JOIN sets sb ON sb._sid = id_b
+WHERE CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
+           THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa._set, sb._set)))
+           ELSE 0.0 END >= 0.5
+"""
+
+
+# t09 — SimHash fingerprints
+def t09_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_docs(docs, "doc_id", "text")
+
+
+T09_SQL = (
+    "SELECT _id AS doc_id, simhash FROM ("
+    + hashing.simhash_sql("documents", "doc_id", TX.tokens_sql("text"))
+    + ")"
+)
+
+
+# t10 — shingle fingerprint (rolling-hash document signature)
+def t10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.fingerprint_docs(docs, "doc_id", "text", k=3)
+
+
+_SHINGLES = hashing.shingles_sql(TX.tokens_sql("text"), 3)
+T10_SQL = f"""
+SELECT doc_id, md5(text) AS doc_md5,
+       list_min(list_transform({_SHINGLES}, s -> {hashing.word_hash32_sql('s')})) AS min_shingle_hash,
+       len({_SHINGLES}) AS n_shingles
+FROM documents
+"""
+
+
+QUERIES = [
+    QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
+    QuerySpec("t02_dedup_exact_count", t02_dedup_exact_count, T02_SQL, "exact dedup survivors"),
+    QuerySpec("t03_token_stats", t03_token_stats, T03_SQL, "token counting + char stats"),
+    QuerySpec("t04_quality_by_source", t04_quality_by_source, T04_SQL, "quality scoring"),
+    QuerySpec("t05_lang_id", t05_lang_id, T05_SQL, "language-ID heuristic"),
+    QuerySpec("t06_minhash_signatures", t06_minhash_signatures, T06_SQL, "MinHash signatures"),
+    QuerySpec("t07_lsh_candidates", t07_lsh_candidates, T07_SQL, "MinHash-LSH banding candidates"),
+    QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "Jaccard verification of candidates"),
+    QuerySpec("t09_simhash", t09_simhash, T09_SQL, "SimHash fingerprints"),
+    QuerySpec("t10_fingerprint", t10_fingerprint, T10_SQL, "shingle fingerprinting"),
+]

@@ -1,0 +1,120 @@
+"""Similarity-search queries over the ``embeddings`` table
+(``embedding: array<float>``, 64-dim).
+
+Brute-force cosine top-k is the exact baseline (broadcast queries ×
+streamed corpus); sign-LSH bucketing is the sub-linear scale path. The
+driver corpus is near-orthogonal random vectors, so the near-dup query
+plants perturbed copies (v * 1.001 element-wise) identically on both
+engines to guarantee discriminating output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stepist_spark.functions import vectors as V
+from stepist_spark.operators import similarity
+from stepist_spark.queries import QuerySpec
+from stepist_spark.session import load_table
+
+K = 5
+N_QUERY = 8
+
+
+# v01 — brute-force exact cosine top-k for the first N_QUERY vectors
+def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
+
+
+_COS = V.cosine_sql("q.v", "c.v")
+V01_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 6) AS cos_sim
+    FROM q, e c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn <= {K}
+"""
+
+
+# v02 — sign-LSH bucket assignment (the ANN partitioning key)
+def v02_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        V.lsh_bucket(V.to_double(F.col("embedding"))).alias("bucket"),
+        "label",
+    )
+
+
+V02_SQL = f"""
+SELECT vec_id, {V.lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket, label
+FROM embeddings
+"""
+
+
+# v03 — embedding near-duplicate pairs via LSH bucket self-join
+def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    plants = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = emb.unionByName(plants)
+    return similarity.embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95)
+
+
+_PCOS = V.cosine_sql("a.v", "b.v")
+V03_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+    FROM base WHERE vec_id % 25 = 0
+),
+hashed AS (SELECT vec_id, v, {V.lsh_bucket_sql('v')} AS bucket FROM corpus)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PCOS}, 6) AS cos_sim
+FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_PCOS}, 6) >= 0.95
+"""
+
+
+# v04 — LSH-bucketed approximate top-k (scale path; approximate by design,
+# but deterministic: same buckets, same candidates on both engines)
+def v04_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=K)
+
+
+V04_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {V.lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < {N_QUERY}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 6) AS cos_sim
+    FROM q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn <= {K}
+"""
+
+
+QUERIES = [
+    QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact cosine top-k"),
+    QuerySpec("v02_lsh_buckets", v02_lsh_buckets, V02_SQL, "sign-LSH bucket assignment"),
+    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "embedding near-dup pairs"),
+    QuerySpec("v04_lsh_topk", v04_lsh_topk, V04_SQL, "LSH-bucketed approximate top-k"),
+]

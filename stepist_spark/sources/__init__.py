@@ -1,0 +1,20 @@
+"""Sources & sinks — the engine's IO layer.
+
+The reference's only sources/sinks are message queues (Redis list
+`stepist/flow/libs/simple_queue.py:62-77`, RabbitMQ
+`stepist/flow/workers/adapters/rm_queue.py:56-64`, SQS
+`stepist/flow/workers/adapters/sqs_queue.py:46-72`) plus the in-memory
+FlowResult. Here the batch surface is file formats (parquet/csv/json/
+orc) and the streaming surface is Structured Streaming sources — the
+principled replacement for queue consumption (see
+``stepist_spark.streaming``).
+
+Everything is a thin declarative wrapper: reads stay lazy so Catalyst
+pushes filters/projection into the scan; writes expose partitioning and
+bucketing because at 100 TB layout IS the performance model.
+"""
+
+from stepist_spark.sources.readers import read, read_stream
+from stepist_spark.sources.writers import write, write_stream
+
+__all__ = ["read", "read_stream", "write", "write_stream"]
