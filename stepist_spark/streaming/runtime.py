@@ -1,0 +1,142 @@
+"""StreamFlow: run a Pipeline over an unbounded source.
+
+The replacement for the reference's ``app.run(steps)`` worker loop
+(`stepist/app.py:56-63` → `stepist/flow/libs/simple_queue.py:15-47`).
+One StreamFlow = one StreamingQuery; parallelism comes from Spark
+tasks, not ``just_do_it(n)`` OS processes
+(`stepist/workers/__init__.py:10-19`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from stepist_spark.pipeline import Pipeline, Step
+
+
+class StreamFlow:
+    """Wire an unbounded DataFrame through a pipeline into a sink.
+
+    ``pipeline`` may be a ``Pipeline``, a single ``Step``, or any
+    ``DataFrame -> DataFrame`` callable — the same composition surface
+    as batch, applied per-micro-batch by the engine (NOT per-record:
+    the reference processes one dict per BRPOP round-trip,
+    `simple_queue.py:62-77`; a micro-batch amortizes scheduling over
+    thousands of rows).
+
+    Sinks:
+    - ``to_memory(name)``   — queryable in-session table (tests/demos)
+    - ``to_files(path,...)``— checkpointed exactly-once file sink
+    - ``to_foreach_batch(fn)`` — arbitrary fan-out ``(df, epoch_id)``;
+      the streaming Hub: write one micro-batch to N destinations
+    - ``drain()``           — availableNow: process backlog, then stop
+      (the reference's ``die_when_empty``, `simple_queue.py:34-36`)
+    """
+
+    def __init__(
+        self,
+        source: DataFrame,
+        pipeline: Pipeline | Step | Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        if not source.isStreaming:
+            raise ValueError("StreamFlow needs a streaming DataFrame (spark.readStream)")
+        self.source = source
+        self.pipeline = pipeline
+        self._query: StreamingQuery | None = None
+
+    def _transformed(self) -> DataFrame:
+        p = self.pipeline
+        if p is None:
+            return self.source
+        if isinstance(p, Pipeline):
+            return p.run(self.source)
+        if isinstance(p, Step):
+            return p.transform(self.source)
+        return p(self.source)
+
+    # -- sinks ------------------------------------------------------------
+    def to_memory(
+        self,
+        name: str,
+        output_mode: str = "append",
+        trigger: dict[str, Any] | None = None,
+    ) -> StreamingQuery:
+        self._query = (
+            self._transformed()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+        return self._query
+
+    def to_files(
+        self,
+        path: str,
+        checkpoint: str,
+        fmt: str = "parquet",
+        output_mode: str = "append",
+        trigger: dict[str, Any] | None = None,
+        **options: str,
+    ) -> StreamingQuery:
+        writer = (
+            self._transformed()
+            .writeStream.format(fmt)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .options(**options)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        self._query = writer.start(path)
+        return self._query
+
+    def to_foreach_batch(
+        self,
+        fn: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        trigger: dict[str, Any] | None = None,
+    ) -> StreamingQuery:
+        writer = (
+            self._transformed()
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        self._query = writer.start()
+        return self._query
+
+    # -- lifecycle ----------------------------------------------------------
+    def drain(self, sink_name: str, output_mode: str = "append", timeout: float = 120.0) -> None:
+        """Process everything currently available into a memory sink,
+        then stop — batch-mode termination for a streaming flow."""
+        q = self.to_memory(sink_name, output_mode=output_mode, trigger={"availableNow": True})
+        q.awaitTermination(timeout)
+
+    @property
+    def query(self) -> StreamingQuery | None:
+        return self._query
+
+    def status(self) -> dict:
+        """Progress introspection — the analog of the reference's
+        ``jobs_count``/``monitor_steps`` (`stepist/flow/steps/
+        step.py:154-164`, `adapters/simple_queue.py:69-88`)."""
+        if self._query is None:
+            return {"active": False}
+        lp = self._query.lastProgress
+        return {
+            "active": self._query.isActive,
+            "status": self._query.status,
+            "rows_per_sec": (lp or {}).get("processedRowsPerSecond"),
+            "batch_id": (lp or {}).get("batchId"),
+        }
+
+    def stop(self) -> None:
+        if self._query is not None and self._query.isActive:
+            self._query.stop()

@@ -1,0 +1,227 @@
+"""Streaming runtime tests: StreamFlow wiring, the count-barrier with
+TTL-drop semantics, and event-time windows — the reference behaviors
+being reproduced are the worker loop (`stepist/flow/libs/
+simple_queue.py:15-47`), the Redis count-barrier
+(`stepist/flow/workers/reducer_engine.py:21-80`), and (new capability)
+watermarked windows.
+
+All tests use file sources with availableNow triggers — deterministic
+drain-and-stop, no wall-clock flakiness.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from stepist_spark.pipeline import Pipeline
+from stepist_spark.sources import read_stream
+from stepist_spark.streaming import StreamFlow, barrier_reduce, session_agg, sliding_agg, tumbling_agg
+
+
+@pytest.fixture
+def jobs_dir(spark, tmp_path):
+    """A file-source 'queue': each JSON file is a batch of enqueued jobs."""
+    d = tmp_path / "jobs"
+    d.mkdir()
+    rows = [
+        {"hub_job_id": "job-a:3", "branch": "b1", "value": 1},
+        {"hub_job_id": "job-a:3", "branch": "b2", "value": 2},
+        {"hub_job_id": "job-a:3", "branch": "b3", "value": 3},
+        {"hub_job_id": "job-b:2", "branch": "b1", "value": 10},
+        # job-b is incomplete: only 1 of 2 branches ever arrives
+    ]
+    (d / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+JOBS_SCHEMA = "hub_job_id STRING, branch STRING, value LONG"
+
+
+def _drain(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+class TestStreamFlow:
+    def test_pipeline_over_file_source(self, spark, jobs_dir):
+        src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+        pipe = Pipeline().add(lambda df: df.filter(F.col("value") > 1), name="filt")
+        flow = StreamFlow(src, pipe)
+        q = flow.to_memory("t_filtered")
+        _drain(q)
+        got = {r["value"] for r in spark.sql("SELECT value FROM t_filtered").collect()}
+        assert got == {2, 3, 10}
+
+    def test_rejects_batch_df(self, spark):
+        with pytest.raises(ValueError, match="streaming"):
+            StreamFlow(spark.range(3))
+
+    def test_foreach_batch_fanout(self, spark, jobs_dir, tmp_path):
+        """The streaming Hub: one micro-batch, two destinations."""
+        src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+        out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+        def fan(df, epoch_id):
+            df.filter(F.col("value") >= 3).write.mode("append").parquet(out_a)
+            df.groupBy("hub_job_id").agg(F.sum("value").alias("s")).write.mode(
+                "append"
+            ).parquet(out_b)
+
+        flow = StreamFlow(src)
+        q = flow.to_foreach_batch(fan, checkpoint=str(tmp_path / "ckpt"), trigger={"availableNow": True})
+        _drain(q)
+        assert {r["value"] for r in spark.read.parquet(out_a).collect()} == {3, 10}
+        sums = {r["hub_job_id"]: r["s"] for r in spark.read.parquet(out_b).collect()}
+        assert sums == {"job-a:3": 6, "job-b:2": 10}
+
+    def test_file_sink_exactly_once_restart(self, spark, jobs_dir, tmp_path):
+        """Re-running with the same checkpoint must not duplicate rows —
+        the exactly-once upgrade over the reference's re-push retry."""
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        for _ in range(2):
+            src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+            q = StreamFlow(src).to_files(
+                out, checkpoint=ckpt, trigger={"availableNow": True}
+            )
+            _drain(q)
+        assert spark.read.parquet(out).count() == 4
+
+    def test_status_introspection(self, spark, jobs_dir):
+        src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+        flow = StreamFlow(src)
+        assert flow.status() == {"active": False}
+        q = flow.to_memory("t_status")
+        _drain(q)
+        assert flow.status()["active"] is False
+
+
+class TestBarrierReduce:
+    @staticmethod
+    def _run_until_rows(spark, out, name, min_rows=1, timeout=60):
+        """Stateful queries with pending processing-time timeouts never
+        self-terminate under availableNow (Spark keeps scheduling
+        batches to fire the timeouts) — so poll the sink, then stop."""
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if spark.sql(f"SELECT * FROM {name}").count() >= min_rows:
+                    break
+                time.sleep(0.5)
+            return spark.sql(f"SELECT * FROM {name}").collect()
+        finally:
+            q.stop()
+
+    def test_complete_group_fires_incomplete_never(self, spark, jobs_dir):
+        src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+        # N parsed from the key suffix ("job-a:3" -> 3), per the
+        # reference's Hub encoding. TTL generous: completeness, not
+        # expiry, decides within this single micro-batch.
+        out = barrier_reduce(src, ttl_sec=300)
+        rows = self._run_until_rows(spark, out, "t_barrier")
+        assert len(rows) == 1  # job-a fired once; job-b never (incomplete)
+        (r,) = rows
+        assert r["group_key"] == "job-a:3" and r["n"] == 3
+        payloads = sorted(json.loads(j)["value"] for j in r["job_list"])
+        assert payloads == [1, 2, 3]
+
+    def test_reduce_fn_applied_in_state(self, spark, jobs_dir):
+        src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+        out = barrier_reduce(
+            src,
+            ttl_sec=300,
+            reduce_fn=lambda key, rows: {"total": sum(r["value"] for r in rows)},
+        )
+        (r,) = self._run_until_rows(spark, out, "t_reduced")
+        assert json.loads(r["job_list"][0]) == {"total": 6}
+
+    def test_ttl_drops_incomplete_group(self, spark, tmp_path):
+        """A group whose members arrive in batch 1 but never complete is
+        dropped after the TTL: later micro-batches emit nothing for it."""
+        d = tmp_path / "jobs"
+        d.mkdir()
+        (d / "b0.json").write_text(json.dumps({"hub_job_id": "late:2", "branch": "b1", "value": 1}))
+        src = read_stream(spark, "json", str(d), schema=JOBS_SCHEMA, maxFilesPerTrigger=1)
+        out = barrier_reduce(src, ttl_sec=1)
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            out.writeStream.format("memory").queryName("t_ttl").outputMode("append")
+            .option("checkpointLocation", ckpt).trigger(processingTime="500 milliseconds").start()
+        )
+        try:
+            time.sleep(3)  # batch with the row runs; TTL (1s) passes
+            # second member arrives AFTER expiry: state was dropped, so
+            # the count restarts at 1 and the barrier still never fires
+            (d / "b1.json").write_text(
+                json.dumps({"hub_job_id": "late:2", "branch": "b2", "value": 2})
+            )
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                lp = q.lastProgress
+                if lp and lp.get("numInputRows") == 0 and spark.sql("SELECT * FROM t_ttl").count():
+                    break
+                time.sleep(0.5)
+            assert spark.sql("SELECT * FROM t_ttl").count() == 0
+        finally:
+            q.stop()
+
+    def test_batch_df_rejected(self, spark):
+        with pytest.raises(ValueError, match="batch"):
+            barrier_reduce(spark.range(3), group_key="id")
+
+
+class TestEventTimeWindows:
+    def _events(self, spark, streaming, tmp_path):
+        rows = [
+            {"ts": "2024-01-01 00:00:10", "user": "u1", "v": 1},
+            {"ts": "2024-01-01 00:00:50", "user": "u1", "v": 2},
+            {"ts": "2024-01-01 00:01:10", "user": "u2", "v": 3},
+            {"ts": "2024-01-01 00:05:00", "user": "u1", "v": 4},
+        ]
+        if not streaming:
+            df = spark.createDataFrame([tuple(r.values()) for r in rows], "ts STRING, user STRING, v LONG")
+            return df.withColumn("ts", F.to_timestamp("ts"))
+        d = tmp_path / "ev"
+        d.mkdir()
+        (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+        df = read_stream(spark, "json", str(d), schema="ts STRING, user STRING, v LONG")
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    def test_tumbling_stream_matches_batch(self, spark, tmp_path):
+        aggs = [F.sum("v").alias("total")]
+        batch = tumbling_agg(self._events(spark, False, tmp_path), "ts", "1 minute", aggs)
+        stream = tumbling_agg(
+            self._events(spark, True, tmp_path), "ts", "1 minute", aggs, watermark="10 minutes"
+        )
+        q = stream.writeStream.format("memory").queryName("t_tumble").outputMode(
+            "complete"
+        ).trigger(availableNow=True).start()
+        _drain(q)
+        got = {(str(r["window_start"]), r["total"]) for r in spark.sql("SELECT * FROM t_tumble").collect()}
+        want = {(str(r["window_start"]), r["total"]) for r in batch.collect()}
+        assert got == want == {
+            ("2024-01-01 00:00:00", 3),
+            ("2024-01-01 00:01:00", 3),
+            ("2024-01-01 00:05:00", 4),
+        }
+
+    def test_sliding_batch(self, spark, tmp_path):
+        df = self._events(spark, False, tmp_path)
+        out = sliding_agg(df, "ts", "2 minutes", "1 minute", [F.count("*").alias("n")])
+        got = {(str(r["window_start"]), r["n"]) for r in out.collect()}
+        # every event is in exactly 2 overlapping windows
+        assert sum(n for _, n in got) == 8
+
+    def test_session_batch(self, spark, tmp_path):
+        df = self._events(spark, False, tmp_path)
+        out = session_agg(df, "ts", "2 minutes", [F.count("*").alias("n")], group_by=["user"])
+        got = {(r["user"], r["n"]) for r in out.collect()}
+        # u1: events at 00:10 and 00:50 merge (40s gap); 05:00 is its own session
+        assert got == {("u1", 2), ("u1", 1), ("u2", 1)}
