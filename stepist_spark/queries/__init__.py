@@ -30,10 +30,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from stepist_spark.queries import llm_text, llm_vectors, relational
+    from stepist_spark.queries import composite, llm_text, llm_vectors, relational
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, llm_text, llm_vectors):
+    for mod in (relational, llm_text, llm_vectors, composite):
         for spec in mod.QUERIES:
             if spec.name in out:
                 raise ValueError(f"duplicate query name {spec.name}")

@@ -1,0 +1,168 @@
+"""Composite-path queries: correctness-gate the engine's own machinery
+(Pipeline/Hub fan-out, multimodal mapInPandas plumbing, the streaming
+runtime) — not just raw DataFrame expressions.
+
+Each query routes real testdata through the library code path and pairs
+it with a DuckDB oracle, so the driver's hash-compare certifies the
+machinery itself:
+
+- p01: Step -> Hub fan-out -> unionByName merge (the reference's
+  branch-and-merge lifecycle, `stepist/flow/steps/hub.py:5-14`).
+- m01/m02: binary media columns (payload synthesized from
+  documents.text) through the Arrow-batched feature extractor and the
+  frame-sampling grid — exact integer outputs so the stubbed decoder's
+  plumbing is oracle-checkable.
+- s01: a genuinely STREAMING execution (file source -> watermarked
+  tumbling window -> memory sink, availableNow drain) whose final
+  result must equal the batch oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stepist_spark.queries import QuerySpec
+from stepist_spark.session import load_table
+
+_SINK_IDS = itertools.count()
+
+
+# --------------------------------------------------------------------------
+# p01 — Hub fan-out + union merge through the Pipeline API
+def p01_hub_branch_union(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.pipeline import Hub, Step
+
+    li = load_table(spark, sf, "lineitem")
+    qty = Step(
+        lambda df: df.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .withColumn("branch", F.lit("qty")),
+        name="qty",
+    )
+    cnt = Step(
+        lambda df: df.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("branch", F.lit("cnt")),
+        name="cnt",
+    )
+    head = Step(
+        lambda df: df.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")),
+        name="head",
+    )
+    return Hub(qty, cnt).union(head.transform(li))
+
+
+P01_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, 'qty' AS branch,
+       CAST(NULL AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1
+UNION ALL
+SELECT l_returnflag, CAST(NULL AS DOUBLE), 'cnt', count(*)
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# m01 — multimodal feature extraction (Arrow mapInPandas) over binary
+# payloads; n_bytes is exact so the oracle certifies the batch plumbing.
+def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+M01_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# m02 — video frame-sampling grid (JVM-side explode over duration)
+def m02_frame_grid(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=500).select("media_id", "frame_ts_ms")
+
+
+M02_SQL = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, n_chars, 500)) AS frame_ts_ms
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# s01 — streaming execution end-to-end: the hourly rollup computed BY THE
+# STREAMING RUNTIME (file source, micro-batches, complete-mode window
+# agg, availableNow drain) must equal the batch SQL oracle.
+def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.streaming.windows import tumbling_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # The file source wants a directory; the testdata table is a single
+    # file, so stream the parent dir with a glob pinned to events.parquet.
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    )
+    agg = tumbling_agg(
+        src,
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["event_type"],
+    )
+    sink = f"s01_sink_{next(_SINK_IDS)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+S01_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end
+FROM events GROUP BY event_type, window_start
+"""
+
+
+QUERIES = [
+    QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
+    QuerySpec("m01_media_features", m01_media_features, M01_SQL, "multimodal binary payload -> Arrow mapInPandas features"),
+    QuerySpec("m02_frame_grid", m02_frame_grid, M02_SQL, "video frame-sampling grid (JVM explode)"),
+    QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),
+]

@@ -596,6 +596,67 @@ def q21_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q22 — tumbling event-time window via the streaming helper's batch path
+# (stepist_spark.streaming.windows.tumbling_agg: same code the streaming
+# runtime runs, here oracle-gated against DuckDB date_trunc buckets —
+# valid because 1-hour tumbling windows are epoch-aligned).
+def q22_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.streaming.windows import tumbling_agg
+
+    ev = load_table(spark, sf, "events")
+    return tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["event_type"],
+    )
+
+
+Q22_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end
+FROM events GROUP BY event_type, window_start
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — session windows (30-minute gap) via the streaming helper's batch
+# path. Spark session_window semantics: a gap of exactly 30min starts a
+# NEW session (windows are [ts, ts+gap) and merge only on overlap), so
+# the oracle's lag-based sessionization uses `>= gap`.
+def q23_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.streaming.windows import session_agg
+
+    ev = load_table(spark, sf, "events")
+    return session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["user_id"],
+    )
+
+
+Q23_SQL = """
+WITH x AS (
+    SELECT user_id, ts::TIMESTAMP AS ts, value,
+           lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), s AS (
+    SELECT *, sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+    FROM x
+)
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       min(ts) AS window_start, max(ts) + INTERVAL 30 MINUTE AS window_end
+FROM s GROUP BY user_id, sess
+"""
+
+
 QUERIES = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + 8-agg groupBy"),
     QuerySpec("q02_top_orders", q02_top_orders, Q02_SQL, "TPC-H Q3: 3-way join + agg + top-10"),
@@ -618,4 +679,6 @@ QUERIES = [
     QuerySpec("q19_asof_join", q19_asof_join, Q19_SQL, "as-of join (backward, inclusive)"),
     QuerySpec("q20_grouping_sets", q20_grouping_sets, Q20_SQL, "GROUPING SETS via SQL API"),
     QuerySpec("q21_approx_distinct", q21_approx_distinct, None, "approx_count_distinct + approx percentile (rows-only)"),
+    QuerySpec("q22_tumbling_window", q22_tumbling_window, Q22_SQL, "tumbling event-time window (streaming helper, batch path)"),
+    QuerySpec("q23_session_window", q23_session_window, Q23_SQL, "session windows, 30-min gap (streaming helper, batch path)"),
 ]

@@ -9,7 +9,7 @@ version of "drop what arrives too late".
 
 All three also work on BATCH DataFrames (Spark evaluates ``F.window``/
 ``F.session_window`` identically there, minus the watermark) — used by
-the q15/q16 oracle queries, so the same code path is correctness-gated
+the q22/q23 oracle queries, so the same code path is correctness-gated
 against DuckDB.
 """
 
