@@ -75,12 +75,17 @@ def minhash_signature(
 
     Output: ``id_col, mh0..mh{n-1}``.
     """
+    from stepist_spark.session import spread
+
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
-    tok = df.select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
-    h = word_hash32(F.col("_tok"))
-    aggs = [F.min(minhash_of_hash(h, i)).alias(f"mh{i}") for i in range(n_hashes)]
-    return tok.groupBy(id_col).agg(*aggs)
+    tok = spread(df).select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
+    # materialize the base hash ONCE per token: aggregate expressions get
+    # no common-subexpression elimination, so inlining word_hash32 into
+    # every min() would run the md5 n_hashes times per row
+    hashed = tok.select(id_col, word_hash32(F.col("_tok")).alias("_h"))
+    aggs = [F.min(minhash_of_hash(F.col("_h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signature_sql(
@@ -111,7 +116,9 @@ def simhash(df: DataFrame, id_col: str, tokens_col: str, bits: int = SIMHASH_BIT
     by `bits` before the first (partial) aggregation; for 100 TB runs
     prefer bits=32 and pre-aggregate token counts per doc first.
     """
-    tok = df.select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
+    from stepist_spark.session import spread
+
+    tok = spread(df).select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
     tok = tok.withColumn("_h", word_hash32(F.col("_tok")))
     bitted = tok.select(
         id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_b")
@@ -159,9 +166,14 @@ def shingles(tokens: Column, k: int) -> Column:
     Spark's ``sequence`` would otherwise produce a descending range).
     """
     n = F.size(tokens)
+    # higher-order functions run interpreted (no whole-stage codegen), so
+    # build each shingle with k-1 O(1) element_at lookups instead of an
+    # O(k) slice-copy per position — measurably faster on long docs
     make = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+        F.slice(tokens, 1, n - F.lit(k - 1)),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(tokens, i + F.lit(j + 1)) for j in range(1, k)]
+        ),
     )
     return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
 

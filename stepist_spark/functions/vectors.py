@@ -58,6 +58,23 @@ def dot_sql(a: str, b: str) -> str:
     return f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold in double (deterministic,
+    oracle-mirrorable) — the standard IVF assignment metric."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 

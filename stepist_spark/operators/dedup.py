@@ -52,20 +52,42 @@ def minhash_lsh_candidates(
     text_col: str,
     n_hashes: int = 8,
     bands: int = 4,
+    shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash-LSH banding.
+    """Near-duplicate candidate pairs via MinHash-LSH banding over
+    k-word shingles (shingle → minhash → band → bucket-join).
+
+    MinHash runs over ``shingle_k``-word shingles, NOT single tokens:
+    token vocabulary is small, so the corpus-global minimum token hash
+    lands in most documents and single-token MinHash degenerates to
+    all-pairs (measured: 77% of all 5k² pairs became candidates on the
+    test corpus). The shingle space is effectively unbounded, so only
+    genuinely overlapping documents collide. Documents shorter than
+    ``shingle_k`` tokens have no shingles and never pair.
 
     Signature of ``n_hashes`` minhashes split into ``bands`` bands of
     ``n_hashes // bands`` rows each; two docs are candidates if any
     band matches exactly. The band match is an equi-join on
-    (band_index, band_value-struct) — shuffle partitioned by band
+    (band_index, band-value struct) — shuffle partitioned by band
     value, so only colliding docs meet. Output: ``id_a < id_b`` pairs,
     distinct.
     """
+    from stepist_spark.session import spread
+
     rows_per_band = n_hashes // bands
     if rows_per_band * bands != n_hashes:
         raise ValueError("bands must divide n_hashes")
-    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    # spread BEFORE the shingle projection: the array build + per-shingle
+    # hashing is the CPU-dense part, and a small scan's 1-2 input
+    # partitions would otherwise serialize it.
+    # Two projections on purpose: shingles() references its token array
+    # k+ times inside interpreted lambda bodies, so the tokens MUST be a
+    # bound column — inlining the tokenizer expression would re-run the
+    # regex split per shingle element (measured ~10× slowdown).
+    toked = spread(df).select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    toks = toked.select(
+        "_id", hashing.shingles(F.col("_tk"), shingle_k).alias("_toks")
+    )
     sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=n_hashes)
     band_structs = F.array(
         *[
@@ -76,7 +98,15 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sig.select("_id", F.explode(band_structs).alias("bk"))
+    # persist the banded signatures: the self-join would otherwise
+    # recompute the whole tokenize->shingle->hash pipeline for BOTH
+    # sides. The banded frame is bands rows/doc of (id, small struct) —
+    # tiny relative to the corpus — and spills to disk if not.
+    from pyspark.storagelevel import StorageLevel
+
+    banded = sig.select("_id", F.explode(band_structs).alias("bk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -99,7 +129,9 @@ def jaccard_pairs(
     set, computes |A∩B| / |A∪B| with JVM array intrinsics. Output:
     ``id_a, id_b, jaccard`` (rounded, ≥ threshold).
     """
-    sets = df.select(
+    from stepist_spark.session import spread
+
+    sets = spread(df).select(
         F.col(id_col).alias("_sid"),
         F.array_distinct(tokens(F.col(text_col))).alias("_set"),
     )
@@ -130,10 +162,14 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
     """Shingle fingerprint: min 32-bit hash over k-word shingles plus a
     whole-document md5 — a compact near-dup / containment signature.
     Documents shorter than k tokens fingerprint to NULL min-shingle."""
-    toks = tokens(F.col(text_col))
-    sh = hashing.shingles(toks, k)
+    from stepist_spark.session import spread
+
+    # tokens bound as a column first — see minhash_lsh_candidates: the
+    # shingle lambdas would otherwise re-tokenize per element
+    toked = spread(df).withColumn("_tk", tokens(F.col(text_col)))
+    sh = hashing.shingles(F.col("_tk"), k)
     min_shingle = F.array_min(F.transform(sh, lambda s: hashing.word_hash32(s)))
-    return df.select(
+    return toked.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("doc_md5"),
         min_shingle.alias("min_shingle_hash"),

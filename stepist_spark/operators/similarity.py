@@ -95,6 +95,131 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Deterministic IVF centroid seeding: the min-id vector of each
+    ``id % n_centroids`` residue class. Output: ``cid, cvec``.
+
+    Deterministic seeding keeps the index oracle-reproducible; for
+    production recall, refine with :func:`ivf_refine` (Lloyd steps) —
+    the query path is identical either way.
+    """
+    w = Window.partitionBy(F.col(id_col) % n_centroids).orderBy(F.col(id_col))
+    return (
+        corpus.select(F.col(id_col), V.to_double(F.col(vec_col)).alias("cvec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select((F.col(id_col) % n_centroids).alias("cid"), "cvec")
+    )
+
+
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd refinement of IVF centroids: assign -> per-dimension mean.
+
+    Each iteration is two shuffles (argmin assignment collapses map-side
+    because the broadcast cross-join keeps a vector's k candidate rows in
+    one partition; the mean is posexplode + avg per (cid, dim)). Means
+    are FP-sum-order dependent, so refined centroids are NOT
+    bit-reproducible across engines — use seeded centroids when oracle
+    parity matters.
+    """
+    cent = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cent, id_col, vec_col)
+        cent = (
+            assigned.select("cid", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("cvec")
+            )
+        )
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2 argmin,
+    centroid-id tiebreak). Output: ``id_col, _v, cid``.
+
+    Shape at scale: centroids broadcast; the k candidate rows per vector
+    stay in the producing partition, so the argmin collapses in the
+    map-side partial aggregate — the shuffle moves ONE row per vector,
+    not k.
+    """
+    c = corpus.select(F.col(id_col), V.to_double(F.col(vec_col)).alias("_v"))
+    scored = c.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", V.l2sq(F.col("_v"), F.col("cvec"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(F.col("cid"), F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
+            F.any_value(F.col("_v")).alias("_v"),
+        )
+        .select(id_col, "_v", "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: search only the ``n_probe``
+    clusters nearest each query.
+
+    The corpus is scanned once for assignment (one shuffle keyed by
+    cluster), then the search is an equi-join on ``cid`` — at 100 TB
+    the per-query work is |corpus| * n_probe / n_centroids instead of
+    |corpus|. Recall rises with n_probe; n_probe == n_centroids
+    degenerates to brute force.
+    """
+    cent = centroids if centroids is not None else ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv"))
+    probe_scored = q.crossJoin(F.broadcast(cent)).withColumn("_d", V.l2sq(F.col("qv"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
+    probe = (
+        probe_scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("_v")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("_rn", F.row_number().over(wk)).filter(F.col("_rn") <= k).drop("_rn")
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     id_col: str = "vec_id",

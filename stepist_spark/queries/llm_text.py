@@ -58,8 +58,16 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
-def _minhash_sig_sql(corpus_sql: str) -> str:
-    """Signature CTE body shared by the LSH/jaccard oracles."""
+def _minhash_sig_sql(corpus_sql: str, shingle_k: int | None = None) -> str:
+    """Signature CTE body shared by the LSH/jaccard oracles.
+
+    ``shingle_k`` mirrors the operator's shingle-based MinHash (see
+    dedup.minhash_lsh_candidates: single-token MinHash degenerates on a
+    small vocabulary); None hashes raw tokens (t06's signature demo).
+    """
+    unit = TX.tokens_sql("text")
+    if shingle_k is not None:
+        unit = hashing.shingles_sql(unit, shingle_k)
     h = hashing.word_hash32_sql("_tok")
     aggs = ", ".join(
         f"min({hashing.minhash_of_hash_sql(h, i)}) AS mh{i}" for i in range(N_HASHES)
@@ -67,7 +75,7 @@ def _minhash_sig_sql(corpus_sql: str) -> str:
     return f"""
 corpus AS ({corpus_sql}),
 toks AS (
-    SELECT doc_id AS _id, unnest({TX.tokens_sql('text')}) AS _tok FROM corpus
+    SELECT doc_id AS _id, unnest({unit}) AS _tok FROM corpus
 ),
 sig AS (SELECT _id, {aggs} FROM toks GROUP BY _id)
 """
@@ -202,7 +210,7 @@ def t07_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 T07_SQL = f"""
-WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL)},
+WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
 bands AS ({_bands_sql()})
 SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}
 """
@@ -216,7 +224,7 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 T08_SQL = f"""
-WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL)},
+WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
 bands AS ({_bands_sql()}),
 cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
 sets AS (SELECT doc_id AS _sid, list_distinct({TX.tokens_sql('text')}) AS _set FROM corpus)

@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate duplicates the generator expression
+        # into a pre-Generate filter. For interpreted higher-order
+        # expressions (tokenize->shingle pipelines) that filter re-runs
+        # the whole expression tree per row — and lands BELOW the
+        # repartition, on the raw scan's few partitions. Measured 10×+
+        # slowdown on the LSH path; the rows it would skip (empty
+        # arrays) are a vanishing fraction of a text corpus.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MiB input splits — the at-scale default; at 100 TB this
@@ -92,6 +103,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             c, F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
         )
     return df
+
+
+def spread(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the input is under-partitioned.
+
+    CPU-dense operators (per-shingle hashing, per-token scoring) choke
+    when a small parquet scan yields 1-2 input partitions: the explode
+    multiplies rows ~100× but the work stays on 2 cores. At real scale
+    the scan already has thousands of partitions and this is a no-op —
+    it never *reduces* partitioning.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
