@@ -112,9 +112,60 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+# v05 — IVF approximate top-k: deterministic seeded centroids, probe the
+# n_probe nearest clusters per query. The oracle mirrors the exact same
+# index build (min-id per residue class), assignment argmin (squared-L2,
+# cid tiebreak) and probe ranking, so the approximate result is
+# bit-reproducible across engines.
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def v05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
+
+
+_L2_EC = V.l2sq_sql("e.v", "c.cvec")
+V05_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+    SELECT cid, v AS cvec FROM (
+        SELECT vec_id % {N_CENTROIDS} AS cid, v,
+               row_number() OVER (PARTITION BY vec_id % {N_CENTROIDS} ORDER BY vec_id) AS rn
+        FROM e) WHERE rn = 1
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_L2_EC}, c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1
+),
+probe AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_L2_EC}, c.cid) AS rn
+        FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY}) WHERE rn <= {N_PROBE}
+),
+scored AS (
+    SELECT p.query_id, a.neighbor_id,
+           round({V.cosine_sql("p.qv", "a.v")}, 6) AS cos_sim
+    FROM probe p JOIN assigned a ON p.cid = a.cid AND p.query_id <> a.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn <= {K}
+"""
+
+
 QUERIES = [
     QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact cosine top-k"),
     QuerySpec("v02_lsh_buckets", v02_lsh_buckets, V02_SQL, "sign-LSH bucket assignment"),
     QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "embedding near-dup pairs"),
     QuerySpec("v04_lsh_topk", v04_lsh_topk, V04_SQL, "LSH-bucketed approximate top-k"),
+    QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
 ]

@@ -1,0 +1,74 @@
+"""Similarity-search operator tests: brute-force/LSH/IVF consistency
+properties that the SQL oracle can't express (cross-operator recall
+relationships, degenerate-parameter equivalences).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stepist_spark.operators import similarity
+from stepist_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 4)
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in df.collect()}
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, emb, queries):
+        """n_probe == n_centroids searches every cluster — must equal
+        the exact brute-force result."""
+        exact = _pairs(similarity.brute_force_topk(emb, queries, k=3))
+        full = _pairs(
+            similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=8)
+        )
+        assert full == exact
+
+    def test_partial_probe_is_subset_scored_identically(self, emb, queries):
+        """Partial probing returns k rows per query; every returned
+        similarity equals the exact similarity for that pair."""
+        exact_all = _pairs(similarity.brute_force_topk(emb, queries, k=10**6))
+        approx = _pairs(similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2))
+        counts = {}
+        for (q, n), sim in approx.items():
+            assert exact_all[(q, n)] == sim
+            counts[q] = counts.get(q, 0) + 1
+        assert all(c == 3 for c in counts.values())
+
+    def test_assignment_covers_corpus_once(self, emb):
+        cent = similarity.ivf_centroids(emb, n_centroids=8)
+        assigned = similarity.ivf_assign(emb, cent)
+        assert assigned.count() == emb.count()
+        assert assigned.select("vec_id").distinct().count() == emb.count()
+        n_clusters = assigned.select("cid").distinct().count()
+        assert 1 < n_clusters <= 8
+
+    def test_refine_keeps_centroid_count_and_dim(self, emb, spark):
+        cent = similarity.ivf_centroids(emb, n_centroids=4)
+        refined = similarity.ivf_refine(emb, cent, iters=1)
+        rows = refined.collect()
+        assert len(rows) == 4
+        dim = len(emb.select("embedding").first()["embedding"])
+        assert all(len(r["cvec"]) == dim for r in rows)
+
+
+class TestLSHRecall:
+    def test_lsh_topk_similarities_are_exact_for_returned_pairs(self, emb, queries):
+        exact_all = _pairs(similarity.brute_force_topk(emb, queries, k=10**6))
+        lsh = _pairs(similarity.lsh_bucketed_topk(emb, queries, k=3))
+        for pair, sim in lsh.items():
+            assert exact_all[pair] == sim
