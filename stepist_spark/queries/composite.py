@@ -160,9 +160,51 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+# --------------------------------------------------------------------------
+# r01 — the ReducerStep barrier itself: collect_list per group, then a
+# user reduce applied via applyInPandas (the reference's reducer handler,
+# `stepist/flow/workers/reducer_engine.py:69-78`, fired once per
+# complete group). Payload values are whole numbers, so the unordered
+# collect is FP-safe and the result is exactly SQL GROUP BY.
+def r01_reducer_barrier(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from stepist_spark.pipeline import ReducerStep
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 32 == 0).select(
+        "l_orderkey", "l_quantity"
+    )
+
+    def _reduce(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        row = pdf.iloc[0]
+        qs = [d["l_quantity"] for d in row["job_list"]]
+        return pd.DataFrame(
+            {
+                "l_orderkey": [row["l_orderkey"]],
+                "total_qty": [float(sum(qs))],
+                "n_items": [len(qs)],
+            }
+        )
+
+    red = ReducerStep(
+        group_key="l_orderkey",
+        payload_cols=["l_quantity"],
+        reduce_fn=_reduce,
+        reduce_schema="l_orderkey bigint, total_qty double, n_items bigint",
+    )
+    return red.transform(li)
+
+
+R01_SQL = """
+SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS total_qty, count(*) AS n_items
+FROM lineitem WHERE l_orderkey % 32 = 0 GROUP BY l_orderkey
+"""
+
+
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "multimodal binary payload -> Arrow mapInPandas features"),
     QuerySpec("m02_frame_grid", m02_frame_grid, M02_SQL, "video frame-sampling grid (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),
+    QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + applyInPandas reduce"),
 ]
