@@ -1,0 +1,110 @@
+"""Skew mitigation: salted joins and two-phase aggregation.
+
+At 100 TB a single hot key (one viral user, one default enum value)
+turns a shuffle into one straggler task. AQE's skew-join splitting
+(`spark.sql.adaptive.skewJoin`, on by default in
+``stepist_spark.session.get_spark``) handles the sort-merge-join case
+at runtime; these operators cover what AQE cannot:
+
+- ``salted_join``: explicit salting for joins AQE won't split (e.g.
+  when the skewed side feeds a co-partitioned downstream op, or for
+  shuffled-hash paths);
+- ``salted_agg``: two-phase aggregation for skewed GROUP BY keys —
+  AQE never splits a hash-aggregate's hot key.
+
+Both are deterministic (salt = hash of the row, not rand()), so
+results are reproducible and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {"sum", "count", "min", "max", "avg"}
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed frame against a moderate one, spreading each hot
+    key over ``salt`` partitions.
+
+    The skewed side gets a deterministic per-row salt; the other side
+    is replicated ``salt`` times (one copy per salt value), so every
+    (key, salt) shard joins locally. Use when ``other`` is too big to
+    broadcast but small enough to replicate ``salt``×; otherwise
+    prefer ``broadcast()`` (small dim) or AQE skew-join (sort-merge).
+
+    Result is row-identical to ``skewed.join(other, on, how)`` for
+    inner/left joins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            "salted_join supports inner/left joins (replicating the right "
+            f"side breaks {how} semantics)"
+        )
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)
+    ).cast("int")
+    s = skewed.withColumn("_salt", salt_col)
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int")))
+    )
+    return s.join(o, keys + ["_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over skewed group keys.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max, avg}. Phase 1 aggregates on
+    (keys, salt) — the hot key's rows split across ``salt`` reducers —
+    phase 2 combines the per-salt partials on the true keys. The second
+    shuffle moves at most ``salt`` rows per key.
+
+    Equivalent to ``df.groupBy(keys).agg(...)`` for these algebraic
+    functions (avg is recomposed exactly as sum/count).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    for out_col, (in_col, fn) in aggs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{out_col}: {fn!r} is not algebraic; supported: {_ALGEBRAIC}")
+
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
+    salted = df.withColumn("_salt", salt_col)
+
+    partial_exprs, final_exprs = [], []
+    for out_col, (in_col, fn) in aggs.items():
+        if fn == "avg":
+            partial_exprs += [
+                F.sum(in_col).alias(f"_{out_col}_s"),
+                F.count(in_col).alias(f"_{out_col}_c"),
+            ]
+            final_exprs.append(
+                (F.sum(f"_{out_col}_s") / F.sum(f"_{out_col}_c")).alias(out_col)
+            )
+        elif fn == "count":
+            partial_exprs.append(F.count(in_col).alias(f"_{out_col}_p"))
+            final_exprs.append(F.sum(f"_{out_col}_p").alias(out_col))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(in_col).alias(f"_{out_col}_p"))
+            final_exprs.append(F.sum(f"_{out_col}_p").alias(out_col))
+        else:  # min / max combine with themselves
+            partial_exprs.append(getattr(F, fn)(in_col).alias(f"_{out_col}_p"))
+            final_exprs.append(getattr(F, fn)(f"_{out_col}_p").alias(out_col))
+
+    partial = salted.groupBy(*key_list, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*key_list).agg(*final_exprs)

@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: pin the plan SHAPES that make the
+headline queries scale — broadcast dimension joins, predicate pushdown
+into the parquet scan, column pruning, map-side partial aggregation,
+per-partition top-k. A refactor that silently turns the star join into
+a sort-merge join or widens a scan fails here, long before it fails a
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stepist_spark import plans
+from stepist_spark.queries import all_queries
+from stepist_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+class TestJoinStrategies:
+    def test_star_join_broadcasts_dimensions(self, spark, qs):
+        """q03 joins lineitem against 4 dimension tables — every one of
+        those joins must be a broadcast, never a shuffle of the fact."""
+        df = qs["q03_revenue_by_nation"].spark(spark, SF)
+        strategies = plans.join_strategies(df)
+        assert strategies, "expected joins in the q03 plan"
+        assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+    def test_topk_uses_per_partition_heaps(self, spark, qs):
+        """orderBy().limit(k) must plan as TakeOrderedAndProject (local
+        heaps + single merge), not a global sort."""
+        summary = plans.plan_summary(qs["q02_top_orders"].spark(spark, SF))
+        assert summary["has_take_ordered"], summary
+
+    def test_lsh_self_join_is_equi_join(self, spark, qs):
+        """The LSH candidate join must be hash-based on the band key —
+        a nested-loop or cartesian plan would be |docs|² at scale."""
+        strategies = plans.join_strategies(qs["t07_lsh_candidates"].spark(spark, SF))
+        assert strategies
+        assert not any(
+            s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
+        ), strategies
+
+
+class TestScanHygiene:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+        pushed = plans.pushed_filters(df)
+        assert any("l_quantity" in p for p in pushed), pushed
+
+    def test_column_pruning_reaches_scan(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        df = li.select("l_orderkey", "l_quantity")
+        (cols,) = plans.scan_columns(df)
+        assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+    def test_q06_scan_reads_only_needed_columns(self, spark, qs):
+        """TPC-H Q6 touches 4 columns; the scan must not read the other
+        12 — at 100 TB that's the difference between 25 TB and 100 TB
+        of IO."""
+        df = qs["q06_forecast_revenue"].spark(spark, SF)
+        scans = plans.scan_columns(df)
+        assert scans and all(len(c) <= 4 for c in scans), scans
+
+
+class TestAggregation:
+    def test_partial_aggregation_before_shuffle(self, spark, qs):
+        assert plans.has_partial_aggregate(qs["q01_pricing_summary"].spark(spark, SF))
+
+    def test_pipeline_flow_is_single_plan(self, spark):
+        """Chaining steps must compose one Catalyst plan: the filter
+        declared in a LATER step reaches the scan of the first."""
+        from stepist_spark.pipeline import Pipeline
+
+        li = load_table(spark, SF, "lineitem")
+        pipe = (
+            Pipeline()
+            .add(lambda df: df.select("l_orderkey", "l_quantity", "l_returnflag"))
+            .add(lambda df: df.filter(F.col("l_quantity") > 30))
+            .add(lambda df: df.groupBy("l_returnflag").count())
+        )
+        out = pipe.run(li)
+        pushed = plans.pushed_filters(out)
+        assert any("l_quantity" in p for p in pushed), pushed
+        (cols,) = plans.scan_columns(out)
+        assert set(cols) == {"l_orderkey", "l_quantity", "l_returnflag"} or set(cols) == {
+            "l_quantity",
+            "l_returnflag",
+        }, cols

@@ -1,0 +1,78 @@
+"""Skew operators must be RESULT-identical to their naive equivalents —
+they only change the physical distribution of work."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stepist_spark.operators import skew
+from stepist_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark):
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey").withColumnRenamed(
+            "o_orderkey", "l_orderkey"
+        )
+        plain = li.join(orders, "l_orderkey")
+        salted = skew.salted_join(li, orders, "l_orderkey", salt=8)
+        assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+    def test_left_matches_plain_join(self, spark):
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity").limit(200)
+        small = spark.createDataFrame([(1, "x")], "l_orderkey long, tag string")
+        plain = li.join(small, "l_orderkey", "left")
+        salted = skew.salted_join(li, small, "l_orderkey", salt=4, how="left")
+        assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+    def test_rejects_right_join(self, spark):
+        df = spark.range(2)
+        with pytest.raises(ValueError, match="inner/left"):
+            skew.salted_join(df, df, "id", how="right")
+
+    def test_spreads_hot_key(self, spark):
+        """All rows share ONE key: the salted pre-join distribution must
+        occupy multiple salt shards (that's the whole point)."""
+        hot = spark.range(1000).select(F.lit(1).alias("k"), F.col("id"))
+        salted = hot.withColumn(
+            "_salt", F.pmod(F.xxhash64("k", "id"), F.lit(8)).cast("int")
+        )
+        assert salted.select("_salt").distinct().count() > 4
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        plain = li.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("s"),
+            F.count("l_quantity").alias("c"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+            F.avg("l_quantity").alias("a"),
+        )
+        two_phase = skew.salted_agg(
+            li,
+            "l_returnflag",
+            {
+                "s": ("l_quantity", "sum"),
+                "c": ("l_quantity", "count"),
+                "mn": ("l_quantity", "min"),
+                "mx": ("l_quantity", "max"),
+                "a": ("l_quantity", "avg"),
+            },
+            salt=8,
+        )
+        # l_quantity values are whole numbers -> sums/avgs are FP-exact
+        assert _rows(two_phase.select(*plain.columns)) == _rows(plain)
+
+    def test_rejects_non_algebraic(self, spark):
+        with pytest.raises(ValueError, match="algebraic"):
+            skew.salted_agg(spark.range(3), "id", {"x": ("id", "median")})
