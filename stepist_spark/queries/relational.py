@@ -657,6 +657,160 @@ FROM s GROUP BY user_id, sess
 """
 
 
+# --------------------------------------------------------------------------
+# q24 — correlated scalar subquery: customers above their nation's mean
+# balance. Spark: SQL correlated subquery (decorrelated by Catalyst
+# into an aggregate + join — the plan a hand-written join would give).
+def q24_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "customer").createOrReplaceTempView("_q24_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM _q24_customer o
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _q24_customer i
+                           WHERE i.c_nationkey = o.c_nationkey)
+        """
+    )
+
+
+Q24_SQL = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer o
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                   WHERE i.c_nationkey = o.c_nationkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — exact percentiles (continuous interpolation) per group.
+# l_quantity is whole numbers, so the interpolation arithmetic
+# (lo + frac*(hi-lo)) is FP-exact on both engines.
+def q25_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+    )
+
+
+Q25_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.95) AS p95_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — array aggregation + array functions: per-flag sorted distinct
+# quantities, sliced; size and element access.
+def q26_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    arr = F.array_sort(F.collect_set(F.col("l_quantity").cast("bigint")))
+    return li.groupBy("l_returnflag").agg(
+        F.slice(arr, 1, 5).alias("low5"),
+        F.size(arr).alias("n_distinct_qty"),
+        F.element_at(arr, -1).alias("max_qty"),
+    )
+
+
+Q26_SQL = """
+SELECT l_returnflag,
+       list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[1:5] AS low5,
+       len(list(DISTINCT CAST(l_quantity AS BIGINT))) AS n_distinct_qty,
+       list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[-1] AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — string aggregation (listagg) with deterministic ordering
+def q27_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    na = load_table(spark, sf, "nation")
+    re = load_table(spark, sf, "region")
+    return (
+        na.join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+Q27_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — date arithmetic: monthly order revenue with month boundaries,
+# order age in days at a fixed reference date.
+def q28_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return (
+        o.groupBy(month.alias("month_start"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(
+                F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+            ).alias("max_age_days"),
+        )
+        .withColumn("month_end", F.last_day(F.col("month_start")))
+    )
+
+
+Q28_SQL = """
+SELECT date_trunc('month', o_orderdate::TIMESTAMP)::DATE AS month_start,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       max(datediff('day', o_orderdate::DATE, DATE '1998-12-31')) AS max_age_days,
+       last_day(date_trunc('month', o_orderdate::TIMESTAMP)::DATE) AS month_end
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — window RANGE frame: revenue of orders within a totalprice band
+# (current - 1000 .. current) per status, plus ntile quartiles and
+# first/last frame values.
+def q29_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w_order = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    # float RANGE boundaries aren't expressible through the PySpark
+    # Window API (ints only); the SQL frame syntax is
+    n_in_band = F.expr(
+        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        n_in_band.alias("n_in_band"),
+        F.ntile(4).over(w_order).alias("quartile"),
+        F.round(F.first("o_totalprice").over(w_order), 2).alias("cheapest_so_far"),
+    )
+
+
+Q29_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
+       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+       round(first_value(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 2) AS cheapest_so_far
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
 QUERIES = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + 8-agg groupBy"),
     QuerySpec("q02_top_orders", q02_top_orders, Q02_SQL, "TPC-H Q3: 3-way join + agg + top-10"),
@@ -681,4 +835,10 @@ QUERIES = [
     QuerySpec("q21_approx_distinct", q21_approx_distinct, None, "approx_count_distinct + approx percentile (rows-only)"),
     QuerySpec("q22_tumbling_window", q22_tumbling_window, Q22_SQL, "tumbling event-time window (streaming helper, batch path)"),
     QuerySpec("q23_session_window", q23_session_window, Q23_SQL, "session windows, 30-min gap (streaming helper, batch path)"),
+    QuerySpec("q24_correlated_subquery", q24_correlated_subquery, Q24_SQL, "correlated scalar subquery (decorrelated)"),
+    QuerySpec("q25_percentiles", q25_percentiles, Q25_SQL, "exact continuous percentiles per group"),
+    QuerySpec("q26_array_functions", q26_array_functions, Q26_SQL, "array agg + sort/slice/element_at"),
+    QuerySpec("q27_string_agg", q27_string_agg, Q27_SQL, "ordered string aggregation (listagg)"),
+    QuerySpec("q28_date_arithmetic", q28_date_arithmetic, Q28_SQL, "date_trunc/datediff/last_day arithmetic"),
+    QuerySpec("q29_window_frames", q29_window_frames, Q29_SQL, "RANGE frame + ntile + first_value windows"),
 ]
