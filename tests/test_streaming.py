@@ -225,3 +225,40 @@ class TestEventTimeWindows:
         got = {(r["user"], r["n"]) for r in out.collect()}
         # u1: events at 00:10 and 00:50 merge (40s gap); 05:00 is its own session
         assert got == {("u1", 2), ("u1", 1), ("u2", 1)}
+
+
+class TestStreamDedup:
+    def test_exact_dedup_across_micro_batches(self, spark, tmp_path):
+        """The same event_id arriving in two different micro-batches must
+        surface once — cross-batch state, not per-batch distinct."""
+        from stepist_spark.streaming import stream_dedup
+
+        d = tmp_path / "ev"
+        d.mkdir()
+        (d / "b0.json").write_text(
+            "\n".join(
+                json.dumps({"event_id": i, "ts": "2024-01-01 00:00:05", "v": i}) for i in (1, 2, 3)
+            )
+        )
+        (d / "b1.json").write_text(
+            "\n".join(
+                json.dumps({"event_id": i, "ts": "2024-01-01 00:00:09", "v": i * 10}) for i in (2, 3, 4)
+            )
+        )
+        src = read_stream(
+            spark, "json", str(d), schema="event_id LONG, ts STRING, v LONG", maxFilesPerTrigger=1
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = stream_dedup(src, "event_id", ts_col="ts", watermark="10 minutes")
+        q = out.writeStream.format("memory").queryName("t_dedup").outputMode("append").trigger(
+            availableNow=True
+        ).start()
+        _drain(q)
+        rows = spark.sql("SELECT event_id FROM t_dedup").collect()
+        ids = sorted(r["event_id"] for r in rows)
+        assert ids == [1, 2, 3, 4], ids
+
+    def test_batch_passthrough(self, spark):
+        from stepist_spark.streaming import stream_dedup
+
+        df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+        assert stream_dedup(df, "k").count() == 2
