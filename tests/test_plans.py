@@ -94,3 +94,43 @@ class TestAggregation:
             "l_quantity",
             "l_returnflag",
         }, cols
+
+
+class TestBucketing:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """Two tables bucketed identically on the join key must join
+        with NO exchange — the layout lever `sources.write(bucket_by=)`
+        exists for. At 100 TB this is the difference between re-shuffling
+        both sides per join and reading pre-shuffled data."""
+        from stepist_spark.sources import write
+
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        orders = (
+            load_table(spark, SF, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .withColumnRenamed("o_orderkey", "l_orderkey")
+        )
+        for name, df in [("t_bkt_li", li), ("t_bkt_ord", orders)]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            write(
+                df,
+                path=str(tmp_path / name),
+                mode="overwrite",
+                bucket_by=(4, "l_orderkey"),
+                sort_by="l_orderkey",
+                table=name,
+            )
+        # force the shuffle path (tiny test tables would broadcast and
+        # hide the bucketing effect we're asserting)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bkt_li").join(spark.table("t_bkt_ord"), "l_orderkey")
+            plan = plans.explain_str(joined)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # sanity: the join still computes the right thing
+            expected = li.join(orders, "l_orderkey").count()
+            assert joined.count() == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
