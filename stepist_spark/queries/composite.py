@@ -176,13 +176,14 @@ def r01_reducer_barrier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def _reduce(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        row = pdf.iloc[0]
-        qs = [d["l_quantity"] for d in row["job_list"]]
+        # one input row per complete group; vectorized over the batch
         return pd.DataFrame(
             {
-                "l_orderkey": [row["l_orderkey"]],
-                "total_qty": [float(sum(qs))],
-                "n_items": [len(qs)],
+                "l_orderkey": pdf["l_orderkey"],
+                "total_qty": [
+                    float(sum(d["l_quantity"] for d in jl)) for jl in pdf["job_list"]
+                ],
+                "n_items": [len(jl) for jl in pdf["job_list"]],
             }
         )
 

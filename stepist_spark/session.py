@@ -77,6 +77,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_TUNED_SESSIONS: set[int] = set()
+
+# Runtime-settable confs every query path depends on, applied even when
+# the caller (e.g. the external driver) built its own SparkSession with
+# different builder-time settings. All are dynamic SQL confs.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # see get_spark: pathological for interpreted HOF pipelines
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+}
+
+
+def ensure_runtime_tuning(spark: SparkSession) -> None:
+    """Idempotently apply the engine's dynamic confs to any session."""
+    key = id(spark)
+    if key in _TUNED_SESSIONS:
+        return
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # non-settable on some deployments: keep going
+            pass
+    _TUNED_SESSIONS.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables.
 
@@ -93,6 +122,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     cast defeats parquet predicate pushdown on that one column); filter
     on the raw long when pruning matters at scale.
     """
+    ensure_runtime_tuning(spark)
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:

@@ -181,9 +181,17 @@ class TestReducer:
         assert sorted(x.payload for x in rows[0].job_list) == ["p0", "p1", "p2"]
 
     def test_reduce_fn_applies_per_group(self, engine, spark):
-        def reduce_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            joined = ",".join(sorted(p["payload"] for p in pdf["job_list"].iloc[0]))
-            return pd.DataFrame({"hub_job_id": [key[0]], "joined": [joined]})
+        def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one row per complete group; vectorized over the batch
+            return pd.DataFrame(
+                {
+                    "hub_job_id": pdf["hub_job_id"],
+                    "joined": [
+                        ",".join(sorted(p["payload"] for p in jl))
+                        for jl in pdf["job_list"]
+                    ],
+                }
+            )
 
         reducer = engine.reducer_step(
             "hub_job_id",

@@ -111,12 +111,13 @@ class TestExample4HubReducer:
 
     def test_flow(self, engine, spark):
         def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
-            texts = [d["text"] for d in pdf.iloc[0]["job_list"]]
+            # one row per complete barrier group (batch-vectorized)
+            texts_per_group = [[d["text"] for d in jl] for jl in pdf["job_list"]]
             return pd.DataFrame(
                 {
-                    "hub_job_id": [pdf.iloc[0]["hub_job_id"]],
-                    "c1": [texts[0].count("python")],
-                    "c2": [texts[1].count("python")],
+                    "hub_job_id": pdf["hub_job_id"],
+                    "c1": [ts[0].count("python") for ts in texts_per_group],
+                    "c2": [ts[1].count("python") for ts in texts_per_group],
                 }
             )
 
