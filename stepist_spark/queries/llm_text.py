@@ -142,6 +142,7 @@ def t03_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         TX.token_count(txt).cast("bigint").alias("n_tokens"),
         TX.avg_token_len(txt).alias("avg_token_len"),
         TX.punct_ratio(txt).alias("punct_ratio"),
+        TX.stopword_ratio(txt).alias("stopword_ratio"),
         F.length(txt).cast("bigint").alias("n_chars_computed"),
     )
 
@@ -151,6 +152,7 @@ SELECT doc_id,
        {TX.token_count_sql('text')} AS n_tokens,
        {TX.avg_token_len_sql('text')} AS avg_token_len,
        {TX.punct_ratio_sql('text')} AS punct_ratio,
+       {TX.stopword_ratio_sql('text')} AS stopword_ratio,
        length(text) AS n_chars_computed
 FROM documents
 """

@@ -658,6 +658,35 @@ FROM s GROUP BY user_id, sess
 
 
 # --------------------------------------------------------------------------
+# q30 — unpivot (wide -> long): per-flag quantity/price sums melted into
+# (flag, measure, value) rows. Spark: the unpivot/melt API; DuckDB: UNPIVOT.
+def q30_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+Q30_SQL = """
+UNPIVOT (
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS qty,
+           round(sum(l_extendedprice), 2) AS price,
+           round(sum(l_discount), 2) AS discount
+    FROM lineitem GROUP BY l_returnflag
+) ON qty, price, discount INTO NAME measure VALUE value
+"""
+
+
+# --------------------------------------------------------------------------
 # q24 — correlated scalar subquery: customers above their nation's mean
 # balance. Spark: SQL correlated subquery (decorrelated by Catalyst
 # into an aggregate + join — the plan a hand-written join would give).
@@ -841,4 +870,5 @@ QUERIES = [
     QuerySpec("q27_string_agg", q27_string_agg, Q27_SQL, "ordered string aggregation (listagg)"),
     QuerySpec("q28_date_arithmetic", q28_date_arithmetic, Q28_SQL, "date_trunc/datediff/last_day arithmetic"),
     QuerySpec("q29_window_frames", q29_window_frames, Q29_SQL, "RANGE frame + ntile + first_value windows"),
+    QuerySpec("q30_unpivot", q30_unpivot, Q30_SQL, "unpivot/melt wide measures to long"),
 ]
