@@ -24,6 +24,8 @@ from stepist_spark.pipeline import (
     Pipeline,
     Step,
     StopFlowFlag,
+    meta_value,
+    with_meta,
 )
 
 __version__ = "0.1.0"
@@ -36,5 +38,7 @@ __all__ = [
     "Step",
     "StopFlowFlag",
     "get_spark",
+    "meta_value",
     "stop_spark",
+    "with_meta",
 ]

@@ -266,6 +266,33 @@ class ReducerStep(Step):
         return collected
 
 
+def with_meta(df: DataFrame, **values: Any) -> DataFrame:
+    """Attach framework metadata that travels with every row.
+
+    The reference propagates a thread-local ``meta_data`` dict across
+    process hops inside the StepData envelope
+    (`stepist/flow/session.py:6-75`, carried at
+    `stepist/flow/steps/step.py:126-127`); in a declarative engine the
+    lineage itself replaces most of that, and what must travel rides as
+    an ordinary struct column — visible to Catalyst, shuffled with the
+    data, no side channel. Repeated calls merge keys (later wins, the
+    reference's ``update_meta_data`` semantics).
+    """
+    existing: dict[str, Column] = {}
+    if "_meta" in df.columns:
+        meta_type = df.schema["_meta"].dataType
+        existing = {f.name: F.col(f"_meta.{f.name}") for f in meta_type.fields}
+    merged = {**existing, **{k: F.lit(v) for k, v in values.items()}}
+    return df.withColumn(
+        "_meta", F.struct(*[c.alias(k) for k, c in merged.items()])
+    )
+
+
+def meta_value(df: DataFrame, key: str) -> Column:
+    """Read one metadata field attached by :func:`with_meta`."""
+    return F.col(f"_meta.{key}")
+
+
 class Pipeline:
     """Forward-declared linear flow: fold ``stage(df) -> df`` callables
     into one lazy plan. The ergonomic alternative to backwards

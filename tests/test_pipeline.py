@@ -233,3 +233,27 @@ class TestPipeline:
         stage = eng.map_in_pandas(double_gen, schema="id long, doubled long")
         out = Pipeline([stage]).run(spark.range(5))
         assert sorted(r.doubled for r in out.collect()) == [0, 2, 4, 6, 8]
+
+
+class TestMetaPropagation:
+    """Reference: thread-local meta_data travels with every job
+    (`stepist/flow/session.py:6-75`); here it's a struct column."""
+
+    def test_meta_travels_through_transformations(self, spark):
+        from stepist_spark.pipeline import meta_value, with_meta
+
+        df = with_meta(spark.range(5), run_id="r1", attempt=1)
+        out = (
+            df.filter(F.col("id") > 1)
+            .withColumn("double", F.col("id") * 2)
+            .select("double", meta_value(df, "run_id").alias("rid"))
+        )
+        rows = out.collect()
+        assert all(r["rid"] == "r1" for r in rows) and len(rows) == 3
+
+    def test_meta_merge_later_wins(self, spark):
+        from stepist_spark.pipeline import meta_value, with_meta
+
+        df = with_meta(with_meta(spark.range(2), a="x", b="y"), b="z")
+        (r, _) = df.select(meta_value(df, "a").alias("a"), meta_value(df, "b").alias("b")).collect()
+        assert (r["a"], r["b"]) == ("x", "z")
