@@ -54,15 +54,16 @@ def _decode_image_stub(payload: bytes) -> list[float]:
     Stands in for a real decoder (raises nothing so pipelines are
     testable end-to-end); replace via ``DECODER`` for real media. A
     production build decodes with PIL/ffmpeg here — the surrounding
-    Arrow batch plumbing is unchanged.
+    Arrow batch plumbing is unchanged. Vectorized with numpy the way a
+    real decoder would process the buffer (no per-byte Python loop).
     """
-    if payload is None:
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
         return [0.0] * 8
-    counts = [0] * 8
-    for b in payload:
-        counts[b >> 5] += 1
-    total = max(len(payload), 1)
-    return [c / total for c in counts]
+    arr = np.frombuffer(payload, dtype=np.uint8) >> 5
+    counts = np.bincount(arr, minlength=8)[:8]
+    return (counts / len(payload)).tolist()
 
 
 DECODER = _decode_image_stub
@@ -77,6 +78,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     count, when payloads are skewed (`df.repartition(n)` after filter).
     """
 
+    import numpy as np
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf["payload"].map(DECODER)
@@ -86,7 +89,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
                     "byte_mean": pdf["payload"].map(
-                        lambda b: 0.0 if b is None or len(b) == 0 else sum(b) / len(b)
+                        lambda b: 0.0
+                        if b is None or len(b) == 0
+                        else float(np.frombuffer(b, dtype=np.uint8).mean())
                     ),
                     "feature": feats,
                 }

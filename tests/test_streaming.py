@@ -262,3 +262,36 @@ class TestStreamDedup:
 
         df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
         assert stream_dedup(df, "k").count() == 2
+
+
+class TestMultiHopTopology:
+    def test_two_hop_worker_pipeline(self, spark, tmp_path):
+        """The reference's pipelined multi-hop topology (worker step
+        enqueueing to the NEXT worker's queue, `stepist/flow/steps/
+        step.py:125-133`): hop 1 streams the source, transforms, and
+        lands parquet; hop 2 streams hop 1's output directory and
+        aggregates. Two independent StreamingQueries chained by storage
+        — each hop scales and checkpoints independently."""
+        src_dir, mid_dir = tmp_path / "src", tmp_path / "mid"
+        src_dir.mkdir()
+        (src_dir / "b0.json").write_text(
+            "\n".join(json.dumps({"k": i % 2, "v": i}) for i in range(10))
+        )
+
+        hop1 = StreamFlow(
+            read_stream(spark, "json", str(src_dir), schema="k LONG, v LONG"),
+            Pipeline().add(lambda df: df.withColumn("v2", F.col("v") * 2)),
+        )
+        q1 = hop1.to_files(
+            str(mid_dir), checkpoint=str(tmp_path / "ck1"), trigger={"availableNow": True}
+        )
+        _drain(q1)
+
+        hop2 = StreamFlow(
+            read_stream(spark, "parquet", str(mid_dir), schema="k LONG, v LONG, v2 LONG"),
+            Pipeline().add(lambda df: df.groupBy("k").agg(F.sum("v2").alias("total"))),
+        )
+        q2 = hop2.to_memory("t_hop2", output_mode="complete")
+        _drain(q2)
+        got = {r["k"]: r["total"] for r in spark.sql("SELECT * FROM t_hop2").collect()}
+        assert got == {0: 2 * (0 + 2 + 4 + 6 + 8), 1: 2 * (1 + 3 + 5 + 7 + 9)}
