@@ -47,6 +47,32 @@ def token_count_sql(expr: str) -> str:
     return f"len({tokens_sql(expr)})"
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style splitter shape (contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs)
+# without lookaheads, so Java regex (Spark) and RE2 (DuckDB) agree.
+SUBWORD_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (lowercased): the unit a byte-pair encoder
+    would merge within. ``regexp_extract_all`` keeps this JVM-side."""
+    return F.regexp_extract_all(F.lower(text), F.lit(SUBWORD_RE), F.lit(0))
+
+
+def subword_tokens_sql(expr: str) -> str:
+    pat = SUBWORD_RE.replace("'", "''")
+    return f"regexp_extract_all(lower({expr}), '{pat}')"
+
+
+def subword_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(SUBWORD_RE), F.lit(0)))
+
+
+def subword_token_count_sql(expr: str) -> str:
+    pat = SUBWORD_RE.replace("'", "''")
+    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+
+
 def avg_token_len(text: Column) -> Column:
     """Mean token length, 0.0 for empty docs (no ANSI division-by-zero)."""
     toks = tokens(text)

@@ -122,19 +122,21 @@ def jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    shingle_k: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard on candidate pairs (verification stage).
+    """Exact set-Jaccard on candidate pairs (verification stage).
 
-    Joins the token sets onto the (small relative to |docs|²) candidate
-    set, computes |A∩B| / |A∪B| with JVM array intrinsics. Output:
-    ``id_a, id_b, jaccard`` (rounded, ≥ threshold).
+    The set unit is tokens by default; ``shingle_k`` switches to
+    k-word shingles (n-gram Jaccard — order-sensitive, the unit the
+    LSH candidates were hashed on). Joins the sets onto the (small
+    relative to |docs|²) candidate set, computes |A∩B| / |A∪B| with
+    JVM array intrinsics. Output: ``id_a, id_b, jaccard`` (≥ threshold).
     """
     from stepist_spark.session import spread
 
-    sets = spread(df).select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(tokens(F.col(text_col))).alias("_set"),
-    )
+    toked = spread(df).select(F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_tk"))
+    unit = hashing.shingles(F.col("_tk"), shingle_k) if shingle_k else F.col("_tk")
+    sets = toked.select("_sid", F.array_distinct(unit).alias("_set"))
     joined = (
         candidates.join(sets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
         .join(sets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_set", "set_b"), "id_b")

@@ -273,6 +273,57 @@ FROM documents
 """
 
 
+# t11 — BPE-ish subword pre-tokenization (the GPT-2-style splitter
+# shape): per-document counts, aggregated by source
+def t11_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.subword_token_count(F.col("text")).cast("bigint").alias("n_subtokens"),
+        F.size(F.array_distinct(TX.subword_tokens(F.col("text")))).cast("bigint").alias(
+            "n_distinct_subtokens"
+        ),
+    )
+
+
+T11_SQL = f"""
+SELECT doc_id,
+       len({TX.subword_tokens_sql('text')}) AS n_subtokens,
+       len(list_distinct({TX.subword_tokens_sql('text')})) AS n_distinct_subtokens
+FROM documents
+"""
+
+
+# t12 — n-gram (3-shingle) Jaccard verification of the LSH candidates:
+# order-sensitive set similarity on the same unit the candidates were
+# hashed on (vs t08's token-set Jaccard)
+def t12_shingle_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _docs_with_near_dups(spark, sf)
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
+    return dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.5, shingle_k=3)
+
+
+_SHJ = hashing.shingles_sql(TX.tokens_sql("text"), 3)
+T12_SQL = f"""
+WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
+bands AS ({_bands_sql()}),
+cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
+sets AS (SELECT doc_id AS _sid, list_distinct({_SHJ}) AS _set FROM corpus)
+SELECT id_a, id_b,
+       CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
+            THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa._set, sb._set)))
+            ELSE 0.0 END AS jaccard
+FROM cands
+JOIN sets sa ON sa._sid = id_a
+JOIN sets sb ON sb._sid = id_b
+WHERE CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
+           THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa._set, sb._set)))
+           ELSE 0.0 END >= 0.5
+"""
+
+
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
     QuerySpec("t02_dedup_exact_count", t02_dedup_exact_count, T02_SQL, "exact dedup survivors"),
@@ -284,4 +335,6 @@ QUERIES = [
     QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "Jaccard verification of candidates"),
     QuerySpec("t09_simhash", t09_simhash, T09_SQL, "SimHash fingerprints"),
     QuerySpec("t10_fingerprint", t10_fingerprint, T10_SQL, "shingle fingerprinting"),
+    QuerySpec("t11_subword_tokens", t11_subword_tokens, T11_SQL, "BPE-ish subword pre-tokenization counts"),
+    QuerySpec("t12_shingle_jaccard", t12_shingle_jaccard, T12_SQL, "n-gram (3-shingle) Jaccard on LSH candidates"),
 ]
