@@ -123,7 +123,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     on the raw long when pruning matters at scale.
     """
     ensure_runtime_tuning(spark)
-    path = table_path(sf_dir, name)
+    return read_parquet_nanos_safe(spark, table_path(sf_dir, name))
+
+
+def read_parquet_nanos_safe(spark: SparkSession, path: str):
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns (see
+    :func:`load_table`); a plain ``spark.read.parquet`` otherwise."""
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -151,11 +156,29 @@ def spread(df, min_partitions: int | None = None):
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names annotated TIMESTAMP(NANOS) in the parquet footer."""
+    """Column names annotated TIMESTAMP(NANOS) in the parquet footer.
+
+    For a directory (partitioned dataset), one fragment's footer is
+    representative — Spark requires consistent types across fragments
+    anyway. Unreadable/remote paths return [] (plain read proceeds).
+    """
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    probe = path
+    if os.path.isdir(path):
+        frags = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not frags:
+            return []
+        probe = frags[0]
+    try:
+        schema = pq.ParquetFile(probe).schema
+    except Exception:
+        return []
     out = []
-    for col in pq.ParquetFile(path).schema:
+    for col in schema:
         lt = getattr(col, "logical_type", None)
         if lt is not None and "Timestamp" in str(lt) and "nanoseconds" in str(lt):
             out.append(col.name)

@@ -56,3 +56,13 @@ class TestPartitionedLayout:
         plan = plans.explain_str(back)
         assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
         assert back.count() == li.filter("l_returnflag = 'A'").count()
+
+
+class TestNanosTimestamps:
+    def test_generic_read_handles_nanos_parquet(self, spark):
+        """events.parquet carries TIMESTAMP(NANOS), which plain
+        spark.read.parquet refuses — the generic reader must transparently
+        convert to timestamp_ntz like load_table does."""
+        df = read(spark, f"{SF}/events.parquet")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        assert df.count() > 0
