@@ -6,6 +6,6 @@ where possible, broadcast for small sides, LSH bucketing for the
 quadratic problems (near-dup, ANN).
 """
 
-from stepist_spark.operators import asof, dedup, multimodal, similarity, skew, topk
+from stepist_spark.operators import asof, dedup, multimodal, similarity, sketches, skew, topk
 
-__all__ = ["asof", "dedup", "multimodal", "similarity", "skew", "topk"]
+__all__ = ["asof", "dedup", "multimodal", "similarity", "sketches", "skew", "topk"]

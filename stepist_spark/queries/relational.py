@@ -658,6 +658,22 @@ FROM s GROUP BY user_id, sess
 
 
 # --------------------------------------------------------------------------
+# q31 — mergeable-HLL distinct rollup (rows-only: Spark's Datasketches
+# binary differs from DuckDB's HLL, so estimates can't hash-match; the
+# accuracy bound is asserted in tests/test_sketches.py). The two-level
+# shape — sketch per fine key, merge to coarse — is the 100 TB pattern:
+# rollups re-merge kilobyte sketches instead of rescanning raw data.
+def q31_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import sketches
+
+    li = load_table(spark, sf, "lineitem")
+    fine = sketches.build_sketches(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    return sketches.rollup_sketches(fine, ["l_returnflag"]).withColumn(
+        "approx_distinct", F.col("approx_distinct").cast("bigint")
+    )
+
+
+# --------------------------------------------------------------------------
 # q30 — unpivot (wide -> long): per-flag quantity/price sums melted into
 # (flag, measure, value) rows. Spark: the unpivot/melt API; DuckDB: UNPIVOT.
 def q30_unpivot(spark: SparkSession, sf: str) -> DataFrame:
@@ -871,4 +887,5 @@ QUERIES = [
     QuerySpec("q28_date_arithmetic", q28_date_arithmetic, Q28_SQL, "date_trunc/datediff/last_day arithmetic"),
     QuerySpec("q29_window_frames", q29_window_frames, Q29_SQL, "RANGE frame + ntile + first_value windows"),
     QuerySpec("q30_unpivot", q30_unpivot, Q30_SQL, "unpivot/melt wide measures to long"),
+    QuerySpec("q31_hll_rollup", q31_hll_rollup, None, "mergeable HLL sketch rollup (rows-only)"),
 ]

@@ -134,3 +134,40 @@ class TestBucketing:
             assert joined.count() == expected
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestCatalogHygiene:
+    """Sweep EVERY registered query's physical plan for the operators
+    that do not survive scale. CartesianProduct is |n|×|m| with no
+    pruning; BroadcastNestedLoopJoin is acceptable ONLY where a query
+    deliberately scans the corpus against a broadcast side (brute-force
+    similarity, range-band joins)."""
+
+    # queries whose semantics genuinely need a nested-loop against a
+    # broadcast side (documented scale story: small side is broadcast)
+    BNLJ_ALLOWED = {
+        "v01_cosine_topk",      # brute-force baseline: corpus × broadcast queries
+        "q18_range_join",       # band dim broadcast, range predicate
+        "q19_asof_join",        # range condition against broadcast dim
+        "v05_ivf_topk",         # centroid cross-score: corpus × broadcast centroids
+    }
+
+    def test_no_cartesian_products_anywhere(self, spark, qs):
+        offenders = []
+        for name, spec in sorted(qs.items()):
+            if name.startswith("s01"):
+                continue  # starts a streaming query; shape covered in test_streaming
+            strategies = plans.join_strategies(spec.spark(spark, SF))
+            if "CartesianProduct" in strategies:
+                offenders.append(name)
+        assert not offenders, offenders
+
+    def test_nested_loop_joins_only_where_allowed(self, spark, qs):
+        offenders = []
+        for name, spec in sorted(qs.items()):
+            if name.startswith("s01") or name in self.BNLJ_ALLOWED:
+                continue
+            strategies = plans.join_strategies(spec.spark(spark, SF))
+            if "BroadcastNestedLoopJoin" in strategies:
+                offenders.append(name)
+        assert not offenders, offenders

@@ -1,0 +1,63 @@
+"""HLL sketch rollup: merge-don't-rescan distinct counting. Accuracy is
+bounded (~1.6% at lg_k=12), and crucially the two-level path (build per
+fine key, merge to coarse key) must estimate the SAME value as
+sketching the coarse key directly — associativity is what makes the
+pattern work at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stepist_spark.operators import sketches
+from stepist_spark.session import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load_table(spark, SF, "lineitem").cache()
+
+
+class TestHLLRollup:
+    def test_estimate_within_error_bound(self, spark, li):
+        per_flag = sketches.build_sketches(li, "l_returnflag", "l_partkey")
+        est = {
+            r["l_returnflag"]: r["approx_distinct"]
+            for r in sketches.estimate(per_flag).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+    def test_merge_tracks_direct_sketch(self, spark, li):
+        """Sketch per (flag, linestatus), merge to flag — the union
+        estimate is not bit-identical to a direct flag-level sketch
+        (Datasketches promotes sparse->dense during union), but both
+        must land within the error bound of the exact count."""
+        fine = sketches.build_sketches(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+        rolled = {
+            r["l_returnflag"]: r["approx_distinct"]
+            for r in sketches.rollup_sketches(fine, ["l_returnflag"]).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(rolled[k] - n) / n < 0.05, (k, rolled[k], n)
+
+    def test_global_rollup_from_group_sketches(self, spark, li):
+        fine = sketches.build_sketches(li, "l_returnflag", "l_partkey")
+        merged = fine.agg(F.hll_union_agg("sketch").alias("sketch"))
+        (r,) = sketches.estimate(merged).collect()
+        exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+        assert abs(r["approx_distinct"] - exact) / exact < 0.05
