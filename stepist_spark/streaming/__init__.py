@@ -23,12 +23,14 @@ Here the same capabilities are Structured Streaming:
 
 from stepist_spark.streaming.barrier import barrier_reduce
 from stepist_spark.streaming.dedup import stream_dedup
+from stepist_spark.streaming.incremental import dedup_against_history
 from stepist_spark.streaming.runtime import StreamFlow
 from stepist_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 __all__ = [
     "StreamFlow",
     "barrier_reduce",
+    "dedup_against_history",
     "stream_dedup",
     "tumbling_agg",
     "sliding_agg",

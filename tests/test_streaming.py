@@ -295,3 +295,40 @@ class TestMultiHopTopology:
         _drain(q2)
         got = {r["k"]: r["total"] for r in spark.sql("SELECT * FROM t_hop2").collect()}
         assert got == {0: 2 * (0 + 2 + 4 + 6 + 8), 1: 2 * (1 + 3 + 5 + 7 + 9)}
+
+
+class TestIncrementalDedup:
+    def test_history_suppresses_across_runs(self, spark, tmp_path):
+        """Documents seen in an EARLIER run (separate query, separate
+        checkpoint epoch) must still be suppressed — history is a table,
+        not stream state."""
+        from stepist_spark.streaming.incremental import dedup_against_history
+
+        src_dir = tmp_path / "in"
+        src_dir.mkdir()
+        out_dir, hist_dir, ckpt = (
+            str(tmp_path / "out"), str(tmp_path / "hist"), str(tmp_path / "ck"),
+        )
+        schema = "doc_id LONG, text STRING"
+
+        def run_batch(fname, rows):
+            (src_dir / fname).write_text("\n".join(json.dumps(r) for r in rows))
+            src = read_stream(spark, "json", str(src_dir), schema=schema)
+            q = dedup_against_history(
+                src, out_dir, hist_dir, ckpt, trigger={"availableNow": True}
+            )
+            _drain(q)
+
+        run_batch("b0.json", [
+            {"doc_id": 1, "text": "alpha"},
+            {"doc_id": 2, "text": "beta"},
+            {"doc_id": 3, "text": "alpha"},   # in-batch dup of 1
+        ])
+        run_batch("b1.json", [
+            {"doc_id": 4, "text": "beta"},    # historical dup of 2
+            {"doc_id": 5, "text": "gamma"},   # fresh
+        ])
+        kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+        assert kept == {1: "alpha", 2: "beta", 5: "gamma"}, kept
+        hist = {r["content_hash"] for r in spark.read.parquet(hist_dir).collect()}
+        assert len(hist) == 3
