@@ -102,3 +102,50 @@ class TestQualityScoreProperties:
             assert 0 <= v <= 1_000_000
             if not tokens_py(t):
                 assert v == 0
+
+
+class TestVectorProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=4),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_dot_and_norm_match_python_fold(self, spark, vecs):
+        """The sequential-fold dot/norm must equal a plain left-to-right
+        Python accumulation (the same order the DuckDB mirror uses)."""
+        from stepist_spark.functions import vectors as V
+
+        pairs = [(i, vecs[i], vecs[(i + 1) % len(vecs)]) for i in range(len(vecs))]
+        df = spark.createDataFrame(pairs, "i long, a array<double>, b array<double>")
+        got = {
+            r["i"]: (r["d"], r["n"])
+            for r in df.select(
+                "i",
+                V.dot(F.col("a"), F.col("b")).alias("d"),
+                V.norm(F.col("a")).alias("n"),
+            ).collect()
+        }
+        import math
+
+        for i, a, b in pairs:
+            d = 0.0
+            for x, y in zip(a, b):
+                d = d + x * y
+            n = 0.0
+            for x in a:
+                n = n + x * x
+            assert got[i][0] == d, (got[i][0], d)
+            assert got[i][1] == math.sqrt(n)
+
+    def test_cosine_bounds_and_zero_vector(self, spark):
+        from stepist_spark.functions import vectors as V
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]), (3, [0.0, 0.0], [1.0, 1.0])],
+            "i long, a array<double>, b array<double>",
+        )
+        got = {r["i"]: r["c"] for r in df.select("i", V.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+        assert got == {1: 1.0, 2: 0.0, 3: 0.0}

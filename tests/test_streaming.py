@@ -332,3 +332,43 @@ class TestIncrementalDedup:
         assert kept == {1: "alpha", 2: "beta", 5: "gamma"}, kept
         hist = {r["content_hash"] for r in spark.read.parquet(hist_dir).collect()}
         assert len(hist) == 3
+
+
+class TestLateData:
+    def test_watermark_drops_late_rows_in_append_mode(self, spark, tmp_path):
+        """The principled late-data policy (vs the reference's silent
+        Redis TTL expiry): once the watermark passes a window's end, a
+        straggler for that window is DROPPED, and the window's result —
+        emitted exactly once — does not include it."""
+        d = tmp_path / "ev"
+        d.mkdir()
+        # batch 0: events up to 10:59 -> watermark (0s delay) reaches 10:59
+        (d / "b0.json").write_text(
+            "\n".join(
+                json.dumps({"ts": t, "v": 1})
+                for t in ["2024-01-01 10:00:10", "2024-01-01 10:59:00"]
+            )
+        )
+        src = read_stream(
+            spark, "json", str(d), schema="ts STRING, v LONG", maxFilesPerTrigger=1
+        ).withColumn("ts", F.to_timestamp("ts"))
+        agg = tumbling_agg(src, "ts", "30 minutes", [F.sum("v").alias("n")], watermark="0 seconds")
+        q = (
+            agg.writeStream.format("memory").queryName("t_late").outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and spark.sql("SELECT * FROM t_late").count() < 1:
+                time.sleep(0.5)
+            # the 10:00 window closed (watermark 10:59 > 10:30) with n=1
+            first = {(str(r["window_start"]), r["n"]) for r in spark.sql("SELECT * FROM t_late").collect()}
+            assert ("2024-01-01 10:00:00", 1) in first, first
+            # batch 1: a straggler INSIDE the already-closed 10:00 window
+            (d / "b1.json").write_text(json.dumps({"ts": "2024-01-01 10:05:00", "v": 100}))
+            time.sleep(5)
+            final = {(str(r["window_start"]), r["n"]) for r in spark.sql("SELECT * FROM t_late").collect()}
+            assert ("2024-01-01 10:00:00", 1) in final and ("2024-01-01 10:00:00", 101) not in final, final
+        finally:
+            q.stop()
