@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from stepist_spark.functions import hashing
 from stepist_spark.functions.text import tokens
 
+# most recent persisted banded-signature frame (see minhash_lsh_candidates);
+# unpersisting an in-use frame is safe — Spark recomputes from lineage
+_LAST_BANDED: list = []
+
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: content md5 → member count +
@@ -101,12 +105,21 @@ def minhash_lsh_candidates(
     # persist the banded signatures: the self-join would otherwise
     # recompute the whole tokenize->shingle->hash pipeline for BOTH
     # sides. The banded frame is bands rows/doc of (id, small struct) —
-    # tiny relative to the corpus — and spills to disk if not.
+    # tiny relative to the corpus — and spills to disk if not. Each
+    # call releases the previous call's cache (bounded at one pinned
+    # frame per session, instead of leaking one per invocation).
     from pyspark.storagelevel import StorageLevel
 
     banded = sig.select("_id", F.explode(band_structs).alias("bk")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    prev = _LAST_BANDED.pop(0) if _LAST_BANDED else None
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _LAST_BANDED.append(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

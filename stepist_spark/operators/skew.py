@@ -12,8 +12,11 @@ at runtime; these operators cover what AQE cannot:
 - ``salted_agg``: two-phase aggregation for skewed GROUP BY keys —
   AQE never splits a hash-aggregate's hot key.
 
-Both are deterministic (salt = hash of the row, not rand()), so
-results are reproducible and testable.
+Salts hash the row PLUS a per-row partition sequence id, so even
+byte-identical duplicate rows (the classic hot-key shape) spread across
+all ``salt`` shards. Join/aggregation RESULTS are deterministic; the
+physical row→shard assignment is not reproducible across runs (it
+doesn't need to be — the salt column never escapes the operator).
 """
 
 from __future__ import annotations
@@ -24,6 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _ALGEBRAIC = {"sum", "count", "min", "max", "avg"}
+
+
+def _salt_col(df: DataFrame, salt: int):
+    """Per-row salt in [0, salt): hash of the row mixed with a per-row
+    sequence id, so identical duplicate rows — the common hot-key
+    shape — still land on different shards."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+        F.lit(salt),
+    ).cast("int")
 
 
 def salted_join(
@@ -51,10 +64,7 @@ def salted_join(
             "salted_join supports inner/left joins (replicating the right "
             f"side breaks {how} semantics)"
         )
-    salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)
-    ).cast("int")
-    s = skewed.withColumn("_salt", salt_col)
+    s = skewed.withColumn("_salt", _salt_col(skewed, salt))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int")))
     )
@@ -83,8 +93,7 @@ def salted_agg(
         if fn not in _ALGEBRAIC:
             raise ValueError(f"{out_col}: {fn!r} is not algebraic; supported: {_ALGEBRAIC}")
 
-    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int")
-    salted = df.withColumn("_salt", salt_col)
+    salted = df.withColumn("_salt", _salt_col(df, salt))
 
     partial_exprs, final_exprs = [], []
     for out_col, (in_col, fn) in aggs.items():

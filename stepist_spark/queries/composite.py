@@ -162,7 +162,7 @@ FROM events GROUP BY event_type, window_start
 
 # --------------------------------------------------------------------------
 # r01 — the ReducerStep barrier itself: collect_list per group, then a
-# user reduce applied via applyInPandas (the reference's reducer handler,
+# user reduce applied via Arrow-batched mapInPandas (the reference's handler,
 # `stepist/flow/workers/reducer_engine.py:69-78`, fired once per
 # complete group). Payload values are whole numbers, so the unordered
 # collect is FP-safe and the result is exactly SQL GROUP BY.
@@ -207,5 +207,5 @@ QUERIES = [
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "multimodal binary payload -> Arrow mapInPandas features"),
     QuerySpec("m02_frame_grid", m02_frame_grid, M02_SQL, "video frame-sampling grid (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),
-    QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + applyInPandas reduce"),
+    QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + Arrow-batched reduce"),
 ]

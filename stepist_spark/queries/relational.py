@@ -642,13 +642,13 @@ def q23_session_window(spark: SparkSession, sf: str) -> DataFrame:
 
 Q23_SQL = """
 WITH x AS (
-    SELECT user_id, ts::TIMESTAMP AS ts, value,
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
            lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events
 ), s AS (
     SELECT *, sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
                        THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
     FROM x
 )
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,

@@ -77,8 +77,6 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-_TUNED_SESSIONS: set[int] = set()
-
 # Runtime-settable confs every query path depends on, applied even when
 # the caller (e.g. the external driver) built its own SparkSession with
 # different builder-time settings. All are dynamic SQL confs.
@@ -94,16 +92,20 @@ _RUNTIME_CONF = {
 
 
 def ensure_runtime_tuning(spark: SparkSession) -> None:
-    """Idempotently apply the engine's dynamic confs to any session."""
-    key = id(spark)
-    if key in _TUNED_SESSIONS:
+    """Idempotently apply the engine's dynamic confs to any session.
+
+    The applied-marker lives IN the session's conf (not a driver-side
+    memo keyed by object identity, which a recycled id() could alias),
+    so it dies with the session.
+    """
+    if spark.conf.get("spark.stepist.tuned", None) == "1":
         return
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # non-settable on some deployments: keep going
             pass
-    _TUNED_SESSIONS.add(key)
+    spark.conf.set("spark.stepist.tuned", "1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -126,13 +128,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return read_parquet_nanos_safe(spark, table_path(sf_dir, name))
 
 
-def read_parquet_nanos_safe(spark: SparkSession, path: str):
+def read_parquet_nanos_safe(spark: SparkSession, path: str, options: dict | None = None):
     """Parquet read that tolerates TIMESTAMP(NANOS) columns (see
     :func:`load_table`); a plain ``spark.read.parquet`` otherwise."""
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = spark.read.options(**(options or {})).parquet(path)
     for c in nanos_cols:
         df = df.withColumn(
             c, F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
@@ -150,7 +152,15 @@ def spread(df, min_partitions: int | None = None):
     it never *reduces* partitioning.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        # cheap under-partitioning proxy: input file count. Avoids the
+        # full plan→RDD conversion getNumPartitions() would force; errs
+        # toward repartitioning (a small shuffle) when files are few
+        # but large, and no-ops when the scan already fans out.
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = df.rdd.getNumPartitions()
+    if n_inputs >= target:
         return df
     return df.repartition(target)
 

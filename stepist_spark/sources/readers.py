@@ -42,13 +42,15 @@ def read(
     fmt = fmt or _infer_format(path_or_format)
     if fmt not in _BATCH_FORMATS:
         raise ValueError(f"unsupported batch format {fmt!r}; one of {sorted(_BATCH_FORMATS)}")
-    if fmt == "parquet" and schema is None and not options:
+    if fmt == "parquet" and schema is None:
         # TIMESTAMP(NANOS) parquet columns make Spark throw outright;
         # the session helper reads nanos as long and converts to
         # timestamp_ntz (µs), and is a plain parquet read otherwise.
+        # Options apply regardless — the nanos path must not depend on
+        # unrelated reader options.
         from stepist_spark.session import read_parquet_nanos_safe
 
-        return read_parquet_nanos_safe(spark, path_or_format)
+        return read_parquet_nanos_safe(spark, path_or_format, options=options)
     reader = spark.read.format(fmt).options(**options)
     if schema is not None:
         reader = reader.schema(schema)

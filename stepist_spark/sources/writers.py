@@ -41,6 +41,12 @@ def write(
     Two tables bucketed the same way join WITHOUT a shuffle — the
     at-scale answer for repeated joins on the same key.
     """
+    if sort_by and not bucket_by:
+        # Spark's writer-level sortBy exists only with bucketing; honor
+        # the intent (sorted-within-file layout) instead of silently
+        # dropping it
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        df = df.sortWithinPartitions(*scols)
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)

@@ -33,7 +33,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # State: arrival counter + payloads-so-far (each row JSON-encoded; the
 # reference's wire format is also JSON, `simple_queue.py:49-51`).
 _STATE_SCHEMA = "count INT, jobs ARRAY<STRING>"
-_OUTPUT_SCHEMA = "group_key STRING, job_list ARRAY<STRING>, n INT"
 
 
 def barrier_reduce(
@@ -68,6 +67,9 @@ def barrier_reduce(
         )
     payload = list(payload_cols) if payload_cols else [c for c in df.columns if c != group_key]
     ttl_ms = int(ttl_sec * 1000)
+    # output key typed like the input key (a bigint job id stays bigint)
+    key_ddl = df.schema[group_key].dataType.simpleString()
+    output_schema = f"group_key {key_ddl}, job_list ARRAY<STRING>, n INT"
 
     def handle(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -105,7 +107,7 @@ def barrier_reduce(
 
     return df.groupBy(group_key).applyInPandasWithState(
         handle,
-        outputStructType=_OUTPUT_SCHEMA,
+        outputStructType=output_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

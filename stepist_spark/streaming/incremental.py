@@ -17,7 +17,6 @@ the hash for a shuffle-free anti-join.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -56,10 +55,15 @@ def dedup_against_history(
         hashed = hashed.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
-        if os.path.isdir(history_dir) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(history_dir) for f in fs
-        ):
+        # probe history through Spark, not the driver's local filesystem
+        # — history_dir may be s3://-style storage where os.path never
+        # matches and a silent probe failure would disable deduplication
+        try:
             seen = spark.read.parquet(history_dir)
+            has_history = "content_hash" in seen.columns
+        except Exception:  # path does not exist yet: first epoch
+            has_history = False
+        if has_history:
             hashed = hashed.join(seen, hashed["_h"] == seen["content_hash"], "left_anti")
         fresh = hashed.persist()
         try:
