@@ -120,6 +120,37 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def lsh_bucket_fast(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Vectorized sign-LSH bucket: one Arrow-batched numpy matmul per
+    batch instead of ``n_planes`` interpreted fold-dots per row.
+
+    Measured comparable to :func:`lsh_bucket` at 64 dims × 8 planes on
+    local mode (~12 µs/row both ways at 200k rows; Arrow transfer eats
+    the matmul win); its advantage grows with dims × planes, where the
+    interpreted path scales linearly in plane count and this stays one
+    BLAS call. Same planes, same bit layout. NOT used in oracle
+    queries: numpy sums pairwise, so a dot landing EXACTLY on 0.0
+    could sign differently than the sequential fold — no occurrences
+    on the test corpus (asserted in tests), but not certifiable
+    bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(HYPERPLANES[:n_planes])  # (p, d)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _bucket(s):
+        m = np.stack(s.to_numpy()).astype(np.float64)  # (n, d)
+        bits = (m @ planes.T) >= 0.0  # (n, p)
+        return pd.Series(bits @ weights)
+
+    # explicit scalar eval type: module-level `from __future__ import
+    # annotations` stringifies hints, which the hint-based API rejects
+    return pandas_udf(_bucket, "bigint")(vec)
+
+
 def lsh_bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
     terms = []
     for p in range(n_planes):

@@ -69,6 +69,12 @@ def barrier_reduce(
     ttl_ms = int(ttl_sec * 1000)
     # output key typed like the input key (a bigint job id stays bigint)
     key_ddl = df.schema[group_key].dataType.simpleString()
+    if expected_count is None and key_ddl != "string":
+        raise ValueError(
+            "without expected_count the barrier parses N from a "
+            f"'<id>:<N>' string key, but {group_key} is {key_ddl}; "
+            "pass expected_count explicitly"
+        )
     output_schema = f"group_key {key_ddl}, job_list ARRAY<STRING>, n INT"
 
     def handle(
