@@ -658,6 +658,74 @@ FROM s GROUP BY user_id, sess
 
 
 # --------------------------------------------------------------------------
+# q32 — IN / NOT IN subqueries, including the NOT IN three-valued-logic
+# trap: when the subquery can yield NULL, NOT IN must return no rows for
+# otherwise-matching keys — both engines must agree on that semantics.
+def q32_in_subqueries(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "supplier").createOrReplaceTempView("_q32_supplier")
+    load_table(spark, sf, "nation").createOrReplaceTempView("_q32_nation")
+    # The NULL trap sits in WHERE position: projected NOT-IN-with-NULL
+    # is where engines drift from the standard (Spark returns FALSE for
+    # the not-found case where the standard says UNKNOWN); the WHERE
+    # form (null-aware anti-join: any NULL in the subquery filters ALL
+    # rows) is standard on both engines, so trap_count must be 0.
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               s_nationkey IN (SELECT n_nationkey FROM _q32_nation WHERE n_regionkey = 0)
+                   AS in_region0,
+               s_nationkey NOT IN (SELECT n_nationkey FROM _q32_nation WHERE n_regionkey = 1)
+                   AS not_in_region1,
+               (SELECT count(*) FROM _q32_supplier
+                WHERE s_nationkey NOT IN (SELECT CASE WHEN n_regionkey = 2 THEN NULL
+                                                      ELSE n_nationkey END
+                                          FROM _q32_nation))
+                   AS trap_count
+        FROM _q32_supplier
+        """
+    )
+
+
+Q32_SQL = """
+SELECT s_suppkey, s_name,
+       s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+           AS in_region0,
+       s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+           AS not_in_region1,
+       (SELECT count(*) FROM supplier
+        WHERE s_nationkey NOT IN (SELECT CASE WHEN n_regionkey = 2 THEN NULL
+                                              ELSE n_nationkey END
+                                  FROM nation))
+           AS trap_count
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — uncorrelated scalar subquery in SELECT and WHERE
+def q33_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("_q33_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM _q33_orders), 2)
+                   AS delta_from_mean
+        FROM _q33_orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM _q33_orders)
+        """
+    )
+
+
+Q33_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+           AS delta_from_mean
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
 # q31 — mergeable-HLL distinct rollup (rows-only: Spark's Datasketches
 # binary differs from DuckDB's HLL, so estimates can't hash-match; the
 # accuracy bound is asserted in tests/test_sketches.py). The two-level
@@ -888,4 +956,6 @@ QUERIES = [
     QuerySpec("q29_window_frames", q29_window_frames, Q29_SQL, "RANGE frame + ntile + first_value windows"),
     QuerySpec("q30_unpivot", q30_unpivot, Q30_SQL, "unpivot/melt wide measures to long"),
     QuerySpec("q31_hll_rollup", q31_hll_rollup, None, "mergeable HLL sketch rollup (rows-only)"),
+    QuerySpec("q32_in_subqueries", q32_in_subqueries, Q32_SQL, "IN / NOT IN subqueries incl. NULL three-valued logic"),
+    QuerySpec("q33_scalar_subquery", q33_scalar_subquery, Q33_SQL, "uncorrelated scalar subqueries in SELECT and WHERE"),
 ]

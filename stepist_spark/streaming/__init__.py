@@ -24,6 +24,7 @@ Here the same capabilities are Structured Streaming:
 from stepist_spark.streaming.barrier import barrier_reduce
 from stepist_spark.streaming.dedup import stream_dedup
 from stepist_spark.streaming.incremental import dedup_against_history
+from stepist_spark.streaming.joins import interval_join
 from stepist_spark.streaming.runtime import StreamFlow
 from stepist_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
@@ -31,6 +32,7 @@ __all__ = [
     "StreamFlow",
     "barrier_reduce",
     "dedup_against_history",
+    "interval_join",
     "stream_dedup",
     "tumbling_agg",
     "sliding_agg",

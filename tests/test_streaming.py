@@ -372,3 +372,57 @@ class TestLateData:
             assert ("2024-01-01 10:00:00", 1) in final and ("2024-01-01 10:00:00", 101) not in final, final
         finally:
             q.stop()
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_stream_matches_batch(self, spark, tmp_path):
+        """Two streams joined on key within an event-time interval must
+        produce exactly the batch join of the same data."""
+        from stepist_spark.streaming.joins import interval_join
+
+        orders_d, clicks_d = tmp_path / "orders", tmp_path / "clicks"
+        orders_d.mkdir(); clicks_d.mkdir()
+        orders = [
+            {"k": 1, "ots": "2024-01-01 10:00:00", "amount": 100},
+            {"k": 2, "ots": "2024-01-01 10:30:00", "amount": 200},
+        ]
+        clicks = [
+            {"k": 1, "cts": "2024-01-01 10:02:00", "page": "a"},   # within 5m of order 1
+            {"k": 1, "cts": "2024-01-01 11:00:00", "page": "b"},   # too late for order 1
+            {"k": 2, "cts": "2024-01-01 10:29:00", "page": "c"},   # 1m BEFORE order 2
+            {"k": 3, "cts": "2024-01-01 10:00:00", "page": "d"},   # no matching order
+        ]
+        (orders_d / "o.json").write_text("\n".join(json.dumps(r) for r in orders))
+        (clicks_d / "c.json").write_text("\n".join(json.dumps(r) for r in clicks))
+
+        def srcs(streaming):
+            if streaming:
+                o = read_stream(spark, "json", str(orders_d), schema="k LONG, ots STRING, amount LONG")
+                c = read_stream(spark, "json", str(clicks_d), schema="k LONG, cts STRING, page STRING")
+            else:
+                o = spark.read.schema("k LONG, ots STRING, amount LONG").json(str(orders_d))
+                c = spark.read.schema("k LONG, cts STRING, page STRING").json(str(clicks_d))
+            return (
+                o.withColumn("ots", F.to_timestamp("ots")),
+                c.withColumn("cts", F.to_timestamp("cts")),
+            )
+
+        o, c = srcs(True)
+        joined = interval_join(o, c, "k", "ots", "cts", lower="2 minutes", upper="5 minutes")
+        q = joined.writeStream.format("memory").queryName("t_ssj").outputMode("append").trigger(
+            availableNow=True
+        ).start()
+        _drain(q)
+        got = {(r["k"], r["page"]) for r in spark.sql("SELECT * FROM t_ssj").collect()}
+
+        ob, cb = srcs(False)
+        batch = interval_join(ob, cb, "k", "ots", "cts", lower="2 minutes", upper="5 minutes")
+        want = {(r["k"], r["page"]) for r in batch.collect()}
+        assert got == want == {(1, "a"), (2, "c")}
+
+    def test_overlapping_columns_rejected(self, spark):
+        df = spark.createDataFrame([(1, 2)], "k long, v long")
+        from stepist_spark.streaming.joins import interval_join
+
+        with pytest.raises(ValueError, match="rename overlapping"):
+            interval_join(df, df, "k", "v", "v")
