@@ -150,6 +150,8 @@ class TestCatalogHygiene:
         "q18_range_join",       # band dim broadcast, range predicate
         "q19_asof_join",        # range condition against broadcast dim
         "v05_ivf_topk",         # centroid cross-score: corpus × broadcast centroids
+        "q32_in_subqueries",    # NOT-IN-with-NULL = null-aware anti-join, planned
+                                # as BNLJ against the broadcast (tiny) subquery side
     }
 
     def test_no_cartesian_products_anywhere(self, spark, qs):
