@@ -202,10 +202,117 @@ FROM lineitem WHERE l_orderkey % 32 = 0 GROUP BY l_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# c01 — end-to-end curation pipeline: exact dedup -> quality gate ->
+# embedding join -> LSH bucket assignment. One oracle-gated query
+# composing the text, hashing, and vector libraries the way a real
+# training-data pipeline chains them.
+def c01_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.functions import vectors as V
+    from stepist_spark.functions.text import quality_score_scaled
+    from stepist_spark.operators import dedup
+    from stepist_spark.queries.llm_text import _docs_with_exact_dups
+
+    QUALITY_MIN = 650_000
+    kept = dedup.dedup_exact(_docs_with_exact_dups(spark, sf), "doc_id", "text")
+    scored = kept.select(
+        "doc_id", quality_score_scaled(F.col("text")).alias("quality_scaled")
+    ).filter(F.col("quality_scaled") >= QUALITY_MIN)
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", V.lsh_bucket(V.to_double(F.col("embedding"))).alias("bucket"), "label"
+    )
+    return scored.join(emb, scored["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "quality_scaled", "bucket", "label"
+    )
+
+
+def _c01_sql() -> str:
+    from stepist_spark.functions import vectors as V
+    from stepist_spark.functions.text import quality_score_scaled_sql
+    from stepist_spark.queries.llm_text import EXACT_DUP_CORPUS_SQL
+
+    q = quality_score_scaled_sql("text")
+    return f"""
+WITH corpus AS ({EXACT_DUP_CORPUS_SQL}),
+ranked AS (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM corpus
+),
+kept AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+scored AS (
+    SELECT doc_id, {q} AS quality_scaled FROM kept WHERE {q} >= 650000
+)
+SELECT s.doc_id, s.quality_scaled,
+       {V.lsh_bucket_sql('e.embedding::DOUBLE[]')} AS bucket, e.label
+FROM scored s JOIN embeddings e ON e.vec_id = s.doc_id
+"""
+
+
+C01_SQL = _c01_sql()
+
+
+# --------------------------------------------------------------------------
+# c02 — kNN label vote: predict each query vector's label by majority
+# among its 5 exact nearest neighbors (deterministic tiebreak: highest
+# vote count, then smallest label) — the end-use shape of the ANN path.
+def c02_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stepist_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    topk = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+def _c02_sql() -> str:
+    from stepist_spark.functions import vectors as V
+
+    cos = V.cosine_sql("q.v", "c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+           round({cos}, 6) AS cos_sim
+    FROM q, e c WHERE q.vec_id <> c.vec_id
+),
+topk AS (
+    SELECT query_id, neighbor_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+),
+votes AS (
+    SELECT query_id, label, count(*) AS votes FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+    FROM votes
+) WHERE rn = 1
+"""
+
+
+C02_SQL = _c02_sql()
+
+
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "multimodal binary payload -> Arrow mapInPandas features"),
     QuerySpec("m02_frame_grid", m02_frame_grid, M02_SQL, "video frame-sampling grid (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),
     QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + Arrow-batched reduce"),
+    QuerySpec("c01_curation_pipeline", c01_curation_pipeline, C01_SQL, "dedup -> quality gate -> embedding join -> LSH bucket"),
+    QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),
 ]
