@@ -372,6 +372,15 @@ class Engine:
             raise ValueError(f"duplicate step name: {s.name}")
         self.steps[s.name] = s
 
+    # -- streaming runtime (the reference's app.run worker loop,
+    # `stepist/app.py:56-63`) ----------------------------------------------
+    def stream(self, source: DataFrame, pipeline=None):
+        """Wire an unbounded source through a pipeline/step — returns a
+        :class:`stepist_spark.streaming.StreamFlow` to attach a sink."""
+        from stepist_spark.streaming import StreamFlow
+
+        return StreamFlow(source, pipeline)
+
     # -- escape hatch -----------------------------------------------------
     def map_in_pandas(self, fn: Callable, schema: str) -> Callable[[DataFrame], DataFrame]:
         """Arbitrary-Python step (the reference's whole handler surface,

@@ -426,3 +426,23 @@ class TestStreamStreamJoin:
 
         with pytest.raises(ValueError, match="rename overlapping"):
             interval_join(df, df, "k", "v", "v")
+
+
+class TestEngineStream:
+    def test_engine_stream_wires_worker_loop(self, spark, jobs_dir):
+        """Engine.stream is the app.run analog (`stepist/app.py:56-63`):
+        source + registered step -> running StreamingQuery."""
+        from stepist_spark.pipeline import Engine
+
+        engine = Engine(spark)
+
+        @engine.step(name="double_values")
+        def double_values(df):
+            return df.withColumn("v2", F.col("value") * 2)
+
+        src = read_stream(spark, "json", jobs_dir, schema=JOBS_SCHEMA)
+        flow = engine.stream(src, double_values)
+        q = flow.to_memory("t_engine_stream")
+        _drain(q)
+        total = spark.sql("SELECT sum(v2) s FROM t_engine_stream").collect()[0]["s"]
+        assert total == 2 * (1 + 2 + 3 + 10)
