@@ -1,0 +1,124 @@
+"""Deterministic sampling & dataset splitting for training-data
+pipelines: hash-based train/val/test splits and per-stratum samples.
+
+Everything here is a pure function of the row's id — NO RNG state, no
+``rand()`` — so results are identical across engines, runs, partition
+layouts, and cluster sizes. That property is what makes a split
+reproducible at 100 TB: re-running the pipeline (or backfilling one
+shard) assigns every document to the same split it got last time.
+Spark's own ``df.sample``/``randomSplit`` are seed-stable only for a
+fixed partitioning and are NOT portable to an oracle engine.
+
+The hash is the repo-wide portable ``word_hash32`` (md5-derived, see
+functions/hashing.py), so DuckDB mirrors are exact.
+
+Physical shape: the split label is a scalar projection (no shuffle);
+the stratified sample is one window shuffle keyed on the stratum.
+
+Reference parity: the reference has no sampling operators (SURVEY.md
+§2.2 'absent'); BASELINE.json LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stepist_spark.functions import hashing
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10))
+
+
+def _bucket(id_col: Column, buckets: int) -> Column:
+    return hashing.word_hash32(id_col.cast("string")) % F.lit(buckets)
+
+
+def split_label(
+    id_col: Column,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    buckets: int = 100,
+) -> Column:
+    """Deterministic split assignment: hash the id into ``buckets`` and
+    carve contiguous bucket ranges per split (weights must sum to
+    ``buckets``)."""
+    if sum(w for _, w in splits) != buckets:
+        raise ValueError("split weights must sum to the bucket count")
+    b = _bucket(id_col, buckets)
+    expr = None
+    hi = 0
+    for name, weight in splits[:-1]:
+        hi += weight
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def split_label_sql(
+    id_expr: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    buckets: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`split_label`."""
+    h = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR)")
+    b = f"({h} % {buckets})"
+    parts = []
+    hi = 0
+    for name, weight in splits[:-1]:
+        hi += weight
+        parts.append(f"WHEN {b} < {hi} THEN '{name}'")
+    return f"CASE {' '.join(parts)} ELSE '{splits[-1][0]}' END"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    buckets: int = 100,
+) -> DataFrame:
+    """Append a deterministic ``split`` column (train/val/test…)."""
+    return df.withColumn("split", split_label(F.col(id_col), splits, buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the ``n`` rows with
+    the smallest portable hash of their id (id tiebreak), per stratum.
+
+    Equivalent to a uniform random sample under the hash's uniformity,
+    but reproducible and engine-portable. One window shuffle keyed on
+    the stratum; heavily skewed strata sort-spill rather than OOM. For
+    a fraction-based sample at scale, filter on ``hash % K < fK``
+    instead (no shuffle at all).
+    """
+    from pyspark.sql import Window
+
+    h = hashing.word_hash32(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_expr: str,
+    id_expr: str,
+    n_per_stratum: int,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample`."""
+    h = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR)")
+    return f"""
+SELECT {select_cols} FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY {strata_expr} ORDER BY {h}, {id_expr}
+    ) AS _rn FROM {table}
+) WHERE _rn <= {n_per_stratum}
+"""

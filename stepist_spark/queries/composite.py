@@ -307,6 +307,51 @@ SELECT query_id, label AS predicted_label, votes FROM (
 C02_SQL = _c02_sql()
 
 
+# c03 — duplicate CLUSTERS: MinHash-LSH candidate pairs -> connected
+# components (min-label propagation + pointer jumping, O(log n)
+# shuffle rounds) -> per-cluster membership with sizes. The oracle
+# computes the same components via a recursive CTE (min reachable id).
+def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import clusters, dedup
+    from stepist_spark.queries.llm_text import BANDS, N_HASHES, _docs_with_near_dups
+
+    corpus = _docs_with_near_dups(spark, sf)
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
+    return clusters.dup_clusters(cands)
+
+
+def _c03_sql() -> str:
+    from stepist_spark.queries.llm_text import (
+        _CAND_JOIN_SQL,
+        NEAR_DUP_CORPUS_SQL,
+        _bands_sql,
+        _minhash_sig_sql,
+    )
+
+    return f"""
+WITH RECURSIVE {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
+bands AS ({_bands_sql()}),
+cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM cands
+    UNION
+    SELECT id_b, id_a FROM cands
+),
+reach AS (
+    SELECT src AS node, src AS r FROM edges
+    UNION
+    SELECT e.src AS node, w.r AS r FROM edges e JOIN reach w ON w.node = e.dst
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM comp
+"""
+
+
+C03_SQL = _c03_sql()
+
+
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "multimodal binary payload -> Arrow mapInPandas features"),
@@ -315,4 +360,5 @@ QUERIES = [
     QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + Arrow-batched reduce"),
     QuerySpec("c01_curation_pipeline", c01_curation_pipeline, C01_SQL, "dedup -> quality gate -> embedding join -> LSH bucket"),
     QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),
+    QuerySpec("c03_dup_clusters", c03_dup_clusters, C03_SQL, "LSH pairs -> connected-component dup clusters"),
 ]

@@ -324,6 +324,99 @@ WHERE CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
 """
 
 
+# t13 — deterministic hash-based train/val/test split (portable md5
+# bucketing — reproducible across engines, runs, and partitionings,
+# unlike rand()/randomSplit). Checked via per-split counts + id sums.
+def t13_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.hash_split(docs, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def _t13_sql() -> str:
+    from stepist_spark.operators import sampling
+
+    return f"""
+SELECT {sampling.split_label_sql('doc_id')} AS split,
+       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY 1
+"""
+
+
+T13_SQL = _t13_sql()
+
+
+# t14 — deterministic stratified sample: the 5 smallest-hash docs per
+# source (id tiebreak) — reproducible uniform sampling per stratum.
+def t14_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang")
+    return sampling.stratified_sample(docs, "source", "doc_id", 5)
+
+
+def _t14_sql() -> str:
+    from stepist_spark.operators import sampling
+
+    return sampling.stratified_sample_sql(
+        "(SELECT doc_id, source, lang FROM documents)",
+        "source",
+        "doc_id",
+        5,
+        select_cols="doc_id, source, lang",
+    )
+
+
+T14_SQL = _t14_sql()
+
+
+# t15 — within-document word-repetition signal (Gopher/C4-style quality
+# filter): most frequent token's share of the document. Ratio is a
+# single division of identical integers — bit-identical unrounded.
+def t15_word_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("n_tokens", F.sum("cnt").over(w_doc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("tok").alias("top_token"),
+            F.col("cnt").cast("bigint").alias("top_freq"),
+            (F.col("cnt").cast("double") / F.col("n_tokens")).alias("top_ratio"),
+        )
+    )
+
+
+T15_SQL = f"""
+WITH counts AS (
+    SELECT doc_id, _tok AS tok, count(*) AS cnt
+    FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
+    GROUP BY doc_id, _tok
+),
+ranked AS (
+    SELECT doc_id, tok, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn,
+           CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+    FROM counts
+)
+SELECT doc_id, n_tokens, tok AS top_token, cnt AS top_freq,
+       CAST(cnt AS DOUBLE) / n_tokens AS top_ratio
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
     QuerySpec("t02_dedup_exact_count", t02_dedup_exact_count, T02_SQL, "exact dedup survivors"),
@@ -337,4 +430,7 @@ QUERIES = [
     QuerySpec("t10_fingerprint", t10_fingerprint, T10_SQL, "shingle fingerprinting"),
     QuerySpec("t11_subword_tokens", t11_subword_tokens, T11_SQL, "BPE-ish subword pre-tokenization counts"),
     QuerySpec("t12_shingle_jaccard", t12_shingle_jaccard, T12_SQL, "n-gram (3-shingle) Jaccard on LSH candidates"),
+    QuerySpec("t13_hash_split", t13_hash_split, T13_SQL, "deterministic hash train/val/test split"),
+    QuerySpec("t14_stratified_sample", t14_stratified_sample, T14_SQL, "deterministic per-stratum sample"),
+    QuerySpec("t15_word_repetition", t15_word_repetition, T15_SQL, "word-repetition quality signal"),
 ]
