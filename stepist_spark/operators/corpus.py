@@ -1,0 +1,118 @@
+"""Corpus-level text operators: vocabulary building, salient-term
+extraction, and benchmark decontamination — the whole-corpus passes a
+training-data pipeline runs after per-document filtering.
+
+Scale shapes:
+- vocabulary: explode + one hash-aggregate shuffle keyed on the token;
+  partial (map-side) aggregation carries one row per distinct token per
+  partition, so the shuffle is vocabulary-sized, not corpus-sized;
+- salient terms: two aggregations sharing the token key plus a
+  token-keyed join of per-term document frequency back onto per-doc
+  term counts — df (the document-frequency table) is vocabulary-sized
+  and broadcast;
+- decontamination: the benchmark shingle set is tiny by construction
+  (benchmarks are small), so the membership test is a BROADCAST semi
+  join against the corpus shingle stream — no shuffle of the corpus.
+
+Reference parity: absent from the reference (SURVEY.md §2.2);
+BASELINE.json LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stepist_spark.functions import hashing
+from stepist_spark.functions.text import tokens
+
+
+def vocabulary(df: DataFrame, id_col: str, text_col: str, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: per-token total occurrences and document
+    frequency. Output: ``tok, n_occurrences, n_docs`` (n_occurrences ≥
+    ``min_count``)."""
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    out = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_id").alias("n_docs"),
+    )
+    return out.filter(F.col("n_occurrences") >= min_count)
+
+
+def salient_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document most-salient term, TF-IDF shaped: highest term
+    frequency first, rarest (lowest document frequency) as tiebreak,
+    token string as final tiebreak.
+
+    Deliberately ranked on the INTEGER pair (tf desc, df asc) rather
+    than the float tf·ln(N/df): the ordering is the same monotone
+    intent, but exact integer comparison is reproducible bit-for-bit
+    across engines, while ``ln`` is only within-1-ulp portable and a
+    rounded composite can flip hash comparisons at decimal boundaries.
+
+    Output: ``<id_col>, top_token, tf, df, n_tokens``.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency: vocabulary-sized, broadcast back onto tf
+    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(F.broadcast(docfreq), "tok")
+    w_rank = Window.partitionBy("_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    w_doc = Window.partitionBy("_id")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("n_tokens", F.sum("tf").over(w_doc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("tok").alias("top_token"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many of
+    its distinct ``shingle_k``-gram shingles appear anywhere in the
+    benchmark set. Output: ``<id_col>, n_shingles, n_contaminated,
+    contamination_ratio`` (one row per corpus doc with ≥1 shingle).
+
+    The benchmark shingle set is broadcast (benchmarks are small); the
+    corpus side never shuffles for the membership test — only the final
+    per-document aggregation shuffles, keyed on the doc id.
+    """
+    def _shingle_set(df: DataFrame) -> DataFrame:
+        toked = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+        sh = toked.select("_id", F.explode(hashing.shingles(F.col("_tk"), shingle_k)).alias("sh"))
+        return sh.distinct()
+
+    corpus_sh = _shingle_set(corpus)
+    bench_sh = _shingle_set(benchmark).select("sh").distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corpus_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    joined = totals.join(hits, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+    )
+    # single division of identical integers — bit-identical, unrounded
+    return joined.withColumn(
+        "contamination_ratio",
+        F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+    )

@@ -417,6 +417,99 @@ FROM ranked WHERE rn = 1
 """
 
 
+# t16 — corpus vocabulary: top-50 tokens by occurrence (doc frequency
+# alongside) — the vocab-build pass of a tokenizer-training pipeline.
+def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, sf, "documents")
+    v = corpus_ops.vocabulary(docs, "doc_id", "text", min_count=2)
+    return v.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc()).limit(50)
+
+
+T16_SQL = f"""
+SELECT _tok AS tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
+GROUP BY _tok HAVING count(*) >= 2
+ORDER BY n_occurrences DESC, tok LIMIT 50
+"""
+
+
+# t17 — per-document salient term, TF-IDF shaped but ranked on the
+# exact integer pair (tf desc, df asc) — see operators.corpus.salient_terms
+# for why the float tf·ln(N/df) is deliberately avoided cross-engine.
+def t17_salient_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, sf, "documents")
+    return corpus_ops.salient_terms(docs, "doc_id", "text")
+
+
+T17_SQL = f"""
+WITH tf AS (
+    SELECT doc_id, _tok AS tok, count(*) AS tf
+    FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
+    GROUP BY doc_id, _tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+j AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+           row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df, tf.tok
+           ) AS rn,
+           CAST(sum(tf.tf) OVER (PARTITION BY tf.doc_id) AS BIGINT) AS n_tokens
+    FROM tf JOIN dfreq USING (tok)
+)
+SELECT doc_id, tok AS top_token, tf, df, n_tokens FROM j WHERE rn = 1
+"""
+
+
+# t18 — benchmark decontamination: 8-gram shingle overlap between the
+# training corpus and a held-out benchmark set. The corpus plants exact
+# copies of benchmark docs (id+3M) — the contamination the op must
+# flag; clean docs appear with ratio 0.
+def _decontam_frames(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).unionByName(
+        bench.select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    )
+    return corpus, bench
+
+
+def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import corpus as corpus_ops
+
+    corpus, bench = _decontam_frames(spark, sf)
+    return corpus_ops.ngram_contamination(corpus, bench, "doc_id", "text", shingle_k=8)
+
+
+_SH8 = hashing.shingles_sql(TX.tokens_sql("text"), 8)
+T18_SQL = f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, text FROM bench
+),
+bsh AS (SELECT DISTINCT unnest({_SH8}) AS sh FROM bench),
+csh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest({_SH8}) AS sh FROM corpus
+    )
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
+hit AS (
+    SELECT c.doc_id, count(*) AS n_contaminated
+    FROM csh c JOIN bsh USING (sh) GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles AS contamination_ratio
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
     QuerySpec("t02_dedup_exact_count", t02_dedup_exact_count, T02_SQL, "exact dedup survivors"),
@@ -433,4 +526,7 @@ QUERIES = [
     QuerySpec("t13_hash_split", t13_hash_split, T13_SQL, "deterministic hash train/val/test split"),
     QuerySpec("t14_stratified_sample", t14_stratified_sample, T14_SQL, "deterministic per-stratum sample"),
     QuerySpec("t15_word_repetition", t15_word_repetition, T15_SQL, "word-repetition quality signal"),
+    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary build (top-50)"),
+    QuerySpec("t17_salient_terms", t17_salient_terms, T17_SQL, "per-doc salient term (TF-IDF-shaped, integer-exact)"),
+    QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "benchmark n-gram decontamination"),
 ]

@@ -1,0 +1,57 @@
+"""Corpus-level operators: vocabulary, salient terms, decontamination."""
+
+from __future__ import annotations
+
+from stepist_spark.operators import corpus as corpus_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestVocabulary:
+    def test_counts_and_docfreq(self, spark):
+        df = _docs(spark, [(1, "a b a"), (2, "a c")])
+        got = {r["tok"]: (r["n_occurrences"], r["n_docs"]) for r in
+               corpus_ops.vocabulary(df, "doc_id", "text").collect()}
+        assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+    def test_min_count(self, spark):
+        df = _docs(spark, [(1, "a b a"), (2, "a c")])
+        got = corpus_ops.vocabulary(df, "doc_id", "text", min_count=2).collect()
+        assert [r["tok"] for r in got] == ["a"]
+
+
+class TestSalientTerms:
+    def test_rarest_wins_ties(self, spark):
+        # doc 1: 'a' and 'b' both tf=2, but 'b' is rarer (df 1 vs 2)
+        df = _docs(spark, [(1, "a a b b"), (2, "a x")])
+        got = {r["doc_id"]: (r["top_token"], r["tf"], r["df"], r["n_tokens"])
+               for r in corpus_ops.salient_terms(df, "doc_id", "text").collect()}
+        assert got[1] == ("b", 2, 1, 4)
+
+    def test_token_string_final_tiebreak(self, spark):
+        df = _docs(spark, [(1, "z q")])
+        got = corpus_ops.salient_terms(df, "doc_id", "text").collect()
+        assert got[0]["top_token"] == "q"  # tf/df equal -> lexicographic
+
+
+class TestDecontamination:
+    def test_planted_copy_fully_contaminated(self, spark):
+        bench = _docs(spark, [(1, "one two three four five six seven eight nine")])
+        corpus = _docs(
+            spark,
+            [
+                (10, "one two three four five six seven eight nine"),  # exact copy
+                (11, "totally different words with no overlap at all here now"),
+            ],
+        )
+        got = {r["doc_id"]: (r["n_contaminated"], r["contamination_ratio"]) for r in
+               corpus_ops.ngram_contamination(corpus, bench, "doc_id", "text", shingle_k=8).collect()}
+        assert got[10] == (2, 1.0)  # 9 tokens -> 2 distinct 8-grams, both hit
+        assert got[11] == (0, 0.0)
+
+    def test_short_docs_have_no_shingles(self, spark):
+        bench = _docs(spark, [(1, "a b c d e f g h")])
+        corpus = _docs(spark, [(10, "too short")])
+        assert corpus_ops.ngram_contamination(corpus, bench, "doc_id", "text", 8).count() == 0
