@@ -148,12 +148,18 @@ def _intdiv_sql(a: str, b: str) -> str:
     return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
 
 
-def quality_score_scaled(text: Column) -> Column:
+def quality_score_scaled(text: Column, toks: Column | None = None) -> Column:
     """Integer-scaled quality score in [0, 1_000_000]: same formula as
     :func:`quality_score` with every term in exact bigint arithmetic,
     so Spark and any oracle engine agree bit-for-bit. Empty docs
-    score 0."""
-    toks = tokens(text)
+    score 0.
+
+    Pass ``toks`` as a PRE-BOUND column (``withColumn("_tk",
+    tokens(text))`` in a prior projection) on hot paths: the token
+    array is referenced ~8× here, and an inlined tokenizer expression
+    is re-evaluated at every reference (no CSE across the expression
+    tree), measurably dominating the stage."""
+    toks = tokens(text) if toks is None else toks
     n = F.size(toks).cast("bigint")
     total_chars = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
     stripped = F.length(F.regexp_replace(text, PUNCT_RE, "")).cast("bigint")

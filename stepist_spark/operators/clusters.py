@@ -87,11 +87,12 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("p_comp", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # convergence probe: labels only ever DECREASE (least()), so any
-        # change strictly lowers sum(comp) — a single-stage scalar agg
-        # over the checkpointed frame, far cheaper than a diff join
+        # change strictly lowers sum(comp) — a single-stage scalar agg.
+        # The lazy checkpoint above materializes DURING this probe, so
+        # each iteration costs one job, not two
         label_sum = jumped.agg(F.sum("comp")).collect()[0][0]
         labels = jumped
         if label_sum == prev_sum:

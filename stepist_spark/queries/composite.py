@@ -29,6 +29,10 @@ from stepist_spark.session import load_table
 
 _SINK_IDS = itertools.count()
 
+# one-slot pinned cache for c01's scored frame (same bounded-release
+# pattern as operators.dedup._LAST_BANDED)
+_C01_SCORED: list = []
+
 
 # --------------------------------------------------------------------------
 # p01 — Hub fan-out + union merge through the Pipeline API
@@ -213,11 +217,39 @@ def c01_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import dedup
     from stepist_spark.queries.llm_text import _docs_with_exact_dups
 
+    from pyspark.storagelevel import StorageLevel
+
+    from stepist_spark.session import spread
+
     QUALITY_MIN = 650_000
     kept = dedup.dedup_exact(_docs_with_exact_dups(spark, sf), "doc_id", "text")
-    scored = kept.select(
-        "doc_id", quality_score_scaled(F.col("text")).alias("quality_scaled")
-    ).filter(F.col("quality_scaled") >= QUALITY_MIN)
+    # spread BEFORE scoring: AQE coalesces the tiny post-dedup shuffle to
+    # 1-2 partitions, which would serialize the regex-heavy quality pass.
+    # The persist() is a deliberate pushdown BARRIER, not (only) a cache:
+    # without it Catalyst sinks the quality filter below the repartition
+    # into the coalesced window stage — the full score expression then
+    # evaluates single-threaded AND gets recomputed above the exchange.
+    from stepist_spark.functions.text import tokens
+
+    # tokens bound in a prior projection: the score references the
+    # array ~8× and would re-tokenize per reference if inlined
+    scored_all = (
+        spread(kept)
+        .withColumn("_tk", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            quality_score_scaled(F.col("text"), toks=F.col("_tk")).alias("quality_scaled"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev = _C01_SCORED.pop(0) if _C01_SCORED else None
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _C01_SCORED.append(scored_all)
+    scored = scored_all.filter(F.col("quality_scaled") >= QUALITY_MIN)
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", V.lsh_bucket(V.to_double(F.col("embedding"))).alias("bucket"), "label"
     )

@@ -162,8 +162,14 @@ FROM documents
 # (exact bigint arithmetic end-to-end): composite FP scores land on
 # decimal .5 rounding boundaries where engines disagree by one ulp.
 def t04_quality_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    scored = docs.select("source", TX.quality_score_scaled(F.col("text")).alias("q"))
+    from stepist_spark.session import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    # tokens bound first — the score references the array ~8×
+    toked = docs.withColumn("_tk", TX.tokens(F.col("text")))
+    scored = toked.select(
+        "source", TX.quality_score_scaled(F.col("text"), toks=F.col("_tk")).alias("q")
+    )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("q").alias("sum_quality_scaled"),
