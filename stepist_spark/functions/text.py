@@ -39,8 +39,8 @@ def tokens_sql(expr: str) -> str:
     return rf"list_filter(string_split_regex(lower({expr}), '\s+'), t -> t <> '')"
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def token_count(text: Column, toks: Column | None = None) -> Column:
+    return F.size(tokens(text) if toks is None else toks)
 
 
 def token_count_sql(expr: str) -> str:
@@ -73,9 +73,11 @@ def subword_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
 
 
-def avg_token_len(text: Column) -> Column:
-    """Mean token length, 0.0 for empty docs (no ANSI division-by-zero)."""
-    toks = tokens(text)
+def avg_token_len(text: Column, toks: Column | None = None) -> Column:
+    """Mean token length, 0.0 for empty docs (no ANSI division-by-zero).
+    Pass a pre-bound ``toks`` column on hot paths (see
+    :func:`quality_score_scaled`)."""
+    toks = tokens(text) if toks is None else toks
     total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -106,8 +108,8 @@ def punct_ratio_sql(expr: str) -> str:
     )
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(text)
+def stopword_ratio(text: Column, lang: str = "en", toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
@@ -195,11 +197,11 @@ def quality_score_scaled_sql(expr: str) -> str:
     return f"CASE WHEN {n} > 0 THEN CAST({part1} + {part2} + {part3} AS BIGINT) ELSE 0 END"
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Deterministic language guess: argmax of per-language stopword
     hit counts; ties (incl. zero hits) resolve to the earliest language
     in LANGS, with 'und' when no stopword matched at all."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     scores = []
     for lang in LANGS:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -135,14 +135,20 @@ SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM ranked WH
 # engines — bit-identical IEEE doubles, so they ship UNROUNDED (rounding
 # would reintroduce .5-boundary rounding-mode divergence).
 def t03_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    from stepist_spark.session import spread
+
+    # tokens bound once: the four stats reference the array ~9× total
+    docs = spread(load_table(spark, sf, "documents")).withColumn(
+        "_tk", TX.tokens(F.col("text"))
+    )
     txt = F.col("text")
+    tk = F.col("_tk")
     return docs.select(
         "doc_id",
-        TX.token_count(txt).cast("bigint").alias("n_tokens"),
-        TX.avg_token_len(txt).alias("avg_token_len"),
+        TX.token_count(txt, toks=tk).cast("bigint").alias("n_tokens"),
+        TX.avg_token_len(txt, toks=tk).alias("avg_token_len"),
         TX.punct_ratio(txt).alias("punct_ratio"),
-        TX.stopword_ratio(txt).alias("stopword_ratio"),
+        TX.stopword_ratio(txt, toks=tk).alias("stopword_ratio"),
         F.length(txt).cast("bigint").alias("n_chars_computed"),
     )
 
@@ -187,8 +193,15 @@ FROM documents GROUP BY source
 
 # t05 — language-ID heuristic vs the labeled lang column
 def t05_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_guess"))
+    from stepist_spark.session import spread
+
+    # tokens bound once: lang_id references the array 2× per language
+    docs = spread(load_table(spark, sf, "documents")).withColumn(
+        "_tk", TX.tokens(F.col("text"))
+    )
+    return docs.select(
+        "doc_id", "lang", TX.lang_id(F.col("text"), toks=F.col("_tk")).alias("lang_guess")
+    )
 
 
 T05_SQL = f"""
