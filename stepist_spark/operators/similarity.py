@@ -244,3 +244,40 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes / centroids), one row
+    per (label, dimension): ``label, dim, sum_scaled, n_vecs, centroid``.
+
+    Exact integer-scaled arithmetic: each component is rounded to
+    ``scale`` fixed-point (``floor(x*scale + 0.5)``, exact on every
+    IEEE engine) BEFORE summation, so the per-label sum is a bigint —
+    order-independent and bit-identical across engines — and the mean
+    is a single division of identical integers. A plain double sum
+    would depend on reduction order and diverge between engines.
+
+    Physical shape: posexplode (×dims) then ONE hash-aggregate shuffle
+    keyed (label, dim) with map-side partial sums — at 100 TB the
+    shuffle carries |labels|·dims rows per partition, not the corpus.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    )
+    scaled = ex.withColumn(
+        "_s", F.floor(F.col("_x").cast("double") * F.lit(scale) + F.lit(0.5)).cast("bigint")
+    )
+    agg = scaled.groupBy("label", "dim").agg(
+        F.sum("_s").alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return agg.withColumn(
+        "centroid",
+        F.col("sum_scaled").cast("double") / (F.col("n_vecs") * F.lit(scale)),
+    )

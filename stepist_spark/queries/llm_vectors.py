@@ -162,10 +162,34 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+# v06 — per-label centroid vectors (class prototypes): fixed-point
+# component sums so the unordered aggregation is exact cross-engine
+def v06_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.label_centroids(emb, "embedding", "label")
+
+
+V06_SQL = """
+WITH ex AS (
+    SELECT label, i - 1 AS dim,
+           CAST(floor(list_extract(v, i) * 1000000 + 0.5) AS BIGINT) AS s
+    FROM (
+        SELECT label, embedding::DOUBLE[] AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+)
+SELECT label, dim, CAST(sum(s) AS BIGINT) AS sum_scaled, count(*) AS n_vecs,
+       CAST(sum(s) AS DOUBLE) / (count(*) * 1000000) AS centroid
+FROM ex GROUP BY label, dim
+"""
+
+
 QUERIES = [
     QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact cosine top-k"),
     QuerySpec("v02_lsh_buckets", v02_lsh_buckets, V02_SQL, "sign-LSH bucket assignment"),
     QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "embedding near-dup pairs"),
     QuerySpec("v04_lsh_topk", v04_lsh_topk, V04_SQL, "LSH-bucketed approximate top-k"),
     QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
+    QuerySpec("v06_label_centroids", v06_label_centroids, V06_SQL, "per-label centroid vectors (fixed-point exact)"),
 ]

@@ -89,3 +89,28 @@ class TestFastBucket:
         )
         mismatches = both.filter(F.col("slow") != F.col("fast")).count()
         assert mismatches == 0
+
+
+class TestLabelCentroids:
+    def test_exact_mean(self, spark):
+        from stepist_spark.operators.similarity import label_centroids
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], 7), (2, [3.0, 4.0], 7), (3, [10.0, 20.0], 9)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        got = {(r["label"], r["dim"]): (r["sum_scaled"], r["n_vecs"], r["centroid"])
+               for r in label_centroids(df).collect()}
+        assert got[(7, 0)] == (4_000_000, 2, 2.0)
+        assert got[(7, 1)] == (6_000_000, 2, 3.0)
+        assert got[(9, 0)] == (10_000_000, 1, 10.0)
+
+    def test_negative_components(self, spark):
+        from stepist_spark.operators.similarity import label_centroids
+
+        # -0.25 is exact in float32: floor(-250000 + 0.5) = -250000
+        df = spark.createDataFrame(
+            [(1, [-0.25, 0.75], 1)], "vec_id bigint, embedding array<float>, label int"
+        )
+        got = {r["dim"]: r["sum_scaled"] for r in label_centroids(df).collect()}
+        assert got == {0: -250_000, 1: 750_000}
