@@ -59,3 +59,51 @@ def estimate(sketches: DataFrame, sketch_col: str = "sketch", estimate_col: str 
     return sketches.withColumn(
         estimate_col, F.hll_sketch_estimate(F.col(sketch_col))
     ).drop(sketch_col)
+
+
+def frequent_items(
+    df: DataFrame,
+    item_col: str,
+    capacity: int = 128,
+    k: int | None = None,
+) -> DataFrame:
+    """Heavy hitters via per-partition summarize-then-merge (the
+    Misra-Gries/space-saving family shape). Output: ``item, weight``
+    for the top ``k`` (default ``capacity``) items by merged weight,
+    deterministic item-string tiebreak.
+
+    Stage 1 counts items exactly WITHIN each partition (streamed over
+    Arrow batches, one dict per partition — vocabulary-sized, not
+    partition-sized) and emits only its top ``capacity`` entries.
+    Stage 2 merges summaries with one item-keyed hash aggregation.
+
+    Guarantees: any item with true global count > n/(capacity+1) in
+    every partition survives stage 1, and merged weights never
+    overcount. When per-partition distinct items ≤ capacity the result
+    is EXACT (the oracle-tested regime); otherwise weights are
+    undercounts bounded by each partition's dropped tail — the standard
+    mergeable-summary trade. At 100 TB the shuffle carries
+    ``capacity × partitions`` rows, not the corpus.
+    """
+    import pandas as pd
+
+    top_k = capacity if k is None else k
+
+    def _partial(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+        if not counts:
+            return
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:capacity]
+        yield pd.DataFrame({"item": [t[0] for t in top], "weight": [t[1] for t in top]})
+
+    partials = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        _partial, schema="item string, weight bigint"
+    )
+    merged = partials.groupBy("item").agg(F.sum("weight").alias("weight"))
+    return (
+        merged.orderBy(F.col("weight").desc(), F.col("item").asc())
+        .limit(top_k)
+    )

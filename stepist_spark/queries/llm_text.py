@@ -529,6 +529,26 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 """
 
 
+# t19 — heavy hitters: per-partition summarize-then-merge frequent-items
+# sketch over all document tokens. Capacity (128) exceeds the corpus
+# vocabulary, so the sketch is EXACT here and the oracle is plain
+# count-group-by — certifying the merge machinery end-to-end.
+def t19_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import sketches
+    from stepist_spark.session import spread
+
+    docs = spread(load_table(spark, sf, "documents"))
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    return sketches.frequent_items(toks, "tok", capacity=128, k=20)
+
+
+T19_SQL = f"""
+SELECT _tok AS item, count(*) AS weight
+FROM (SELECT unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
+GROUP BY _tok ORDER BY weight DESC, item LIMIT 20
+"""
+
+
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
     QuerySpec("t02_dedup_exact_count", t02_dedup_exact_count, T02_SQL, "exact dedup survivors"),
@@ -548,4 +568,5 @@ QUERIES = [
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary build (top-50)"),
     QuerySpec("t17_salient_terms", t17_salient_terms, T17_SQL, "per-doc salient term (TF-IDF-shaped, integer-exact)"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "benchmark n-gram decontamination"),
+    QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
 ]

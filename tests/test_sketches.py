@@ -61,3 +61,37 @@ class TestHLLRollup:
         (r,) = sketches.estimate(merged).collect()
         exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
         assert abs(r["approx_distinct"] - exact) / exact < 0.05
+
+
+class TestFrequentItems:
+    def test_exact_when_capacity_sufficient(self, spark):
+        from stepist_spark.operators.sketches import frequent_items
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+        df = spark.createDataFrame(rows, "tok string").repartition(4)
+        got = [(r["item"], r["weight"]) for r in frequent_items(df, "tok", capacity=10).collect()]
+        # ties (b=c=3) break on item string
+        assert got == [("a", 5), ("b", 3), ("c", 3), ("d", 1)]
+
+    def test_k_limits_output(self, spark):
+        from stepist_spark.operators.sketches import frequent_items
+
+        rows = [("x%d" % i,) for i in range(30)]
+        df = spark.createDataFrame(rows, "tok string")
+        assert frequent_items(df, "tok", capacity=64, k=5).count() == 5
+
+    def test_undercount_never_overcounts(self, spark):
+        from stepist_spark.operators.sketches import frequent_items
+
+        # capacity 1 per partition: weights must be <= true counts
+        rows = [("a",)] * 6 + [("b",)] * 4
+        df = spark.createDataFrame(rows, "tok string").repartition(3)
+        got = {r["item"]: r["weight"] for r in frequent_items(df, "tok", capacity=1).collect()}
+        true = {"a": 6, "b": 4}
+        assert all(w <= true[i] for i, w in got.items())
+
+    def test_empty_input(self, spark):
+        from stepist_spark.operators.sketches import frequent_items
+
+        df = spark.createDataFrame([], "tok string")
+        assert frequent_items(df, "tok", capacity=4).count() == 0
