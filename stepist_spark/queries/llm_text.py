@@ -529,6 +529,44 @@ FROM tot t LEFT JOIN hit h USING (doc_id)
 """
 
 
+# t20 — sequence packing: concatenate-and-chunk layout of the corpus
+# into 512-token training sequences across 16 shards (per-shard window
+# cumsum — no global ordering bottleneck).
+def t20_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import packing
+    from stepist_spark.session import spread
+
+    docs = spread(load_table(spark, sf, "documents")).withColumn(
+        "_tk", TX.tokens(F.col("text"))
+    )
+    counted = docs.select(
+        "doc_id", TX.token_count(F.col("text"), toks=F.col("_tk")).alias("n_toks")
+    )
+    return packing.pack_sequences(counted, "doc_id", "n_toks", seq_len=512, shards=16)
+
+
+T20_SQL = f"""
+WITH counted AS (
+    SELECT doc_id, doc_id % 16 AS shard,
+           CAST({TX.token_count_sql('text')} AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS _cum
+    FROM counted
+)
+SELECT doc_id, shard, n_tokens,
+       _cum - n_tokens AS start_offset, _cum AS end_offset,
+       CAST(floor(CAST(_cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS first_chunk,
+       CAST(floor(CAST(greatest(_cum - 1, _cum - n_tokens) AS DOUBLE) / 512) AS BIGINT) AS last_chunk
+FROM cum
+"""
+
+
 # t19 — heavy hitters: per-partition summarize-then-merge frequent-items
 # sketch over all document tokens. Capacity (128) exceeds the corpus
 # vocabulary, so the sketch is EXACT here and the oracle is plain
@@ -569,4 +607,5 @@ QUERIES = [
     QuerySpec("t17_salient_terms", t17_salient_terms, T17_SQL, "per-doc salient term (TF-IDF-shaped, integer-exact)"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "benchmark n-gram decontamination"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
+    QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "concat-and-chunk sequence packing"),
 ]
