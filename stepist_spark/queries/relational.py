@@ -924,6 +924,65 @@ FROM orders WHERE o_orderkey % 50 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# q34 — LATERAL correlated subquery join: each customer's top-2 orders
+# by price. The lateral per-row subquery is the SQL-standard spelling;
+# Catalyst decorrelates it into a ranked window join rather than
+# executing per-customer probes.
+def q34_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "customer").createOrReplaceTempView("_q34_customer")
+    load_table(spark, sf, "orders").createOrReplaceTempView("_q34_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM _q34_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM _q34_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+Q34_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — price histogram on exact integer cents (25,000.00-wide buckets):
+# engine-portable bucketing without width_bucket's FP boundary hazards.
+def q35_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bucket = (cents - cents % 2_500_000) / 2_500_000
+    return (
+        orders.withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+Q35_SQL = """
+SELECT CAST((cents - cents % 2500000) / 2500000 AS BIGINT) AS bucket,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_totalprice FROM orders)
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + 8-agg groupBy"),
     QuerySpec("q02_top_orders", q02_top_orders, Q02_SQL, "TPC-H Q3: 3-way join + agg + top-10"),
@@ -958,4 +1017,6 @@ QUERIES = [
     QuerySpec("q31_hll_rollup", q31_hll_rollup, None, "mergeable HLL sketch rollup (rows-only)"),
     QuerySpec("q32_in_subqueries", q32_in_subqueries, Q32_SQL, "IN / NOT IN subqueries incl. NULL three-valued logic"),
     QuerySpec("q33_scalar_subquery", q33_scalar_subquery, Q33_SQL, "uncorrelated scalar subqueries in SELECT and WHERE"),
+    QuerySpec("q34_lateral_topn", q34_lateral_topn, Q34_SQL, "LATERAL correlated top-n subquery join"),
+    QuerySpec("q35_price_histogram", q35_price_histogram, Q35_SQL, "integer-exact price histogram"),
 ]
