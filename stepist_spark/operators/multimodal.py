@@ -142,3 +142,32 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             F.lit(16000).alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def sample_audio_windows(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio windowing plan: one row per (overlapping) analysis window —
+    the hop/window grid a feature extractor (MFCC, fbank) consumes.
+    JVM-side sequence explode, like :func:`sample_frames`; the decode of
+    each window is the stubbed DECODER over the payload slice. Tracks
+    shorter than one window yield a single [0, duration) window.
+    """
+    audio = media.filter(F.col("kind") == "audio")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0).cast("long"))
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(dur - F.lit(window_ms), F.lit(0).cast("long")),
+        F.lit(hop_ms).cast("long"),
+    )
+    return audio.select(
+        "media_id",
+        F.explode(starts).alias("window_start_ms"),
+        dur.alias("_dur"),
+    ).select(
+        "media_id",
+        "window_start_ms",
+        F.least(F.col("window_start_ms") + F.lit(window_ms), F.col("_dur")).alias(
+            "window_end_ms"
+        ),
+    )

@@ -121,6 +121,71 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# m03 — audio analysis-window grid (hop/window explode, JVM-side):
+# completes the modality set alongside m01 (image) and m02 (video).
+def m03_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators.multimodal import sample_audio_windows
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return sample_audio_windows(media, window_ms=1000, hop_ms=400)
+
+
+M03_SQL = """
+SELECT media_id, window_start_ms,
+       least(window_start_ms + 1000, dur) AS window_end_ms
+FROM (
+    SELECT doc_id AS media_id, n_chars * 10 AS dur,
+           unnest(generate_series(0, greatest(n_chars * 10 - 1000, 0), 400)) AS window_start_ms
+    FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — skew-mitigation certification: the two-phase salted aggregation
+# must be row-identical to the plain GROUP BY it replaces (sums are
+# whole numbers, so the split across salt shards is FP-exact).
+def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf, "lineitem")
+    out = salted_agg(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        "l_returnflag",
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n_rows": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+            "avg_qty": ("l_quantity", "avg"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag", "sum_qty", "n_rows", F.round("max_price", 2).alias("max_price"), "avg_qty"
+    )
+
+
+Q36_SQL = """
+SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(l_quantity) AS n_rows, round(max(l_extendedprice), 2) AS max_price,
+       CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # s01 — streaming execution end-to-end: the hourly rollup computed BY THE
 # STREAMING RUNTIME (file source, micro-batches, complete-mode window
 # agg, availableNow drain) must equal the batch SQL oracle.
@@ -393,4 +458,6 @@ QUERIES = [
     QuerySpec("c01_curation_pipeline", c01_curation_pipeline, C01_SQL, "dedup -> quality gate -> embedding join -> LSH bucket"),
     QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),
     QuerySpec("c03_dup_clusters", c03_dup_clusters, C03_SQL, "LSH pairs -> connected-component dup clusters"),
+    QuerySpec("m03_audio_windows", m03_audio_windows, M03_SQL, "audio hop/window analysis grid"),
+    QuerySpec("q36_salted_agg", q36_salted_agg, Q36_SQL, "salted two-phase agg == plain GROUP BY"),
 ]

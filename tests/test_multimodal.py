@@ -75,3 +75,19 @@ class TestSampleFrames:
         out = mm.sample_frames(media)
         ids = {r["media_id"] for r in out.select("media_id").distinct().collect()}
         assert ids == {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+
+
+class TestAudioWindows:
+    def test_hop_grid_and_short_tracks(self, spark):
+        from stepist_spark.operators.multimodal import sample_audio_windows, synthetic_media
+
+        media = synthetic_media(spark, n=12)
+        out = sample_audio_windows(media, window_ms=1000, hop_ms=500)
+        rows = {(r["media_id"], r["window_start_ms"]): r["window_end_ms"] for r in out.collect()}
+        # media_id 1 (audio): duration 100ms < window -> single capped window
+        assert rows[(1, 0)] == 100
+        # media_id 10 (audio): duration 1000ms -> one full window
+        assert rows[(10, 0)] == 1000
+        # only audio rows pass the kind filter
+        kinds = {r["media_id"] % 3 for r in out.collect()}
+        assert kinds == {1}
