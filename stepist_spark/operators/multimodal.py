@@ -171,3 +171,45 @@ def sample_audio_windows(
             "window_end_ms"
         ),
     )
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, n_bytes_out long, payload binary"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plan: Arrow-batched ``mapInPandas`` over the binary
+    payload. The pixel resample itself is STUBBED (no image libs in the
+    container): the fake produces a deterministic byte buffer of the
+    target size (w*h bytes, cyclic copy of the source) so the batch
+    shapes, output schema, and size accounting are real and testable;
+    swap the inner function for PIL/torchvision in production.
+    """
+    import numpy as np
+
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+
+            def _resize(b):
+                if b is None or len(b) == 0:
+                    return bytes(target)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                reps = -(-target // len(arr))  # ceil
+                return np.tile(arr, reps)[:target].tobytes()
+
+            out = pdf["payload"].map(_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes_out": out.map(len),
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)

@@ -154,6 +154,31 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# m04 — image resize plumbing (Arrow mapInPandas; stubbed resample):
+# exact size accounting certifies the batch path and schema.
+def m04_resize_images(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return resize_images(media, width=16, height=8).select(
+        "media_id", "width", "height", "n_bytes_out"
+    )
+
+
+M04_SQL = """
+SELECT doc_id AS media_id, 16 AS width, 8 AS height,
+       CAST(128 AS BIGINT) AS n_bytes_out
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # q36 — skew-mitigation certification: the two-phase salted aggregation
 # must be row-identical to the plain GROUP BY it replaces (sums are
 # whole numbers, so the split across salt shards is FP-exact).
@@ -459,5 +484,6 @@ QUERIES = [
     QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),
     QuerySpec("c03_dup_clusters", c03_dup_clusters, C03_SQL, "LSH pairs -> connected-component dup clusters"),
     QuerySpec("m03_audio_windows", m03_audio_windows, M03_SQL, "audio hop/window analysis grid"),
+    QuerySpec("m04_resize_images", m04_resize_images, M04_SQL, "image resize batch plumbing (stubbed resample)"),
     QuerySpec("q36_salted_agg", q36_salted_agg, Q36_SQL, "salted two-phase agg == plain GROUP BY"),
 ]

@@ -91,3 +91,17 @@ class TestAudioWindows:
         # only audio rows pass the kind filter
         kinds = {r["media_id"] % 3 for r in out.collect()}
         assert kinds == {1}
+
+
+class TestResize:
+    def test_deterministic_resize_stub(self, spark):
+        from stepist_spark.operators.multimodal import resize_images, synthetic_media
+
+        media = synthetic_media(spark, n=9)
+        out = resize_images(media, width=8, height=4).collect()
+        assert len(out) == 3  # only image rows (media_id % 3 == 0)
+        for r in out:
+            assert r["n_bytes_out"] == 32 and len(r["payload"]) == 32
+        # deterministic across runs
+        again = resize_images(media, width=8, height=4).collect()
+        assert sorted(r["payload"] for r in out) == sorted(r["payload"] for r in again)
