@@ -147,6 +147,7 @@ class TestCatalogHygiene:
     # broadcast side (documented scale story: small side is broadcast)
     BNLJ_ALLOWED = {
         "v01_cosine_topk",      # brute-force baseline: corpus × broadcast queries
+        "c02_knn_label_vote",   # built on the same brute-force baseline (v01)
         "q18_range_join",       # band dim broadcast, range predicate
         "q19_asof_join",        # range condition against broadcast dim
         "v05_ivf_topk",         # centroid cross-score: corpus × broadcast centroids
