@@ -27,7 +27,9 @@ def _ts(s: str):
 
 
 # --------------------------------------------------------------------------
-# q01 — TPC-H Q1 pricing summary: filter + 8-agg hash aggregation
+# q01 — TPC-H Q1 pricing summary: filter + hash aggregation, including
+# conditional aggregates (CASE inside agg — absorbed from the former
+# q14 so the registry stays within the driver's 50-entry window).
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return (
@@ -44,6 +46,10 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_high_discount"),
+            F.round(
+                F.sum(F.when(F.col("l_tax") == 0.0, F.col("l_extendedprice")).otherwise(0.0)), 2
+            ).alias("rev_no_tax"),
         )
     )
 
@@ -57,7 +63,9 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
+       count(*) AS count_order,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount,
+       round(sum(CASE WHEN l_tax = 0.0 THEN l_extendedprice ELSE 0.0 END), 2) AS rev_no_tax
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -146,47 +154,53 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
-# q04 — EXISTS / left-semi join (TPC-H Q4 shape)
-def q04_order_priority(spark: SparkSession, sf: str) -> DataFrame:
-    orders = load_table(spark, sf, "orders").filter(
+# q04 — EXISTS / left-semi join (TPC-H Q4 shape) + NOT EXISTS /
+# left-anti join (former q05), tag-unioned into one gate so both
+# existential join types keep a driver correctness row within the
+# 50-entry window. Block 'semi': orders with a late lineitem, counted
+# per priority. Block 'anti': customers without any big order, counted
+# per market segment with their balance sum.
+def q04_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    orders_96 = load_table(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
     )
     li = load_table(spark, sf, "lineitem")
-    has_late = orders.join(
+    has_late = orders_96.join(
         li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        (orders_96.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders_96.o_orderdate),
         "left_semi",
     )
-    return has_late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+    semi = has_late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("semi").alias("op"),
+        F.col("o_orderpriority").alias("grp"),
+        "n",
+        F.lit(None).cast("double").alias("sum_bal"),
+    )
+    cust = load_table(spark, sf, "customer")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000.0)
+    anti = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+        .select(F.lit("anti").alias("op"), F.col("c_mktsegment").alias("grp"), "n", "sum_bal")
+    )
+    return semi.unionByName(anti)
 
 
 Q04_SQL = """
-SELECT o_orderpriority, count(*) AS order_count
+SELECT 'semi' AS op, o_orderpriority AS grp, count(*) AS n, CAST(NULL AS DOUBLE) AS sum_bal
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
-"""
-
-
-# --------------------------------------------------------------------------
-# q05 — NOT EXISTS / left-anti join: customers without any big order
-def q05_customers_no_big_order(spark: SparkSession, sf: str) -> DataFrame:
-    cust = load_table(spark, sf, "customer")
-    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000.0)
-    return (
-        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment", F.round(F.col("c_acctbal"), 2).alias("acctbal"))
-    )
-
-
-Q05_SQL = """
-SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+UNION ALL
+SELECT 'anti' AS op, c_mktsegment AS grp, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
 FROM customer
 WHERE NOT EXISTS (
     SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
 )
+GROUP BY c_mktsegment
 """
 
 
@@ -249,10 +263,22 @@ WHERE rn <= 3
 
 
 # --------------------------------------------------------------------------
-# q08 — running aggregates + lag over an ordered per-key window
-def q08_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+# q08 — the window-function suite in one pass (merged former q08 + q29):
+# per-customer running sum / lag / row_number, plus per-status float
+# RANGE frame, ntile quartiles, and first_value — two window specs over
+# the same filtered orders slice, one sort-shuffle each.
+def q08_window_suite(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 50)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w_status = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    # float RANGE boundaries aren't expressible through the PySpark
+    # Window API (ints only); the SQL frame syntax is
+    n_in_band = F.expr(
+        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -262,6 +288,9 @@ def q08_running_totals(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_total"),
         F.row_number().over(w).cast("bigint").alias("order_seq"),
+        n_in_band.alias("n_in_band"),
+        F.ntile(4).over(w_status).cast("bigint").alias("quartile"),
+        F.round(F.first("o_totalprice").over(w_status), 2).alias("cheapest_so_far"),
     )
 
 
@@ -270,79 +299,72 @@ SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
        round(lag(o_totalprice) OVER w, 2) AS prev_price,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS UNBOUNDED PRECEDING), 2) AS running_total,
-       row_number() OVER w AS order_seq
+       row_number() OVER w AS order_seq,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
+       CAST(ntile(4) OVER ws AS BIGINT) AS quartile,
+       round(first_value(o_totalprice) OVER ws, 2) AS cheapest_so_far
 FROM orders
 WHERE o_custkey < 50
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       ws AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
 # --------------------------------------------------------------------------
-# q09 / q10 / q20 — rollup, cube, grouping sets
-def q09_rollup(spark: SparkSession, sf: str) -> DataFrame:
+# q09 — rollup + cube + grouping sets in one tag-unioned gate (merged
+# former q09/q10/q20): each block runs the distinct multi-grouping
+# operator (DataFrame rollup, DataFrame cube, SQL GROUPING SETS) with a
+# harmonized (gset, key1, key2, n, sum_val) output schema.
+def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-Q09_SQL = """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 1) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def q10_cube(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
-    return orders.cube("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_val"))
+        .select(
+            F.lit("rollup").alias("gset"),
+            F.col("l_returnflag").alias("key1"),
+            F.col("l_linestatus").alias("key2"),
+            "n",
+            "sum_val",
+        )
     )
-
-
-Q10_SQL = """
-SELECT o_orderpriority, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-"""
-
-
-def q20_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
+    cub = (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_val"))
+        .select(
+            F.lit("cube").alias("gset"),
+            F.col("o_orderpriority").alias("key1"),
+            F.col("o_orderstatus").alias("key2"),
+            "n",
+            "sum_val",
+        )
+    )
     li.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
+    gs = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS sum_val
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+    return roll.unionByName(cub).unionByName(gs)
 
 
-Q20_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+Q09_SQL = """
+SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_val
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS gset, o_orderpriority AS key1, o_orderstatus AS key2,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_val
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+       count(*) AS n, round(sum(l_extendedprice), 2) AS sum_val
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-"""
-
-
-# --------------------------------------------------------------------------
-# q11 — multi-distinct aggregation
-def q11_distinct_aggs(spark: SparkSession, sf: str) -> DataFrame:
-    orders = load_table(spark, sf, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-
-
-Q11_SQL = """
-SELECT o_orderpriority, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
-       round(avg(o_totalprice), 4) AS avg_price,
-       round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price
-FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -381,9 +403,13 @@ SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM big UNION SELECT k FROM 
 
 
 # --------------------------------------------------------------------------
-# q13 — scalar function surface: string / math / conditional, row-level
+# q13 — scalar function surface: string / math / conditional / date,
+# row-level (date arithmetic absorbed from the former q28 on a
+# synthesized per-row date, so date_trunc/last_day/datediff keep a
+# per-row gate).
 def q13_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part")
+    d = F.date_add(F.lit("1996-01-01").cast("date"), F.col("p_size"))
     return part.select(
         "p_partkey",
         F.upper(F.col("p_name")).alias("name_upper"),
@@ -395,6 +421,10 @@ def q13_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p_size") % 7).cast("bigint").alias("size_mod"),
         F.round(F.sqrt(F.col("p_retailprice")), 6).alias("price_sqrt"),
         F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+        d.alias("ship_by"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("bigint").alias("age_days"),
     )
 
 
@@ -406,102 +436,22 @@ SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS name_len,
        CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
        CAST(p_size % 7 AS BIGINT) AS size_mod,
        round(sqrt(p_retailprice), 6) AS price_sqrt,
-       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+       DATE '1996-01-01' + p_size AS ship_by,
+       date_trunc('month', DATE '1996-01-01' + p_size)::DATE AS month_start,
+       last_day(DATE '1996-01-01' + p_size) AS month_end,
+       datediff('day', DATE '1996-01-01' + p_size, DATE '1998-12-31') AS age_days
 FROM part
 """
 
 
 # --------------------------------------------------------------------------
-# q14 — conditional aggregation (CASE inside agg)
-def q14_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 1).alias("qty_open"),
-        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 1).alias("qty_filled"),
-        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_high_discount"),
-    )
-
-
-Q14_SQL = """
-SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 1) AS qty_open,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 1) AS qty_filled,
-       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-# --------------------------------------------------------------------------
-# q15 — events: time bucketing + JSON extraction
-def q15_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.sum(F.get_json_object(F.col("props"), "$.k").cast("bigint")).alias("sum_k"),
-        )
-    )
-
-
-Q15_SQL = """
-SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events GROUP BY 1, 2
-"""
-
-
-# --------------------------------------------------------------------------
-# q16 — sessionization: lag + gap flag + running sum + per-session agg
-def q16_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
-    gap_us = 30 * 60 * 1_000_000
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.lag(us).over(w)
-    flagged = ev.withColumn(
-        "_new", F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
-    )
-    sess = flagged.withColumn(
-        "_sess", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        sess.groupBy("user_id", "_sess")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .drop("_sess")
-    )
-
-
-Q16_SQL = """
-WITH x AS (
-    SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
-           lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-    FROM events
-), s AS (
-    SELECT *, sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
-                       THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
-    FROM x
-)
-SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM s GROUP BY user_id, sess
-"""
-
-
-# --------------------------------------------------------------------------
-# q17 — pivot
-def q17_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+# q17 — pivot → unpivot round trip (merged former q17 + q30): the wide
+# pivot (status counts per priority, NULL cells zero-filled) is melted
+# straight back to long form, so one plan exercises BOTH reshaping
+# operators and the output is the zero-completed (priority, status)
+# count grid.
+def q17_pivot_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     piv = (
         orders.groupBy("o_orderpriority")
@@ -509,20 +459,28 @@ def q17_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     # pivot yields NULL for empty cells; the oracle's CASE-sum yields 0
-    return piv.select(
+    wide = piv.select(
         "o_orderpriority",
         F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
         F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
 
 
 Q17_SQL = """
-SELECT o_orderpriority,
-       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-FROM orders GROUP BY o_orderpriority
+UNPIVOT (
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+) ON n_f, n_o, n_p INTO NAME status_col VALUE n
 """
 
 
@@ -587,13 +545,27 @@ GROUP BY p.event_id, p.user_id, p.ts, p.value
 
 
 # --------------------------------------------------------------------------
-# q21 — approximate distinct (no exact cross-engine oracle: rows-only check)
-def q21_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+# q21 — the approximation-bearing aggregate surface in one rows-only
+# gate (merged former q21 + q31): approx_count_distinct + approximate
+# percentile per flag, joined with the mergeable-HLL two-level rollup
+# (sketch per fine key, merge to coarse — the 100 TB pattern: rollups
+# re-merge kilobyte sketches instead of rescanning raw data). No exact
+# cross-engine oracle exists for approximations; accuracy bounds are
+# asserted in tests/test_sketches.py.
+def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import sketches
+
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 0).alias("approx_median_price"),
     )
+    fine = sketches.build_sketches(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    hll = (
+        sketches.rollup_sketches(fine, ["l_returnflag"])
+        .select("l_returnflag", F.col("approx_distinct").cast("bigint").alias("hll_distinct"))
+    )
+    return approx.join(F.broadcast(hll), "l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -609,13 +581,20 @@ def q22_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         ev,
         "ts",
         "1 hour",
-        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # JSON extraction rides along (absorbed from the former q15
+            # hourly rollup — same buckets, same grain)
+            F.sum(F.get_json_object(F.col("props"), "$.k").cast("bigint")).alias("sum_k"),
+        ],
         group_by=["event_type"],
     )
 
 
 Q22_SQL = """
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        date_trunc('hour', ts::TIMESTAMP) AS window_start,
        date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end
 FROM events GROUP BY event_type, window_start
@@ -658,10 +637,10 @@ FROM s GROUP BY user_id, sess
 
 
 # --------------------------------------------------------------------------
-# q32 — IN / NOT IN subqueries, including the NOT IN three-valued-logic
-# trap: when the subquery can yield NULL, NOT IN must return no rows for
-# otherwise-matching keys — both engines must agree on that semantics.
-def q32_in_subqueries(spark: SparkSession, sf: str) -> DataFrame:
+# q32 — the subquery surface in one gate (merged former q32 + q33):
+# IN / NOT IN subqueries including the NOT IN three-valued-logic trap,
+# plus uncorrelated scalar subqueries in SELECT and WHERE position.
+def q32_subqueries(spark: SparkSession, sf: str) -> DataFrame:
     load_table(spark, sf, "supplier").createOrReplaceTempView("_q32_supplier")
     load_table(spark, sf, "nation").createOrReplaceTempView("_q32_nation")
     # The NULL trap sits in WHERE position: projected NOT-IN-with-NULL
@@ -680,8 +659,11 @@ def q32_in_subqueries(spark: SparkSession, sf: str) -> DataFrame:
                 WHERE s_nationkey NOT IN (SELECT CASE WHEN n_regionkey = 2 THEN NULL
                                                       ELSE n_nationkey END
                                           FROM _q32_nation))
-                   AS trap_count
+                   AS trap_count,
+               round(s_acctbal - (SELECT avg(s_acctbal) FROM _q32_supplier), 2)
+                   AS delta_from_mean
         FROM _q32_supplier
+        WHERE s_acctbal <= (SELECT max(s_acctbal) FROM _q32_supplier)
         """
     )
 
@@ -696,77 +678,11 @@ SELECT s_suppkey, s_name,
         WHERE s_nationkey NOT IN (SELECT CASE WHEN n_regionkey = 2 THEN NULL
                                               ELSE n_nationkey END
                                   FROM nation))
-           AS trap_count
-FROM supplier
-"""
-
-
-# --------------------------------------------------------------------------
-# q33 — uncorrelated scalar subquery in SELECT and WHERE
-def q33_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
-    load_table(spark, sf, "orders").createOrReplaceTempView("_q33_orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_orderstatus,
-               round(o_totalprice - (SELECT avg(o_totalprice) FROM _q33_orders), 2)
-                   AS delta_from_mean
-        FROM _q33_orders
-        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM _q33_orders)
-        """
-    )
-
-
-Q33_SQL = """
-SELECT o_orderkey, o_orderstatus,
-       round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+           AS trap_count,
+       round(s_acctbal - (SELECT avg(s_acctbal) FROM supplier), 2)
            AS delta_from_mean
-FROM orders
-WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-"""
-
-
-# --------------------------------------------------------------------------
-# q31 — mergeable-HLL distinct rollup (rows-only: Spark's Datasketches
-# binary differs from DuckDB's HLL, so estimates can't hash-match; the
-# accuracy bound is asserted in tests/test_sketches.py). The two-level
-# shape — sketch per fine key, merge to coarse — is the 100 TB pattern:
-# rollups re-merge kilobyte sketches instead of rescanning raw data.
-def q31_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators import sketches
-
-    li = load_table(spark, sf, "lineitem")
-    fine = sketches.build_sketches(li, ["l_returnflag", "l_linestatus"], "l_partkey")
-    return sketches.rollup_sketches(fine, ["l_returnflag"]).withColumn(
-        "approx_distinct", F.col("approx_distinct").cast("bigint")
-    )
-
-
-# --------------------------------------------------------------------------
-# q30 — unpivot (wide -> long): per-flag quantity/price sums melted into
-# (flag, measure, value) rows. Spark: the unpivot/melt API; DuckDB: UNPIVOT.
-def q30_unpivot(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("price"),
-        F.round(F.sum("l_discount"), 2).alias("discount"),
-    )
-    return wide.unpivot(
-        ids=["l_returnflag"],
-        values=["qty", "price", "discount"],
-        variableColumnName="measure",
-        valueColumnName="value",
-    )
-
-
-Q30_SQL = """
-UNPIVOT (
-    SELECT l_returnflag,
-           round(sum(l_quantity), 2) AS qty,
-           round(sum(l_extendedprice), 2) AS price,
-           round(sum(l_discount), 2) AS discount
-    FROM lineitem GROUP BY l_returnflag
-) ON qty, price, discount INTO NAME measure VALUE value
+FROM supplier
+WHERE s_acctbal <= (SELECT max(s_acctbal) FROM supplier)
 """
 
 
@@ -795,15 +711,26 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
 
 
 # --------------------------------------------------------------------------
-# q25 — exact percentiles (continuous interpolation) per group.
-# l_quantity is whole numbers, so the interpolation arithmetic
-# (lo + frac*(hi-lo)) is FP-exact on both engines.
-def q25_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+# q25 — exact percentiles + array aggregation per group (merged former
+# q25 + q26, same l_returnflag grain). l_quantity is whole numbers, so
+# the percentile interpolation (lo + frac*(hi-lo)) is FP-exact on both
+# engines. The sliced distinct-quantity array ships as a STRING
+# (concat_ws / array_to_string): the driver's canonicalizer pandas-sorts
+# every output column and crashes on raw array cells (unhashable
+# numpy.ndarray — the round-1 q26 failure), so no registered query may
+# output an array-typed column.
+def q25_percentile_arrays(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
+    arr = F.array_sort(F.collect_set(F.col("l_quantity").cast("bigint")))
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
         F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.concat_ws(
+            ",", F.transform(F.slice(arr, 1, 5), lambda x: x.cast("string"))
+        ).alias("low5"),
+        F.size(arr).cast("bigint").alias("n_distinct_qty"),
+        F.element_at(arr, -1).alias("max_qty"),
     )
 
 
@@ -811,27 +738,8 @@ Q25_SQL = """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
        quantile_cont(l_quantity, 0.25) AS p25_qty,
-       quantile_cont(l_quantity, 0.95) AS p95_qty
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-# --------------------------------------------------------------------------
-# q26 — array aggregation + array functions: per-flag sorted distinct
-# quantities, sliced; size and element access.
-def q26_array_functions(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    arr = F.array_sort(F.collect_set(F.col("l_quantity").cast("bigint")))
-    return li.groupBy("l_returnflag").agg(
-        F.slice(arr, 1, 5).alias("low5"),
-        F.size(arr).alias("n_distinct_qty"),
-        F.element_at(arr, -1).alias("max_qty"),
-    )
-
-
-Q26_SQL = """
-SELECT l_returnflag,
-       list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[1:5] AS low5,
+       quantile_cont(l_quantity, 0.95) AS p95_qty,
+       array_to_string(list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[1:5], ',') AS low5,
        len(list(DISTINCT CAST(l_quantity AS BIGINT))) AS n_distinct_qty,
        list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[-1] AS max_qty
 FROM lineitem GROUP BY l_returnflag
@@ -858,69 +766,6 @@ SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
        count(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
-"""
-
-
-# --------------------------------------------------------------------------
-# q28 — date arithmetic: monthly order revenue with month boundaries,
-# order age in days at a fixed reference date.
-def q28_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders")
-    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
-    return (
-        o.groupBy(month.alias("month_start"))
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.max(
-                F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
-            ).alias("max_age_days"),
-        )
-        .withColumn("month_end", F.last_day(F.col("month_start")))
-    )
-
-
-Q28_SQL = """
-SELECT date_trunc('month', o_orderdate::TIMESTAMP)::DATE AS month_start,
-       round(sum(o_totalprice), 2) AS revenue,
-       count(*) AS n_orders,
-       max(datediff('day', o_orderdate::DATE, DATE '1998-12-31')) AS max_age_days,
-       last_day(date_trunc('month', o_orderdate::TIMESTAMP)::DATE) AS month_end
-FROM orders GROUP BY 1
-"""
-
-
-# --------------------------------------------------------------------------
-# q29 — window RANGE frame: revenue of orders within a totalprice band
-# (current - 1000 .. current) per status, plus ntile quartiles and
-# first/last frame values.
-def q29_window_frames(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 50 == 0)
-    w_order = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
-    # float RANGE boundaries aren't expressible through the PySpark
-    # Window API (ints only); the SQL frame syntax is
-    n_in_band = F.expr(
-        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
-        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        n_in_band.alias("n_in_band"),
-        F.ntile(4).over(w_order).alias("quartile"),
-        F.round(F.first("o_totalprice").over(w_order), 2).alias("cheapest_so_far"),
-    )
-
-
-Q29_SQL = """
-SELECT o_orderkey, o_orderstatus,
-       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
-       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
-       round(first_value(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 2) AS cheapest_so_far
-FROM orders WHERE o_orderkey % 50 = 0
 """
 
 
@@ -961,6 +806,8 @@ LATERAL (
 # --------------------------------------------------------------------------
 # q35 — price histogram on exact integer cents (25,000.00-wide buckets):
 # engine-portable bucketing without width_bucket's FP boundary hazards.
+# Per-bucket multi-distinct aggregation rides along (absorbed from the
+# former q11): count distinct + min/max/avg per bucket.
 def q35_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -971,52 +818,54 @@ def q35_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
 
 
 Q35_SQL = """
 SELECT CAST((cents - cents % 2500000) / 2500000 AS BIGINT) AS bucket,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
-FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_totalprice FROM orders)
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_totalprice, o_custkey FROM orders)
 GROUP BY 1
 """
 
 
+# Registry discipline (round-2): the driver's correctness harness
+# checks the FIRST 50 entries of __spark_entry__.queries() in
+# registration order, so the whole catalog is merged to ≤50 entries —
+# redundant relational gates were folded into these survivors (q14→q01,
+# q05→q04, q29→q08, q10/q20→q09, q11→q35, q28→q13, q15→q22, q30→q17,
+# q31→q21, q26→q25, q33→q32; q16's lag-gap sessionization is subsumed
+# by q23's session_window gate).
 QUERIES = [
-    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + 8-agg groupBy"),
+    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + multi-agg groupBy incl. conditional aggs"),
     QuerySpec("q02_top_orders", q02_top_orders, Q02_SQL, "TPC-H Q3: 3-way join + agg + top-10"),
     QuerySpec("q03_revenue_by_nation", q03_revenue_by_nation, Q03_SQL, "TPC-H Q5: star join, broadcast dims"),
-    QuerySpec("q04_order_priority", q04_order_priority, Q04_SQL, "EXISTS / left-semi join"),
-    QuerySpec("q05_customers_no_big_order", q05_customers_no_big_order, Q05_SQL, "NOT EXISTS / left-anti join"),
+    QuerySpec("q04_semi_anti_join", q04_semi_anti_join, Q04_SQL, "EXISTS / left-semi + NOT EXISTS / left-anti joins"),
     QuerySpec("q06_forecast_revenue", q06_forecast_revenue, Q06_SQL, "TPC-H Q6: filter-only scalar agg"),
     QuerySpec("q07_top_orders_per_segment", q07_top_orders_per_segment, Q07_SQL, "grouped top-k window"),
-    QuerySpec("q08_running_totals", q08_running_totals, Q08_SQL, "running sum + lag + row_number"),
-    QuerySpec("q09_rollup", q09_rollup, Q09_SQL, "ROLLUP aggregation"),
-    QuerySpec("q10_cube", q10_cube, Q10_SQL, "CUBE aggregation"),
-    QuerySpec("q11_distinct_aggs", q11_distinct_aggs, Q11_SQL, "count distinct + min/max/avg"),
+    QuerySpec("q08_window_suite", q08_window_suite, Q08_SQL, "running sum/lag/row_number + RANGE frame/ntile/first_value"),
+    QuerySpec("q09_grouping_multi", q09_grouping_multi, Q09_SQL, "ROLLUP + CUBE + GROUPING SETS, tag-unioned"),
     QuerySpec("q12_set_ops", q12_set_ops, Q12_SQL, "INTERSECT / EXCEPT / UNION"),
-    QuerySpec("q13_scalar_functions", q13_scalar_functions, Q13_SQL, "string/math/conditional scalars"),
-    QuerySpec("q14_conditional_agg", q14_conditional_agg, Q14_SQL, "CASE inside aggregates"),
-    QuerySpec("q15_events_hourly", q15_events_hourly, Q15_SQL, "time bucketing + JSON extraction"),
-    QuerySpec("q16_sessionize", q16_sessionize, Q16_SQL, "sessionization via gap windows"),
-    QuerySpec("q17_pivot_status", q17_pivot_status, Q17_SQL, "pivot"),
+    QuerySpec("q13_scalar_functions", q13_scalar_functions, Q13_SQL, "string/math/conditional/date scalars"),
+    QuerySpec("q17_pivot_unpivot", q17_pivot_unpivot, Q17_SQL, "pivot -> unpivot round trip"),
     QuerySpec("q18_range_join", q18_range_join, Q18_SQL, "range join vs broadcast bands"),
     QuerySpec("q19_asof_join", q19_asof_join, Q19_SQL, "as-of join (backward, inclusive)"),
-    QuerySpec("q20_grouping_sets", q20_grouping_sets, Q20_SQL, "GROUPING SETS via SQL API"),
-    QuerySpec("q21_approx_distinct", q21_approx_distinct, None, "approx_count_distinct + approx percentile (rows-only)"),
-    QuerySpec("q22_tumbling_window", q22_tumbling_window, Q22_SQL, "tumbling event-time window (streaming helper, batch path)"),
+    QuerySpec("q21_approx_sketches", q21_approx_sketches, None, "approx distinct/percentile + HLL rollup (rows-only)"),
+    QuerySpec("q22_tumbling_window", q22_tumbling_window, Q22_SQL, "tumbling event-time window + JSON extraction (batch path)"),
     QuerySpec("q23_session_window", q23_session_window, Q23_SQL, "session windows, 30-min gap (streaming helper, batch path)"),
     QuerySpec("q24_correlated_subquery", q24_correlated_subquery, Q24_SQL, "correlated scalar subquery (decorrelated)"),
-    QuerySpec("q25_percentiles", q25_percentiles, Q25_SQL, "exact continuous percentiles per group"),
-    QuerySpec("q26_array_functions", q26_array_functions, Q26_SQL, "array agg + sort/slice/element_at"),
+    QuerySpec("q25_percentile_arrays", q25_percentile_arrays, Q25_SQL, "exact percentiles + array agg (stringified output)"),
     QuerySpec("q27_string_agg", q27_string_agg, Q27_SQL, "ordered string aggregation (listagg)"),
-    QuerySpec("q28_date_arithmetic", q28_date_arithmetic, Q28_SQL, "date_trunc/datediff/last_day arithmetic"),
-    QuerySpec("q29_window_frames", q29_window_frames, Q29_SQL, "RANGE frame + ntile + first_value windows"),
-    QuerySpec("q30_unpivot", q30_unpivot, Q30_SQL, "unpivot/melt wide measures to long"),
-    QuerySpec("q31_hll_rollup", q31_hll_rollup, None, "mergeable HLL sketch rollup (rows-only)"),
-    QuerySpec("q32_in_subqueries", q32_in_subqueries, Q32_SQL, "IN / NOT IN subqueries incl. NULL three-valued logic"),
-    QuerySpec("q33_scalar_subquery", q33_scalar_subquery, Q33_SQL, "uncorrelated scalar subqueries in SELECT and WHERE"),
+    QuerySpec("q32_subqueries", q32_subqueries, Q32_SQL, "IN/NOT IN + scalar subqueries incl. NULL three-valued logic"),
     QuerySpec("q34_lateral_topn", q34_lateral_topn, Q34_SQL, "LATERAL correlated top-n subquery join"),
-    QuerySpec("q35_price_histogram", q35_price_histogram, Q35_SQL, "integer-exact price histogram"),
+    QuerySpec("q35_price_histogram", q35_price_histogram, Q35_SQL, "integer-exact price histogram + multi-distinct aggs"),
 ]
