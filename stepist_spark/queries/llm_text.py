@@ -111,33 +111,18 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
-# t02 — surviving rows after exact dedup (keep min doc_id per text)
-def t02_dedup_exact_count(spark: SparkSession, sf: str) -> DataFrame:
-    kept = dedup.dedup_exact(_docs_with_exact_dups(spark, sf), "doc_id", "text")
-    return kept.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum(F.col("doc_id")).alias("sum_ids"),
-    )
-
-
-T02_SQL = f"""
-WITH corpus AS ({EXACT_DUP_CORPUS_SQL}),
-ranked AS (
-    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM corpus
-)
-SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM ranked WHERE rn = 1
-"""
-
-
-# t03 — per-document token statistics.
-# Ratio columns are single divisions of identical integers on both
-# engines — bit-identical IEEE doubles, so they ship UNROUNDED (rounding
-# would reintroduce .5-boundary rounding-mode divergence).
-def t03_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+# t03 — the per-document text profile in one pass (merged former t03
+# token stats + t05 lang-ID + t11 subword counts — all 1-row-per-doc
+# projections over the same scan, so one gate certifies the whole
+# scalar text surface). Ratio columns are single divisions of identical
+# integers on both engines — bit-identical IEEE doubles, so they ship
+# UNROUNDED (rounding would reintroduce .5-boundary rounding-mode
+# divergence). Exact-dedup survivors (former t02) are gated by c01,
+# which runs dedup_exact inside its oracle-checked pipeline.
+def t03_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.session import spread
 
-    # tokens bound once: the four stats reference the array ~9× total
+    # tokens bound once: the stats reference the array ~11× total
     docs = spread(load_table(spark, sf, "documents")).withColumn(
         "_tk", TX.tokens(F.col("text"))
     )
@@ -150,6 +135,12 @@ def t03_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         TX.punct_ratio(txt).alias("punct_ratio"),
         TX.stopword_ratio(txt, toks=tk).alias("stopword_ratio"),
         F.length(txt).cast("bigint").alias("n_chars_computed"),
+        "lang",
+        TX.lang_id(txt, toks=tk).alias("lang_guess"),
+        TX.subword_token_count(txt).cast("bigint").alias("n_subtokens"),
+        F.size(F.array_distinct(TX.subword_tokens(txt))).cast("bigint").alias(
+            "n_distinct_subtokens"
+        ),
     )
 
 
@@ -159,7 +150,11 @@ SELECT doc_id,
        {TX.avg_token_len_sql('text')} AS avg_token_len,
        {TX.punct_ratio_sql('text')} AS punct_ratio,
        {TX.stopword_ratio_sql('text')} AS stopword_ratio,
-       length(text) AS n_chars_computed
+       length(text) AS n_chars_computed,
+       lang,
+       {TX.lang_id_sql('text')} AS lang_guess,
+       len({TX.subword_tokens_sql('text')}) AS n_subtokens,
+       len(list_distinct({TX.subword_tokens_sql('text')})) AS n_distinct_subtokens
 FROM documents
 """
 
@@ -191,231 +186,142 @@ FROM documents GROUP BY source
 """
 
 
-# t05 — language-ID heuristic vs the labeled lang column
-def t05_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.session import spread
-
-    # tokens bound once: lang_id references the array 2× per language
-    docs = spread(load_table(spark, sf, "documents")).withColumn(
-        "_tk", TX.tokens(F.col("text"))
-    )
-    return docs.select(
-        "doc_id", "lang", TX.lang_id(F.col("text"), toks=F.col("_tk")).alias("lang_guess")
-    )
-
-
-T05_SQL = f"""
-SELECT doc_id, lang, {TX.lang_id_sql('text')} AS lang_guess FROM documents
-"""
-
-
-# t06 — MinHash signatures (8 portable universal hashes over tokens)
-def t06_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    toks = docs.select(F.col("doc_id").alias("_id"), TX.tokens(F.col("text")).alias("_toks"))
-    sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=N_HASHES)
-    return sig.withColumnRenamed("_id", "doc_id")
-
-
-T06_SQL = f"""
-WITH {_minhash_sig_sql("SELECT doc_id, text FROM documents")}
-SELECT _id AS doc_id, {", ".join(f"mh{i}" for i in range(N_HASHES))} FROM sig
-"""
-
-
-# t07 — MinHash-LSH near-duplicate candidate pairs (banded signature join)
-def t07_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_candidates(
-        _docs_with_near_dups(spark, sf), "doc_id", "text", n_hashes=N_HASHES, bands=BANDS
-    )
-
-
-T07_SQL = f"""
-WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
-bands AS ({_bands_sql()})
-SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}
-"""
-
-
-# t08 — exact Jaccard verification of the LSH candidates
+# t08 — exact Jaccard verification of the LSH candidates, BOTH set
+# units in one gate (merged former t07/t08/t12): every banded-LSH
+# candidate pair ships with its token-set Jaccard AND its 3-shingle
+# (n-gram, order-sensitive) Jaccard. The candidate row set IS the
+# former t07 output, so the banding join is certified too; the MinHash
+# signature values themselves are certified transitively — this oracle
+# recomputes the full shingle→minhash→band pipeline and one differing
+# signature would change the candidate set.
 def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _docs_with_near_dups(spark, sf)
     cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
-    return dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.5)
+    tok = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0)
+    sh = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0, shingle_k=3)
+    return tok.withColumnRenamed("jaccard", "jaccard_tok").join(
+        sh.withColumnRenamed("jaccard", "jaccard_shingle"), ["id_a", "id_b"]
+    )
+
+
+def _jac_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN len(list_distinct(list_concat({a}, {b}))) > 0 "
+        f"THEN CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
+        f"/ len(list_distinct(list_concat({a}, {b}))) ELSE 0.0 END"
+    )
 
 
 T08_SQL = f"""
 WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
 bands AS ({_bands_sql()}),
 cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
-sets AS (SELECT doc_id AS _sid, list_distinct({TX.tokens_sql('text')}) AS _set FROM corpus)
+sets_t AS (SELECT doc_id AS _sid, list_distinct({TX.tokens_sql('text')}) AS _set FROM corpus),
+sets_s AS (SELECT doc_id AS _sid,
+                  list_distinct({hashing.shingles_sql(TX.tokens_sql('text'), 3)}) AS _set
+           FROM corpus)
 SELECT id_a, id_b,
-       CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
-            THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa._set, sb._set)))
-            ELSE 0.0 END AS jaccard
+       {_jac_sql('ta._set', 'tb._set')} AS jaccard_tok,
+       {_jac_sql('sa._set', 'sb._set')} AS jaccard_shingle
 FROM cands
-JOIN sets sa ON sa._sid = id_a
-JOIN sets sb ON sb._sid = id_b
-WHERE CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
-           THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
-                / len(list_distinct(list_concat(sa._set, sb._set)))
-           ELSE 0.0 END >= 0.5
+JOIN sets_t ta ON ta._sid = id_a
+JOIN sets_t tb ON tb._sid = id_b
+JOIN sets_s sa ON sa._sid = id_a
+JOIN sets_s sb ON sb._sid = id_b
 """
 
 
-# t09 — SimHash fingerprints
-def t09_simhash(spark: SparkSession, sf: str) -> DataFrame:
+# t09 — per-document fingerprints in one gate (merged former t09
+# SimHash + t10 shingle fingerprint): both compact near-dup signatures
+# joined on doc_id.
+def t09_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return dedup.simhash_docs(docs, "doc_id", "text")
-
-
-T09_SQL = (
-    "SELECT _id AS doc_id, simhash FROM ("
-    + hashing.simhash_sql("documents", "doc_id", TX.tokens_sql("text"))
-    + ")"
-)
-
-
-# t10 — shingle fingerprint (rolling-hash document signature)
-def t10_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    return dedup.fingerprint_docs(docs, "doc_id", "text", k=3)
+    sh = dedup.simhash_docs(docs, "doc_id", "text")
+    fp = dedup.fingerprint_docs(docs, "doc_id", "text", k=3)
+    return sh.join(fp, "doc_id")
 
 
 _SHINGLES = hashing.shingles_sql(TX.tokens_sql("text"), 3)
-T10_SQL = f"""
-SELECT doc_id, md5(text) AS doc_md5,
-       list_min(list_transform({_SHINGLES}, s -> {hashing.word_hash32_sql('s')})) AS min_shingle_hash,
-       len({_SHINGLES}) AS n_shingles
-FROM documents
+T09_SQL = f"""
+SELECT a.doc_id, a.simhash, b.doc_md5, b.min_shingle_hash, b.n_shingles
+FROM (SELECT _id AS doc_id, simhash FROM ({hashing.simhash_sql("documents", "doc_id", TX.tokens_sql("text"))})) a
+JOIN (
+    SELECT doc_id, md5(text) AS doc_md5,
+           list_min(list_transform({_SHINGLES}, s -> {hashing.word_hash32_sql('s')})) AS min_shingle_hash,
+           len({_SHINGLES}) AS n_shingles
+    FROM documents
+) b USING (doc_id)
 """
 
 
-# t11 — BPE-ish subword pre-tokenization (the GPT-2-style splitter
-# shape): per-document counts, aggregated by source
-def t11_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    return docs.select(
-        "doc_id",
-        TX.subword_token_count(F.col("text")).cast("bigint").alias("n_subtokens"),
-        F.size(F.array_distinct(TX.subword_tokens(F.col("text")))).cast("bigint").alias(
-            "n_distinct_subtokens"
-        ),
-    )
-
-
-T11_SQL = f"""
-SELECT doc_id,
-       len({TX.subword_tokens_sql('text')}) AS n_subtokens,
-       len(list_distinct({TX.subword_tokens_sql('text')})) AS n_distinct_subtokens
-FROM documents
-"""
-
-
-# t12 — n-gram (3-shingle) Jaccard verification of the LSH candidates:
-# order-sensitive set similarity on the same unit the candidates were
-# hashed on (vs t08's token-set Jaccard)
-def t12_shingle_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = _docs_with_near_dups(spark, sf)
-    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
-    return dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.5, shingle_k=3)
-
-
-_SHJ = hashing.shingles_sql(TX.tokens_sql("text"), 3)
-T12_SQL = f"""
-WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
-bands AS ({_bands_sql()}),
-cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
-sets AS (SELECT doc_id AS _sid, list_distinct({_SHJ}) AS _set FROM corpus)
-SELECT id_a, id_b,
-       CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
-            THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa._set, sb._set)))
-            ELSE 0.0 END AS jaccard
-FROM cands
-JOIN sets sa ON sa._sid = id_a
-JOIN sets sb ON sb._sid = id_b
-WHERE CASE WHEN len(list_distinct(list_concat(sa._set, sb._set))) > 0
-           THEN CAST(len(list_intersect(sa._set, sb._set)) AS DOUBLE)
-                / len(list_distinct(list_concat(sa._set, sb._set)))
-           ELSE 0.0 END >= 0.5
-"""
-
-
-# t13 — deterministic hash-based train/val/test split (portable md5
-# bucketing — reproducible across engines, runs, and partitionings,
-# unlike rand()/randomSplit). Checked via per-split counts + id sums.
-def t13_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+# t13 — deterministic sampling + splitting in one gate (merged former
+# t13 hash split + t14 stratified sample): the 5 smallest-hash docs per
+# source (id tiebreak), each carrying its deterministic train/val/test
+# split label — per-row certification of both id-hash operators,
+# reproducible across engines, runs, and partition layouts.
+def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sampling
 
-    docs = load_table(spark, sf, "documents")
-    return sampling.hash_split(docs, "doc_id").groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_id").alias("sum_ids"),
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang")
+    sampled = sampling.stratified_sample(docs, "source", "doc_id", 5)
+    return sampling.hash_split(sampled, "doc_id")
 
 
 def _t13_sql() -> str:
     from stepist_spark.operators import sampling
 
-    return f"""
-SELECT {sampling.split_label_sql('doc_id')} AS split,
-       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-FROM documents GROUP BY 1
-"""
-
-
-T13_SQL = _t13_sql()
-
-
-# t14 — deterministic stratified sample: the 5 smallest-hash docs per
-# source (id tiebreak) — reproducible uniform sampling per stratum.
-def t14_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators import sampling
-
-    docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang")
-    return sampling.stratified_sample(docs, "source", "doc_id", 5)
-
-
-def _t14_sql() -> str:
-    from stepist_spark.operators import sampling
-
-    return sampling.stratified_sample_sql(
+    inner = sampling.stratified_sample_sql(
         "(SELECT doc_id, source, lang FROM documents)",
         "source",
         "doc_id",
         5,
         select_cols="doc_id, source, lang",
     )
+    return f"""
+SELECT doc_id, source, lang, {sampling.split_label_sql('doc_id')} AS split
+FROM ({inner})
+"""
 
 
-T14_SQL = _t14_sql()
+T13_SQL = _t13_sql()
 
 
-# t15 — within-document word-repetition signal (Gopher/C4-style quality
-# filter): most frequent token's share of the document. Ratio is a
+# t15 — within-document token statistics in one explode→count pass
+# (merged former t15 word-repetition + t17 salient terms): the most
+# frequent token (Gopher/C4-style repetition signal) alongside the
+# TF-IDF-shaped salient term ranked on the exact integer pair
+# (tf desc, df asc) — see operators.corpus.salient_terms for why the
+# float tf·ln(N/df) is deliberately avoided cross-engine. Ratio is a
 # single division of identical integers — bit-identical unrounded.
-def t15_word_repetition(spark: SparkSession, sf: str) -> DataFrame:
+def t15_word_stats(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from stepist_spark.operators import corpus as corpus_ops
 
     docs = load_table(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w_rank = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
     w_doc = Window.partitionBy("doc_id")
-    return (
-        counts.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("n_tokens", F.sum("cnt").over(w_doc))
+    w_rep = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w_rep))
+        .withColumn("n_tokens", F.sum("cnt").over(w_doc).cast("bigint"))
         .filter(F.col("_rn") == 1)
         .select(
             "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_tokens",
             F.col("tok").alias("top_token"),
             F.col("cnt").cast("bigint").alias("top_freq"),
             (F.col("cnt").cast("double") / F.col("n_tokens")).alias("top_ratio"),
         )
     )
+    sal = corpus_ops.salient_terms(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("top_token").alias("salient_token"),
+        F.col("tf").alias("salient_tf"),
+        F.col("df").alias("salient_df"),
+    )
+    return top.join(sal, "doc_id")
 
 
 T15_SQL = f"""
@@ -424,15 +330,19 @@ WITH counts AS (
     FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
     GROUP BY doc_id, _tok
 ),
-ranked AS (
-    SELECT doc_id, tok, cnt,
-           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn,
-           CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
-    FROM counts
+dfreq AS (SELECT tok, count(*) AS df FROM counts GROUP BY tok),
+j AS (
+    SELECT c.doc_id, c.tok, c.cnt, d.df,
+           row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cnt DESC, c.tok) AS r1,
+           row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cnt DESC, d.df, c.tok) AS r2,
+           CAST(sum(c.cnt) OVER (PARTITION BY c.doc_id) AS BIGINT) AS n_tokens
+    FROM counts c JOIN dfreq d USING (tok)
 )
-SELECT doc_id, n_tokens, tok AS top_token, cnt AS top_freq,
-       CAST(cnt AS DOUBLE) / n_tokens AS top_ratio
-FROM ranked WHERE rn = 1
+SELECT t.doc_id, t.n_tokens, t.tok AS top_token, t.cnt AS top_freq,
+       CAST(t.cnt AS DOUBLE) / t.n_tokens AS top_ratio,
+       s.tok AS salient_token, s.cnt AS salient_tf, s.df AS salient_df
+FROM (SELECT * FROM j WHERE r1 = 1) t
+JOIN (SELECT * FROM j WHERE r2 = 1) s USING (doc_id)
 """
 
 
@@ -451,35 +361,6 @@ SELECT _tok AS tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
 GROUP BY _tok HAVING count(*) >= 2
 ORDER BY n_occurrences DESC, tok LIMIT 50
-"""
-
-
-# t17 — per-document salient term, TF-IDF shaped but ranked on the
-# exact integer pair (tf desc, df asc) — see operators.corpus.salient_terms
-# for why the float tf·ln(N/df) is deliberately avoided cross-engine.
-def t17_salient_terms(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators import corpus as corpus_ops
-
-    docs = load_table(spark, sf, "documents")
-    return corpus_ops.salient_terms(docs, "doc_id", "text")
-
-
-T17_SQL = f"""
-WITH tf AS (
-    SELECT doc_id, _tok AS tok, count(*) AS tf
-    FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
-    GROUP BY doc_id, _tok
-),
-dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-j AS (
-    SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
-           row_number() OVER (
-               PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df, tf.tok
-           ) AS rn,
-           CAST(sum(tf.tf) OVER (PARTITION BY tf.doc_id) AS BIGINT) AS n_tokens
-    FROM tf JOIN dfreq USING (tok)
-)
-SELECT doc_id, tok AS top_token, tf, df, n_tokens FROM j WHERE rn = 1
 """
 
 
@@ -587,24 +468,20 @@ GROUP BY _tok ORDER BY weight DESC, item LIMIT 20
 """
 
 
+# Registry discipline (round-2, see queries/relational.py): merged to
+# fit the driver's 50-entry correctness window — t02→c01 (dedup_exact
+# runs inside c01's oracle-gated pipeline), t05/t11→t03, t06/t07→t08
+# (the oracle recomputes the signature+banding pipeline), t10→t09,
+# t14→t13, t17→t15.
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
-    QuerySpec("t02_dedup_exact_count", t02_dedup_exact_count, T02_SQL, "exact dedup survivors"),
-    QuerySpec("t03_token_stats", t03_token_stats, T03_SQL, "token counting + char stats"),
+    QuerySpec("t03_doc_profile", t03_doc_profile, T03_SQL, "per-doc token/quality/lang-ID/subword profile"),
     QuerySpec("t04_quality_by_source", t04_quality_by_source, T04_SQL, "quality scoring"),
-    QuerySpec("t05_lang_id", t05_lang_id, T05_SQL, "language-ID heuristic"),
-    QuerySpec("t06_minhash_signatures", t06_minhash_signatures, T06_SQL, "MinHash signatures"),
-    QuerySpec("t07_lsh_candidates", t07_lsh_candidates, T07_SQL, "MinHash-LSH banding candidates"),
-    QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "Jaccard verification of candidates"),
-    QuerySpec("t09_simhash", t09_simhash, T09_SQL, "SimHash fingerprints"),
-    QuerySpec("t10_fingerprint", t10_fingerprint, T10_SQL, "shingle fingerprinting"),
-    QuerySpec("t11_subword_tokens", t11_subword_tokens, T11_SQL, "BPE-ish subword pre-tokenization counts"),
-    QuerySpec("t12_shingle_jaccard", t12_shingle_jaccard, T12_SQL, "n-gram (3-shingle) Jaccard on LSH candidates"),
-    QuerySpec("t13_hash_split", t13_hash_split, T13_SQL, "deterministic hash train/val/test split"),
-    QuerySpec("t14_stratified_sample", t14_stratified_sample, T14_SQL, "deterministic per-stratum sample"),
-    QuerySpec("t15_word_repetition", t15_word_repetition, T15_SQL, "word-repetition quality signal"),
+    QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification"),
+    QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
+    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash train/val/test split"),
+    QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary build (top-50)"),
-    QuerySpec("t17_salient_terms", t17_salient_terms, T17_SQL, "per-doc salient term (TF-IDF-shaped, integer-exact)"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "benchmark n-gram decontamination"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "concat-and-chunk sequence packing"),

@@ -38,10 +38,16 @@ class TestJoinStrategies:
         summary = plans.plan_summary(qs["q02_top_orders"].spark(spark, SF))
         assert summary["has_take_ordered"], summary
 
-    def test_lsh_self_join_is_equi_join(self, spark, qs):
+    def test_lsh_self_join_is_equi_join(self, spark):
         """The LSH candidate join must be hash-based on the band key —
         a nested-loop or cartesian plan would be |docs|² at scale."""
-        strategies = plans.join_strategies(qs["t07_lsh_candidates"].spark(spark, SF))
+        from stepist_spark.operators import dedup
+        from stepist_spark.queries.llm_text import BANDS, N_HASHES, _docs_with_near_dups
+
+        cands = dedup.minhash_lsh_candidates(
+            _docs_with_near_dups(spark, SF), "doc_id", "text", N_HASHES, BANDS
+        )
+        strategies = plans.join_strategies(cands)
         assert strategies
         assert not any(
             s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
@@ -151,7 +157,7 @@ class TestCatalogHygiene:
         "q18_range_join",       # band dim broadcast, range predicate
         "q19_asof_join",        # range condition against broadcast dim
         "v05_ivf_topk",         # centroid cross-score: corpus × broadcast centroids
-        "q32_in_subqueries",    # NOT-IN-with-NULL = null-aware anti-join, planned
+        "q32_subqueries",       # NOT-IN-with-NULL = null-aware anti-join, planned
                                 # as BNLJ against the broadcast (tiny) subquery side
     }
 
