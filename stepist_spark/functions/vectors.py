@@ -35,8 +35,13 @@ def _lcg_stream(seed: int, n: int) -> list[float]:
 
 N_PLANES = 8
 DIM = 64
+# 64 planes total: the first 8 serve the legacy single-table bucket
+# (c01's partition key); banded LSH draws bands of 8 or 16 consecutive
+# planes via the `offset` parameter below (4 bands × 16 planes needs
+# all 64).
+MAX_PLANES = 64
 HYPERPLANES: list[list[float]] = [
-    _lcg_stream(seed=1234 + 7 * p, n=DIM) for p in range(N_PLANES)
+    _lcg_stream(seed=1234 + 7 * p, n=DIM) for p in range(MAX_PLANES)
 ]
 
 
@@ -104,18 +109,22 @@ def hyperplane_literal_sql(p: int) -> str:
     return "[" + ", ".join(repr(v) for v in HYPERPLANES[p]) + "]"
 
 
-def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """Sign-LSH bucket id: bit p is 1 iff dot(vec, plane_p) >= 0.
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES, offset: int = 0) -> Column:
+    """Sign-LSH bucket id: bit p is 1 iff dot(vec, plane_{offset+p}) >= 0.
 
     Vectors with high cosine similarity land in the same bucket with
     high probability, turning ANN search into an equi-join on this
-    bigint — the 100 TB-scale path for similarity search.
+    bigint — the 100 TB-scale path for similarity search. ``offset``
+    selects a disjoint plane slice, so banded LSH (OR-of-ANDs across
+    bands of AND-ed planes) reuses this as its per-band signature.
     """
+    if offset + n_planes > MAX_PLANES:
+        raise ValueError(f"plane slice [{offset}, {offset + n_planes}) exceeds {MAX_PLANES}")
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        bit = F.when(dot(vec, hyperplane_literal(p)) >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        bit = F.when(
+            dot(vec, hyperplane_literal(offset + p)) >= 0, F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         bucket = bucket + F.shiftleft(bit, p)
     return bucket
 
@@ -151,9 +160,9 @@ def lsh_bucket_fast(vec: Column, n_planes: int = N_PLANES) -> Column:
     return pandas_udf(_bucket, "bigint")(vec)
 
 
-def lsh_bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
+def lsh_bucket_sql(vec: str, n_planes: int = N_PLANES, offset: int = 0) -> str:
     terms = []
     for p in range(n_planes):
-        d = dot_sql(vec, hyperplane_literal_sql(p))
+        d = dot_sql(vec, hyperplane_literal_sql(offset + p))
         terms.append(f"(CASE WHEN {d} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {p})")
     return "(" + " + ".join(terms) + ")"

@@ -14,6 +14,50 @@ from pyspark.sql import functions as F
 
 from stepist_spark.functions import vectors as V
 
+# one-slot pinned cache for the banded-signature frame (same bounded
+# release pattern as operators.dedup._LAST_BANDED)
+_LAST_VBANDED: list = []
+
+
+def lsh_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    out_id: str = "_id",
+) -> DataFrame:
+    """Banded sign-LSH signatures: one row per (vector, band) with the
+    band's ``planes_per_band``-bit signature over its disjoint plane
+    slice. Output: ``<out_id>, band, sig``.
+
+    This is the OR-of-ANDs LSH structure (the same banding already used
+    for MinHash text dedup, operators/dedup.py): two vectors are
+    candidates iff ALL planes agree within ANY single band. Recall and
+    bucket population tune independently — more planes per band ⇒
+    2^planes_per_band possible signatures per band ⇒ smaller buckets
+    (size ~N/2^r for near-orthogonal corpora); more bands ⇒ more
+    chances for a true near-dup to collide. At 100 TB size
+    ``planes_per_band`` so 2^r ≫ N / target_bucket_rows (e.g. r=24-32),
+    and recover recall with more bands — the candidate join below stays
+    the same bounded equi-join either way.
+    """
+    c = df.select(F.col(id_col).alias(out_id), V.to_double(F.col(vec_col)).alias("_v"))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                V.lsh_bucket(
+                    F.col("_v"), planes_per_band, offset=b * planes_per_band
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return c.select(out_id, F.explode(bands_arr).alias("bk")).select(
+        out_id, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -59,26 +103,38 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = V.N_PLANES,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
 ) -> DataFrame:
-    """Approximate cosine top-k: compare only vectors sharing the
-    sign-LSH bucket of the query.
+    """Approximate cosine top-k via banded sign-LSH: candidates are
+    corpus vectors sharing ANY band signature with the query
+    (OR-of-ANDs — the structure text dedup already uses for MinHash).
 
-    The corpus is hashed once (narrow map), then the search is an
-    equi-join on ``bucket`` — at 100 TB this shuffles each side by an
-    8-bit key instead of materializing |corpus|×|queries| pairs. Recall
-    trades off with n_planes; callers needing higher recall union
-    multiple plane-sets (multi-probe) before the join.
+    The corpus is hashed once (narrow map: n_bands signatures per row),
+    then candidate generation is an equi-join on (band, sig) against
+    the broadcast query signatures — at 100 TB no |corpus|×|queries|
+    product ever materializes, and per-band bucket population is
+    ~N/2^planes_per_band (size the band width so 2^r ≫ N/bucket_target;
+    see :func:`lsh_band_signatures`). Candidates dedup across bands
+    before scoring, so each pair's cosine is computed once.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", V.lsh_bucket(F.col("qv"), n_planes))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), V.to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", V.lsh_bucket(F.col("cv"), n_planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    )
+    cb = lsh_band_signatures(corpus, id_col, vec_col, n_bands, planes_per_band, out_id="neighbor_id")
+    qb = lsh_band_signatures(queries, id_col, vec_col, n_bands, planes_per_band, out_id="query_id")
+    cands = (
+        cb.join(F.broadcast(qb), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -225,21 +281,57 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = V.N_PLANES,
+    n_bands: int = 4,
+    planes_per_band: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join.
+    """Embedding-cosine near-duplicate pairs via banded-LSH self-join
+    (OR-of-ANDs), cosine-verified. Output: ``id_a, id_b, cos_sim``.
 
-    Same-bucket pairs only (id_a < id_b), verified against the cosine
-    threshold. Output: ``id_a, id_b, cos_sim``.
+    Candidate generation is an equi-join of the banded-signature frame
+    with itself on (band, sig) — the same bounded-bucket structure as
+    MinHash text dedup (operators/dedup.py). With 16 planes per band
+    the per-band signature space is 2^16, so bucket population on a
+    near-orthogonal corpus is ~N/65536 per band — the within-bucket
+    pair count stays linear-ish instead of (N/256)² as with a single
+    8-plane table; widen further (r=24-32) as N grows. True near-dups
+    (cosine → 1) agree on almost every plane, so they still collide in
+    at least one of the 4 bands with high probability. The banded
+    frame is persisted for the self-join (one pinned slot, previous
+    frame released — same discipline as dedup's _LAST_BANDED).
     """
+    from pyspark.storagelevel import StorageLevel
+
     c = corpus.select(
         F.col(id_col).alias("_id"), V.to_double(F.col(vec_col)).alias("_v")
-    ).withColumn("bucket", V.lsh_bucket(F.col("_v"), n_planes))
-    a = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
-    b = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    )
+    banded = lsh_band_signatures(
+        corpus, id_col, vec_col, n_bands, planes_per_band
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = _LAST_VBANDED.pop(0) if _LAST_VBANDED else None
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _LAST_VBANDED.append(banded)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = c.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = c.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     return (
-        pairs.select(
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a", "id_b", F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)

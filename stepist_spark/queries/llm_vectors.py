@@ -45,23 +45,23 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
-# v02 — sign-LSH bucket assignment (the ANN partitioning key)
-def v02_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
-    return emb.select(
-        "vec_id",
-        V.lsh_bucket(V.to_double(F.col("embedding"))).alias("bucket"),
-        "label",
+def _bands_sql(src: str, n_bands: int, planes_per_band: int) -> str:
+    """Banded-signature CTE body: one SELECT per band over ``src``
+    (columns ``vec_id, v``), mirroring operators.similarity.
+    lsh_band_signatures plane slices exactly."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id AS _bid, {b} AS band, "
+        f"{V.lsh_bucket_sql('v', planes_per_band, offset=b * planes_per_band)} AS sig "
+        f"FROM {src}"
+        for b in range(n_bands)
     )
 
 
-V02_SQL = f"""
-SELECT vec_id, {V.lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket, label
-FROM embeddings
-"""
-
-
-# v03 — embedding near-duplicate pairs via LSH bucket self-join
+# v03 — embedding near-duplicate pairs via banded-LSH self-join
+# (4 bands × 16 planes — OR-of-ANDs; see operators.similarity.
+# embedding_near_dups for the bucket-population math). The former v02
+# bucket-assignment gate is subsumed: this oracle recomputes every
+# band signature, so one differing signature changes the candidate set.
 def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     plants = emb.filter(F.col("vec_id") % 25 == 0).select(
@@ -72,7 +72,7 @@ def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95)
 
 
-_PCOS = V.cosine_sql("a.v", "b.v")
+_PCOS = V.cosine_sql("va.v", "vb.v")
 V03_SQL = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 corpus AS (
@@ -81,15 +81,23 @@ corpus AS (
     SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
     FROM base WHERE vec_id % 25 = 0
 ),
-hashed AS (SELECT vec_id, v, {V.lsh_bucket_sql('v')} AS bucket FROM corpus)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PCOS}, 6) AS cos_sim
-FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+bands AS ({_bands_sql('corpus', 4, 16)}),
+cands AS (
+    SELECT DISTINCT a._bid AS id_a, b._bid AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a._bid < b._bid
+)
+SELECT id_a, id_b, round({_PCOS}, 6) AS cos_sim
+FROM cands
+JOIN corpus va ON va.vec_id = id_a
+JOIN corpus vb ON vb.vec_id = id_b
 WHERE round({_PCOS}, 6) >= 0.95
 """
 
 
-# v04 — LSH-bucketed approximate top-k (scale path; approximate by design,
-# but deterministic: same buckets, same candidates on both engines)
+# v04 — banded-LSH approximate top-k (4 bands × 8 planes: wider
+# candidate recall for search than v03's near-dup setting; approximate
+# by design, but deterministic: same band signatures, same candidates
+# on both engines)
 def v04_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY)
@@ -97,13 +105,18 @@ def v04_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 V04_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {V.lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
-           FROM embeddings),
-q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < {N_QUERY}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY}),
+cb AS ({_bands_sql('e', 4, 8)}),
+qb AS ({_bands_sql('q', 4, 8)}),
+cands AS (
+    SELECT DISTINCT qb._bid AS query_id, cb._bid AS neighbor_id
+    FROM cb JOIN qb ON cb.band = qb.band AND cb.sig = qb.sig
+    WHERE qb._bid <> cb._bid
+),
 scored AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round({_COS}, 6) AS cos_sim
-    FROM q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    SELECT c.query_id, c.neighbor_id, round({V.cosine_sql("q.v", "e2.v")}, 6) AS cos_sim
+    FROM cands c JOIN q ON q.vec_id = c.query_id JOIN e e2 ON e2.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id, cos_sim FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
@@ -185,11 +198,13 @@ FROM ex GROUP BY label, dim
 """
 
 
+# Registry discipline (round-2, see queries/relational.py): the former
+# v02 bucket-assignment entry is subsumed by v03/v04, whose oracles
+# recompute every band signature.
 QUERIES = [
     QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact cosine top-k"),
-    QuerySpec("v02_lsh_buckets", v02_lsh_buckets, V02_SQL, "sign-LSH bucket assignment"),
-    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "embedding near-dup pairs"),
-    QuerySpec("v04_lsh_topk", v04_lsh_topk, V04_SQL, "LSH-bucketed approximate top-k"),
+    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dup pairs"),
+    QuerySpec("v04_lsh_topk", v04_lsh_topk, V04_SQL, "banded-LSH approximate top-k"),
     QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
     QuerySpec("v06_label_centroids", v06_label_centroids, V06_SQL, "per-label centroid vectors (fixed-point exact)"),
 ]
