@@ -32,8 +32,16 @@ def main() -> None:
     spark = get_spark(app_name="stepist_spark_bench")
 
     # Warmup: touch the big fact table once so JVM classloading, codegen
-    # and parquet footer caching don't bill the first measured query.
+    # and parquet footer caching don't bill the first measured query, and
+    # run one trivial Arrow-batched pandas_udf so Python worker + Arrow
+    # bring-up doesn't bill the first udf-bearing query (c01 sorts first).
     load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "documents").count()
+    load_table(spark, sf_dir, "embeddings").count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -197,6 +197,48 @@ def quality_score_scaled_sql(expr: str) -> str:
     return f"CASE WHEN {n} > 0 THEN CAST({part1} + {part2} + {part3} AS BIGINT) ELSE 0 END"
 
 
+def quality_score_scaled_vec(text: Column) -> Column:
+    """Arrow-batched vectorized twin of :func:`quality_score_scaled`:
+    one pandas_udf evaluating the identical integer formula with
+    pandas str ops + numpy int64 arithmetic — bit-identical results,
+    certified by the same oracle SQL.
+
+    Why it exists: the HOF form references the token array ~8×, and
+    Spark's interpreted higher-order expressions re-evaluate per
+    reference (no CSE), which dominated c01's runtime. Here each batch
+    pays four vectorized regex passes total. Use this on hot paths
+    that score entire corpora; the HOF form remains for single-column
+    projections where staying JVM-side matters more.
+
+    Character classes are pinned to Java regex semantics: \\s in Java
+    is ASCII-only ([ \\t\\n\\x0b\\f\\r]) while Python's re defaults to
+    Unicode, so the token/char counts use the explicit ASCII class.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws_cls = r"[ \t\n\x0b\f\r]"
+    non_ws_cls = r"[^ \t\n\x0b\f\r]+"
+
+    def _score(s):
+        s = s.fillna("")
+        n = s.str.count(non_ws_cls).to_numpy(dtype=np.int64)
+        total = s.str.replace(ws_cls, "", regex=True).str.len().to_numpy(dtype=np.int64)
+        tlen = s.str.len().to_numpy(dtype=np.int64)
+        stripped = s.str.replace(PUNCT_RE, "", regex=True).str.len().to_numpy(dtype=np.int64)
+        part1 = 4000 * np.minimum(n, 100)
+        part2 = np.where(tlen > 0, (300000 * stripped) // np.maximum(tlen, 1), 300000)
+        part3 = np.where(
+            n > 0, (300000 * np.minimum(total, 8 * n)) // np.maximum(8 * n, 1), 0
+        )
+        return pd.Series(np.where(n > 0, part1 + part2 + part3, 0).astype(np.int64))
+
+    # explicit scalar eval type: module-level `from __future__ import
+    # annotations` stringifies hints, which the hint-based API rejects
+    return pandas_udf(_score, "bigint")(text)
+
+
 def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Deterministic language guess: argmax of per-language stopword
     hit counts; ties (incl. zero hits) resolve to the earliest language

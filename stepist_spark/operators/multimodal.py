@@ -83,11 +83,14 @@ def extract_features(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf["payload"].map(DECODER)
+            # n_bytes vectorized over the batch (pandas .str.len works on
+            # bytes); only the decode itself is per-payload
+            n_bytes = pdf["payload"].str.len().fillna(0).astype("int64")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "n_bytes": n_bytes,
                     "byte_mean": pdf["payload"].map(
                         lambda b: 0.0
                         if b is None or len(b) == 0

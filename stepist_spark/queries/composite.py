@@ -29,10 +29,6 @@ from stepist_spark.session import load_table
 
 _SINK_IDS = itertools.count()
 
-# one-slot pinned cache for c01's scored frame (same bounded-release
-# pattern as operators.dedup._LAST_BANDED)
-_C01_SCORED: list = []
-
 
 # --------------------------------------------------------------------------
 # p01 — Hub fan-out + union merge through the Pipeline API
@@ -70,35 +66,46 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# m01 — multimodal feature extraction (Arrow mapInPandas) over binary
-# payloads; n_bytes is exact so the oracle certifies the batch plumbing.
+# m01 — the Arrow mapInPandas media surface in one gate (merged former
+# m01 feature extraction + m04 resize plumbing): binary payloads
+# through BOTH batch operators, exact size accounting joined on
+# media_id so the oracle certifies each batch path and schema.
 def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.multimodal import extract_features
+    from stepist_spark.operators.multimodal import extract_features, resize_images
 
     docs = load_table(spark, sf, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.lit("text/plain").alias("mime"),
+        F.lit("image/png").alias("mime"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return extract_features(media).select("media_id", "kind", "n_bytes")
+    feats = extract_features(media).select("media_id", "kind", "n_bytes")
+    resized = resize_images(media, width=16, height=8).select(
+        "media_id", "width", "height", "n_bytes_out"
+    )
+    return feats.join(resized, "media_id")
 
 
 M01_SQL = """
 SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       16 AS width, 8 AS height, CAST(128 AS BIGINT) AS n_bytes_out
 FROM documents
 """
 
 
 # --------------------------------------------------------------------------
-# m02 — video frame-sampling grid (JVM-side explode over duration)
-def m02_frame_grid(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.multimodal import sample_frames
+# m02 — the JVM-side media sampling grids in one tag-unioned gate
+# (merged former m02 video frame grid + m03 audio hop/window grid):
+# both explode a deterministic time grid from typed metadata, no
+# Python in the path. t0_ms/t1_ms harmonize the schemas (a video frame
+# is an instant: t1 == t0).
+def m02_sampling_grids(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators.multimodal import sample_audio_windows, sample_frames
 
     docs = load_table(spark, sf, "documents")
-    media = docs.select(
+    video = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
         F.lit("video/mp4").alias("mime"),
@@ -110,24 +117,7 @@ def m02_frame_grid(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
-    return sample_frames(media, every_ms=500).select("media_id", "frame_ts_ms")
-
-
-M02_SQL = """
-SELECT doc_id AS media_id,
-       unnest(generate_series(0, n_chars, 500)) AS frame_ts_ms
-FROM documents
-"""
-
-
-# --------------------------------------------------------------------------
-# m03 — audio analysis-window grid (hop/window explode, JVM-side):
-# completes the modality set alongside m01 (image) and m02 (video).
-def m03_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.multimodal import sample_audio_windows
-
-    docs = load_table(spark, sf, "documents")
-    media = docs.select(
+    audio = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("kind"),
         F.lit("audio/wav").alias("mime"),
@@ -139,42 +129,32 @@ def m03_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(16000).alias("sample_rate"),
         ).alias("meta"),
     )
-    return sample_audio_windows(media, window_ms=1000, hop_ms=400)
+    frames = sample_frames(video, every_ms=500).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("frame_ts_ms").alias("t0_ms"),
+        F.col("frame_ts_ms").alias("t1_ms"),
+    )
+    windows = sample_audio_windows(audio, window_ms=1000, hop_ms=400).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("window_start_ms").alias("t0_ms"),
+        F.col("window_end_ms").alias("t1_ms"),
+    )
+    return frames.unionByName(windows)
 
 
-M03_SQL = """
-SELECT media_id, window_start_ms,
-       least(window_start_ms + 1000, dur) AS window_end_ms
+M02_SQL = """
+SELECT doc_id AS media_id, 'video' AS kind, t0_ms, t0_ms AS t1_ms
+FROM (SELECT doc_id, unnest(generate_series(0, n_chars, 500)) AS t0_ms FROM documents)
+UNION ALL
+SELECT media_id, 'audio' AS kind, window_start_ms AS t0_ms,
+       least(window_start_ms + 1000, dur) AS t1_ms
 FROM (
     SELECT doc_id AS media_id, n_chars * 10 AS dur,
            unnest(generate_series(0, greatest(n_chars * 10 - 1000, 0), 400)) AS window_start_ms
     FROM documents
 )
-"""
-
-
-# --------------------------------------------------------------------------
-# m04 — image resize plumbing (Arrow mapInPandas; stubbed resample):
-# exact size accounting certifies the batch path and schema.
-def m04_resize_images(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.multimodal import resize_images
-
-    docs = load_table(spark, sf, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.lit("image/png").alias("mime"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    return resize_images(media, width=16, height=8).select(
-        "media_id", "width", "height", "n_bytes_out"
-    )
-
-
-M04_SQL = """
-SELECT doc_id AS media_id, 16 AS width, 8 AS height,
-       CAST(128 AS BIGINT) AS n_bytes_out
-FROM documents
 """
 
 
@@ -303,43 +283,27 @@ FROM lineitem WHERE l_orderkey % 32 = 0 GROUP BY l_orderkey
 # training-data pipeline chains them.
 def c01_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.functions import vectors as V
-    from stepist_spark.functions.text import quality_score_scaled
+    from stepist_spark.functions.text import quality_score_scaled_vec
     from stepist_spark.operators import dedup
     from stepist_spark.queries.llm_text import _docs_with_exact_dups
-
-    from pyspark.storagelevel import StorageLevel
-
     from stepist_spark.session import spread
 
     QUALITY_MIN = 650_000
     kept = dedup.dedup_exact(_docs_with_exact_dups(spark, sf), "doc_id", "text")
     # spread BEFORE scoring: AQE coalesces the tiny post-dedup shuffle to
-    # 1-2 partitions, which would serialize the regex-heavy quality pass.
-    # The persist() is a deliberate pushdown BARRIER, not (only) a cache:
-    # without it Catalyst sinks the quality filter below the repartition
-    # into the coalesced window stage — the full score expression then
-    # evaluates single-threaded AND gets recomputed above the exchange.
-    from stepist_spark.functions.text import tokens
-
-    # tokens bound in a prior projection: the score references the
-    # array ~8× and would re-tokenize per reference if inlined
-    scored_all = (
+    # 1-2 partitions, which would serialize the scoring pass. The score
+    # itself is ONE Arrow-batched pandas_udf (vectorized pandas str ops,
+    # identical integer-scaled semantics — functions.text.
+    # quality_score_scaled_vec): the udf output is a materialized
+    # attribute, so the quality filter reuses it instead of re-deriving
+    # an inlined expression tree — no persist() pushdown barrier needed
+    # (the former HOF form re-evaluated its token array per reference
+    # and required one).
+    scored = (
         spread(kept)
-        .withColumn("_tk", tokens(F.col("text")))
-        .select(
-            "doc_id",
-            quality_score_scaled(F.col("text"), toks=F.col("_tk")).alias("quality_scaled"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", quality_score_scaled_vec(F.col("text")).alias("quality_scaled"))
+        .filter(F.col("quality_scaled") >= QUALITY_MIN)
     )
-    prev = _C01_SCORED.pop(0) if _C01_SCORED else None
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    _C01_SCORED.append(scored_all)
-    scored = scored_all.filter(F.col("quality_scaled") >= QUALITY_MIN)
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", V.lsh_bucket(V.to_double(F.col("embedding"))).alias("bucket"), "label"
     )
@@ -474,16 +438,17 @@ FROM comp
 C03_SQL = _c03_sql()
 
 
+# Registry discipline (round-2, see queries/relational.py): m04 folded
+# into m01 (both Arrow batch paths, joined), m03 into m02 (both JVM
+# grid explodes, tag-unioned).
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
-    QuerySpec("m01_media_features", m01_media_features, M01_SQL, "multimodal binary payload -> Arrow mapInPandas features"),
-    QuerySpec("m02_frame_grid", m02_frame_grid, M02_SQL, "video frame-sampling grid (JVM explode)"),
+    QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
+    QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),
     QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + Arrow-batched reduce"),
     QuerySpec("c01_curation_pipeline", c01_curation_pipeline, C01_SQL, "dedup -> quality gate -> embedding join -> LSH bucket"),
     QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),
     QuerySpec("c03_dup_clusters", c03_dup_clusters, C03_SQL, "LSH pairs -> connected-component dup clusters"),
-    QuerySpec("m03_audio_windows", m03_audio_windows, M03_SQL, "audio hop/window analysis grid"),
-    QuerySpec("m04_resize_images", m04_resize_images, M04_SQL, "image resize batch plumbing (stubbed resample)"),
     QuerySpec("q36_salted_agg", q36_salted_agg, Q36_SQL, "salted two-phase agg == plain GROUP BY"),
 ]
