@@ -164,7 +164,7 @@ class TestCatalogHygiene:
     def test_no_cartesian_products_anywhere(self, spark, qs):
         offenders = []
         for name, spec in sorted(qs.items()):
-            if name.startswith("s01"):
+            if name.startswith("s0"):
                 continue  # starts a streaming query; shape covered in test_streaming
             strategies = plans.join_strategies(spec.spark(spark, SF))
             if "CartesianProduct" in strategies:
@@ -174,7 +174,7 @@ class TestCatalogHygiene:
     def test_nested_loop_joins_only_where_allowed(self, spark, qs):
         offenders = []
         for name, spec in sorted(qs.items()):
-            if name.startswith("s01") or name in self.BNLJ_ALLOWED:
+            if name.startswith("s0") or name in self.BNLJ_ALLOWED:
                 continue
             strategies = plans.join_strategies(spec.spark(spark, SF))
             if "BroadcastNestedLoopJoin" in strategies:
