@@ -65,6 +65,15 @@ class FlowResult(dict):
             raise AttributeError(item) from exc
 
 
+# most recent Hub-pinned upstream (module-wide one-slot cache, same
+# bounded-release discipline as operators.dedup._LAST_BANDED): each Hub
+# invocation releases the previous pin, so repeated Hub flows in a
+# long-lived session hold at most ONE cached upstream instead of
+# growing the block manager without bound. Unpersisting an in-use frame
+# is safe — Spark recomputes from lineage.
+_HUB_PINNED: list = []
+
+
 class Hub:
     """Fan one upstream DataFrame out to N successor branches.
 
@@ -77,6 +86,11 @@ class Hub:
     later branch wins — the reference's ``dict.update`` merge semantics
     (`stepist/flow/steps/next_step.py:50-54`), documented here
     explicitly per SURVEY.md §7.4.
+
+    Cache lifecycle: each invocation pins its upstream and releases the
+    previously pinned one (module-wide one-slot — bounded even across
+    many Hub instances); call :meth:`release` to drop the current pin
+    eagerly, e.g. after collecting the fan-out results.
     """
 
     def __init__(self, *steps: "Step", storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK):
@@ -84,13 +98,34 @@ class Hub:
             raise ValueError("Hub needs at least one branch step")
         self.steps = list(steps)
         self.storage_level = storage_level
+        self._pinned: DataFrame | None = None
 
     def __call__(self, df: DataFrame) -> FlowResult:
         df = df.persist(self.storage_level)
+        prev = _HUB_PINNED.pop(0) if _HUB_PINNED else None
+        if prev is not None and prev is not df:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        _HUB_PINNED.append(df)
+        self._pinned = df
         out = FlowResult()
         for branch in self.steps:
             out.update(branch(df))
         return out
+
+    def release(self) -> None:
+        """Eagerly unpersist this Hub's most recent pinned upstream
+        (blocking, so storage is actually freed on return)."""
+        if self._pinned is not None:
+            try:
+                self._pinned.unpersist(blocking=True)
+            except Exception:
+                pass
+            # identity comparison: DataFrame.__eq__ builds a Column
+            _HUB_PINNED[:] = [x for x in _HUB_PINNED if x is not self._pinned]
+            self._pinned = None
 
     def union(self, df: DataFrame) -> DataFrame:
         """Alternative fan-out/fan-in: run branches and union the result
