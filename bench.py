@@ -53,16 +53,22 @@ def main() -> None:
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    out = {
-        "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    # The driver archives only the TAIL (~2 KB) of stdout; round 1's
+    # headline metric was truncated off the FRONT of this line. Order
+    # the big per-query dict first and the headline scalars last so a
+    # front-truncated tail still shows metric/value/sf.
+    out = {"queries": timings}
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    out.update(
+        {
+            "metric": "total_query_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": sf,
+        }
+    )
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -41,22 +41,19 @@ def lsh_band_signatures(
     ``planes_per_band`` so 2^r ≫ N / target_bucket_rows (e.g. r=24-32),
     and recover recall with more bands — the candidate join below stays
     the same bounded equi-join either way.
+
+    All signatures are computed in ONE vectorized Arrow pass
+    (``functions.vectors.band_signatures``: fixed-point int64 matmul,
+    order-independent and bit-reproducible cross-engine) — the
+    interpreted per-plane fold-dot path cost ~2.7 ms/row at 64 planes.
     """
-    c = df.select(F.col(id_col).alias(out_id), V.to_double(F.col(vec_col)).alias("_v"))
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                V.lsh_bucket(
-                    F.col("_v"), planes_per_band, offset=b * planes_per_band
-                ).alias("sig"),
-            )
-            for b in range(n_bands)
-        ]
+    c = df.select(
+        F.col(id_col).alias(out_id),
+        V.band_signatures(
+            V.to_double(F.col(vec_col)), n_bands, planes_per_band
+        ).alias("_sigs"),
     )
-    return c.select(out_id, F.explode(bands_arr).alias("bk")).select(
-        out_id, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    return c.select(out_id, F.posexplode("_sigs").alias("band", "sig"))
 
 
 def brute_force_topk(

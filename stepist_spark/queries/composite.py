@@ -304,8 +304,13 @@ def c01_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", quality_score_scaled_vec(F.col("text")).alias("quality_scaled"))
         .filter(F.col("quality_scaled") >= QUALITY_MIN)
     )
+    # bucket = the integer-exact 8-plane signature (band 0), computed in
+    # one vectorized Arrow pass (functions.vectors.band_signatures)
+    # instead of 8 interpreted fold-dots per row
     emb = load_table(spark, sf, "embeddings").select(
-        "vec_id", V.lsh_bucket(V.to_double(F.col("embedding"))).alias("bucket"), "label"
+        "vec_id",
+        V.band_signatures(V.to_double(F.col("embedding")), 1, 8)[0].alias("bucket"),
+        "label",
     )
     return scored.join(emb, scored["doc_id"] == emb["vec_id"]).select(
         "doc_id", "quality_scaled", "bucket", "label"
@@ -330,7 +335,7 @@ scored AS (
     SELECT doc_id, {q} AS quality_scaled FROM kept WHERE {q} >= 650000
 )
 SELECT s.doc_id, s.quality_scaled,
-       {V.lsh_bucket_sql('e.embedding::DOUBLE[]')} AS bucket, e.label
+       {V.band_sig_int_sql('e.embedding::DOUBLE[]', 0, 8)} AS bucket, e.label
 FROM scored s JOIN embeddings e ON e.vec_id = s.doc_id
 """
 

@@ -48,10 +48,13 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 def _bands_sql(src: str, n_bands: int, planes_per_band: int) -> str:
     """Banded-signature CTE body: one SELECT per band over ``src``
     (columns ``vec_id, v``), mirroring operators.similarity.
-    lsh_band_signatures plane slices exactly."""
+    lsh_band_signatures exactly — the integer-exact signature decision
+    (fixed-point quantization × integer planes, functions.vectors.
+    band_sig_int_sql), which is summation-order independent and so
+    bit-identical to the Spark side's vectorized numpy matmul."""
     return " UNION ALL ".join(
         f"SELECT vec_id AS _bid, {b} AS band, "
-        f"{V.lsh_bucket_sql('v', planes_per_band, offset=b * planes_per_band)} AS sig "
+        f"{V.band_sig_int_sql('v', b, planes_per_band)} AS sig "
         f"FROM {src}"
         for b in range(n_bands)
     )
