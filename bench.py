@@ -43,6 +43,29 @@ def main() -> None:
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_warm(col("id"))).count()
 
+    # ... and one trivial streaming drain so streaming-engine bring-up
+    # (state store, streaming codegen, trigger machinery) doesn't bill
+    # the first streaming gate (s01).
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    with stream_shuffle_partitions(spark, 2):
+        wq = (
+            src.groupBy().count().writeStream.format("memory")
+            .queryName("_warm_stream").outputMode("complete")
+            .trigger(processingTime="0 seconds").start()
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline and not wq.recentProgress:
+            time.sleep(0.1)
+        wq.stop()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, spec in sorted(all_queries().items()):

@@ -215,14 +215,17 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
         group_by=["event_type"],
     )
     sink = f"s01_sink_{next(_SINK_IDS)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 

@@ -52,6 +52,7 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 # s02 — sliding event-time windows computed BY THE STREAMING RUNTIME
 # (2-hour windows advancing hourly: every event lands in 2 windows).
 def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
     from stepist_spark.streaming.windows import sliding_agg
 
     agg = sliding_agg(
@@ -63,14 +64,15 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         group_by=["event_type"],
     )
     sink = f"s02_sink_{next(_SINK_IDS)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
@@ -95,17 +97,21 @@ GROUP BY event_type, ws
 # bound state eviction (streaming/joins.py).
 def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming.joins import interval_join
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
 
     # withWatermark demands TIMESTAMP (ltz) event time; the session tz
     # is UTC, so casting the ntz column preserves the wall clock.
+    # The user_id % 4 cohort bounds buffered state (the gate certifies
+    # the join machinery, not full-corpus throughput — r01 subsets the
+    # same way); both sides and the oracle share the predicate.
     purchases = (
         _events_stream(spark, sf)
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 4 == 0))
         .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"), "value")
     )
     signups = (
         _events_stream(spark, sf)
-        .filter(F.col("event_type") == "signup")
+        .filter((F.col("event_type") == "signup") & (F.col("user_id") % 4 == 0))
         .select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
     )
     joined = interval_join(
@@ -122,22 +128,23 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "p_ts", "s_ts", F.round("value", 2).alias("value")
     )
     sink = f"s03_sink_{next(_SINK_IDS)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink)
 
 
 S03_SQL = """
 WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts, value
-           FROM events WHERE event_type = 'purchase'),
+           FROM events WHERE event_type = 'purchase' AND user_id % 4 = 0),
      s AS (SELECT user_id, ts::TIMESTAMP AS s_ts
-           FROM events WHERE event_type = 'signup')
+           FROM events WHERE event_type = 'signup' AND user_id % 4 = 0)
 SELECT p.event_id, p.user_id, p.p_ts, s.s_ts, round(p.value, 2) AS value
 FROM p JOIN s ON s.user_id = p.user_id
    AND s.s_ts >= p.p_ts - INTERVAL 6 HOUR AND s.s_ts <= p.p_ts
@@ -146,17 +153,20 @@ FROM p JOIN s ON s.user_id = p.user_id
 
 # --------------------------------------------------------------------------
 # s04 — non-file streaming source through StreamFlow: rate-micro-batch
-# emits a deterministic grid; the flow filters to 5 batches' worth of
+# emits a deterministic grid; the flow filters to 3 batches' worth of
 # rows, windows them (2-minute tumbling) per value%3 key, and drains in
-# complete mode once all 500 rows are accounted for. The oracle is
-# closed-form integer arithmetic — no input table.
+# complete mode once all 600 rows are accounted for. The oracle is
+# closed-form integer arithmetic — no input table. (3 × 200-row batches
+# still certify the multi-trigger loop; each extra trigger costs a full
+# state commit round, so the gate doesn't buy coverage with more.)
 def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming import StreamFlow
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
     from stepist_spark.streaming.windows import tumbling_agg
 
     src = (
         spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", 100)
+        .option("rowsPerBatch", 200)
         .option("startTimestamp", 0)
         .option("advanceMillisPerBatch", 60000)
         .option("numPartitions", 2)
@@ -164,7 +174,7 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def xform(df: DataFrame) -> DataFrame:
-        bounded = df.filter(F.col("value") < 500).select(
+        bounded = df.filter(F.col("value") < 600).select(
             (F.col("value") % 3).cast("bigint").alias("k"),
             F.col("value"),
             F.col("timestamp").cast("timestamp_ntz").alias("ts"),
@@ -179,16 +189,17 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
 
     flow = StreamFlow(src, xform)
     sink = f"s04_sink_{next(_SINK_IDS)}"
-    flow.to_memory(sink, output_mode="complete", trigger={"processingTime": "0 seconds"})
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        try:
-            total = spark.table(sink).agg(F.sum("n")).collect()[0][0]
-        except Exception:
-            total = None
-        if total == 500:
-            break
-        time.sleep(0.2)
+    with stream_shuffle_partitions(spark, 4):
+        flow.to_memory(sink, output_mode="complete", trigger={"processingTime": "0 seconds"})
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                total = spark.table(sink).agg(F.sum("n")).collect()[0][0]
+            except Exception:
+                total = None
+            if total == 600:
+                break
+            time.sleep(0.1)
     flow.stop()
     return spark.table(sink)
 
@@ -196,9 +207,9 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
 S04_SQL = """
 SELECT CAST(value % 3 AS BIGINT) AS k, count(*) AS n,
        CAST(sum(value) AS BIGINT) AS sum_value,
-       epoch_ms((((value // 100) * 60000) // 120000) * 120000) AS window_start,
-       epoch_ms(((((value // 100) * 60000) // 120000) * 120000) + 120000) AS window_end
-FROM (SELECT unnest(generate_series(0, 499)) AS value)
+       epoch_ms((((value // 200) * 60000) // 120000) * 120000) AS window_start,
+       epoch_ms(((((value // 200) * 60000) // 120000) * 120000) + 120000) AS window_end
+FROM (SELECT unnest(generate_series(0, 599)) AS value)
 GROUP BY 1, 4, 5
 """
 

@@ -10,12 +10,34 @@ tasks, not ``just_do_it(n)`` OS processes
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from stepist_spark.pipeline import Pipeline, Step
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set ``spark.sql.shuffle.partitions`` while a
+    streaming query STARTS (the value at the first micro-batch fixes
+    the state-store partition count for the query's whole life — it is
+    recorded in the checkpoint and cannot change later).
+
+    Stateful operators pay a per-trigger commit per state partition,
+    so a small-state query behind 32 default partitions spends most of
+    each micro-batch on empty-partition commits. Size this to expected
+    state volume: a handful for test-scale gates, hundreds for a real
+    100 TB keyspace. Batch queries are unaffected (AQE re-coalesces).
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 class StreamFlow:
