@@ -190,3 +190,71 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
         min_shingle.alias("min_shingle_hash"),
         F.size(sh).cast("bigint").alias("n_shingles"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level line dedup (C4-style boilerplate removal): drop every
+    line whose trimmed form appears in MORE than ``max_doc_freq``
+    distinct documents (cookie banners, navigation chrome, license
+    headers), then reassemble each document with its surviving lines in
+    original order. Output: ``<id_col>, text, n_lines_kept,
+    n_lines_dropped``; documents whose lines are all boilerplate come
+    back with empty text rather than vanishing.
+
+    Physical shape at 100 TB:
+    - one explode (docs × lines, narrow);
+    - line doc-frequency is ONE hash-aggregate shuffle keyed on the
+      trimmed line (map-side partial counts collapse the per-partition
+      repeats, so the shuffle carries distinct lines per partition, not
+      every occurrence);
+    - the boilerplate set joins back by line key. It is NOT collected
+      or broadcast: at corpus scale the frequent-line set is unbounded
+      (every site's chrome), so this stays a shuffle join on the same
+      key the aggregation just used;
+    - reassembly is one groupBy(doc) with array_agg sorted by line
+      position — keyed by the id, so it co-partitions with any
+      downstream per-doc operator.
+
+    The reference has no corpus operators (SURVEY.md §2.2 'absent');
+    this is a BASELINE.json LLM-pipeline extension.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_key", F.trim(F.col("_line")))
+    kept_lines = lines.filter(F.length("_key") >= min_line_chars)
+
+    boiler = (
+        kept_lines.groupBy("_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_key", F.lit(True).alias("_is_boiler"))
+    )
+    tagged = kept_lines.join(boiler, "_key", "left")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_is_boiler").isNull(),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count(F.when(F.col("_is_boiler").isNull(), 1)).alias("n_lines_kept"),
+            F.count(F.when(F.col("_is_boiler").isNotNull(), 1)).alias("n_lines_dropped"),
+        )
+    )

@@ -55,3 +55,52 @@ class TestDecontamination:
         bench = _docs(spark, [(1, "a b c d e f g h")])
         corpus = _docs(spark, [(10, "too short")])
         assert corpus_ops.ngram_contamination(corpus, bench, "doc_id", "text", 8).count() == 0
+
+
+class TestBoilerplateLines:
+    def _run(self, spark, rows, **kw):
+        from stepist_spark.operators.dedup import remove_boilerplate_lines
+
+        df = _docs(spark, rows)
+        return {
+            r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in remove_boilerplate_lines(df, "doc_id", "text", **kw).collect()
+        }
+
+    def test_frequent_line_dropped_order_preserved(self, spark):
+        boiler = "accept all cookies"
+        rows = [
+            (1, f"alpha one\n{boiler}\nbravo two"),
+            (2, f"{boiler}\ncharlie three"),
+            (3, f"delta four\n{boiler}"),
+            (4, "echo five\nfoxtrot six"),
+        ]
+        got = self._run(spark, rows, max_doc_freq=2)
+        assert got[1] == ("alpha one\nbravo two", 2, 1)
+        assert got[2] == ("charlie three", 1, 1)
+        assert got[3] == ("delta four", 1, 1)
+        assert got[4] == ("echo five\nfoxtrot six", 2, 0)
+
+    def test_all_boiler_doc_survives_empty(self, spark):
+        rows = [(i, "same line") for i in range(4)]
+        got = self._run(spark, rows, max_doc_freq=2)
+        assert got[0] == ("", 0, 1)
+        assert set(got) == {0, 1, 2, 3}
+
+    def test_doc_freq_counts_docs_not_occurrences(self, spark):
+        # the line repeats 3x inside ONE doc: doc-frequency is 1, kept
+        rows = [(1, "x\nx\nx"), (2, "y")]
+        got = self._run(spark, rows, max_doc_freq=2)
+        assert got[1] == ("x\nx\nx", 3, 0)
+
+    def test_trim_key_but_original_line_kept(self, spark):
+        # matching is on the trimmed form; surviving text keeps the raw line
+        rows = [(1, "  padded  \nunique a"), (2, "padded\nunique b"), (3, "padded")]
+        got = self._run(spark, rows, max_doc_freq=2)
+        assert got[1] == ("unique a", 1, 1)
+        assert got[2] == ("unique b", 1, 1)
+
+    def test_blank_lines_removed_silently(self, spark):
+        rows = [(1, "a\n\n \nb"), (2, "c")]
+        got = self._run(spark, rows, max_doc_freq=2)
+        assert got[1] == ("a\nb", 2, 0)
