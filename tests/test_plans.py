@@ -53,6 +53,24 @@ class TestJoinStrategies:
             s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
         ), strategies
 
+    def test_vector_lsh_self_join_is_equi_join(self, spark):
+        """The banded sign-LSH candidate self-join (embedding near-dups)
+        must hash-join on (band, sig) — the round-1 single-table form
+        risked quadratic within-bucket blowup; the banded plan must
+        stay an equi-join, and the signatures must come from ONE
+        vectorized Arrow eval, not per-plane interpreted dots."""
+        from stepist_spark.operators import similarity
+
+        emb = load_table(spark, SF, "embeddings")
+        nd = similarity.embedding_near_dups(emb, "vec_id", "embedding")
+        strategies = plans.join_strategies(nd)
+        assert strategies
+        assert not any(
+            s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
+        ), strategies
+        phys = nd._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in phys, "banded signatures should be one Arrow eval"
+
 
 class TestScanHygiene:
     def test_filter_pushdown_reaches_scan(self, spark):
