@@ -266,3 +266,52 @@ def lang_id_sql(expr: str) -> str:
         f"WHEN {best} > 0 AND {score[lang]} = {best} THEN '{lang}'" for lang in LANGS
     )
     return f"CASE {whens} ELSE 'und' END"
+
+
+# --------------------------------------------------------------------------
+# PII redaction (CCNet/Dolma-style pre-training scrub). All JVM-side
+# regexp_replace — no Python in the path, safe to run over a full
+# corpus scan. Patterns are deliberately conservative, high-precision
+# forms (emails, IPv4, international-ish phone runs); redaction order
+# matters: emails first (their local part can look like a phone run),
+# then IPs (dotted digits), then phones. A phone needs either a
+# +country / (area) prefix with ≥1 separated digit group, or ≥3
+# separated groups bare — ISO dates (2026-08-13) are a documented,
+# accepted false positive of the bare form, as in most corpus
+# scrubbers; lone small numbers never match.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    (
+        "phone",
+        r"(?:(?:\+\d{1,3}[ .-]?)?\(\d{2,4}\)[ .-]?\d{2,4}(?:[ .-]\d{2,4}){1,4}"
+        r"|\+\d{1,3}[ .-]?\d{2,4}(?:[ .-]\d{2,4}){1,4}"
+        r"|\d{2,4}(?:[ .-]\d{2,4}){2,4})",
+    ),
+)
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace each PII match with a ``[KIND]`` tag (``[EMAIL]``,
+    ``[IPV4]``, ``[PHONE]``). ``kinds`` selects/reorders pattern
+    subsets; default applies all in precedence order."""
+    out = text
+    for kind, pat in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-kind match counts (``email``, ``ipv4``,
+    ``phone``) — the audit/filter side of :func:`redact_pii` (e.g.
+    drop documents whose counts exceed a policy threshold). Counts are
+    taken on the same precedence-redacted text as redact_pii, so a
+    digit run inside an email is never double-counted as a phone."""
+    fields = []
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        fields.append(F.regexp_count(cur, F.lit(pat)).alias(kind))
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return F.struct(*fields)

@@ -122,3 +122,54 @@ SELECT {select_cols} FROM (
     ) AS _rn FROM {table}
 ) WHERE _rn <= {n_per_stratum}
 """
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic temperature resampling across groups (domains /
+    languages / sources): keep each group with acceptance rate
+    ``(n_g / n_min) ** (alpha - 1)``, so expected kept volume per group
+    is ``∝ n_g ** alpha`` — the multilingual-LM rebalancing rule
+    (`alpha=1` keeps everything, `alpha=0` flattens toward uniform,
+    the smallest group always keeps all rows).
+
+    Acceptance is a pure function of the row id (portable md5 hash vs
+    an integer threshold), NOT ``rand()``: re-running the pipeline or
+    backfilling one shard keeps exactly the same rows — same property
+    as :func:`split_label`, and the sampling hash is domain-separated
+    from the split hash (different salt) so resampling is independent
+    of split assignment.
+
+    Physical shape: one group-count aggregation (|groups| rows), its
+    global min folded in, then a broadcast join of the per-group rate
+    back onto the corpus — the corpus itself never shuffles.
+
+    No DuckDB ``_sql`` mirror: the rate passes through libm ``pow``,
+    which is not bit-portable across engines; gate outputs at a group
+    level instead if oracle parity is needed.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    mins = counts.agg(F.min("_n").alias("_n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(mins))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("_n") / F.col("_n_min"), F.lit(alpha - 1.0)),
+            ).alias("_rate"),
+        )
+    )
+    h = hashing.word_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":resample"))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h % F.lit(buckets) < F.floor(F.col("_rate") * F.lit(buckets)))
+        .drop("_rate")
+    )

@@ -1,0 +1,96 @@
+"""Corpus-curation extras: PII redaction (JVM regex scrub) and
+deterministic temperature resampling across groups."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from stepist_spark.functions.text import pii_counts, redact_pii
+from stepist_spark.operators.sampling import temperature_resample
+
+
+def _one(spark, text):
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            redact_pii(F.col("text")).alias("red"),
+            pii_counts(F.col("text")).alias("cnt"),
+        )
+        .first()
+    )
+    return row["red"], row["cnt"].asDict()
+
+
+class TestPiiRedaction:
+    def test_email(self, spark):
+        red, cnt = _one(spark, "contact bob.smith+x@example.co.uk today")
+        assert red == "contact [EMAIL] today"
+        assert cnt == {"email": 1, "ipv4": 0, "phone": 0}
+
+    def test_ipv4(self, spark):
+        red, cnt = _one(spark, "served from 192.168.001.1 ok")
+        assert red == "served from [IPV4] ok"
+        assert cnt["ipv4"] == 1
+
+    def test_phone(self, spark):
+        red, cnt = _one(spark, "call +1 (555) 867-5309 now")
+        assert "[PHONE]" in red and "5309" not in red
+        assert cnt["phone"] == 1
+
+    def test_email_wins_over_phone_digits(self, spark):
+        # digits inside an email local part must not double-count
+        red, cnt = _one(spark, "mail 555-867-5309@relay.example.com please")
+        assert red == "mail [EMAIL] please"
+        assert cnt == {"email": 1, "ipv4": 0, "phone": 0}
+
+    def test_clean_text_untouched(self, spark):
+        text = "no sensitive content here, just words and 42 numbers"
+        red, cnt = _one(spark, text)
+        assert red == text
+        assert cnt == {"email": 0, "ipv4": 0, "phone": 0}
+
+    def test_kinds_subset(self, spark):
+        df = spark.createDataFrame([("a@b.co and 10.0.0.1",)], "text string")
+        red = df.select(redact_pii(F.col("text"), kinds=("ipv4",)).alias("r")).first()["r"]
+        assert red == "a@b.co and [IPV4]"
+
+
+class TestTemperatureResample:
+    def _df(self, spark, sizes):
+        rows = []
+        i = 0
+        for g, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, g))
+                i += 1
+        return spark.createDataFrame(rows, "id bigint, grp string")
+
+    def test_alpha_one_keeps_everything(self, spark):
+        df = self._df(spark, {"a": 400, "b": 50})
+        assert temperature_resample(df, "grp", "id", alpha=1.0).count() == 450
+
+    def test_smallest_group_always_complete(self, spark):
+        df = self._df(spark, {"big": 800, "small": 40})
+        got = temperature_resample(df, "grp", "id", alpha=0.3)
+        per = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert per["small"] == 40
+
+    def test_kept_volume_tracks_alpha_power_law(self, spark):
+        sizes = {"big": 3200, "small": 200}
+        df = self._df(spark, sizes)
+        got = temperature_resample(df, "grp", "id", alpha=0.5)
+        per = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        # expected big-group rate = (3200/200)^-0.5 = 0.25
+        expect = sizes["big"] * (sizes["big"] / sizes["small"]) ** -0.5
+        assert math.isclose(per["big"], expect, rel_tol=0.15), (per, expect)
+
+    def test_deterministic_across_runs_and_layouts(self, spark):
+        df = self._df(spark, {"a": 500, "b": 100})
+        a = {r["id"] for r in temperature_resample(df, "grp", "id", 0.5).collect()}
+        b = {
+            r["id"]
+            for r in temperature_resample(df.repartition(13), "grp", "id", 0.5).collect()
+        }
+        assert a == b
