@@ -173,3 +173,57 @@ def temperature_resample(
         .filter(h % F.lit(buckets) < F.floor(F.col("_rate") * F.lit(buckets)))
         .drop("_rate")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "0",
+    out_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global, reproducible corpus shuffle for training-order assembly:
+    append ``out_col`` = the row's 1-based position under ordering by
+    the portable salted hash ``word_hash32(seed || ':' || id)`` (id
+    tiebreak). Changing ``seed`` reshuffles; re-running any shard of
+    the pipeline reproduces the same permutation — ``rand()`` cannot
+    promise either.
+
+    Physical shape (NO single-task global sort): one range exchange on
+    the hash key (parallel sort, sampled boundaries), then ranks are
+    per-partition row_numbers plus each partition's cumulative row
+    offset — the offsets come from a |partitions|-sized count
+    aggregate broadcast back. The rank is a function of the total
+    (hash, id) order only, so the sampled range boundaries don't
+    affect the result. A bare ``Window.orderBy(h)`` would move the
+    whole corpus to ONE task; this stays wide at any scale.
+    """
+    from pyspark.sql import Window
+
+    h = hashing.word_hash32(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    parts = [F.col("_h").asc(), F.col(id_col).asc()]
+    ranged = df.withColumn("_h", h)
+    ranged = (
+        ranged.repartitionByRange(num_partitions, *parts)
+        if num_partitions
+        else ranged.repartitionByRange(*parts)
+    ).sortWithinPartitions(*parts)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(wcum), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+
+    wlocal = Window.partitionBy("_pid").orderBy(*parts)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local")).cast("bigint"))
+        .drop("_h", "_pid", "_local", "_offset")
+    )

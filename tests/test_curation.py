@@ -94,3 +94,35 @@ class TestTemperatureResample:
             for r in temperature_resample(df.repartition(13), "grp", "id", 0.5).collect()
         }
         assert a == b
+
+
+class TestDeterministicShuffle:
+    def test_rank_is_dense_permutation(self, spark):
+        from stepist_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        got = deterministic_shuffle(df, "doc_id", seed="s1")
+        ranks = sorted(r["shuffle_rank"] for r in got.collect())
+        assert ranks == list(range(1, 501))
+
+    def test_layout_independent_and_seed_sensitive(self, spark):
+        from stepist_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.range(400).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(df, "doc_id", "s1").collect()}
+        b = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in deterministic_shuffle(df.repartition(7), "doc_id", "s1", num_partitions=3).collect()
+        }
+        c = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(df, "doc_id", "s2").collect()}
+        assert a == b  # same seed: same permutation, any layout
+        assert a != c  # different seed: different permutation
+
+    def test_no_single_partition_sort_in_plan(self, spark):
+        from stepist_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        plan = deterministic_shuffle(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+        # the corpus-wide exchange must be range (parallel sort), never
+        # a SinglePartition gather of the data itself
+        assert "rangepartitioning" in plan.lower(), plan
