@@ -228,15 +228,21 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_key", F.trim(F.col("_line")))
-    kept_lines = lines.filter(F.length("_key") >= min_line_chars)
+    substantive = F.length("_key") >= min_line_chars
 
     boiler = (
-        kept_lines.groupBy("_key")
+        lines.filter(substantive)
+        .groupBy("_key")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .filter(F.col("_df") > max_doc_freq)
         .select("_key", F.lit(True).alias("_is_boiler"))
     )
-    tagged = kept_lines.join(boiler, "_key", "left")
+    # reassemble from ALL lines (split always yields ≥1 element, so
+    # every input doc keeps a row even when fully blank/boilerplate);
+    # blank lines are dropped silently, boilerplate lines are counted
+    tagged = lines.join(boiler, "_key", "left")
+    is_boiler = substantive & F.col("_is_boiler").isNotNull()
+    is_kept = substantive & F.col("_is_boiler").isNull()
     return (
         tagged.groupBy(id_col)
         .agg(
@@ -244,17 +250,14 @@ def remove_boilerplate_lines(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(
-                                F.col("_is_boiler").isNull(),
-                                F.struct(F.col("_pos"), F.col("_line")),
-                            )
+                            F.when(is_kept, F.struct(F.col("_pos"), F.col("_line")))
                         )
                     ),
                     lambda s: s["_line"],
                 ),
                 "\n",
             ).alias("text"),
-            F.count(F.when(F.col("_is_boiler").isNull(), 1)).alias("n_lines_kept"),
-            F.count(F.when(F.col("_is_boiler").isNotNull(), 1)).alias("n_lines_dropped"),
+            F.count(F.when(is_kept, 1)).alias("n_lines_kept"),
+            F.count(F.when(is_boiler, 1)).alias("n_lines_dropped"),
         )
     )

@@ -149,3 +149,42 @@ class TestVectorProperties:
         )
         got = {r["i"]: r["c"] for r in df.select("i", V.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
         assert got == {1: 1.0, 2: 0.0, 3: 0.0}
+
+
+class TestBoilerplateRemovalProperties:
+    @given(TEXTS, st.integers(min_value=1, max_value=3))
+    @SETTINGS
+    def test_matches_python_reference(self, spark, texts, max_df):
+        """Surviving text per doc == the Python reference: drop trimmed-
+        empty lines and lines whose trimmed form appears in > max_df
+        distinct docs; keep original forms in original order."""
+        from collections import defaultdict
+
+        from stepist_spark.operators.dedup import remove_boilerplate_lines
+
+        docs = [(i, t) for i, t in enumerate(texts)]
+        doc_freq = defaultdict(set)
+        for i, t in docs:
+            for ln in t.split("\n"):
+                if ln.strip():
+                    doc_freq[ln.strip()].add(i)
+        boiler = {k for k, v in doc_freq.items() if len(v) > max_df}
+
+        expect = {}
+        for i, t in docs:
+            kept = [
+                ln for ln in t.split("\n") if ln.strip() and ln.strip() not in boiler
+            ]
+            dropped = [
+                ln for ln in t.split("\n") if ln.strip() and ln.strip() in boiler
+            ]
+            expect[i] = ("\n".join(kept), len(kept), len(dropped))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in remove_boilerplate_lines(
+                df, "doc_id", "text", max_doc_freq=max_df
+            ).collect()
+        }
+        assert got == expect
