@@ -269,6 +269,98 @@ def lang_id_sql(expr: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Repetition signals (Gopher-style intra-document repetition filters,
+# Rae et al. 2021 §A1.1): pre-training curation drops documents whose
+# content repeats itself — boilerplate listings, scraped templates,
+# keyword stuffing. All JVM-side array/HOF expressions; the pairwise
+# counting lambdas are O(L²)/O(G²) in the number of LINES / 2-GRAMS of
+# ONE document (never across documents), so cost is bounded by document
+# size and the whole computation stays a narrow map at any corpus scale.
+
+
+def doc_lines(text: Column) -> Column:
+    """Trimmed non-blank lines of a document (bind to a real column
+    before passing as ``lines=`` on hot paths — interpreted HOF lambdas
+    re-evaluate non-attribute argument expressions per reference)."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def dup_line_frac(text: Column, lines: Column | None = None) -> Column:
+    """Fraction of lines that are repeats of an earlier-seen line
+    (0.0 for empty docs): 1 − distinct/total, Gopher's
+    ``duplicate_line_fraction``."""
+    lines = doc_lines(text) if lines is None else lines
+    return F.when(
+        F.size(lines) > 0,
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+        / F.size(lines),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_frac(text: Column, lines: Column | None = None) -> Column:
+    """Fraction of line-characters belonging to lines that occur more
+    than once in the document (Gopher's
+    ``duplicate_line_character_fraction``)."""
+    lines = doc_lines(text) if lines is None else lines
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("bigint"),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+    return F.when(
+        total_chars > 0, dup_chars.cast("double") / total_chars
+    ).otherwise(F.lit(0.0))
+
+
+def word_bigrams(text: Column, toks: Column | None = None) -> Column:
+    """Adjacent word 2-grams (``"a b"``) from the whitespace tokens."""
+    toks = tokens(text) if toks is None else toks
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def top_bigram_share(text: Column, toks: Column | None = None) -> Column:
+    """Share of 2-gram occurrences taken by the most frequent 2-gram
+    (Gopher's ``top_2gram_fraction`` shape); 0.0 when the doc has fewer
+    than two tokens. High values flag keyword stuffing / template spam."""
+    grams = word_bigrams(text, toks)
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(
+        F.size(grams) > 0, max_cnt.cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(text: Column, toks: Column | None = None) -> Column:
+    """Struct of the three Gopher repetition filters —
+    ``dup_line_frac``, ``dup_line_char_frac``, ``top_bigram_share`` —
+    for one-pass curation scans (filter with e.g. ``dup_line_frac <=
+    0.3 AND top_bigram_share <= 0.2``)."""
+    lines = doc_lines(text)
+    return F.struct(
+        dup_line_frac(text, lines).alias("dup_line_frac"),
+        dup_line_char_frac(text, lines).alias("dup_line_char_frac"),
+        top_bigram_share(text, toks).alias("top_bigram_share"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction (CCNet/Dolma-style pre-training scrub). All JVM-side
 # regexp_replace — no Python in the path, safe to run over a full
 # corpus scan. Patterns are deliberately conservative, high-precision

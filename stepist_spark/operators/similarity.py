@@ -335,6 +335,61 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embeddings,
+    then drop any document whose cosine similarity to a LOWER-id member
+    of the SAME cluster reaches ``threshold`` (greedy min-id keep — the
+    deterministic variant of SemDeDup's per-cluster pruning, Abbas et
+    al. 2023). Output: ``id_col, cid, keep``.
+
+    Shape at scale: cluster assignment is one broadcast argmin per
+    vector (:func:`ivf_assign` — the shuffle moves one row per vector),
+    and the duplicate test is a self equi-join ON ``cid`` — pairwise
+    work is bounded per cluster (~(N/k)² per cluster), never corpus².
+    Size ``n_centroids`` so clusters fit the pair budget (the SemDeDup
+    paper uses k≈100k at web scale); for clusters still too large,
+    compose with :func:`embedding_near_dups`'s banded LSH WITHIN each
+    cluster (add ``cid`` to the join key) — same bounded-bucket
+    structure, one extra key column.
+
+    The left-anti join keeps vectors with NO qualifying lower-id
+    neighbor; ``keep`` is materialized as a flag (rather than filtering)
+    so downstream stages can audit the removal rate per cluster.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    )
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    a = assigned.select(
+        F.col("cid"), F.col(id_col).alias("_ida"), F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col(id_col).alias("_idb"), F.col("_v").alias("_vb")
+    )
+    # lower-id neighbor above threshold in the same cluster => b is a dup
+    dup_ids = (
+        b.join(a, "cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(V.cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left").select(
+        F.col(id_col),
+        F.col("cid"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
 def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from stepist_spark.functions.text import pii_counts, redact_pii
@@ -126,3 +128,52 @@ class TestDeterministicShuffle:
         # the corpus-wide exchange must be range (parallel sort), never
         # a SinglePartition gather of the data itself
         assert "rangepartitioning" in plan.lower(), plan
+
+
+class TestRepetitionSignals:
+    def _sig(self, spark, text):
+        from stepist_spark.functions.text import repetition_signals, tokens
+
+        row = (
+            spark.createDataFrame([(text,)], "text string")
+            # bind tokens to a real column first (interpreted HOF lambdas
+            # re-evaluate non-attribute expressions per reference)
+            .withColumn("toks", tokens(F.col("text")))
+            .select(repetition_signals(F.col("text"), F.col("toks")).alias("s"))
+            .first()
+        )
+        return row["s"].asDict()
+
+    def test_duplicate_lines(self, spark):
+        s = self._sig(spark, "alpha\nalpha\nbeta")
+        assert s["dup_line_frac"] == pytest.approx(1 / 3)
+        # both 'alpha' lines (5 chars each) are dup chars of 14 total
+        assert s["dup_line_char_frac"] == pytest.approx(10 / 14)
+
+    def test_blank_lines_ignored_and_trimmed(self, spark):
+        s = self._sig(spark, "  x \n\n   \nx\ny")
+        assert s["dup_line_frac"] == pytest.approx(1 / 3)
+        assert s["dup_line_char_frac"] == pytest.approx(2 / 3)
+
+    def test_top_bigram_share(self, spark):
+        # tokens [x y x y x] -> grams [x y, y x, x y, y x] -> max 2 of 4
+        s = self._sig(spark, "x y x y x")
+        assert s["top_bigram_share"] == pytest.approx(0.5)
+
+    def test_no_repetition(self, spark):
+        s = self._sig(spark, "all words here are fully distinct lines")
+        assert s["dup_line_frac"] == 0.0
+        assert s["dup_line_char_frac"] == 0.0
+        assert s["top_bigram_share"] == pytest.approx(1 / 6)
+
+    def test_empty_and_single_token(self, spark):
+        for text in ("", "   \n  ", "solo"):
+            s = self._sig(spark, text)
+            assert s["dup_line_char_frac"] == 0.0
+            assert s["top_bigram_share"] == 0.0
+
+    def test_template_spam_scores_high(self, spark):
+        spam = "\n".join(["buy cheap widgets now"] * 9 + ["one real sentence"])
+        s = self._sig(spark, spam)
+        assert s["dup_line_frac"] == pytest.approx(0.8)
+        assert s["top_bigram_share"] > 0.2

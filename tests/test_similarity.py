@@ -114,3 +114,68 @@ class TestLabelCentroids:
         )
         got = {r["dim"]: r["sum_scaled"] for r in label_centroids(df).collect()}
         assert got == {0: -250_000, 1: 750_000}
+
+
+class TestSemanticDedup:
+    def _expected(self, emb_rows, threshold, n_centroids):
+        import numpy as np
+
+        ids = sorted(r["vec_id"] for r in emb_rows)
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb_rows}
+        # seeded centroids: min-id vector per id % n_centroids residue
+        cents = {}
+        for i in ids:
+            cid = i % n_centroids
+            if cid not in cents:
+                cents[cid] = vecs[i]
+        # nearest-centroid assignment, (distance, cid) tiebreak
+        assign = {}
+        for i in ids:
+            best = min(
+                ((float(np.sum((vecs[i] - c) ** 2)), cid) for cid, c in cents.items())
+            )
+            assign[i] = best[1]
+        dropped = set()
+        for b in ids:
+            for a in ids:
+                if a >= b or assign[a] != assign[b]:
+                    continue
+                cos = float(
+                    vecs[a] @ vecs[b]
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                )
+                if round(cos, 6) >= threshold:
+                    dropped.add(b)
+                    break
+        return assign, dropped
+
+    def test_matches_numpy_reference(self, emb):
+        rows = emb.collect()
+        # random high-dim vectors are near-orthogonal: 0.42 sits below the
+        # top few within-cluster cosines, so some rows actually drop
+        got = {
+            r["vec_id"]: (r["cid"], r["keep"])
+            for r in similarity.semantic_dedup(emb, threshold=0.42, n_centroids=8).collect()
+        }
+        assign, dropped = self._expected(rows, 0.42, 8)
+        assert set(got) == set(assign)
+        for i, (cid, keep) in got.items():
+            assert cid == assign[i], f"cid mismatch for {i}"
+            assert keep == (i not in dropped), f"keep mismatch for {i}"
+        assert dropped, "fixture should produce at least one semantic dup"
+
+    def test_impossible_threshold_keeps_everything(self, emb):
+        out = similarity.semantic_dedup(emb, threshold=1.01, n_centroids=8)
+        assert out.filter(~F.col("keep")).count() == 0
+        assert out.count() == emb.count()
+
+    def test_cluster_bounded_join(self, emb):
+        # the dup test must be an equi-join on cid — never a cartesian
+        plan = (
+            similarity.semantic_dedup(emb, threshold=0.9, n_centroids=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .lower()
+        )
+        assert "cartesianproduct" not in plan, plan
