@@ -64,3 +64,51 @@ def pack_sequences(
             F.greatest(F.col("_cum") - 1, F.col("_cum") - F.col("n_tokens")) / F.lit(seq_len)
         ).alias("last_chunk"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 8,
+    seed: str = "shards",
+    fmt: str = "parquet",
+    mode: str = "error",
+) -> DataFrame:
+    """Materialize the corpus as ``n_shards`` balanced, globally
+    shuffled training shards: ``path/shard=K/`` directories whose
+    within-file row order follows the deterministic global permutation
+    (:func:`~stepist_spark.operators.sampling.deterministic_shuffle`).
+    A new ``seed`` per epoch gives a fresh, reproducible epoch order.
+    Returns the per-shard row counts READ BACK from the written files
+    (an audit of what actually landed, not of the plan).
+
+    Layout semantics: shard = (rank−1) mod n_shards, so each shard is
+    an every-n-th-row subsequence of one global permutation — shard
+    sizes balance to ±1 row and each is itself in random order, so a
+    trainer can stream any subset of shards in file order. All rows of
+    a shard hash to ONE task (repartition on the shard key), whose
+    sorted spill writes one rank-ordered file per shard directory —
+    at 100 TB raise ``n_shards`` so a shard fits a task (shards ≈
+    files is the intended operating point, same as pack_sequences).
+    """
+    from stepist_spark.operators.sampling import deterministic_shuffle
+
+    ranked = deterministic_shuffle(df, id_col, seed=seed)
+    sharded = ranked.withColumn(
+        "shard", F.pmod(F.col("shuffle_rank") - 1, F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_rank")
+        .write.format(fmt)
+        .mode(mode)
+        .partitionBy("shard")
+        .save(path)
+    )
+    return (
+        df.sparkSession.read.format(fmt)
+        .load(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -33,3 +33,51 @@ def test_zero_token_doc_takes_no_space(spark):
            for r in pack_sequences(df, "doc_id", "n", seq_len=512, shards=16).collect()}
     assert got[16] == (10, 10, 0, 0)
     assert got[32] == (10, 15, 0, 0)
+
+
+class TestWriteTrainingShards:
+    def test_roundtrip_balanced_ordered(self, spark, tmp_path):
+        from stepist_spark.operators.packing import write_training_shards
+
+        df = spark.range(101).withColumnRenamed("id", "doc_id")
+        path = str(tmp_path / "shards")
+        audit = {r["shard"]: r["n_rows"] for r in
+                 write_training_shards(df, path, "doc_id", n_shards=4, seed="e0").collect()}
+        # balanced to +-1 and complete
+        assert set(audit) == {0, 1, 2, 3}
+        assert sum(audit.values()) == 101
+        assert max(audit.values()) - min(audit.values()) <= 1
+        back = spark.read.parquet(path)
+        assert sorted(r["doc_id"] for r in back.collect()) == list(range(101))
+        # each shard directory is one rank-ordered file
+        for s in range(4):
+            rows = spark.read.parquet(f"{path}/shard={s}").collect()
+            ranks = [r["shuffle_rank"] for r in rows]
+            assert ranks == sorted(ranks)
+            assert all((rk - 1) % 4 == s for rk in ranks)
+
+    def test_epoch_seed_changes_order_not_membership(self, spark, tmp_path):
+        from stepist_spark.operators.packing import write_training_shards
+
+        df = spark.range(60).withColumnRenamed("id", "doc_id")
+        p0, p1 = str(tmp_path / "e0"), str(tmp_path / "e1")
+        write_training_shards(df, p0, "doc_id", n_shards=3, seed="e0").collect()
+        write_training_shards(df, p1, "doc_id", n_shards=3, seed="e1").collect()
+        s0 = [r["doc_id"] for r in spark.read.parquet(p0 + "/shard=0").collect()]
+        s1 = [r["doc_id"] for r in spark.read.parquet(p1 + "/shard=0").collect()]
+        assert s0 != s1  # different epoch permutation
+        all0 = sorted(r["doc_id"] for r in spark.read.parquet(p0).collect())
+        all1 = sorted(r["doc_id"] for r in spark.read.parquet(p1).collect())
+        assert all0 == all1 == list(range(60))
+
+    def test_rerun_is_identical(self, spark, tmp_path):
+        from stepist_spark.operators.packing import write_training_shards
+
+        df = spark.range(50).withColumnRenamed("id", "doc_id")
+        pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+        write_training_shards(df, pa, "doc_id", n_shards=2, seed="s").collect()
+        write_training_shards(df.repartition(5), pb, "doc_id", n_shards=2, seed="s").collect()
+        for s in range(2):
+            a = [r["doc_id"] for r in spark.read.parquet(f"{pa}/shard={s}").collect()]
+            b = [r["doc_id"] for r in spark.read.parquet(f"{pb}/shard={s}").collect()]
+            assert a == b
