@@ -186,3 +186,16 @@ def shingles_sql(tokens_expr: str, k: int) -> str:
         f"i -> array_to_string(list_slice({tokens_expr}, i, i + {k - 1}), ' ')) "
         f"ELSE [] END"
     )
+
+
+def span_hash60(col: Column) -> Column:
+    """60-bit portable string hash (first 15 md5 hex chars → bigint).
+    For keys that index large populations (e.g. every k-token window of
+    a corpus) where 32 bits would birthday-collide; 60 bits keeps the
+    same md5 portability and stays inside a signed bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def span_hash60_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`span_hash60`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

@@ -261,3 +261,117 @@ def remove_boilerplate_lines(
             F.count(F.when(is_boiler, 1)).alias("n_lines_dropped"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every k-token window whose content occurs ``min_count``+ times in
+    the corpus (across documents OR repeated inside one), and return
+    the per-document maximal merged spans covering those windows.
+    Output: ``<id_col>, span_start, span_end`` — 1-based inclusive
+    token positions; feed to a span-cut pass or threshold on coverage
+    via :func:`duplicate_span_stats`.
+
+    This is the hashed-window approximation of suffix-array ExactSubstr:
+    a 60-bit portable hash per window (``span_hash60``) instead of a
+    global suffix sort — collisions mark a false span at rate
+    ~|windows|²/2⁶¹, negligible below ~10¹² windows and bounded in
+    damage (a span is dropped data, never corrupted data).
+
+    Physical shape at 100 TB: windows are built per-doc with the O(1)
+    element_at shingle construction (no slice-copies); occurrence
+    counting is ONE hash-aggregate shuffle keyed by the 60-bit window
+    hash — ~|tokens| rows, the honest linear cost every ExactSubstr
+    implementation pays (the suffix-array original is |tokens| log
+    |tokens| on one machine). The dup-hash set joins back by the same
+    key (never collected/broadcast — it is unbounded), and span
+    merging is a per-doc sorted fold over that doc's own hit
+    positions, bounded by document length.
+    """
+    from stepist_spark.functions.text import tokens as _tokens
+
+    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    wins = toked.select(
+        id_col, F.posexplode(hashing.shingles(F.col("_toks"), k)).alias("_p0", "_sh")
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_start"),
+        hashing.span_hash60(F.col("_sh")).alias("_h"),
+    )
+    dup_hashes = (
+        wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= min_count)
+    )
+    hits = wins.join(dup_hashes.select("_h"), "_h").select(id_col, "_start")
+
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    merged = (
+        hits.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.col("_start").cast("bigint"))).alias("_ss"))
+        .select(
+            id_col,
+            F.aggregate(
+                "_ss",
+                empty,
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["e"] + 1),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"], s + F.lit(k - 1)
+                                ).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(acc, F.array(F.struct(s.alias("s"), (s + F.lit(k - 1)).alias("e"))))
+                ),
+            ).alias("_spans"),
+        )
+    )
+    ex = merged.select(id_col, F.explode("_spans").alias("_sp"))
+    return ex.select(
+        id_col,
+        F.col("_sp.s").alias("span_start"),
+        F.col("_sp.e").alias("span_end"),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-token coverage from
+    :func:`duplicate_spans` output: ``<id_col>, n_tokens, dup_tokens,
+    dup_token_frac`` — every document appears (zero coverage when no
+    spans). The usual curation gate is ``dup_token_frac`` ≤ ~0.2 or
+    span-cutting above it. One sum per doc keyed by the id — at scale
+    it co-partitions with the span join that produced the input."""
+    from stepist_spark.functions.text import token_count
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    base = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
