@@ -269,6 +269,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 20,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
@@ -308,7 +309,21 @@ def duplicate_spans(
     dup_hashes = (
         wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= min_count)
     )
-    hits = wins.join(dup_hashes.select("_h"), "_h").select(id_col, "_start")
+    hits = wins.join(dup_hashes.select("_h"), "_h")
+    if keep_first:
+        # exempt each window content's corpus-wide canonical occurrence
+        # (min (doc, position)) so a cutting pass retains exactly one
+        # copy; the extra aggregate + join reuse the _h partitioning
+        canon = hits.groupBy("_h").agg(
+            F.min(F.struct(F.col(id_col), F.col("_start"))).alias("_c")
+        )
+        hits = hits.join(canon, "_h").filter(
+            ~(
+                (F.col(id_col) == F.col("_c")[id_col])
+                & (F.col("_start") == F.col("_c")["_start"])
+            )
+        )
+    hits = hits.select(id_col, "_start")
 
     empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
     merged = (
@@ -374,4 +389,54 @@ def duplicate_span_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_token_frac"),
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr remediation: delete every duplicated span found by
+    :func:`duplicate_spans` while keeping the corpus-wide canonical
+    first occurrence (min ``(doc, position)``) of each window, so
+    exactly one copy of each duplicated run survives — the Lee et al.
+    2022 cutting policy. Output: ``<id_col>, text, n_tokens_kept,
+    n_tokens_cut``; the rebuilt text is whitespace-NORMALIZED (tokens
+    re-joined with single spaces, original case preserved) — position
+    bookkeeping across arbitrary whitespace is not worth carrying at
+    corpus scale, and trainers tokenize it away anyway.
+
+    Extra physical cost over detection: one canonical-occurrence
+    aggregate + anti-filter on the already-partitioned window-hash key,
+    then a per-doc spans-array join back to the corpus (left join keyed
+    by the id) and an index-aware HOF filter — narrow per document.
+    """
+    spans = duplicate_spans(df, id_col, text_col, k, min_count, keep_first=True)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    # case-preserving tokens: same boundaries as the lowercased hash
+    # tokens (lowercasing never changes whitespace), so span positions
+    # from duplicate_spans index this array 1-based
+    raw = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), raw.alias("_raw")).join(per_doc, id_col, "left")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("_raw"),
+        lambda t, i: ~F.exists(
+            sp,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text"),
+        F.size(kept).alias("n_tokens_kept"),
+        (F.size("_raw") - F.size(kept)).alias("n_tokens_cut"),
     )

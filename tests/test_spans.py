@@ -92,3 +92,49 @@ class TestDuplicateSpans:
         )
         assert three == [(1, 1, 4), (2, 1, 4), (3, 1, 4)]
         assert duplicate_spans(df, k=K, min_count=4).count() == 0
+
+
+class TestCutDuplicateSpans:
+    def _cut(self, spark, rows, **kw):
+        from stepist_spark.operators.dedup import cut_duplicate_spans
+
+        return {
+            r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_cut"])
+            for r in cut_duplicate_spans(_docs(spark, rows), k=K, **kw).collect()
+        }
+
+    def test_first_occurrence_survives_cross_doc(self, spark):
+        got = self._cut(
+            spark,
+            [(1, "a b c d e f x y z"), (2, "q r a b c d e f s")],
+        )
+        # canonical occurrences live in doc 1 (min doc id) -> untouched
+        assert got[1] == ("a b c d e f x y z", 9, 0)
+        assert got[2] == ("q r s", 3, 6)
+
+    def test_within_doc_first_copy_survives(self, spark):
+        got = self._cut(spark, [(3, "m n o p m n o p m n o p")])
+        assert got[3] == ("m n o p", 4, 8)
+
+    def test_case_preserved_and_hash_case_insensitive(self, spark):
+        got = self._cut(
+            spark,
+            [(4, "Hello World A B C D"), (5, "A B C D tail x y")],
+        )
+        assert got[4] == ("Hello World A B C D", 6, 0)
+        assert got[5] == ("tail x y", 3, 4)
+
+    def test_unique_corpus_roundtrips(self, spark):
+        rows = [(7, "u1 u2  u3 u4 u5 u6"), (8, "w1 w2 w3 w4 w5")]
+        got = self._cut(spark, rows)
+        # whitespace-normalized but otherwise intact
+        assert got[7] == ("u1 u2 u3 u4 u5 u6", 6, 0)
+        assert got[8] == ("w1 w2 w3 w4 w5", 5, 0)
+
+    def test_keep_first_flag_on_detection(self, spark):
+        df = _docs(spark, [(1, "a b c d e f x y z"), (2, "q r a b c d e f s")])
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, k=K, keep_first=True).collect()
+        )
+        assert got == [(2, 3, 8)]
