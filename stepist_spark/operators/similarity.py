@@ -425,3 +425,144 @@ def label_centroids(
         "centroid",
         F.col("sum_scaled").cast("double") / (F.col("n_vecs") * F.lit(scale)),
     )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization codebook: for each of ``n_subspaces``
+    disjoint dimension slices, ``n_codes`` centroid sub-vectors.
+    Output: ``subspace, code, subvec``.
+
+    Seeding is deterministic (the sub-slices of the min-id vector per
+    ``id % n_codes`` residue — same reproducible-seeding policy as
+    :func:`ivf_centroids`); refine with per-subspace Lloyd offline if
+    recall matters more than reproducibility. The codebook is
+    n_subspaces·n_codes rows — always broadcastable.
+    """
+    seeds = ivf_centroids(corpus, id_col, vec_col, n_codes).withColumnRenamed(
+        "cid", "code"
+    )
+    d = F.size("cvec") / n_subspaces
+    subs = seeds.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("subspace"),
+    ).join(seeds, "code")
+    return subs.select(
+        "subspace",
+        "code",
+        F.slice(
+            "cvec", (F.col("subspace") * d + 1).cast("int"), d.cast("int")
+        ).alias("subvec"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` one-byte-ish codes: per
+    dimension slice, the L2-nearest codebook sub-vector (code-id
+    tiebreak). Output: ``id_col, codes array<int>`` — the 32×-smaller
+    representation an at-scale index stores instead of raw floats.
+
+    Shape: explode to (vector, subspace) sub-slices (narrow ×m), then
+    the argmin against the BROADCAST codebook collapses map-side
+    exactly like :func:`ivf_assign` — the shuffle moves m rows per
+    vector (the codes), never the candidate products.
+    """
+    d_expr = F.size(F.col("_v")) / n_subspaces
+    sliced = corpus.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("subspace"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        id_col,
+        "subspace",
+        V.to_double(
+            F.slice(
+                "_v", (F.col("subspace") * d_expr + 1).cast("int"), d_expr.cast("int")
+            )
+        ).alias("_sv"),
+    )
+    scored = sliced.join(F.broadcast(codebook), "subspace").withColumn(
+        "_d", V.l2sq(F.col("_sv"), V.to_double(F.col("subvec")))
+    )
+    per_sub = scored.groupBy(id_col, "subspace").agg(
+        F.min_by(F.col("code"), F.struct(F.col("_d"), F.col("code"))).alias("code")
+    )
+    return per_sub.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k dot product over PQ codes: each
+    query precomputes its dot product against every codebook sub-vector
+    (a lookup table of n_subspaces·n_codes floats), and a corpus
+    vector's approximate score is the sum of its codes' table entries.
+    Output: ``query_id, neighbor_id, adc_dot`` (rounded to 6 dp).
+
+    Shape at scale: the lookup table build is |queries|×|codebook| via
+    broadcast (both small); scoring explodes codes (×m, narrow), joins
+    the BROADCAST table on (query is in the table rows — no corpus-side
+    shuffle), and the per-(query, vector) sum collapses map-side. The
+    raw float corpus is never read — this is the path that makes
+    100 TB of embeddings searchable from a codes-only index.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
+    )
+    d_expr = F.size(F.col("qv")) / n_subspaces
+    table = (
+        q.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            V.dot(
+                V.to_double(
+                    F.slice(
+                        "qv", (F.col("subspace") * d_expr + 1).cast("int"), d_expr.cast("int")
+                    )
+                ),
+                V.to_double(F.col("subvec")),
+            ).alias("partial"),
+        )
+    )
+    ex = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    scored = (
+        ex.join(F.broadcast(table), ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("partial"), 6).alias("adc_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

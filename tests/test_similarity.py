@@ -179,3 +179,81 @@ class TestSemanticDedup:
             .lower()
         )
         assert "cartesianproduct" not in plan, plan
+
+
+class TestProductQuantization:
+    M, KS = 4, 8
+
+    def _np_setup(self, emb_rows):
+        import numpy as np
+
+        ids = sorted(r["vec_id"] for r in emb_rows)
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in emb_rows}
+        dim = len(next(iter(vecs.values())))
+        d = dim // self.M
+        seeds = {}
+        for i in ids:
+            c = i % self.KS
+            if c not in seeds:
+                seeds[c] = vecs[i]
+        book = {(j, c): seeds[c][j * d : (j + 1) * d] for j in range(self.M) for c in seeds}
+        codes = {}
+        for i in ids:
+            codes[i] = [
+                min(
+                    ((float(((vecs[i][j * d : (j + 1) * d] - book[(j, c)]) ** 2).sum()), c)
+                     for c in seeds)
+                )[1]
+                for j in range(self.M)
+            ]
+        return vecs, d, book, codes
+
+    def test_codes_match_numpy(self, emb, spark):
+        rows = emb.collect()
+        _, _, _, exp_codes = self._np_setup(rows)
+        book = similarity.pq_codebook(emb, n_subspaces=self.M, n_codes=self.KS)
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(emb, book, n_subspaces=self.M).collect()
+        }
+        assert got == exp_codes
+
+    def test_adc_topk_matches_numpy(self, emb, queries):
+        rows = emb.collect()
+        vecs, d, book, codes = self._np_setup(rows)
+        qids = sorted(r["vec_id"] for r in queries.collect())
+        exp = {}
+        for qi in qids:
+            scored = []
+            for ni, cs in codes.items():
+                if ni == qi:
+                    continue
+                adc = sum(
+                    float(vecs[qi][j * d : (j + 1) * d] @ book[(j, c)])
+                    for j, c in enumerate(cs)
+                )
+                scored.append((round(adc, 6), ni))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            exp[qi] = scored[:3]
+        bookdf = similarity.pq_codebook(emb, n_subspaces=self.M, n_codes=self.KS)
+        enc = similarity.pq_encode(emb, bookdf, n_subspaces=self.M)
+        got = {}
+        for r in similarity.pq_topk(enc, bookdf, queries, k=3, n_subspaces=self.M).collect():
+            got.setdefault(r["query_id"], []).append((r["adc_dot"], r["neighbor_id"]))
+        for qi in qids:
+            got[qi].sort(key=lambda t: (-t[0], t[1]))
+            assert got[qi] == [(pytest.approx(s, abs=1e-6), n) for s, n in exp[qi]]
+
+    def test_seed_vectors_encode_to_themselves(self, spark):
+        # corpus == seed set: each vector's nearest sub-codeword is its own
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(self.KS)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        book = similarity.pq_codebook(df, n_subspaces=self.M, n_codes=self.KS)
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(df, book, n_subspaces=self.M).collect()
+        }
+        assert got == {i: [i] * self.M for i in range(self.KS)}
