@@ -282,8 +282,12 @@ def doc_lines(text: Column) -> Column:
     """Trimmed non-blank lines of a document (bind to a real column
     before passing as ``lines=`` on hot paths — interpreted HOF lambdas
     re-evaluate non-attribute argument expressions per reference)."""
+    # regex trim, not F.trim — Spark's trim strips only spaces, so a
+    # tab-only line would survive as a "distinct" line
     return F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(text, r"\n"), lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")
+        ),
         lambda l: l != "",
     )
 

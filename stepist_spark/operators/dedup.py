@@ -227,7 +227,13 @@ def remove_boilerplate_lines(
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-    ).withColumn("_key", F.trim(F.col("_line")))
+    ).withColumn(
+        # regex trim, NOT F.trim: Spark's trim strips only the space
+        # character, so a tab-only line would count as substantive
+        # content while every Python/C4 reference treats it as blank
+        "_key",
+        F.regexp_replace(F.col("_line"), r"^\s+|\s+$", ""),
+    )
     substantive = F.length("_key") >= min_line_chars
 
     boiler = (
