@@ -566,3 +566,83 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS-style at-scale index shape):
+    IVF assignment prunes the search to ``n_probe`` clusters per query,
+    and within them vectors are scored from PQ codes by ADC table
+    lookup — so the scan touches ``n_probe/n_centroids`` of the corpus
+    and reads codes, not floats. Output: ``query_id, neighbor_id,
+    adc_dot``.
+
+    Both index structures are built here from the same deterministic
+    seeding (build once and reuse `ivf_assign`/`pq_encode` outputs in
+    production — they are plain DataFrames, so checkpoint them as
+    parquet and this function's body is the query-time plan).
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col).select(
+        F.col(id_col), F.col("cid")
+    )
+    book = pq_codebook(corpus, id_col, vec_col, n_subspaces, n_codes)
+    enc = pq_encode(corpus, book, id_col, vec_col, n_subspaces).join(assigned, id_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
+    )
+    probe_scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "_d", V.l2sq(F.col("qv"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
+    probe = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    d_expr = F.size(F.col("qv")) / n_subspaces
+    table = (
+        q.crossJoin(F.broadcast(book))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            V.dot(
+                V.to_double(
+                    F.slice(
+                        "qv", (F.col("subspace") * d_expr + 1).cast("int"), d_expr.cast("int")
+                    )
+                ),
+                V.to_double(F.col("subvec")),
+            ).alias("partial"),
+        )
+    )
+    cand = (
+        enc.join(F.broadcast(probe), "cid")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(F.col(id_col).alias("neighbor_id"), "query_id", "codes")
+    )
+    scored = (
+        cand.select("query_id", "neighbor_id", F.posexplode("codes").alias("subspace", "code"))
+        .join(F.broadcast(table), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("partial"), 6).alias("adc_dot"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -257,3 +257,38 @@ class TestProductQuantization:
             for r in similarity.pq_encode(df, book, n_subspaces=self.M).collect()
         }
         assert got == {i: [i] * self.M for i in range(self.KS)}
+
+
+class TestIvfPq:
+    def test_full_probe_equals_pq_topk(self, emb, queries):
+        book = similarity.pq_codebook(emb, n_subspaces=4, n_codes=8)
+        enc = similarity.pq_encode(emb, book, n_subspaces=4)
+        plain = {
+            (r["query_id"], r["neighbor_id"]): r["adc_dot"]
+            for r in similarity.pq_topk(enc, book, queries, k=4, n_subspaces=4).collect()
+        }
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["adc_dot"]
+            for r in similarity.ivf_pq_topk(
+                emb, queries, k=4, n_centroids=8, n_probe=8, n_subspaces=4, n_codes=8
+            ).collect()
+        }
+        assert full == plain
+
+    def test_partial_probe_scores_consistently(self, emb, queries):
+        book = similarity.pq_codebook(emb, n_subspaces=4, n_codes=8)
+        enc = similarity.pq_encode(emb, book, n_subspaces=4)
+        all_scores = {
+            (r["query_id"], r["neighbor_id"]): r["adc_dot"]
+            for r in similarity.pq_topk(
+                enc, book, queries, k=10**6, n_subspaces=4
+            ).collect()
+        }
+        part = similarity.ivf_pq_topk(
+            emb, queries, k=4, n_centroids=8, n_probe=2, n_subspaces=4, n_codes=8
+        ).collect()
+        assert len(part) > 0
+        for r in part:
+            # every returned pair carries the same ADC score the
+            # unpruned scorer assigns it
+            assert all_scores[(r["query_id"], r["neighbor_id"])] == r["adc_dot"]
