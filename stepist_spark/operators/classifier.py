@@ -109,3 +109,101 @@ def score_documents(
         )
         .withColumn("keep", F.col("margin_scaled") >= F.lit(threshold_scaled))
     )
+
+
+LOGP_SCALE = 1_000_000
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """Count model for a CCNet-style n-gram LM quality signal: bigram
+    and unigram-context counts over the lowercased token stream, plus
+    the vocabulary size (as a 1-row frame — never collected). Returns
+    ``{"bigrams", "contexts", "vocab"}`` DataFrames; persist them as
+    parquet to reuse the model (they are plain frames, like the PQ
+    codebook).
+
+    Shape: one explode per order and one hash-aggregate shuffle each —
+    map-side combine collapses in-partition repeats, so the shuffle
+    carries distinct n-grams per partition, not token occurrences.
+    """
+    toks = corpus.select(tokens(F.col(text_col)).alias("_tk"))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_tk"), 1, F.greatest(F.size("_tk") - 1, F.lit(0))),
+                F.slice(F.col("_tk"), 2, F.greatest(F.size("_tk") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    uni = toks.select(F.explode("_tk").alias("w1"))
+    return {
+        "bigrams": big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        "contexts": uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")),
+        "vocab": uni.select("w1").distinct().agg(F.count(F.lit(1)).alias("v")),
+    }
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram perplexity under a
+    :func:`train_bigram_lm` model — the CCNet quality gate (keep the
+    low-perplexity head / resample the tail). Output: ``id_col,
+    n_bigrams, logp_scaled, ppl`` (ppl NULL for docs under 2 tokens).
+
+    p(w2|w1) = (c12 + 1) / (c1 + V); unseen words hit the smoothing
+    floor. Each bigram's log-prob is scaled to an integer
+    (``floor(log(p)·10⁶)``) BEFORE the per-doc sum, so the aggregate is
+    a bigint — order-independent and layout-deterministic, the same
+    fixed-point discipline as `label_centroids`.
+
+    Shape at scale: the doc-bigram stream joins the count tables on
+    their own grouping keys (co-partitioned shuffle joins — the bigram
+    table is corpus-vocabulary-sized, NEVER broadcast); V rides along
+    as a broadcast 1-row cross join; the per-doc sum collapses
+    map-side like every (doc-key, token-row) aggregate in this repo.
+    """
+    tk = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    dbg = tk.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_tk"), 1, F.greatest(F.size("_tk") - 1, F.lit(0))),
+                F.slice(F.col("_tk"), 2, F.greatest(F.size("_tk") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(id_col, "_bg.w1", "_bg.w2")
+    joined = (
+        dbg.join(model["bigrams"], ["w1", "w2"], "left")
+        .join(model["contexts"], "w1", "left")
+        .crossJoin(F.broadcast(model["vocab"]))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    scored = joined.select(
+        F.col(id_col),
+        F.floor(F.log(p) * F.lit(LOGP_SCALE)).cast("bigint").alias("_lp"),
+    )
+    agg = docs.select(F.col(id_col)).join(
+        scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp").alias("logp_scaled")
+        ),
+        id_col,
+        "left",
+    )
+    avg = F.col("logp_scaled").cast("double") / (F.col("n_bigrams") * F.lit(LOGP_SCALE))
+    return agg.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("logp_scaled"), F.lit(0)).alias("logp_scaled"),
+        F.when(F.col("n_bigrams") > 0, F.exp(-avg)).alias("ppl"),
+    )

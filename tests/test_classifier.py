@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from stepist_spark.operators.classifier import (
@@ -97,3 +99,85 @@ class TestClassifier:
         )
         assert "broadcasthashjoin" in plan, plan
         assert "cartesianproduct" not in plan
+
+
+class TestBigramLm:
+    CORPUS = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "the cat ate the fish"),
+    ]
+
+    def _py_model(self):
+        from collections import Counter
+
+        bg, uni = Counter(), Counter()
+        for _, t in self.CORPUS:
+            ws = t.split()
+            uni.update(ws)
+            bg.update(zip(ws, ws[1:]))
+        vocab = len(set(uni))
+        return bg, uni, vocab
+
+    def _py_score(self, text):
+        import math
+
+        bg, uni, v = self._py_model()
+        ws = text.lower().split()
+        lp = 0
+        for a, b in zip(ws, ws[1:]):
+            p = (bg.get((a, b), 0) + 1) / (uni.get(a, 0) + v)
+            lp += math.floor(math.log(p) * 1_000_000)
+        n = max(len(ws) - 1, 0)
+        return n, lp, math.exp(-lp / (n * 1_000_000)) if n else None
+
+    def test_scores_match_python(self, spark):
+        from stepist_spark.operators.classifier import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        model = train_bigram_lm(corpus)
+        probes = [
+            (10, "the cat sat on the mat"),   # in-domain
+            (11, "zx qv pl mm"),              # fully OOV
+            (12, "solo"),                     # no bigrams
+            (13, ""),
+        ]
+        docs = spark.createDataFrame(probes, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["logp_scaled"], r["ppl"])
+            for r in perplexity_score(docs, model).collect()
+        }
+        assert set(got) == {10, 11, 12, 13}
+        for i, t in probes:
+            n, lp, ppl = self._py_score(t)
+            assert got[i][0] == n, (i, got[i])
+            assert got[i][1] == lp, (i, got[i])
+            if ppl is None:
+                assert got[i][2] is None
+            else:
+                assert got[i][2] == pytest.approx(ppl, rel=1e-9)
+        # the in-domain doc must be far less perplexing than OOV noise
+        assert got[10][2] < got[11][2]
+
+    def test_layout_deterministic(self, spark):
+        from stepist_spark.operators.classifier import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id bigint, text string")
+        docs = spark.createDataFrame(
+            [(i, "the cat sat on the mat extra words " + "x " * i) for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        m1 = train_bigram_lm(corpus)
+        m2 = train_bigram_lm(corpus.repartition(5))
+        a = sorted((r["doc_id"], r["logp_scaled"]) for r in perplexity_score(docs, m1).collect())
+        b = sorted(
+            (r["doc_id"], r["logp_scaled"])
+            for r in perplexity_score(docs.repartition(7), m2).collect()
+        )
+        assert a == b
