@@ -1,0 +1,83 @@
+"""Distributed BPE training vs an exact Python reference (same merge
+rule: weighted pair counts, (count desc, pair asc) tiebreak,
+left-to-right single-pass merge application)."""
+
+from __future__ import annotations
+
+from stepist_spark.operators.bpe import bpe_segment, train_bpe
+
+COUNTS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+N_MERGES = 8
+
+
+def _py_bpe(word_counts, n_merges, min_count=2):
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for w, c in word_counts.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        for w in segs:
+            out = []
+            for sym in segs[w]:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            segs[w] = out
+    return merges, segs
+
+
+def _apply(merges, word):
+    out = list(word)
+    for a, b in merges:
+        nxt = []
+        for sym in out:
+            if nxt and nxt[-1] == a and sym == b:
+                nxt[-1] = a + b
+            else:
+                nxt.append(sym)
+        out = nxt
+    return out
+
+
+class TestBpe:
+    def _corpus(self, spark):
+        text = " ".join(w for w, c in COUNTS.items() for _ in range(c))
+        return spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+
+    def test_merges_and_segs_match_python(self, spark):
+        exp_merges, exp_segs = _py_bpe(COUNTS, N_MERGES)
+        merges, wf = train_bpe(self._corpus(spark), n_merges=N_MERGES)
+        assert merges == exp_merges
+        assert len(merges) > 2  # the fixture genuinely trains
+        got = {r["word"]: (r["n"], list(r["sym"])) for r in wf.collect()}
+        assert got == {w: (c, exp_segs[w]) for w, c in COUNTS.items()}
+
+    def test_segment_known_and_oov(self, spark):
+        merges, wf = train_bpe(self._corpus(spark), n_merges=N_MERGES)
+        docs = spark.createDataFrame(
+            [(1, "low newest lowest")], "doc_id bigint, text string"
+        )
+        got = {
+            (r["doc_id"], r["pos"]): (r["word"], list(r["sym"]))
+            for r in bpe_segment(docs, wf, merges).collect()
+        }
+        _, exp_segs = _py_bpe(COUNTS, N_MERGES)
+        assert got[(1, 0)] == ("low", exp_segs["low"])
+        assert got[(1, 1)] == ("newest", exp_segs["newest"])
+        # "lowest" is OOV: char split + every merge applied in order
+        assert got[(1, 2)] == ("lowest", _apply(merges, "lowest"))
+
+    def test_min_pair_count_stops_early(self, spark):
+        df = spark.createDataFrame([(0, "ab ab cd")], "doc_id bigint, text string")
+        merges, _ = train_bpe(df, n_merges=10, min_pair_count=3)
+        assert merges == []  # best pair ("a","b") has weight 2 < 3
