@@ -197,16 +197,10 @@ FROM lineitem GROUP BY l_returnflag
 def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming.windows import tumbling_agg
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    # The file source wants a directory; the testdata table is a single
-    # file, so stream the parent dir with a glob pinned to events.parquet.
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    )
+    from stepist_spark.session import stream_events
+
+    # footer-aware ts handling (NANOS-as-long vs native µs parquet)
+    src = stream_events(spark, sf)
     agg = tumbling_agg(
         src,
         "ts",

@@ -33,19 +33,12 @@ from stepist_spark.queries import QuerySpec
 
 _SINK_IDS = itertools.count()
 
-_EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """File-source stream over the events table (TIMESTAMP(NANOS) read
-    as long, converted to µs timestamp_ntz — same as session.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-        .withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    )
+    """File-source stream over the events table — footer-aware ts
+    handling (NANOS-as-long vs native µs) via session.stream_events."""
+    from stepist_spark.session import stream_events
+
+    return stream_events(spark, sf)
 
 
 # --------------------------------------------------------------------------

@@ -142,6 +142,37 @@ def read_parquet_nanos_safe(spark: SparkSession, path: str, options: dict | None
     return df
 
 
+def stream_events(spark: SparkSession, sf_dir: str):
+    """File-source STREAM over the events table, footer-aware like
+    :func:`read_parquet_nanos_safe`: if events.ts is TIMESTAMP(NANOS)
+    it is read as a raw long and converted to µs TIMESTAMP_NTZ; if the
+    driver generated µs timestamps (round-2 testdata) it streams with a
+    TIMESTAMP_NTZ schema directly. Either way `ts` comes out
+    TIMESTAMP_NTZ at µs precision — identical to the batch loader and
+    to what DuckDB sees."""
+    path = table_path(sf_dir, "events")
+    nanos = _nanos_timestamp_cols(path)
+    ts_type = "long" if "ts" in nanos else "timestamp_ntz"
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(schema)
+        # the file source wants a directory; the testdata table is a
+        # single file, so stream the parent dir with a pinned glob
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if "ts" in nanos:
+        src = src.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return src
+
+
 def spread(df, min_partitions: int | None = None):
     """Round-robin repartition ONLY when the input is under-partitioned.
 
