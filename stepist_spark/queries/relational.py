@@ -838,13 +838,274 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Tag-union merged gates (round-2, second pass): the driver verifies
+# only the first 50 registry entries, and the LLM-pipeline surface grew
+# past the window, so paired relational gates are unioned under a
+# common tagged schema (the q09 pattern). Each wrapper reuses the
+# ORIGINAL query function and oracle SQL unchanged — both engines remap
+# the same sub-results to the same generic columns, so per-query
+# correctness semantics are untouched.
+def q07_grouped_topn(spark: SparkSession, sf: str) -> DataFrame:
+    w = q07_top_orders_per_segment(spark, sf).select(
+        F.lit("window").alias("part"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("rn").cast("bigint").alias("k"),
+        "o_orderkey",
+        F.col("totalprice").alias("price"),
+    )
+    lat = q34_lateral_topn(spark, sf).select(
+        F.lit("lateral").alias("part"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").cast("bigint").alias("k"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    return w.unionByName(lat)
+
+
+Q07M_SQL = f"""
+SELECT 'window' AS part, c_mktsegment AS seg, CAST(rn AS BIGINT) AS k,
+       o_orderkey, totalprice AS price
+FROM ({Q07_SQL})
+UNION ALL
+SELECT 'lateral', c_mktsegment, CAST(c_custkey AS BIGINT), o_orderkey, o_totalprice
+FROM ({Q34_SQL})
+"""
+
+
+def q12_reshape_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    s = q12_set_ops(spark, sf).select(
+        F.lit("setop").alias("part"),
+        F.col("op").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    p = q17_pivot_unpivot(spark, sf).select(
+        F.lit("pivot").alias("part"),
+        F.col("o_orderpriority").alias("k1"),
+        F.col("status_col").alias("k2"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return s.unionByName(p)
+
+
+Q12M_SQL = f"""
+SELECT 'setop' AS part, op AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n AS BIGINT) AS n
+FROM ({Q12_SQL})
+UNION ALL
+SELECT 'pivot', o_orderpriority, status_col, CAST(n AS BIGINT) FROM ({Q17_SQL})
+"""
+
+
+def q13_scalar_string_suite(spark: SparkSession, sf: str) -> DataFrame:
+    sc = q13_scalar_functions(spark, sf).select(
+        F.lit("scalar").alias("part"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.col("name_upper").alias("s1"),
+        F.col("type_prefix").alias("s2"),
+        F.col("brand_type").alias("s3"),
+        F.col("size_class").alias("s4"),
+        F.col("name_len").alias("n1"),
+        F.col("size_dist").alias("n2"),
+        F.col("size_mod").alias("n3"),
+        F.col("age_days").alias("n4"),
+        F.col("marked_up").alias("d1"),
+        F.col("price_sqrt").alias("d2"),
+        F.col("ship_by").alias("dt1"),
+        F.col("month_start").alias("dt2"),
+        F.col("month_end").alias("dt3"),
+    )
+    sa = q27_string_agg(spark, sf).select(
+        F.lit("stragg").alias("part"),
+        F.col("r_name").alias("k1"),
+        F.col("nations").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.col("n_nations").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
+    return sc.unionByName(sa)
+
+
+Q13M_SQL = f"""
+SELECT 'scalar' AS part, CAST(p_partkey AS VARCHAR) AS k1,
+       name_upper AS s1, type_prefix AS s2, brand_type AS s3, size_class AS s4,
+       name_len AS n1, size_dist AS n2, size_mod AS n3, age_days AS n4,
+       marked_up AS d1, price_sqrt AS d2,
+       ship_by AS dt1, month_start AS dt2, month_end AS dt3
+FROM ({Q13_SQL})
+UNION ALL
+SELECT 'stragg', r_name, nations, NULL, NULL, NULL,
+       CAST(n_nations AS BIGINT), NULL, NULL, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM ({Q27_SQL})
+"""
+
+
+def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
+    rj = q18_range_join(spark, sf).select(
+        F.lit("range").alias("part"),
+        F.col("band").alias("k1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("sum_price").alias("d1"),
+    )
+    aj = q19_asof_join(spark, sf).select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("ts").alias("ts1"),
+        F.col("signup_ts").alias("ts2"),
+        F.col("user_id").cast("bigint").alias("n1"),
+        F.col("lag_us").cast("bigint").alias("n2"),
+        F.col("value").alias("d1"),
+    )
+    return rj.unionByName(aj)
+
+
+Q18M_SQL = f"""
+SELECT 'range' AS part, band AS k1,
+       CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
+       CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2, sum_price AS d1
+FROM ({Q18_SQL})
+UNION ALL
+SELECT 'asof', CAST(event_id AS VARCHAR), ts, signup_ts,
+       CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
+FROM ({Q19_SQL})
+"""
+
+
+def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    t = q22_tumbling_window(spark, sf).select(
+        F.lit("tumble").alias("part"),
+        F.col("event_type").alias("wkey"),
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        F.col("sum_k").cast("bigint").alias("sum_k"),
+        "window_start",
+        "window_end",
+    )
+    s = q23_session_window(spark, sf).select(
+        F.lit("session").alias("part"),
+        F.col("user_id").cast("string").alias("wkey"),
+        F.col("n_events").cast("bigint").alias("n"),
+        "sum_value",
+        F.lit(None).cast("bigint").alias("sum_k"),
+        "window_start",
+        "window_end",
+    )
+    return t.unionByName(s)
+
+
+Q22M_SQL = f"""
+SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
+       sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end
+FROM ({Q22_SQL})
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), CAST(n_events AS BIGINT),
+       sum_value, CAST(NULL AS BIGINT), window_start, window_end
+FROM ({Q23_SQL})
+"""
+
+
+def q24_subquery_suite(spark: SparkSession, sf: str) -> DataFrame:
+    co = q24_correlated_subquery(spark, sf).select(
+        F.lit("corr").alias("part"),
+        F.col("c_custkey").cast("bigint").alias("k1"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("boolean").alias("b1"),
+        F.lit(None).cast("boolean").alias("b2"),
+        F.col("c_nationkey").cast("bigint").alias("n1"),
+        F.col("acctbal").alias("d1"),
+    )
+    il = q32_subqueries(spark, sf).select(
+        F.lit("inlist").alias("part"),
+        F.col("s_suppkey").cast("bigint").alias("k1"),
+        F.col("s_name").alias("s1"),
+        F.col("in_region0").alias("b1"),
+        F.col("not_in_region1").alias("b2"),
+        F.col("trap_count").cast("bigint").alias("n1"),
+        F.col("delta_from_mean").alias("d1"),
+    )
+    return co.unionByName(il)
+
+
+Q24M_SQL = f"""
+SELECT 'corr' AS part, CAST(c_custkey AS BIGINT) AS k1,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS BOOLEAN) AS b1,
+       CAST(NULL AS BOOLEAN) AS b2, CAST(c_nationkey AS BIGINT) AS n1,
+       acctbal AS d1
+FROM ({Q24_SQL})
+UNION ALL
+SELECT 'inlist', CAST(s_suppkey AS BIGINT), s_name, in_region0,
+       not_in_region1, CAST(trap_count AS BIGINT), delta_from_mean
+FROM ({Q32_SQL})
+"""
+
+
+def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    pc = q25_percentile_arrays(spark, sf).select(
+        F.lit("pct").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("median_qty").cast("double").alias("d1"),
+        F.col("p25_qty").cast("double").alias("d2"),
+        F.col("p95_qty").cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.col("low5").alias("s1"),
+        F.col("n_distinct_qty").cast("bigint").alias("n1"),
+        F.col("max_qty").cast("bigint").alias("n2"),
+    )
+    hi = q35_price_histogram(spark, sf).select(
+        F.lit("hist").alias("part"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.col("sum_price").cast("double").alias("d1"),
+        F.col("avg_price").cast("double").alias("d2"),
+        F.col("min_price").cast("double").alias("d3"),
+        F.col("max_price").cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_orders").cast("bigint").alias("n1"),
+        F.col("n_customers").cast("bigint").alias("n2"),
+    )
+    return pc.unionByName(hi)
+
+
+Q25M_SQL = f"""
+SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
+  SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
+         CAST(p25_qty AS DOUBLE) AS d2, CAST(p95_qty AS DOUBLE) AS d3,
+         CAST(NULL AS DOUBLE) AS d4, low5 AS s1,
+         CAST(n_distinct_qty AS BIGINT) AS n1, CAST(max_qty AS BIGINT) AS n2
+  FROM ({Q25_SQL})
+)
+UNION ALL
+SELECT 'hist', CAST(bucket AS VARCHAR), CAST(sum_price AS DOUBLE),
+       CAST(avg_price AS DOUBLE), CAST(min_price AS DOUBLE),
+       CAST(max_price AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(n_orders AS BIGINT), CAST(n_customers AS BIGINT)
+FROM ({Q35_SQL})
+"""
+
+
 # Registry discipline (round-2): the driver's correctness harness
 # checks the FIRST 50 entries of __spark_entry__.queries() in
 # registration order, so the whole catalog is merged to ≤50 entries —
 # redundant relational gates were folded into these survivors (q14→q01,
 # q05→q04, q29→q08, q10/q20→q09, q11→q35, q28→q13, q15→q22, q30→q17,
 # q31→q21, q26→q25, q33→q32; q16's lag-gap sessionization is subsumed
-# by q23's session_window gate).
+# by q23's session_window gate). Second pass (this round): paired
+# tag-union merges q34→q07, q17→q12, q27→q13, q19→q18, q23→q22,
+# q32→q24, q35→q25 freed seven slots for the new LLM-pipeline gates.
 QUERIES = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + multi-agg groupBy incl. conditional aggs"),
     QuerySpec("q02_top_orders", q02_top_orders, Q02_SQL, "TPC-H Q3: 3-way join + agg + top-10"),
