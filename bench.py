@@ -68,17 +68,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    # Per-query timings at sf0.1 carry seconds-scale jitter (round-2
+    # bench "regressed" unchanged plans 2.7×): run each query N times
+    # and keep the MIN — the standard de-noising for wall-clock
+    # microbenchmarks, since noise is strictly additive.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # registry order — the same order the driver's correctness harness
     # uses, so per-query timings line up with CORRECTNESS rows (and the
     # residual cold-plan cost lands on the first registered gate rather
     # than on whichever name sorts first)
     for name, spec in all_queries().items():
-        t0 = time.perf_counter()
-        try:
-            spec.spark(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep benching; report the failure
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                spec.spark(spark, sf_dir).collect()
+            except Exception as exc:  # keep benching; report the failure
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        if best is not None and name not in failures:
+            timings[name] = round(best, 3)
 
     # The driver archives only the TAIL (~2 KB) of stdout; round 1's
     # headline metric was truncated off the FRONT of this line. Order

@@ -1097,36 +1097,64 @@ FROM ({Q35_SQL})
 """
 
 
+def q02_join_agg_topk(spark: SparkSession, sf: str) -> DataFrame:
+    t = q02_top_orders(spark, sf).select(
+        F.lit("top").alias("part"),
+        F.col("l_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderpriority").alias("s1"),
+        F.col("o_orderdate").cast("string").alias("s2"),
+        F.col("revenue").alias("rev"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    r = q03_revenue_by_nation(spark, sf).select(
+        F.lit("nation").alias("part"),
+        F.lit(None).cast("bigint").alias("k"),
+        F.col("n_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("revenue").alias("rev"),
+        F.col("n_items").cast("bigint").alias("n"),
+    )
+    return t.unionByName(r)
+
+
+Q02M_SQL = f"""
+SELECT 'top' AS part, CAST(l_orderkey AS BIGINT) AS k, o_orderpriority AS s1,
+       CAST(o_orderdate AS VARCHAR) AS s2, revenue AS rev, CAST(NULL AS BIGINT) AS n
+FROM ({Q02_SQL})
+UNION ALL
+SELECT 'nation', CAST(NULL AS BIGINT), n_name, CAST(NULL AS VARCHAR), revenue,
+       CAST(n_items AS BIGINT)
+FROM ({Q03_SQL})
+"""
+
+
 # Registry discipline (round-2): the driver's correctness harness
 # checks the FIRST 50 entries of __spark_entry__.queries() in
 # registration order, so the whole catalog is merged to ≤50 entries —
 # redundant relational gates were folded into these survivors (q14→q01,
 # q05→q04, q29→q08, q10/q20→q09, q11→q35, q28→q13, q15→q22, q30→q17,
 # q31→q21, q26→q25, q33→q32; q16's lag-gap sessionization is subsumed
-# by q23's session_window gate). Second pass (this round): paired
-# tag-union merges q34→q07, q17→q12, q27→q13, q19→q18, q23→q22,
-# q32→q24, q35→q25 freed seven slots for the new LLM-pipeline gates.
+# by q23's session_window gate). Round-3 second pass: the tag-union
+# merges are NOW IN EFFECT — q34→q07, q17→q12, q27→q13, q19→q18,
+# q23→q22, q32→q24, q35→q25, plus q03→q02 (both join+agg+top-k star
+# shapes) — freeing eight slots, spent on the round-2 LLM-pipeline
+# gates (t21–t25, v07, v08 in queries/llm_text.py, llm_vectors.py) and
+# the w01 sink round-trip gate (queries/composite.py). Every merged
+# wrapper reuses the ORIGINAL query function and oracle SQL unchanged,
+# so per-query correctness semantics are untouched.
 QUERIES = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + multi-agg groupBy incl. conditional aggs"),
-    QuerySpec("q02_top_orders", q02_top_orders, Q02_SQL, "TPC-H Q3: 3-way join + agg + top-10"),
-    QuerySpec("q03_revenue_by_nation", q03_revenue_by_nation, Q03_SQL, "TPC-H Q5: star join, broadcast dims"),
+    QuerySpec("q02_join_agg_topk", q02_join_agg_topk, Q02M_SQL, "TPC-H Q3 top-10 + Q5 star join, tag-unioned"),
     QuerySpec("q04_semi_anti_join", q04_semi_anti_join, Q04_SQL, "EXISTS / left-semi + NOT EXISTS / left-anti joins"),
     QuerySpec("q06_forecast_revenue", q06_forecast_revenue, Q06_SQL, "TPC-H Q6: filter-only scalar agg"),
-    QuerySpec("q07_top_orders_per_segment", q07_top_orders_per_segment, Q07_SQL, "grouped top-k window"),
+    QuerySpec("q07_grouped_topn", q07_grouped_topn, Q07M_SQL, "grouped top-k window + LATERAL top-n, tag-unioned"),
     QuerySpec("q08_window_suite", q08_window_suite, Q08_SQL, "running sum/lag/row_number + RANGE frame/ntile/first_value"),
     QuerySpec("q09_grouping_multi", q09_grouping_multi, Q09_SQL, "ROLLUP + CUBE + GROUPING SETS, tag-unioned"),
-    QuerySpec("q12_set_ops", q12_set_ops, Q12_SQL, "INTERSECT / EXCEPT / UNION"),
-    QuerySpec("q13_scalar_functions", q13_scalar_functions, Q13_SQL, "string/math/conditional/date scalars"),
-    QuerySpec("q17_pivot_unpivot", q17_pivot_unpivot, Q17_SQL, "pivot -> unpivot round trip"),
-    QuerySpec("q18_range_join", q18_range_join, Q18_SQL, "range join vs broadcast bands"),
-    QuerySpec("q19_asof_join", q19_asof_join, Q19_SQL, "as-of join (backward, inclusive)"),
+    QuerySpec("q12_reshape_set_ops", q12_reshape_set_ops, Q12M_SQL, "set ops + pivot/unpivot, tag-unioned"),
+    QuerySpec("q13_scalar_string_suite", q13_scalar_string_suite, Q13M_SQL, "scalar functions + ordered string agg, tag-unioned"),
+    QuerySpec("q18_temporal_joins", q18_temporal_joins, Q18M_SQL, "range join + as-of join, tag-unioned"),
     QuerySpec("q21_approx_sketches", q21_approx_sketches, None, "approx distinct/percentile + HLL rollup (rows-only)"),
-    QuerySpec("q22_tumbling_window", q22_tumbling_window, Q22_SQL, "tumbling event-time window + JSON extraction (batch path)"),
-    QuerySpec("q23_session_window", q23_session_window, Q23_SQL, "session windows, 30-min gap (streaming helper, batch path)"),
-    QuerySpec("q24_correlated_subquery", q24_correlated_subquery, Q24_SQL, "correlated scalar subquery (decorrelated)"),
-    QuerySpec("q25_percentile_arrays", q25_percentile_arrays, Q25_SQL, "exact percentiles + array agg (stringified output)"),
-    QuerySpec("q27_string_agg", q27_string_agg, Q27_SQL, "ordered string aggregation (listagg)"),
-    QuerySpec("q32_subqueries", q32_subqueries, Q32_SQL, "IN/NOT IN + scalar subqueries incl. NULL three-valued logic"),
-    QuerySpec("q34_lateral_topn", q34_lateral_topn, Q34_SQL, "LATERAL correlated top-n subquery join"),
-    QuerySpec("q35_price_histogram", q35_price_histogram, Q35_SQL, "integer-exact price histogram + multi-distinct aggs"),
+    QuerySpec("q22_event_windows", q22_event_windows, Q22M_SQL, "tumbling + session event windows, tag-unioned"),
+    QuerySpec("q24_subquery_suite", q24_subquery_suite, Q24M_SQL, "correlated + IN/NOT IN/scalar subqueries, tag-unioned"),
+    QuerySpec("q25_percentile_histogram", q25_percentile_histogram, Q25M_SQL, "exact percentiles + integer-exact histogram, tag-unioned"),
 ]
