@@ -399,6 +399,76 @@ def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     return out
 
 
+def doc_lines_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`doc_lines`."""
+    return (
+        f"list_filter(list_transform(string_split({expr}, chr(10)), "
+        f"l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> l <> '')"
+    )
+
+
+def dup_line_frac_sql(lines: str) -> str:
+    """DuckDB mirror of :func:`dup_line_frac` over a bound lines expr."""
+    return (
+        f"CASE WHEN len({lines}) > 0 THEN "
+        f"CAST(len({lines}) - len(list_distinct({lines})) AS DOUBLE) / len({lines}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def dup_line_char_frac_sql(lines: str) -> str:
+    """DuckDB mirror of :func:`dup_line_char_frac` over a bound lines expr."""
+    dup = (
+        f"coalesce(list_sum(list_transform({lines}, "
+        f"l -> CASE WHEN len(list_filter({lines}, x -> x = l)) > 1 "
+        f"THEN length(l) ELSE 0 END)), 0)"
+    )
+    tot = f"coalesce(list_sum(list_transform({lines}, l -> length(l))), 0)"
+    return f"CASE WHEN {tot} > 0 THEN CAST({dup} AS DOUBLE) / {tot} ELSE 0.0 END"
+
+
+def top_bigram_share_sql(toks: str) -> str:
+    """DuckDB mirror of :func:`top_bigram_share` over a bound tokens expr."""
+    grams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> list_extract({toks}, i) || ' ' || list_extract({toks}, i + 1))"
+    )
+    # bind grams once via a scalar subquery-free trick: inline twice is
+    # fine for the oracle (DuckDB CSE handles it); mirror the exact
+    # integer/size arithmetic of the Spark HOF
+    max_cnt = (
+        f"list_max(list_transform(list_distinct({grams}), "
+        f"g -> len(list_filter({grams}, x -> x = g))))"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN CAST({max_cnt} AS DOUBLE) / len({grams}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def redact_pii_sql(expr: str, kinds: tuple[str, ...] | None = None) -> str:
+    """DuckDB mirror of :func:`redact_pii` (regexp_replace needs the
+    explicit ``'g'`` flag there; patterns are RE2-compatible — no
+    lookaround/backreferences — so both engines see the same matches)."""
+    out = expr
+    for kind, pat in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        out = f"regexp_replace({out}, '{pat}', '[{kind.upper()}]', 'g')"
+    return out
+
+
+def pii_counts_sql(expr: str) -> list[tuple[str, str]]:
+    """DuckDB mirror of :func:`pii_counts`: ``[(kind, count_expr)]``
+    over the same precedence-redacted intermediate text."""
+    out = []
+    cur = expr
+    for kind, pat in PII_PATTERNS:
+        out.append((kind, f"len(regexp_extract_all({cur}, '{pat}'))"))
+        cur = f"regexp_replace({cur}, '{pat}', '[{kind.upper()}]', 'g')"
+    return out
+
+
 def pii_counts(text: Column) -> Column:
     """Struct of per-kind match counts (``email``, ``ipv4``,
     ``phone``) — the audit/filter side of :func:`redact_pii` (e.g.

@@ -149,20 +149,27 @@ def temperature_resample(
     global min folded in, then a broadcast join of the per-group rate
     back onto the corpus — the corpus itself never shuffles.
 
-    No DuckDB ``_sql`` mirror: the rate passes through libm ``pow``,
-    which is not bit-portable across engines; gate outputs at a group
-    level instead if oracle parity is needed.
+    Engine portability: at the common multilingual setting
+    ``alpha=0.5`` the rate is computed as ``1/sqrt(n/n_min)`` — both
+    division and sqrt are IEEE correctly-rounded, so the acceptance
+    decision is bit-identical on every engine (the v08/t25 oracle
+    discipline). Other alphas go through libm ``pow``, which is not
+    bit-portable; gate those at a group level if oracle parity is
+    needed.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     mins = counts.agg(F.min("_n").alias("_n_min"))
+    ratio = F.col("_n") / F.col("_n_min")
+    rate = (
+        F.lit(1.0) / F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(alpha - 1.0))
+    )
     rates = (
         counts.crossJoin(F.broadcast(mins))
         .select(
             group_col,
-            F.least(
-                F.lit(1.0),
-                F.pow(F.col("_n") / F.col("_n_min"), F.lit(alpha - 1.0)),
-            ).alias("_rate"),
+            F.least(F.lit(1.0), rate).alias("_rate"),
         )
     )
     h = hashing.word_hash32(

@@ -443,8 +443,50 @@ C03_SQL = _c03_sql()
 # Registry discipline (round-2, see queries/relational.py): m04 folded
 # into m01 (both Arrow batch paths, joined), m03 into m02 (both JVM
 # grid explodes, tag-unioned).
+# --------------------------------------------------------------------------
+# w01 — sink round-trip: run an oracle-gated aggregate, WRITE it through
+# the batch writer (hive-partitioned parquet — the layout lever that
+# buys partition pruning at 100 TB), read the files back, and gate THAT.
+# A hash match certifies the write path end-to-end: schema preservation
+# (bigints through parquet), partition-column round-trip, and the
+# reader's directory-partition discovery — the reference's enqueue/
+# dequeue pair (`stepist/flow/steps/step.py:125-145`,
+# `stepist/flow/libs/simple_queue.py:49-60`) restated as files.
+def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from stepist_spark.queries.llm_text import t04_quality_by_source
+    from stepist_spark.sources import readers, writers
+
+    out = t04_quality_by_source(spark, sf)
+    path = os.path.join(
+        tempfile.gettempdir(), f"stepist_w01_{os.getpid()}_{next(_SINK_IDS)}"
+    )
+    writers.write(out, path, fmt="parquet", mode="overwrite", partition_by="source")
+    back = readers.read(spark, path, fmt="parquet")
+    # partition columns come back LAST and (configurably) type-inferred;
+    # re-select in canonical order with canonical types
+    return back.select(
+        F.col("source").cast("string"),
+        F.col("n_docs").cast("bigint"),
+        F.col("sum_quality_scaled").cast("bigint"),
+        F.col("min_quality_scaled").cast("bigint"),
+    )
+
+
+def _w01_sql() -> str:
+    from stepist_spark.queries.llm_text import T04_SQL
+
+    return T04_SQL
+
+
+W01_SQL = _w01_sql()
+
+
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
+    QuerySpec("w01_sink_roundtrip", w01_sink_roundtrip, W01_SQL, "partitioned parquet sink write -> read-back round-trip"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
     QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),

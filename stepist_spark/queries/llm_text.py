@@ -468,11 +468,482 @@ GROUP BY _tok ORDER BY weight DESC, item LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# t21 — ExactSubstr duplicated spans (Lee et al. 2022) + per-doc
+# coverage stats, one tag-union gate. The exact-dup-planted corpus
+# guarantees whole-document spans; the oracle recomputes the hashed
+# k-token windows, the dup-hash set, and the island merge (gaps-and-
+# islands over the running max end — e is monotone in s, so the global
+# preceding max equals the previous row's end).
+SPAN_K = 20
+
+
+def t21_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _docs_with_exact_dups(spark, sf)
+    spans = dedup.duplicate_spans(corpus, "doc_id", "text", k=SPAN_K, min_count=2)
+    stats = dedup.duplicate_span_stats(corpus, spans, "doc_id", "text")
+    sp = spans.select(
+        F.lit("span").alias("part"),
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("n1"),
+        F.col("span_end").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    st = stats.select(
+        F.lit("stat").alias("part"),
+        "doc_id",
+        F.col("dup_tokens").cast("bigint").alias("n1"),
+        F.col("n_tokens").cast("bigint").alias("n2"),
+        F.col("dup_token_frac").alias("frac"),
+    )
+    return sp.unionByName(st)
+
+
+T21_SQL = f"""
+WITH corpus AS ({EXACT_DUP_CORPUS_SQL}),
+toked AS (SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM corpus),
+shg AS (SELECT doc_id, {hashing.shingles_sql('tk', SPAN_K)} AS shs FROM toked),
+wins AS (
+    SELECT doc_id, i AS s, {hashing.span_hash60_sql('list_extract(shs, i)')} AS h
+    FROM (SELECT doc_id, shs, unnest(range(1, len(shs) + 1)) AS i FROM shg)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, s FROM wins JOIN dup USING (h)),
+marked AS (
+    SELECT doc_id, s, s + {SPAN_K - 1} AS e,
+           CASE WHEN s > coalesce(max(s + {SPAN_K - 1}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+           THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, s, e, sum(brk) OVER (
+        PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+    FROM islands GROUP BY doc_id, isl
+),
+stats AS (
+    SELECT c.doc_id,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           CAST({TX.token_count_sql('c.text')} AS BIGINT) AS n_tokens
+    FROM corpus c LEFT JOIN (
+        SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ) p USING (doc_id)
+)
+SELECT 'span' AS part, doc_id, CAST(span_start AS BIGINT) AS n1,
+       CAST(span_end AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS frac
+FROM spans
+UNION ALL
+SELECT 'stat', doc_id, dup_tokens, n_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(dup_tokens AS DOUBLE) / n_tokens ELSE 0.0 END
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# t22 — curation scrubbers in one tag-union gate: PII redaction +
+# counts (planted emails/IPs/phones), C4-style boilerplate line removal
+# (planted cross-doc banner), and the Gopher repetition signals
+# (planted within-doc line duplication). All three corpora are planted
+# identically on both engines; every ratio is a single division of
+# identical integers.
+def _pii_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 call +1 415-55"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit("-01"),
+            (F.col("doc_id") % 80 + 10).cast("string"),
+        ).alias("text"),
+    )
+
+
+_PII_CORPUS_SQL = """
+SELECT doc_id,
+       text || ' Reach user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+            || '.7 call +1 415-55' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            || '-01' || CAST(doc_id % 80 + 10 AS VARCHAR) AS text
+FROM documents
+"""
+
+_BOILER_LINE = "JOIN OUR NEWSLETTER TODAY"
+
+
+def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    pii = _pii_corpus(spark, sf)
+    counts = TX.pii_counts(F.col("text"))
+    p = pii.select(
+        F.lit("pii").alias("part"),
+        "doc_id",
+        TX.redact_pii(F.col("text")).alias("s1"),
+        counts["email"].cast("bigint").alias("n1"),
+        counts["ipv4"].cast("bigint").alias("n2"),
+        counts["phone"].cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+    )
+
+    boiler_corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER_LINE + "\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b = dedup.remove_boilerplate_lines(boiler_corpus, "doc_id", "text", max_doc_freq=2).select(
+        F.lit("boiler").alias("part"),
+        "doc_id",
+        F.col("text").alias("s1"),
+        F.col("n_lines_kept").cast("bigint").alias("n1"),
+        F.col("n_lines_dropped").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+    )
+
+    rep_corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("_tk", TX.tokens(F.col("text")))
+    sig = TX.repetition_signals(F.col("text"), toks=F.col("_tk"))
+    r = rep_corpus.select(
+        F.lit("rep").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        sig["dup_line_frac"].alias("d1"),
+        sig["dup_line_char_frac"].alias("d2"),
+        sig["top_bigram_share"].alias("d3"),
+    )
+    return p.unionByName(b).unionByName(r)
+
+
+def _t22_sql() -> str:
+    pii_cnt = dict(TX.pii_counts_sql("text"))
+    lines_expr = TX.doc_lines_sql("text")
+    return f"""
+WITH pii_corpus AS ({_PII_CORPUS_SQL}),
+boiler_corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_LINE}' || chr(10) || text
+                ELSE text END AS text
+    FROM documents
+),
+blines AS (
+    SELECT doc_id, i - 1 AS pos, list_extract(ls, i) AS line,
+           regexp_replace(list_extract(ls, i), '^\\s+|\\s+$', '', 'g') AS key
+    FROM (
+        SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM boiler_corpus)
+    )
+),
+bboiler AS (
+    SELECT key FROM blines WHERE length(key) >= 1
+    GROUP BY key HAVING count(DISTINCT doc_id) > 2
+),
+bout AS (
+    SELECT l.doc_id,
+           coalesce(string_agg(
+               CASE WHEN length(l.key) >= 1 AND b.key IS NULL THEN l.line END,
+               chr(10) ORDER BY l.pos), '') AS text,
+           count(CASE WHEN length(l.key) >= 1 AND b.key IS NULL THEN 1 END) AS n_kept,
+           count(CASE WHEN length(l.key) >= 1 AND b.key IS NOT NULL THEN 1 END) AS n_dropped
+    FROM blines l LEFT JOIN bboiler b ON l.key = b.key
+    GROUP BY l.doc_id
+),
+rep_corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text ELSE text END AS text
+    FROM documents
+),
+rep_bound AS (
+    SELECT doc_id, {lines_expr} AS lines, {TX.tokens_sql('text')} AS tk
+    FROM rep_corpus
+)
+SELECT 'pii' AS part, doc_id, {TX.redact_pii_sql('text')} AS s1,
+       CAST({pii_cnt['email']} AS BIGINT) AS n1,
+       CAST({pii_cnt['ipv4']} AS BIGINT) AS n2,
+       CAST({pii_cnt['phone']} AS BIGINT) AS n3,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+       CAST(NULL AS DOUBLE) AS d3
+FROM pii_corpus
+UNION ALL
+SELECT 'boiler', doc_id, text, CAST(n_kept AS BIGINT), CAST(n_dropped AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM bout
+UNION ALL
+SELECT 'rep', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       {TX.dup_line_frac_sql('lines')},
+       {TX.dup_line_char_frac_sql('lines')},
+       {TX.top_bigram_share_sql('tk')}
+FROM rep_bound
+"""
+
+
+T22_SQL = _t22_sql()
+
+
+# --------------------------------------------------------------------------
+# t23 — model-based quality gates in one tag-union: hashed-BoW Rocchio
+# classifier margins (seed labels = lang=='en') and the bigram-LM
+# perplexity signal — both integer-exact aggregates (the ppl double is
+# deliberately excluded; logp_scaled determines it). The oracle
+# recomputes training AND scoring, so one differing weight or count
+# changes the margins.
+CLF_DIM = 512
+
+
+def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import classifier as clf
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    labeled = docs.select("text", (F.col("lang") == "en").alias("label"))
+    weights = clf.train_quality_classifier(labeled, "text", "label", dim=CLF_DIM)
+    scored = clf.score_documents(docs, weights, "doc_id", "text", dim=CLF_DIM)
+    c = scored.select(
+        F.lit("clf").alias("part"),
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n"),
+        F.col("margin_scaled").alias("v"),
+        F.col("keep").alias("keep"),
+    )
+    model = clf.train_bigram_lm(docs, "text")
+    ppl = clf.perplexity_score(docs, model, "doc_id", "text")
+    p = ppl.select(
+        F.lit("ppl").alias("part"),
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n"),
+        F.col("logp_scaled").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    return c.unionByName(p)
+
+
+def _t23_sql() -> str:
+    h = hashing.word_hash32_sql("t")
+    toks = TX.tokens_sql("text")
+    return f"""
+WITH buckets AS (
+    SELECT doc_id, (lang = 'en') AS pos,
+           unnest(list_transform({toks}, t -> ({h}) % {CLF_DIM})) AS bucket
+    FROM documents
+),
+counts AS (
+    SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+           sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+    FROM documents
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+           sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+    FROM buckets GROUP BY bucket
+),
+weights AS (
+    SELECT bucket, cp * 1000000 // np - cn * 1000000 // nn AS w
+    FROM per_bucket, counts
+),
+ex AS (
+    SELECT doc_id, unnest(list_transform({toks}, t -> ({h}) % {CLF_DIM})) AS bucket
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, count(bucket) AS n_toks,
+           CAST(coalesce(sum(w), 0) AS BIGINT) AS margin
+    FROM ex LEFT JOIN weights USING (bucket) GROUP BY doc_id
+),
+tk AS (SELECT doc_id, {toks} AS t FROM documents),
+dbg AS (
+    SELECT doc_id, list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM dbg GROUP BY w1, w2),
+uni AS (SELECT unnest(t) AS w1 FROM tk),
+ctx AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+voc AS (SELECT count(DISTINCT w1) AS v FROM uni),
+lp AS (
+    SELECT d.doc_id,
+           CAST(floor(ln(CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + voc.v AS DOUBLE))
+                      * 1000000) AS BIGINT) AS _lp
+    FROM dbg d
+    JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+    JOIN ctx c ON c.w1 = d.w1
+    CROSS JOIN voc
+),
+ppl AS (
+    SELECT doc_id, count(*) AS n_bigrams, CAST(sum(_lp) AS BIGINT) AS logp
+    FROM lp GROUP BY doc_id
+)
+SELECT 'clf' AS part, d.doc_id, coalesce(s.n_toks, 0) AS n,
+       coalesce(s.margin, 0) AS v, coalesce(s.margin, 0) >= 0 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+UNION ALL
+SELECT 'ppl', d.doc_id, coalesce(p.n_bigrams, 0), coalesce(p.logp, 0),
+       CAST(NULL AS BOOLEAN)
+FROM documents d LEFT JOIN ppl p USING (doc_id)
+"""
+
+
+T23_SQL = _t23_sql()
+
+
+# --------------------------------------------------------------------------
+# t24 — BPE merge application: segment a deterministic document subset
+# with a FIXED merge list through the OOV path (empty memo table), so
+# the gate certifies the character split + the left-to-right merge fold
+# + the memo-join plumbing. Training itself is certified by
+# tests/test_bpe.py's exactness against a pure-Python reference (the
+# merge choice is a corpus-wide argmax — not expressible as one SQL
+# statement). The oracle reimplements each merge pass as a
+# string-accumulator list_reduce (chr(1)-separated), which matches the
+# Spark fold's single-pass left-to-right semantics exactly.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("an", "d"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def t24_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 29 == 0)
+    empty_seg = spark.createDataFrame([], "word string, sym array<string>")
+    seg = bpe.bpe_segment(docs, empty_seg, BPE_MERGES, "doc_id", "text")
+    return seg.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "word",
+        F.array_join(F.col("sym"), " ").alias("segmented"),
+    )
+
+
+def _t24_sql() -> str:
+    sep = "chr(1)"
+    sym = "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))"
+    for left, right in BPE_MERGES:
+        enc = (
+            f"list_reduce({sym}, (acc, x) -> "
+            f"CASE WHEN (acc = '{left}' OR ends_with(acc, {sep} || '{left}')) "
+            f"AND x = '{right}' "
+            f"THEN substr(acc, 1, length(acc) - {len(left)}) || '{left}{right}' "
+            f"ELSE acc || {sep} || x END)"
+        )
+        sym = f"string_split({enc}, {sep})"
+    return f"""
+WITH ws AS (
+    SELECT doc_id, i - 1 AS pos, list_extract(tk, i) AS word
+    FROM (
+        SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM (SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+              WHERE doc_id % 29 = 0)
+    )
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+       array_to_string({sym}, ' ') AS segmented
+FROM ws
+"""
+
+
+T24_SQL = _t24_sql()
+
+
+# --------------------------------------------------------------------------
+# t25 — corpus assembly in one tag-union gate: temperature resampling
+# across languages (alpha=0.5 — the correctly-rounded sqrt path, so
+# per-row acceptance is bit-identical cross-engine) and the
+# deterministic global shuffle rank (range-exchange implementation;
+# the oracle is a plain global row_number over the same salted hash).
+SHUFFLE_SEED = "42"
+
+
+def t25_resample_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    res = sampling.temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    r = res.select(
+        F.lit("resample").alias("part"),
+        "doc_id",
+        F.col("lang").alias("s"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    sh = sampling.deterministic_shuffle(docs, "doc_id", seed=SHUFFLE_SEED)
+    s = sh.filter(F.col("doc_id") % 25 == 0).select(
+        F.lit("shuffle").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("s"),
+        F.col("shuffle_rank").alias("n"),
+    )
+    return r.unionByName(s)
+
+
+def _t25_sql() -> str:
+    hres = hashing.word_hash32_sql("CAST(doc_id AS VARCHAR) || ':resample'")
+    hshuf = hashing.word_hash32_sql(f"'{SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mins AS (SELECT min(n) AS nmin FROM counts),
+rates AS (
+    SELECT lang, least(1.0, 1.0 / sqrt(CAST(n AS DOUBLE) / nmin)) AS rate
+    FROM counts, mins
+),
+ranked AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {hshuf}, doc_id) AS BIGINT) AS rnk
+    FROM documents
+)
+SELECT 'resample' AS part, doc_id, lang AS s, CAST(NULL AS BIGINT) AS n
+FROM documents JOIN rates USING (lang)
+WHERE ({hres}) % 1048576 < floor(rate * 1048576)
+UNION ALL
+SELECT 'shuffle', doc_id, CAST(NULL AS VARCHAR), rnk
+FROM ranked WHERE doc_id % 25 = 0
+"""
+
+
+T25_SQL = _t25_sql()
+
+
 # Registry discipline (round-2, see queries/relational.py): merged to
 # fit the driver's 50-entry correctness window — t02→c01 (dedup_exact
 # runs inside c01's oracle-gated pipeline), t05/t11→t03, t06/t07→t08
 # (the oracle recomputes the signature+banding pipeline), t10→t09,
-# t14→t13, t17→t15.
+# t14→t13, t17→t15. Round 3 adds t21–t25 over the formerly ungated
+# round-2 operators.
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
     QuerySpec("t03_doc_profile", t03_doc_profile, T03_SQL, "per-doc token/quality/lang-ID/subword profile"),
@@ -485,4 +956,9 @@ QUERIES = [
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "benchmark n-gram decontamination"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "concat-and-chunk sequence packing"),
+    QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats"),
+    QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition"),
+    QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),
+    QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),
+    QuerySpec("t25_resample_shuffle", t25_resample_shuffle, T25_SQL, "temperature resampling + deterministic shuffle rank"),
 ]

@@ -22,15 +22,23 @@ K = 5
 N_QUERY = 8
 
 
-# v01 — brute-force exact cosine top-k for the first N_QUERY vectors
+# v01 — brute-force exact cosine top-k for the first N_QUERY vectors,
+# tag-unioned (round 3) with the banded-LSH approximate top-k (former
+# v04) — same output shape, exact vs sub-linear scale path in one gate.
 def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    exact = _v01_exact(spark, sf).withColumn("part", F.lit("exact"))
+    lsh = v04_lsh_topk(spark, sf).withColumn("part", F.lit("lsh"))
+    return exact.unionByName(lsh).select("part", "query_id", "neighbor_id", "cos_sim")
+
+
+def _v01_exact(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY)
     return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
 
 
 _COS = V.cosine_sql("q.v", "c.v")
-V01_SQL = f"""
+V01X_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY}),
 scored AS (
@@ -128,6 +136,13 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+V01_SQL = f"""
+SELECT 'exact' AS part, query_id, neighbor_id, cos_sim FROM ({V01X_SQL})
+UNION ALL
+SELECT 'lsh', query_id, neighbor_id, cos_sim FROM ({V04_SQL})
+"""
+
+
 # v05 — IVF approximate top-k: deterministic seeded centroids, probe the
 # n_probe nearest clusters per query. The oracle mirrors the exact same
 # index build (min-id per residue class), assignment argmin (squared-L2,
@@ -201,13 +216,186 @@ FROM ex GROUP BY label, dim
 """
 
 
+# v07 — product-quantization ADC top-k, both index shapes in one
+# tag-union gate: flat PQ (codes-only scan of the whole corpus) and
+# IVF-PQ (probe-pruned). The oracle recomputes the deterministic
+# codebook seeding, the per-subspace encode argmin, the query ADC
+# lookup tables, and the probe ranking — one differing code anywhere
+# changes the candidate scores.
+N_SUBSPACES = 4
+N_CODES = 16
+
+
+def v07_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY)
+    book = similarity.pq_codebook(emb, "vec_id", "embedding", N_SUBSPACES, N_CODES)
+    enc = similarity.pq_encode(emb, book, "vec_id", "embedding", N_SUBSPACES)
+    pq = similarity.pq_topk(
+        enc, book, queries, "vec_id", "embedding", k=K, n_subspaces=N_SUBSPACES
+    ).withColumn("part", F.lit("pq"))
+    ivf = similarity.ivf_pq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=K,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        n_subspaces=N_SUBSPACES,
+        n_codes=N_CODES,
+    ).withColumn("part", F.lit("ivfpq"))
+    return pq.unionByName(ivf).select("part", "query_id", "neighbor_id", "adc_dot")
+
+
+def _v07_sql() -> str:
+    # 64-dim embeddings / 4 subspaces => 16-dim slices, mirroring
+    # pq_codebook/pq_encode's (subspace*d+1, d) slicing exactly
+    d = 16
+    l2 = V.l2sq_sql("s.sv", "b.subvec")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY}),
+cent AS (
+    SELECT cid, v AS cvec FROM (
+        SELECT vec_id % {N_CODES} AS cid, v,
+               row_number() OVER (PARTITION BY vec_id % {N_CODES} ORDER BY vec_id) AS rn
+        FROM e) WHERE rn = 1
+),
+subspaces AS (SELECT unnest(range(0, {N_SUBSPACES})) AS subspace),
+book AS (
+    SELECT subspace, cid AS code,
+           list_slice(cvec, subspace * {d} + 1, subspace * {d} + {d}) AS subvec
+    FROM cent CROSS JOIN subspaces
+),
+sliced AS (
+    SELECT vec_id, subspace,
+           list_slice(v, subspace * {d} + 1, subspace * {d} + {d}) AS sv
+    FROM e CROSS JOIN subspaces
+),
+enc AS (
+    SELECT vec_id, subspace, code FROM (
+        SELECT s.vec_id, s.subspace, b.code,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.subspace ORDER BY {l2}, b.code
+               ) AS rn
+        FROM sliced s JOIN book b ON s.subspace = b.subspace
+    ) WHERE rn = 1
+),
+qtable AS (
+    SELECT q.query_id, b.subspace, b.code,
+           {V.dot_sql(f"list_slice(q.qv, b.subspace * {d} + 1, b.subspace * {d} + {d})", "b.subvec")} AS partial
+    FROM q CROSS JOIN book b
+),
+pq_scored AS (
+    SELECT t.query_id, enc.vec_id AS neighbor_id, round(sum(t.partial), 6) AS adc_dot
+    FROM enc JOIN qtable t ON t.subspace = enc.subspace AND t.code = enc.code
+    WHERE t.query_id <> enc.vec_id
+    GROUP BY t.query_id, enc.vec_id
+),
+assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {V.l2sq_sql("e.v", "c.cvec")}, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id ORDER BY {V.l2sq_sql("q.qv", "c.cvec")}, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {N_PROBE}
+),
+ivf_scored AS (
+    SELECT t.query_id, enc.vec_id AS neighbor_id, round(sum(t.partial), 6) AS adc_dot
+    FROM enc
+    JOIN assigned a ON a.vec_id = enc.vec_id
+    JOIN probe p ON p.cid = a.cid
+    JOIN qtable t ON t.query_id = p.query_id
+         AND t.subspace = enc.subspace AND t.code = enc.code
+    WHERE t.query_id <> enc.vec_id
+    GROUP BY t.query_id, enc.vec_id
+)
+SELECT 'pq' AS part, query_id, neighbor_id, adc_dot FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id
+    ) AS rn FROM pq_scored
+) WHERE rn <= {K}
+UNION ALL
+SELECT 'ivfpq', query_id, neighbor_id, adc_dot FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id
+    ) AS rn FROM ivf_scored
+) WHERE rn <= {K}
+"""
+
+
+V07_SQL = _v07_sql()
+
+
+# v08 — SemDeDup semantic deduplication: cluster-bounded cosine test
+# against lower-id members, min-id greedy keep. Plants perturbed
+# near-copies (v * 1.001, cosine 1.0) like v03 so the dup set is
+# nonempty and deterministic on both engines.
+def v08_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    plants = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = emb.unionByName(plants)
+    return similarity.semantic_dedup(
+        corpus, "vec_id", "embedding", threshold=0.95, n_centroids=N_CENTROIDS
+    )
+
+
+_SD_COS = V.cosine_sql("a.v", "b.v")
+V08_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+    FROM base WHERE vec_id % 25 = 0
+),
+cent AS (
+    SELECT cid, v AS cvec FROM (
+        SELECT vec_id % {N_CENTROIDS} AS cid, v,
+               row_number() OVER (PARTITION BY vec_id % {N_CENTROIDS} ORDER BY vec_id) AS rn
+        FROM corpus) WHERE rn = 1
+),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {V.l2sq_sql("e.v", "c.cvec")}, c.cid
+               ) AS rn
+        FROM corpus e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned b JOIN assigned a ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round({_SD_COS}, 6) >= 0.95
+)
+SELECT s.vec_id, s.cid, d.vec_id IS NULL AS keep
+FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+"""
+
+
 # Registry discipline (round-2, see queries/relational.py): the former
 # v02 bucket-assignment entry is subsumed by v03/v04, whose oracles
 # recompute every band signature.
 QUERIES = [
-    QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact cosine top-k"),
+    QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact + banded-LSH cosine top-k, tag-unioned"),
     QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dup pairs"),
-    QuerySpec("v04_lsh_topk", v04_lsh_topk, V04_SQL, "banded-LSH approximate top-k"),
     QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
     QuerySpec("v06_label_centroids", v06_label_centroids, V06_SQL, "per-label centroid vectors (fixed-point exact)"),
+    QuerySpec("v07_pq_topk", v07_pq_topk, V07_SQL, "product-quantization ADC top-k, flat + IVF-PQ"),
+    QuerySpec("v08_semantic_dedup", v08_semantic_dedup, V08_SQL, "SemDeDup cluster-bounded semantic dedup"),
 ]

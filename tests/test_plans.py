@@ -27,7 +27,9 @@ class TestJoinStrategies:
     def test_star_join_broadcasts_dimensions(self, spark, qs):
         """q03 joins lineitem against 4 dimension tables — every one of
         those joins must be a broadcast, never a shuffle of the fact."""
-        df = qs["q03_revenue_by_nation"].spark(spark, SF)
+        from stepist_spark.queries.relational import q03_revenue_by_nation
+
+        df = q03_revenue_by_nation(spark, SF)
         strategies = plans.join_strategies(df)
         assert strategies, "expected joins in the q03 plan"
         assert all(s == "BroadcastHashJoin" for s in strategies), strategies
@@ -35,7 +37,9 @@ class TestJoinStrategies:
     def test_topk_uses_per_partition_heaps(self, spark, qs):
         """orderBy().limit(k) must plan as TakeOrderedAndProject (local
         heaps + single merge), not a global sort."""
-        summary = plans.plan_summary(qs["q02_top_orders"].spark(spark, SF))
+        from stepist_spark.queries.relational import q02_top_orders
+
+        summary = plans.plan_summary(q02_top_orders(spark, SF))
         assert summary["has_take_ordered"], summary
 
     def test_lsh_self_join_is_equi_join(self, spark):
@@ -172,11 +176,14 @@ class TestCatalogHygiene:
     BNLJ_ALLOWED = {
         "v01_cosine_topk",      # brute-force baseline: corpus × broadcast queries
         "c02_knn_label_vote",   # built on the same brute-force baseline (v01)
-        "q18_range_join",       # band dim broadcast, range predicate
-        "q19_asof_join",        # range condition against broadcast dim
+        "q18_temporal_joins",   # band dim broadcast range + as-of broadcast dim
         "v05_ivf_topk",         # centroid cross-score: corpus × broadcast centroids
-        "q32_subqueries",       # NOT-IN-with-NULL = null-aware anti-join, planned
+        "v07_pq_topk",          # ADC table build: queries × broadcast codebook
+        "v08_semantic_dedup",   # ivf_assign: corpus × broadcast centroids
+        "q24_subquery_suite",   # NOT-IN-with-NULL = null-aware anti-join, planned
                                 # as BNLJ against the broadcast (tiny) subquery side
+        "t23_model_gates",      # broadcast 1-row vocab-size cross join
+        "t25_resample_shuffle", # broadcast 1-row group-min cross join
     }
 
     def test_no_cartesian_products_anywhere(self, spark, qs):
