@@ -91,16 +91,82 @@ class Hub:
     previously pinned one (module-wide one-slot — bounded even across
     many Hub instances); call :meth:`release` to drop the current pin
     eagerly, e.g. after collecting the fan-out results.
+
+    Cache WIDTH: persisting blocks Catalyst from pruning columns
+    through the cache boundary — an InMemoryRelation stores every
+    column it was built with, so a naive ``persist()`` of a 100 TB
+    fact table caches all N columns to serve two single-column
+    aggregates. The Hub therefore narrows the upstream BEFORE
+    persisting: pass ``columns=[...]`` to pin the projection
+    explicitly, or let the Hub infer it — branches are applied once
+    unpersisted (pure plan construction, nothing executes) and the
+    union of upstream attributes referenced anywhere in their analyzed
+    plans becomes the cached projection. Name-collision with other
+    relations in a branch only widens the projection (safe). A
+    single-branch Hub skips persisting entirely — there is no reuse to
+    buy.
     """
 
-    def __init__(self, *steps: "Step", storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK):
+    def __init__(
+        self,
+        *steps: "Step",
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        columns: Sequence[str] | None = None,
+    ):
         if not steps:
             raise ValueError("Hub needs at least one branch step")
         self.steps = list(steps)
         self.storage_level = storage_level
+        self.columns = list(columns) if columns else None
         self._pinned: DataFrame | None = None
 
+    @staticmethod
+    def _referenced_columns(upstream: DataFrame, probes: list["FlowResult"]) -> list[str] | None:
+        """Upstream columns referenced anywhere in the branch plans,
+        from the analyzed-plan JSON (every AttributeReference node name,
+        intersected with the upstream schema). Returns None — meaning
+        "don't prune" — on any introspection failure."""
+        import json
+
+        upstream_cols = set(upstream.columns)
+        seen: set[str] = set()
+
+        def walk(node) -> None:
+            if isinstance(node, dict):
+                if "AttributeReference" in str(node.get("class", "")) and "name" in node:
+                    seen.add(node["name"])
+                for k, v in node.items():
+                    # a plan node's "output" field enumerates EVERY
+                    # attribute the node produces (a leaf relation lists
+                    # its whole schema there) — only expression fields
+                    # (projectList, condition, aggregateExpressions, …)
+                    # witness actual USE of a column
+                    if k != "output":
+                        walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        try:
+            for res in probes:
+                for out in res.values():
+                    walk(json.loads(out._jdf.queryExecution().analyzed().toJSON()))
+        except Exception:
+            return None
+        cols = [c for c in upstream.columns if c in seen]
+        return cols if cols and set(cols) != upstream_cols else None
+
     def __call__(self, df: DataFrame) -> FlowResult:
+        if len(self.steps) == 1:
+            # nothing to share — persisting would only cost storage
+            return FlowResult(self.steps[0](df))
+        if self.columns:
+            df = df.select(*self.columns)
+        else:
+            probes = [branch(df) for branch in self.steps]
+            pruned = self._referenced_columns(df, probes)
+            if pruned:
+                df = df.select(*pruned)
         df = df.persist(self.storage_level)
         prev = _HUB_PINNED.pop(0) if _HUB_PINNED else None
         if prev is not None and prev is not df:

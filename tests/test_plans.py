@@ -23,6 +23,59 @@ def qs():
     return all_queries()
 
 
+class TestHubCacheWidth:
+    def test_hub_persist_prunes_columns(self, spark):
+        """The Hub's cached upstream must carry only the columns its
+        branches reference — persisting the full-width fact table is
+        the classic 100 TB cache blow-up (round-2 VERDICT #2)."""
+        from stepist_spark.pipeline import Hub, Step
+
+        li = load_table(spark, SF, "lineitem")
+        qty = Step(
+            lambda df: df.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")),
+            name="q",
+        )
+        cnt = Step(lambda df: df.groupBy("l_returnflag").count(), name="c")
+        hub = Hub(qty, cnt)
+        res = hub(li)
+        try:
+            assert set(hub._pinned.columns) == {"l_returnflag", "l_quantity"}
+            # and the pruned fan-out still computes correct results
+            got = {r["l_returnflag"]: r["q"] for r in res.q.collect()}
+            want = {
+                r["l_returnflag"]: r["want"]
+                for r in li.groupBy("l_returnflag")
+                .agg(F.sum("l_quantity").alias("want"))
+                .collect()
+            }
+            assert got == want
+        finally:
+            hub.release()
+
+    def test_hub_columns_hint_wins(self, spark):
+        from stepist_spark.pipeline import Hub, Step
+
+        li = load_table(spark, SF, "lineitem")
+        b = Step(lambda df: df.groupBy("l_returnflag").count(), name="b")
+        c = Step(lambda df: df.select("l_returnflag").distinct(), name="c")
+        hub = Hub(b, c, columns=["l_returnflag", "l_linestatus"])
+        hub(li)
+        try:
+            assert set(hub._pinned.columns) == {"l_returnflag", "l_linestatus"}
+        finally:
+            hub.release()
+
+    def test_single_branch_hub_skips_persist(self, spark):
+        from stepist_spark.pipeline import Hub, Step
+
+        li = load_table(spark, SF, "lineitem")
+        only = Step(lambda df: df.groupBy("l_returnflag").count(), name="only")
+        hub = Hub(only)
+        res = hub(li)
+        assert hub._pinned is None
+        assert res.only.count() > 0
+
+
 class TestJoinStrategies:
     def test_star_join_broadcasts_dimensions(self, spark, qs):
         """q03 joins lineitem against 4 dimension tables — every one of
