@@ -54,6 +54,36 @@ def _merge_once(sym, left: str, right: str):
     )
 
 
+def _merge_batch_once(sym, batch: list[tuple[str, str]]):
+    """ONE left-to-right pass applying a whole batch of mutually
+    non-interacting merges (disjoint symbols, collision-free concats —
+    exactly what :func:`_select_merge_batch` + the vocab guard emit):
+    a map lookup ``(last, current) -> merged`` replaces N sequential
+    fold passes, so codegen compiles one fold per ROUND instead of one
+    per merge. For such batches the combined pass is provably equal to
+    applying the merges one pass at a time: no batch pair references
+    another's symbols or concat, so merge sites never overlap.
+
+    Map keys join the pair with NUL — no whitespace-split token (hence
+    no BPE symbol) contains NUL.
+    """
+    entries = []
+    for left, right in batch:
+        entries.append(F.lit(left + "\x00" + right))
+        entries.append(F.lit(left + right))
+    m = F.create_map(*entries)
+
+    def step(acc, s):
+        key = F.concat(F.element_at(acc, -1), F.lit("\x00"), s)
+        merged = F.element_at(m, key)
+        return F.when(
+            (F.size(acc) > 0) & merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
 def word_frequencies(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     """Lowercased whitespace-word frequency table: ``word, n`` — the
     one corpus-wide pass; everything after is vocab-sized."""
@@ -64,11 +94,112 @@ def word_frequencies(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _select_merge_batch(
+    rows,
+    max_batch: int,
+    min_pair_count: int,
+    saw_all: bool,
+    vocab: set[str] | None = None,
+    exact: bool = True,
+) -> list[tuple[str, str]]:
+    """Exact-safe batch selection from (count desc, pair asc)-ordered
+    candidates — the batching rule that keeps batched training
+    bit-identical to one-merge-at-a-time BPE:
+
+    - walk the sorted candidates, selecting while every symbol is
+      unseen in the batch (including the CONCATS of already-selected
+      pairs — a pair referencing a merged symbol can GAIN occurrences
+      mid-batch); STOP at the first conflicting pair (no skip-and-
+      continue — a skipped higher-count pair could, after the batch,
+      still outrank a later selection);
+    - merging a selected pair only DECREASES counts of pairs touching
+      it (those sit after the stop position, so ≤ the stop count) and
+      creates new pairs bounded by those touching counts — so any
+      selected pair with count strictly ABOVE the stop count remains
+      the true sequential argmax. Selected pairs that TIE the stop
+      count are dropped (a tied rival or new pair could win the
+      (count, pair) name tiebreak);
+    - a truncated candidate list (``saw_all`` False) bounds unseen
+      candidates at the last seen count — same trailing-tie drop;
+    - a sub-threshold stop needs no drop: every rival is then bounded
+      strictly below ``min_pair_count``;
+    - always keep at least the first pair (the exact argmax), so every
+      round makes progress.
+
+    The one interaction this walk cannot see is a selected concat that
+    equals a symbol occurring in pairs BEYOND the fetched window —
+    :func:`train_bpe` closes that hole with a corpus-wide concat probe
+    and falls back to a single-merge round on a hit.
+    """
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    bound: int | None = None
+    for row in rows:
+        left, right, c = row["p"]["l"], row["p"]["r"], int(row["c"])
+        if c < min_pair_count:
+            bound = None  # every remaining rival is sub-threshold
+            break
+        if not exact:
+            # standard distributed-BPE batching: greedy top-k DISJOINT
+            # pairs, skipping conflicts — merge ORDER can deviate from
+            # sequential BPE when counts tie or interact, the accepted
+            # trade for k× fewer corpus rounds at scale
+            if len(selected) >= max_batch:
+                break
+            if (
+                left in used or right in used
+                or left in concats or right in concats
+                or left + right in concats
+                or (vocab is not None and left + right in vocab and selected)
+            ):
+                continue
+            selected.append((left, right, c))
+            used.add(left)
+            used.add(right)
+            concats.add(left + right)
+            continue
+        # the FIRST candidate is the exact argmax — always selectable
+        # (a lone merge is trivially sequential); checks apply after
+        if selected and (
+            len(selected) >= max_batch
+            or left in used
+            or right in used
+            or left in concats
+            or right in concats
+            # a concat that is ALREADY a live symbol (or an earlier
+            # selection's concat) could gain occurrences mid-batch —
+            # treat as a conflict stop, same bound machinery
+            or (vocab is not None and left + right in vocab)
+            or left + right in concats
+        ):
+            bound = c
+            break
+        selected.append((left, right, c))
+        used.add(left)
+        used.add(right)
+        concats.add(left + right)
+        if len(selected) == 1 and vocab is not None and left + right in vocab:
+            # the argmax's own concat is a live symbol: pairs
+            # referencing it gain occurrences in ways no in-window
+            # bound can cap — emit a single-merge round
+            break
+    else:
+        if exact and not saw_all and selected:
+            bound = selected[-1][2]
+    if exact and bound is not None:
+        kept = [s for s in selected if s[2] > bound]
+        selected = kept or selected[:1]
+    return [(l, r) for l, r, _ in selected]
+
+
 def train_bpe(
     corpus: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
     min_pair_count: int = 2,
+    batch_size: int = 32,
+    exact: bool = True,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges. Returns ``(merges,
     segmentations)``: the ordered merge list (host-side — it IS the
@@ -77,13 +208,39 @@ def train_bpe(
 
     Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (weighted by word frequency).
+
+    Scale shape: the corpus-wide pass happens once (word count);
+    each round is ONE vocab-sized aggregation + one bounded driver
+    collect (≤ ~4·batch_size candidate rows) that yields up to
+    ``batch_size`` merges via :func:`_select_merge_batch`, applied in
+    a single combined fold pass — so a 32k-merge vocabulary costs
+    ~32k/batch_size Spark jobs, not 32k.
+
+    ``exact=True`` (default) restricts each batch so the merge
+    sequence is IDENTICAL to one-merge-at-a-time BPE
+    (tests/test_bpe.py proves it against a Python reference); on
+    tie-heavy pair distributions the safe batch can degenerate toward
+    one merge per round. ``exact=False`` is the standard
+    distributed-BPE batching — greedy top-k disjoint pairs, skipping
+    conflicts — which keeps full batches on any distribution but may
+    reorder tied/interacting merges: the right mode for a 32k-merge
+    production vocabulary, where sequential fidelity of tie-breaks is
+    irrelevant.
     """
     wf = word_frequencies(corpus, text_col).select(
         "word", "n", _chars(F.col("word")).alias("sym")
     )
     wf = wf.localCheckpoint()
+    # the live symbol vocabulary is exactly {initial characters} ∪
+    # {concats of applied merges} — tracked driver-side so the concat-
+    # collision guard costs no Spark job (a few KB even at 100 TB: it
+    # is the tokenizer alphabet, not the corpus)
+    vocab: set[str] = {
+        r["s"] for r in wf.select(F.explode("sym").alias("s")).distinct().collect()
+    }
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    fetch = max(4 * batch_size, 64)
+    while len(merges) < n_merges:
         pairs = wf.select(
             "n",
             F.explode(
@@ -94,20 +251,28 @@ def train_bpe(
                 )
             ).alias("p"),
         )
-        best = (
+        rows = (
             pairs.groupBy("p")
             .agg(F.sum("n").alias("c"))
             .orderBy(F.col("c").desc(), F.col("p.l").asc(), F.col("p.r").asc())
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
-        if not best or best[0]["c"] < min_pair_count:
+        batch = _select_merge_batch(
+            rows,
+            max_batch=min(batch_size, n_merges - len(merges)),
+            min_pair_count=min_pair_count,
+            saw_all=len(rows) < fetch,
+            vocab=vocab,
+            exact=exact,
+        )
+        if not batch:
             break
-        left, right = best[0]["p"]["l"], best[0]["p"]["r"]
-        merges.append((left, right))
-        wf = wf.select("word", "n", _merge_once(F.col("sym"), left, right).alias("sym"))
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            wf = wf.localCheckpoint()
+        merges.extend(batch)
+        vocab.update(l + r for l, r in batch)
+        wf = wf.select(
+            "word", "n", _merge_batch_once(F.col("sym"), batch).alias("sym")
+        ).localCheckpoint()
     return merges, wf
 
 

