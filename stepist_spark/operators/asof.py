@@ -27,21 +27,40 @@ def asof_join(
     right_payload: list[str] | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right_time <= left_time`` (direction='backward'; inclusive),
-    matching on the equi-key ``on``. Left rows with no prior right row
-    are dropped (inner as-of).
+    """For each left row, attach the as-of right row matching on the
+    equi-key ``on``:
+
+    - ``direction='backward'`` (default): the most recent right row
+      with ``right_time <= left_time`` (inclusive);
+    - ``direction='forward'``: the earliest right row with
+      ``right_time >= left_time`` (inclusive);
+    - ``direction='nearest'``: whichever of the two is closer in
+      absolute time (backward wins exact ties, pandas
+      ``merge_asof(direction='nearest')`` semantics).
+
+    Left rows with no qualifying right row are dropped (inner as-of).
 
     Implementation: tag and union both sides, sort within each key by
-    (time, side) — right rows sort before left rows at equal times so
-    the inclusive semantics hold — then propagate the latest right
-    payload with ``last(ignorenulls=True)`` over an unbounded-preceding
-    window and keep the left rows.
+    (time, side) — right rows sort before (backward) / after (forward)
+    left rows at equal times so the inclusive semantics hold — then
+    propagate the right payload with ``last(ignorenulls=True)`` over an
+    unbounded-preceding window (backward) or ``first(ignorenulls=True)``
+    over an unbounded-following window (forward) and keep the left
+    rows. 'nearest' computes both carries in ONE pass over the same
+    sort (two window frames on one (key, time) ordering — a single
+    sort-shuffle, not two joins) and picks per row.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     payload = right_payload or [c for c in right.columns if c not in (on, right_time)]
 
+    # One (key, time, side) sort serves every direction. Right rows
+    # sort before left rows at equal times, so the backward carry is
+    # inclusive by construction; an exact-time match sits OUTSIDE the
+    # forward frame (which starts at the current row) and is recovered
+    # from the backward carry when its time equals the left time.
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -59,16 +78,47 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     merged = r.unionByName(l, allowMissingColumns=True)
-    w = (
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    w_back = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = merged.withColumn("_last_r", F.last("_rpay", ignorenulls=True).over(w))
-    out = carried.filter((F.col("_side") == 1) & F.col("_last_r").isNotNull())
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = merged
+    back = F.last("_rpay", ignorenulls=True).over(w_back)
+    fwd = F.first("_rpay", ignorenulls=True).over(w_fwd)
+    if direction == "backward":
+        carried = carried.withColumn("_pick", back)
+    elif direction == "forward":
+        carried = carried.withColumn("_b", back).withColumn("_f", fwd)
+        carried = carried.withColumn(
+            "_pick",
+            F.when(
+                F.col("_b").isNotNull()
+                & (F.col("_b")[right_time] == F.col("_t")),
+                F.col("_b"),
+            ).otherwise(F.col("_f")),
+        )
+    else:  # nearest: backward wins ties
+        carried = carried.withColumn("_b", back).withColumn("_f", fwd)
+        b_dist = F.col("_t").cast("double") - F.col("_b")[right_time].cast("double")
+        f_dist = F.col("_f")[right_time].cast("double") - F.col("_t").cast("double")
+        carried = carried.withColumn(
+            "_pick",
+            F.when(F.col("_b").isNull(), F.col("_f"))
+            .when(F.col("_f").isNull(), F.col("_b"))
+            .when(b_dist <= f_dist, F.col("_b"))
+            .otherwise(F.col("_f")),
+        )
+    out = carried.filter((F.col("_side") == 1) & F.col("_pick").isNotNull())
     sel = [F.col(f"_l_{c}").alias(c) for c in lcols]
-    sel.append(F.col(f"_last_r.{right_time}").alias(f"asof_{right_time}"))
-    sel.extend(F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in payload)
+    sel.append(F.col(f"_pick.{right_time}").alias(f"asof_{right_time}"))
+    sel.extend(F.col(f"_pick.{c}").alias(f"asof_{c}") for c in payload)
     return out.select(*sel)
 
 

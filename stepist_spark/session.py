@@ -130,16 +130,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 def read_parquet_nanos_safe(spark: SparkSession, path: str, options: dict | None = None):
     """Parquet read that tolerates TIMESTAMP(NANOS) columns (see
-    :func:`load_table`); a plain ``spark.read.parquet`` otherwise."""
+    :func:`load_table`); a plain ``spark.read.parquet`` otherwise.
+
+    When the footer cannot be probed (remote FS), the plain read is
+    attempted and a nanos-typed file surfaces as a CLEAR error naming
+    the fix, instead of Spark's raw PARQUET_TYPE_ILLEGAL."""
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.options(**(options or {})).parquet(path)
-    for c in nanos_cols:
+    try:
+        df = spark.read.options(**(options or {})).parquet(path)
+        df.schema  # force schema resolution so a nanos failure lands here
+    except Exception as exc:
+        if nanos_cols is None and _is_nanos_error(exc):
+            raise RuntimeError(
+                f"{path} has TIMESTAMP(NANOS) columns but its parquet footer "
+                "could not be inspected locally to locate them; read it with "
+                "spark.sql.legacy.parquet.nanosAsLong=true and convert the "
+                "nanos columns yourself (see session.load_table)"
+            ) from exc
+        raise
+    for c in nanos_cols or []:
         df = df.withColumn(
             c, F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
         )
     return df
+
+
+def _is_nanos_error(exc: Exception) -> bool:
+    msg = str(exc)
+    return "NANOS" in msg.upper() or "nanosAsLong" in msg
 
 
 def stream_events(spark: SparkSession, sf_dir: str):
@@ -152,6 +172,22 @@ def stream_events(spark: SparkSession, sf_dir: str):
     to what DuckDB sees."""
     path = table_path(sf_dir, "events")
     nanos = _nanos_timestamp_cols(path)
+    if nanos is None:
+        # footer unprobeable (remote FS) — let Spark's own batch reader
+        # decide: a NANOS ts either throws the legacy-flag error here
+        # (→ nanos path) or, if the legacy flag is already set, comes
+        # back as LongType (→ nanos path too); a native µs file resolves
+        # to a timestamp type (→ native path)
+        from pyspark.sql.types import LongType
+
+        try:
+            batch_schema = spark.read.parquet(path).schema
+            nanos = ["ts"] if isinstance(batch_schema["ts"].dataType, LongType) else []
+        except Exception as exc:
+            if _is_nanos_error(exc):
+                nanos = ["ts"]
+            else:
+                raise
     ts_type = "long" if "ts" in nanos else "timestamp_ntz"
     schema = (
         f"event_id long, ts {ts_type}, user_id long, event_type string, "
@@ -196,12 +232,16 @@ def spread(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+def _nanos_timestamp_cols(path: str) -> list[str] | None:
     """Column names annotated TIMESTAMP(NANOS) in the parquet footer.
 
     For a directory (partitioned dataset), one fragment's footer is
     representative — Spark requires consistent types across fragments
-    anyway. Unreadable/remote paths return [] (plain read proceeds).
+    anyway. Returns ``None`` (NOT ``[]``) when the footer cannot be
+    inspected (remote path, pyarrow failure) so callers can distinguish
+    "probed clean" from "could not probe" — conflating the two made a
+    nanos file on an unprobeable path fail at stream time (round-2
+    ADVICE).
     """
     import glob
     import os
@@ -212,12 +252,12 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     if os.path.isdir(path):
         frags = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not frags:
-            return []
+            return None
         probe = frags[0]
     try:
         schema = pq.ParquetFile(probe).schema
     except Exception:
-        return []
+        return None
     out = []
     for col in schema:
         lt = getattr(col, "logical_type", None)

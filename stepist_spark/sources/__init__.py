@@ -14,7 +14,16 @@ pushes filters/projection into the scan; writes expose partitioning and
 bucketing because at 100 TB layout IS the performance model.
 """
 
+from stepist_spark.sources.envelope import envelope_schema, from_envelope, to_envelope
 from stepist_spark.sources.readers import read, read_stream
 from stepist_spark.sources.writers import write, write_stream
 
-__all__ = ["read", "read_stream", "write", "write_stream"]
+__all__ = [
+    "envelope_schema",
+    "from_envelope",
+    "read",
+    "read_stream",
+    "to_envelope",
+    "write",
+    "write_stream",
+]

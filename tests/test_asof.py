@@ -70,3 +70,55 @@ class TestBucketizedRangeJoin:
         joined = bucketed_fact.join(expanded, "_bucket")
         strategies = plans.join_strategies(joined)
         assert strategies and "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+class TestAsofDirections:
+    """All three as-of directions against a pandas-merge_asof-shaped
+    hand oracle (backward/forward inclusive, nearest with backward
+    tie-break)."""
+
+    RIGHT = [  # (key, time, quote)
+        ("a", 10, 1.0),
+        ("a", 20, 2.0),
+        ("a", 40, 4.0),
+        ("b", 15, 9.0),
+    ]
+    LEFT = [  # (key, time, trade_id)
+        ("a", 5, 1),    # before any right
+        ("a", 10, 2),   # exact match at 10
+        ("a", 25, 3),   # between 20 and 40 (nearer 20)
+        ("a", 31, 4),   # between 20 and 40 (nearer 40)
+        ("a", 30, 5),   # equidistant 20/40 -> backward wins nearest
+        ("a", 99, 6),   # after all rights
+        ("b", 14, 7),   # before b's only right
+        ("c", 50, 8),   # key with no right rows
+    ]
+    EXPECT = {
+        # trade_id -> asof_t per direction (None = dropped)
+        "backward": {1: None, 2: 10, 3: 20, 4: 20, 5: 20, 6: 40, 7: None, 8: None},
+        "forward": {1: 10, 2: 10, 3: 40, 4: 40, 5: 40, 6: None, 7: 15, 8: None},
+        "nearest": {1: 10, 2: 10, 3: 20, 4: 40, 5: 20, 6: 40, 7: 15, 8: None},
+    }
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        right = spark.createDataFrame(self.RIGHT, "k string, t long, quote double")
+        left = spark.createDataFrame(self.LEFT, "k string, t long, trade_id long")
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    def test_direction_semantics(self, spark, frames, direction):
+        left, right = frames
+        out = asof.asof_join(
+            left, right, on="k", left_time="t", right_time="t", direction=direction
+        )
+        got = {r["trade_id"]: r["asof_t"] for r in out.collect()}
+        want = {k: v for k, v in self.EXPECT[direction].items() if v is not None}
+        assert got == want, f"{direction}: {got} != {want}"
+
+    def test_bad_direction_rejected(self, spark, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="backward|forward|nearest"):
+            asof.asof_join(
+                left, right, on="k", left_time="t", right_time="t", direction="sideways"
+            )

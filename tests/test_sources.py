@@ -66,3 +66,73 @@ class TestNanosTimestamps:
         df = read(spark, f"{SF}/events.parquet")
         assert dict(df.dtypes)["ts"] == "timestamp_ntz"
         assert df.count() > 0
+
+
+class TestEnvelope:
+    """Reference wire envelope: {'data': {'flow_data': ..., 'meta_data':
+    ...}} (`stepist/flow/steps/step.py:18-22`, serialized at
+    `stepist/flow/libs/simple_queue.py:49-51`) as JSON key/value columns
+    — the kafka-shaped path, certified broker-free through file and
+    memory backends."""
+
+    FLOW_SCHEMA = "n_nationkey BIGINT, n_name STRING"
+
+    def _frame(self, spark):
+        return load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+
+    def test_batch_roundtrip(self, spark):
+        from stepist_spark.sources import from_envelope, to_envelope
+
+        df = self._frame(spark)
+        enveloped = to_envelope(df, key_col="n_nationkey")
+        assert enveloped.columns == ["key", "value"]
+        sample = enveloped.orderBy("key").first()
+        assert sample["value"].startswith('{"data":{"flow_data":')
+        back = from_envelope(enveloped, self.FLOW_SCHEMA)
+        assert _rows(back) == _rows(df)
+
+    def test_meta_data_roundtrip(self, spark):
+        from stepist_spark.pipeline import meta_value, with_meta
+        from stepist_spark.sources import from_envelope, to_envelope
+
+        df = with_meta(self._frame(spark), hub_job_id="job-7", attempt=1)
+        enveloped = to_envelope(df)
+        back = from_envelope(
+            enveloped, self.FLOW_SCHEMA, meta_schema="hub_job_id STRING, attempt INT"
+        )
+        assert "_meta" in back.columns
+        got = back.select(meta_value(back, "hub_job_id").alias("j")).distinct().collect()
+        assert [r["j"] for r in got] == ["job-7"]
+
+    def test_malformed_value_yields_nulls_not_failure(self, spark):
+        from stepist_spark.sources import from_envelope
+
+        bad = spark.createDataFrame(
+            [("not json",), ('{"data":{"flow_data":{"n_nationkey":3,"n_name":"X"}}}',)],
+            "value string",
+        )
+        back = from_envelope(bad, self.FLOW_SCHEMA)
+        rows = {tuple(r) for r in back.collect()}
+        assert rows == {(3, "X"), (None, None)}
+
+    def test_streaming_roundtrip_through_file_backend(self, spark, tmp_path):
+        """write envelopes as text files -> stream them back -> unwrap ->
+        memory sink: the whole kafka-shaped path minus the broker."""
+        from stepist_spark.sources import from_envelope, read_stream, to_envelope
+
+        df = self._frame(spark)
+        path = str(tmp_path / "envelopes")
+        to_envelope(df).write.mode("overwrite").text(path)
+
+        src = read_stream(spark, "text", path=path, schema="value string")
+        unwrapped = from_envelope(src, self.FLOW_SCHEMA)
+        q = (
+            unwrapped.writeStream.format("memory")
+            .queryName("env_roundtrip")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = _rows(spark.sql("SELECT * FROM env_roundtrip"))
+        assert got == _rows(df)
