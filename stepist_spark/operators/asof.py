@@ -106,8 +106,11 @@ def asof_join(
         )
     else:  # nearest: backward wins ties
         carried = carried.withColumn("_b", back).withColumn("_f", fwd)
-        b_dist = F.col("_t").cast("double") - F.col("_b")[right_time].cast("double")
-        f_dist = F.col("_f")[right_time].cast("double") - F.col("_t").cast("double")
+        # raw subtraction keeps the comparison type-generic: timestamps
+        # yield day-time intervals, numerics yield numerics — both
+        # orderable (a cast-to-double would reject TIMESTAMP_NTZ)
+        b_dist = F.col("_t") - F.col("_b")[right_time]
+        f_dist = F.col("_f")[right_time] - F.col("_t")
         carried = carried.withColumn(
             "_pick",
             F.when(F.col("_b").isNull(), F.col("_f"))

@@ -176,6 +176,63 @@ def sample_audio_windows(
     )
 
 
+PROFILE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, byte_mean double, "
+    "feature array<double>, width int, height int, n_bytes_out long, "
+    "payload_out binary"
+)
+
+
+def profile_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Features AND resize in ONE Arrow pass — the fused m01 shape.
+
+    Running :func:`extract_features` and :func:`resize_images`
+    separately ships every payload to the Python workers twice and
+    joins the halves back on media_id; at media scale the payload
+    transfer dominates, so the fused pass halves Python-worker traffic
+    and drops the join. Non-image rows get NULL resize columns
+    (left-join semantics); filter ``width IS NOT NULL`` for the
+    image-only view.
+    """
+    import numpy as np
+
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            is_img = pdf["kind"] == "image"
+
+            def _resize(b):
+                if b is None or len(b) == 0:
+                    return bytes(target)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                reps = -(-target // len(arr))  # ceil
+                return np.tile(arr, reps)[:target].tobytes()
+
+            out = pdf["payload"].where(~is_img, pdf["payload"].map(_resize))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].str.len().fillna(0).astype("int64"),
+                    "byte_mean": pdf["payload"].map(
+                        lambda b: 0.0
+                        if b is None or len(b) == 0
+                        else float(np.frombuffer(b, dtype=np.uint8).mean())
+                    ),
+                    "feature": pdf["payload"].map(DECODER),
+                    "width": np.where(is_img, width, None),
+                    "height": np.where(is_img, height, None),
+                    "n_bytes_out": np.where(is_img, out.map(len), None),
+                    "payload_out": out.where(is_img, None),
+                }
+            )
+
+    return media.mapInPandas(op, schema=PROFILE_SCHEMA)
+
+
 RESIZE_SCHEMA = "media_id long, width int, height int, n_bytes_out long, payload binary"
 
 

@@ -68,10 +68,11 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1
 # --------------------------------------------------------------------------
 # m01 — the Arrow mapInPandas media surface in one gate (merged former
 # m01 feature extraction + m04 resize plumbing): binary payloads
-# through BOTH batch operators, exact size accounting joined on
-# media_id so the oracle certifies each batch path and schema.
+# through the FUSED profile operator — features + resize accounting in
+# one Arrow pass (round-2 VERDICT: the two-pass + join version shipped
+# every payload to Python twice).
 def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.multimodal import extract_features, resize_images
+    from stepist_spark.operators.multimodal import profile_media
 
     docs = load_table(spark, sf, "documents")
     media = docs.select(
@@ -80,11 +81,9 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("image/png").alias("mime"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    feats = extract_features(media).select("media_id", "kind", "n_bytes")
-    resized = resize_images(media, width=16, height=8).select(
-        "media_id", "width", "height", "n_bytes_out"
+    return profile_media(media, width=16, height=8).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_bytes_out"
     )
-    return feats.join(resized, "media_id")
 
 
 M01_SQL = """
@@ -484,9 +483,55 @@ def _w01_sql() -> str:
 W01_SQL = _w01_sql()
 
 
+# --------------------------------------------------------------------------
+# w02 — wire-envelope round-trip: serialize orders rows into the
+# reference's queue envelope ({'data': {'flow_data':..., 'meta_data':
+# ...}}, `stepist/flow/steps/step.py:18-22`) as kafka-shaped (key,
+# value) JSON columns, parse them back, and recover the _meta session
+# struct. The oracle is the plain projection — a hash match proves the
+# envelope codec is lossless, including bigint/double/timestamp
+# fidelity through JSON and meta propagation.
+def w02_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.pipeline import meta_value, with_meta
+    from stepist_spark.sources import from_envelope, to_envelope
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("string").alias("o_date"),
+        )
+    )
+    tagged = with_meta(orders, hub_job_id="w02", attempt=1)
+    wire = to_envelope(tagged, key_col="o_orderkey")
+    back = from_envelope(
+        wire,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_date STRING",
+        meta_schema="hub_job_id STRING, attempt INT",
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_date",
+        meta_value(back, "hub_job_id").alias("job_id"),
+    )
+
+
+W02_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS VARCHAR) AS o_date, 'w02' AS job_id
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
     QuerySpec("w01_sink_roundtrip", w01_sink_roundtrip, W01_SQL, "partitioned parquet sink write -> read-back round-trip"),
+    QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "queue wire-envelope JSON codec round-trip incl. _meta"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
     QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),

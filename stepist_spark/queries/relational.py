@@ -510,14 +510,20 @@ GROUP BY band
 
 # --------------------------------------------------------------------------
 # q19 — as-of join: for each purchase, the user's most recent signup <= ts
-def q19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+def _asof_events(spark: SparkSession, sf: str, direction: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
     signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
     joined = asof_ops.asof_join(
-        purchases, signups, on="user_id", left_time="ts", right_time="ts", right_payload=[]
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=[],
+        direction=direction,
     )
     lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         F.col("asof_ts").cast("timestamp")
@@ -532,6 +538,10 @@ def q19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    return _asof_events(spark, sf, "backward")
+
+
 Q19_SQL = """
 WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'),
      s AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'signup')
@@ -541,6 +551,36 @@ SELECT p.event_id, p.user_id, p.ts,
        round(p.value, 2) AS value
 FROM p JOIN s ON s.user_id = p.user_id AND s.ts <= p.ts
 GROUP BY p.event_id, p.user_id, p.ts, p.value
+"""
+
+
+# forward as-of: earliest signup at-or-after the purchase
+Q19F_SQL = """
+WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, p.ts,
+       min(s.ts) AS signup_ts,
+       epoch_us(p.ts) - epoch_us(min(s.ts)) AS lag_us,
+       round(p.value, 2) AS value
+FROM p JOIN s ON s.user_id = p.user_id AND s.ts >= p.ts
+GROUP BY p.event_id, p.user_id, p.ts, p.value
+"""
+
+
+# nearest as-of: minimal |lag|, earlier signup (backward) wins ties
+Q19N_SQL = """
+WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'signup')
+SELECT event_id, user_id, ts, signup_ts, lag_us, value FROM (
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts,
+           epoch_us(p.ts) - epoch_us(s.ts) AS lag_us,
+           round(p.value, 2) AS value,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)), s.ts
+           ) AS rn
+    FROM p JOIN s ON s.user_id = p.user_id
+) WHERE rn = 1
 """
 
 
@@ -962,16 +1002,22 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("sum_price").alias("d1"),
     )
-    aj = q19_asof_join(spark, sf).select(
-        F.lit("asof").alias("part"),
-        F.col("event_id").cast("string").alias("k1"),
-        F.col("ts").alias("ts1"),
-        F.col("signup_ts").alias("ts2"),
-        F.col("user_id").cast("bigint").alias("n1"),
-        F.col("lag_us").cast("bigint").alias("n2"),
-        F.col("value").alias("d1"),
+    def _aj(tag: str, direction: str) -> DataFrame:
+        return _asof_events(spark, sf, direction).select(
+            F.lit(tag).alias("part"),
+            F.col("event_id").cast("string").alias("k1"),
+            F.col("ts").alias("ts1"),
+            F.col("signup_ts").alias("ts2"),
+            F.col("user_id").cast("bigint").alias("n1"),
+            F.col("lag_us").cast("bigint").alias("n2"),
+            F.col("value").alias("d1"),
+        )
+
+    return (
+        rj.unionByName(_aj("asof", "backward"))
+        .unionByName(_aj("asof_fwd", "forward"))
+        .unionByName(_aj("asof_near", "nearest"))
     )
-    return rj.unionByName(aj)
 
 
 Q18M_SQL = f"""
@@ -983,6 +1029,14 @@ UNION ALL
 SELECT 'asof', CAST(event_id AS VARCHAR), ts, signup_ts,
        CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
 FROM ({Q19_SQL})
+UNION ALL
+SELECT 'asof_fwd', CAST(event_id AS VARCHAR), ts, signup_ts,
+       CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
+FROM ({Q19F_SQL})
+UNION ALL
+SELECT 'asof_near', CAST(event_id AS VARCHAR), ts, signup_ts,
+       CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
+FROM ({Q19N_SQL})
 """
 
 

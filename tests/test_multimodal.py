@@ -105,3 +105,31 @@ class TestResize:
         # deterministic across runs
         again = resize_images(media, width=8, height=4).collect()
         assert sorted(r["payload"] for r in out) == sorted(r["payload"] for r in again)
+
+
+class TestProfileMedia:
+    def test_fused_pass_matches_separate_operators(self, spark):
+        from stepist_spark.operators.multimodal import (
+            extract_features,
+            profile_media,
+            resize_images,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, n=30).cache()
+        fused = profile_media(media, width=8, height=4)
+        feats = {r["media_id"]: (r["n_bytes"], r["byte_mean"], list(r["feature"]))
+                 for r in extract_features(media).collect()}
+        resized = {r["media_id"]: (r["width"], r["height"], r["n_bytes_out"])
+                   for r in resize_images(media, 8, 4).collect()}
+        rows = fused.collect()
+        assert len(rows) == 30
+        for r in rows:
+            assert (r["n_bytes"], r["byte_mean"], list(r["feature"])) == feats[r["media_id"]]
+            if r["kind"] == "image":
+                assert (r["width"], r["height"], r["n_bytes_out"]) == resized[r["media_id"]]
+                assert len(r["payload_out"]) == 32
+            else:  # non-image rows carry NULL resize columns
+                assert r["width"] is None and r["n_bytes_out"] is None
+                assert r["payload_out"] is None
+        media.unpersist()
