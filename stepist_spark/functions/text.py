@@ -304,19 +304,40 @@ def dup_line_frac(text: Column, lines: Column | None = None) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _dup_run_chars(sorted_arr: Column) -> Column:
+    """Total characters in elements whose value occurs >1 time in the
+    SORTED array — one linear fold tracking the current equal-run
+    (prev value, run length, chars-if-duplicated accumulator)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        # entering a run's 2nd element banks the 1st element's chars too
+        add = F.when(
+            same & (acc["run"] == 1), F.length(x).cast("bigint") * 2
+        ).when(same, F.length(x).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            (acc["dup"] + add).alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)["dup"]
+
+
 def dup_line_char_frac(text: Column, lines: Column | None = None) -> Column:
     """Fraction of line-characters belonging to lines that occur more
     than once in the document (Gopher's
-    ``duplicate_line_character_fraction``)."""
+    ``duplicate_line_character_fraction``). Linear per document: sort
+    the lines, then one fold over equal runs — the naive
+    count-each-line-against-all form is O(L²) and dominates a corpus
+    scan on long documents."""
     lines = doc_lines(text) if lines is None else lines
-    dup_chars = F.aggregate(
-        lines,
-        F.lit(0).cast("bigint"),
-        lambda acc, l: acc
-        + F.when(
-            F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
-        ).otherwise(F.lit(0)),
-    )
+    dup_chars = _dup_run_chars(F.array_sort(lines))
     total_chars = F.aggregate(
         lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
     )
@@ -338,14 +359,27 @@ def word_bigrams(text: Column, toks: Column | None = None) -> Column:
 def top_bigram_share(text: Column, toks: Column | None = None) -> Column:
     """Share of 2-gram occurrences taken by the most frequent 2-gram
     (Gopher's ``top_2gram_fraction`` shape); 0.0 when the doc has fewer
-    than two tokens. High values flag keyword stuffing / template spam."""
-    grams = word_bigrams(text, toks)
-    max_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    than two tokens. High values flag keyword stuffing / template spam.
+    Linear per document (sort + longest-equal-run fold), not the O(G²)
+    count-each-against-all form."""
+    grams = F.array_sort(word_bigrams(text, toks))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
     )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1
+        ).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_cnt = F.aggregate(grams, init, step)["best"]
     return F.when(
         F.size(grams) > 0, max_cnt.cast("double") / F.size(grams)
     ).otherwise(F.lit(0.0))
