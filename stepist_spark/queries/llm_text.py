@@ -482,12 +482,14 @@ def t21_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _docs_with_exact_dups(spark, sf)
     spans = dedup.duplicate_spans(corpus, "doc_id", "text", k=SPAN_K, min_count=2)
     stats = dedup.duplicate_span_stats(corpus, spans, "doc_id", "text")
+    cut = dedup.cut_duplicate_spans(corpus, "doc_id", "text", k=SPAN_K, min_count=2)
     sp = spans.select(
         F.lit("span").alias("part"),
         "doc_id",
         F.col("span_start").cast("bigint").alias("n1"),
         F.col("span_end").cast("bigint").alias("n2"),
         F.lit(None).cast("double").alias("frac"),
+        F.lit(None).cast("string").alias("s1"),
     )
     st = stats.select(
         F.lit("stat").alias("part"),
@@ -495,8 +497,17 @@ def t21_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dup_tokens").cast("bigint").alias("n1"),
         F.col("n_tokens").cast("bigint").alias("n2"),
         F.col("dup_token_frac").alias("frac"),
+        F.lit(None).cast("string").alias("s1"),
     )
-    return sp.unionByName(st)
+    ct = cut.select(
+        F.lit("cut").alias("part"),
+        "doc_id",
+        F.col("n_tokens_kept").cast("bigint").alias("n1"),
+        F.col("n_tokens_cut").cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("frac"),
+        F.col("text").alias("s1"),
+    )
+    return sp.unionByName(st).unionByName(ct)
 
 
 T21_SQL = f"""
@@ -534,14 +545,76 @@ stats AS (
         SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
         FROM spans GROUP BY doc_id
     ) p USING (doc_id)
+),
+-- keep-first cutting: every dup-hash occurrence EXCEPT the corpus-wide
+-- canonical (min (doc, pos)) becomes a cut window; islands re-merged
+hits_kf AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+               count(*) OVER (PARTITION BY h) AS cnt
+        FROM wins
+    ) WHERE cnt >= 2 AND rn > 1
+),
+marked_kf AS (
+    SELECT doc_id, s, s + {SPAN_K - 1} AS e,
+           CASE WHEN s > coalesce(max(s + {SPAN_K - 1}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+           THEN 1 ELSE 0 END AS brk
+    FROM hits_kf
+),
+spans_kf AS (
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+    FROM (SELECT doc_id, s, e, sum(brk) OVER (
+              PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked_kf)
+    GROUP BY doc_id, isl
+),
+-- case-preserving raw tokens (whitespace split; lowercasing never
+-- moves a token boundary, so span positions index this array 1-based)
+rawtok AS (
+    SELECT doc_id, i AS pos, list_extract(rt, i) AS tok
+    FROM (
+        SELECT doc_id, rt, unnest(range(1, len(rt) + 1)) AS i
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS rt
+              FROM corpus)
+    )
+),
+cut AS (
+    SELECT r.doc_id,
+           coalesce(string_agg(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM spans_kf k
+               WHERE k.doc_id = r.doc_id
+                 AND r.pos BETWEEN k.span_start AND k.span_end
+           ) THEN r.tok END, ' ' ORDER BY r.pos), '') AS text,
+           count(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM spans_kf k
+               WHERE k.doc_id = r.doc_id
+                 AND r.pos BETWEEN k.span_start AND k.span_end
+           ) THEN 1 END) AS n_kept,
+           count(CASE WHEN EXISTS (
+               SELECT 1 FROM spans_kf k
+               WHERE k.doc_id = r.doc_id
+                 AND r.pos BETWEEN k.span_start AND k.span_end
+           ) THEN 1 END) AS n_cut
+    FROM rawtok r GROUP BY r.doc_id
 )
 SELECT 'span' AS part, doc_id, CAST(span_start AS BIGINT) AS n1,
-       CAST(span_end AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS frac
+       CAST(span_end AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS frac,
+       CAST(NULL AS VARCHAR) AS s1
 FROM spans
 UNION ALL
 SELECT 'stat', doc_id, dup_tokens, n_tokens,
-       CASE WHEN n_tokens > 0 THEN CAST(dup_tokens AS DOUBLE) / n_tokens ELSE 0.0 END
+       CASE WHEN n_tokens > 0 THEN CAST(dup_tokens AS DOUBLE) / n_tokens ELSE 0.0 END,
+       CAST(NULL AS VARCHAR)
 FROM stats
+UNION ALL
+SELECT 'cut', c.doc_id, CAST(coalesce(t.n_kept, 0) AS BIGINT),
+       CAST(coalesce(t.n_cut, 0) AS BIGINT), CAST(NULL AS DOUBLE),
+       coalesce(t.text, '')
+FROM corpus c LEFT JOIN cut t USING (doc_id)
 """
 
 
