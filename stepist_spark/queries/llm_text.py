@@ -27,7 +27,11 @@ BANDS = 4
 # ---- shared corpus builders (Spark + SQL must stay in lockstep) ----------
 
 def _docs_with_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    from stepist_spark.session import spread
+
+    # spread(): the testdata table scans as ONE partition, which would
+    # serialize the per-doc hashing these gates do before any shuffle
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
     plants = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
@@ -42,7 +46,9 @@ SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 
 
 def _docs_with_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    from stepist_spark.session import spread
+
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
     plants = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzplantedtoken")).alias("text"),
@@ -626,7 +632,9 @@ FROM corpus c LEFT JOIN cut t USING (doc_id)
 # identically on both engines; every ratio is a single division of
 # identical integers.
 def _pii_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    from stepist_spark.session import spread
+
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.concat(
@@ -656,7 +664,9 @@ _BOILER_LINE = "JOIN OUR NEWSLETTER TODAY"
 
 
 def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    from stepist_spark.session import spread
+
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
 
     pii = _pii_corpus(spark, sf)
     counts = TX.pii_counts(F.col("text"))
@@ -796,8 +806,9 @@ CLF_DIM = 512
 
 def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import classifier as clf
+    from stepist_spark.session import spread
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text", "lang")
     labeled = docs.select("text", (F.col("lang") == "en").alias("label"))
     weights = clf.train_quality_classifier(labeled, "text", "label", dim=CLF_DIM)
     scored = clf.score_documents(docs, weights, "doc_id", "text", dim=CLF_DIM)
