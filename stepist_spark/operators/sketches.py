@@ -61,6 +61,103 @@ def estimate(sketches: DataFrame, sketch_col: str = "sketch", estimate_col: str 
     ).drop(sketch_col)
 
 
+# --------------------------------------------------------------------------
+# Portable HLL: an HyperLogLog whose registers derive from the repo's
+# md5 hash (functions.hashing.span_hash60), so an independent engine
+# (the DuckDB oracle) recomputes BIT-IDENTICAL registers — making even
+# the approximation hash-checkable. The register sum is integer-scaled
+# (each register contributes 2^(SCALE_BITS - M), an exact bigint), so
+# the harmonic-mean denominator is order-independent; only the final
+# alpha·m²·2^SCALE/S division (correctly rounded) and the small-range
+# ln() correction (rounded to 4 dp) touch floating point.
+#
+# Native Datasketches HLL (build_sketches/rollup_sketches above) stays
+# the production path — identical API shape; this is the engine-
+# portable variant and the driver-gate subject (q21).
+HLL_P = 9  # 512 registers, ~4.6% standard error
+HLL_SCALE_BITS = 52
+
+
+def hll_alpha_mm(p: int = HLL_P) -> float:
+    m = 1 << p
+    return (0.7213 / (1 + 1.079 / m)) * m * m
+
+
+def portable_hll_registers(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group HLL register table: ``*keys, bucket, reg`` (max rho).
+
+    bucket = low ``p`` bits of the 60-bit portable hash; rho = leading-
+    zero rank of the remaining ``60-p`` bits (via binary-string length —
+    integer-exact on any engine). Registers MERGE by max(reg): rolling
+    up to coarser keys is another groupBy-max over kilobyte-scale
+    register rows, never the raw data — same pattern as the native
+    sketch path.
+    """
+    from stepist_spark.functions.hashing import span_hash60
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+    maxbits = 60 - p
+    h = span_hash60(F.col(value_col).cast("string"))
+    # integer shift, NOT division — `/` is double division and a 60-bit
+    # hash exceeds the 2^53 exact-integer range of doubles
+    w = F.shiftright(h, p)
+    nbits = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(maxbits + 1)).otherwise(F.lit(maxbits + 1) - nbits)
+    hashed = df.select(
+        *key_list,
+        F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+        rho.cast("int").alias("_rho"),
+    )
+    return hashed.groupBy(*key_list, "bucket").agg(F.max("_rho").alias("reg"))
+
+
+def portable_hll_merge(
+    registers: DataFrame, keys: str | Sequence[str]
+) -> DataFrame:
+    """Merge register tables up to a coarser key set (max per bucket)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    return registers.groupBy(*key_list, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def portable_hll_estimate(
+    registers: DataFrame,
+    keys: str | Sequence[str],
+    p: int = HLL_P,
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """Group estimates from a register table, engine-portable:
+    S = Σ 2^(SCALE-reg) over present registers + zeros·2^SCALE (exact
+    bigints), E = alpha·m²·2^SCALE / S, with the standard small-range
+    linear-counting correction when empty registers remain. Rounded to
+    4 dp (the ln() in the correction is the one not-correctly-rounded
+    libm call in the pipeline)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+    grouped = registers.groupBy(*key_list).agg(
+        # expr(): pyspark's shiftleft() insists on a literal bit count
+        F.sum(F.expr(f"shiftleft(1L, {HLL_SCALE_BITS} - reg)")).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    s_total = F.col("_s_present") + zeros * F.shiftleft(
+        F.lit(1).cast("bigint"), HLL_SCALE_BITS
+    )
+    raw = F.lit(hll_alpha_mm(p)) * F.lit(float(1 << HLL_SCALE_BITS)) / s_total
+    corrected = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return grouped.select(
+        *key_list, F.round(corrected, 4).alias(estimate_col)
+    )
+
+
 def frequent_items(
     df: DataFrame,
     item_col: str,

@@ -585,27 +585,114 @@ SELECT event_id, user_id, ts, signup_ts, lag_us, value FROM (
 
 
 # --------------------------------------------------------------------------
-# q21 — the approximation-bearing aggregate surface in one rows-only
-# gate (merged former q21 + q31): approx_count_distinct + approximate
-# percentile per flag, joined with the mergeable-HLL two-level rollup
-# (sketch per fine key, merge to coarse — the 100 TB pattern: rollups
-# re-merge kilobyte sketches instead of rescanning raw data). No exact
-# cross-engine oracle exists for approximations; accuracy bounds are
-# asserted in tests/test_sketches.py.
+# q21 — the approximation surface, HASH-GATED: the portable HLL
+# (md5-derived registers, integer-exact register sums — see
+# operators.sketches) makes even the approximate estimate bit-
+# reproducible across engines, so the oracle recomputes the identical
+# sketch instead of settling for a rows-only check. Three parts:
+# fine-key estimates, the register-MERGE rollup (the 100 TB pattern:
+# rollups re-merge kilobyte register tables, never the raw data), and
+# the exact distinct count alongside — so the gate also WITNESSES the
+# approximation error (~4.6% at p=9). Spark's native Datasketches HLL
+# and percentile_approx remain covered by tests/test_sketches.py
+# (accuracy-bound assertions; their binary sketches are not engine-
+# portable by design).
 def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sketches
 
     li = load_table(spark, sf, "lineitem")
-    approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 0).alias("approx_median_price"),
+    fine_regs = sketches.portable_hll_registers(
+        li, ["l_returnflag", "l_linestatus"], "l_partkey"
     )
-    fine = sketches.build_sketches(li, ["l_returnflag", "l_linestatus"], "l_partkey")
-    hll = (
-        sketches.rollup_sketches(fine, ["l_returnflag"])
-        .select("l_returnflag", F.col("approx_distinct").cast("bigint").alias("hll_distinct"))
+    fine = sketches.portable_hll_estimate(
+        fine_regs, ["l_returnflag", "l_linestatus"]
+    ).select(
+        F.lit("fine").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("approx_distinct").alias("est"),
     )
-    return approx.join(F.broadcast(hll), "l_returnflag")
+    rolled_regs = sketches.portable_hll_merge(fine_regs, "l_returnflag")
+    rolled = sketches.portable_hll_estimate(rolled_regs, "l_returnflag").select(
+        F.lit("rolled").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("approx_distinct").alias("est"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("double").alias("est")
+    ).select(
+        F.lit("exact").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "est",
+    )
+    return fine.unionByName(rolled).unionByName(exact)
+
+
+def _q21_sql() -> str:
+    from stepist_spark.functions.hashing import span_hash60_sql
+    from stepist_spark.operators.sketches import (
+        HLL_P,
+        HLL_SCALE_BITS,
+        hll_alpha_mm,
+    )
+
+    m = 1 << HLL_P
+    maxbits = 60 - HLL_P
+    # explicit DOUBLE casts: DuckDB parses bare decimal literals as
+    # DECIMAL and the product overflows DECIMAL(18); the cast value is
+    # the same nearest-double (repr round-trips), so both engines
+    # multiply the identical pair of doubles
+    amm = f"CAST({hll_alpha_mm()!r} AS DOUBLE)"
+    scale = f"CAST({float(1 << HLL_SCALE_BITS)!r} AS DOUBLE)"
+    h = span_hash60_sql("CAST(l_partkey AS VARCHAR)")
+    raw = f"{amm} * {scale} / s_total"
+
+    def est(select_keys: str, group_keys: str, regs: str) -> str:
+        return f"""
+SELECT {select_keys},
+       round(CASE WHEN ({m} - n_present) > 0 AND ({raw}) <= {2.5 * m}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))
+             ELSE {raw} END, 4) AS est
+FROM (
+    SELECT {group_keys},
+           CAST(sum(1::BIGINT << ({HLL_SCALE_BITS} - reg)) AS BIGINT)
+             + ({m} - count(*)) * (1::BIGINT << {HLL_SCALE_BITS}) AS s_total,
+           count(*) AS n_present
+    FROM {regs} GROUP BY {group_keys}
+)
+"""
+
+    return f"""
+WITH fine_regs AS (
+    SELECT l_returnflag, l_linestatus, bucket, max(rho) AS reg FROM (
+        SELECT l_returnflag, l_linestatus,
+               ({h}) % {m} AS bucket,
+               CASE WHEN (({h}) >> {HLL_P}) = 0 THEN {maxbits + 1}
+                    ELSE {maxbits + 1} - length(bin(({h}) >> {HLL_P})) END AS rho
+        FROM lineitem
+    ) GROUP BY l_returnflag, l_linestatus, bucket
+),
+rolled_regs AS (
+    SELECT l_returnflag, bucket, max(reg) AS reg
+    FROM fine_regs GROUP BY l_returnflag, bucket
+)
+SELECT 'fine' AS part, l_returnflag AS k1, l_linestatus AS k2, est FROM (
+    {est("l_returnflag, l_linestatus", "l_returnflag, l_linestatus", "fine_regs")}
+)
+UNION ALL
+SELECT 'rolled', l_returnflag, CAST(NULL AS VARCHAR), est FROM (
+    {est("l_returnflag", "l_returnflag", "rolled_regs")}
+)
+UNION ALL
+SELECT 'exact', l_returnflag, CAST(NULL AS VARCHAR),
+       CAST(count(DISTINCT l_partkey) AS DOUBLE)
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+Q21_SQL = _q21_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1207,7 +1294,7 @@ QUERIES = [
     QuerySpec("q12_reshape_set_ops", q12_reshape_set_ops, Q12M_SQL, "set ops + pivot/unpivot, tag-unioned"),
     QuerySpec("q13_scalar_string_suite", q13_scalar_string_suite, Q13M_SQL, "scalar functions + ordered string agg, tag-unioned"),
     QuerySpec("q18_temporal_joins", q18_temporal_joins, Q18M_SQL, "range join + as-of join, tag-unioned"),
-    QuerySpec("q21_approx_sketches", q21_approx_sketches, None, "approx distinct/percentile + HLL rollup (rows-only)"),
+    QuerySpec("q21_approx_sketches", q21_approx_sketches, Q21_SQL, "portable HLL estimates + register-merge rollup vs exact, hash-gated"),
     QuerySpec("q22_event_windows", q22_event_windows, Q22M_SQL, "tumbling + session event windows, tag-unioned"),
     QuerySpec("q24_subquery_suite", q24_subquery_suite, Q24M_SQL, "correlated + IN/NOT IN/scalar subqueries, tag-unioned"),
     QuerySpec("q25_percentile_histogram", q25_percentile_histogram, Q25M_SQL, "exact percentiles + integer-exact histogram, tag-unioned"),

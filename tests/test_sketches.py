@@ -95,3 +95,34 @@ class TestFrequentItems:
 
         df = spark.createDataFrame([], "tok string")
         assert frequent_items(df, "tok", capacity=4).count() == 0
+
+
+class TestPortableHll:
+    """Engine-portable HLL: md5-derived registers, integer-exact
+    register sums — the q21 oracle recomputes it bit-identically; here
+    we check the estimates are actually GOOD and the merge law holds."""
+
+    def test_estimate_within_error_bound(self, spark):
+        from stepist_spark.operators import sketches
+
+        n = 20_000
+        df = spark.range(n).selectExpr("id AS v", "id % 4 AS g")
+        regs = sketches.portable_hll_registers(df, "g", "v")
+        est = {
+            r["g"]: r["approx_distinct"]
+            for r in sketches.portable_hll_estimate(regs, "g").collect()
+        }
+        for g in range(4):
+            exact = n // 4
+            assert abs(est[g] - exact) / exact < 0.15, (g, est[g], exact)
+
+    def test_merge_equals_direct_build(self, spark):
+        from stepist_spark.operators import sketches
+
+        df = spark.range(10_000).selectExpr("id AS v", "id % 8 AS fine", "id % 2 AS coarse")
+        fine = sketches.portable_hll_registers(df, ["coarse", "fine"], "v")
+        merged = sketches.portable_hll_merge(fine, "coarse")
+        direct = sketches.portable_hll_registers(df, "coarse", "v")
+        a = sorted(tuple(r) for r in merged.collect())
+        b = sorted(tuple(r) for r in direct.collect())
+        assert a == b  # register-level merge law: max is associative
