@@ -627,7 +627,47 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("k2"),
         "est",
     )
-    return fine.unionByName(rolled).unionByName(exact)
+
+    # approximate percentile, portable flavor: exact DISCRETE median of
+    # a deterministic 1/16 hash-sample (an actual element is selected —
+    # no interpolation arithmetic to diverge across engines), with the
+    # full-data discrete median alongside as the error witness
+    from pyspark.sql import Window as W
+
+    from stepist_spark.functions.hashing import word_hash32
+
+    rowkey = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+
+    def _disc_median(src: DataFrame, tag: str) -> DataFrame:
+        w = W.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+        wn = W.partitionBy("l_returnflag")
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("_rn") == F.ceil(F.col("_n") * 0.5).cast("bigint"))
+            .select(
+                F.lit(tag).alias("part"),
+                F.col("l_returnflag").alias("k1"),
+                F.lit(None).cast("string").alias("k2"),
+                F.col("l_extendedprice").alias("est"),
+            )
+        )
+
+    base = li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    samp = base.filter(F.pmod(word_hash32(rowkey), F.lit(16)) == 0)
+    pctl = _disc_median(samp, "pctl_sample")
+    pctl_exact = _disc_median(base, "pctl_exact")
+
+    return (
+        fine.unionByName(rolled)
+        .unionByName(exact)
+        .unionByName(pctl)
+        .unionByName(pctl_exact)
+    )
 
 
 def _q21_sql() -> str:
@@ -689,7 +729,32 @@ UNION ALL
 SELECT 'exact', l_returnflag, CAST(NULL AS VARCHAR),
        CAST(count(DISTINCT l_partkey) AS DOUBLE)
 FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'pctl_sample', l_returnflag, CAST(NULL AS VARCHAR), est FROM (
+    SELECT l_returnflag, l_extendedprice AS est,
+           row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+    WHERE ({_q21_samp_hash()}) % 16 = 0
+) WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+UNION ALL
+SELECT 'pctl_exact', l_returnflag, CAST(NULL AS VARCHAR), est FROM (
+    SELECT l_returnflag, l_extendedprice AS est,
+           row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+) WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
 """
+
+
+def _q21_samp_hash() -> str:
+    from stepist_spark.functions.hashing import word_hash32_sql
+
+    return word_hash32_sql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    )
 
 
 Q21_SQL = _q21_sql()
