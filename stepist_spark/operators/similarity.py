@@ -369,17 +369,27 @@ def semantic_dedup(
         else ivf_centroids(corpus, id_col, vec_col, n_centroids)
     )
     assigned = ivf_assign(corpus, cent, id_col, vec_col)
-    a = assigned.select(
-        F.col("cid"), F.col(id_col).alias("_ida"), F.col("_v").alias("_va")
+    # normalize ONCE per vector so the per-pair test is a single dot
+    # fold instead of dot + two norms — 3× less work in the quadratic
+    # per-cluster stage, where all the time goes
+    nrm = V.norm(F.col("_v"))
+    normed = assigned.withColumn(
+        "_nv",
+        F.when(nrm > 0, F.transform(F.col("_v"), lambda x: x / nrm)).otherwise(
+            F.col("_v")
+        ),
     )
-    b = assigned.select(
-        F.col("cid"), F.col(id_col).alias("_idb"), F.col("_v").alias("_vb")
+    a = normed.select(
+        F.col("cid"), F.col(id_col).alias("_ida"), F.col("_nv").alias("_va")
+    )
+    b = normed.select(
+        F.col("cid"), F.col(id_col).alias("_idb"), F.col("_nv").alias("_vb")
     )
     # lower-id neighbor above threshold in the same cluster => b is a dup
     dup_ids = (
         b.join(a, "cid")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(F.round(V.cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(F.round(V.dot(F.col("_va"), F.col("_vb")), 6) >= threshold)
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )

@@ -354,7 +354,7 @@ def v08_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SD_COS = V.cosine_sql("a.v", "b.v")
+_SD_NORM = V.norm_sql("v")
 V08_SQL = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 corpus AS (
@@ -378,10 +378,16 @@ assigned AS (
         FROM corpus e CROSS JOIN cent c
     ) WHERE rn = 1
 ),
+normed AS (
+    SELECT vec_id, cid,
+           CASE WHEN {_SD_NORM} > 0
+                THEN list_transform(v, x -> x / {_SD_NORM}) ELSE v END AS nv
+    FROM assigned
+),
 dups AS (
     SELECT DISTINCT b.vec_id
-    FROM assigned b JOIN assigned a ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE round({_SD_COS}, 6) >= 0.95
+    FROM normed b JOIN normed a ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round({V.dot_sql("a.nv", "b.nv")}, 6) >= 0.95
 )
 SELECT s.vec_id, s.cid, d.vec_id IS NULL AS keep
 FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
