@@ -5,9 +5,10 @@
   API so the smoke check exercises the composition layer end-to-end.
 - ``queries()``: every implemented operator from SURVEY.md §2 as a
   named (spark, sf_dir) -> DataFrame callable.
-- ``oracle_sql()``: the DuckDB-dialect equivalent for each query
-  (omitted only for genuinely approximation-bearing ops, which get the
-  driver's rows-only check).
+- ``oracle_sql()``: the DuckDB-dialect equivalent for each query —
+  every registered gate carries one (round 3): even the approximation-
+  bearing ops are engine-portable (md5-register HLL, deterministic
+  hash-sample percentile), so the driver hash-checks all 50.
 """
 
 from __future__ import annotations
