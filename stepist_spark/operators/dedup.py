@@ -269,6 +269,32 @@ def remove_boilerplate_lines(
     )
 
 
+def token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Hashed k-token windows: ``<id_col>, _start (1-based), _h``.
+
+    The shared first stage of :func:`duplicate_spans` /
+    :func:`cut_duplicate_spans` — build it ONCE (persist it, or write
+    it to parquet at corpus scale) and pass it to both via
+    ``windows=`` so detection, stats, and cutting pay the corpus
+    tokenize+hash pass a single time.
+    """
+    from stepist_spark.functions.text import tokens as _tokens
+
+    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
+        id_col, F.posexplode(hashing.shingles(F.col("_toks"), k)).alias("_p0", "_sh")
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_start"),
+        hashing.span_hash60(F.col("_sh")).alias("_h"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -276,6 +302,7 @@ def duplicate_spans(
     k: int = 20,
     min_count: int = 2,
     keep_first: bool = False,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
@@ -300,18 +327,11 @@ def duplicate_spans(
     |tokens| on one machine). The dup-hash set joins back by the same
     key (never collected/broadcast — it is unbounded), and span
     merging is a per-doc sorted fold over that doc's own hit
-    positions, bounded by document length.
+    positions, bounded by document length. Pass a persisted
+    :func:`token_windows` frame via ``windows=`` to amortize the
+    corpus pass across detection and cutting.
     """
-    from stepist_spark.functions.text import tokens as _tokens
-
-    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
-    wins = toked.select(
-        id_col, F.posexplode(hashing.shingles(F.col("_toks"), k)).alias("_p0", "_sh")
-    ).select(
-        id_col,
-        (F.col("_p0") + 1).alias("_start"),
-        hashing.span_hash60(F.col("_sh")).alias("_h"),
-    )
+    wins = windows if windows is not None else token_windows(df, id_col, text_col, k)
     dup_hashes = (
         wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= min_count)
     )
@@ -404,6 +424,7 @@ def cut_duplicate_spans(
     text_col: str = "text",
     k: int = 20,
     min_count: int = 2,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr remediation: delete every duplicated span found by
     :func:`duplicate_spans` while keeping the corpus-wide canonical
@@ -420,7 +441,9 @@ def cut_duplicate_spans(
     then a per-doc spans-array join back to the corpus (left join keyed
     by the id) and an index-aware HOF filter — narrow per document.
     """
-    spans = duplicate_spans(df, id_col, text_col, k, min_count, keep_first=True)
+    spans = duplicate_spans(
+        df, id_col, text_col, k, min_count, keep_first=True, windows=windows
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -459,9 +459,7 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.sources import readers, writers
 
     out = t04_quality_by_source(spark, sf)
-    path = os.path.join(
-        tempfile.gettempdir(), f"stepist_w01_{os.getpid()}_{next(_SINK_IDS)}"
-    )
+    path = os.path.join(tempfile.gettempdir(), f"stepist_w01_{os.getpid()}")
     writers.write(out, path, fmt="parquet", mode="overwrite", partition_by="source")
     back = readers.read(spark, path, fmt="parquet")
     # partition columns come back LAST and (configurably) type-inferred;

@@ -486,9 +486,17 @@ SPAN_K = 20
 
 def t21_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _docs_with_exact_dups(spark, sf)
-    spans = dedup.duplicate_spans(corpus, "doc_id", "text", k=SPAN_K, min_count=2)
+    # one corpus tokenize+hash pass shared by detection AND cutting
+    # (localCheckpoint: windows are |tokens| rows — at real scale write
+    # them to parquet instead, same shape)
+    wins = dedup.token_windows(corpus, "doc_id", "text", k=SPAN_K).localCheckpoint()
+    spans = dedup.duplicate_spans(
+        corpus, "doc_id", "text", k=SPAN_K, min_count=2, windows=wins
+    )
     stats = dedup.duplicate_span_stats(corpus, spans, "doc_id", "text")
-    cut = dedup.cut_duplicate_spans(corpus, "doc_id", "text", k=SPAN_K, min_count=2)
+    cut = dedup.cut_duplicate_spans(
+        corpus, "doc_id", "text", k=SPAN_K, min_count=2, windows=wins
+    )
     sp = spans.select(
         F.lit("span").alias("part"),
         "doc_id",
