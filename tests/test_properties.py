@@ -188,3 +188,129 @@ class TestBoilerplateRemovalProperties:
             ).collect()
         }
         assert got == expect
+
+
+class TestBpeBatchingProperty:
+    """The exact-safe batch rule must yield merge sequences identical to
+    one-merge-at-a-time BPE on ARBITRARY word-count tables — including
+    tie-heavy and concat-collision shapes the unit fixtures miss."""
+
+    WORDS = st.dictionaries(
+        st.text(st.sampled_from(list("abcde")), min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=14,
+    )
+
+    @SETTINGS
+    @given(WORDS)
+    def test_batched_equals_sequential(self, spark, word_counts):
+        from tests.test_bpe import _py_bpe
+        from stepist_spark.operators.bpe import train_bpe
+
+        text = " ".join(w for w, c in word_counts.items() for _ in range(c))
+        df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+        merges, _ = train_bpe(df, n_merges=12, batch_size=8)
+        exp_merges, _ = _py_bpe(word_counts, 12)
+        assert merges == exp_merges
+
+
+class TestAsofProperty:
+    """asof_join (all three directions) vs pandas merge_asof on random
+    key/time frames — inclusive bounds, tie handling, dropped rows."""
+
+    FRAMES = st.tuples(
+        st.lists(  # left: (key, time)
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        ),
+        st.lists(  # right: (key, time, value)
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50), st.integers(0, 99)),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+
+    @SETTINGS
+    @given(FRAMES, st.sampled_from(["backward", "forward", "nearest"]))
+    def test_matches_pandas_merge_asof(self, spark, frames, direction):
+        import pandas as pd
+
+        from stepist_spark.operators import asof
+
+        left_rows, right_rows = frames
+        # pandas merge_asof requires unique ordering; dedupe right on
+        # (key, time) keeping the max value (mirrors deterministic input)
+        rd: dict = {}
+        for k, t, v in right_rows:
+            rd[(k, t)] = max(v, rd.get((k, t), -1))
+        right_rows = [(k, t, v) for (k, t), v in sorted(rd.items())]
+        left_rows = sorted(set(left_rows))
+
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k string, t long, lid long"
+        )
+        right = spark.createDataFrame(right_rows, "k string, t long, val long")
+        out = asof.asof_join(
+            left, right, on="k", left_time="t", right_time="t", direction=direction
+        )
+        got = {r["lid"]: (r["asof_t"], r["asof_val"]) for r in out.collect()}
+
+        lp = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "t", "lid"]
+        ).sort_values("t", kind="stable")
+        rp = pd.DataFrame(right_rows, columns=["k", "t", "val"]).sort_values(
+            "t", kind="stable"
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction, suffixes=("", "_r")
+        )
+        want = {}
+        for row in merged.itertuples():
+            if not pd.isna(row.val):
+                # pandas keeps the matched right time only implicitly;
+                # recompute it from the direction semantics
+                cand = [
+                    (t, v)
+                    for k2, t, v in right_rows
+                    if k2 == row.k
+                    and (
+                        (direction == "backward" and t <= row.t)
+                        or (direction == "forward" and t >= row.t)
+                        or direction == "nearest"
+                    )
+                ]
+                if direction == "backward":
+                    mt = max(t for t, _ in cand)
+                elif direction == "forward":
+                    mt = min(t for t, _ in cand)
+                else:
+                    mt = min(cand, key=lambda tv: (abs(tv[0] - row.t), tv[0]))[0]
+                want[row.lid] = (mt, int(row.val))
+        assert got == want, f"{direction}: {got} != {want}"
+
+
+class TestEnvelopeProperty:
+    """to_envelope/from_envelope must round-trip arbitrary ASCII payloads
+    (quotes, backslashes, newlines) through the JSON wire format."""
+
+    ROWS = st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(ALPHABET, max_size=60),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: r[0],
+    )
+
+    @SETTINGS
+    @given(ROWS)
+    def test_roundtrip(self, spark, rows):
+        from stepist_spark.sources import from_envelope, to_envelope
+
+        df = spark.createDataFrame(rows, "id long, payload string")
+        back = from_envelope(to_envelope(df), "id BIGINT, payload STRING")
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == sorted(rows)
