@@ -176,29 +176,48 @@ def ivf_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    portable: bool = False,
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Lloyd refinement of IVF centroids: assign -> per-dimension mean.
 
     Each iteration is two shuffles (argmin assignment collapses map-side
     because the broadcast cross-join keeps a vector's k candidate rows in
-    one partition; the mean is posexplode + avg per (cid, dim)). Means
-    are FP-sum-order dependent, so refined centroids are NOT
-    bit-reproducible across engines — use seeded centroids when oracle
-    parity matters.
+    one partition; the mean is posexplode + mean per (cid, dim)).
+
+    ``portable=False`` (default): plain FP ``avg`` — summation order
+    makes refined centroids NOT bit-reproducible across engines/runs.
+    ``portable=True``: the label_centroids fixed-point discipline —
+    each component rounds to ``scale`` fixed-point BEFORE the sum
+    (exact bigint, order-free), the mean is one correctly-rounded
+    division — so refined centroids ARE bit-identical across engines
+    (the v05 'refined' oracle recomputes them), at the cost of 1e-6
+    input quantization (noise floor for unit-scale embeddings).
     """
     cent = centroids
     for _ in range(iters):
         assigned = ivf_assign(corpus, cent, id_col, vec_col)
-        cent = (
-            assigned.select("cid", F.posexplode("_v").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("cvec")
+        ex = assigned.select("cid", F.posexplode("_v").alias("dim", "x"))
+        if portable:
+            per_dim = (
+                ex.withColumn(
+                    "_s",
+                    F.floor(F.col("x") * F.lit(scale) + F.lit(0.5)).cast("bigint"),
+                )
+                .groupBy("cid", "dim")
+                .agg(
+                    (
+                        F.sum("_s").cast("double")
+                        / (F.count(F.lit(1)) * F.lit(scale))
+                    ).alias("m")
+                )
             )
+        else:
+            per_dim = ex.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+        cent = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cvec")
         )
     return cent
 

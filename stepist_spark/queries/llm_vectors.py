@@ -155,12 +155,51 @@ N_PROBE = 4
 def v05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY)
-    return similarity.ivf_topk(
+    seeded = similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    ).withColumn("part", F.lit("seeded"))
+    # one portable Lloyd iteration (fixed-point means — bit-identical
+    # across engines, see ivf_refine) then the same probe/top-k
+    cent0 = similarity.ivf_centroids(emb, "vec_id", "embedding", N_CENTROIDS)
+    cent1 = similarity.ivf_refine(
+        emb, cent0, "vec_id", "embedding", iters=1, portable=True
+    )
+    refined = similarity.ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=K,
+        n_probe=N_PROBE,
+        centroids=cent1,
+    ).withColumn("part", F.lit("refined"))
+    return seeded.unionByName(refined).select(
+        "part", "query_id", "neighbor_id", "cos_sim"
     )
 
 
 _L2_EC = V.l2sq_sql("e.v", "c.cvec")
+_IVF_LEVEL_SQL = f"""
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM (
+        SELECT p.query_id, a.neighbor_id,
+               round({V.cosine_sql("p.qv", "a.v")}, 6) AS cos_sim
+        FROM (
+            SELECT query_id, qv, cid FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {_L2_EC}, c.cid) AS rn
+                FROM e CROSS JOIN {{cent}} c WHERE e.vec_id < {N_QUERY}) WHERE rn <= {N_PROBE}
+        ) p JOIN (
+            SELECT vec_id AS neighbor_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {_L2_EC}, c.cid) AS rn
+                FROM e CROSS JOIN {{cent}} c) WHERE rn = 1
+        ) a ON p.cid = a.cid AND p.query_id <> a.neighbor_id
+    )
+) WHERE rn <= {K}
+"""
+
 V05_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (
@@ -169,27 +208,32 @@ cent AS (
                row_number() OVER (PARTITION BY vec_id % {N_CENTROIDS} ORDER BY vec_id) AS rn
         FROM e) WHERE rn = 1
 ),
-assigned AS (
-    SELECT vec_id AS neighbor_id, v, cid FROM (
+assigned0 AS (
+    SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY {_L2_EC}, c.cid) AS rn
         FROM e CROSS JOIN cent c) WHERE rn = 1
 ),
-probe AS (
-    SELECT query_id, qv, cid FROM (
-        SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_L2_EC}, c.cid) AS rn
-        FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY}) WHERE rn <= {N_PROBE}
-),
-scored AS (
-    SELECT p.query_id, a.neighbor_id,
-           round({V.cosine_sql("p.qv", "a.v")}, 6) AS cos_sim
-    FROM probe p JOIN assigned a ON p.cid = a.cid AND p.query_id <> a.neighbor_id
+-- one portable Lloyd iteration: fixed-point component sums (exact
+-- bigints) so the refined centroids match Spark's bit-for-bit
+cent_r AS (
+    SELECT cid, list(m ORDER BY dim) AS cvec FROM (
+        SELECT cid, dim,
+               CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000) AS m
+        FROM (
+            SELECT cid, i - 1 AS dim, list_extract(v, i) AS x
+            FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM assigned0)
+        ) GROUP BY cid, dim
+    ) GROUP BY cid
 )
-SELECT query_id, neighbor_id, cos_sim FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
-    FROM scored
-) WHERE rn <= {K}
+SELECT 'seeded' AS part, query_id, neighbor_id, cos_sim FROM (
+    {_IVF_LEVEL_SQL.format(cent="cent")}
+)
+UNION ALL
+SELECT 'refined', query_id, neighbor_id, cos_sim FROM (
+    {_IVF_LEVEL_SQL.format(cent="cent_r")}
+)
 """
 
 
