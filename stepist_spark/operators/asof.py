@@ -40,6 +40,12 @@ def asof_join(
 
     Left rows with no qualifying right row are dropped (inner as-of).
 
+    Determinism caveat: if the right side contains MULTIPLE rows with
+    the same (key, time), which one's payload is attached is partition-
+    order dependent (the sort can't distinguish them). Deduplicate the
+    right side on (key, time) first — e.g. ``groupBy(on, right_time).
+    agg(max_by(...))`` — when that case is possible in your data.
+
     Implementation: tag and union both sides, sort within each key by
     (time, side) — right rows sort before (backward) / after (forward)
     left rows at equal times so the inclusive semantics hold — then
