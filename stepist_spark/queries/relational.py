@@ -631,7 +631,12 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     # approximate percentile, portable flavor: exact DISCRETE median of
     # a deterministic 1/16 hash-sample (an actual element is selected —
     # no interpolation arithmetic to diverge across engines), with the
-    # full-data discrete median alongside as the error witness
+    # full-data discrete median alongside as the error witness.
+    # Scale note: pctl_exact sorts each group in one reducer — it is
+    # the TEST-SCALE witness that bounds the sample median's error,
+    # not a production pattern; at corpus scale you run only the
+    # hash-sample path (the sample rate is the error knob), which
+    # sorts 1/16 of the data with the same per-group window.
     from pyspark.sql import Window as W
 
     from stepist_spark.functions.hashing import word_hash32
