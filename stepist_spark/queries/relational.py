@@ -499,6 +499,35 @@ def q18_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q18_range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The large-×-large scale strategy for the SAME query: bucketize
+    the range key, expand each band to the buckets its span touches,
+    EQUI-join on the bucket (hash join — no nested loop), re-check the
+    exact predicate. Must produce exactly q18_range_join's result."""
+    width = 1000.0
+    li = asof_ops.bucketize_range(
+        load_table(spark, sf, "lineitem"), "l_extendedprice", width
+    )
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    expanded = bands.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("bigint"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / width).cast("bigint"),
+            )
+        ),
+    )
+    joined = li.join(expanded, "_bucket").filter(
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 Q18_SQL = f"""
 SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem
@@ -1159,6 +1188,16 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("sum_price").alias("d1"),
     )
+    rb = q18_range_join_bucketed(spark, sf).select(
+        F.lit("range_bucketed").alias("part"),
+        F.col("band").alias("k1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("sum_price").alias("d1"),
+    )
+
     def _aj(tag: str, direction: str) -> DataFrame:
         return _asof_events(spark, sf, direction).select(
             F.lit(tag).alias("part"),
@@ -1171,7 +1210,8 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return (
-        rj.unionByName(_aj("asof", "backward"))
+        rj.unionByName(rb)
+        .unionByName(_aj("asof", "backward"))
         .unionByName(_aj("asof_fwd", "forward"))
         .unionByName(_aj("asof_near", "nearest"))
     )
@@ -1181,6 +1221,11 @@ Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
        CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
        CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2, sum_price AS d1
+FROM ({Q18_SQL})
+UNION ALL
+SELECT 'range_bucketed', band,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(n AS BIGINT), CAST(NULL AS BIGINT), sum_price
 FROM ({Q18_SQL})
 UNION ALL
 SELECT 'asof', CAST(event_id AS VARCHAR), ts, signup_ts,
