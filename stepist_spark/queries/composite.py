@@ -162,10 +162,10 @@ FROM (
 # must be row-identical to the plain GROUP BY it replaces (sums are
 # whole numbers, so the split across salt shards is FP-exact).
 def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.skew import salted_agg
+    from stepist_spark.operators.skew import salted_agg, salted_join
 
     li = load_table(spark, sf, "lineitem")
-    out = salted_agg(
+    agg = salted_agg(
         li.select("l_returnflag", "l_quantity", "l_extendedprice"),
         "l_returnflag",
         {
@@ -175,17 +175,52 @@ def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
             "avg_qty": ("l_quantity", "avg"),
         },
         salt=16,
+    ).select(
+        F.lit("agg").alias("part"),
+        F.col("l_returnflag").alias("k"),
+        "sum_qty",
+        "n_rows",
+        F.round("max_price", 2).alias("max_price"),
+        "avg_qty",
     )
-    return out.select(
-        "l_returnflag", "sum_qty", "n_rows", F.round("max_price", 2).alias("max_price"), "avg_qty"
+    # salted JOIN == plain join, aggregated to stay slot-friendly: the
+    # skewed fact joins orders (hot keys spread over 16 salt shards,
+    # right side replicated 16x — the mitigation when the right side
+    # can't broadcast and AQE's skew split isn't available)
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        orders,
+        on="o_orderkey",
+        salt=16,
     )
+    j = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("max_price"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+    ).select(
+        F.lit("join").alias("part"),
+        F.col("o_orderpriority").alias("k"),
+        "sum_qty",
+        "n_rows",
+        "max_price",
+        "avg_qty",
+    )
+    return agg.unionByName(j)
 
 
 Q36_SQL = """
-SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+SELECT 'agg' AS part, l_returnflag AS k, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
        count(l_quantity) AS n_rows, round(max(l_extendedprice), 2) AS max_price,
        CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty
 FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'join', o_orderpriority, CAST(count(*) AS DOUBLE), count(*),
+       CAST(NULL AS DOUBLE),
+       CAST(sum(l_quantity) AS DOUBLE) / count(*)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """
 
 
