@@ -174,7 +174,7 @@ def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
             "max_price": ("l_extendedprice", "max"),
             "avg_qty": ("l_quantity", "avg"),
         },
-        salt=16,
+        salt=8,
     ).select(
         F.lit("agg").alias("part"),
         F.col("l_returnflag").alias("k"),
@@ -184,15 +184,17 @@ def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         "avg_qty",
     )
     # salted JOIN == plain join, aggregated to stay slot-friendly: the
-    # skewed fact joins orders (hot keys spread over 16 salt shards,
-    # right side replicated 16x — the mitigation when the right side
-    # can't broadcast and AQE's skew split isn't available)
+    # skewed fact joins orders (hot keys spread over salt shards, right
+    # side replicated salt× — the mitigation when the right side can't
+    # broadcast and AQE's skew split isn't available). The salt constant
+    # is arbitrary for certification (results are salt-invariant); the
+    # gate uses a small one because replication cost scales with it.
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(
         li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
         orders,
         on="o_orderkey",
-        salt=16,
+        salt=4,
     )
     j = joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("double").alias("sum_qty"),
