@@ -66,6 +66,85 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# p02 — the flow-introspection machinery in one gate: StepMonitor's
+# observe()-based per-step row counters (the reference's step monitor,
+# `stepist/flow/workers/adapters/simple_queue.py:69-88`, restated as
+# zero-extra-job Observations), Step(save_result=True) FlowResult
+# capture (`stepist/flow/steps/step.py:100-105`), and the raised
+# StopFlowFlag -> declarative filter translation
+# (`stepist/flow/utils.py:8-12`). The counters come back as literal
+# rows (harvested after an internal action, like the streaming gates);
+# the captured intermediate stays a lazy plan unioned in.
+def p02_flow_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.monitoring import StepMonitor
+    from stepist_spark.pipeline import Engine, Pipeline, StopFlowFlag
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_quantity", "l_returnflag", "l_linestatus"
+    )
+
+    # observe-counter pipeline: source rows, post-filter rows, group count
+    mon = StepMonitor()
+    pipe = (
+        Pipeline()
+        .add(lambda df: df.filter(F.col("l_quantity") > 30), name="keep_heavy")
+        .add(
+            lambda df: df.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("n")),
+            name="by_status",
+        )
+    )
+    out = mon.instrument(pipe).run(mon.observe_source(li))
+    final_rows = [("final", r["l_linestatus"], int(r["n"])) for r in out.collect()]
+    metric_rows = [
+        ("metrics", name, int(m["rows_out"])) for name, m in mon.stats().items()
+    ]
+    literal = spark.createDataFrame(
+        metric_rows + final_rows, "part string, k string, n bigint"
+    )
+
+    # save_result capture through the decorator chain: the terminal agg
+    # sees the StopFlowFlag-filtered frame; the captured intermediate is
+    # grafted into the FlowResult and aggregated here independently
+    eng = Engine(spark)
+
+    @eng.step(None, name="by_flag")
+    def by_flag(df):
+        return df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+    @eng.step(by_flag, save_result=True, name="kept")
+    def kept(df):
+        raise StopFlowFlag(F.col("l_quantity") <= 30)
+
+    res = kept(li)
+    saved = res.kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("saved").alias("part"), F.col("l_returnflag").alias("k"), "n"
+    )
+    routed = res.by_flag.select(
+        F.lit("routed").alias("part"), F.col("l_returnflag").alias("k"), "n"
+    )
+    return literal.unionByName(saved).unionByName(routed)
+
+
+P02_SQL = """
+SELECT 'metrics' AS part, 'source' AS k, count(*) AS n FROM lineitem
+UNION ALL
+SELECT 'metrics', 'keep_heavy', count(*) FROM lineitem WHERE l_quantity > 30
+UNION ALL
+SELECT 'metrics', 'by_status', count(DISTINCT l_linestatus)
+FROM lineitem WHERE l_quantity > 30
+UNION ALL
+SELECT 'final', l_linestatus, count(*)
+FROM lineitem WHERE l_quantity > 30 GROUP BY l_linestatus
+UNION ALL
+SELECT 'saved', l_returnflag, count(*)
+FROM lineitem WHERE l_quantity > 30 GROUP BY l_returnflag
+UNION ALL
+SELECT 'routed', l_returnflag, count(*)
+FROM lineitem WHERE l_quantity > 30 GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # m01 — the Arrow mapInPandas media surface in one gate (merged former
 # m01 feature extraction + m04 resize plumbing): binary payloads
 # through the FUSED profile operator — features + resize accounting in
@@ -565,6 +644,7 @@ FROM orders WHERE o_orderkey % 50 = 0
 
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
+    QuerySpec("p02_flow_metrics", p02_flow_metrics, P02_SQL, "observe() step counters + save_result capture + StopFlowFlag"),
     QuerySpec("w01_sink_roundtrip", w01_sink_roundtrip, W01_SQL, "partitioned parquet sink write -> read-back round-trip"),
     QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "queue wire-envelope JSON codec round-trip incl. _meta"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),

@@ -1039,7 +1039,10 @@ T25_SQL = _t25_sql()
 QUERIES = [
     QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
     QuerySpec("t03_doc_profile", t03_doc_profile, T03_SQL, "per-doc token/quality/lang-ID/subword profile"),
-    QuerySpec("t04_quality_by_source", t04_quality_by_source, T04_SQL, "quality scoring"),
+    # t04_quality_by_source has no row of its own: w01_sink_roundtrip
+    # (queries/composite.py) runs the same query THROUGH the parquet
+    # sink round-trip and gates it against the same T04_SQL oracle —
+    # the registry slot went to p02_flow_metrics instead.
     QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification"),
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash train/val/test split"),
