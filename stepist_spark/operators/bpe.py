@@ -119,6 +119,13 @@ def _select_merge_batch(
       the true sequential argmax. Selected pairs that TIE the stop
       count are dropped (a tied rival or new pair could win the
       (count, pair) name tiebreak);
+    - a SELF-OVERLAPPING selection ``(x, x)`` is the one case where a
+      new pair's bound is not visible to the conflict stop: merging it
+      creates ``(xx, x)`` / ``(x, xx)`` / ``(xx, xx)`` whose counts are
+      bounded by the selection's OWN count (each occurrence needs a run
+      of ≥ 3 ``x``'s, contributing ≥ 2 to ``count(x, x)``, so new-pair
+      counts ≤ ``c // 2``) — every later selection must strictly beat
+      ``c // 2`` or be dropped;
     - a truncated candidate list (``saw_all`` False) bounds unseen
       candidates at the last seen count — same trailing-tie drop;
     - a sub-threshold stop needs no drop: every rival is then bounded
@@ -135,6 +142,7 @@ def _select_merge_batch(
     used: set[str] = set()
     concats: set[str] = set()
     bound: int | None = None
+    selfbound: int | None = None
     for row in rows:
         left, right, c = row["p"]["l"], row["p"]["r"], int(row["c"])
         if c < min_pair_count:
@@ -179,6 +187,11 @@ def _select_merge_batch(
         used.add(left)
         used.add(right)
         concats.add(left + right)
+        if left == right:
+            # self-overlap: merging (x, x) creates (xx, x)-shaped pairs
+            # bounded by c // 2 — invisible to the conflict stop (the
+            # pair touching (x, x)'s symbols is (x, x) itself)
+            selfbound = c // 2 if selfbound is None else max(selfbound, c // 2)
         if len(selected) == 1 and vocab is not None and left + right in vocab:
             # the argmax's own concat is a live symbol: pairs
             # referencing it gain occurrences in ways no in-window
@@ -187,6 +200,8 @@ def _select_merge_batch(
     else:
         if exact and not saw_all and selected:
             bound = selected[-1][2]
+    if exact and selfbound is not None:
+        bound = selfbound if bound is None else max(bound, selfbound)
     if exact and bound is not None:
         kept = [s for s in selected if s[2] > bound]
         selected = kept or selected[:1]
