@@ -1,0 +1,204 @@
+"""BM25 text retrieval: inverted-index build + top-k query scoring.
+
+The retrieval counterpart of the vector ANN operators
+(`operators/similarity.py`): score a (small) set of text queries
+against a (huge) document corpus with Okapi BM25 and return the top-k
+documents per query.
+
+Scale shape — the classic search-engine layout, expressed relationally:
+
+- the corpus pass builds POSTINGS ``(tok, doc_id, tf)`` plus per-doc
+  lengths: one explode + one hash-aggregate (map-side partial), the
+  same dominant-cost shape as ``corpus.vocabulary``;
+- document frequency is a vocabulary-sized aggregate over postings;
+- the query-term table is tiny and BROADCAST: scoring is a broadcast
+  equi-join ``postings ⋈ query_terms`` on the token — the corpus never
+  shuffles for the probe, and only candidate (query, doc) partial
+  scores shuffle into the final per-pair sum;
+- stop-term pruning (``max_df_ratio``): a query term appearing in more
+  than that fraction of documents is dropped BEFORE the postings join —
+  at 100 TB a stopword's posting list is a large fraction of the corpus
+  and contributes ~zero discrimination (its idf ≈ 0); pruning bounds
+  the join fan-out by construction, the standard impact-ordering
+  shortcut of web-scale BM25.
+
+Portability: with ``portable=True`` (the certification mode) the
+per-term partial scores use only IEEE-exact operations (+ - * /, all
+correctly rounded, identical expression tree in the DuckDB oracle) and
+the RATIONAL idf ``(N - df + 0.5) / (df + 0.5)`` — the Robertson idf
+without the final ``ln``, whose libm rounding is engine-specific (the
+same reasoning as ``corpus.salient_terms``; ln is monotone, so
+per-term ORDER is unaffected, though multi-term sums weight rare terms
+more strongly than standard BM25). Partial scores are fixed-point
+scaled to bigints before summing, so the cross-partition sum order
+cannot perturb the result (the ``classifier.perplexity_score``
+pattern). ``portable=False`` uses the standard Lucene
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf.
+
+The reference has no text-retrieval surface (SURVEY.md §2.2 'absent');
+this is an LLM-data-pipeline extension (quality-biased sampling and
+targeted corpus audits are BM25 queries over the training corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stepist_spark.functions.text import tokens, tokens_sql
+
+SCALE = 1_000_000  # fixed-point scale for portable partial scores
+
+
+def doc_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings ``doc_id, tok, tf, dl`` (dl = document
+    token length, carried on every posting so scoring needs no second
+    join against a lengths table)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    Output: ``query_id, doc_id, rank, score_scaled, n_terms_hit`` —
+    ``score_scaled`` is the fixed-point (×1e6) integer score (exact,
+    engine-portable, deterministic sum), ``n_terms_hit`` the number of
+    query terms matched in the document.
+    """
+    postings = doc_postings(docs, id_col, text_col)
+
+    # corpus scalars: one tiny aggregate, broadcast as a 1-row frame
+    stats = postings.groupBy().agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"),
+        F.sum("tf").cast("double").alias("total_toks"),
+    )
+
+    # document frequency per token (vocabulary-sized)
+    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    # query terms: DISTINCT per (query, token) — BM25's standard
+    # bag-of-words form scores each matched term once per document
+    # occurrence profile; duplicate query words add no information
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("tok"),
+    ).distinct()
+
+    # attach df to query terms and prune stop-terms BEFORE touching the
+    # postings: df/N > max_df_ratio ⇒ dropped
+    qt = (
+        qterms.join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df").cast("double") <= F.lit(max_df_ratio) * F.col("n_docs"))
+    )
+
+    scored = postings.join(F.broadcast(qt), "tok")
+    idf_rational = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = idf_rational if portable else F.log(F.lit(1.0) + idf_rational)
+    # norm = k1 * (1 - b + b * dl * N / total_toks); every op mirrored
+    # 1:1 in the oracle SQL so double rounding is bit-identical
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") * F.col("n_docs") / F.col("total_toks")
+    )
+    part = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + norm)
+    )
+    part_scaled = F.round(part * F.lit(float(SCALE))).cast("bigint")
+
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(part_scaled).alias("score_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_scaled", "n_terms_hit")
+    )
+
+
+def bm25_topk_sql(
+    docs_table: str,
+    queries_sql: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` (portable mode). The
+    expression trees match the Spark side operation-for-operation so
+    IEEE-exact arithmetic yields identical scaled scores.
+    ``queries_sql`` must yield ``(query_id, query_text)``."""
+    return f"""
+WITH postings AS (
+    SELECT doc_id, tok, count(*) AS tf,
+           CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+    FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM {docs_table})
+    GROUP BY doc_id, tok
+),
+stats AS (
+    SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+           CAST(sum(tf) AS DOUBLE) AS total_toks
+    FROM postings
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY tok),
+qterms AS (
+    SELECT DISTINCT query_id, unnest({tokens_sql('query_text')}) AS tok
+    FROM ({queries_sql})
+),
+qt AS (
+    SELECT q.query_id, q.tok, d.df, s.n_docs, s.total_toks
+    FROM qterms q JOIN dfreq d USING (tok) CROSS JOIN stats s
+    WHERE CAST(d.df AS DOUBLE) <= {max_df_ratio} * s.n_docs
+),
+parts AS (
+    SELECT q.query_id, p.doc_id,
+           CAST(round(
+               ((q.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (CAST(p.tf AS DOUBLE) * {k1 + 1.0})
+               / (CAST(p.tf AS DOUBLE)
+                  + ({k1} * ({1.0 - b} + {b} * CAST(p.dl AS DOUBLE) * q.n_docs
+                             / q.total_toks)))
+               * {float(SCALE)}) AS BIGINT) AS part_scaled
+    FROM postings p JOIN qt q USING (tok)
+),
+agg AS (
+    SELECT query_id, doc_id, sum(part_scaled) AS score_scaled,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM parts GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rank, score_scaled, n_terms_hit FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+    FROM agg
+) WHERE rank <= {k}
+"""

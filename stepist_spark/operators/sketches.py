@@ -204,3 +204,115 @@ def frequent_items(
         merged.orderBy(F.col("weight").desc(), F.col("item").asc())
         .limit(top_k)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership bitmap.
+#
+# The broadcast-side complement of the HLL above: where HLL answers
+# "how many distinct", a Bloom filter answers "is this value possibly
+# in the set" with no false negatives and a bounded false-positive
+# rate. At 100 TB the use-case is the two-stage membership test:
+# broadcasting an exact benchmark-shingle set for decontamination can
+# run to GBs, but its Bloom bitmap is KBs — broadcast the bitmap,
+# pre-filter the corpus (drops ~everything), then exact-verify only the
+# survivors (the same filter→verify shape as LSH→Jaccard).
+#
+# Portability: bit positions come from the repo-wide md5-derived
+# word_hash32 with per-hash seed prefixes, and the bitmap uses 63 bits
+# per bigint word — the sign bit is never set, so ``1 << pos`` behaves
+# identically in every engine (no engine-specific semantics of
+# shifting into two's-complement sign). The bitmap is SPARSE
+# (word_idx -> word): only non-zero words ship, merges are a bit_or
+# per word_idx, and the empty filter is the empty frame.
+
+BLOOM_WORD_BITS = 63
+
+
+def _bit_value(bit_in_word):
+    """``1 << bit`` for a COLUMN shift amount (F.shiftleft only takes a
+    Python int): element_at over the 63 literal powers of two."""
+    powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(BLOOM_WORD_BITS)])
+    return F.element_at(powers, bit_in_word.cast("int") + F.lit(1))
+
+
+def _bloom_positions(col, m_bits: int, n_hashes: int):
+    """k portable bit positions for a value: md5('i:' || value) % m."""
+    from stepist_spark.functions import hashing
+
+    return [
+        hashing.word_hash32(F.concat(F.lit(f"{i}:"), col)) % F.lit(m_bits)
+        for i in range(n_hashes)
+    ]
+
+
+def _bloom_positions_sql(expr: str, m_bits: int, n_hashes: int) -> list[str]:
+    from stepist_spark.functions import hashing
+
+    out = []
+    for i in range(n_hashes):
+        seeded = f"'{i}:' || {expr}"
+        out.append(f"({hashing.word_hash32_sql(seeded)} % {m_bits})")
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a sparse Bloom bitmap over ``value_col``.
+
+    Output: ``word_idx, word`` — one row per non-zero 63-bit word.
+    One explode (k rows per value) + one hash-aggregate (map-side
+    partial bit_or), so the shuffle carries at most m/63 rows total.
+    Bitmaps built over partitions/shards merge by unioning the frames
+    and re-aggregating bit_or per word_idx.
+    """
+    pos = F.explode(F.array(*_bloom_positions(F.col(value_col), m_bits, n_hashes)))
+    p = df.select(pos.alias("p"))
+    return (
+        # floor, not cast: Spark casts double->bigint by truncation but
+        # other engines round -- floor() is unambiguous in both
+        p.groupBy(F.floor(F.col("p") / BLOOM_WORD_BITS).cast("bigint").alias("word_idx"))
+        .agg(F.bit_or(_bit_value(F.col("p") % BLOOM_WORD_BITS)).alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Append ``flag_col``: True iff every one of the value's k bits is
+    set in ``bloom`` (possibly-member; False is definite non-member).
+
+    The sparse bitmap is folded into ONE row holding a map column
+    (``map_from_entries`` over ``collect_list`` — bounded at m/63
+    entries by construction) and broadcast onto the probing frame: the
+    probe side never shuffles and gains no join fan-out (k scalar map
+    lookups fold into one boolean per row). No driver round-trip — the
+    bitmap never leaves the cluster.
+    """
+    packed = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word_idx"), F.col("word")))
+        ).alias("_bloom_map")
+    )
+    df = df.crossJoin(F.broadcast(packed))
+    checks = []
+    for pos in _bloom_positions(F.col(value_col), m_bits, n_hashes):
+        word = F.coalesce(
+            F.element_at(F.col("_bloom_map"), F.floor(pos / BLOOM_WORD_BITS).cast("bigint")),
+            F.lit(0),
+        )
+        mask = _bit_value(pos % BLOOM_WORD_BITS)
+        checks.append(word.bitwiseAND(mask) != 0)
+    flag = checks[0]
+    for c in checks[1:]:
+        flag = flag & c
+    return df.withColumn(flag_col, flag).drop("_bloom_map")

@@ -352,22 +352,84 @@ JOIN (SELECT * FROM j WHERE r2 = 1) s USING (doc_id)
 """
 
 
-# t16 — corpus vocabulary: top-50 tokens by occurrence (doc frequency
-# alongside) — the vocab-build pass of a tokenizer-training pipeline.
+# t16 — text-index tag union: corpus vocabulary (top-50 tokens, the
+# vocab-build pass of a tokenizer pipeline) + BM25 retrieval (each
+# query = the first 6 tokens of every 50th document, top-5 docs by
+# fixed-point portable BM25 — `operators/ranking.py`; max_df_ratio=1.0
+# because the synthetic corpus's tiny vocabulary makes every term a
+# "stopword"; the pruning path is covered in tests/test_ranking.py).
 def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import corpus as corpus_ops
+    from stepist_spark.operators import ranking
 
     docs = load_table(spark, sf, "documents")
     v = corpus_ops.vocabulary(docs, "doc_id", "text", min_count=2)
-    return v.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc()).limit(50)
+    vocab = (
+        v.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(50)
+        .select(
+            F.lit("vocab").alias("part"),
+            "tok",
+            F.lit(None).cast("bigint").alias("qid"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("rank"),
+            F.col("n_occurrences").cast("bigint").alias("n1"),
+            F.col("n_docs").cast("bigint").alias("n2"),
+            F.lit(None).cast("bigint").alias("score_scaled"),
+        )
+    )
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, 6)).alias("query_text"),
+    )
+    bm = ranking.bm25_topk(
+        docs.select("doc_id", "text"), queries, k=5, max_df_ratio=1.0
+    ).select(
+        F.lit("bm25").alias("part"),
+        F.lit(None).cast("string").alias("tok"),
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("rank"),
+        F.col("n_terms_hit").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        "score_scaled",
+    )
+    return vocab.unionByName(bm)
 
 
-T16_SQL = f"""
+_T16_VOCAB_SQL = f"""
 SELECT _tok AS tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM (SELECT doc_id, unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
 GROUP BY _tok HAVING count(*) >= 2
 ORDER BY n_occurrences DESC, tok LIMIT 50
 """
+
+_T16_QUERIES_SQL = f"""
+SELECT doc_id AS query_id,
+       array_to_string(({TX.tokens_sql('text')})[1:6], ' ') AS query_text
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _t16_sql() -> str:
+    from stepist_spark.operators import ranking
+
+    bm25 = ranking.bm25_topk_sql(
+        "(SELECT doc_id, text FROM documents)", _T16_QUERIES_SQL, k=5, max_df_ratio=1.0
+    )
+    return f"""
+SELECT 'vocab' AS part, tok, CAST(NULL AS BIGINT) AS qid,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS rank,
+       n_occurrences AS n1, n_docs AS n2, CAST(NULL AS BIGINT) AS score_scaled
+FROM ({_T16_VOCAB_SQL})
+UNION ALL
+SELECT 'bm25', CAST(NULL AS VARCHAR), query_id, doc_id, rank,
+       n_terms_hit, CAST(NULL AS BIGINT), score_scaled
+FROM ({bm25})
+"""
+
+
+T16_SQL = _t16_sql()
 
 
 # t18 — benchmark decontamination: 8-gram shingle overlap between the
@@ -383,15 +445,70 @@ def _decontam_frames(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame
     return corpus, bench
 
 
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
 def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Tag union: exact shingle-overlap decontamination + the Bloom
+    scale path. At 100 TB the benchmark shingle set is too large to
+    broadcast exactly; `sketches.bloom_build` compresses it to a KB-
+    scale bitmap ('words' part certifies the bitmap itself) that
+    pre-filters the corpus with zero false negatives ('bloom' part:
+    per-doc possibly-contaminated counts, always ≥ the exact counts) —
+    survivors then exact-verify, the same filter→verify shape as
+    LSH→Jaccard."""
     from stepist_spark.operators import corpus as corpus_ops
+    from stepist_spark.operators import sketches
 
     corpus, bench = _decontam_frames(spark, sf)
-    return corpus_ops.ngram_contamination(corpus, bench, "doc_id", "text", shingle_k=8)
+    exact = corpus_ops.ngram_contamination(
+        corpus, bench, "doc_id", "text", shingle_k=8
+    ).select(
+        F.lit("exact").alias("part"),
+        F.col("doc_id").cast("bigint").alias("k"),
+        F.col("n_shingles").alias("n1"),
+        F.col("n_contaminated").alias("n2"),
+        F.col("contamination_ratio").alias("ratio"),
+    )
+    bench_sh = bench.select(
+        F.explode(hashing.shingles(TX.tokens(F.col("text")), 8)).alias("sh")
+    ).distinct()
+    bloom = sketches.bloom_build(bench_sh, "sh", m_bits=_BLOOM_M, n_hashes=_BLOOM_K)
+    words = bloom.select(
+        F.lit("words").alias("part"),
+        F.col("word_idx").cast("bigint").alias("k"),
+        F.col("word").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    corpus_sh = corpus.select(
+        "doc_id", F.explode(hashing.shingles(TX.tokens(F.col("text")), 8)).alias("sh")
+    ).distinct()
+    probed = sketches.bloom_probe(
+        corpus_sh, "sh", bloom, m_bits=_BLOOM_M, n_hashes=_BLOOM_K
+    )
+    pre = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).cast("bigint").alias("n2"),
+    ).select(
+        F.lit("bloom").alias("part"),
+        F.col("doc_id").cast("bigint").alias("k"),
+        "n1",
+        "n2",
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    return exact.unionByName(words).unionByName(pre)
 
 
 _SH8 = hashing.shingles_sql(TX.tokens_sql("text"), 8)
-T18_SQL = f"""
+
+
+def _t18_sql() -> str:
+    from stepist_spark.operators.sketches import BLOOM_WORD_BITS, _bloom_positions_sql
+
+    pos = ", ".join(_bloom_positions_sql("sh", _BLOOM_M, _BLOOM_K))
+    return f"""
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
 corpus AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
@@ -408,12 +525,38 @@ tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
 hit AS (
     SELECT c.doc_id, count(*) AS n_contaminated
     FROM csh c JOIN bsh USING (sh) GROUP BY c.doc_id
+),
+bloomw AS (
+    SELECT CAST(p // {BLOOM_WORD_BITS} AS BIGINT) AS word_idx,
+           bit_or(1::BIGINT << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS word
+    FROM (SELECT unnest([{pos}]) AS p FROM bsh) GROUP BY 1
+),
+cbits AS (
+    SELECT doc_id, sh, CAST(p // {BLOOM_WORD_BITS} AS BIGINT) AS widx,
+           1::BIGINT << CAST(p % {BLOOM_WORD_BITS} AS INT) AS mask
+    FROM (SELECT doc_id, sh, unnest([{pos}]) AS p FROM csh)
+),
+cflag AS (
+    SELECT b.doc_id, b.sh,
+           bool_and((coalesce(w.word, 0) & b.mask) <> 0) AS maybe
+    FROM cbits b LEFT JOIN bloomw w ON b.widx = w.word_idx
+    GROUP BY b.doc_id, b.sh
 )
-SELECT t.doc_id, t.n_shingles,
-       coalesce(h.n_contaminated, 0) AS n_contaminated,
-       CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles AS contamination_ratio
+SELECT 'exact' AS part, CAST(t.doc_id AS BIGINT) AS k, t.n_shingles AS n1,
+       coalesce(h.n_contaminated, 0) AS n2,
+       CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles AS ratio
 FROM tot t LEFT JOIN hit h USING (doc_id)
+UNION ALL
+SELECT 'words', word_idx, word, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM bloomw
+UNION ALL
+SELECT 'bloom', CAST(doc_id AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS DOUBLE)
+FROM cflag GROUP BY doc_id
 """
+
+
+T18_SQL = _t18_sql()
 
 
 # t20 — sequence packing: concatenate-and-chunk layout of the corpus
@@ -1047,8 +1190,8 @@ QUERIES = [
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash train/val/test split"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
-    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary build (top-50)"),
-    QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "benchmark n-gram decontamination"),
+    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable)"),
+    QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "concat-and-chunk sequence packing"),
     QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats"),

@@ -1,0 +1,116 @@
+"""BM25 retrieval: scoring correctness vs a pure-Python reference,
+stop-term pruning, determinism of the fixed-point scores, and the
+DuckDB-mirror parity that backs the t16 gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from stepist_spark.operators.ranking import SCALE, bm25_topk, bm25_topk_sql
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick red fox"),
+    (2, "lorem ipsum dolor sit amet"),
+    (3, "the dog sleeps all day the dog dreams"),
+    (4, "brown bears eat honey"),
+    (5, "a fox and a dog can be friends"),
+]
+QUERIES = [(100, "quick fox"), (101, "brown dog")]
+
+
+def py_bm25(docs, queries, k1=1.2, b=0.75, max_df_ratio=1.0, portable=True):
+    """Row-at-a-time reference implementation."""
+    toks = {d: t.lower().split() for d, t in docs}
+    n_docs = float(len(toks))
+    total = float(sum(len(t) for t in toks.values()))
+    df = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        for w in set(qtext.lower().split()):
+            if w not in df or df[w] > max_df_ratio * n_docs:
+                continue
+            for d, t in toks.items():
+                tf = t.count(w)
+                if not tf:
+                    continue
+                idf = (n_docs - df[w] + 0.5) / (df[w] + 0.5)
+                if not portable:
+                    idf = math.log(1.0 + idf)
+                norm = k1 * (1.0 - b + b * len(t) * n_docs / total)
+                part = idf * (tf * (k1 + 1.0)) / (tf + norm)
+                key = (qid, d)
+                s, n = out.get(key, (0, 0))
+                out[key] = (s + int(round(part * SCALE)), n + 1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id bigint, query_text string")
+    return docs, qs
+
+
+class TestBm25:
+    def test_scores_match_python_reference(self, spark, frames):
+        docs, qs = frames
+        got = {
+            (r.query_id, r.doc_id): (r.score_scaled, r.n_terms_hit)
+            for r in bm25_topk(docs, qs, k=100).collect()
+        }
+        assert got == py_bm25(DOCS, QUERIES, max_df_ratio=0.5)
+
+    def test_rank_is_dense_and_ordered(self, spark, frames):
+        docs, qs = frames
+        rows = bm25_topk(docs, qs, k=3).orderBy("query_id", "rank").collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            scores = [r.score_scaled for r in rs]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_stop_term_pruning(self, spark, frames):
+        docs, qs = frames
+        # 'the' appears in 3/6 docs (df ratio 0.5); with max_df_ratio
+        # 0.4 a the-only query matches nothing
+        the_q = spark.createDataFrame([(7, "the")], "query_id bigint, query_text string")
+        assert bm25_topk(docs, the_q, max_df_ratio=0.4).count() == 0
+        assert bm25_topk(docs, the_q, max_df_ratio=0.5).count() == 3
+
+    def test_lucene_idf_mode(self, spark, frames):
+        docs, qs = frames
+        got = {
+            (r.query_id, r.doc_id): (r.score_scaled, r.n_terms_hit)
+            for r in bm25_topk(docs, qs, k=100, portable=False).collect()
+        }
+        exp = py_bm25(DOCS, QUERIES, max_df_ratio=0.5, portable=False)
+        for key, (s, n) in exp.items():
+            # ln is only within-1-ulp portable: compare to the scaled
+            # integer within 1 (JVM vs libm rounding)
+            assert abs(got[key][0] - s) <= 1 and got[key][1] == n
+
+    def test_duckdb_mirror_parity(self, spark, frames):
+        docs, qs = frames
+        got = sorted(
+            (r.query_id, r.doc_id, r.rank, r.score_scaled, r.n_terms_hit)
+            for r in bm25_topk(docs, qs, k=4, max_df_ratio=1.0).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
+        qsql = " UNION ALL ".join(
+            f"SELECT {q}::BIGINT AS query_id, '{t}' AS query_text" for q, t in QUERIES
+        )
+        osql = bm25_topk_sql("d", qsql, k=4, max_df_ratio=1.0)
+        exp = sorted(tuple(int(x) for x in row) for row in con.execute(osql).fetchall())
+        assert got == exp

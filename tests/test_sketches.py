@@ -126,3 +126,62 @@ class TestPortableHll:
         a = sorted(tuple(r) for r in merged.collect())
         b = sorted(tuple(r) for r in direct.collect())
         assert a == b  # register-level merge law: max is associative
+
+
+class TestBloomFilter:
+    M, K = 1 << 12, 4
+
+    @pytest.fixture(scope="class")
+    def members(self, spark):
+        return spark.createDataFrame(
+            [(f"member_{i}",) for i in range(300)], "v string"
+        )
+
+    def test_no_false_negatives(self, spark, members):
+        bloom = sketches.bloom_build(members, "v", self.M, self.K)
+        probed = sketches.bloom_probe(members, "v", bloom, self.M, self.K)
+        assert probed.filter(~F.col("maybe_member")).count() == 0
+
+    def test_false_positive_rate_bounded(self, spark, members):
+        bloom = sketches.bloom_build(members, "v", self.M, self.K)
+        novel = spark.createDataFrame(
+            [(f"novel_{i}",) for i in range(1000)], "v string"
+        )
+        fp = (
+            sketches.bloom_probe(novel, "v", bloom, self.M, self.K)
+            .filter(F.col("maybe_member"))
+            .count()
+        )
+        # n=300, m=4096, k=4 -> theoretical fp ~ (1-e^(-kn/m))^k ~ 0.4%
+        assert fp / 1000 < 0.05, fp
+
+    def test_merge_equals_direct_build(self, spark, members):
+        """Bitmaps built over shards merge (union + bit_or) to exactly
+        the bitmap of the union — the property that lets 100 TB shards
+        build their filters independently."""
+        half1 = members.filter(F.substring("v", 8, 10).cast("int") % 2 == 0)
+        half2 = members.filter(F.substring("v", 8, 10).cast("int") % 2 == 1)
+        b1 = sketches.bloom_build(half1, "v", self.M, self.K)
+        b2 = sketches.bloom_build(half2, "v", self.M, self.K)
+        merged = (
+            b1.unionByName(b2)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        direct = sketches.bloom_build(members, "v", self.M, self.K)
+        got = sorted((r.word_idx, r.word) for r in merged.collect())
+        exp = sorted((r.word_idx, r.word) for r in direct.collect())
+        assert got == exp
+
+    def test_empty_filter_rejects_everything(self, spark, members):
+        empty = sketches.bloom_build(
+            members.filter(F.lit(False)), "v", self.M, self.K
+        )
+        probed = sketches.bloom_probe(members, "v", empty, self.M, self.K)
+        assert probed.filter(F.col("maybe_member")).count() == 0
+
+    def test_sign_bit_never_set(self, spark, members):
+        """63 bits per word: every word is non-negative, so engines
+        cannot disagree about shifting into two's-complement sign."""
+        bloom = sketches.bloom_build(members, "v", self.M, self.K)
+        assert bloom.filter(F.col("word") < 0).count() == 0
