@@ -77,12 +77,27 @@ def salient_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_set(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 8
+) -> DataFrame:
+    """Distinct ``(_id, sh)`` k-word shingles per document — the shared
+    input of the exact and Bloom decontamination paths (compute once,
+    feed both)."""
+    toked = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    sh = toked.select(
+        "_id", F.explode(hashing.shingles(F.col("_tk"), shingle_k)).alias("sh")
+    )
+    return sh.distinct()
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
     id_col: str,
     text_col: str,
     shingle_k: int = 8,
+    corpus_shingles: DataFrame | None = None,
+    benchmark_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus document, how many of
     its distinct ``shingle_k``-gram shingles appear anywhere in the
@@ -92,14 +107,22 @@ def ngram_contamination(
     The benchmark shingle set is broadcast (benchmarks are small); the
     corpus side never shuffles for the membership test — only the final
     per-document aggregation shuffles, keyed on the doc id.
-    """
-    def _shingle_set(df: DataFrame) -> DataFrame:
-        toked = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-        sh = toked.select("_id", F.explode(hashing.shingles(F.col("_tk"), shingle_k)).alias("sh"))
-        return sh.distinct()
 
-    corpus_sh = _shingle_set(corpus)
-    bench_sh = _shingle_set(benchmark).select("sh").distinct()
+    ``corpus_shingles``/``benchmark_shingles`` (outputs of
+    :func:`shingle_set`) let a caller that also runs the Bloom
+    pre-filter share one tokenize+shingle pass instead of re-exploding
+    the corpus.
+    """
+    corpus_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_set(corpus, id_col, text_col, shingle_k)
+    )
+    bench_sh = (
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else shingle_set(benchmark, id_col, text_col, shingle_k)
+    ).select("sh").distinct()
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
         .groupBy("_id")

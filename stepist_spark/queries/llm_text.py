@@ -462,8 +462,19 @@ def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sketches
 
     corpus, bench = _decontam_frames(spark, sf)
+    # ONE tokenize+shingle pass each, shared by the exact path and the
+    # Bloom path (at 100 TB the corpus explode dominates; never do it
+    # twice for two membership tests over the same shingles)
+    corpus_sh = corpus_ops.shingle_set(corpus, "doc_id", "text", 8)
+    bench_sh_ids = corpus_ops.shingle_set(bench, "doc_id", "text", 8)
     exact = corpus_ops.ngram_contamination(
-        corpus, bench, "doc_id", "text", shingle_k=8
+        corpus,
+        bench,
+        "doc_id",
+        "text",
+        shingle_k=8,
+        corpus_shingles=corpus_sh,
+        benchmark_shingles=bench_sh_ids,
     ).select(
         F.lit("exact").alias("part"),
         F.col("doc_id").cast("bigint").alias("k"),
@@ -471,9 +482,7 @@ def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_contaminated").alias("n2"),
         F.col("contamination_ratio").alias("ratio"),
     )
-    bench_sh = bench.select(
-        F.explode(hashing.shingles(TX.tokens(F.col("text")), 8)).alias("sh")
-    ).distinct()
+    bench_sh = bench_sh_ids.select("sh").distinct()
     bloom = sketches.bloom_build(bench_sh, "sh", m_bits=_BLOOM_M, n_hashes=_BLOOM_K)
     words = bloom.select(
         F.lit("words").alias("part"),
@@ -482,18 +491,15 @@ def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.lit(None).cast("double").alias("ratio"),
     )
-    corpus_sh = corpus.select(
-        "doc_id", F.explode(hashing.shingles(TX.tokens(F.col("text")), 8)).alias("sh")
-    ).distinct()
     probed = sketches.bloom_probe(
         corpus_sh, "sh", bloom, m_bits=_BLOOM_M, n_hashes=_BLOOM_K
     )
-    pre = probed.groupBy("doc_id").agg(
+    pre = probed.groupBy("_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n1"),
         F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).cast("bigint").alias("n2"),
     ).select(
         F.lit("bloom").alias("part"),
-        F.col("doc_id").cast("bigint").alias("k"),
+        F.col("_id").cast("bigint").alias("k"),
         "n1",
         "n2",
         F.lit(None).cast("double").alias("ratio"),
