@@ -314,3 +314,91 @@ class TestEnvelopeProperty:
         back = from_envelope(to_envelope(df), "id BIGINT, payload STRING")
         got = sorted(tuple(r) for r in back.collect())
         assert got == sorted(rows)
+
+
+class TestBm25Property:
+    """bm25_topk (portable mode) must equal a row-at-a-time Python
+    BM25 on arbitrary corpora — scores, hit counts, and ranking."""
+
+    @given(
+        texts=st.lists(
+            st.text(st.sampled_from(list("abcde ")), min_size=1, max_size=40),
+            min_size=2,
+            max_size=8,
+        ),
+        qtext=st.text(st.sampled_from(list("abcde ")), min_size=1, max_size=15),
+    )
+    @SETTINGS
+    def test_matches_python_reference(self, spark, texts, qtext):
+        from stepist_spark.operators.ranking import SCALE, bm25_topk
+
+        docs = [(i, t) for i, t in enumerate(texts)]
+        toks = {d: tokens_py(t) for d, t in docs}
+        toks = {d: t for d, t in toks.items() if t}
+        qtoks = set(tokens_py(qtext))
+        if not toks or not qtoks:
+            return
+
+        n_docs = float(len(toks))
+        total = float(sum(len(t) for t in toks.values()))
+        dfreq: dict[str, int] = {}
+        for t in toks.values():
+            for w in set(t):
+                dfreq[w] = dfreq.get(w, 0) + 1
+        expect: dict[int, tuple[int, int]] = {}
+        for w in qtoks:
+            if w not in dfreq:
+                continue
+            for d, t in toks.items():
+                tf = t.count(w)
+                if not tf:
+                    continue
+                idf = (n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5)
+                norm = 1.2 * (1.0 - 0.75 + 0.75 * len(t) * n_docs / total)
+                part = idf * (tf * 2.2) / (tf + norm)
+                s, n = expect.get(d, (0, 0))
+                expect[d] = (s + int(round(part * SCALE)), n + 1)
+
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        qdf = spark.createDataFrame([(0, qtext)], "query_id long, query_text string")
+        rows = bm25_topk(ddf, qdf, k=1000, max_df_ratio=1.0).collect()
+        got = {r.doc_id: (r.score_scaled, r.n_terms_hit) for r in rows}
+        assert got == expect
+        # ranks follow (score desc, doc_id asc)
+        ordered = sorted(rows, key=lambda r: r.rank)
+        assert ordered == sorted(rows, key=lambda r: (-r.score_scaled, r.doc_id))
+
+
+class TestBloomProperty:
+    """bloom_build must equal a bit-for-bit Python reference bitmap,
+    and probing members must never report a false negative."""
+
+    @given(
+        values=st.lists(
+            st.text(ALPHABET, min_size=1, max_size=20), min_size=1, max_size=40
+        )
+    )
+    @SETTINGS
+    def test_bitmap_matches_python(self, spark, values):
+        from stepist_spark.operators.sketches import (
+            BLOOM_WORD_BITS,
+            bloom_build,
+            bloom_probe,
+        )
+
+        m_bits, k = 1 << 10, 3
+        expect: dict[int, int] = {}
+        for v in set(values):
+            for i in range(k):
+                h = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16)
+                p = h % m_bits
+                wi = p // BLOOM_WORD_BITS
+                expect[wi] = expect.get(wi, 0) | (1 << (p % BLOOM_WORD_BITS))
+
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        bloom = bloom_build(df, "v", m_bits=m_bits, n_hashes=k)
+        got = {int(r.word_idx): int(r.word) for r in bloom.collect()}
+        assert got == expect
+
+        probed = bloom_probe(df, "v", bloom, m_bits=m_bits, n_hashes=k)
+        assert probed.filter(~F.col("maybe_member")).count() == 0
