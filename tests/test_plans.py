@@ -237,6 +237,8 @@ class TestCatalogHygiene:
                                 # as BNLJ against the broadcast (tiny) subquery side
         "t23_model_gates",      # broadcast 1-row vocab-size cross join
         "t25_resample_shuffle", # broadcast 1-row group-min cross join
+        "t16_vocabulary",       # BM25: broadcast 1-row corpus-stats cross join
+        "t18_decontamination",  # bloom_probe: broadcast 1-row packed-bitmap cross join
     }
 
     def test_no_cartesian_products_anywhere(self, spark, qs):
