@@ -39,6 +39,19 @@ def vocabulary(df: DataFrame, id_col: str, text_col: str, min_count: int = 1) ->
     return out.filter(F.col("n_occurrences") >= min_count)
 
 
+def vocabulary_from_postings(postings: DataFrame, min_count: int = 1) -> DataFrame:
+    """:func:`vocabulary` computed from an inverted index
+    (``ranking.doc_postings`` output) instead of the raw corpus —
+    ``n_occurrences = sum(tf)``, ``n_docs = count(postings rows)``.
+    When a pipeline also runs BM25, the postings pass is built once and
+    the vocabulary falls out of it for one vocabulary-sized aggregate."""
+    out = postings.groupBy("tok").agg(
+        F.sum("tf").cast("bigint").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return out.filter(F.col("n_occurrences") >= min_count)
+
+
 def salient_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document most-salient term, TF-IDF shaped: highest term
     frequency first, rarest (lowest document frequency) as tiebreak,

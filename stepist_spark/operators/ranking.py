@@ -77,6 +77,7 @@ def bm25_topk(
     b: float = 0.75,
     max_df_ratio: float = 0.5,
     portable: bool = True,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -84,8 +85,16 @@ def bm25_topk(
     ``score_scaled`` is the fixed-point (×1e6) integer score (exact,
     engine-portable, deterministic sum), ``n_terms_hit`` the number of
     query terms matched in the document.
+
+    ``postings`` (output of :func:`doc_postings`) lets the caller
+    build the inverted index ONCE and reuse it — the corpus stats, the
+    df table and the scoring probe all read postings, so without a
+    materialized index the corpus explode runs three times. At scale
+    the index is a persisted table (build per ingest, query many
+    times); pass a checkpointed/written frame here.
     """
-    postings = doc_postings(docs, id_col, text_col)
+    if postings is None:
+        postings = doc_postings(docs, id_col, text_col)
 
     # corpus scalars: one tiny aggregate, broadcast as a 1-row frame
     stats = postings.groupBy().agg(

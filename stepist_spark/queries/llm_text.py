@@ -363,7 +363,11 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import ranking
 
     docs = load_table(spark, sf, "documents")
-    v = corpus_ops.vocabulary(docs, "doc_id", "text", min_count=2)
+    # ONE corpus explode: the inverted index feeds the vocabulary, the
+    # corpus stats, the df table, and the scoring probe (localCheckpoint
+    # stands in for the persisted index table a real deployment keeps)
+    postings = ranking.doc_postings(docs, "doc_id", "text").localCheckpoint()
+    v = corpus_ops.vocabulary_from_postings(postings, min_count=2)
     vocab = (
         v.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
         .limit(50)
@@ -383,7 +387,8 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, 6)).alias("query_text"),
     )
     bm = ranking.bm25_topk(
-        docs.select("doc_id", "text"), queries, k=5, max_df_ratio=1.0
+        docs.select("doc_id", "text"), queries, k=5, max_df_ratio=1.0,
+        postings=postings,
     ).select(
         F.lit("bm25").alias("part"),
         F.lit(None).cast("string").alias("tok"),
