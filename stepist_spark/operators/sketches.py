@@ -316,3 +316,111 @@ def bloom_probe(
     for c in checks[1:]:
         flag = flag & c
     return df.withColumn(flag_col, flag).drop("_bloom_map")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable per-key frequency estimation.
+#
+# Completes the sketch family: HLL answers "how many distinct", Bloom
+# "is it a member", frequent_items "which keys are heavy", count-min
+# "ABOUT how often does key x occur" — in depth×width integers instead
+# of a |keys|-sized exact table. Estimates never undercount; the
+# overcount is bounded by (2/width)·total_weight with probability
+# 1 - (1/2)^depth. Per-shard sketches merge by cell-wise sum, so a
+# 100 TB corpus builds per-partition sketches map-side and ships
+# depth×width rows per shard — the same pre-aggregate-then-merge shape
+# as the HLL rollup above.
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Sparse count-min sketch: one ``(row_idx, col_idx, cnt)`` row per
+    non-zero cell. Positions use the portable md5 ``word_hash32`` with
+    per-row seed prefixes (engine-reproducible, like the Bloom filter).
+    One explode (depth rows per value) + one hash-aggregate with
+    map-side partial sums."""
+    from stepist_spark.functions import hashing
+
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row_idx"),
+                        (
+                            hashing.word_hash32(
+                                F.concat(F.lit(f"{d}:"), F.col(value_col))
+                            )
+                            % F.lit(width)
+                        ).alias("col_idx"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+        w.alias("_w"),
+    )
+    return (
+        cells.groupBy(
+            F.col("c.row_idx").cast("int").alias("row_idx"),
+            F.col("c.col_idx").cast("int").alias("col_idx"),
+        )
+        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches (same depth/width) by cell-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "col_idx").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def cms_estimate(
+    df: DataFrame,
+    value_col: str,
+    sketch: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    estimate_col: str = "approx_count",
+) -> DataFrame:
+    """Append ``estimate_col``: the count-min estimate (min over the
+    depth rows) for each value. Like ``bloom_probe``, the sketch is
+    packed into a one-row broadcast map (cells bounded by depth×width)
+    and probed with scalar lookups — no probe-side shuffle."""
+    from stepist_spark.functions import hashing
+
+    packed = sketch.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("row_idx").cast("bigint") * width
+                        + F.col("col_idx").cast("bigint")
+                    ).alias("key"),
+                    F.col("cnt"),
+                )
+            )
+        ).alias("_cms_map")
+    )
+    df = df.crossJoin(F.broadcast(packed))
+    ests = []
+    for d in range(depth):
+        pos = (
+            hashing.word_hash32(F.concat(F.lit(f"{d}:"), F.col(value_col)))
+            % F.lit(width)
+        )
+        ests.append(
+            F.coalesce(
+                F.element_at(F.col("_cms_map"), F.lit(d).cast("bigint") * width + pos),
+                F.lit(0),
+            )
+        )
+    return df.withColumn(estimate_col, F.least(*ests)).drop("_cms_map")

@@ -27,8 +27,10 @@ ALPHABET = st.sampled_from(
 )
 TEXTS = st.lists(st.text(ALPHABET, max_size=120), min_size=1, max_size=12)
 
+# STEPIST_HYP_EXAMPLES raises the per-property example count for
+# offline bug-hunting sweeps (default 12 keeps CI fast)
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(__import__("os").environ.get("STEPIST_HYP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -185,3 +185,80 @@ class TestBloomFilter:
         cannot disagree about shifting into two's-complement sign."""
         bloom = sketches.bloom_build(members, "v", self.M, self.K)
         assert bloom.filter(F.col("word") < 0).count() == 0
+
+
+class TestCountMin:
+    D, W = 4, 256
+
+    @pytest.fixture(scope="class")
+    def freqs(self):
+        # zipf-ish: item_i appears i times
+        return {f"item_{i}": i for i in range(1, 40)}
+
+    @pytest.fixture(scope="class")
+    def stream(self, spark, freqs):
+        rows = [(v,) for v, n in freqs.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "v string")
+
+    def test_never_undercounts(self, spark, stream, freqs):
+        cms = sketches.cms_build(stream, "v", depth=self.D, width=self.W)
+        keys = spark.createDataFrame([(k,) for k in freqs], "v string")
+        est = {
+            r.v: r.approx_count
+            for r in sketches.cms_estimate(
+                keys, "v", cms, depth=self.D, width=self.W
+            ).collect()
+        }
+        for k, n in freqs.items():
+            assert est[k] >= n, (k, est[k], n)
+
+    def test_exact_in_sparse_regime(self, spark, stream, freqs):
+        # 39 keys into 4x256 cells: collisions in all 4 rows are
+        # vanishingly unlikely -> min over rows is exact
+        cms = sketches.cms_build(stream, "v", depth=self.D, width=self.W)
+        keys = spark.createDataFrame([(k,) for k in freqs], "v string")
+        est = {
+            r.v: r.approx_count
+            for r in sketches.cms_estimate(
+                keys, "v", cms, depth=self.D, width=self.W
+            ).collect()
+        }
+        assert est == freqs
+
+    def test_weighted_build(self, spark, freqs):
+        weighted = spark.createDataFrame(
+            [(k, n) for k, n in freqs.items()], "v string, w long"
+        )
+        cms = sketches.cms_build(
+            weighted, "v", weight_col="w", depth=self.D, width=self.W
+        )
+        keys = spark.createDataFrame([(k,) for k in freqs], "v string")
+        est = {
+            r.v: r.approx_count
+            for r in sketches.cms_estimate(
+                keys, "v", cms, depth=self.D, width=self.W
+            ).collect()
+        }
+        assert est == freqs
+
+    def test_shard_merge_equals_direct(self, spark, stream, freqs):
+        h1 = stream.filter(F.substring("v", 6, 8).cast("int") % 2 == 0)
+        h2 = stream.filter(F.substring("v", 6, 8).cast("int") % 2 == 1)
+        merged = sketches.cms_merge(
+            sketches.cms_build(h1, "v", depth=self.D, width=self.W),
+            sketches.cms_build(h2, "v", depth=self.D, width=self.W),
+        )
+        direct = sketches.cms_build(stream, "v", depth=self.D, width=self.W)
+        got = sorted((r.row_idx, r.col_idx, r.cnt) for r in merged.collect())
+        exp = sorted((r.row_idx, r.col_idx, r.cnt) for r in direct.collect())
+        assert got == exp
+
+    def test_absent_key_estimates_low(self, spark, stream):
+        cms = sketches.cms_build(stream, "v", depth=self.D, width=self.W)
+        novel = spark.createDataFrame([("never_seen_abc",)], "v string")
+        est = sketches.cms_estimate(
+            novel, "v", cms, depth=self.D, width=self.W
+        ).collect()[0].approx_count
+        # total weight 780 over 256 columns: the min over 4 rows should
+        # be far under the single-row expectation
+        assert est <= 30
