@@ -111,20 +111,29 @@ def ngram_contamination(
     shingle_k: int = 8,
     corpus_shingles: DataFrame | None = None,
     benchmark_shingles: DataFrame | None = None,
+    broadcast_benchmark: bool = True,
+    bloom_m_bits: int = 1 << 24,
+    bloom_n_hashes: int = 4,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus document, how many of
     its distinct ``shingle_k``-gram shingles appear anywhere in the
     benchmark set. Output: ``<id_col>, n_shingles, n_contaminated,
     contamination_ratio`` (one row per corpus doc with ≥1 shingle).
 
-    The benchmark shingle set is broadcast (benchmarks are small); the
-    corpus side never shuffles for the membership test — only the final
-    per-document aggregation shuffles, keyed on the doc id.
+    ``broadcast_benchmark=True`` (default): the benchmark shingle set
+    is broadcast and the corpus side never shuffles for the membership
+    test — right when the benchmark is small. ``False`` is the scale
+    path for benchmark sets too large to broadcast exactly: a Bloom
+    bitmap of the benchmark (KBs regardless of set size,
+    ``sketches.bloom_build``) pre-filters the corpus with zero false
+    negatives, and only the surviving candidate shingles — typically a
+    vanishing fraction — exact-verify through a shuffle semi-join.
+    Both paths return IDENTICAL results (the Bloom filter never drops
+    a true member; false positives are removed by the exact verify).
 
     ``corpus_shingles``/``benchmark_shingles`` (outputs of
-    :func:`shingle_set`) let a caller that also runs the Bloom
-    pre-filter share one tokenize+shingle pass instead of re-exploding
-    the corpus.
+    :func:`shingle_set`) let a caller that also inspects the shingles
+    share one tokenize+shingle pass instead of re-exploding the corpus.
     """
     corpus_sh = (
         corpus_shingles
@@ -136,10 +145,23 @@ def ngram_contamination(
         if benchmark_shingles is not None
         else shingle_set(benchmark, id_col, text_col, shingle_k)
     ).select("sh").distinct()
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    if broadcast_benchmark:
+        candidates = corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+    else:
+        from stepist_spark.operators import sketches
+
+        bloom = sketches.bloom_build(
+            bench_sh, "sh", m_bits=bloom_m_bits, n_hashes=bloom_n_hashes
+        )
+        maybe = sketches.bloom_probe(
+            corpus_sh, "sh", bloom, m_bits=bloom_m_bits, n_hashes=bloom_n_hashes
+        ).filter(F.col("maybe_member")).drop("maybe_member")
+        # exact verify of the survivors: a SHUFFLE semi-join — both
+        # sides hash-partition on the shingle, no broadcast of the
+        # full benchmark set anywhere
+        candidates = maybe.join(bench_sh, "sh", "left_semi")
+    hits = candidates.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
     )
     totals = corpus_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     joined = totals.join(hits, "_id", "left").select(

@@ -104,3 +104,28 @@ class TestBoilerplateLines:
         rows = [(1, "a\n\n \nb"), (2, "c")]
         got = self._run(spark, rows, max_doc_freq=2)
         assert got[1] == ("a\nb", 2, 0)
+
+
+class TestBloomPrefilterPath:
+    def test_scale_path_equals_broadcast_path(self, spark):
+        """broadcast_benchmark=False (bloom pre-filter + shuffle
+        verify) must return exactly the broadcast path's rows."""
+        from stepist_spark.operators.corpus import ngram_contamination
+        from stepist_spark.session import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        bench = docs.filter(F.col("doc_id") % 40 == 0)
+        corpus = docs.filter(F.col("doc_id") % 40 != 0).unionByName(
+            bench.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+        )
+        kw = dict(id_col="doc_id", text_col="text", shingle_k=8)
+        exact = ngram_contamination(corpus, bench, **kw).collect()
+        scale = ngram_contamination(
+            corpus, bench, broadcast_benchmark=False, bloom_m_bits=1 << 14, **kw
+        ).collect()
+        key = lambda r: (r.doc_id, r.n_shingles, r.n_contaminated)
+        assert sorted(map(key, exact)) == sorted(map(key, scale))
+        assert any(r.n_contaminated > 0 for r in exact)
