@@ -52,7 +52,9 @@ def vocabulary_from_postings(postings: DataFrame, min_count: int = 1) -> DataFra
     return out.filter(F.col("n_occurrences") >= min_count)
 
 
-def salient_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def salient_terms(
+    df: DataFrame, id_col: str, text_col: str, broadcast_df: bool = True
+) -> DataFrame:
     """Per-document most-salient term, TF-IDF shaped: highest term
     frequency first, rarest (lowest document frequency) as tiebreak,
     token string as final tiebreak.
@@ -63,6 +65,15 @@ def salient_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     across engines, while ``ln`` is only within-1-ulp portable and a
     rounded composite can flip hash comparisons at decimal boundaries.
 
+    ``broadcast_df``: the document-frequency table is vocabulary-sized.
+    For curated corpora that is MBs — broadcast it (default). For raw
+    web text the open vocabulary (URLs, typos, hashes) can run to 10⁹
+    rows, where a forced broadcast hint — which OVERRIDES Spark's size
+    checks — would OOM every executor: pass ``False`` for a plain
+    shuffle join on the token (tf is already partitioned by (_id, tok)
+    from its aggregation; the extra exchange is one vocab-keyed
+    shuffle of the tf table, the standard big-big layout).
+
     Output: ``<id_col>, top_token, tf, df, n_tokens``.
     """
     from pyspark.sql import Window
@@ -71,7 +82,7 @@ def salient_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tf = tok.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # document frequency: vocabulary-sized, broadcast back onto tf
     docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    joined = tf.join(F.broadcast(docfreq), "tok")
+    joined = tf.join(F.broadcast(docfreq) if broadcast_df else docfreq, "tok")
     w_rank = Window.partitionBy("_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
     )

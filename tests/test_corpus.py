@@ -129,3 +129,20 @@ class TestBloomPrefilterPath:
         key = lambda r: (r.doc_id, r.n_shingles, r.n_contaminated)
         assert sorted(map(key, exact)) == sorted(map(key, scale))
         assert any(r.n_contaminated > 0 for r in exact)
+
+
+def test_salient_terms_shuffle_join_path(spark):
+    """broadcast_df=False (open-vocabulary scale path) must return the
+    broadcast path's rows exactly."""
+    from stepist_spark.operators.corpus import salient_terms
+    from stepist_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    key = lambda r: (r.doc_id, r.top_token, r.tf, r.df, r.n_tokens)
+    a = sorted(map(key, salient_terms(docs, "doc_id", "text").collect()))
+    b = sorted(
+        map(key, salient_terms(docs, "doc_id", "text", broadcast_df=False).collect())
+    )
+    assert a == b and a
