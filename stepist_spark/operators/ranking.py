@@ -78,6 +78,7 @@ def bm25_topk(
     max_df_ratio: float = 0.5,
     portable: bool = True,
     postings: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -92,6 +93,13 @@ def bm25_topk(
     materialized index the corpus explode runs three times. At scale
     the index is a persisted table (build per ingest, query many
     times); pass a checkpointed/written frame here.
+
+    ``broadcast_queries``: an interactive query set is tiny —
+    broadcast it onto the postings (default). A BATCH retrieval
+    workload (millions of queries scoring one corpus) makes the
+    query-term table big; pass ``False`` for a token-keyed shuffle
+    join of postings against query terms — the standard big-big
+    layout, result-identical.
     """
     if postings is None:
         postings = doc_postings(docs, id_col, text_col)
@@ -121,7 +129,7 @@ def bm25_topk(
         .filter(F.col("df").cast("double") <= F.lit(max_df_ratio) * F.col("n_docs"))
     )
 
-    scored = postings.join(F.broadcast(qt), "tok")
+    scored = postings.join(F.broadcast(qt) if broadcast_queries else qt, "tok")
     idf_rational = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
     )

@@ -114,3 +114,13 @@ class TestBm25:
         osql = bm25_topk_sql("d", qsql, k=4, max_df_ratio=1.0)
         exp = sorted(tuple(int(x) for x in row) for row in con.execute(osql).fetchall())
         assert got == exp
+
+
+def test_shuffle_query_join_path(spark, frames):
+    """broadcast_queries=False (batch-retrieval scale path) returns the
+    broadcast path's rows exactly."""
+    docs, qs = frames
+    key = lambda r: (r.query_id, r.doc_id, r.rank, r.score_scaled, r.n_terms_hit)
+    a = sorted(map(key, bm25_topk(docs, qs, k=10).collect()))
+    b = sorted(map(key, bm25_topk(docs, qs, k=10, broadcast_queries=False).collect()))
+    assert a == b and a
