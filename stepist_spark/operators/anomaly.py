@@ -1,0 +1,108 @@
+"""Rolling-window anomaly scoring over windowed aggregates.
+
+Two-level temporal analytics — the monitoring-dashboard pattern: first
+aggregate events into time windows (``streaming/windows.py``), then
+score each window against the rolling statistics of its own trailing
+history. A window whose count deviates from its lookback mean by more
+than ``threshold`` standard deviations is flagged.
+
+Scale shape: the input is already windowed (|keys| × |windows| rows —
+orders of magnitude below the raw events), and the rolling pass is ONE
+window function per key ordered by window start: Spark sorts within
+each key's partition, no self-join, no per-row history explosion. The
+same query runs incrementally under Structured Streaming by keeping
+the windowed aggregate as a sink table and scoring only appended
+windows.
+
+Portability (the certification mode of every operator here): the
+rolling mean/variance come from EXACT bigint frame sums (sum, sum of
+squares, count over a ROWS frame), combined in doubles with one
+mirrored expression tree — no stddev_samp(), whose accumulation
+algorithm (Welford vs sum-of-squares, partition order) is
+engine-specific. sqrt is IEEE-correctly-rounded everywhere.
+
+The reference has no analytics surface at all (SURVEY.md §2.2);
+BASELINE.json text-analysis extension territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(
+    windowed: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lookback: int = 6,
+    threshold: float = 2.0,
+    z_col: str = "z",
+    flag_col: str = "is_anomaly",
+) -> DataFrame:
+    """Append ``z_col`` (rounded to 6 dp) and ``flag_col`` per row:
+    the z-score of ``value_col`` (an INTEGER column — counts) against
+    the trailing ``lookback`` rows of the same key, ordered by
+    ``order_col``.
+
+    NULL z when history is incomplete (< lookback prior rows) or the
+    history is constant (zero variance) — flagged False either way.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col).cast("bigint")
+    s = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    k = F.count(x).over(w)
+    # sample variance from exact bigint sums: (k*Σx² - (Σx)²) / (k(k-1))
+    var_num = (k * s2 - s * s).cast("double")
+    var = var_num / (k * (k - 1)).cast("double")
+    mean = s.cast("double") / k.cast("double")
+    z = F.round((x.cast("double") - mean) / F.sqrt(var), 6)
+    z_guarded = F.when((k == lookback) & (var_num > 0), z)
+    out = windowed.withColumn(z_col, z_guarded)
+    return out.withColumn(
+        flag_col,
+        F.coalesce(F.abs(F.col(z_col)) > F.lit(threshold), F.lit(False)),
+    )
+
+
+def rolling_zscore_sql(
+    windowed_sql: str,
+    key_exprs: list[str],
+    order_expr: str,
+    value_expr: str,
+    lookback: int = 6,
+    threshold: float = 2.0,
+) -> str:
+    """DuckDB mirror of :func:`rolling_zscore` (same expression tree,
+    same frame). ``windowed_sql`` must yield the windowed aggregate."""
+    keys = ", ".join(key_exprs)
+    frame = (
+        f"OVER (PARTITION BY {keys} ORDER BY {order_expr} "
+        f"ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)"
+    )
+    x = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+SELECT *, coalesce(abs(z) > {threshold}, FALSE) AS is_anomaly FROM (
+    SELECT *,
+           CASE WHEN _k = {lookback} AND (_k * _s2 - _s * _s) > 0 THEN
+               round((CAST({x} AS DOUBLE) - CAST(_s AS DOUBLE) / CAST(_k AS DOUBLE))
+                     / sqrt(CAST(_k * _s2 - _s * _s AS DOUBLE)
+                            / CAST(_k * (_k - 1) AS DOUBLE)), 6)
+           END AS z
+    FROM (
+        SELECT *,
+               sum({x}) {frame} AS _s,
+               sum({x} * {x}) {frame} AS _s2,
+               count({x}) {frame} AS _k
+        FROM ({windowed_sql})
+    )
+)
+"""

@@ -1261,18 +1261,53 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         "window_start",
         "window_end",
     )
-    return t.unionByName(s)
+    # two-level temporal analytics ride along: each hourly window's
+    # count scored against its own 6-window rolling history
+    # (operators/anomaly.py — exact bigint frame sums, no stddev_samp)
+    from stepist_spark.operators.anomaly import rolling_zscore
+
+    az = rolling_zscore(
+        q22_tumbling_window(spark, sf), ["event_type"], "window_start", "n"
+    ).select(
+        F.lit("zscore").alias("part"),
+        F.col("event_type").alias("wkey"),
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        F.col("sum_k").cast("bigint").alias("sum_k"),
+        "window_start",
+        "window_end",
+        "z",
+        "is_anomaly",
+    )
+    nulls = [F.lit(None).cast("double").alias("z"),
+             F.lit(None).cast("boolean").alias("is_anomaly")]
+    return (
+        t.select("*", *nulls).unionByName(s.select("*", *nulls)).unionByName(az)
+    )
 
 
-Q22M_SQL = f"""
+def _q22m_sql() -> str:
+    from stepist_spark.operators.anomaly import rolling_zscore_sql
+
+    az = rolling_zscore_sql(Q22_SQL, ["event_type"], "window_start", "n")
+    return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
-       sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end
+       sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end,
+       CAST(NULL AS DOUBLE) AS z, CAST(NULL AS BOOLEAN) AS is_anomaly
 FROM ({Q22_SQL})
 UNION ALL
 SELECT 'session', CAST(user_id AS VARCHAR), CAST(n_events AS BIGINT),
-       sum_value, CAST(NULL AS BIGINT), window_start, window_end
+       sum_value, CAST(NULL AS BIGINT), window_start, window_end,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({Q23_SQL})
+UNION ALL
+SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
+       CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly
+FROM ({az})
 """
+
+
+Q22M_SQL = _q22m_sql()
 
 
 def q24_subquery_suite(spark: SparkSession, sf: str) -> DataFrame:

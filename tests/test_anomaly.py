@@ -1,0 +1,73 @@
+"""Rolling z-score anomaly scoring: hand-computed reference, history
+guards, and the DuckDB mirror parity that backs the q22 gate part."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from stepist_spark.operators.anomaly import rolling_zscore, rolling_zscore_sql
+
+# (key, t, n): steady series with one planted spike at t=8
+ROWS = [("a", t, 10 + (t % 3) + (40 if t == 8 else 0)) for t in range(12)] + [
+    ("b", t, 5) for t in range(9)  # constant history -> zero variance
+]
+
+
+def py_reference(rows, lookback=6, threshold=2.0):
+    out = {}
+    by_key: dict = {}
+    for k, t, n in sorted(rows):
+        by_key.setdefault(k, []).append((t, n))
+    for k, series in by_key.items():
+        for i, (t, n) in enumerate(series):
+            hist = [v for _, v in series[max(0, i - lookback) : i]]
+            z = None
+            if len(hist) == lookback:
+                s, s2, kk = sum(hist), sum(v * v for v in hist), len(hist)
+                var_num = kk * s2 - s * s
+                if var_num > 0:
+                    var = var_num / (kk * (kk - 1))
+                    z = round((n - s / kk) / math.sqrt(var), 6)
+            out[(k, t)] = (z, z is not None and abs(z) > threshold)
+    return out
+
+
+class TestRollingZscore:
+    @pytest.fixture(scope="class")
+    def windowed(self, spark):
+        return spark.createDataFrame(ROWS, "key string, t int, n long")
+
+    def test_matches_python_reference(self, spark, windowed):
+        got = {
+            (r.key, r.t): (r.z, r.is_anomaly)
+            for r in rolling_zscore(windowed, ["key"], "t", "n").collect()
+        }
+        assert got == py_reference(ROWS)
+
+    def test_spike_flagged_steady_not(self, spark, windowed):
+        rows = {
+            (r.key, r.t): r
+            for r in rolling_zscore(windowed, ["key"], "t", "n").collect()
+        }
+        assert rows[("a", 8)].is_anomaly
+        assert not rows[("a", 7)].is_anomaly
+        # constant series: zero variance -> NULL z, never flagged
+        assert all(rows[("b", t)].z is None for t in range(9))
+
+    def test_duckdb_mirror_parity(self, spark, windowed):
+        got = sorted(
+            (r.key, r.t, r.z, r.is_anomaly)
+            for r in rolling_zscore(windowed, ["key"], "t", "n").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE w (key VARCHAR, t INT, n BIGINT)")
+        con.executemany("INSERT INTO w VALUES (?, ?, ?)", ROWS)
+        sql = rolling_zscore_sql("SELECT * FROM w", ["key"], "t", "n")
+        exp = sorted(
+            (k, t, z, flag)
+            for k, t, n, _s, _s2, _k, z, flag in con.execute(sql).fetchall()
+        )
+        assert got == exp
