@@ -106,3 +106,88 @@ SELECT *, coalesce(abs(z) > {threshold}, FALSE) AS is_anomaly FROM (
     )
 )
 """
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Time-constrained funnel: for each user, the earliest chain
+    ``stages[0] -> stages[1] -> ...`` where each step occurs strictly
+    after the previous one and within ``max_gap`` of it. Output one row
+    per stage: ``stage_idx, stage, n_users`` (users whose chain reaches
+    that stage).
+
+    Earliest-chain semantics: step i's timestamp is the MIN qualifying
+    ``stages[i]`` event after the user's step-(i-1) time — the standard
+    product-analytics definition (greedy earliest anchor; a user who
+    misses the window after the earliest anchor does not re-anchor on a
+    later one).
+
+    Scale shape: one filtered aggregate per stage, each a user-keyed
+    hash aggregation joined user-to-user with the previous stage frame
+    (|users| rows, NOT |events|) — co-partitioned on the user key after
+    the first shuffle, never a cross join. Funnel depth = number of
+    stages = plan depth, constant per query.
+    """
+    per_stage = []
+    gap = F.expr(f"INTERVAL {max_gap}")
+    prev = None
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(prev.select("_u", F.col("_t").alias("_pt")), "_u")
+                .filter((F.col("_ts") > F.col("_pt")) & (F.col("_ts") <= F.col("_pt") + gap))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        per_stage.append(
+            cur.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(i).cast("bigint").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = per_stage[0]
+    for s in per_stage[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def funnel_stages_sql(
+    events_sql: str,
+    user_expr: str,
+    ts_expr: str,
+    type_expr: str,
+    stages: list[str],
+    max_gap_sql: str = "INTERVAL 1 HOUR",
+) -> str:
+    """DuckDB mirror of :func:`funnel_stages`."""
+    ctes = [f"ev AS (SELECT {user_expr} AS u, {ts_expr} AS ts, {type_expr} AS et FROM ({events_sql}))"]
+    selects = []
+    for i, stage in enumerate(stages):
+        if i == 0:
+            ctes.append(
+                f"s{i} AS (SELECT u, min(ts) AS t FROM ev WHERE et = '{stage}' GROUP BY u)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s{i-1} p ON e.u = p.u "
+                f"WHERE e.et = '{stage}' AND e.ts > p.t AND e.ts <= p.t + {max_gap_sql} "
+                f"GROUP BY e.u)"
+            )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{stage}' AS stage, "
+            f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -1279,17 +1279,42 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         "z",
         "is_anomaly",
     )
+    # time-constrained funnel (view -> click -> purchase, each within
+    # 1 day of the previous step): sequence analytics over the same
+    # events table
+    from stepist_spark.operators.anomaly import funnel_stages
+
+    fu = funnel_stages(
+        load_table(spark, sf, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap="1 day",
+    ).select(
+        F.lit("funnel").alias("part"),
+        F.col("stage").alias("wkey"),
+        F.col("n_users").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("stage_idx").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
-        t.select("*", *nulls).unionByName(s.select("*", *nulls)).unionByName(az)
+        t.select("*", *nulls)
+        .unionByName(s.select("*", *nulls))
+        .unionByName(fu.select("*", *nulls))
+        .unionByName(az)
     )
 
 
 def _q22m_sql() -> str:
-    from stepist_spark.operators.anomaly import rolling_zscore_sql
+    from stepist_spark.operators.anomaly import funnel_stages_sql, rolling_zscore_sql
 
     az = rolling_zscore_sql(Q22_SQL, ["event_type"], "window_start", "n")
+    fu = funnel_stages_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events",
+        "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        max_gap_sql="INTERVAL 1 DAY",
+    )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
        sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end,
@@ -1300,6 +1325,11 @@ SELECT 'session', CAST(user_id AS VARCHAR), CAST(n_events AS BIGINT),
        sum_value, CAST(NULL AS BIGINT), window_start, window_end,
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({Q23_SQL})
+UNION ALL
+SELECT 'funnel', stage, n_users, CAST(NULL AS DOUBLE), stage_idx,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({fu})
 UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly

@@ -71,3 +71,64 @@ class TestRollingZscore:
             for k, t, n, _s, _s2, _k, z, flag in con.execute(sql).fetchall()
         )
         assert got == exp
+
+
+class TestFunnel:
+    EVENTS = [
+        # u1 completes view->click->purchase inside the windows
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:30:00", "click"),
+        (1, "2024-01-01 11:00:00", "purchase"),
+        # u2 clicks too late after the earliest view (no re-anchor)
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 12:30:00", "click"),
+        (2, "2024-01-01 12:40:00", "purchase"),
+        # u3 views and clicks, never purchases in window
+        (3, "2024-01-01 09:00:00", "view"),
+        (3, "2024-01-01 09:10:00", "click"),
+        (3, "2024-01-02 09:00:00", "purchase"),
+        # u4 purchase before click: order matters
+        (4, "2024-01-01 09:00:00", "view"),
+        (4, "2024-01-01 09:05:00", "purchase"),
+        (4, "2024-01-01 09:10:00", "click"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        return spark.createDataFrame(
+            [(u, ts, et) for u, ts, et in self.EVENTS],
+            "user_id long, ts string, event_type string",
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type")
+
+    def test_funnel_counts(self, spark, events):
+        from stepist_spark.operators.anomaly import funnel_stages
+
+        got = {
+            r.stage: r.n_users
+            for r in funnel_stages(
+                events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+            ).collect()
+        }
+        # view: u1-u4; click within 1h of first view: u1, u3, u4;
+        # purchase within 1h after that click: u1 only (u4's purchase
+        # precedes its click; u3's is next-day)
+        assert got == {"view": 4, "click": 3, "purchase": 1}
+
+    def test_duckdb_mirror_parity(self, spark, events):
+        from stepist_spark.operators.anomaly import funnel_stages, funnel_stages_sql
+
+        got = sorted(
+            (r.stage_idx, r.stage, r.n_users)
+            for r in funnel_stages(
+                events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (user_id BIGINT, ts TIMESTAMP, event_type VARCHAR)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?)", self.EVENTS)
+        sql = funnel_stages_sql(
+            "SELECT * FROM e", "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        )
+        exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == exp
