@@ -112,3 +112,98 @@ def write_training_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption: deterministic masked-span training pairs.
+#
+# The denoising-objective data-prep step: mask ~mask_rate of each
+# document's tokens, merge adjacent masked tokens into spans, replace
+# each span with a numbered sentinel in the INPUT and emit the span's
+# tokens after the same sentinel in the TARGET. "Randomness" is the
+# repo's portable md5 hash of (doc_id, position) — the masking is a
+# pure function of the data, so pipeline re-runs, engine mirrors, and
+# shard-parallel workers all agree on every mask without sharing RNG
+# state (the same determinism discipline as sampling.hash_split).
+#
+# Scale shape: strictly per-row — token arrays never leave their row;
+# the string assembly is ONE linear JVM fold (F.aggregate) per
+# document, no joins, no shuffles, no Python.
+
+from stepist_spark.functions.text import tokens as _text_tokens
+
+
+def _mask_flags(id_col: str, toks, mask_rate_pct: int):
+    from stepist_spark.functions import hashing
+
+    return F.transform(
+        toks,
+        lambda x, i: hashing.word_hash32(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), i.cast("string"))
+        )
+        % 100
+        < F.lit(mask_rate_pct),
+    )
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate_pct: int = 15,
+    sentinel: str = "<extra_id_{}>",
+) -> DataFrame:
+    """Per-document denoising pair. Output: ``<id_col>, n_tokens,
+    n_masked, n_spans, input_text, target_text``.
+
+    Sentinels number spans left-to-right from 0. A document with no
+    masked token keeps its text verbatim and gets an empty target.
+    """
+    toked = docs.select(
+        F.col(id_col), _text_tokens(F.col(text_col)).alias("_tk")
+    ).withColumn("_mask", _mask_flags(id_col, F.col("_tk"), mask_rate_pct))
+
+    pairs = F.zip_with(
+        F.col("_tk"), F.col("_mask"), lambda t, m: F.struct(t.alias("t"), m.alias("m"))
+    )
+    # one linear fold builds both strings + span accounting:
+    # acc = (input, target, k = spans started, in_span)
+    zero = F.struct(
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+        F.lit(0).alias("k"),
+        F.lit(False).alias("in_span"),
+    )
+
+    def step(acc, p):
+        sent = F.concat(
+            F.lit(sentinel.split("{}")[0]),
+            acc["k"].cast("string"),
+            F.lit(sentinel.split("{}")[1]),
+        )
+        start = p["m"] & ~acc["in_span"]
+        inp = F.when(
+            ~p["m"], F.concat(acc["inp"], F.lit(" "), p["t"])
+        ).otherwise(F.when(start, F.concat(acc["inp"], F.lit(" "), sent)).otherwise(acc["inp"]))
+        tgt = F.when(
+            start, F.concat(acc["tgt"], F.lit(" "), sent, F.lit(" "), p["t"])
+        ).otherwise(
+            F.when(p["m"], F.concat(acc["tgt"], F.lit(" "), p["t"])).otherwise(acc["tgt"])
+        )
+        return F.struct(
+            inp.alias("inp"),
+            tgt.alias("tgt"),
+            (acc["k"] + start.cast("int")).alias("k"),
+            p["m"].alias("in_span"),
+        )
+
+    folded = F.aggregate(pairs, zero, step)
+    masked_count = F.size(F.filter(F.col("_mask"), lambda m: m))
+    return toked.withColumn("_f", folded).select(
+        id_col,
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        masked_count.cast("bigint").alias("n_masked"),
+        F.col("_f")["k"].cast("bigint").alias("n_spans"),
+        F.ltrim(F.col("_f")["inp"]).alias("input_text"),
+        F.ltrim(F.col("_f")["tgt"]).alias("target_text"),
+    )

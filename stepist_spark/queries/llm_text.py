@@ -574,6 +574,9 @@ T18_SQL = _t18_sql()
 # into 512-token training sequences across 16 shards (per-shard window
 # cumsum — no global ordering bottleneck).
 def t20_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Tag union: concat-and-chunk packing layout + T5-style span
+    corruption (deterministic md5 masking — the full input/target
+    denoising pair is hash-certified string-for-string)."""
     from stepist_spark.operators import packing
     from stepist_spark.session import spread
 
@@ -583,7 +586,34 @@ def t20_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     counted = docs.select(
         "doc_id", TX.token_count(F.col("text"), toks=F.col("_tk")).alias("n_toks")
     )
-    return packing.pack_sequences(counted, "doc_id", "n_toks", seq_len=512, shards=16)
+    nul = F.lit(None)
+    pk = packing.pack_sequences(
+        counted, "doc_id", "n_toks", seq_len=512, shards=16
+    ).select(
+        F.lit("pack").alias("part"),
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n1"),
+        F.col("shard").cast("bigint").alias("n2"),
+        F.col("start_offset").cast("bigint").alias("n3"),
+        F.col("end_offset").cast("bigint").alias("n4"),
+        F.col("first_chunk").cast("bigint").alias("n5"),
+        F.col("last_chunk").cast("bigint").alias("n6"),
+        nul.cast("string").alias("s1"),
+        nul.cast("string").alias("s2"),
+    )
+    sc = packing.span_corruption(docs.select("doc_id", "text")).select(
+        F.lit("mask").alias("part"),
+        "doc_id",
+        F.col("n_tokens").alias("n1"),
+        F.col("n_masked").alias("n2"),
+        F.col("n_spans").alias("n3"),
+        nul.cast("bigint").alias("n4"),
+        nul.cast("bigint").alias("n5"),
+        nul.cast("bigint").alias("n6"),
+        F.col("input_text").alias("s1"),
+        F.col("target_text").alias("s2"),
+    )
+    return pk.unionByName(sc)
 
 
 T20_SQL = f"""
@@ -600,11 +630,59 @@ cum AS (
            ) AS BIGINT) AS _cum
     FROM counted
 )
-SELECT doc_id, shard, n_tokens,
-       _cum - n_tokens AS start_offset, _cum AS end_offset,
-       CAST(floor(CAST(_cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS first_chunk,
-       CAST(floor(CAST(greatest(_cum - 1, _cum - n_tokens) AS DOUBLE) / 512) AS BIGINT) AS last_chunk
+SELECT 'pack' AS part, doc_id, n_tokens AS n1, CAST(shard AS BIGINT) AS n2,
+       _cum - n_tokens AS n3, _cum AS n4,
+       CAST(floor(CAST(_cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS n5,
+       CAST(floor(CAST(greatest(_cum - 1, _cum - n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n6,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2
 FROM cum
+UNION ALL
+SELECT 'mask', doc_id, n_tokens, n_masked, n_spans,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       input_text, target_text
+FROM (
+    WITH tok AS (
+        SELECT doc_id, _s.tok AS tok, _s.pos AS pos FROM (
+            SELECT doc_id,
+                   unnest(list_transform({TX.tokens_sql('text')},
+                          (x, i) -> {{'tok': x, 'pos': CAST(i - 1 AS BIGINT)}})) AS _s
+            FROM documents
+        )
+    ),
+    flagged AS (
+        SELECT doc_id, tok, pos,
+               ({hashing.word_hash32_sql("doc_id || ':' || CAST(pos AS VARCHAR)")} % 100) < 15 AS m
+        FROM tok
+    ),
+    starts AS (
+        SELECT *, m AND NOT coalesce(
+                   lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+               ) AS span_start
+        FROM flagged
+    ),
+    spans AS (
+        SELECT *,
+               CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS k
+        FROM starts
+    )
+    SELECT d.doc_id,
+           CAST(count(s.pos) AS BIGINT) AS n_tokens,
+           CAST(count(s.pos) FILTER (s.m) AS BIGINT) AS n_masked,
+           CAST(count(s.pos) FILTER (s.span_start) AS BIGINT) AS n_spans,
+           coalesce(string_agg(
+               CASE WHEN NOT s.m THEN s.tok
+                    WHEN s.span_start THEN '<extra_id_' || s.k || '>' END,
+               ' ' ORDER BY s.pos) FILTER (NOT s.m OR s.span_start), '') AS input_text,
+           coalesce(string_agg(
+               CASE WHEN s.span_start THEN '<extra_id_' || s.k || '> ' || s.tok
+                    ELSE s.tok END,
+               ' ' ORDER BY s.pos) FILTER (s.m), '') AS target_text
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN spans s USING (doc_id)
+    GROUP BY d.doc_id
+)
 """
 
 

@@ -81,3 +81,73 @@ class TestWriteTrainingShards:
             a = [r["doc_id"] for r in spark.read.parquet(f"{pa}/shard={s}").collect()]
             b = [r["doc_id"] for r in spark.read.parquet(f"{pb}/shard={s}").collect()]
             assert a == b
+
+
+class TestSpanCorruption:
+    def _py_reference(self, doc_id, text, rate=15):
+        import hashlib
+        import re
+
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        # 0-based positions: F.transform's lambda index convention
+        mask = [
+            int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8], 16) % 100
+            < rate
+            for i in range(len(toks))
+        ]
+        inp, tgt, k, in_span = [], [], 0, False
+        for t, m in zip(toks, mask):
+            if not m:
+                inp.append(t)
+                in_span = False
+            elif not in_span:
+                sent = f"<extra_id_{k}>"
+                inp.append(sent)
+                tgt.extend([sent, t])
+                k += 1
+                in_span = True
+            else:
+                tgt.append(t)
+        spans = k
+        return (
+            len(toks), sum(mask), spans, " ".join(inp), " ".join(tgt)
+        )
+
+    def test_matches_python_reference(self, spark):
+        from stepist_spark.operators.packing import span_corruption
+        from stepist_spark.session import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        ).limit(80)
+        rows = {r.doc_id: r for r in span_corruption(docs).collect()}
+        src = {r.doc_id: r.text for r in docs.collect()}
+        assert rows and set(rows) == set(src)
+        any_masked = False
+        for d, text in src.items():
+            exp = self._py_reference(d, text)
+            r = rows[d]
+            got = (r.n_tokens, r.n_masked, r.n_spans, r.input_text, r.target_text)
+            assert got == exp, (d, got, exp)
+            any_masked = any_masked or r.n_masked > 0
+        assert any_masked
+
+    def test_unmasked_doc_roundtrips(self, spark):
+        from stepist_spark.operators.packing import span_corruption
+
+        # rate 0: nothing masked, text verbatim (lowercased tokens)
+        df = spark.createDataFrame(
+            [(1, "Alpha beta GAMMA")], "doc_id long, text string"
+        )
+        r = span_corruption(df, mask_rate_pct=0).collect()[0]
+        assert (r.n_masked, r.n_spans, r.target_text) == (0, 0, "")
+        assert r.input_text == "alpha beta gamma"
+
+    def test_full_mask_single_span(self, spark):
+        from stepist_spark.operators.packing import span_corruption
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        r = span_corruption(df, mask_rate_pct=100).collect()[0]
+        assert (r.n_masked, r.n_spans) == (3, 1)
+        assert r.input_text == "<extra_id_0>"
+        assert r.target_text == "<extra_id_0> a b c"
