@@ -404,3 +404,107 @@ class TestBloomProperty:
 
         probed = bloom_probe(df, "v", bloom, m_bits=m_bits, n_hashes=k)
         assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+class TestSpanCorruptionProperty:
+    """span_corruption must equal a row-at-a-time Python reference on
+    arbitrary text — mask decisions, span merging, sentinel numbering,
+    and both output strings."""
+
+    @given(texts=TEXTS, rate=st.sampled_from([0, 10, 35, 100]))
+    @SETTINGS
+    def test_matches_python_reference(self, spark, texts, rate):
+        from stepist_spark.operators.packing import span_corruption
+
+        def ref(doc_id, text):
+            toks = tokens_py(text)
+            mask = [
+                int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8], 16) % 100
+                < rate
+                for i in range(len(toks))
+            ]
+            inp, tgt, k, in_span = [], [], 0, False
+            for t, m in zip(toks, mask):
+                if not m:
+                    inp.append(t)
+                    in_span = False
+                elif not in_span:
+                    inp.append(f"<extra_id_{k}>")
+                    tgt.extend([f"<extra_id_{k}>", t])
+                    k += 1
+                    in_span = True
+                else:
+                    tgt.append(t)
+            return (len(toks), sum(mask), k, " ".join(inp), " ".join(tgt))
+
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_masked, r.n_spans, r.input_text, r.target_text)
+            for r in span_corruption(df, mask_rate_pct=rate).collect()
+        }
+        assert got == {d: ref(d, t) for d, t in docs}
+
+
+class TestFunnelProperty:
+    """funnel_stages must equal a brute-force earliest-chain walk."""
+
+    EVENT_TYPES = ["a", "b", "c"]
+
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(0, 5),              # user
+                st.integers(0, 500),            # minute offset
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        gap_minutes=st.sampled_from([30, 120]),
+    )
+    @SETTINGS
+    def test_matches_brute_force(self, spark, events, gap_minutes):
+        import datetime
+
+        from stepist_spark.operators.anomaly import funnel_stages
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (u, base + datetime.timedelta(minutes=m), et) for u, m, et in events
+        ]
+
+        def brute():
+            counts = []
+            chains: dict = {}
+            for i, stage in enumerate(self.EVENT_TYPES):
+                nxt = {}
+                for u in {r[0] for r in rows}:
+                    ts = [t for uu, t, et in rows if uu == u and et == stage]
+                    if i == 0:
+                        cand = ts
+                    elif u in chains:
+                        prev = chains[u]
+                        cand = [
+                            t for t in ts
+                            if prev < t <= prev + datetime.timedelta(minutes=gap_minutes)
+                        ]
+                    else:
+                        cand = []
+                    if cand:
+                        nxt[u] = min(cand)
+                chains = nxt
+                counts.append(len(chains))
+            return counts
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_type string"
+        )
+        got = [
+            r.n_users
+            for r in funnel_stages(
+                df, "user_id", "ts", "event_type", self.EVENT_TYPES,
+                max_gap=f"{gap_minutes} minutes",
+            ).orderBy("stage_idx").collect()
+        ]
+        assert got == brute()
