@@ -90,7 +90,8 @@ def rolling_zscore_sql(
     )
     x = f"CAST({value_expr} AS BIGINT)"
     return f"""
-SELECT *, coalesce(abs(z) > {threshold}, FALSE) AS is_anomaly FROM (
+SELECT * EXCLUDE (_s, _s2, _k), coalesce(abs(z) > {threshold}, FALSE) AS is_anomaly
+FROM (
     SELECT *,
            CASE WHEN _k = {lookback} AND (_k * _s2 - _s * _s) > 0 THEN
                round((CAST({x} AS DOUBLE) - CAST(_s AS DOUBLE) / CAST(_k AS DOUBLE))
@@ -172,22 +173,25 @@ def funnel_stages_sql(
     stages: list[str],
     max_gap_sql: str = "INTERVAL 1 HOUR",
 ) -> str:
-    """DuckDB mirror of :func:`funnel_stages`."""
+    """DuckDB mirror of :func:`funnel_stages`. Stage names are escaped
+    for single-quoted SQL literals (the Spark side's F.lit needs no
+    escaping, so quote-bearing stage values must not diverge)."""
     ctes = [f"ev AS (SELECT {user_expr} AS u, {ts_expr} AS ts, {type_expr} AS et FROM ({events_sql}))"]
     selects = []
     for i, stage in enumerate(stages):
+        lit = stage.replace("'", "''")
         if i == 0:
             ctes.append(
-                f"s{i} AS (SELECT u, min(ts) AS t FROM ev WHERE et = '{stage}' GROUP BY u)"
+                f"s{i} AS (SELECT u, min(ts) AS t FROM ev WHERE et = '{lit}' GROUP BY u)"
             )
         else:
             ctes.append(
                 f"s{i} AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s{i-1} p ON e.u = p.u "
-                f"WHERE e.et = '{stage}' AND e.ts > p.t AND e.ts <= p.t + {max_gap_sql} "
+                f"WHERE e.et = '{lit}' AND e.ts > p.t AND e.ts <= p.t + {max_gap_sql} "
                 f"GROUP BY e.u)"
             )
         selects.append(
-            f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{stage}' AS stage, "
+            f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{lit}' AS stage, "
             f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -126,24 +126,16 @@ def write_training_shards(
 # shard-parallel workers all agree on every mask without sharing RNG
 # state (the same determinism discipline as sampling.hash_split).
 #
-# Scale shape: strictly per-row — token arrays never leave their row;
-# the string assembly is ONE linear JVM fold (F.aggregate) per
-# document, no joins, no shuffles, no Python.
+# Scale shape: posexplode -> one doc-keyed window pass (mask, span
+# starts, running sentinel ids) -> one doc-keyed aggregation that
+# reassembles both strings from ordered pieces. Everything is LINEAR
+# in document length (an in-row F.aggregate fold would re-copy the
+# accumulated string at every token — O(n²) per document — and a
+# per-position prefix count via slices is O(n²) too); the cost is one
+# |tokens|-row shuffle keyed on the doc id, the same shape as
+# dedup.duplicate_spans.
 
 from stepist_spark.functions.text import tokens as _text_tokens
-
-
-def _mask_flags(id_col: str, toks, mask_rate_pct: int):
-    from stepist_spark.functions import hashing
-
-    return F.transform(
-        toks,
-        lambda x, i: hashing.word_hash32(
-            F.concat(F.col(id_col).cast("string"), F.lit(":"), i.cast("string"))
-        )
-        % 100
-        < F.lit(mask_rate_pct),
-    )
 
 
 def span_corruption(
@@ -159,51 +151,60 @@ def span_corruption(
     Sentinels number spans left-to-right from 0. A document with no
     masked token keeps its text verbatim and gets an empty target.
     """
-    toked = docs.select(
-        F.col(id_col), _text_tokens(F.col(text_col)).alias("_tk")
-    ).withColumn("_mask", _mask_flags(id_col, F.col("_tk"), mask_rate_pct))
+    from pyspark.sql import Window
 
-    pairs = F.zip_with(
-        F.col("_tk"), F.col("_mask"), lambda t, m: F.struct(t.alias("t"), m.alias("m"))
+    from stepist_spark.functions import hashing
+
+    pre, post = sentinel.split("{}")
+    toked = docs.select(F.col(id_col), _text_tokens(F.col(text_col)).alias("_tk"))
+    tok = toked.select(id_col, F.posexplode("_tk").alias("pos", "tok"))
+    m = (
+        hashing.word_hash32(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string"))
+        )
+        % 100
+        < F.lit(mask_rate_pct)
     )
-    # one linear fold builds both strings + span accounting:
-    # acc = (input, target, k = spans started, in_span)
-    zero = F.struct(
-        F.lit("").alias("inp"),
-        F.lit("").alias("tgt"),
-        F.lit(0).alias("k"),
-        F.lit(False).alias("in_span"),
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = tok.withColumn("_m", m).withColumn(
+        "_start", F.col("_m") & ~F.coalesce(F.lag("_m").over(w), F.lit(False))
+    )
+    run = flagged.withColumn(
+        "_k",
+        F.sum(F.col("_start").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - 1,
+    )
+    sent = F.concat(F.lit(pre), F.col("_k").cast("string"), F.lit(post))
+    inp_piece = F.when(~F.col("_m"), F.col("tok")).when(F.col("_start"), sent)
+    tgt_piece = F.when(F.col("_start"), F.concat(sent, F.lit(" "), F.col("tok"))).when(
+        F.col("_m"), F.col("tok")
     )
 
-    def step(acc, p):
-        sent = F.concat(
-            F.lit(sentinel.split("{}")[0]),
-            acc["k"].cast("string"),
-            F.lit(sentinel.split("{}")[1]),
+    def _ordered_join(piece):
+        # collect_list drops NULL entries (the pieces this position
+        # contributes nothing to), sort by position, join
+        collected = F.collect_list(
+            F.when(piece.isNotNull(), F.struct(F.col("pos").alias("p"), piece.alias("s")))
         )
-        start = p["m"] & ~acc["in_span"]
-        inp = F.when(
-            ~p["m"], F.concat(acc["inp"], F.lit(" "), p["t"])
-        ).otherwise(F.when(start, F.concat(acc["inp"], F.lit(" "), sent)).otherwise(acc["inp"]))
-        tgt = F.when(
-            start, F.concat(acc["tgt"], F.lit(" "), sent, F.lit(" "), p["t"])
-        ).otherwise(
-            F.when(p["m"], F.concat(acc["tgt"], F.lit(" "), p["t"])).otherwise(acc["tgt"])
-        )
-        return F.struct(
-            inp.alias("inp"),
-            tgt.alias("tgt"),
-            (acc["k"] + start.cast("int")).alias("k"),
-            p["m"].alias("in_span"),
+        return F.array_join(
+            F.transform(F.array_sort(collected), lambda x: x["s"]), " "
         )
 
-    folded = F.aggregate(pairs, zero, step)
-    masked_count = F.size(F.filter(F.col("_mask"), lambda m: m))
-    return toked.withColumn("_f", folded).select(
+    agg = run.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("_m").cast("int")).cast("bigint").alias("n_masked"),
+        F.sum(F.col("_start").cast("int")).cast("bigint").alias("n_spans"),
+        _ordered_join(inp_piece).alias("input_text"),
+        _ordered_join(tgt_piece).alias("target_text"),
+    )
+    # docs with zero tokens produce no exploded rows: restore them
+    return toked.select(id_col).join(agg, id_col, "left").select(
         id_col,
-        F.size("_tk").cast("bigint").alias("n_tokens"),
-        masked_count.cast("bigint").alias("n_masked"),
-        F.col("_f")["k"].cast("bigint").alias("n_spans"),
-        F.ltrim(F.col("_f")["inp"]).alias("input_text"),
-        F.ltrim(F.col("_f")["tgt"]).alias("target_text"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("input_text", F.lit("")).alias("input_text"),
+        F.coalesce("target_text", F.lit("")).alias("target_text"),
     )

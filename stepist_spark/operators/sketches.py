@@ -256,6 +256,28 @@ def _bloom_positions_sql(expr: str, m_bits: int, n_hashes: int) -> list[str]:
     return out
 
 
+def _check_sketch_params(sketch: DataFrame, expect: dict[str, int]) -> None:
+    """Guard against probing a sketch with parameters other than the
+    ones it was built with — a silent-wrong-answer hazard (positions
+    computed mod a different m map true members to unset bits). The
+    build stamps its parameters as constant columns; when present,
+    validate with one bounded driver read (1-row limit, the same
+    bounded-probe pattern as clusters.py's convergence check). A frame
+    without the stamp columns (e.g. hand-aggregated) skips the check."""
+    cols = set(sketch.columns)
+    if not all(c in cols for c in expect):
+        return
+    row = sketch.select(*expect).limit(1).collect()
+    if not row:
+        return  # empty sketch: probe semantics hold for any params
+    for name, want in expect.items():
+        got = row[0][name]
+        if got is not None and int(got) != want:
+            raise ValueError(
+                f"sketch was built with {name}={got}, probed with {name}={want}"
+            )
+
+
 def bloom_build(
     df: DataFrame,
     value_col: str,
@@ -264,11 +286,12 @@ def bloom_build(
 ) -> DataFrame:
     """Build a sparse Bloom bitmap over ``value_col``.
 
-    Output: ``word_idx, word`` — one row per non-zero 63-bit word.
-    One explode (k rows per value) + one hash-aggregate (map-side
-    partial bit_or), so the shuffle carries at most m/63 rows total.
-    Bitmaps built over partitions/shards merge by unioning the frames
-    and re-aggregating bit_or per word_idx.
+    Output: ``word_idx, word, m_bits, n_hashes`` — one row per
+    non-zero 63-bit word; the last two are the stamped build parameters
+    (constant), which :func:`bloom_probe` validates against. One
+    explode (k rows per value) + one hash-aggregate (map-side partial
+    bit_or), so the shuffle carries at most m/63 rows total. Merge
+    shard bitmaps with :func:`bloom_merge`.
     """
     pos = F.explode(F.array(*_bloom_positions(F.col(value_col), m_bits, n_hashes)))
     p = df.select(pos.alias("p"))
@@ -277,7 +300,23 @@ def bloom_build(
         # other engines round -- floor() is unambiguous in both
         p.groupBy(F.floor(F.col("p") / BLOOM_WORD_BITS).cast("bigint").alias("word_idx"))
         .agg(F.bit_or(_bit_value(F.col("p") % BLOOM_WORD_BITS)).alias("word"))
+        .select(
+            "word_idx",
+            "word",
+            F.lit(m_bits).cast("bigint").alias("m_bits"),
+            F.lit(n_hashes).cast("int").alias("n_hashes"),
+        )
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge shard bitmaps (same build parameters) by bit_or per word."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx", "m_bits", "n_hashes").agg(
+        F.bit_or("word").alias("word")
+    ).select("word_idx", "word", "m_bits", "n_hashes")
 
 
 def bloom_probe(
@@ -291,31 +330,38 @@ def bloom_probe(
     """Append ``flag_col``: True iff every one of the value's k bits is
     set in ``bloom`` (possibly-member; False is definite non-member).
 
-    The sparse bitmap is folded into ONE row holding a map column
-    (``map_from_entries`` over ``collect_list`` — bounded at m/63
-    entries by construction) and broadcast onto the probing frame: the
-    probe side never shuffles and gains no join fan-out (k scalar map
-    lookups fold into one boolean per row). No driver round-trip — the
-    bitmap never leaves the cluster.
+    Lookup strategy: k BROADCAST HASH JOINS of the probe frame against
+    the sparse word table, one per hash — an O(1) hashed lookup per
+    probe. (The tempting alternative — packing the bitmap into one
+    broadcast MAP column — is an O(|bitmap|) linear scan per
+    ``element_at``: Spark's GetMapValue has no hash index, which would
+    defeat the scale path for dense bitmaps.) The probe side never
+    shuffles and gains no fan-out: word_idx is unique per bitmap, so
+    every join matches at most one row.
     """
-    packed = bloom.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word_idx"), F.col("word")))
-        ).alias("_bloom_map")
-    )
-    df = df.crossJoin(F.broadcast(packed))
-    checks = []
-    for pos in _bloom_positions(F.col(value_col), m_bits, n_hashes):
-        word = F.coalesce(
-            F.element_at(F.col("_bloom_map"), F.floor(pos / BLOOM_WORD_BITS).cast("bigint")),
-            F.lit(0),
-        )
+    _check_sketch_params(bloom, {"m_bits": m_bits, "n_hashes": n_hashes})
+    words = bloom.select("word_idx", "word")
+    out = df
+    flag_cols = []
+    for i, pos in enumerate(_bloom_positions(F.col(value_col), m_bits, n_hashes)):
+        wi = F.floor(pos / BLOOM_WORD_BITS).cast("bigint")
         mask = _bit_value(pos % BLOOM_WORD_BITS)
-        checks.append(word.bitwiseAND(mask) != 0)
-    flag = checks[0]
-    for c in checks[1:]:
+        side = words.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        out = (
+            out.join(F.broadcast(side), wi == F.col(f"_wi{i}"), "left")
+            .withColumn(
+                f"_f{i}",
+                F.coalesce(F.col(f"_w{i}"), F.lit(0)).bitwiseAND(mask) != 0,
+            )
+            .drop(f"_wi{i}", f"_w{i}")
+        )
+        flag_cols.append(F.col(f"_f{i}"))
+    flag = flag_cols[0]
+    for c in flag_cols[1:]:
         flag = flag & c
-    return df.withColumn(flag_col, flag).drop("_bloom_map")
+    return out.withColumn(flag_col, flag).drop(*[f"_f{i}" for i in range(n_hashes)])
 
 
 # --------------------------------------------------------------------------
@@ -372,6 +418,13 @@ def cms_build(
             F.col("c.col_idx").cast("int").alias("col_idx"),
         )
         .agg(F.sum("_w").cast("bigint").alias("cnt"))
+        .select(
+            "row_idx",
+            "col_idx",
+            "cnt",
+            F.lit(depth).cast("int").alias("depth"),
+            F.lit(width).cast("int").alias("width"),
+        )
     )
 
 
@@ -380,7 +433,11 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row_idx", "col_idx").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    return (
+        out.groupBy("row_idx", "col_idx", "depth", "width")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .select("row_idx", "col_idx", "cnt", "depth", "width")
+    )
 
 
 def cms_estimate(
@@ -392,35 +449,32 @@ def cms_estimate(
     estimate_col: str = "approx_count",
 ) -> DataFrame:
     """Append ``estimate_col``: the count-min estimate (min over the
-    depth rows) for each value. Like ``bloom_probe``, the sketch is
-    packed into a one-row broadcast map (cells bounded by depth×width)
-    and probed with scalar lookups — no probe-side shuffle."""
+    depth rows) for each value.
+
+    Lookup strategy mirrors :func:`bloom_probe`: one broadcast hash
+    join per depth row against that row's cells — O(1) hashed lookup
+    per probe, no probe-side shuffle, no fan-out (cell keys are unique
+    per row). A packed broadcast MAP would be an O(depth·width) linear
+    scan per lookup (Spark's GetMapValue has no hash index)."""
     from stepist_spark.functions import hashing
 
-    packed = sketch.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    (
-                        F.col("row_idx").cast("bigint") * width
-                        + F.col("col_idx").cast("bigint")
-                    ).alias("key"),
-                    F.col("cnt"),
-                )
-            )
-        ).alias("_cms_map")
-    )
-    df = df.crossJoin(F.broadcast(packed))
+    _check_sketch_params(sketch, {"depth": depth, "width": width})
+    out = df
     ests = []
     for d in range(depth):
         pos = (
             hashing.word_hash32(F.concat(F.lit(f"{d}:"), F.col(value_col)))
             % F.lit(width)
+        ).cast("int")
+        side = sketch.filter(F.col("row_idx") == d).select(
+            F.col("col_idx").alias(f"_c{d}"), F.col("cnt").alias(f"_n{d}")
         )
-        ests.append(
-            F.coalesce(
-                F.element_at(F.col("_cms_map"), F.lit(d).cast("bigint") * width + pos),
-                F.lit(0),
-            )
+        out = (
+            out.join(F.broadcast(side), pos == F.col(f"_c{d}"), "left")
+            .withColumn(f"_e{d}", F.coalesce(F.col(f"_n{d}"), F.lit(0)))
+            .drop(f"_c{d}", f"_n{d}")
         )
-    return df.withColumn(estimate_col, F.least(*ests)).drop("_cms_map")
+        ests.append(F.col(f"_e{d}"))
+    return out.withColumn(estimate_col, F.least(*ests)).drop(
+        *[f"_e{d}" for d in range(depth)]
+    )

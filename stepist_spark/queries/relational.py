@@ -1243,7 +1243,8 @@ FROM ({Q19N_SQL})
 
 
 def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
-    t = q22_tumbling_window(spark, sf).select(
+    tw = q22_tumbling_window(spark, sf)
+    t = tw.select(
         F.lit("tumble").alias("part"),
         F.col("event_type").alias("wkey"),
         F.col("n").cast("bigint").alias("n"),
@@ -1266,9 +1267,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     # (operators/anomaly.py — exact bigint frame sums, no stddev_samp)
     from stepist_spark.operators.anomaly import rolling_zscore
 
-    az = rolling_zscore(
-        q22_tumbling_window(spark, sf), ["event_type"], "window_start", "n"
-    ).select(
+    az = rolling_zscore(tw, ["event_type"], "window_start", "n").select(
         F.lit("zscore").alias("part"),
         F.col("event_type").alias("wkey"),
         F.col("n").cast("bigint").alias("n"),

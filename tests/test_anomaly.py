@@ -66,9 +66,9 @@ class TestRollingZscore:
         con.execute("CREATE TABLE w (key VARCHAR, t INT, n BIGINT)")
         con.executemany("INSERT INTO w VALUES (?, ?, ?)", ROWS)
         sql = rolling_zscore_sql("SELECT * FROM w", ["key"], "t", "n")
+        # mirror schema == Spark schema: windowed cols + z + is_anomaly
         exp = sorted(
-            (k, t, z, flag)
-            for k, t, n, _s, _s2, _k, z, flag in con.execute(sql).fetchall()
+            (k, t, z, flag) for k, t, n, z, flag in con.execute(sql).fetchall()
         )
         assert got == exp
 

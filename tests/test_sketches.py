@@ -163,11 +163,7 @@ class TestBloomFilter:
         half2 = members.filter(F.substring("v", 8, 10).cast("int") % 2 == 1)
         b1 = sketches.bloom_build(half1, "v", self.M, self.K)
         b2 = sketches.bloom_build(half2, "v", self.M, self.K)
-        merged = (
-            b1.unionByName(b2)
-            .groupBy("word_idx")
-            .agg(F.bit_or("word").alias("word"))
-        )
+        merged = sketches.bloom_merge(b1, b2)
         direct = sketches.bloom_build(members, "v", self.M, self.K)
         got = sorted((r.word_idx, r.word) for r in merged.collect())
         exp = sorted((r.word_idx, r.word) for r in direct.collect())
@@ -262,3 +258,17 @@ class TestCountMin:
         # total weight 780 over 256 columns: the min over 4 rows should
         # be far under the single-row expectation
         assert est <= 30
+
+
+class TestSketchParamGuards:
+    def test_bloom_param_mismatch_raises(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        bloom = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        with pytest.raises(ValueError, match="m_bits"):
+            sketches.bloom_probe(df, "v", bloom, m_bits=1 << 16, n_hashes=4)
+
+    def test_cms_param_mismatch_raises(self, spark):
+        df = spark.createDataFrame([("x",)], "v string")
+        cms = sketches.cms_build(df, "v", depth=4, width=256)
+        with pytest.raises(ValueError, match="width"):
+            sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
