@@ -238,7 +238,8 @@ class TestCatalogHygiene:
         "t23_model_gates",      # broadcast 1-row vocab-size cross join
         "t25_resample_shuffle", # broadcast 1-row group-min cross join
         "t16_vocabulary",       # BM25: broadcast 1-row corpus-stats cross join
-        "t18_decontamination",  # bloom_probe: broadcast 1-row packed-bitmap cross join
+        # t18 deliberately NOT listed: bloom_probe's word-table probes
+        # are broadcast HASH joins — the hygiene sweep guards that
     }
 
     def test_no_cartesian_products_anywhere(self, spark, qs):
