@@ -272,3 +272,34 @@ class TestSketchParamGuards:
         cms = sketches.cms_build(df, "v", depth=4, width=256)
         with pytest.raises(ValueError, match="width"):
             sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
+
+
+class TestProbeAfterMerge:
+    def test_bloom_probe_after_merge_keeps_guarantee(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "v string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "v string")
+        m, k = 1 << 12, 4
+        merged = sketches.bloom_merge(
+            sketches.bloom_build(a, "v", m, k), sketches.bloom_build(b, "v", m, k)
+        )
+        both = a.unionByName(b)
+        probed = sketches.bloom_probe(both, "v", merged, m, k)
+        assert probed.filter(~F.col("maybe_member")).count() == 0
+
+    def test_cms_estimate_after_merge(self, spark):
+        rows = [(i, f"k{i % 7}") for i in range(70)]
+        df = spark.createDataFrame(rows, "i long, v string")
+        h1 = df.filter(F.col("i") < 35)
+        h2 = df.filter(F.col("i") >= 35)
+        merged = sketches.cms_merge(
+            sketches.cms_build(h1, "v", depth=3, width=128),
+            sketches.cms_build(h2, "v", depth=3, width=128),
+        )
+        keys = df.select("v").distinct()
+        est = {
+            r.v: r.approx_count
+            for r in sketches.cms_estimate(
+                keys, "v", merged, depth=3, width=128
+            ).collect()
+        }
+        assert est == {f"k{i}": 10 for i in range(7)}
