@@ -8,12 +8,12 @@ state vocab-sized (≪ corpus), so on Spark the expensive part — one
 pass over 100 TB of text — happens ONCE (the word count), and each
 merge iteration is a small-frame aggregate.
 
-Per iteration: explode symbol pairs weighted by word count, one
-hash-aggregate keyed by pair, take the argmax (deterministic
-(count desc, pair asc) tiebreak — a one-row collect, the same bounded
-driver-probe pattern as clusters.py's convergence check), then rewrite
-each word's symbol array with a left-to-right merge fold (JVM HOF).
-Lineage is truncated every few iterations (vocab-sized
+Per round: explode symbol pairs weighted by word count, one
+hash-aggregate keyed by pair, a bounded driver collect of the top
+candidates (the same bounded-probe pattern as clusters.py's
+convergence check) from which :func:`_select_merge_batch` picks up to
+``batch_size`` merges, then ONE combined left-to-right fold applies
+the whole batch. Lineage is truncated each round (vocab-sized
 localCheckpoint; use checkpoint() on a real cluster).
 
 The reference has no tokenizer surface (SURVEY.md §2.2 'absent');
@@ -26,8 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stepist_spark.functions.text import tokens
-
-_CHECKPOINT_EVERY = 8
 
 
 def _chars(word) -> "F.Column":
@@ -64,8 +62,12 @@ def _merge_batch_once(sym, batch: list[tuple[str, str]]):
     applying the merges one pass at a time: no batch pair references
     another's symbols or concat, so merge sites never overlap.
 
-    Map keys join the pair with NUL — no whitespace-split token (hence
-    no BPE symbol) contains NUL.
+    Map keys join the pair with NUL. A token CAN technically contain a
+    literal NUL byte (whitespace split does not forbid it), which would
+    make two distinct pairs collide on one key — ``train_bpe`` detects
+    NUL-bearing batch symbols and falls back to sequential
+    :func:`_merge_once` folds for that round, so this fast path only
+    ever sees collision-free batches.
     """
     entries = []
     for left, right in batch:
@@ -285,9 +287,16 @@ def train_bpe(
             break
         merges.extend(batch)
         vocab.update(l + r for l, r in batch)
-        wf = wf.select(
-            "word", "n", _merge_batch_once(F.col("sym"), batch).alias("sym")
-        ).localCheckpoint()
+        if any("\x00" in l or "\x00" in r for l, r in batch):
+            # NUL inside a symbol would collide _merge_batch_once's
+            # NUL-joined map keys: apply this (pathological) batch as
+            # sequential folds instead — semantically identical
+            sym = F.col("sym")
+            for left, right in batch:
+                sym = _merge_once(sym, left, right)
+        else:
+            sym = _merge_batch_once(F.col("sym"), batch)
+        wf = wf.select("word", "n", sym.alias("sym")).localCheckpoint()
     return merges, wf
 
 

@@ -211,7 +211,15 @@ def profile_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 reps = -(-target // len(arr))  # ceil
                 return np.tile(arr, reps)[:target].tobytes()
 
-            out = pdf["payload"].where(~is_img, pdf["payload"].map(_resize))
+            # resize ONLY image rows: non-image payloads (possibly
+            # NULL — len(None) raises) must never enter the resizer,
+            # and with a real decoder swapped in, resizing rows that
+            # are discarded afterwards doubles the expensive work
+            resized = pdf.loc[is_img, "payload"].map(_resize)
+            payload_out = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
+            payload_out[is_img] = resized
+            n_bytes_out = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
+            n_bytes_out[is_img] = resized.map(len)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -225,8 +233,8 @@ def profile_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     "feature": pdf["payload"].map(DECODER),
                     "width": np.where(is_img, width, None),
                     "height": np.where(is_img, height, None),
-                    "n_bytes_out": np.where(is_img, out.map(len), None),
-                    "payload_out": out.where(is_img, None),
+                    "n_bytes_out": n_bytes_out,
+                    "payload_out": payload_out,
                 }
             )
 

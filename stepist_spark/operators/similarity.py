@@ -567,14 +567,25 @@ def pq_topk(
             "query_id",
             "subspace",
             "code",
-            V.dot(
-                V.to_double(
-                    F.slice(
-                        "qv", (F.col("subspace") * d_expr + 1).cast("int"), d_expr.cast("int")
-                    )
-                ),
-                V.to_double(F.col("subvec")),
-            ).alias("partial"),
+            # fixed-point partial: a cross-row SUM of doubles is
+            # shuffle-order-dependent (non-associative addition) and
+            # can flip the 6-dp rounding vs the oracle; scaled bigints
+            # sum exactly in any order (the label_centroids discipline)
+            F.round(
+                V.dot(
+                    V.to_double(
+                        F.slice(
+                            "qv",
+                            (F.col("subspace") * d_expr + 1).cast("int"),
+                            d_expr.cast("int"),
+                        )
+                    ),
+                    V.to_double(F.col("subvec")),
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("partial"),
         )
     )
     ex = encoded.select(
@@ -585,7 +596,7 @@ def pq_topk(
         ex.join(F.broadcast(table), ["subspace", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("partial"), 6).alias("adc_dot"))
+        .agg(F.round(F.sum("partial") / F.lit(1e6), 6).alias("adc_dot"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("neighbor_id").asc()
@@ -646,14 +657,25 @@ def ivf_pq_topk(
             "query_id",
             "subspace",
             "code",
-            V.dot(
-                V.to_double(
-                    F.slice(
-                        "qv", (F.col("subspace") * d_expr + 1).cast("int"), d_expr.cast("int")
-                    )
-                ),
-                V.to_double(F.col("subvec")),
-            ).alias("partial"),
+            # fixed-point partial: a cross-row SUM of doubles is
+            # shuffle-order-dependent (non-associative addition) and
+            # can flip the 6-dp rounding vs the oracle; scaled bigints
+            # sum exactly in any order (the label_centroids discipline)
+            F.round(
+                V.dot(
+                    V.to_double(
+                        F.slice(
+                            "qv",
+                            (F.col("subspace") * d_expr + 1).cast("int"),
+                            d_expr.cast("int"),
+                        )
+                    ),
+                    V.to_double(F.col("subvec")),
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("partial"),
         )
     )
     cand = (
@@ -665,7 +687,7 @@ def ivf_pq_topk(
         cand.select("query_id", "neighbor_id", F.posexplode("codes").alias("subspace", "code"))
         .join(F.broadcast(table), ["query_id", "subspace", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("partial"), 6).alias("adc_dot"))
+        .agg(F.round(F.sum("partial") / F.lit(1e6), 6).alias("adc_dot"))
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("neighbor_id").asc()

@@ -73,6 +73,11 @@ class FlowResult(dict):
 # is safe — Spark recomputes from lineage.
 _HUB_PINNED: list = []
 
+# True while a Hub is running its column-pruning probe: nested Hubs see
+# it and build plans WITHOUT persisting/pinning (a probe must not
+# mutate the one-slot cache or double-persist).
+_PROBING = False
+
 
 class Hub:
     """Fan one upstream DataFrame out to N successor branches.
@@ -151,19 +156,44 @@ class Hub:
             for res in probes:
                 for out in res.values():
                     walk(json.loads(out._jdf.queryExecution().analyzed().toJSON()))
+                    # a branch's OWN output columns are delivered to the
+                    # caller — an upstream column that passes straight
+                    # through (e.g. the branch is only a filter/sort/
+                    # limit) is never referenced by any expression node
+                    # yet must survive the pruning
+                    seen.update(set(out.columns) & upstream_cols)
         except Exception:
             return None
         cols = [c for c in upstream.columns if c in seen]
         return cols if cols and set(cols) != upstream_cols else None
 
     def __call__(self, df: DataFrame) -> FlowResult:
+        global _PROBING
         if len(self.steps) == 1:
             # nothing to share — persisting would only cost storage
             return FlowResult(self.steps[0](df))
+        if _PROBING:
+            # we are inside an OUTER Hub's pruning probe: this call is
+            # plan construction only — no probing of our own, no
+            # persist, no pin (a probe must not mutate cache state)
+            out = FlowResult()
+            for branch in self.steps:
+                out.update(branch(df))
+            return out
         if self.columns:
             df = df.select(*self.columns)
         else:
-            probes = [branch(df) for branch in self.steps]
+            # branches run once unpersisted purely to ANALYZE their
+            # plans. The flag suppresses persist/pin in nested Hubs;
+            # note that branch fns with their own construction-time
+            # side effects (registering Observations, eager writes)
+            # will still see this extra invocation — pass columns=[...]
+            # explicitly to skip the probe for such flows.
+            _PROBING = True
+            try:
+                probes = [branch(df) for branch in self.steps]
+            finally:
+                _PROBING = False
             pruned = self._referenced_columns(df, probes)
             if pruned:
                 df = df.select(*pruned)

@@ -328,11 +328,11 @@ enc AS (
 ),
 qtable AS (
     SELECT q.query_id, b.subspace, b.code,
-           {V.dot_sql(f"list_slice(q.qv, b.subspace * {d} + 1, b.subspace * {d} + {d})", "b.subvec")} AS partial
+           CAST(round(({V.dot_sql(f"list_slice(q.qv, b.subspace * {d} + 1, b.subspace * {d} + {d})", "b.subvec")}) * 1000000.0) AS BIGINT) AS partial
     FROM q CROSS JOIN book b
 ),
 pq_scored AS (
-    SELECT t.query_id, enc.vec_id AS neighbor_id, round(sum(t.partial), 6) AS adc_dot
+    SELECT t.query_id, enc.vec_id AS neighbor_id, round(sum(t.partial) / 1000000.0, 6) AS adc_dot
     FROM enc JOIN qtable t ON t.subspace = enc.subspace AND t.code = enc.code
     WHERE t.query_id <> enc.vec_id
     GROUP BY t.query_id, enc.vec_id
@@ -356,7 +356,7 @@ probe AS (
     ) WHERE rn <= {N_PROBE}
 ),
 ivf_scored AS (
-    SELECT t.query_id, enc.vec_id AS neighbor_id, round(sum(t.partial), 6) AS adc_dot
+    SELECT t.query_id, enc.vec_id AS neighbor_id, round(sum(t.partial) / 1000000.0, 6) AS adc_dot
     FROM enc
     JOIN assigned a ON a.vec_id = enc.vec_id
     JOIN probe p ON p.cid = a.cid

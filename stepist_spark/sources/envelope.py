@@ -76,6 +76,7 @@ def from_envelope(
     flow_schema: str,
     meta_schema: str | None = None,
     value_col: str = "value",
+    key_col: str | None = "key",
 ) -> DataFrame:
     """Parse envelope values back into flow columns (+ ``_meta`` when
     ``meta_schema`` is given). ``value_col`` may be string or binary
@@ -84,6 +85,11 @@ def from_envelope(
     (from_json's PERMISSIVE behavior) rather than poisoning the stream —
     the declarative upgrade of the reference's re-push-on-error loop
     (`stepist/flow/libs/simple_queue.py:42-47`).
+
+    ``key_col`` names the envelope's ROUTING-KEY column to drop
+    alongside the parsed value (kafka's ``key`` by default); pass
+    ``None`` to keep a business column that happens to be named
+    ``key``.
     """
     parsed = df.withColumn(
         "_env", F.from_json(F.col(value_col).cast("string"), envelope_schema(flow_schema, meta_schema))
@@ -92,6 +98,6 @@ def from_envelope(
     if meta_schema:
         cols.append(F.col("_env.data.meta_data").alias("_meta"))
     passthrough = [
-        c for c in df.columns if c not in (value_col, "_env") and c != "key"
+        c for c in df.columns if c not in (value_col, "_env") and c != key_col
     ]
     return parsed.select(*passthrough, *cols)

@@ -129,3 +129,17 @@ class TestBpe:
         }
         for w in top:
             assert got[w] == _apply(merges, w), w
+
+
+def test_nul_bearing_tokens_train_exactly(spark):
+    """Tokens containing literal NUL bytes must not collide the batched
+    merge map (sequential-fold fallback round)."""
+    text = "a\x00b a\x00b a\x00b aa aa"
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    merges, segs = train_bpe(df, n_merges=4, batch_size=8)
+    # 'a\x00b' (freq 3): pairs (a,\x00):3 and (\x00,b):3 tie on count;
+    # the (pair asc) name tiebreak puts ('\x00','b') first ('\x00'<'a');
+    # then (a,\x00b):3 beats (a,a):2; then (a,a)
+    assert merges == [("\x00", "b"), ("a", "\x00b"), ("a", "a")]
+    got = {r["word"]: list(r["sym"]) for r in segs.collect()}
+    assert got["a\x00b"] == ["a\x00b"] and got["aa"] == ["aa"]

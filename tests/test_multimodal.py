@@ -133,3 +133,21 @@ class TestProfileMedia:
                 assert r["width"] is None and r["n_bytes_out"] is None
                 assert r["payload_out"] is None
         media.unpersist()
+
+
+def test_profile_media_null_payload_non_image(spark):
+    """A non-image row with a NULL payload must yield NULL resize
+    columns, not crash the batch (len(None))."""
+    from stepist_spark.operators.multimodal import profile_media
+
+    rows = [
+        (1, "image", bytearray(b"abcd")),
+        (2, "audio", None),
+        (3, "video", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in profile_media(df, width=4, height=2).collect()}
+    assert got[1].n_bytes_out == 8 and got[1].payload_out is not None
+    assert got[2].n_bytes_out is None and got[2].payload_out is None
+    assert got[2].n_bytes == 0
+    assert got[3].n_bytes_out is None and got[3].payload_out is None

@@ -295,3 +295,56 @@ class TestHubCacheLifecycle:
         hub.release()
         hub.release()
         assert hub._pinned is None
+
+
+class TestHubPruningPassthrough:
+    def test_filter_branch_keeps_passthrough_columns(self, spark):
+        """A branch that only filters outputs EVERY upstream column;
+        inferred pruning must not drop the ones no expression names."""
+        from pyspark.sql import functions as F
+
+        from stepist_spark.pipeline import Hub, Step
+
+        up = spark.createDataFrame(
+            [(1, 2, "x"), (5, 6, "y")], "a long, b long, c string"
+        )
+        hub = Hub(
+            Step(lambda d: d.filter(F.col("a") > 2), name="filt"),
+            Step(lambda d: d.groupBy("b").count(), name="agg"),
+        )
+        try:
+            res = hub(up)
+            assert res["filt"].columns == ["a", "b", "c"]
+            assert [tuple(r) for r in res["filt"].collect()] == [(5, 6, "y")]
+        finally:
+            hub.release()
+
+    def test_nested_hub_probe_does_not_pin(self, spark):
+        """An inner Hub reached during the outer Hub's pruning probe
+        must not persist or mutate the one-slot pin cache."""
+        from pyspark.sql import functions as F
+
+        from stepist_spark import pipeline as P
+
+        up = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+        inner = P.Hub(
+            P.Step(lambda d: d.select("a"), name="ia"),
+            P.Step(lambda d: d.select("b"), name="ib"),
+        )
+
+        def outer_branch(d):
+            r = inner(d)
+            return r["ia"].unionByName(r["ib"].withColumnRenamed("b", "a"))
+
+        outer = P.Hub(
+            P.Step(outer_branch, name="nest"),
+            P.Step(lambda d: d.groupBy().sum("a"), name="s"),
+        )
+        try:
+            res = outer(up)
+            assert res["nest"].count() == 4
+            # only bounded pins exist (one-slot discipline intact)
+            assert len(P._HUB_PINNED) <= 1
+        finally:
+            outer.release()
+            inner.release()

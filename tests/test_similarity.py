@@ -228,11 +228,14 @@ class TestProductQuantization:
             for ni, cs in codes.items():
                 if ni == qi:
                     continue
+                # mirror the operator's fixed-point partials: each
+                # subspace dot rounds to 1e-6 BEFORE the sum (exact
+                # integer addition, shuffle-order-free)
                 adc = sum(
-                    float(vecs[qi][j * d : (j + 1) * d] @ book[(j, c)])
+                    int(round(float(vecs[qi][j * d : (j + 1) * d] @ book[(j, c)]) * 1e6))
                     for j, c in enumerate(cs)
                 )
-                scored.append((round(adc, 6), ni))
+                scored.append((round(adc / 1e6, 6), ni))
             scored.sort(key=lambda t: (-t[0], t[1]))
             exp[qi] = scored[:3]
         bookdf = similarity.pq_codebook(emb, n_subspaces=self.M, n_codes=self.KS)

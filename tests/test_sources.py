@@ -136,3 +136,22 @@ class TestEnvelope:
         q.awaitTermination(60)
         got = _rows(spark.sql("SELECT * FROM env_roundtrip"))
         assert got == _rows(df)
+
+
+def test_from_envelope_keeps_business_key_column(spark):
+    """key_col=None preserves a passthrough column that happens to be
+    named 'key' (only the routing key is dropped by default)."""
+    from stepist_spark.sources.envelope import from_envelope, to_envelope
+
+    df = spark.createDataFrame([(1, "a")], "x long, y string")
+    env = to_envelope(df, key_col="x").withColumn("key2", F.lit("route"))
+    # simulate a business column literally named 'key' riding along
+    enriched = env.withColumnRenamed("key", "_routing").withColumn(
+        "key", F.lit("business")
+    )
+    out = from_envelope(enriched, "x long, y string", key_col="_routing")
+    row = out.collect()[0]
+    assert row.key == "business" and row.x == 1 and row.y == "a"
+    # default behavior still drops the kafka routing key
+    out2 = from_envelope(env, "x long, y string")
+    assert "key" not in out2.columns
