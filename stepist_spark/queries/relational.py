@@ -231,6 +231,62 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+# Tag-union merge (round 3, third pass): q01 + q06 are both
+# single-scan lineitem aggregates — one gate certifies both, freeing a
+# registry slot for the s05 streaming-dedup gate.
+def q01_lineitem_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    nd = F.lit(None).cast("double")
+    p = q01_pricing_summary(spark, sf).select(
+        F.lit("pricing").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_qty").cast("double").alias("d1"),
+        F.col("sum_base_price").cast("double").alias("d2"),
+        F.col("sum_disc_price").cast("double").alias("d3"),
+        F.col("sum_charge").cast("double").alias("d4"),
+        F.col("avg_qty").cast("double").alias("d5"),
+        F.col("avg_price").cast("double").alias("d6"),
+        F.col("avg_disc").cast("double").alias("d7"),
+        F.col("rev_no_tax").cast("double").alias("d8"),
+        F.col("count_order").cast("bigint").alias("n1"),
+        F.col("n_high_discount").cast("bigint").alias("n2"),
+    )
+    fx = q06_forecast_revenue(spark, sf).select(
+        F.lit("forecast").alias("part"),
+        F.lit(None).cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("revenue").cast("double").alias("d1"),
+        nd.alias("d2"),
+        nd.alias("d3"),
+        nd.alias("d4"),
+        nd.alias("d5"),
+        nd.alias("d6"),
+        nd.alias("d7"),
+        nd.alias("d8"),
+        F.col("n_rows").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    return p.unionByName(fx)
+
+
+Q01M_SQL = f"""
+SELECT 'pricing' AS part, l_returnflag AS k1, l_linestatus AS k2,
+       CAST(sum_qty AS DOUBLE) AS d1, CAST(sum_base_price AS DOUBLE) AS d2,
+       CAST(sum_disc_price AS DOUBLE) AS d3, CAST(sum_charge AS DOUBLE) AS d4,
+       CAST(avg_qty AS DOUBLE) AS d5, CAST(avg_price AS DOUBLE) AS d6,
+       CAST(avg_disc AS DOUBLE) AS d7, CAST(rev_no_tax AS DOUBLE) AS d8,
+       CAST(count_order AS BIGINT) AS n1, CAST(n_high_discount AS BIGINT) AS n2
+FROM ({Q01_SQL})
+UNION ALL
+SELECT 'forecast', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(revenue AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(n_rows AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({Q06_SQL})
+"""
+
+
 # --------------------------------------------------------------------------
 # q07 — per-group top-k via row_number window
 def q07_top_orders_per_segment(spark: SparkSession, sf: str) -> DataFrame:
@@ -1463,10 +1519,9 @@ FROM ({Q03_SQL})
 # wrapper reuses the ORIGINAL query function and oracle SQL unchanged,
 # so per-query correctness semantics are untouched.
 QUERIES = [
-    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1: filter + multi-agg groupBy incl. conditional aggs"),
+    QuerySpec("q01_pricing_summary", q01_lineitem_aggregates, Q01M_SQL, "TPC-H Q1 multi-agg + Q6 filter-only scalar agg, tag-unioned"),
     QuerySpec("q02_join_agg_topk", q02_join_agg_topk, Q02M_SQL, "TPC-H Q3 top-10 + Q5 star join, tag-unioned"),
     QuerySpec("q04_semi_anti_join", q04_semi_anti_join, Q04_SQL, "EXISTS / left-semi + NOT EXISTS / left-anti joins"),
-    QuerySpec("q06_forecast_revenue", q06_forecast_revenue, Q06_SQL, "TPC-H Q6: filter-only scalar agg"),
     QuerySpec("q07_grouped_topn", q07_grouped_topn, Q07M_SQL, "grouped top-k window + LATERAL top-n, tag-unioned"),
     QuerySpec("q08_window_suite", q08_window_suite, Q08_SQL, "running sum/lag/row_number + RANGE frame/ntile/first_value"),
     QuerySpec("q09_grouping_multi", q09_grouping_multi, Q09_SQL, "ROLLUP + CUBE + GROUPING SETS, tag-unioned"),

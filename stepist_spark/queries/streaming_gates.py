@@ -207,8 +207,48 @@ GROUP BY 1, 4, 5
 """
 
 
+# --------------------------------------------------------------------------
+# s05 — STREAMING deduplication end-to-end: the events file stream
+# unioned with ITSELF (every row arrives exactly twice — deterministic
+# planted duplicates, no synthetic table) flows through
+# streaming.stream_dedup (dropDuplicates state) into an append-mode
+# memory sink. The sink must hold each event exactly once — without
+# the dedup the row count would be 2×, so the oracle (plain events)
+# discriminates. Certifies reference operator #10's dedup half (the
+# reference re-pushes on failure and relies on consumer idempotence;
+# here exactly-once is engine state).
+def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.streaming.dedup import stream_dedup
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+
+    src = _events_stream(spark, sf)
+    doubled = src.unionByName(src)
+    deduped = stream_dedup(doubled, ["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    sink = f"s05_sink_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(sink)
+
+
+S05_SQL = """
+SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+       round(value, 2) AS value
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows vs batch grid oracle"),
     QuerySpec("s03_stream_interval_join", s03_stream_interval_join, S03_SQL, "stream-stream interval join vs batch range join"),
     QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "rate-micro-batch source through StreamFlow, closed-form oracle"),
+    QuerySpec("s05_stream_dedup", s05_stream_dedup, S05_SQL, "streaming dedup: self-unioned stream lands exactly once"),
 ]

@@ -146,7 +146,9 @@ class TestScanHygiene:
         """TPC-H Q6 touches 4 columns; the scan must not read the other
         12 — at 100 TB that's the difference between 25 TB and 100 TB
         of IO."""
-        df = qs["q06_forecast_revenue"].spark(spark, SF)
+        from stepist_spark.queries.relational import q06_forecast_revenue
+
+        df = q06_forecast_revenue(spark, SF)
         scans = plans.scan_columns(df)
         assert scans and all(len(c) <= 4 for c in scans), scans
 
