@@ -508,3 +508,49 @@ class TestFunnelProperty:
             ).orderBy("stage_idx").collect()
         ]
         assert got == brute()
+
+
+class TestRollingZscoreProperty:
+    """rolling_zscore must equal a row-at-a-time Python reference on
+    arbitrary integer series — including constant runs (zero variance)
+    and short histories."""
+
+    @given(
+        series=st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+            min_size=1,
+            max_size=40,
+        ),
+        lookback=st.sampled_from([3, 6]),
+    )
+    @SETTINGS
+    def test_matches_python_reference(self, spark, series, lookback):
+        import math
+
+        from stepist_spark.operators.anomaly import rolling_zscore
+
+        rows = [(k, i, n) for i, (k, n) in enumerate(series)]
+        by_key: dict = {}
+        for k, t, n in rows:
+            by_key.setdefault(k, []).append((t, n))
+        expect = {}
+        for k, s in by_key.items():
+            s.sort()
+            for i, (t, n) in enumerate(s):
+                hist = [v for _, v in s[max(0, i - lookback) : i]]
+                z = None
+                if len(hist) == lookback:
+                    sm, s2, kk = sum(hist), sum(v * v for v in hist), len(hist)
+                    vn = kk * s2 - sm * sm
+                    if vn > 0:
+                        z = round(
+                            (n - sm / kk) / math.sqrt(vn / (kk * (kk - 1))), 6
+                        )
+                expect[(k, t)] = (z, z is not None and abs(z) > 2.0)
+
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        got = {
+            (r.key, r.t): (r.z, r.is_anomaly)
+            for r in rolling_zscore(df, ["key"], "t", "n", lookback=lookback).collect()
+        }
+        assert got == expect
