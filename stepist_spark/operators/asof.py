@@ -72,7 +72,6 @@ def asof_join(
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in [right_time, *payload]]).alias("_rpay"),
-        F.lit(None).cast("long").alias("_lrow"),
     )
     lcols = left.columns
     l = left.select(
@@ -80,7 +79,6 @@ def asof_join(
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
-        F.monotonically_increasing_id().alias("_lrow"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     merged = r.unionByName(l, allowMissingColumns=True)

@@ -256,26 +256,87 @@ def _bloom_positions_sql(expr: str, m_bits: int, n_hashes: int) -> list[str]:
     return out
 
 
+def _plan_is_materialized(df: DataFrame) -> bool:
+    """True when evaluating ``df`` is (near-)free: cached/persisted, or
+    backed by an already-computed RDD / local rows (checkpoint,
+    createDataFrame). Used to decide whether an eager driver-side guard
+    is affordable — against an unmaterialized plan it would compute the
+    whole upstream aggregate once for the guard and again for the real
+    query."""
+    try:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return True
+    except Exception:
+        pass
+    try:
+        head = df._jdf.queryExecution().logical().nodeName()
+        return head in ("LogicalRDD", "LocalRelation")
+    except Exception:
+        return False
+
+
 def _check_sketch_params(sketch: DataFrame, expect: dict[str, int]) -> None:
     """Guard against probing a sketch with parameters other than the
     ones it was built with — a silent-wrong-answer hazard (positions
     computed mod a different m map true members to unset bits). The
     build stamps its parameters as constant columns; when present,
-    validate with one bounded driver read (1-row limit, the same
-    bounded-probe pattern as clusters.py's convergence check). A frame
-    without the stamp columns (e.g. hand-aggregated) skips the check."""
+    validate ALL distinct stamp combinations (a mixed-shard merge must
+    not pass on the strength of one row).
+
+    Runs eagerly only when the sketch plan is materialized (cached /
+    checkpointed / local) — otherwise the collect would evaluate the
+    full upstream aggregate once for the guard and again for the real
+    query. Unmaterialized sketches rely on the lazy in-plan stamp check
+    the probes fold into their join sides instead."""
     cols = set(sketch.columns)
     if not all(c in cols for c in expect):
         return
-    row = sketch.select(*expect).limit(1).collect()
-    if not row:
-        return  # empty sketch: probe semantics hold for any params
+    if not _plan_is_materialized(sketch):
+        return
+    rows = sketch.select(*expect).distinct().collect()
+    for row in rows:
+        for name, want in expect.items():
+            got = row[name]
+            if got is not None and int(got) != want:
+                raise ValueError(
+                    f"sketch was built with {name}={got}, probed with {name}={want}"
+                )
+
+
+def _stamp_guard(value: "F.Column", expect: dict[str, int], what: str) -> "F.Column":
+    """Fold a lazy parameter check into a probed sketch value: the value
+    passes through iff every stamp column equals the expected build
+    parameter, else the task raises. Zero extra passes — evaluated only
+    on rows the probe actually touches (a full check is the eager path
+    in :func:`_check_sketch_params`)."""
+    cond = F.lit(True)
     for name, want in expect.items():
-        got = row[0][name]
-        if got is not None and int(got) != want:
-            raise ValueError(
-                f"sketch was built with {name}={got}, probed with {name}={want}"
-            )
+        cond = cond & (F.col(name) == F.lit(want))
+    return F.when(cond, value).otherwise(
+        F.raise_error(
+            f"{what}: sketch stamp differs from probe parameters {expect} "
+            "— probing with the wrong m/width maps values to the wrong cells"
+        )
+    )
+
+
+def _uniform_stamp(name: str, what: str) -> "F.Column":
+    """A stamp column that raises unless it is constant across the whole
+    frame — the merge-time guard against unioning shards built with
+    different parameters. One whole-frame window over the MERGED sketch
+    (KB-scale by construction), not over the raw data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return F.when(
+        F.min(name).over(w) == F.max(name).over(w), F.col(name)
+    ).otherwise(
+        F.raise_error(
+            f"{what}: shards were built with mismatched {name} — "
+            "sketches only merge when build parameters agree"
+        )
+    ).alias(name)
 
 
 def bloom_build(
@@ -310,13 +371,22 @@ def bloom_build(
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
-    """Merge shard bitmaps (same build parameters) by bit_or per word."""
+    """Merge shard bitmaps by bit_or per word. Shards built with
+    mismatched (m_bits, n_hashes) raise at evaluation time — grouping
+    alone would keep them as separate rows and silently produce a
+    bitmap with false NEGATIVES."""
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
-    return out.groupBy("word_idx", "m_bits", "n_hashes").agg(
+    merged = out.groupBy("word_idx", "m_bits", "n_hashes").agg(
         F.bit_or("word").alias("word")
-    ).select("word_idx", "word", "m_bits", "n_hashes")
+    )
+    return merged.select(
+        "word_idx",
+        "word",
+        _uniform_stamp("m_bits", "bloom_merge"),
+        _uniform_stamp("n_hashes", "bloom_merge"),
+    )
 
 
 def bloom_probe(
@@ -339,8 +409,16 @@ def bloom_probe(
     shuffles and gains no fan-out: word_idx is unique per bitmap, so
     every join matches at most one row.
     """
-    _check_sketch_params(bloom, {"m_bits": m_bits, "n_hashes": n_hashes})
-    words = bloom.select("word_idx", "word")
+    expect = {"m_bits": m_bits, "n_hashes": n_hashes}
+    _check_sketch_params(bloom, expect)
+    if set(expect) <= set(bloom.columns):
+        # lazy in-plan guard: any touched word whose stamps disagree
+        # with the probe parameters raises (see _check_sketch_params)
+        words = bloom.select(
+            "word_idx", _stamp_guard(F.col("word"), expect, "bloom_probe").alias("word")
+        )
+    else:
+        words = bloom.select("word_idx", "word")
     out = df
     flag_cols = []
     for i, pos in enumerate(_bloom_positions(F.col(value_col), m_bits, n_hashes)):
@@ -429,14 +507,21 @@ def cms_build(
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge shard sketches (same depth/width) by cell-wise sum."""
+    """Merge shard sketches by cell-wise sum. Shards built with
+    mismatched (depth, width) raise at evaluation time — grouping alone
+    would keep them separate and silently UNDER-estimate."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return (
-        out.groupBy("row_idx", "col_idx", "depth", "width")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .select("row_idx", "col_idx", "cnt", "depth", "width")
+    merged = out.groupBy("row_idx", "col_idx", "depth", "width").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    return merged.select(
+        "row_idx",
+        "col_idx",
+        "cnt",
+        _uniform_stamp("depth", "cms_merge"),
+        _uniform_stamp("width", "cms_merge"),
     )
 
 
@@ -458,7 +543,9 @@ def cms_estimate(
     scan per lookup (Spark's GetMapValue has no hash index)."""
     from stepist_spark.functions import hashing
 
-    _check_sketch_params(sketch, {"depth": depth, "width": width})
+    expect = {"depth": depth, "width": width}
+    _check_sketch_params(sketch, expect)
+    guarded = set(expect) <= set(sketch.columns)
     out = df
     ests = []
     for d in range(depth):
@@ -466,8 +553,13 @@ def cms_estimate(
             hashing.word_hash32(F.concat(F.lit(f"{d}:"), F.col(value_col)))
             % F.lit(width)
         ).cast("int")
+        cnt = (
+            _stamp_guard(F.col("cnt"), expect, "cms_estimate")
+            if guarded
+            else F.col("cnt")
+        )
         side = sketch.filter(F.col("row_idx") == d).select(
-            F.col("col_idx").alias(f"_c{d}"), F.col("cnt").alias(f"_n{d}")
+            F.col("col_idx").alias(f"_c{d}"), cnt.alias(f"_n{d}")
         )
         out = (
             out.join(F.broadcast(side), pos == F.col(f"_c{d}"), "left")

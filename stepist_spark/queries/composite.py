@@ -324,7 +324,7 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
         group_by=["event_type"],
     )
     sink = f"s01_sink_{next(_SINK_IDS)}"
-    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
 
     with stream_shuffle_partitions(spark, 8):
         q = (
@@ -334,7 +334,7 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_drained(q, 300)
     return spark.table(sink)
 
 
@@ -569,13 +569,13 @@ C03_SQL = _c03_sql()
 # `stepist/flow/libs/simple_queue.py:49-60`) restated as files.
 def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import os
-    import tempfile
 
     from stepist_spark.queries.llm_text import t04_quality_by_source
+    from stepist_spark.session import scratch_dir
     from stepist_spark.sources import readers, writers
 
     out = t04_quality_by_source(spark, sf)
-    path = os.path.join(tempfile.gettempdir(), f"stepist_w01_{os.getpid()}")
+    path = os.path.join(scratch_dir(spark, "w01"), "sink")
     writers.write(out, path, fmt="parquet", mode="overwrite", partition_by="source")
     back = readers.read(spark, path, fmt="parquet")
     # partition columns come back LAST and (configurably) type-inferred;

@@ -686,24 +686,123 @@ FROM (
 """
 
 
-# t19 — heavy hitters: per-partition summarize-then-merge frequent-items
-# sketch over all document tokens. Capacity (128) exceeds the corpus
-# vocabulary, so the sketch is EXACT here and the oracle is plain
-# count-group-by — certifying the merge machinery end-to-end.
+# t19 — per-key frequency, sketched two ways in one tag-union gate:
+# - 'top':  per-partition summarize-then-merge frequent-items sketch.
+#   Capacity (128) exceeds the corpus vocabulary, so the sketch is
+#   EXACT here and the oracle is plain count-group-by — certifying the
+#   merge machinery end-to-end.
+# - 'cell': the COUNT-MIN sketch itself, built as two shards and merged
+#   (cms_build + cms_merge), every non-zero cell emitted word-for-word
+#   — positions use the portable md5 hash, so DuckDB recomputes the
+#   identical depth×width table (the Bloom-bitmap certification
+#   pattern from t18).
+# - 'est':  cms_estimate for every distinct token (min over depth
+#   rows). WIDTH=64 forces real collisions, so the min is doing actual
+#   work and the overcounts are certified too — the oracle recomputes
+#   the same estimates, making even the approximation hash-checkable.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
 def t19_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sketches
     from stepist_spark.session import spread
 
     docs = spread(load_table(spark, sf, "documents"))
-    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    return sketches.frequent_items(toks, "tok", capacity=128, k=20)
+    # one tokenize pass shared by all three parts (|tokens| rows; at
+    # real scale land it in parquet instead, same shape)
+    toks = docs.select(
+        F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint()
+
+    top = sketches.frequent_items(toks, "tok", capacity=128, k=20).select(
+        F.lit("top").alias("part"),
+        F.col("item"),
+        F.col("weight").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+
+    # shard split on token-hash parity: arbitrary but deterministic —
+    # merge must reassemble the exact global cell counts
+    parity = hashing.word_hash32(F.col("tok")) % 2
+    shard_a = sketches.cms_build(
+        toks.filter(parity == 0), "tok", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    shard_b = sketches.cms_build(
+        toks.filter(parity == 1), "tok", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    # localCheckpoint: the estimate probes join the sketch once per
+    # depth row — materialize the KB-scale cell table instead of
+    # re-aggregating the token stream 4x (also turns the probe's
+    # parameter guard eager, which is free on a materialized plan)
+    cms = sketches.cms_merge(shard_a, shard_b).localCheckpoint()
+
+    cells = cms.select(
+        F.lit("cell").alias("part"),
+        F.concat_ws(":", F.col("row_idx"), F.col("col_idx")).alias("item"),
+        F.col("cnt").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    est = sketches.cms_estimate(
+        vocab, "tok", cms, depth=CMS_DEPTH, width=CMS_WIDTH
+    ).select(
+        F.lit("est").alias("part"),
+        F.col("tok").alias("item"),
+        F.col("approx_count").cast("bigint").alias("n1"),
+        F.col("exact").cast("bigint").alias("n2"),
+    )
+    return top.unionByName(cells).unionByName(est)
 
 
-T19_SQL = f"""
-SELECT _tok AS item, count(*) AS weight
-FROM (SELECT unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
-GROUP BY _tok ORDER BY weight DESC, item LIMIT 20
+def _t19_sql() -> str:
+    toks = f"SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents"
+
+    def pos_union(src: str) -> str:
+        rows = []
+        for d in range(CMS_DEPTH):
+            seeded = f"'{d}:' || tok"
+            rows.append(
+                f"SELECT tok, {d} AS row_idx, "
+                f"CAST({hashing.word_hash32_sql(seeded)} % {CMS_WIDTH} AS INT) "
+                f"AS col_idx FROM {src}"
+            )
+        return "\n    UNION ALL\n    ".join(rows)
+
+    return f"""
+WITH toks AS ({toks}),
+pos AS (
+    {pos_union('toks')}
+),
+cells AS (
+    SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+    FROM pos GROUP BY 1, 2
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY tok),
+vpos AS (
+    {pos_union('vocab')}
+),
+est AS (
+    SELECT p.tok, min(c.cnt) AS e
+    FROM vpos p JOIN cells c USING (row_idx, col_idx)
+    GROUP BY p.tok
+)
+SELECT part, item, n1, n2 FROM (
+    SELECT 'top' AS part, tok AS item, CAST(count(*) AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2
+    FROM toks GROUP BY tok ORDER BY n1 DESC, item LIMIT 20
+)
+UNION ALL
+SELECT 'cell', row_idx::VARCHAR || ':' || col_idx::VARCHAR, cnt, CAST(NULL AS BIGINT)
+FROM cells
+UNION ALL
+SELECT 'est', v.tok, e.e, v.exact
+FROM vocab v JOIN est e ON e.tok = v.tok
 """
+
+
+T19_SQL = _t19_sql()
 
 
 # --------------------------------------------------------------------------

@@ -45,7 +45,7 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 # s02 — sliding event-time windows computed BY THE STREAMING RUNTIME
 # (2-hour windows advancing hourly: every event lands in 2 windows).
 def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
     from stepist_spark.streaming.windows import sliding_agg
 
     agg = sliding_agg(
@@ -65,7 +65,7 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_drained(q, 300)
     return spark.table(sink)
 
 
@@ -90,7 +90,7 @@ GROUP BY event_type, ws
 # bound state eviction (streaming/joins.py).
 def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming.joins import interval_join
-    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
 
     # withWatermark demands TIMESTAMP (ltz) event time; the session tz
     # is UTC, so casting the ntz column preserves the wall clock.
@@ -129,7 +129,7 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_drained(q, 300)
     return spark.table(sink)
 
 
@@ -154,7 +154,7 @@ FROM p JOIN s ON s.user_id = p.user_id
 # state commit round, so the gate doesn't buy coverage with more.)
 def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming import StreamFlow
-    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
     from stepist_spark.streaming.windows import tumbling_agg
 
     src = (
@@ -219,7 +219,7 @@ GROUP BY 1, 4, 5
 # here exactly-once is engine state).
 def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming.dedup import stream_dedup
-    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
 
     src = _events_stream(spark, sf)
     doubled = src.unionByName(src)
@@ -235,7 +235,7 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_drained(q, 300)
     return spark.table(sink)
 
 

@@ -77,6 +77,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_dir(spark: SparkSession, name: str) -> str:
+    """A writable scratch directory for gates with filesystem side
+    effects (sink round-trips, streaming checkpoints).
+
+    Resolution order: ``SPARK_GRAFT_SCRATCH`` env var, else the
+    session's ``spark.sql.warehouse.dir`` — NOT ``/tmp``, which a
+    locked-down driver environment may mount read-only. Keyed by pid so
+    concurrent drivers never collide; created eagerly so callers can
+    hand the path straight to a writer."""
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not base:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        base = wh.removeprefix("file://").removeprefix("file:")
+    path = os.path.join(base, "stepist_scratch", f"pid{os.getpid()}", name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 # Runtime-settable confs every query path depends on, applied even when
 # the caller (e.g. the external driver) built its own SparkSession with
 # different builder-time settings. All are dynamic SQL confs.

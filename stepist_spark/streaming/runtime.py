@@ -19,6 +19,24 @@ from pyspark.sql.streaming import StreamingQuery
 from stepist_spark.pipeline import Pipeline, Step
 
 
+def await_drained(q: StreamingQuery, timeout: float = 300.0) -> None:
+    """``awaitTermination`` that FAILS LOUDLY on timeout.
+
+    ``awaitTermination(t)`` returns False when the query is still
+    running at the deadline; ignoring that reads a partially-filled
+    sink and reports a spurious data mismatch instead of the real
+    problem. Here: stop the query and raise."""
+    done = q.awaitTermination(timeout)
+    if not done:
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not terminate "
+                f"within {timeout}s (last progress: {q.lastProgress})"
+            )
+
+
 @contextmanager
 def stream_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily set ``spark.sql.shuffle.partitions`` while a
@@ -139,7 +157,7 @@ class StreamFlow:
         """Process everything currently available into a memory sink,
         then stop — batch-mode termination for a streaming flow."""
         q = self.to_memory(sink_name, output_mode=output_mode, trigger={"availableNow": True})
-        q.awaitTermination(timeout)
+        await_drained(q, timeout)
 
     @property
     def query(self) -> StreamingQuery | None:

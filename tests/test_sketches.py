@@ -261,17 +261,68 @@ class TestCountMin:
 
 
 class TestSketchParamGuards:
-    def test_bloom_param_mismatch_raises(self, spark):
+    def test_bloom_param_mismatch_raises_eagerly_when_cached(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        bloom = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4).cache()
+        try:
+            bloom.count()  # materialize so the eager guard is free
+            with pytest.raises(ValueError, match="m_bits"):
+                sketches.bloom_probe(df, "v", bloom, m_bits=1 << 16, n_hashes=4)
+        finally:
+            bloom.unpersist()
+
+    def test_cms_param_mismatch_raises_eagerly_when_cached(self, spark):
+        df = spark.createDataFrame([("x",)], "v string")
+        cms = sketches.cms_build(df, "v", depth=4, width=256).cache()
+        try:
+            cms.count()
+            with pytest.raises(ValueError, match="width"):
+                sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
+        finally:
+            cms.unpersist()
+
+    def test_bloom_param_mismatch_raises_lazily_when_unmaterialized(self, spark):
+        # ADVICE r3: against an unmaterialized plan the guard must NOT
+        # eagerly evaluate the sketch aggregate (it would run twice) —
+        # the check rides the probe plan and fires at evaluation time.
         df = spark.createDataFrame([("x",), ("y",)], "v string")
         bloom = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
-        with pytest.raises(ValueError, match="m_bits"):
-            sketches.bloom_probe(df, "v", bloom, m_bits=1 << 16, n_hashes=4)
+        probed = sketches.bloom_probe(df, "v", bloom, m_bits=1 << 12, n_hashes=8)
+        with pytest.raises(Exception, match="stamp differs"):
+            probed.collect()
 
-    def test_cms_param_mismatch_raises(self, spark):
+    def test_cms_param_mismatch_raises_lazily_when_unmaterialized(self, spark):
         df = spark.createDataFrame([("x",)], "v string")
         cms = sketches.cms_build(df, "v", depth=4, width=256)
-        with pytest.raises(ValueError, match="width"):
-            sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
+        est = sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
+        # wrong width may also hash probes to non-existent cells (join
+        # miss -> guard never touched), so only the touched-cell path is
+        # guaranteed to raise; a cell hit with a mismatched stamp must.
+        try:
+            rows = est.collect()
+        except Exception as e:  # guard fired on a touched cell
+            assert "stamp differs" in str(e)
+        else:  # all probes missed: estimates must then be zero, never wrong
+            assert all(r.approx_count == 0 for r in rows)
+
+    def test_merge_mismatched_shards_raises(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        a = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        b = sketches.bloom_build(df, "v", m_bits=1 << 13, n_hashes=4)
+        with pytest.raises(Exception, match="mismatched m_bits"):
+            sketches.bloom_merge(a, b).collect()
+        c1 = sketches.cms_build(df, "v", depth=4, width=256)
+        c2 = sketches.cms_build(df, "v", depth=4, width=512)
+        with pytest.raises(Exception, match="mismatched width"):
+            sketches.cms_merge(c1, c2).collect()
+
+    def test_merge_same_params_passes_guard(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        a = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        b = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        merged = sketches.bloom_merge(a, b)
+        flags = sketches.bloom_probe(df, "v", merged, m_bits=1 << 12, n_hashes=4)
+        assert all(r.maybe_member for r in flags.collect())
 
 
 class TestProbeAfterMerge:
