@@ -48,6 +48,13 @@ def rolling_zscore(
 
     NULL z when history is incomplete (< lookback prior rows) or the
     history is constant (zero variance) — flagged False either way.
+
+    Requirements: ``(key_cols, order_col)`` must be UNIQUE per row —
+    ties make the ROWS frame ordering (and thus z) engine-
+    nondeterministic. Sums accumulate in decimal(38,0), matching
+    DuckDB's int128 (HUGEINT) sum type, so the k·Σx² − (Σx)² numerator
+    is exact up to ~10^38 — far past any realistic windowed count —
+    and both engines ERROR (never silently wrap) beyond it.
     """
     from pyspark.sql import Window
 
@@ -57,12 +64,17 @@ def rolling_zscore(
         .rowsBetween(-lookback, -1)
     )
     x = F.col(value_col).cast("bigint")
-    s = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
+    # decimal(19,0) per-row values: Σx is decimal(29,0), Σx² sums the
+    # decimal(38,0) products — bigint sums would overflow at ~1.2e9
+    # per-window counts and, under ANSI mode, error where the DuckDB
+    # mirror (HUGEINT accumulation) succeeds (round-3 ADVICE)
+    xd = x.cast("decimal(19,0)")
+    s = F.sum(xd).over(w)
+    s2 = F.sum(xd * xd).over(w)
     k = F.count(x).over(w)
-    # sample variance from exact bigint sums: (k*Σx² - (Σx)²) / (k(k-1))
-    var_num = (k * s2 - s * s).cast("double")
-    var = var_num / (k * (k - 1)).cast("double")
+    # sample variance from exact decimal sums: (k*Σx² - (Σx)²) / (k(k-1))
+    var_num = k.cast("decimal(19,0)") * s2 - s * s
+    var = var_num.cast("double") / (k * (k - 1)).cast("double")
     mean = s.cast("double") / k.cast("double")
     z = F.round((x.cast("double") - mean) / F.sqrt(var), 6)
     z_guarded = F.when((k == lookback) & (var_num > 0), z)
@@ -82,7 +94,9 @@ def rolling_zscore_sql(
     threshold: float = 2.0,
 ) -> str:
     """DuckDB mirror of :func:`rolling_zscore` (same expression tree,
-    same frame). ``windowed_sql`` must yield the windowed aggregate."""
+    same frame; DuckDB's sum(BIGINT) accumulates in HUGEINT, which the
+    Spark side matches with decimal(38,0)). ``windowed_sql`` must yield
+    the windowed aggregate, unique per (keys, order)."""
     keys = ", ".join(key_exprs)
     frame = (
         f"OVER (PARTITION BY {keys} ORDER BY {order_expr} "

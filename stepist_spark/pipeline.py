@@ -26,12 +26,16 @@ with map-side partial aggregation.
 from __future__ import annotations
 
 import functools
+import logging
+import threading
 from collections.abc import Callable, Sequence
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+logger = logging.getLogger(__name__)
 
 
 class StopFlowFlag(Exception):
@@ -70,13 +74,22 @@ class FlowResult(dict):
 # invocation releases the previous pin, so repeated Hub flows in a
 # long-lived session hold at most ONE cached upstream instead of
 # growing the block manager without bound. Unpersisting an in-use frame
-# is safe — Spark recomputes from lineage.
+# is safe — Spark recomputes from lineage. Guarded by _HUB_LOCK: two
+# driver threads building Hub flows concurrently (a normal Spark
+# pattern) must not race the pop/unpersist/append sequence.
 _HUB_PINNED: list = []
+_HUB_LOCK = threading.RLock()
+
 
 # True while a Hub is running its column-pruning probe: nested Hubs see
 # it and build plans WITHOUT persisting/pinning (a probe must not
-# mutate the one-slot cache or double-persist).
-_PROBING = False
+# mutate the one-slot cache or double-persist). THREAD-LOCAL: one
+# thread's probe must not suppress another thread's persist.
+class _ProbeState(threading.local):
+    active: bool = False
+
+
+_PROBING = _ProbeState()
 
 
 class Hub:
@@ -168,14 +181,14 @@ class Hub:
         return cols if cols and set(cols) != upstream_cols else None
 
     def __call__(self, df: DataFrame) -> FlowResult:
-        global _PROBING
         if len(self.steps) == 1:
             # nothing to share — persisting would only cost storage
             return FlowResult(self.steps[0](df))
-        if _PROBING:
-            # we are inside an OUTER Hub's pruning probe: this call is
-            # plan construction only — no probing of our own, no
-            # persist, no pin (a probe must not mutate cache state)
+        if _PROBING.active:
+            # we are inside an OUTER Hub's pruning probe ON THIS THREAD:
+            # this call is plan construction only — no probing of our
+            # own, no persist, no pin (a probe must not mutate cache
+            # state)
             out = FlowResult()
             for branch in self.steps:
                 out.update(branch(df))
@@ -189,22 +202,27 @@ class Hub:
             # side effects (registering Observations, eager writes)
             # will still see this extra invocation — pass columns=[...]
             # explicitly to skip the probe for such flows.
-            _PROBING = True
+            logger.debug(
+                "Hub pruning probe invokes branch functions twice; pass "
+                "columns=[...] if branches have construction-time side effects"
+            )
+            _PROBING.active = True
             try:
                 probes = [branch(df) for branch in self.steps]
             finally:
-                _PROBING = False
+                _PROBING.active = False
             pruned = self._referenced_columns(df, probes)
             if pruned:
                 df = df.select(*pruned)
         df = df.persist(self.storage_level)
-        prev = _HUB_PINNED.pop(0) if _HUB_PINNED else None
-        if prev is not None and prev is not df:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        _HUB_PINNED.append(df)
+        with _HUB_LOCK:
+            prev = _HUB_PINNED.pop(0) if _HUB_PINNED else None
+            if prev is not None and prev is not df:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            _HUB_PINNED.append(df)
         self._pinned = df
         out = FlowResult()
         for branch in self.steps:
@@ -219,8 +237,9 @@ class Hub:
                 self._pinned.unpersist(blocking=True)
             except Exception:
                 pass
-            # identity comparison: DataFrame.__eq__ builds a Column
-            _HUB_PINNED[:] = [x for x in _HUB_PINNED if x is not self._pinned]
+            with _HUB_LOCK:
+                # identity comparison: DataFrame.__eq__ builds a Column
+                _HUB_PINNED[:] = [x for x in _HUB_PINNED if x is not self._pinned]
             self._pinned = None
 
     def union(self, df: DataFrame) -> DataFrame:

@@ -72,6 +72,20 @@ class TestRollingZscore:
         )
         assert got == exp
 
+    def test_huge_values_no_bigint_overflow(self, spark):
+        # round-3 ADVICE: Σx² in bigint overflows (ANSI error) once
+        # x ~ 1.2e9 with lookback 6; decimal(38,0) accumulation must
+        # survive and still match the Python reference (exact ints)
+        rows = [("a", t, 3_000_000_000 + (t % 5) + (10**9 if t == 8 else 0))
+                for t in range(12)]
+        df = spark.createDataFrame(rows, "key string, t int, n long")
+        got = {
+            (r.key, r.t): (r.z, r.is_anomaly)
+            for r in rolling_zscore(df, ["key"], "t", "n").collect()
+        }
+        assert got == py_reference(rows)
+        assert got[("a", 8)][1]  # the planted spike is still flagged
+
 
 class TestFunnel:
     EVENTS = [
