@@ -20,6 +20,7 @@ machinery itself:
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -306,14 +307,38 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
-# s01 — streaming execution end-to-end: the hourly rollup computed BY THE
-# STREAMING RUNTIME (file source, micro-batches, complete-mode window
-# agg, availableNow drain) must equal the batch SQL oracle.
+# s01 — two event-time certifications in one tag-union gate:
+# - 'hourly': the hourly rollup computed BY THE STREAMING RUNTIME (file
+#   source, micro-batches, complete-mode window agg, availableNow
+#   drain) must equal the batch SQL oracle.
+# - 'late':   the WATERMARK LATE-DATA POLICY, driver-certified (round-3
+#   VERDICT #2): the user_id%4==1 event subset is staged as THREE files
+#   — everything from 24h after the first event except the max-ts rows,
+#   then the max-ts rows, then the first-day stragglers. Three files
+#   because Spark keeps TWO watermarks per batch: late-event FILTERING
+#   uses the previous batch's value while state EVICTION uses the
+#   current one (watermarkForLateEvents vs watermarkForEviction) — a
+#   straggler arriving only one batch after the head is merged-then-
+#   emitted, not dropped. By batch 2 the filter watermark is max(ts
+#   before stragglers)-1h, far above the first-day rows, so they are
+#   DROPPED, and append mode must have emitted exactly the windows
+#   whose end ≤ the final watermark. The oracle recomputes both bounds
+#   from the same subset — without the drop (or with re-emission) the
+#   row set visibly differs.
 def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime
+
+    from stepist_spark.queries.streaming_gates import (
+        _SINK_IDS,
+        fresh_scratch,
+        write_stream_file,
+        _MTIME0,
+    )
+    from stepist_spark.session import stream_events
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
     from stepist_spark.streaming.windows import tumbling_agg
 
-    from stepist_spark.session import stream_events
-
+    # ---- 'hourly' part ----------------------------------------------------
     # footer-aware ts handling (NANOS-as-long vs native µs parquet)
     src = stream_events(spark, sf)
     agg = tumbling_agg(
@@ -324,8 +349,6 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
         group_by=["event_type"],
     )
     sink = f"s01_sink_{next(_SINK_IDS)}"
-    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
-
     with stream_shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
@@ -335,14 +358,91 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         await_drained(q, 300)
-    return spark.table(sink)
+    hourly = spark.table(sink).select(
+        F.lit("hourly").alias("part"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        "window_start",
+        "window_end",
+    )
+    ntz = spark.table(sink).schema["window_start"].dataType.simpleString()
+
+    # ---- 'late' part --------------------------------------------------------
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") % 4 == 1).select(
+        "event_id",
+        # withWatermark wants TIMESTAMP (ltz); UTC session tz keeps the
+        # wall clock identical to the ntz batch view (as in s03)
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    # bounded driver reads (two scalars): the head/straggler split
+    # point and the head's max event time (the batch-1 file)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + datetime.timedelta(hours=24)
+    d = fresh_scratch(spark, "s01_late")
+    sdir = os.path.join(d, "stream")
+    os.makedirs(sdir, exist_ok=True)
+    head = ev.filter(F.col("ts") >= F.lit(cut))
+    write_stream_file(head.filter(F.col("ts") < F.lit(hi)), sdir, "a.parquet", _MTIME0)
+    write_stream_file(head.filter(F.col("ts") >= F.lit(hi)), sdir, "b.parquet", _MTIME0 + 60)
+    write_stream_file(ev.filter(F.col("ts") < F.lit(cut)), sdir, "c.parquet", _MTIME0 + 120)
+    lsrc = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    lagg = tumbling_agg(
+        lsrc,
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["event_type"],
+        watermark="1 hour",
+    )
+    lsink = f"s01_late_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 8):
+        q2 = (
+            lagg.writeStream.format("memory")
+            .queryName(lsink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q2, 300)
+    late = spark.table(lsink).select(
+        F.lit("late").alias("part"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        F.col("window_start").cast(ntz).alias("window_start"),
+        F.col("window_end").cast(ntz).alias("window_end"),
+    )
+    return hourly.unionByName(late)
 
 
 S01_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+SELECT 'hourly' AS part, event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
        date_trunc('hour', ts::TIMESTAMP) AS window_start,
        date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end
 FROM events GROUP BY event_type, window_start
+UNION ALL
+SELECT 'late', event_type, count(*), round(sum(value), 2), ws, ws + INTERVAL 1 HOUR
+FROM (
+    SELECT event_type, value, date_trunc('hour', ts::TIMESTAMP) AS ws
+    FROM events
+    WHERE user_id % 4 = 1 AND ts::TIMESTAMP >= (
+        SELECT min(ts)::TIMESTAMP + INTERVAL 24 HOUR
+        FROM events WHERE user_id % 4 = 1)
+)
+GROUP BY event_type, ws
+HAVING ws + INTERVAL 1 HOUR <= (
+    SELECT max(ts)::TIMESTAMP - INTERVAL 1 HOUR
+    FROM events
+    WHERE user_id % 4 = 1 AND ts::TIMESTAMP >= (
+        SELECT min(ts)::TIMESTAMP + INTERVAL 24 HOUR
+        FROM events WHERE user_id % 4 = 1))
 """
 
 
@@ -649,7 +749,7 @@ QUERIES = [
     QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "queue wire-envelope JSON codec round-trip incl. _meta"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
     QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
-    QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end vs batch oracle"),
+    QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end + watermark late-data drop"),
     QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + Arrow-batched reduce"),
     QuerySpec("c01_curation_pipeline", c01_curation_pipeline, C01_SQL, "dedup -> quality gate -> embedding join -> LSH bucket"),
     QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),

@@ -8,7 +8,9 @@ streaming machinery itself, not just the window expression:
 
 - s02: overlapping event-time windows (every event lands in
   duration/slide windows) computed by the streaming engine in complete
-  mode equals the batch grid oracle.
+  mode equals the batch grid oracle; tag-unioned with the streaming
+  count-barrier (complete groups fire once, the deliberately
+  incomplete group never).
 - s03: a stream-stream inner interval join — the state-store-buffered
   join with watermark eviction bounds — equals the batch range join.
 - s04: the reference's queue-consumption path
@@ -23,7 +25,10 @@ streaming machinery itself, not just the window expression:
 
 from __future__ import annotations
 
+import glob
 import itertools
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +37,41 @@ from pyspark.sql import functions as F
 from stepist_spark.queries import QuerySpec
 
 _SINK_IDS = itertools.count()
+
+
+def fresh_scratch(spark: SparkSession, name: str) -> str:
+    """A CLEAN per-invocation scratch dir for gates that stage stream
+    input files / checkpoints. bench.py runs each gate several times in
+    one process, so a pid-keyed dir alone would replay a stale
+    checkpoint against already-seen files and drain nothing — hence the
+    run counter."""
+    from stepist_spark.session import scratch_dir
+
+    path = os.path.join(scratch_dir(spark, name), f"run{next(_SINK_IDS)}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def write_stream_file(df: DataFrame, dest_dir: str, name: str, mtime: float) -> str:
+    """Materialize ``df`` as exactly ONE parquet file at
+    ``dest_dir/name`` with a controlled modification time — the file
+    streaming source processes files oldest-mtime-first, so staged
+    mtimes give deterministic micro-batch order (the lever behind the
+    late-data and history-dedup certifications)."""
+    tmp = os.path.join(dest_dir, f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(dest_dir, name)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+    os.utime(dest, (mtime, mtime))
+    return dest
+
+
+# fixed, arbitrary mtime epoch for staged stream files (any constant
+# works — only the ORDER matters to the source)
+_MTIME0 = 1_600_000_000.0
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     """File-source stream over the events table — footer-aware ts
@@ -42,10 +82,23 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# s02 — sliding event-time windows computed BY THE STREAMING RUNTIME
-# (2-hour windows advancing hourly: every event lands in 2 windows).
+# s02 — two stateful-grouping certifications in one tag-union gate:
+# - 'slide':   sliding event-time windows computed BY THE STREAMING
+#   RUNTIME (2-hour windows advancing hourly: every event lands in 2
+#   windows), complete mode vs the batch grid oracle.
+# - 'barrier': the streaming count-barrier (applyInPandasWithState,
+#   streaming/barrier.py) fed the events stream keyed
+#   "<event_type>:<N>" with N = the type's exact row count — except the
+#   lexicographically FIRST type, deliberately short one arrival
+#   (N = count+1). Complete groups fire exactly once with their count
+#   and in-state payload reduction (sum of user_ids); the sabotaged
+#   group must NEVER emit — the reference ReducerStep's
+#   incomplete-barrier drop (`stepist/flow/workers/
+#   reducer_engine.py:21-44`), driver-certified (round-3 VERDICT #2).
 def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.streaming.barrier import barrier_reduce
     from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
+    from stepist_spark.session import load_table
     from stepist_spark.streaming.windows import sliding_agg
 
     agg = sliding_agg(
@@ -66,13 +119,78 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         await_drained(q, 300)
-    return spark.table(sink)
+    slide = spark.table(sink).select(
+        F.lit("slide").alias("part"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        "window_start",
+        "window_end",
+    )
+
+    # ---- 'barrier' part -------------------------------------------------
+    sub = F.col("user_id") % 8 == 0
+    ev = load_table(spark, sf, "events").filter(sub)
+    # exact per-type counts: a bounded driver read (≤ |event types|
+    # rows) that parameterizes the barrier keys, like p02's counters
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sabotaged = min(counts)  # this group stays one arrival short forever
+    key = None
+    for t, n in counts.items():
+        expect = n + 1 if t == sabotaged else n
+        branch = (F.col("event_type") == t, F.lit(f"{t}:{expect}"))
+        key = F.when(*branch) if key is None else key.when(*branch)
+
+    src = (
+        _events_stream(spark, sf)
+        .filter(sub)
+        .select(key.alias("hub_job_id"), "user_id")
+    )
+    fired = barrier_reduce(
+        src,
+        group_key="hub_job_id",
+        payload_cols=["user_id"],
+        # completeness, not expiry, decides here; None (NoTimeout) lets
+        # availableNow terminate instead of spinning no-data batches
+        # against a pending wall-clock timer
+        ttl_sec=None,
+        reduce_fn=lambda gk, rows: {"total": sum(r["user_id"] for r in rows)},
+    )
+    bsink = f"s02_barrier_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 8):
+        q2 = (
+            fired.writeStream.format("memory")
+            .queryName(bsink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q2, 300)
+    ntz = spark.table(sink).schema["window_start"].dataType.simpleString()
+    barrier = spark.table(bsink).select(
+        F.lit("barrier").alias("part"),
+        F.split(F.col("group_key"), ":")[0].alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        # in-state reduction result, proving payload delivery (exact:
+        # integer user_id sums are far below 2^53)
+        F.get_json_object(F.col("job_list")[0], "$.total")
+        .cast("double")
+        .alias("sum_value"),
+        F.lit(None).cast(ntz).alias("window_start"),
+        F.lit(None).cast(ntz).alias("window_end"),
+    )
+    return slide.unionByName(barrier)
 
 
 # Epoch-aligned 2h/1h sliding windows = the two hour-truncated starts
-# (k ∈ {0,1}) whose [start, start+2h) covers the event.
+# (k ∈ {0,1}) whose [start, start+2h) covers the event; barrier part =
+# per-type count + user_id sum over the same subset, minus the
+# sabotaged (lexicographically first) type.
 S02_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+SELECT 'slide' AS part, event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
        ws AS window_start, ws + INTERVAL 2 HOUR AS window_end
 FROM (
     SELECT event_type, value,
@@ -80,6 +198,12 @@ FROM (
     FROM events, (SELECT unnest([0, 1]) AS k)
 )
 GROUP BY event_type, ws
+UNION ALL
+SELECT 'barrier', event_type, count(*) AS n, CAST(sum(user_id) AS DOUBLE),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM events WHERE user_id % 8 = 0
+GROUP BY event_type
+HAVING event_type <> (SELECT min(event_type) FROM events WHERE user_id % 8 = 0)
 """
 
 
@@ -208,23 +332,33 @@ GROUP BY 1, 4, 5
 
 
 # --------------------------------------------------------------------------
-# s05 — STREAMING deduplication end-to-end: the events file stream
-# unioned with ITSELF (every row arrives exactly twice — deterministic
-# planted duplicates, no synthetic table) flows through
-# streaming.stream_dedup (dropDuplicates state) into an append-mode
-# memory sink. The sink must hold each event exactly once — without
-# the dedup the row count would be 2×, so the oracle (plain events)
-# discriminates. Certifies reference operator #10's dedup half (the
-# reference re-pushes on failure and relies on consumer idempotence;
-# here exactly-once is engine state).
+# s05 — the EXACTLY-ONCE family, three certifications in one tag-union
+# gate (reference operator #10: the re-push retry loop of
+# `stepist/flow/libs/simple_queue.py:42-47`, upgraded):
+# - 'dedup':   the events file stream unioned with ITSELF (every row
+#   arrives exactly twice — deterministic planted duplicates) flows
+#   through streaming.stream_dedup (dropDuplicates state) into an
+#   append-mode memory sink; each event must land exactly once (2× row
+#   count without the op — the oracle discriminates).
+# - 'restart': a checkpointed FILE-SINK stream over 4 one-file batches
+#   is KILLED mid-input, then restarted with the same checkpoint; the
+#   final table must hold every row exactly once wherever the stop
+#   landed (replayed epochs commit idempotently via _spark_metadata).
+# - 'incr':    incremental HISTORY dedup (streaming/incremental.py):
+#   micro-batch 2 replays batch 1's documents under shifted ids plus
+#   novel ones; only first-seen content may reach the output table —
+#   without the history anti-join the shifted copies land too.
 def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.session import load_table
     from stepist_spark.streaming.dedup import stream_dedup
+    from stepist_spark.streaming.incremental import dedup_against_history
     from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
 
+    # ---- 'dedup' part -----------------------------------------------------
     src = _events_stream(spark, sf)
     doubled = src.unionByName(src)
     deduped = stream_dedup(doubled, ["event_id"]).select(
-        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+        "event_id", "ts", "event_type", F.round("value", 2).alias("value")
     )
     sink = f"s05_sink_{next(_SINK_IDS)}"
     with stream_shuffle_partitions(spark, 8):
@@ -236,19 +370,135 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         await_drained(q, 300)
-    return spark.table(sink)
+    dedup_part = spark.table(sink).select(
+        F.lit("dedup").alias("part"),
+        F.col("event_id").alias("id"),
+        "ts",
+        F.col("event_type").alias("k"),
+        "value",
+    )
+
+    # ---- 'restart' part -----------------------------------------------------
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") % 4 == 2)
+        .select("event_id", "ts", "event_type", F.round("value", 2).alias("value"))
+    )
+    d = fresh_scratch(spark, "s05_restart")
+    in_dir, out_dir, ckpt = (os.path.join(d, p) for p in ("in", "out", "ckpt"))
+    ev.repartition(4).write.parquet(in_dir)
+
+    def start_run():
+        rsrc = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return (
+            rsrc.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with stream_shuffle_partitions(spark, 8):
+        q1 = start_run()
+        # kill the query MID-INPUT (after ≥2 of the 4 one-file batches
+        # committed); wherever the stop lands, the checkpointed file
+        # sink must make the restart land every row EXACTLY ONCE —
+        # reference operator #10's at-least-once upgraded to
+        # exactly-once (`stepist/flow/libs/simple_queue.py:42-47`)
+        deadline = time.time() + 120
+        while q1.isActive and time.time() < deadline:
+            lp = q1.lastProgress
+            if lp is not None and lp["batchId"] >= 1:
+                break
+            time.sleep(0.02)
+        q1.stop()
+        q1.awaitTermination(60)
+        q2 = start_run()
+        await_drained(q2, 300)
+    restart_part = spark.read.parquet(out_dir).select(
+        F.lit("restart").alias("part"),
+        F.col("event_id").alias("id"),
+        "ts",
+        F.col("event_type").alias("k"),
+        "value",
+    )
+
+    # ---- 'incr' part ------------------------------------------------------
+    # incremental HISTORY dedup (streaming/incremental.py): batch 2
+    # replays batch 1's documents under shifted ids plus novel ones;
+    # only first-seen content may land in the output table.
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    d1 = docs.filter(F.col("doc_id") % 4 == 0)
+    batch2 = (
+        d1.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(docs.filter(F.col("doc_id") % 4 == 1))
+    )
+    di = fresh_scratch(spark, "s05_incr")
+    sdir = os.path.join(di, "stream")
+    os.makedirs(sdir, exist_ok=True)
+    write_stream_file(d1, sdir, "a.parquet", _MTIME0)
+    write_stream_file(batch2, sdir, "b.parquet", _MTIME0 + 60)
+    isrc = (
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    with stream_shuffle_partitions(spark, 8):
+        q3 = dedup_against_history(
+            isrc,
+            out_dir=os.path.join(di, "out"),
+            history_dir=os.path.join(di, "hist"),
+            checkpoint=os.path.join(di, "ckpt"),
+            trigger={"availableNow": True},
+        )
+        await_drained(q3, 300)
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    incr_part = spark.read.parquet(os.path.join(di, "out")).select(
+        F.lit("incr").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast(ts_type).alias("ts"),
+        F.md5(F.col("text")).alias("k"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    return dedup_part.unionByName(restart_part).unionByName(incr_part)
 
 
+# 'incr' mirror: first-seen batch wins, then min doc_id within the
+# batch — texts already in batch 1 keep their batch-1 id; batch-2-only
+# texts keep the min batch-2 id.
 S05_SQL = """
-SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+WITH d1 AS (
+    SELECT doc_id, md5(text) AS h, text FROM documents WHERE doc_id % 4 = 0
+),
+b2 AS (
+    SELECT doc_id + 1000000 AS doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, md5(text) FROM documents WHERE doc_id % 4 = 1
+),
+k1 AS (SELECT h, min(doc_id) AS doc_id FROM d1 GROUP BY h),
+k2 AS (
+    SELECT h, min(doc_id) AS doc_id FROM b2
+    WHERE h NOT IN (SELECT h FROM k1) GROUP BY h
+)
+SELECT 'dedup' AS part, event_id AS id, ts::TIMESTAMP AS ts, event_type AS k,
        round(value, 2) AS value
 FROM events
+UNION ALL
+SELECT 'restart', event_id, ts::TIMESTAMP, event_type, round(value, 2)
+FROM events WHERE user_id % 4 = 2
+UNION ALL
+SELECT 'incr', doc_id, CAST(NULL AS TIMESTAMP), h, CAST(NULL AS DOUBLE)
+FROM (SELECT h, doc_id FROM k1 UNION ALL SELECT h, doc_id FROM k2)
 """
 
 
 QUERIES = [
-    QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows vs batch grid oracle"),
+    QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows + count-barrier incomplete-group drop"),
     QuerySpec("s03_stream_interval_join", s03_stream_interval_join, S03_SQL, "stream-stream interval join vs batch range join"),
     QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "rate-micro-batch source through StreamFlow, closed-form oracle"),
-    QuerySpec("s05_stream_dedup", s05_stream_dedup, S05_SQL, "streaming dedup: self-unioned stream lands exactly once"),
+    QuerySpec("s05_stream_dedup", s05_stream_dedup, S05_SQL, "stream dedup + checkpoint-restart exactly-once + history dedup"),
 ]

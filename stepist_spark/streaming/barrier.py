@@ -40,7 +40,7 @@ def barrier_reduce(
     group_key: str = "hub_job_id",
     payload_cols: Sequence[str] | None = None,
     expected_count: int | None = None,
-    ttl_sec: float = 30.0,
+    ttl_sec: float | None = 30.0,
     reduce_fn: Callable[[str, list[dict[str, Any]]], dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Barrier-collect a streaming DataFrame per ``group_key``.
@@ -55,6 +55,14 @@ def barrier_reduce(
     suffix ``"...:<N>"`` (the reference's Hub encoding,
     `stepist/flow/steps/hub.py:12-14`).
 
+    ``ttl_sec=None`` disables the processing-time TTL entirely
+    (GroupStateTimeout.NoTimeout): incomplete groups are retained until
+    they complete and simply never fire otherwise. Use this for
+    drain-style runs (trigger ``availableNow``), where a pending
+    processing-time timer would keep the engine looping no-data
+    micro-batches waiting for wall-clock expiry instead of
+    terminating.
+
     ``reduce_fn(key, rows) -> dict``: optional driver-free reduce
     applied inside the state handler; output row is
     ``(group_key, result_json, n)`` with the result JSON-encoded in
@@ -66,7 +74,7 @@ def barrier_reduce(
             "stepist_spark.pipeline.ReducerStep (groupBy + collect_list)"
         )
     payload = list(payload_cols) if payload_cols else [c for c in df.columns if c != group_key]
-    ttl_ms = int(ttl_sec * 1000)
+    ttl_ms = None if ttl_sec is None else int(ttl_sec * 1000)
     # output key typed like the input key (a bigint job id stays bigint)
     key_ddl = df.schema[group_key].dataType.simpleString()
     if expected_count is None and key_ddl != "string":
@@ -109,12 +117,17 @@ def barrier_reduce(
             yield pd.DataFrame({"group_key": [gk], "job_list": [out], "n": [count]})
         else:
             state.update((count, jobs))
-            state.setTimeoutDuration(ttl_ms)
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
 
     return df.groupBy(group_key).applyInPandasWithState(
         handle,
         outputStructType=output_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
