@@ -22,10 +22,14 @@ BASELINE.json LLM-pipeline extension.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stepist_spark.functions.text import tokens
+
+logger = logging.getLogger(__name__)
 
 
 def _chars(word) -> "F.Column":
@@ -217,6 +221,8 @@ def train_bpe(
     min_pair_count: int = 2,
     batch_size: int = 32,
     exact: bool = True,
+    auto_relax_after: int | None = None,
+    round_log: list | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges. Returns ``(merges,
     segmentations)``: the ordered merge list (host-side — it IS the
@@ -243,6 +249,16 @@ def train_bpe(
     reorder tied/interacting merges: the right mode for a 32k-merge
     production vocabulary, where sequential fidelity of tie-breaks is
     irrelevant.
+
+    ``auto_relax_after=K``: after K CONSECUTIVE degenerate exact rounds
+    (1 merge selected with a larger batch requested — the tie-heavy
+    signature), switch the REMAINING rounds to ``exact=False`` batching
+    with a loud warning, bounding total rounds on adversarial
+    distributions. None (default) keeps exact mode to the end and only
+    warns, preserving the sequential-fidelity guarantee.
+
+    ``round_log``: optional list; appends each round's batch size —
+    diagnostics for round-count regressions.
     """
     wf = word_frequencies(corpus, text_col).select(
         "word", "n", _chars(F.col("word")).alias("sym")
@@ -257,6 +273,8 @@ def train_bpe(
     }
     merges: list[tuple[str, str]] = []
     fetch = max(4 * batch_size, 64)
+    degenerate = 0
+    relaxed = False
     while len(merges) < n_merges:
         pairs = wf.select(
             "n",
@@ -275,16 +293,37 @@ def train_bpe(
             .limit(fetch)
             .collect()
         )
+        want = min(batch_size, n_merges - len(merges))
         batch = _select_merge_batch(
             rows,
-            max_batch=min(batch_size, n_merges - len(merges)),
+            max_batch=want,
             min_pair_count=min_pair_count,
             saw_all=len(rows) < fetch,
             vocab=vocab,
-            exact=exact,
+            exact=exact and not relaxed,
         )
+        if round_log is not None:
+            round_log.append(len(batch))
         if not batch:
             break
+        if exact and not relaxed and want > 1 and len(batch) == 1:
+            degenerate += 1
+            if auto_relax_after is not None and degenerate >= auto_relax_after:
+                relaxed = True
+                logger.warning(
+                    "train_bpe: %d consecutive degenerate exact rounds "
+                    "(tie-heavy pair distribution, 1 merge/round); "
+                    "switching remaining rounds to exact=False batching",
+                    degenerate,
+                )
+            elif auto_relax_after is None and degenerate == 3:
+                logger.warning(
+                    "train_bpe: tie-heavy distribution degenerating to one "
+                    "merge per exact round; pass exact=False or "
+                    "auto_relax_after=K to bound total rounds"
+                )
+        elif len(batch) > 1:
+            degenerate = 0
         merges.extend(batch)
         vocab.update(l + r for l, r in batch)
         if any("\x00" in l or "\x00" in r for l, r in batch):

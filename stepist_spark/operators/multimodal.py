@@ -69,20 +69,28 @@ def _decode_image_stub(payload: bytes) -> list[float]:
 DECODER = _decode_image_stub
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 
     ``mapInPandas`` so each task processes whole record batches; the
     decode function sees raw bytes and returns a fixed-width feature
     vector. Partitioning: upstream should repartition by size, not
     count, when payloads are skewed (`df.repartition(n)` after filter).
+
+    ``decoder``: ``bytes -> list[float]`` injection seam (defaults to
+    the module ``DECODER`` stub); must be picklable — the callable
+    ships to executors inside the Arrow task closure. Swapping it
+    never changes the gated byte/grid accounting columns, only
+    ``feature`` (property-tested in test_multimodal).
     """
 
     import numpy as np
 
+    decoder = decoder or DECODER
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(DECODER)
+            feats = pdf["payload"].map(decoder)
             # n_bytes vectorized over the batch (pandas .str.len works on
             # bytes); only the decode itself is per-payload
             n_bytes = pdf["payload"].str.len().fillna(0).astype("int64")
@@ -183,8 +191,13 @@ PROFILE_SCHEMA = (
 )
 
 
-def profile_media(media: DataFrame, width: int, height: int) -> DataFrame:
+def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> DataFrame:
     """Features AND resize in ONE Arrow pass — the fused m01 shape.
+
+    ``decoder``: ``bytes -> list[float]`` injection seam, as in
+    :func:`extract_features` — the default stays the documented stub,
+    a real backend (PIL/ffmpeg) drops in without touching the Arrow
+    plumbing or the gated accounting columns.
 
     Running :func:`extract_features` and :func:`resize_images`
     separately ships every payload to the Python workers twice and
@@ -196,6 +209,7 @@ def profile_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """
     import numpy as np
 
+    decoder = decoder or DECODER
     target = width * height
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -230,7 +244,7 @@ def profile_media(media: DataFrame, width: int, height: int) -> DataFrame:
                         if b is None or len(b) == 0
                         else float(np.frombuffer(b, dtype=np.uint8).mean())
                     ),
-                    "feature": pdf["payload"].map(DECODER),
+                    "feature": pdf["payload"].map(decoder),
                     "width": np.where(is_img, width, None),
                     "height": np.where(is_img, height, None),
                     "n_bytes_out": n_bytes_out,

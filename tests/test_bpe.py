@@ -143,3 +143,43 @@ def test_nul_bearing_tokens_train_exactly(spark):
     assert merges == [("\x00", "b"), ("a", "\x00b"), ("a", "a")]
     got = {r["word"]: list(r["sym"]) for r in segs.collect()}
     assert got["a\x00b"] == ["a\x00b"] and got["aa"] == ["aa"]
+
+
+class TestTieHeavyAutoRelax:
+    """Round-3 VERDICT #9: an all-ties pair distribution degenerates
+    exact mode to one merge per round; auto_relax_after must bound the
+    total round count by switching the tail to exact=False batching."""
+
+    CORPUS = [("abcdefghijklmnopqrstuvwxyz",)] * 4  # every pair count=4
+
+    def test_adversarial_ties_complete_in_bounded_rounds(self, spark):
+        docs = spark.createDataFrame(self.CORPUS, "text string")
+        rounds: list = []
+        merges, _ = train_bpe(
+            docs,
+            n_merges=12,
+            min_pair_count=2,
+            batch_size=8,
+            exact=True,
+            auto_relax_after=2,
+            round_log=rounds,
+        )
+        assert len(merges) == 12
+        # 2 degenerate exact rounds, then full relaxed batches: far
+        # fewer than the 12 rounds pure exact mode would take
+        assert len(rounds) <= 6, rounds
+        assert rounds[0] == 1 and rounds[1] == 1 and max(rounds) > 1, rounds
+
+    def test_without_relax_exact_mode_stays_sequential(self, spark):
+        docs = spark.createDataFrame(self.CORPUS, "text string")
+        rounds: list = []
+        merges, _ = train_bpe(
+            docs,
+            n_merges=4,
+            min_pair_count=2,
+            batch_size=8,
+            exact=True,
+            round_log=rounds,
+        )
+        assert len(merges) == 4
+        assert rounds == [1, 1, 1, 1]  # degenerate but exact, by request

@@ -151,3 +151,50 @@ def test_profile_media_null_payload_non_image(spark):
     assert got[2].n_bytes_out is None and got[2].payload_out is None
     assert got[2].n_bytes == 0
     assert got[3].n_bytes_out is None and got[3].payload_out is None
+
+
+def _codec_b():
+    """Second synthetic codec for the injection seam: XOR-checksum
+    feature, structurally different from the histogram stub. Returned
+    as a closure so cloudpickle ships it BY VALUE (a module-level test
+    function would pickle by reference and fail to import on the
+    executor)."""
+
+    def codec(b):
+        if b is None or len(b) == 0:
+            return [0.0, 0.0]
+        x = 0
+        for v in b[:64]:
+            x ^= v
+        return [float(x), float(len(b))]
+
+    return codec
+
+
+class TestDecoderSeam:
+    """Round-3 VERDICT #7: the decoder= parameter must swap the decode
+    step without touching the GATED byte/grid accounting columns."""
+
+    def test_profile_media_accepts_decoder(self, spark, media):
+        base = {r.media_id: r for r in mm.profile_media(media, 4, 2).collect()}
+        swapped = {
+            r.media_id: r
+            for r in mm.profile_media(media, 4, 2, decoder=_codec_b()).collect()
+        }
+        assert base.keys() == swapped.keys()
+        changed = 0
+        for mid, b in base.items():
+            s = swapped[mid]
+            # gated accounting columns are decoder-invariant
+            assert (b.n_bytes, b.width, b.height, b.n_bytes_out, b.payload_out) == (
+                s.n_bytes, s.width, s.height, s.n_bytes_out, s.payload_out
+            )
+            assert len(s.feature) == 2  # the swapped codec's shape
+            changed += b.feature != s.feature
+        assert changed > 0, "swapping the decoder changed nothing"
+
+    def test_extract_features_accepts_decoder(self, media):
+        rows = mm.extract_features(media, decoder=_codec_b()).collect()
+        assert all(len(r.feature) == 2 for r in rows)
+        nonempty = [r for r in rows if r.n_bytes > 0]
+        assert nonempty and all(r.feature[1] == float(r.n_bytes) for r in nonempty)
