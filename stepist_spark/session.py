@@ -213,13 +213,19 @@ def stream_events(spark: SparkSession, sf_dir: str):
     )
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(schema)
-        # the file source wants a directory; the testdata table is a
-        # single file, so stream the parent dir with a pinned glob
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-shaped table (multi-file parquet): stream it
+        # directly — a pathGlobFilter on the literal table name would
+        # match no LEAF file and silently stream zero rows
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            # the file source wants a directory; the testdata table is
+            # a single file, so stream the parent dir with a pinned glob
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if "ts" in nanos:
         src = src.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
