@@ -331,7 +331,6 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.queries.streaming_gates import (
         _SINK_IDS,
         fresh_scratch,
-        write_stream_file,
         _MTIME0,
     )
     from stepist_spark.session import stream_events
@@ -384,10 +383,26 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
     d = fresh_scratch(spark, "s01_late")
     sdir = os.path.join(d, "stream")
     os.makedirs(sdir, exist_ok=True)
-    head = ev.filter(F.col("ts") >= F.lit(cut))
-    write_stream_file(head.filter(F.col("ts") < F.lit(hi)), sdir, "a.parquet", _MTIME0)
-    write_stream_file(head.filter(F.col("ts") >= F.lit(hi)), sdir, "b.parquet", _MTIME0 + 60)
-    write_stream_file(ev.filter(F.col("ts") < F.lit(cut)), sdir, "c.parquet", _MTIME0 + 120)
+    # ONE partitioned write stages all three micro-batch files (the
+    # 3x coalesce(1)-write version scanned events three times)
+    tier = (
+        F.when(F.col("ts") < F.lit(cut), 2)      # stragglers: last
+        .when(F.col("ts") >= F.lit(hi), 1)       # the max-ts row(s)
+        .otherwise(0)                            # the head
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    tmp = os.path.join(d, "_staged")
+    ev.withColumn("_tier", tier).coalesce(1).write.partitionBy("_tier").parquet(tmp)
+    for t in (0, 1, 2):
+        parts = _glob.glob(os.path.join(tmp, f"_tier={t}", "part-*.parquet"))
+        if not parts:  # empty tier (degenerate subset): fewer batches, same data
+            continue
+        dest = os.path.join(sdir, f"t{t}.parquet")
+        _shutil.move(parts[0], dest)
+        os.utime(dest, (_MTIME0 + 60 * t, _MTIME0 + 60 * t))
+    _shutil.rmtree(tmp)
     lsrc = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

@@ -709,12 +709,9 @@ def t19_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.session import spread
 
     docs = spread(load_table(spark, sf, "documents"))
-    # one tokenize pass shared by all three parts (|tokens| rows; at
-    # real scale land it in parquet instead, same shape)
-    toks = docs.select(
-        F.explode(TX.tokens(F.col("text"))).alias("tok")
-    ).localCheckpoint()
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
 
+    # raw-stream pass #1: the per-partition summarize-then-merge sketch
     top = sketches.frequent_items(toks, "tok", capacity=128, k=20).select(
         F.lit("top").alias("part"),
         F.col("item"),
@@ -722,19 +719,27 @@ def t19_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
     )
 
+    # raw-stream pass #2: exact per-token counts, checkpointed — it is
+    # the VOCAB-sized frame (hundreds of rows), so everything CMS
+    # derives from it (weighted build shards, merge, estimate probes)
+    # re-reads KBs instead of the |tokens| stream
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact")).localCheckpoint()
+
     # shard split on token-hash parity: arbitrary but deterministic —
-    # merge must reassemble the exact global cell counts
+    # merge must reassemble the exact global cell counts. Weighted
+    # build over vocab == unweighted build over the raw stream.
     parity = hashing.word_hash32(F.col("tok")) % 2
     shard_a = sketches.cms_build(
-        toks.filter(parity == 0), "tok", depth=CMS_DEPTH, width=CMS_WIDTH
+        vocab.filter(parity == 0), "tok", weight_col="exact",
+        depth=CMS_DEPTH, width=CMS_WIDTH,
     )
     shard_b = sketches.cms_build(
-        toks.filter(parity == 1), "tok", depth=CMS_DEPTH, width=CMS_WIDTH
+        vocab.filter(parity == 1), "tok", weight_col="exact",
+        depth=CMS_DEPTH, width=CMS_WIDTH,
     )
     # localCheckpoint: the estimate probes join the sketch once per
-    # depth row — materialize the KB-scale cell table instead of
-    # re-aggregating the token stream 4x (also turns the probe's
-    # parameter guard eager, which is free on a materialized plan)
+    # depth row — materialize the KB-scale cell table (also turns the
+    # probe's parameter guard eager, free on a materialized plan)
     cms = sketches.cms_merge(shard_a, shard_b).localCheckpoint()
 
     cells = cms.select(
@@ -744,7 +749,6 @@ def t19_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
     )
 
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
     est = sketches.cms_estimate(
         vocab, "tok", cms, depth=CMS_DEPTH, width=CMS_WIDTH
     ).select(
