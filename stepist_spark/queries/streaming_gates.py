@@ -20,7 +20,11 @@ streaming machinery itself, not just the window expression:
   stamped startTimestamp + b*advance), so a windowed rollup over it
   has a closed-form oracle with no input table at all. rowsPerBatch is
   the per-trigger intake bound — the backpressure knob of a generated
-  source, like maxFilesPerTrigger for files.
+  source, like maxFilesPerTrigger for files. Round 4 made it a
+  MULTI-HOP topology (the reference chains one queue per step): hop 1
+  lands the generated stream in a checkpointed file sink, an
+  independent hop-2 worker consumes those files and windows them, and
+  the post-drain status() introspection is gated as indicator bits.
 """
 
 from __future__ import annotations
@@ -278,8 +282,11 @@ FROM p JOIN s ON s.user_id = p.user_id
 # state commit round, so the gate doesn't buy coverage with more.)
 def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.streaming import StreamFlow
-    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
     from stepist_spark.streaming.windows import tumbling_agg
+
+    d = fresh_scratch(spark, "s04_hop")
+    hop_dir, ckpt1 = os.path.join(d, "hop"), os.path.join(d, "ckpt1")
 
     src = (
         spark.readStream.format("rate-micro-batch")
@@ -290,44 +297,79 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
         .load()
     )
 
-    def xform(df: DataFrame) -> DataFrame:
-        bounded = df.filter(F.col("value") < 600).select(
+    def bound(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("value") < 600).select(
             (F.col("value") % 3).cast("bigint").alias("k"),
             F.col("value"),
             F.col("timestamp").cast("timestamp_ntz").alias("ts"),
         )
-        return tumbling_agg(
-            bounded,
+
+    # hop 1: generated source -> checkpointed exactly-once FILE SINK.
+    # The value<600 filter caps the committed rows at exactly 600, so
+    # the drain point is unambiguous no matter how many extra rate
+    # batches fire before stop().
+    hop1 = StreamFlow(src, bound)
+    written = 0
+    with stream_shuffle_partitions(spark, 4):
+        hop1.to_files(hop_dir, checkpoint=ckpt1, trigger={"processingTime": "0 seconds"})
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                written = spark.read.parquet(hop_dir).count()
+            except Exception:
+                written = 0
+            if written == 600:
+                break
+            time.sleep(0.1)
+    hop1.stop()
+    if written != 600:
+        raise TimeoutError(f"s04 hop-1 committed {written}/600 rows before timeout")
+
+    # hop 2: an INDEPENDENT worker consumes hop 1's files (the
+    # reference's chained-queue topology, one queue per step,
+    # `stepist/flow/steps/next_step.py:22-31`) and windows them.
+    hop2_src = spark.readStream.schema("k bigint, value bigint, ts timestamp_ntz").parquet(hop_dir)
+    flow2 = StreamFlow(
+        hop2_src,
+        lambda df: tumbling_agg(
+            df,
             "ts",
             "2 minutes",
             [F.count(F.lit(1)).alias("n"), F.sum("value").cast("bigint").alias("sum_value")],
             group_by=["k"],
-        )
-
-    flow = StreamFlow(src, xform)
+        ),
+    )
     sink = f"s04_sink_{next(_SINK_IDS)}"
     with stream_shuffle_partitions(spark, 4):
-        flow.to_memory(sink, output_mode="complete", trigger={"processingTime": "0 seconds"})
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            try:
-                total = spark.table(sink).agg(F.sum("n")).collect()[0][0]
-            except Exception:
-                total = None
-            if total == 600:
-                break
-            time.sleep(0.1)
-    flow.stop()
-    return spark.table(sink)
+        flow2.drain(sink, output_mode="complete")
+    # introspection (reference `jobs_count`/`monitor_steps`,
+    # `stepist/flow/steps/step.py:154-164`): after the drain the flow
+    # must report inactive with a recorded final batch — deterministic
+    # indicator bits, gated alongside the data
+    st = flow2.status()
+    status = spark.createDataFrame(
+        [("status", 0, int(not st["active"]), int(st["batch_id"] is not None))],
+        "part string, k bigint, n bigint, sum_value bigint",
+    ).select(
+        "part", "k", "n", "sum_value",
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
+    win = spark.table(sink).select(
+        F.lit("win").alias("part"), "k", "n", "sum_value", "window_start", "window_end"
+    )
+    return win.unionByName(status)
 
 
 S04_SQL = """
-SELECT CAST(value % 3 AS BIGINT) AS k, count(*) AS n,
+SELECT 'win' AS part, CAST(value % 3 AS BIGINT) AS k, count(*) AS n,
        CAST(sum(value) AS BIGINT) AS sum_value,
        epoch_ms((((value // 200) * 60000) // 120000) * 120000) AS window_start,
        epoch_ms(((((value // 200) * 60000) // 120000) * 120000) + 120000) AS window_end
 FROM (SELECT unnest(generate_series(0, 599)) AS value)
-GROUP BY 1, 4, 5
+GROUP BY 2, 5, 6
+UNION ALL
+SELECT 'status', 0, 1, 1, NULL, NULL
 """
 
 
@@ -499,6 +541,6 @@ FROM (SELECT h, doc_id FROM k1 UNION ALL SELECT h, doc_id FROM k2)
 QUERIES = [
     QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows + count-barrier incomplete-group drop"),
     QuerySpec("s03_stream_interval_join", s03_stream_interval_join, S03_SQL, "stream-stream interval join vs batch range join"),
-    QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "rate-micro-batch source through StreamFlow, closed-form oracle"),
+    QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "multi-hop StreamFlow (rate -> files -> windows) + introspection"),
     QuerySpec("s05_stream_dedup", s05_stream_dedup, S05_SQL, "stream dedup + checkpoint-restart exactly-once + history dedup"),
 ]
