@@ -94,19 +94,15 @@ def main() -> None:
     ap.add_argument("--only", default="")
     args = ap.parse_args()
 
-    from stepist_spark.session import get_spark
+    from stepist_spark.session import get_spark, warehouse_root
 
     import __spark_entry__ as entry
 
     spark = get_spark("sf1_smoke")
-    out_dir = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .removeprefix("file://")
-        .removeprefix("file:"),
-        "stepist_scratch",
-        "sf1",
-    )
-    if args.rebuild or not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+    out_dir = os.path.join(warehouse_root(spark), "stepist_scratch", "sf1")
+    # sentinel = the LAST table build() writes, so an interrupted build
+    # is never mistaken for a complete one
+    if args.rebuild or not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         print(f"building sf1 data at {out_dir} from {SRC} ...")
         t0 = time.time()
         build(spark, out_dir)

@@ -276,32 +276,32 @@ def _plan_is_materialized(df: DataFrame) -> bool:
         return False
 
 
-def _check_sketch_params(sketch: DataFrame, expect: dict[str, int]) -> None:
-    """Guard against probing a sketch with parameters other than the
-    ones it was built with — a silent-wrong-answer hazard (positions
-    computed mod a different m map true members to unset bits). The
-    build stamps its parameters as constant columns; when present,
-    validate ALL distinct stamp combinations (a mixed-shard merge must
-    not pass on the strength of one row).
+def _probe_ready(sketch: DataFrame, expect: dict[str, int]) -> DataFrame:
+    """Prepare a sketch for probing: materialize it once if needed,
+    then validate ALL distinct stamp combinations eagerly.
 
-    Runs eagerly only when the sketch plan is materialized (cached /
-    checkpointed / local) — otherwise the collect would evaluate the
-    full upstream aggregate once for the guard and again for the real
-    query. Unmaterialized sketches rely on the lazy in-plan stamp check
-    the probes fold into their join sides instead."""
-    cols = set(sketch.columns)
-    if not all(c in cols for c in expect):
-        return
+    Probes reference the sketch once per hash/depth row, so an
+    unmaterialized sketch plan would re-run its full upstream aggregate
+    k times (plus once more for any eager guard — the round-3 ADVICE
+    hazard). localCheckpoint-ing the KB-scale cell/word table first
+    makes every reference (and the guard) read the computed rows — the
+    guard is COMPLETE again: a wrong-parameter probe raises even when
+    every lookup would miss (where a lazy join-side check would
+    silently return false negatives / zero estimates)."""
     if not _plan_is_materialized(sketch):
-        return
-    rows = sketch.select(*expect).distinct().collect()
-    for row in rows:
-        for name, want in expect.items():
-            got = row[name]
-            if got is not None and int(got) != want:
-                raise ValueError(
-                    f"sketch was built with {name}={got}, probed with {name}={want}"
-                )
+        sketch = sketch.localCheckpoint()
+    cols = set(sketch.columns)
+    if all(c in cols for c in expect):
+        rows = sketch.select(*expect).distinct().collect()
+        for row in rows:
+            for name, want in expect.items():
+                got = row[name]
+                if got is not None and int(got) != want:
+                    raise ValueError(
+                        f"sketch was built with {name}={got}, "
+                        f"probed with {name}={want}"
+                    )
+    return sketch
 
 
 def _stamp_guard(value: "F.Column", expect: dict[str, int], what: str) -> "F.Column":
@@ -309,7 +309,7 @@ def _stamp_guard(value: "F.Column", expect: dict[str, int], what: str) -> "F.Col
     passes through iff every stamp column equals the expected build
     parameter, else the task raises. Zero extra passes — evaluated only
     on rows the probe actually touches (a full check is the eager path
-    in :func:`_check_sketch_params`)."""
+    in :func:`_probe_ready`)."""
     cond = F.lit(True)
     for name, want in expect.items():
         cond = cond & (F.col(name) == F.lit(want))
@@ -410,10 +410,10 @@ def bloom_probe(
     every join matches at most one row.
     """
     expect = {"m_bits": m_bits, "n_hashes": n_hashes}
-    _check_sketch_params(bloom, expect)
+    bloom = _probe_ready(bloom, expect)
     if set(expect) <= set(bloom.columns):
-        # lazy in-plan guard: any touched word whose stamps disagree
-        # with the probe parameters raises (see _check_sketch_params)
+        # belt-and-suspenders in-plan guard on top of _probe_ready's
+        # eager check: any touched word with disagreeing stamps raises
         words = bloom.select(
             "word_idx", _stamp_guard(F.col("word"), expect, "bloom_probe").alias("word")
         )
@@ -544,7 +544,7 @@ def cms_estimate(
     from stepist_spark.functions import hashing
 
     expect = {"depth": depth, "width": width}
-    _check_sketch_params(sketch, expect)
+    sketch = _probe_ready(sketch, expect)
     guarded = set(expect) <= set(sketch.columns)
     out = df
     ests = []

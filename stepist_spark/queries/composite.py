@@ -331,6 +331,7 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.queries.streaming_gates import (
         _SINK_IDS,
         fresh_scratch,
+        stage_part,
         _MTIME0,
     )
     from stepist_spark.session import stream_events
@@ -399,9 +400,7 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
         parts = _glob.glob(os.path.join(tmp, f"_tier={t}", "part-*.parquet"))
         if not parts:  # empty tier (degenerate subset): fewer batches, same data
             continue
-        dest = os.path.join(sdir, f"t{t}.parquet")
-        _shutil.move(parts[0], dest)
-        os.utime(dest, (_MTIME0 + 60 * t, _MTIME0 + 60 * t))
+        stage_part(parts[0], os.path.join(sdir, f"t{t}.parquet"), _MTIME0 + 60 * t)
     _shutil.rmtree(tmp)
     lsrc = (
         spark.readStream.schema(ev.schema)

@@ -51,8 +51,13 @@ def fresh_scratch(spark: SparkSession, name: str) -> str:
     run counter."""
     from stepist_spark.session import scratch_dir
 
-    path = os.path.join(scratch_dir(spark, name), f"run{next(_SINK_IDS)}")
-    shutil.rmtree(path, ignore_errors=True)
+    base = scratch_dir(spark, name)
+    # previous invocations of THIS gate are complete by the time a new
+    # one starts (gates run sequentially) — drop their staged files /
+    # checkpoints so bench reruns don't grow disk without bound; the
+    # run counter additionally isolates against pid reuse
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, f"run{next(_SINK_IDS)}")
     os.makedirs(path, exist_ok=True)
     return path
 
@@ -66,9 +71,17 @@ def write_stream_file(df: DataFrame, dest_dir: str, name: str, mtime: float) -> 
     tmp = os.path.join(dest_dir, f"_tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-    dest = os.path.join(dest_dir, name)
-    shutil.move(part, dest)
+    dest = stage_part(part, os.path.join(dest_dir, name), mtime)
     shutil.rmtree(tmp)
+    return dest
+
+
+def stage_part(part_path: str, dest: str, mtime: float) -> str:
+    """Move one written part file into a stream directory under a
+    controlled mtime — the shared staging tail (ordering scheme lives
+    in ONE place; s01's partitioned write and write_stream_file both
+    end here)."""
+    shutil.move(part_path, dest)
     os.utime(dest, (mtime, mtime))
     return dest
 
@@ -176,7 +189,10 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     ntz = spark.table(sink).schema["window_start"].dataType.simpleString()
     barrier = spark.table(bsink).select(
         F.lit("barrier").alias("part"),
-        F.split(F.col("group_key"), ":")[0].alias("event_type"),
+        # strip ONLY the trailing ':<N>' segment — mirrors the
+        # rsplit-based parse in barrier_reduce (a key whose id itself
+        # contains ':' must survive intact)
+        F.regexp_replace(F.col("group_key"), ":[0-9]+$", "").alias("event_type"),
         F.col("n").cast("bigint").alias("n"),
         # in-state reduction result, proving payload delivery (exact:
         # integer user_id sums are far below 2^53)
@@ -458,7 +474,8 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 break
             time.sleep(0.02)
         q1.stop()
-        q1.awaitTermination(60)
+        if not q1.awaitTermination(60):
+            raise TimeoutError("s05 restart: stopped query did not terminate in 60s")
         q2 = start_run()
         await_drained(q2, 300)
     restart_part = spark.read.parquet(out_dir).select(

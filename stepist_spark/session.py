@@ -77,6 +77,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def warehouse_root(spark: SparkSession) -> str:
+    """The session's warehouse dir as a local filesystem path (the
+    'file:' URI prefix stripped) — the single place that rule lives."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return wh.removeprefix("file://").removeprefix("file:")
+
+
 def scratch_dir(spark: SparkSession, name: str) -> str:
     """A writable scratch directory for gates with filesystem side
     effects (sink round-trips, streaming checkpoints).
@@ -86,10 +93,7 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
     locked-down driver environment may mount read-only. Keyed by pid so
     concurrent drivers never collide; created eagerly so callers can
     hand the path straight to a writer."""
-    base = os.environ.get("SPARK_GRAFT_SCRATCH")
-    if not base:
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        base = wh.removeprefix("file://").removeprefix("file:")
+    base = os.environ.get("SPARK_GRAFT_SCRATCH") or warehouse_root(spark)
     path = os.path.join(base, "stepist_scratch", f"pid{os.getpid()}", name)
     os.makedirs(path, exist_ok=True)
     return path

@@ -281,29 +281,26 @@ class TestSketchParamGuards:
         finally:
             cms.unpersist()
 
-    def test_bloom_param_mismatch_raises_lazily_when_unmaterialized(self, spark):
-        # ADVICE r3: against an unmaterialized plan the guard must NOT
-        # eagerly evaluate the sketch aggregate (it would run twice) —
-        # the check rides the probe plan and fires at evaluation time.
+    def test_bloom_param_mismatch_raises_for_unmaterialized(self, spark):
+        # The probe materializes an unmaterialized sketch ONCE
+        # (localCheckpoint) so the k join references stop re-running
+        # the build aggregate, and the eager guard is complete again:
+        # a wrong-parameter probe raises even when every lookup would
+        # MISS (a join-side-only check would silently return false
+        # negatives).
         df = spark.createDataFrame([("x",), ("y",)], "v string")
         bloom = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
-        probed = sketches.bloom_probe(df, "v", bloom, m_bits=1 << 12, n_hashes=8)
-        with pytest.raises(Exception, match="stamp differs"):
-            probed.collect()
+        with pytest.raises(ValueError, match="n_hashes"):
+            sketches.bloom_probe(df, "v", bloom, m_bits=1 << 12, n_hashes=8)
 
-    def test_cms_param_mismatch_raises_lazily_when_unmaterialized(self, spark):
+    def test_cms_param_mismatch_raises_for_unmaterialized(self, spark):
         df = spark.createDataFrame([("x",)], "v string")
         cms = sketches.cms_build(df, "v", depth=4, width=256)
-        est = sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
-        # wrong width may also hash probes to non-existent cells (join
-        # miss -> guard never touched), so only the touched-cell path is
-        # guaranteed to raise; a cell hit with a mismatched stamp must.
-        try:
-            rows = est.collect()
-        except Exception as e:  # guard fired on a touched cell
-            assert "stamp differs" in str(e)
-        else:  # all probes missed: estimates must then be zero, never wrong
-            assert all(r.approx_count == 0 for r in rows)
+        # all-miss regime (wrong width hashes to non-existent cells):
+        # the old lazy join-side guard returned silent zero estimates
+        # here; the materialize-then-check guard must raise
+        with pytest.raises(ValueError, match="width"):
+            sketches.cms_estimate(df, "v", cms, depth=4, width=1024)
 
     def test_merge_mismatched_shards_raises(self, spark):
         df = spark.createDataFrame([("x",), ("y",)], "v string")
