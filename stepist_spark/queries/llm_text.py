@@ -1317,8 +1317,14 @@ T24_SQL = _t24_sql()
 SHUFFLE_SEED = "42"
 
 
+N_SHARDS = 8
+
+
 def t25_resample_shuffle(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators import sampling
+    import os
+
+    from stepist_spark.operators import packing, sampling
+    from stepist_spark.queries.streaming_gates import fresh_scratch
 
     docs = load_table(spark, sf, "documents").select("doc_id", "lang")
     res = sampling.temperature_resample(docs, "lang", "doc_id", alpha=0.5)
@@ -1335,7 +1341,28 @@ def t25_resample_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.col("shuffle_rank").alias("n"),
     )
-    return r.unionByName(s)
+    # training-shard WRITER layout, certified from the FILES it lands
+    # (round-3 VERDICT: layout was tests-only): shard dirs round-trip
+    # the (rank-1) % n_shards assignment and balance to ±1 row — both
+    # recomputed by the oracle from the same portable shuffle rank
+    sdir = os.path.join(fresh_scratch(spark, "t25_shards"), "shards")
+    counts = packing.write_training_shards(
+        docs, sdir, "doc_id", n_shards=N_SHARDS, seed=SHUFFLE_SEED, mode="overwrite"
+    )
+    written = spark.read.parquet(sdir)
+    shard = written.filter(F.col("doc_id") % 25 == 0).select(
+        F.lit("shard").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("s"),
+        F.col("shard").cast("bigint").alias("n"),
+    )
+    shardcount = counts.select(
+        F.lit("shardcount").alias("part"),
+        F.col("shard").cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("n_rows").cast("bigint").alias("n"),
+    )
+    return r.unionByName(s).unionByName(shard).unionByName(shardcount)
 
 
 def _t25_sql() -> str:
@@ -1359,6 +1386,13 @@ WHERE ({hres}) % 1048576 < floor(rate * 1048576)
 UNION ALL
 SELECT 'shuffle', doc_id, CAST(NULL AS VARCHAR), rnk
 FROM ranked WHERE doc_id % 25 = 0
+UNION ALL
+SELECT 'shard', doc_id, CAST(NULL AS VARCHAR), CAST((rnk - 1) % {N_SHARDS} AS BIGINT)
+FROM ranked WHERE doc_id % 25 = 0
+UNION ALL
+SELECT 'shardcount', CAST((rnk - 1) % {N_SHARDS} AS BIGINT), CAST(NULL AS VARCHAR),
+       count(*)
+FROM ranked GROUP BY 2
 """
 
 
@@ -1390,5 +1424,5 @@ QUERIES = [
     QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition"),
     QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),
     QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),
-    QuerySpec("t25_resample_shuffle", t25_resample_shuffle, T25_SQL, "temperature resampling + deterministic shuffle rank"),
+    QuerySpec("t25_resample_shuffle", t25_resample_shuffle, T25_SQL, "temperature resample + shuffle rank + shard-writer layout"),
 ]
