@@ -182,6 +182,81 @@ def temperature_resample(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic resampling to a TARGET MIXTURE: keep the largest
+    corpus whose per-group proportions match ``targets`` (the static
+    data-mixing step of multi-domain LM training — DoReMi-style weights
+    land here as the target vector).
+
+    ``scale = min_g(n_g / p_g)`` is the largest total size no group can
+    exceed with acceptance ≤ 1; each group then keeps
+    ``rate_g = scale * p_g / n_g`` of its rows (the binding group keeps
+    everything). Groups absent from ``targets`` are DROPPED — a target
+    of 0 by construction.
+
+    Determinism/portability follow :func:`temperature_resample`:
+    acceptance is the portable md5 hash of the row id (salt ':mix',
+    domain-separated from split/resample salts) against an integer
+    threshold, and the rate expression is division/multiply/min only —
+    each IEEE correctly-rounded and applied in a fixed order, so the
+    keep set is bit-identical on any engine (see mixture_rates_sql).
+
+    Physical shape: one |groups|-row aggregation, a broadcast of the
+    rate table, zero corpus shuffles.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{group_col} string, _p double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    joined = counts.join(F.broadcast(tgt), group_col, "inner")
+    scale = joined.agg(F.min(F.col("_n") / F.col("_p")).alias("_scale"))
+    rates = joined.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.least(F.lit(1.0), F.col("_scale") * F.col("_p") / F.col("_n")).alias("_rate"),
+    )
+    h = hashing.word_hash32(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h % F.lit(buckets) < F.floor(F.col("_rate") * F.lit(buckets)))
+        .drop("_rate")
+    )
+
+
+def mixture_resample_sql(
+    table: str,
+    group_expr: str,
+    id_expr: str,
+    targets: dict[str, float],
+    buckets: int = 1 << 20,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`mixture_resample` — same expression tree
+    in the same order, so the kept rows hash-match."""
+    vals = ", ".join(f"('{k}', {float(v)!r})" for k, v in sorted(targets.items()))
+    h = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR) || ':mix'")
+    return f"""
+SELECT {select_cols} FROM (
+    WITH _tgt(_g, _p) AS (VALUES {vals}),
+    _cnt AS (SELECT {group_expr} AS _g, count(*) AS _n FROM {table} GROUP BY 1),
+    _j AS (SELECT _g, _n, _p FROM _cnt JOIN _tgt USING (_g)),
+    _sc AS (SELECT min(_n / _p) AS _scale FROM _j),
+    _rates AS (
+        SELECT _g, least(1.0, (SELECT _scale FROM _sc) * _p / _n) AS _rate FROM _j
+    )
+    SELECT t.*, _rate FROM {table} t JOIN _rates ON t.{group_expr} = _rates._g
+)
+WHERE ({h}) % {buckets} < floor(_rate * {buckets})
+"""
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

@@ -265,12 +265,30 @@ JOIN (
 # source (id tiebreak), each carrying its deterministic train/val/test
 # split label — per-row certification of both id-hash operators,
 # reproducible across engines, runs, and partition layouts.
+# target mixture for the 'mix' part: 'es' deliberately untargeted
+# (drop path); at every sf 'fr' is the binding group (min n/p), so the
+# gate exercises rate==1 and fractional rates together
+MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}
+
+
 def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sampling
 
     docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang")
     sampled = sampling.stratified_sample(docs, "source", "doc_id", 5)
-    return sampling.hash_split(sampled, "doc_id")
+    split = sampling.hash_split(sampled, "doc_id").select(
+        F.lit("split").alias("part"), "doc_id", "source", "lang", "split"
+    )
+    # static data mixing (DoReMi-style target weights): largest corpus
+    # matching the target proportions, deterministic hash acceptance
+    mix = sampling.mixture_resample(docs, "lang", "doc_id", MIX_TARGETS).select(
+        F.lit("mix").alias("part"),
+        "doc_id",
+        "source",
+        "lang",
+        F.lit(None).cast("string").alias("split"),
+    )
+    return split.unionByName(mix)
 
 
 def _t13_sql() -> str:
@@ -283,9 +301,17 @@ def _t13_sql() -> str:
         5,
         select_cols="doc_id, source, lang",
     )
+    mix = sampling.mixture_resample_sql(
+        "documents", "lang", "doc_id", MIX_TARGETS,
+        select_cols="doc_id, source, lang",
+    )
     return f"""
-SELECT doc_id, source, lang, {sampling.split_label_sql('doc_id')} AS split
+SELECT 'split' AS part, doc_id, source, lang,
+       {sampling.split_label_sql('doc_id')} AS split
 FROM ({inner})
+UNION ALL
+SELECT 'mix', doc_id, source, lang, CAST(NULL AS VARCHAR)
+FROM ({mix})
 """
 
 
@@ -1414,7 +1440,7 @@ QUERIES = [
     # the registry slot went to p02_flow_metrics instead.
     QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification"),
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
-    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash train/val/test split"),
+    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash split + target-mixture resample"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable)"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),

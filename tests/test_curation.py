@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stepist_spark.functions.text import pii_counts, redact_pii
-from stepist_spark.operators.sampling import temperature_resample
+from stepist_spark.operators.sampling import mixture_resample, temperature_resample
 
 
 def _one(spark, text):
@@ -96,6 +96,55 @@ class TestTemperatureResample:
             for r in temperature_resample(df.repartition(13), "grp", "id", 0.5).collect()
         }
         assert a == b
+
+
+class TestMixtureResample:
+    def _df(self, spark, sizes):
+        rows = []
+        i = 0
+        for g, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, g))
+                i += 1
+        return spark.createDataFrame(rows, "id bigint, grp string")
+
+    def test_kept_volume_matches_targets(self, spark):
+        df = self._df(spark, {"a": 2000, "b": 1000, "c": 500})
+        got = mixture_resample(df, "grp", "id", {"a": 0.5, "b": 0.25, "c": 0.25})
+        per = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        # binding group: c (500/0.25 = 2000 = scale); expected kept:
+        # a = 1000, b = 500, c = 500
+        assert per["c"] == 500  # binding group keeps everything
+        assert math.isclose(per["a"], 1000, rel_tol=0.12), per
+        assert math.isclose(per["b"], 500, rel_tol=0.12), per
+
+    def test_untargeted_group_dropped(self, spark):
+        df = self._df(spark, {"a": 300, "b": 300, "junk": 300})
+        got = mixture_resample(df, "grp", "id", {"a": 0.5, "b": 0.5})
+        assert got.filter(F.col("grp") == "junk").count() == 0
+
+    def test_deterministic_across_layouts(self, spark):
+        df = self._df(spark, {"a": 600, "b": 300})
+        t = {"a": 0.6, "b": 0.4}
+        x = {r["id"] for r in mixture_resample(df, "grp", "id", t).collect()}
+        y = {r["id"] for r in mixture_resample(df.repartition(17), "grp", "id", t).collect()}
+        assert x == y
+
+    def test_duckdb_mirror_parity(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.sampling import mixture_resample_sql
+
+        df = self._df(spark, {"a": 700, "b": 250, "c": 100})
+        t = {"a": 0.5, "b": 0.3, "c": 0.2}
+        got = sorted(r["id"] for r in mixture_resample(df, "grp", "id", t).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (id BIGINT, grp VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)",
+                        [(r.id, r.grp) for r in df.collect()])
+        sql = mixture_resample_sql("docs", "grp", "id", t, select_cols="id")
+        exp = sorted(r[0] for r in con.execute(sql).fetchall())
+        assert got == exp
 
 
 class TestDeterministicShuffle:
