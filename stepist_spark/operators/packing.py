@@ -114,6 +114,57 @@ def write_training_shards(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Overlapping context-window chunks: split each document's token
+    stream into windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap_tokens`` — the RAG-indexing / long-doc
+    pretraining chunker (every token appears in ≥1 chunk; consecutive
+    chunks share ``overlap_tokens`` of context).
+
+    Output: ``<id_col>, chunk_idx, start_tok (1-based), n_chunk_tokens,
+    chunk_text``. Empty documents produce no chunks.
+
+    Scale shape: one tokenize + one JVM explode over the start grid —
+    no Python, no shuffle at all (chunking is embarrassingly row-local;
+    write the result partitioned however the index wants it).
+    """
+    step = chunk_tokens - overlap_tokens
+    if step <= 0:
+        raise ValueError("chunk_tokens must exceed overlap_tokens")
+    toks = _text_tokens(F.col(text_col))
+    ex = (
+        docs.select(id_col, toks.alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select(
+            id_col,
+            "_tk",
+            F.explode(F.sequence(F.lit(1), F.size("_tk"), F.lit(step))).alias(
+                "start_tok"
+            ),
+        )
+    )
+    n = F.size("_tk")
+    return ex.select(
+        id_col,
+        # exact: start-1 is always a multiple of step, so the double
+        # division is integral and the cast is lossless
+        ((F.col("start_tok") - 1) / F.lit(step)).cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), n - F.col("start_tok") + 1)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("_tk", F.col("start_tok"), chunk_tokens)).alias(
+            "chunk_text"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # T5-style span corruption: deterministic masked-span training pairs.
 #

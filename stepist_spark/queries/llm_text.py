@@ -599,10 +599,14 @@ T18_SQL = _t18_sql()
 # t20 — sequence packing: concatenate-and-chunk layout of the corpus
 # into 512-token training sequences across 16 shards (per-shard window
 # cumsum — no global ordering bottleneck).
+CHUNK_W, CHUNK_OVERLAP = 64, 16  # chunker window/overlap (step 48)
+
+
 def t20_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Tag union: concat-and-chunk packing layout + T5-style span
     corruption (deterministic md5 masking — the full input/target
-    denoising pair is hash-certified string-for-string)."""
+    denoising pair is hash-certified string-for-string) + overlapping
+    context-window chunking (every chunk text certified verbatim)."""
     from stepist_spark.operators import packing
     from stepist_spark.session import spread
 
@@ -639,7 +643,23 @@ def t20_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         F.col("input_text").alias("s1"),
         F.col("target_text").alias("s2"),
     )
-    return pk.unionByName(sc)
+    ch = packing.chunk_documents(
+        docs.select("doc_id", "text"),
+        chunk_tokens=CHUNK_W,
+        overlap_tokens=CHUNK_OVERLAP,
+    ).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        F.col("chunk_idx").alias("n1"),
+        F.col("start_tok").alias("n2"),
+        F.col("n_chunk_tokens").alias("n3"),
+        nul.cast("bigint").alias("n4"),
+        nul.cast("bigint").alias("n5"),
+        nul.cast("bigint").alias("n6"),
+        F.col("chunk_text").alias("s1"),
+        nul.cast("string").alias("s2"),
+    )
+    return pk.unionByName(sc).unionByName(ch)
 
 
 T20_SQL = f"""
@@ -708,6 +728,18 @@ FROM (
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN spans s USING (doc_id)
     GROUP BY d.doc_id
+)
+UNION ALL
+SELECT 'chunk', doc_id, CAST((start_tok - 1) // 48 AS BIGINT),
+       CAST(start_tok AS BIGINT), CAST(least(64, n - start_tok + 1) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       array_to_string(list_slice(tk, start_tok, least(start_tok + 63, n)), ' '),
+       CAST(NULL AS VARCHAR)
+FROM (
+    SELECT doc_id, tk, len(tk) AS n,
+           unnest(range(1, len(tk) + 1, 48)) AS start_tok
+    FROM (SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents)
+    WHERE len(tk) > 0
 )
 """
 
@@ -1445,7 +1477,7 @@ QUERIES = [
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable)"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
-    QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "concat-and-chunk sequence packing"),
+    QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),
     QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats"),
     QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition"),
     QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),

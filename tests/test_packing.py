@@ -151,3 +151,42 @@ class TestSpanCorruption:
         assert (r.n_masked, r.n_spans) == (3, 1)
         assert r.input_text == "<extra_id_0>"
         assert r.target_text == "<extra_id_0> a b c"
+
+
+class TestChunkDocuments:
+    def test_windows_cover_and_overlap(self, spark):
+        from stepist_spark.operators.packing import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=4, overlap_tokens=2).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # step 2 over 10 tokens: starts 1,3,5,7,9
+        assert [r.start_tok for r in rows] == [1, 3, 5, 7, 9]
+        assert rows[0].chunk_text == "w0 w1 w2 w3"
+        assert rows[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+        assert rows[-1].chunk_text == "w8 w9"       # short tail chunk
+        assert rows[-1].n_chunk_tokens == 2
+        # coverage: every token appears in at least one chunk
+        seen = set()
+        for r in rows:
+            seen.update(r.chunk_text.split())
+        assert seen == {f"w{i}" for i in range(10)}
+
+    def test_empty_doc_produces_no_chunks(self, spark):
+        from stepist_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+        got = chunk_documents(df, chunk_tokens=4, overlap_tokens=2)
+        assert [r.doc_id for r in got.collect()] == [2]
+
+    def test_overlap_must_be_smaller_than_window(self, spark):
+        import pytest
+
+        from stepist_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
