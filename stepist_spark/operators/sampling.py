@@ -157,20 +157,22 @@ def temperature_resample(
     bit-portable; gate those at a group level if oracle parity is
     needed.
     """
+    from pyspark.sql import Window
+
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    mins = counts.agg(F.min("_n").alias("_n_min"))
-    ratio = F.col("_n") / F.col("_n_min")
+    # global min via a whole-frame window over the |groups|-row count
+    # table: ONE corpus aggregation feeds both the min and the rates (a
+    # counts.agg() + crossJoin would recompute the corpus scan twice)
+    n_min = F.min("_n").over(Window.partitionBy())
+    ratio = F.col("_n") / n_min
     rate = (
         F.lit(1.0) / F.sqrt(ratio)
         if alpha == 0.5
         else F.pow(ratio, F.lit(alpha - 1.0))
     )
-    rates = (
-        counts.crossJoin(F.broadcast(mins))
-        .select(
-            group_col,
-            F.least(F.lit(1.0), rate).alias("_rate"),
-        )
+    rates = counts.select(
+        group_col,
+        F.least(F.lit(1.0), rate).alias("_rate"),
     )
     h = hashing.word_hash32(
         F.concat(F.col(id_col).cast("string"), F.lit(":resample"))
@@ -215,12 +217,17 @@ def mixture_resample(
         [(k, float(v)) for k, v in sorted(targets.items())],
         f"{group_col} string, _p double",
     )
+    from pyspark.sql import Window
+
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     joined = counts.join(F.broadcast(tgt), group_col, "inner")
-    scale = joined.agg(F.min(F.col("_n") / F.col("_p")).alias("_scale"))
-    rates = joined.crossJoin(F.broadcast(scale)).select(
+    # scale via a whole-frame window over the |groups|-row table: one
+    # corpus aggregation, not two (agg + crossJoin re-evaluates the
+    # count scan per consumer)
+    scale = F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
+    rates = joined.select(
         group_col,
-        F.least(F.lit(1.0), F.col("_scale") * F.col("_p") / F.col("_n")).alias("_rate"),
+        F.least(F.lit(1.0), scale * F.col("_p") / F.col("_n")).alias("_rate"),
     )
     h = hashing.word_hash32(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
     return (
