@@ -624,17 +624,66 @@ SELECT query_id, label AS predicted_label, votes FROM (
 C02_SQL = _c02_sql()
 
 
-# c03 — duplicate CLUSTERS: MinHash-LSH candidate pairs -> connected
-# components (min-label propagation + pointer jumping, O(log n)
-# shuffle rounds) -> per-cluster membership with sizes. The oracle
-# computes the same components via a recursive CTE (min reachable id).
+# c03 — graph operator family, two tag-union parts:
+#   'cluster'  — MinHash-LSH candidate pairs -> connected components
+#                (min-label propagation + pointer jumping, O(log n)
+#                shuffle rounds) -> per-cluster membership with sizes;
+#                the oracle recomputes via a recursive CTE (min
+#                reachable id).
+#   'pagerank' — fixed-point integer PageRank (operators/graphs.py)
+#                over the symmetrized customer<->supplier order graph;
+#                the oracle replays the same 5 damped iterations in a
+#                recursive CTE with identical integer arithmetic, so
+#                ranks hash-match bit-for-bit.
+_PR_SCALE = 10**9
+_PR_ITERS = 5
+_SUPP_OFFSET = 1_000_000  # suppliers share custkey's id range; disjoin them
+
+
+def _order_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetrized customer<->supplier edges from a deterministic order
+    slice: one undirected edge per (customer, supplier) pair that ever
+    traded. Disjoint node id spaces via the supplier offset."""
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 16 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
 def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators import clusters, dedup
+    from stepist_spark.operators import clusters, dedup, graphs
     from stepist_spark.queries.llm_text import BANDS, N_HASHES, _docs_with_near_dups
 
     corpus = _docs_with_near_dups(spark, sf)
     cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
-    return clusters.dup_clusters(cands)
+    cl = clusters.dup_clusters(cands).select(
+        F.lit("cluster").alias("part"),
+        F.col("doc_id").cast("bigint").alias("node"),
+        F.col("cluster_id").cast("bigint").alias("v1"),
+        F.col("n_members").cast("bigint").alias("v2"),
+    )
+    edges = _order_graph(spark, sf)
+    pr = graphs.pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    prp = pr.join(graphs.in_degrees(edges), "node").select(
+        F.lit("pagerank").alias("part"),
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("v1"),
+        F.col("in_deg").cast("bigint").alias("v2"),
+    )
+    return cl.unionByName(prp)
 
 
 def _c03_sql() -> str:
@@ -645,24 +694,78 @@ def _c03_sql() -> str:
         _minhash_sig_sql,
     )
 
+    base = (100 - 85) * _PR_SCALE // 100
     return f"""
 WITH RECURSIVE {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
 bands AS ({_bands_sql()}),
 cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
 edges AS (
-    SELECT id_a AS src, id_b AS dst FROM cands
-    UNION
-    SELECT id_b, id_a FROM cands
+    SELECT DISTINCT src, dst FROM (
+        SELECT id_a AS src, id_b AS dst FROM cands
+        UNION ALL
+        SELECT id_b, id_a FROM cands
+    ) t
 ),
 reach AS (
     SELECT src AS node, src AS r FROM edges
     UNION
     SELECT e.src AS node, w.r AS r FROM edges e JOIN reach w ON w.node = e.dst
 ),
-comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-SELECT node AS doc_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS n_members
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+-- pagerank part: symmetrized customer<->supplier trade graph, 5 damped
+-- iterations replayed with the SAME integer fixed-point update as
+-- operators/graphs.py (rank DIV outdeg contributions; base + 85%//100)
+g_pairs AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + {_SUPP_OFFSET} AS s
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 16 = 0
+),
+-- NOTE: inside WITH RECURSIVE, DuckDB parses any CTE whose body is a
+-- top-level set operation as base-UNION-step recursion syntax (no
+-- dedup, both terms appended) — wrap every union in a subquery
+g_edges AS (
+    SELECT src, dst FROM (
+        SELECT c AS src, s AS dst FROM g_pairs
+        UNION ALL
+        SELECT s, c FROM g_pairs
+    ) t
+),
+g_nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM g_edges UNION ALL SELECT dst FROM g_edges
+    ) t
+),
+g_deg AS (SELECT src AS node, count(*) AS outdeg FROM g_edges GROUP BY src),
+g_aug AS (
+    SELECT src, dst, is_real FROM (
+        SELECT src, dst, TRUE AS is_real FROM g_edges
+        UNION ALL
+        SELECT node, node, FALSE FROM g_nodes
+    ) t
+),
+g_pr(iter, node, rank) AS (
+    SELECT 0, node, CAST({_PR_SCALE} AS BIGINT) FROM g_nodes
+    UNION ALL
+    SELECT g.iter0 + 1, g.node, CAST({base} + (85 * g.contrib) // 100 AS BIGINT)
+    FROM (
+        SELECT a.dst AS node, p.iter AS iter0,
+               sum(CASE WHEN a.is_real THEN p.rank // d.outdeg ELSE 0 END) AS contrib
+        FROM g_pr p
+        JOIN g_aug a ON a.src = p.node
+        LEFT JOIN g_deg d ON d.node = p.node
+        WHERE p.iter < {_PR_ITERS}
+        GROUP BY a.dst, p.iter
+    ) g
+),
+g_ind AS (SELECT dst AS node, count(*) AS in_deg FROM g_edges GROUP BY dst)
+SELECT 'cluster' AS part, node, cluster_id AS v1,
+       count(*) OVER (PARTITION BY cluster_id) AS v2
 FROM comp
+UNION ALL
+SELECT 'pagerank' AS part, p.node, p.rank AS v1,
+       COALESCE(i.in_deg, 0) AS v2
+FROM g_pr p LEFT JOIN g_ind i ON i.node = p.node
+WHERE p.iter = {_PR_ITERS}
 """
 
 
@@ -681,9 +784,58 @@ C03_SQL = _c03_sql()
 # reader's directory-partition discovery — the reference's enqueue/
 # dequeue pair (`stepist/flow/steps/step.py:125-145`,
 # `stepist/flow/libs/simple_queue.py:49-60`) restated as files.
+def _cdc_fixture(spark: SparkSession, sf: str):
+    """Deterministic CDC fixture carved from orders: a target snapshot
+    (every 10th key) plus a two-wave change stream (every 5th key at
+    seq 1 with mixed I/U/D ops; every 15th key again at seq 2 as an
+    update) — so the merge exercises upsert-of-existing, insert-of-new,
+    delete, AND latest-wins override of a wave-1 delete."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.ascii("o_orderstatus").alias("_st")
+    )
+    target = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.col("_st").cast("bigint").alias("st"),
+    )
+    chg1 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") + 7).cast("bigint").alias("ck"),
+        (F.col("_st") + 1).cast("bigint").alias("st"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    chg2 = o.filter(F.col("o_orderkey") % 15 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") + 13).cast("bigint").alias("ck"),
+        (F.col("_st") + 2).cast("bigint").alias("st"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return target, chg1.unionByName(chg2)
+
+
+# w01 — sink/merge family, two tag-union parts:
+#   'sink' — run an oracle-gated aggregate, WRITE it through the batch
+#            writer (hive-partitioned parquet — the layout lever that
+#            buys partition pruning at 100 TB), read the files back,
+#            and gate THAT. A hash match certifies the write path
+#            end-to-end: schema preservation (bigints through parquet),
+#            partition-column round-trip, and directory-partition
+#            discovery — the reference's enqueue/dequeue pair
+#            (`stepist/flow/steps/step.py:125-145`,
+#            `stepist/flow/libs/simple_queue.py:49-60`) restated as
+#            files.
+#   'cdc'  — apply_changes (operators/cdc.py): latest-wins MERGE of a
+#            change stream into the snapshot; oracle mirrors with
+#            row_number + anti-join + union.
 def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
+    from stepist_spark.operators import cdc
     from stepist_spark.queries.llm_text import t04_quality_by_source
     from stepist_spark.session import scratch_dir
     from stepist_spark.sources import readers, writers
@@ -694,18 +846,70 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     back = readers.read(spark, path, fmt="parquet")
     # partition columns come back LAST and (configurably) type-inferred;
     # re-select in canonical order with canonical types
-    return back.select(
-        F.col("source").cast("string"),
-        F.col("n_docs").cast("bigint"),
-        F.col("sum_quality_scaled").cast("bigint"),
-        F.col("min_quality_scaled").cast("bigint"),
+    sink = back.select(
+        F.lit("sink").alias("part"),
+        F.col("source").cast("string").alias("k"),
+        F.col("n_docs").cast("bigint").alias("v1"),
+        F.col("sum_quality_scaled").cast("bigint").alias("v2"),
+        F.col("min_quality_scaled").cast("bigint").alias("v3"),
     )
+    target, changes = _cdc_fixture(spark, sf)
+    merged = cdc.apply_changes(target, changes, ["k"], "seq", "op")
+    cdc_part = merged.select(
+        F.lit("cdc").alias("part"),
+        F.col("k").cast("string").alias("k"),
+        F.col("ck").alias("v1"),
+        F.col("st").alias("v2"),
+        F.lit(None).cast("bigint").alias("v3"),
+    )
+    return sink.unionByName(cdc_part)
 
 
 def _w01_sql() -> str:
     from stepist_spark.queries.llm_text import T04_SQL
 
-    return T04_SQL
+    return f"""
+WITH sink AS ({T04_SQL}),
+cdc_target AS (
+    SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS ck,
+           CAST(ascii(o_orderstatus) AS BIGINT) AS st
+    FROM orders WHERE o_orderkey % 10 = 0
+),
+cdc_changes AS (
+    SELECT o_orderkey AS k, CAST(o_custkey + 7 AS BIGINT) AS ck,
+           CAST(ascii(o_orderstatus) + 1 AS BIGINT) AS st, 1 AS seq,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'D'
+                WHEN o_orderkey % 3 = 1 THEN 'U' ELSE 'I' END AS op
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_custkey + 13 AS BIGINT),
+           CAST(ascii(o_orderstatus) + 2 AS BIGINT), 2, 'U'
+    FROM orders WHERE o_orderkey % 15 = 0
+),
+cdc_latest AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY k
+            ORDER BY seq DESC,
+                     CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC
+        ) AS rn
+        FROM cdc_changes
+    ) WHERE rn = 1
+),
+cdc_merged AS (
+    SELECT t.k, t.ck, t.st FROM cdc_target t
+    LEFT JOIN cdc_latest ch ON ch.k = t.k WHERE ch.k IS NULL
+    UNION ALL
+    SELECT k, ck, st FROM cdc_latest WHERE op <> 'D'
+)
+SELECT 'sink' AS part, source AS k, n_docs AS v1,
+       sum_quality_scaled AS v2, min_quality_scaled AS v3
+FROM sink
+UNION ALL
+SELECT 'cdc' AS part, CAST(k AS VARCHAR) AS k, ck AS v1, st AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM cdc_merged
+"""
 
 
 W01_SQL = _w01_sql()

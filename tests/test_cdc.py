@@ -1,0 +1,73 @@
+"""CDC apply_changes (latest-wins MERGE) vs hand-computed snapshots."""
+
+from __future__ import annotations
+
+from stepist_spark.operators.cdc import apply_changes, latest_changes
+
+
+def _target(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string, seq bigint, op string")
+
+
+def _snap(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+class TestApplyChanges:
+    def test_upsert_insert_delete(self, spark):
+        t = _target(spark, [(1, "a"), (2, "b"), (3, "c")])
+        ch = _changes(
+            spark,
+            [
+                (2, "B", 1, "U"),   # update existing
+                (3, None, 1, "D"),  # delete existing
+                (4, "d", 1, "I"),   # insert new
+                (9, None, 1, "D"),  # delete absent: no-op
+            ],
+        )
+        out = apply_changes(t, ch, ["k"])
+        assert _snap(out) == [(1, "a"), (2, "B"), (4, "d")]
+
+    def test_latest_wins_per_key(self, spark):
+        t = _target(spark, [(1, "a")])
+        ch = _changes(
+            spark,
+            [(1, "x", 1, "U"), (1, "y", 3, "U"), (1, "z", 2, "U")],
+        )
+        assert _snap(apply_changes(t, ch, ["k"])) == [(1, "y")]
+
+    def test_delete_then_reinsert_by_seq(self, spark):
+        t = _target(spark, [(1, "a")])
+        ch = _changes(spark, [(1, None, 1, "D"), (1, "back", 2, "I")])
+        assert _snap(apply_changes(t, ch, ["k"])) == [(1, "back")]
+
+    def test_equal_seq_delete_outranks_update(self, spark):
+        t = _target(spark, [(1, "a")])
+        ch = _changes(spark, [(1, "x", 5, "U"), (1, None, 5, "D")])
+        assert _snap(apply_changes(t, ch, ["k"])) == []
+
+    def test_insert_of_existing_key_upserts(self, spark):
+        t = _target(spark, [(1, "a")])
+        ch = _changes(spark, [(1, "a2", 1, "I")])
+        assert _snap(apply_changes(t, ch, ["k"])) == [(1, "a2")]
+
+    def test_partition_independent(self, spark):
+        t = _target(spark, [(i, "v%d" % i) for i in range(50)])
+        ch = _changes(
+            spark,
+            [(i, "u%d" % i, i % 3 + 1, "U" if i % 4 else "D") for i in range(0, 80, 2)],
+        )
+        a = _snap(apply_changes(t, ch, ["k"]))
+        b = _snap(apply_changes(t.repartition(7), ch.repartition(5), ["k"]))
+        assert a == b
+
+    def test_latest_changes_keeps_full_row(self, spark):
+        ch = _changes(spark, [(1, "x", 1, "U"), (1, "y", 2, "I"), (2, "z", 1, "U")])
+        got = sorted(
+            (r["k"], r["v"], r["seq"], r["op"]) for r in latest_changes(ch, ["k"]).collect()
+        )
+        assert got == [(1, "y", 2, "I"), (2, "z", 1, "U")]

@@ -1,0 +1,69 @@
+"""PageRank fixed-point operator vs a Python integer reference."""
+
+from __future__ import annotations
+
+from stepist_spark.operators.graphs import in_degrees, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def _py_pagerank(pairs, iterations=5, num=85, den=100, scale=10**9):
+    """Driver-side reference: identical integer arithmetic."""
+    nodes = sorted({n for e in pairs for n in e})
+    outdeg = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (den - num) * scale // den
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for s, d in pairs:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {n: base + num * contrib[n] // den for n in nodes}
+    return rank
+
+
+class TestPageRank:
+    PAIRS = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+
+    def test_matches_python_reference(self, spark):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(_edges(spark, self.PAIRS), iterations=5).collect()
+        }
+        assert got == _py_pagerank(self.PAIRS, iterations=5)
+
+    def test_zero_iterations_is_uniform(self, spark):
+        got = pagerank(_edges(spark, self.PAIRS), iterations=0, scale=100).collect()
+        assert {r["rank"] for r in got} == {100}
+        assert len(got) == 4
+
+    def test_partition_independent(self, spark):
+        e = _edges(spark, self.PAIRS)
+        a = sorted(map(tuple, pagerank(e, iterations=3).collect()))
+        b = sorted(map(tuple, pagerank(e.repartition(7), iterations=3).collect()))
+        assert a == b
+
+    def test_symmetric_pair_splits_mass_evenly(self, spark):
+        # two nodes pointing at each other: perfectly symmetric, so
+        # ranks stay equal (and at the fixed point scale*1)
+        got = pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=8).collect()
+        ranks = {r["rank"] for r in got}
+        assert len(ranks) == 1
+
+    def test_dangling_node_keeps_base_only(self, spark):
+        # 4 has no in-edges: after iteration 1 its rank is exactly base
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(_edges(spark, self.PAIRS), iterations=2).collect()
+        }
+        assert got[4] == (100 - 85) * 10**9 // 100
+
+    def test_in_degrees_zero_filled(self, spark):
+        got = {
+            r["node"]: r["in_deg"]
+            for r in in_degrees(_edges(spark, [(1, 2), (3, 2), (2, 1)])).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 0}
