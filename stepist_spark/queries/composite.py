@@ -675,7 +675,10 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cluster_id").cast("bigint").alias("v1"),
         F.col("n_members").cast("bigint").alias("v2"),
     )
-    edges = _order_graph(spark, sf)
+    # one materialization feeds BOTH consumers (pagerank re-checkpoints
+    # from it, in_degrees scans it) — without this the orders⋈lineitem
+    # edge build executes twice
+    edges = _order_graph(spark, sf).localCheckpoint(eager=False)
     pr = graphs.pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
     prp = pr.join(graphs.in_degrees(edges), "node").select(
         F.lit("pagerank").alias("part"),
