@@ -192,22 +192,48 @@ FROM documents GROUP BY source
 """
 
 
-# t08 — exact Jaccard verification of the LSH candidates, BOTH set
-# units in one gate (merged former t07/t08/t12): every banded-LSH
-# candidate pair ships with its token-set Jaccard AND its 3-shingle
-# (n-gram, order-sensitive) Jaccard. The candidate row set IS the
-# former t07 output, so the banding join is certified too; the MinHash
-# signature values themselves are certified transitively — this oracle
-# recomputes the full shingle→minhash→band pipeline and one differing
-# signature would change the candidate set.
+# t08 — near-dup pair mining, two tag-union parts:
+#   'lsh'    — exact Jaccard verification of the LSH candidates, BOTH
+#              set units (merged former t07/t08/t12): every banded-LSH
+#              candidate pair ships with its token-set Jaccard AND its
+#              3-shingle (n-gram, order-sensitive) Jaccard. The
+#              candidate row set IS the former t07 output, so the
+#              banding join is certified too; the MinHash signature
+#              values are certified transitively — the oracle
+#              recomputes the full shingle→minhash→band pipeline and
+#              one differing signature would change the candidate set.
+#   'ppjoin' — EXACT-threshold set-similarity self-join (prefix
+#              filtering, operators/dedup.set_similarity_join): all
+#              pairs with 3-shingle Jaccard >= 1/2, NO false negatives.
+#              Its oracle is BRUTE FORCE all-pairs — algorithm-
+#              independent, so it certifies the prefix-filter pruning
+#              (a dropped true pair would show as a missing row).
 def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _docs_with_near_dups(spark, sf)
     cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
     tok = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0)
     sh = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0, shingle_k=3)
-    return tok.withColumnRenamed("jaccard", "jaccard_tok").join(
-        sh.withColumnRenamed("jaccard", "jaccard_shingle"), ["id_a", "id_b"]
+    lsh = (
+        tok.withColumnRenamed("jaccard", "jaccard_tok")
+        .join(sh.withColumnRenamed("jaccard", "jaccard_shingle"), ["id_a", "id_b"])
+        .select(
+            F.lit("lsh").alias("part"),
+            "id_a",
+            "id_b",
+            "jaccard_tok",
+            "jaccard_shingle",
+        )
     )
+    pp = dedup.set_similarity_join(
+        corpus, "doc_id", "text", t_num=1, t_den=2, shingle_k=3
+    ).select(
+        F.lit("ppjoin").alias("part"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard_tok"),
+        F.col("jaccard").alias("jaccard_shingle"),
+    )
+    return lsh.unionByName(pp)
 
 
 def _jac_sql(a: str, b: str) -> str:
@@ -226,7 +252,7 @@ sets_t AS (SELECT doc_id AS _sid, list_distinct({TX.tokens_sql('text')}) AS _set
 sets_s AS (SELECT doc_id AS _sid,
                   list_distinct({hashing.shingles_sql(TX.tokens_sql('text'), 3)}) AS _set
            FROM corpus)
-SELECT id_a, id_b,
+SELECT 'lsh' AS part, id_a, id_b,
        {_jac_sql('ta._set', 'tb._set')} AS jaccard_tok,
        {_jac_sql('sa._set', 'sb._set')} AS jaccard_shingle
 FROM cands
@@ -234,6 +260,19 @@ JOIN sets_t ta ON ta._sid = id_a
 JOIN sets_t tb ON tb._sid = id_b
 JOIN sets_s sa ON sa._sid = id_a
 JOIN sets_s sb ON sb._sid = id_b
+UNION ALL
+-- ppjoin part: brute-force all-pairs >= 1/2 (algorithm-independent
+-- witness for the prefix-filter join: no false negatives allowed)
+SELECT 'ppjoin' AS part, a._sid AS id_a, b._sid AS id_b,
+       CAST(NULL AS DOUBLE) AS jaccard_tok,
+       CAST(len(list_intersect(a._set, b._set)) AS DOUBLE)
+           / len(list_distinct(list_concat(a._set, b._set))) AS jaccard_shingle
+FROM (SELECT _sid, _set FROM sets_s WHERE len(_set) > 0) a
+JOIN (SELECT _sid, _set FROM sets_s WHERE len(_set) > 0) b
+ON a._sid < b._sid
+AND 1 * greatest(len(a._set), len(b._set)) <= 2 * least(len(a._set), len(b._set))
+AND len(list_intersect(a._set, b._set)) * 2
+    >= len(list_distinct(list_concat(a._set, b._set))) * 1
 """
 
 
