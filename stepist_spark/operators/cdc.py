@@ -90,3 +90,64 @@ def apply_changes(
         latest.select(*key_cols), on=key_cols, how="left_anti"
     )
     return untouched.unionByName(upserts)
+
+
+def incremental_agg(
+    base_agg: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Maintain a materialized count/sum aggregate INCREMENTALLY: fold
+    the rows leaving (``removed``: pre-images of updated/deleted keys)
+    and entering (``added``: post-images of upserts) the underlying
+    table into ``base_agg`` without recomputing it.
+
+    ``base_agg`` must have ``group_cols``, a bigint ``count_col``, and
+    one bigint column per entry of ``sum_cols`` (sums of exact integer
+    measures — the only kind that can be maintained by addition without
+    cross-engine float drift). Groups whose maintained count reaches 0
+    disappear, so the result is EXACTLY what re-aggregating the merged
+    table would produce.
+
+    Shape at scale: one aggregation over the (small) change set plus
+    one group-key-co-partitioned outer join against the base aggregate
+    — the 100 TB base table is never touched. This is the classic
+    self-maintainable-view delta rule for SUM/COUNT (Gupta & Mumick's
+    materialized-view maintenance survey, public).
+    """
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+
+    def _signed(df: DataFrame, sign: int) -> DataFrame:
+        return df.select(
+            *group_cols,
+            F.lit(sign).cast("bigint").alias("_w"),
+            *[(F.lit(sign) * F.col(c)).cast("bigint").alias(c) for c in sum_cols],
+        )
+
+    delta = (
+        _signed(removed, -1)
+        .unionByName(_signed(added, 1))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_w").alias("_d_n"),
+            *[F.sum(c).alias(f"_d_{c}") for c in sum_cols],
+        )
+    )
+    joined = base_agg.join(delta, on=group_cols, how="full_outer")
+    zero = F.lit(0).cast("bigint")
+    out_count = F.coalesce(F.col(count_col), zero) + F.coalesce("_d_n", zero)
+    return (
+        joined.select(
+            *group_cols,
+            out_count.alias(count_col),
+            *[
+                (F.coalesce(F.col(c), zero) + F.coalesce(f"_d_{c}", zero)).alias(c)
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )

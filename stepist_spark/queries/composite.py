@@ -835,6 +835,10 @@ def _cdc_fixture(spark: SparkSession, sf: str):
 #   'cdc'  — apply_changes (operators/cdc.py): latest-wins MERGE of a
 #            change stream into the snapshot; oracle mirrors with
 #            row_number + anti-join + union.
+#   'mv'   — incremental_agg: the per-status count/sum aggregate of the
+#            target maintained by DELTA (pre-images out, post-images
+#            in) — the oracle RE-AGGREGATES the merged snapshot from
+#            scratch, so a hash match proves incremental == recompute.
 def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
@@ -865,7 +869,22 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("st").alias("v2"),
         F.lit(None).cast("bigint").alias("v3"),
     )
-    return sink.unionByName(cdc_part)
+    base_agg = target.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ck").alias("ck")
+    )
+    latest = cdc.latest_changes(changes, ["k"], "seq", "op")
+    removed = target.join(latest.select("k"), "k", "semi")
+    added = latest.filter(F.col("op") != cdc.OP_DELETE).select("k", "ck", "st")
+    mv_part = cdc.incremental_agg(
+        base_agg, removed, added, ["st"], ["ck"], count_col="n"
+    ).select(
+        F.lit("mv").alias("part"),
+        F.col("st").cast("string").alias("k"),
+        F.col("n").alias("v1"),
+        F.col("ck").alias("v2"),
+        F.lit(None).cast("bigint").alias("v3"),
+    )
+    return sink.unionByName(cdc_part).unionByName(mv_part)
 
 
 def _w01_sql() -> str:
@@ -912,6 +931,12 @@ UNION ALL
 SELECT 'cdc' AS part, CAST(k AS VARCHAR) AS k, ck AS v1, st AS v2,
        CAST(NULL AS BIGINT) AS v3
 FROM cdc_merged
+UNION ALL
+-- the 'mv' witness is the FULL RECOMPUTE over the merged snapshot:
+-- matching it certifies the Spark side's delta maintenance exactly
+SELECT 'mv' AS part, CAST(st AS VARCHAR) AS k, count(*) AS v1,
+       CAST(sum(ck) AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM cdc_merged GROUP BY st
 """
 
 

@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from stepist_spark.operators.cdc import apply_changes, latest_changes
+from pyspark.sql import functions as F
+
+from stepist_spark.operators.cdc import apply_changes, incremental_agg, latest_changes
 
 
 def _target(spark, rows):
@@ -71,3 +73,40 @@ class TestApplyChanges:
             (r["k"], r["v"], r["seq"], r["op"]) for r in latest_changes(ch, ["k"]).collect()
         )
         assert got == [(1, "y", 2, "I"), (2, "z", 1, "U")]
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, grp string, amt bigint")
+
+
+class TestIncrementalAgg:
+    def _agg(self, df):
+        return df.groupBy("grp").agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("amt"))
+
+    def test_incremental_equals_recompute(self, spark):
+        base = _rows(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 7)])
+        removed = _rows(spark, [(2, "a", 20), (4, "c", 7)])       # update pre-image + delete
+        added = _rows(spark, [(2, "b", 21), (9, "d", 1)])         # moved group + insert
+        got = incremental_agg(self._agg(base), removed, added, ["grp"], ["amt"])
+        merged = (
+            base.join(removed.select("k"), "k", "left_anti").unionByName(added)
+        )
+        want = sorted(map(tuple, self._agg(merged).collect()))
+        assert sorted(map(tuple, got.collect())) == want
+
+    def test_group_vanishes_at_zero_count(self, spark):
+        base = _rows(spark, [(1, "only", 3)])
+        got = incremental_agg(
+            self._agg(base), _rows(spark, [(1, "only", 3)]),
+            _rows(spark, []), ["grp"], ["amt"],
+        )
+        assert got.count() == 0
+
+    def test_new_group_appears(self, spark):
+        base = _rows(spark, [(1, "a", 1)])
+        got = incremental_agg(
+            self._agg(base), _rows(spark, []),
+            _rows(spark, [(5, "z", 9), (6, "z", 1)]), ["grp"], ["amt"],
+        )
+        rows = {r["grp"]: (r["n"], r["amt"]) for r in got.collect()}
+        assert rows == {"a": (1, 1), "z": (2, 10)}
