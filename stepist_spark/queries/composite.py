@@ -839,6 +839,11 @@ def _cdc_fixture(spark: SparkSession, sf: str):
 #            target maintained by DELTA (pre-images out, post-images
 #            in) — the oracle RE-AGGREGATES the merged snapshot from
 #            scratch, so a hash match proves incremental == recompute.
+#   'zorder' — Morton z-values (operators/layout.py) over
+#            (customer, order-day) — the multi-dimensional clustering
+#            key behind z-ordered file layout; pure integer bit
+#            interleave, mirrored bit-for-bit by the oracle's
+#            shift/mask fold.
 def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
@@ -884,12 +889,27 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ck").alias("v2"),
         F.lit(None).cast("bigint").alias("v3"),
     )
-    return sink.unionByName(cdc_part).unionByName(mv_part)
+    from stepist_spark.operators import layout
+
+    zsrc = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    zdate = F.month("o_orderdate") * 32 + F.dayofmonth("o_orderdate")
+    z_part = zsrc.select(
+        F.lit("zorder").alias("part"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        layout.z_value([F.col("o_custkey"), zdate], bits=16).alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+        F.lit(None).cast("bigint").alias("v3"),
+    )
+    return sink.unionByName(cdc_part).unionByName(mv_part).unionByName(z_part)
 
 
 def _w01_sql() -> str:
+    from stepist_spark.operators.layout import z_value_sql
     from stepist_spark.queries.llm_text import T04_SQL
 
+    zv = z_value_sql(
+        ["o_custkey", "(month(o_orderdate) * 32 + day(o_orderdate))"], 16
+    )
     return f"""
 WITH sink AS ({T04_SQL}),
 cdc_target AS (
@@ -937,6 +957,11 @@ UNION ALL
 SELECT 'mv' AS part, CAST(st AS VARCHAR) AS k, count(*) AS v1,
        CAST(sum(ck) AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM cdc_merged GROUP BY st
+UNION ALL
+SELECT 'zorder' AS part, CAST(o_orderkey AS VARCHAR) AS k,
+       CAST({zv} AS BIGINT) AS v1,
+       CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM orders WHERE o_orderkey % 101 = 0
 """
 
 
