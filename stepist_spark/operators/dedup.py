@@ -286,6 +286,89 @@ def set_similarity_join(
     )
 
 
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT edit-distance threshold self-join (fuzzy key matching /
+    entity resolution): every pair of rows whose strings are within
+    Levenshtein distance ``max_dist``, with the exact distance.
+
+    Candidate generation is q-gram blocking (Gravano et al. VLDB'01,
+    public): one edit operation destroys at most ``q`` q-grams, so two
+    strings within distance d share at least
+    max(L1,L2) - q + 1 - q*d q-grams — for strings of length
+    >= q*(d+1) that is >= 1, and the equi-join on q-grams finds every
+    true pair. Shorter strings can share zero q-grams, so they emit
+    d+1 LENGTH-BUCKET keys instead (lengths L..L+d): any two short
+    strings within distance d have lengths within d and therefore
+    collide on the longer one's bucket. A |L1-L2| <= d filter prunes
+    before the exact ``levenshtein`` verification.
+
+    Output: ``id_a, id_b, dist`` with id_a < id_b, dist <= max_dist.
+    Deterministic and engine-portable (unit-cost Levenshtein is
+    identical in Spark and DuckDB).
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    s = df.select(
+        F.col(id_col).alias("_sid"),
+        F.col(str_col).alias("_s"),
+        F.length(str_col).alias("_l"),
+    ).filter(F.col("_s").isNotNull())
+    min_long = q * (max_dist + 1)
+    grams = s.filter(F.col("_l") >= min_long).select(
+        "_sid",
+        "_l",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_s) - {q} + 1, 0)),"
+                f" i -> substring(_s, i, {q}))"
+            )
+        ).alias("_k"),
+    )
+    # length-bucket keys also cover strings just ABOVE the q-gram
+    # threshold: a short string's only possible long partners have
+    # length < min_long + d, and those must land in a shared bucket
+    shorts = s.filter(F.col("_l") < min_long + max_dist).select(
+        "_sid",
+        "_l",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {max_dist}),"
+                " i -> concat('#len:', CAST(_l + i AS STRING)))"
+            )
+        ).alias("_k"),
+    )
+    keyed = grams.unionByName(shorts).localCheckpoint(eager=False)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._k") == F.col("b._k"))
+            & (F.col("a._sid") < F.col("b._sid"))
+            & (
+                F.abs(F.col("a._l") - F.col("b._l")) <= F.lit(max_dist)
+            ),
+        )
+        .select(F.col("a._sid").alias("id_a"), F.col("b._sid").alias("id_b"))
+        .distinct()
+    )
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    strs = s.select("_sid", "_s")
+    verified = (
+        cands.repartition(ncores)
+        .join(strs.select(F.col("_sid").alias("id_a"), F.col("_s").alias("_sa")), "id_a")
+        .join(strs.select(F.col("_sid").alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+        .select("id_a", "id_b", F.levenshtein("_sa", "_sb").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return verified
+
+
 def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprint (near-dup via small
     Hamming distance on the output)."""

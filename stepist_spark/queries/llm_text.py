@@ -276,26 +276,91 @@ AND len(list_intersect(a._set, b._set)) * 2
 """
 
 
-# t09 — per-document fingerprints in one gate (merged former t09
-# SimHash + t10 shingle fingerprint): both compact near-dup signatures
-# joined on doc_id.
+# t09 — fingerprint/fuzzy-match family, two tag-union parts:
+#   'fp'   — per-document near-dup signatures (merged former t09
+#            SimHash + t10 shingle fingerprint) joined on doc_id.
+#   'edit' — EXACT edit-distance threshold self-join
+#            (dedup.edit_distance_join, q-gram blocking) over 8-char
+#            md5-prefix "names" with planted one-edit variants; the
+#            oracle is BRUTE-FORCE all-pairs levenshtein — algorithm-
+#            independent, so the blocking provably drops no true pair.
+def _edit_names(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    names = docs.select(
+        F.col("doc_id").alias("id"), F.substring(F.md5("text"), 1, 8).alias("name")
+    )
+    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("id"),
+        F.concat(
+            F.substring(F.md5("text"), 1, 2),
+            F.lit("z"),
+            F.substring(F.md5("text"), 4, 5),
+        ).alias("name"),
+    )
+    return names.unionByName(planted)
+
+
 def t09_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     sh = dedup.simhash_docs(docs, "doc_id", "text")
     fp = dedup.fingerprint_docs(docs, "doc_id", "text", k=3)
-    return sh.join(fp, "doc_id")
+    fpart = sh.join(fp, "doc_id").select(
+        F.lit("fp").alias("part"),
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.col("doc_md5").alias("s1"),
+        F.col("simhash").cast("bigint").alias("n1"),
+        F.col("min_shingle_hash").cast("bigint").alias("n2"),
+        F.col("n_shingles").cast("bigint").alias("n3"),
+    )
+    ed = dedup.edit_distance_join(_edit_names(spark, sf), "id", "name", max_dist=1)
+    epart = ed.select(
+        F.lit("edit").alias("part"),
+        F.col("id_a").cast("bigint").alias("id"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("id_b").cast("bigint").alias("n1"),
+        F.col("dist").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    return fpart.unionByName(epart)
 
 
 _SHINGLES = hashing.shingles_sql(TX.tokens_sql("text"), 3)
 T09_SQL = f"""
-SELECT a.doc_id, a.simhash, b.doc_md5, b.min_shingle_hash, b.n_shingles
-FROM (SELECT _id AS doc_id, simhash FROM ({hashing.simhash_sql("documents", "doc_id", TX.tokens_sql("text"))})) a
-JOIN (
-    SELECT doc_id, md5(text) AS doc_md5,
-           list_min(list_transform({_SHINGLES}, s -> {hashing.word_hash32_sql('s')})) AS min_shingle_hash,
-           len({_SHINGLES}) AS n_shingles
-    FROM documents
-) b USING (doc_id)
+SELECT 'fp' AS part, doc_id AS id, doc_md5 AS s1, simhash AS n1,
+       min_shingle_hash AS n2, n_shingles AS n3
+FROM (
+  SELECT a.doc_id, a.simhash, b.doc_md5, b.min_shingle_hash, b.n_shingles
+  FROM (SELECT _id AS doc_id, simhash FROM ({hashing.simhash_sql("documents", "doc_id", TX.tokens_sql("text"))})) a
+  JOIN (
+      SELECT doc_id, md5(text) AS doc_md5,
+             list_min(list_transform({_SHINGLES}, s -> {hashing.word_hash32_sql('s')})) AS min_shingle_hash,
+             len({_SHINGLES}) AS n_shingles
+      FROM documents
+  ) b USING (doc_id)
+)
+UNION ALL
+-- 'edit' witness: brute-force all-pairs levenshtein over the same
+-- name fixture — any pair the q-gram blocking missed would show here
+SELECT 'edit' AS part, e.id_a AS id, CAST(NULL AS VARCHAR) AS s1,
+       e.id_b AS n1, e.dist AS n2, CAST(NULL AS BIGINT) AS n3
+FROM (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS dist
+  FROM (
+    SELECT doc_id AS id, substring(md5(text), 1, 8) AS name FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000,
+           substring(md5(text), 1, 2) || 'z' || substring(md5(text), 4, 5)
+    FROM documents WHERE doc_id % 97 = 0
+  ) a
+  JOIN (
+    SELECT doc_id AS id, substring(md5(text), 1, 8) AS name FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000,
+           substring(md5(text), 1, 2) || 'z' || substring(md5(text), 4, 5)
+    FROM documents WHERE doc_id % 97 = 0
+  ) b ON a.id < b.id
+) e
+WHERE e.dist <= 1
 """
 
 
