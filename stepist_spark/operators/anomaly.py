@@ -209,3 +209,111 @@ def funnel_stages_sql(
             f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: for each user's events in time order, count every
+    consecutive (from_type -> to_type) step. The empirical transition
+    matrix behind next-event analytics.
+
+    One window pass (lead over user, ordered by ts with a deterministic
+    tiebreak) + one hash aggregation — |events| rows through a single
+    shuffle keyed by user, then a tiny (|types|²) result.
+
+    Output: ``from_type, to_type, n_transitions``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def event_transitions_sql(
+    events_sql: str,
+    user_expr: str,
+    ts_expr: str,
+    type_expr: str,
+    tiebreak_expr: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`event_transitions`."""
+    tb = f", {tiebreak_expr}" if tiebreak_expr else ""
+    return f"""
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM (
+    SELECT {type_expr} AS from_type,
+           lead({type_expr}) OVER (PARTITION BY {user_expr}
+                                   ORDER BY {ts_expr}{tb}) AS to_type
+    FROM ({events_sql})
+) WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-seen week,
+    counted in every later week they were active. The classic
+    product-analytics triangle.
+
+    Two aggregations over |events|: (1) first-seen week per user,
+    (2) distinct active (user, week) pairs — then a user-keyed join
+    (co-partitioned with (1)) and a tiny (cohorts × offsets) count.
+    Weeks are Monday-truncated dates; ``week_offset`` is whole weeks
+    since the cohort week (exact integer day-diff DIV 7, portable).
+
+    Output: ``cohort_week (date), week_offset, n_users``.
+    """
+    weeks = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+    )
+    firsts = weeks.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    active = weeks.distinct()
+    return (
+        active.join(firsts, "u")
+        .select(
+            "cohort_week",
+            F.expr("CAST(datediff(wk, cohort_week) AS BIGINT) DIV 7").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(events_sql: str, user_expr: str, ts_expr: str) -> str:
+    """DuckDB mirror of :func:`cohort_retention`."""
+    return f"""
+WITH wks AS (
+    SELECT {user_expr} AS u,
+           CAST(date_trunc('week', {ts_expr}) AS DATE) AS wk
+    FROM ({events_sql})
+),
+firsts AS (SELECT u, min(wk) AS cohort_week FROM wks GROUP BY u),
+active AS (SELECT DISTINCT u, wk FROM wks)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN firsts f ON f.u = a.u
+GROUP BY f.cohort_week, week_offset
+"""

@@ -1351,24 +1351,62 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # behavior analytics over the same events table: the empirical
+    # Markov transition matrix and the weekly cohort-retention triangle
+    # (operators/anomaly.py — one window pass / two aggregations each)
+    from stepist_spark.operators.anomaly import cohort_retention, event_transitions
+
+    ev = load_table(spark, sf, "events")
+    tr = event_transitions(ev, "user_id", "ts", "event_type", "event_id").select(
+        F.lit("transition").alias("part"),
+        F.concat("from_type", F.lit(">"), "to_type").alias("wkey"),
+        F.col("n_transitions").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
+    co = cohort_retention(ev, "user_id", "ts").select(
+        F.lit("cohort").alias("part"),
+        F.col("cohort_week").cast("string").alias("wkey"),
+        F.col("n_users").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("week_offset").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
         t.select("*", *nulls)
         .unionByName(s.select("*", *nulls))
         .unionByName(fu.select("*", *nulls))
+        .unionByName(tr.select("*", *nulls))
+        .unionByName(co.select("*", *nulls))
         .unionByName(az)
     )
 
 
 def _q22m_sql() -> str:
-    from stepist_spark.operators.anomaly import funnel_stages_sql, rolling_zscore_sql
+    from stepist_spark.operators.anomaly import (
+        cohort_retention_sql,
+        event_transitions_sql,
+        funnel_stages_sql,
+        rolling_zscore_sql,
+    )
 
     az = rolling_zscore_sql(Q22_SQL, ["event_type"], "window_start", "n")
     fu = funnel_stages_sql(
         "SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events",
         "user_id", "ts", "event_type", ["view", "click", "purchase"],
         max_gap_sql="INTERVAL 1 DAY",
+    )
+    tr = event_transitions_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id FROM events",
+        "user_id", "ts", "event_type", "event_id",
+    )
+    co = cohort_retention_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts FROM events", "user_id", "ts"
     )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
@@ -1385,6 +1423,18 @@ SELECT 'funnel', stage, n_users, CAST(NULL AS DOUBLE), stage_idx,
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({fu})
+UNION ALL
+SELECT 'transition', from_type || '>' || to_type, n_transitions,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({tr})
+UNION ALL
+SELECT 'cohort', CAST(cohort_week AS VARCHAR), n_users,
+       CAST(NULL AS DOUBLE), week_offset,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({co})
 UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly

@@ -146,3 +146,70 @@ class TestFunnel:
         )
         exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == exp
+
+
+class TestEventTransitions:
+    ROWS = [
+        (1, "2024-01-01 10:00:00", "view", 1),
+        (1, "2024-01-01 10:05:00", "click", 2),
+        (1, "2024-01-01 10:06:00", "purchase", 3),
+        (2, "2024-01-01 09:00:00", "view", 4),
+        (2, "2024-01-01 09:30:00", "view", 5),
+        (3, "2024-01-02 09:00:00", "click", 6),
+    ]
+
+    def _events(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            self.ROWS, "user_id bigint, ts string, event_type string, event_id bigint"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_counts(self, spark):
+        from stepist_spark.operators.anomaly import event_transitions
+
+        got = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(
+                self._events(spark), "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        }
+        assert got == {("view", "click"): 1, ("click", "purchase"): 1, ("view", "view"): 1}
+
+    def test_single_event_user_contributes_nothing(self, spark):
+        from stepist_spark.operators.anomaly import event_transitions
+
+        out = event_transitions(
+            self._events(spark).filter("user_id = 3"),
+            "user_id", "ts", "event_type", "event_id",
+        )
+        assert out.count() == 0
+
+
+class TestCohortRetention:
+    def test_triangle(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.anomaly import cohort_retention
+
+        rows = [
+            (1, "2024-01-01 10:00:00"),  # Mon wk0 cohort 2024-01-01
+            (1, "2024-01-10 10:00:00"),  # wk1
+            (1, "2024-01-11 10:00:00"),  # wk1 again -> still one row
+            (2, "2024-01-03 10:00:00"),  # wk0 cohort
+            (2, "2024-01-17 10:00:00"),  # wk2
+            (3, "2024-01-09 10:00:00"),  # cohort 2024-01-08
+        ]
+        ev = spark.createDataFrame(rows, "user_id bigint, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        got = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+            for r in cohort_retention(ev, "user_id", "ts").collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }
