@@ -1215,7 +1215,45 @@ def q13_scalar_string_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("date").alias("dt2"),
         F.lit(None).cast("date").alias("dt3"),
     )
-    return sc.unionByName(sa)
+    # table profiler rides along (operators/profiling.py): one-pass
+    # exact per-column stats over orders' exact-typed columns
+    from stepist_spark.operators.profiling import profile_table
+
+    pr = profile_table(
+        load_table(spark, sf, "orders"), _PROFILE_COLS
+    ).select(
+        F.lit("profile").alias("part"),
+        F.col("col_name").alias("k1"),
+        F.col("min_repr").alias("s1"),
+        F.col("max_repr").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.col("n_rows").alias("n1"),
+        F.col("n_nulls").alias("n2"),
+        F.col("n_distinct").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
+    return sc.unionByName(sa).unionByName(pr)
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def _q13_profile_sql() -> str:
+    from stepist_spark.operators.profiling import profile_table_sql
+
+    return profile_table_sql("SELECT * FROM orders", _PROFILE_COLS)
 
 
 Q13M_SQL = f"""
@@ -1231,6 +1269,12 @@ SELECT 'stragg', r_name, nations, NULL, NULL, NULL,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
 FROM ({Q27_SQL})
+UNION ALL
+SELECT 'profile', col_name, min_repr, max_repr, NULL, NULL,
+       n_rows, n_nulls, n_distinct, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM ({_q13_profile_sql()})
 """
 
 
