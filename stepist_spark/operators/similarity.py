@@ -697,3 +697,53 @@ def ivf_pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4x
+    storage/bandwidth lever for vector corpora: q_i = round-half-up of
+    x_i * 127 / max|x|, clamped to [-127, 127], plus the per-vector
+    ``max_abs`` needed to dequantize (x ≈ q * max_abs / 127).
+
+    Engine-portable by construction: float32 inputs widen to double
+    exactly, the max/abs fold and the single multiply-divide evaluate
+    identically under IEEE in Spark and DuckDB, and the half-up round
+    is spelled floor(x + 0.5) so no engine-specific rounding mode is
+    involved. All-zero vectors quantize to zeros with max_abs 0.
+
+    One projection, zero shuffles. Output:
+    ``<id_col>, qvec array<int>, max_abs double``.
+    """
+    from stepist_spark.functions.vectors import to_double
+
+    # bind the max BEFORE the per-element transform: a HOF lambda
+    # referencing an inline aggregate would re-fold the whole array
+    # per element (O(d²) per row)
+    bound = df.select(
+        F.col(id_col),
+        to_double(F.col(vec_col)).alias("_v"),
+    ).select(
+        id_col,
+        "_v",
+        F.aggregate(
+            "_v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        ).alias("max_abs"),
+    )
+    q = F.when(
+        F.col("max_abs") == 0.0,
+        F.transform("_v", lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            "_v",
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+    )
+    return bound.select(id_col, q.alias("qvec"), "max_abs")

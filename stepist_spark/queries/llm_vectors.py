@@ -237,11 +237,40 @@ SELECT 'refined', query_id, neighbor_id, cos_sim FROM (
 """
 
 
-# v06 — per-label centroid vectors (class prototypes): fixed-point
-# component sums so the unordered aggregation is exact cross-engine
+# v06 — vector summarization family, two tag-union parts:
+#   'centroid' — per-label centroid vectors (class prototypes):
+#                fixed-point component sums so the unordered
+#                aggregation is exact cross-engine.
+#   'quant'    — symmetric int8 quantization
+#                (similarity.quantize_int8) of a deterministic vector
+#                sample, exploded per dimension: every q value and the
+#                per-vector max_abs are hash-matched (the half-up
+#                round is floor(x+0.5) in BOTH engines, so no
+#                rounding-mode divergence).
 def v06_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return similarity.label_centroids(emb, "embedding", "label")
+    cen = similarity.label_centroids(emb, "embedding", "label").select(
+        F.lit("centroid").alias("part"),
+        F.col("label").cast("string").alias("key"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("sum_scaled").cast("bigint").alias("n1"),
+        F.col("n_vecs").cast("bigint").alias("n2"),
+        F.col("centroid").alias("d1"),
+    )
+    qz = similarity.quantize_int8(
+        emb.filter(F.col("vec_id") % 40 == 0), "vec_id", "embedding"
+    )
+    quant = qz.select(
+        "vec_id", "max_abs", F.posexplode("qvec").alias("dim", "q")
+    ).select(
+        F.lit("quant").alias("part"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("q").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("max_abs").alias("d1"),
+    )
+    return cen.unionByName(quant)
 
 
 V06_SQL = """
@@ -253,10 +282,28 @@ WITH ex AS (
                unnest(range(1, len(embedding) + 1)) AS i
         FROM embeddings
     )
+),
+qx AS (
+    SELECT vec_id, v, i, m
+    FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings WHERE vec_id % 40 = 0
+    )
 )
-SELECT label, dim, CAST(sum(s) AS BIGINT) AS sum_scaled, count(*) AS n_vecs,
-       CAST(sum(s) AS DOUBLE) / (count(*) * 1000000) AS centroid
+SELECT 'centroid' AS part, label AS key, dim,
+       CAST(sum(s) AS BIGINT) AS n1, count(*) AS n2,
+       CAST(sum(s) AS DOUBLE) / (count(*) * 1000000) AS d1
 FROM ex GROUP BY label, dim
+UNION ALL
+SELECT 'quant', CAST(vec_id AS VARCHAR), i - 1,
+       CASE WHEN m = 0 THEN 0
+            ELSE greatest(-127, least(127,
+                 CAST(floor(list_extract(v, i) * 127.0 / m + 0.5) AS BIGINT)))
+       END,
+       CAST(NULL AS BIGINT), m
+FROM qx
 """
 
 

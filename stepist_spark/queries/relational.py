@@ -185,7 +185,33 @@ def q04_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
         .select(F.lit("anti").alias("op"), F.col("c_mktsegment").alias("grp"), "n", "sum_bal")
     )
-    return semi.unionByName(anti)
+    # referential-integrity report rides along (operators/integrity.py):
+    # two intact FK relations plus one with a deliberately degraded
+    # parent so nonzero orphan counts are certified too
+    from stepist_spark.operators.integrity import Relation, fk_report
+
+    orders = load_table(spark, sf, "orders")
+    li_all = load_table(spark, sf, "lineitem")
+    fk = fk_report(
+        spark,
+        [
+            Relation("lineitem->orders", li_all, orders, "l_orderkey", "o_orderkey"),
+            Relation("orders->customer", orders, cust, "o_custkey", "c_custkey"),
+            Relation(
+                "orders->customer_mod5",
+                orders,
+                cust.filter(F.col("c_custkey") % 5 != 0),
+                "o_custkey",
+                "c_custkey",
+            ),
+        ],
+    ).select(
+        F.lit("fk").alias("op"),
+        F.col("relation").alias("grp"),
+        F.col("n_orphans").alias("n"),
+        F.col("n_child").cast("double").alias("sum_bal"),
+    )
+    return semi.unionByName(anti).unionByName(fk)
 
 
 Q04_SQL = """
@@ -201,6 +227,21 @@ WHERE NOT EXISTS (
     SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
 )
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'fk', 'lineitem->orders',
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS DOUBLE)
+UNION ALL
+SELECT 'fk', 'orders->customer',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS DOUBLE)
+UNION ALL
+SELECT 'fk', 'orders->customer_mod5',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)),
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS DOUBLE)
 """
 
 

@@ -240,6 +240,7 @@ class TestCatalogHygiene:
         "t23_model_gates",      # broadcast 1-row vocab-size cross join
         "t25_resample_shuffle", # broadcast 1-row group-min cross join
         "t16_vocabulary",       # BM25: broadcast 1-row corpus-stats cross join
+        "q04_semi_anti_join",   # fk_report: broadcast 1-row count cross joins
         # t18 deliberately NOT listed: bloom_probe's word-table probes
         # are broadcast HASH joins — the hygiene sweep guards that
     }
