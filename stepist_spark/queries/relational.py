@@ -1350,13 +1350,49 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value").alias("d1"),
         )
 
+    # time-series regularization rides along (operators/timeseries.py):
+    # per event type, a 6-hour grid forward-filled from the (type, ts)
+    # pre-aggregated observations — one sequence explode + one as-of
+    # sort, the hypertable gapfill/locf shape
+    from stepist_spark.operators.timeseries import resample_ffill
+
+    obs = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", "ts")
+        .agg(F.round(F.max("value"), 2).alias("v"))
+    )
+    rs = resample_ffill(obs, "event_type", "ts", ["v"], step="6 hours").select(
+        F.lit("resample").alias("part"),
+        F.col("event_type").alias("k1"),
+        F.col("grid_ts").alias("ts1"),
+        F.col("ts").alias("ts2"),
+        F.lit(None).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("v").alias("d1"),
+    )
     return (
         rj.unionByName(rb)
         .unionByName(_aj("asof", "backward"))
         .unionByName(_aj("asof_fwd", "forward"))
         .unionByName(_aj("asof_near", "nearest"))
+        .unionByName(rs)
     )
 
+
+def _resample_sql() -> str:
+    from stepist_spark.operators.timeseries import resample_ffill_sql
+
+    return resample_ffill_sql(
+        "SELECT event_type, ts::TIMESTAMP AS ts, round(max(value), 2) AS v "
+        "FROM events GROUP BY event_type, ts",
+        "event_type",
+        "ts",
+        ["v"],
+        step_sql="INTERVAL 6 HOUR",
+    )
+
+
+_RESAMPLE_SQL = _resample_sql()
 
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
@@ -1380,6 +1416,10 @@ UNION ALL
 SELECT 'asof_near', CAST(event_id AS VARCHAR), ts, signup_ts,
        CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
 FROM ({Q19N_SQL})
+UNION ALL
+SELECT 'resample', k, grid_ts, ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), v
+FROM ({_RESAMPLE_SQL})
 """
 
 
