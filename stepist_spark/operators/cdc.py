@@ -151,3 +151,63 @@ def incremental_agg(
         )
         .filter(F.col(count_col) > 0)
     )
+
+
+def snapshot_diff(
+    target_old: DataFrame,
+    target_new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row
+    per key present in either side, with ``status`` in
+    added/removed/changed/unchanged and the exact ``changed_cols``
+    (null-safe comparison, so NULL -> value and value -> NULL both
+    count as changes).
+
+    One full outer join co-partitioned on the key — the dataset-diff
+    primitive behind audit reports and incremental publish decisions.
+    """
+    key_cols = list(key_cols)
+    compare = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in target_new.columns if c not in key_cols]
+    )
+    o = target_old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_o_{c}") for c in compare],
+        F.lit(1).alias("_in_o"),
+    )
+    n = target_new.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in compare],
+        F.lit(1).alias("_in_n"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    both = F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
+    # column attribution only applies to rows present on BOTH sides —
+    # added/removed rows carry an empty list, not "every column"
+    changed_arr = F.when(
+        both,
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                    )
+                    for c in compare
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    status = (
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(F.size(changed_arr) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *key_cols, status.alias("status"), changed_arr.alias("changed_cols")
+    )

@@ -1197,6 +1197,29 @@ FROM ({Q34_SQL})
 """
 
 
+def _diff_snapshots(spark: SparkSession, sf: str):
+    """Deterministic old/new snapshot pair carved from orders: every
+    35th key of the old slice is removed, every (k % 3 == 1) key's
+    custkey shifts (changed), and the % 7 == 3 slice arrives as new
+    keys (added)."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.ascii("o_orderstatus").cast("bigint").alias("st"),
+    )
+    old = o.filter(F.col("k") % 7 == 0)
+    new = (
+        old.filter(F.col("k") % 35 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 3 == 1, F.col("ck") + 3).otherwise(F.col("ck")).alias("ck"),
+            F.when(F.col("k") % 5 == 2, F.col("st") + 1).otherwise(F.col("st")).alias("st"),
+        )
+        .unionByName(o.filter(F.col("k") % 7 == 3))
+    )
+    return old, new
+
+
 def q12_reshape_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     s = q12_set_ops(spark, sf).select(
         F.lit("setop").alias("part"),
@@ -1210,14 +1233,78 @@ def q12_reshape_set_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.col("status_col").alias("k2"),
         F.col("n").cast("bigint").alias("n"),
     )
-    return s.unionByName(p)
+    # snapshot diff rides along (operators/cdc.snapshot_diff): status
+    # counts plus per-column change attribution over a deterministic
+    # old/new pair — full outer join set semantics, the same family
+    from stepist_spark.operators.cdc import snapshot_diff
 
+    old, new = _diff_snapshots(spark, sf)
+    diff = snapshot_diff(old, new, ["k"]).localCheckpoint(eager=False)
+    d_status = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("diff").alias("part"),
+        F.col("status").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    d_cols = (
+        diff.select(F.explode("changed_cols").alias("colname"))
+        .groupBy("colname")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("diff_cols").alias("part"),
+            F.col("colname").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    return s.unionByName(p).unionByName(d_status).unionByName(d_cols)
+
+
+_DIFF_SNAP_SQL = """
+d_old AS (
+    SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS ck,
+           CAST(ascii(o_orderstatus) AS BIGINT) AS st
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+d_new AS (
+    SELECT k, CASE WHEN k % 3 = 1 THEN ck + 3 ELSE ck END AS ck,
+           CASE WHEN k % 5 = 2 THEN st + 1 ELSE st END AS st
+    FROM d_old WHERE k % 35 <> 0
+    UNION ALL
+    SELECT o_orderkey, CAST(o_custkey AS BIGINT),
+           CAST(ascii(o_orderstatus) AS BIGINT)
+    FROM orders WHERE o_orderkey % 7 = 3
+),
+d_joined AS (
+    SELECT COALESCE(o.k, n.k) AS k,
+           o.k IS NOT NULL AS in_o, n.k IS NOT NULL AS in_n,
+           (o.k IS NOT NULL AND n.k IS NOT NULL AND o.ck IS DISTINCT FROM n.ck) AS ch_ck,
+           (o.k IS NOT NULL AND n.k IS NOT NULL AND o.st IS DISTINCT FROM n.st) AS ch_st
+    FROM d_old o FULL OUTER JOIN d_new n ON o.k = n.k
+),
+d_status AS (
+    SELECT CASE WHEN NOT in_o THEN 'added'
+                WHEN NOT in_n THEN 'removed'
+                WHEN ch_ck OR ch_st THEN 'changed'
+                ELSE 'unchanged' END AS status, ch_ck, ch_st
+    FROM d_joined
+)
+"""
 
 Q12M_SQL = f"""
+WITH {_DIFF_SNAP_SQL.strip()}
 SELECT 'setop' AS part, op AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(n AS BIGINT) AS n
 FROM ({Q12_SQL})
 UNION ALL
 SELECT 'pivot', o_orderpriority, status_col, CAST(n AS BIGINT) FROM ({Q17_SQL})
+UNION ALL
+SELECT 'diff', status, CAST(NULL AS VARCHAR), count(*) FROM d_status GROUP BY status
+UNION ALL
+SELECT 'diff_cols', 'ck', CAST(NULL AS VARCHAR), count(*) FROM d_status
+WHERE ch_ck HAVING count(*) > 0
+UNION ALL
+SELECT 'diff_cols', 'st', CAST(NULL AS VARCHAR), count(*) FROM d_status
+WHERE ch_st HAVING count(*) > 0
 """
 
 

@@ -75,6 +75,39 @@ class TestApplyChanges:
         assert got == [(1, "y", 2, "I"), (2, "z", 1, "U")]
 
 
+class TestSnapshotDiff:
+    def test_statuses_and_column_attribution(self, spark):
+        from stepist_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "k bigint, s string, v bigint",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 21), (4, "now", 40), (9, "x", 1)],
+            "k bigint, s string, v bigint",
+        )
+        got = {
+            r["k"]: (r["status"], sorted(r["changed_cols"]))
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {
+            1: ("unchanged", []),
+            2: ("changed", ["s", "v"]),
+            3: ("removed", []),
+            4: ("changed", ["s"]),  # NULL -> value counts as a change
+            9: ("added", []),
+        }
+
+    def test_compare_subset(self, spark):
+        from stepist_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 10)], "k bigint, s string, v bigint")
+        new = spark.createDataFrame([(1, "a", 99)], "k bigint, s string, v bigint")
+        r = snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()[0]
+        assert r["status"] == "unchanged"
+
+
 def _rows(spark, rows):
     return spark.createDataFrame(rows, "k bigint, grp string, amt bigint")
 
