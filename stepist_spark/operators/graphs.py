@@ -138,3 +138,72 @@ def in_degrees(
     return nodes.join(ind, "node", "left").select(
         "node", F.coalesce("in_deg", F.lit(0).cast("bigint")).alias("in_deg")
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list — the clustering-structure signal (dup groups are near-cliques
+    and score high; chains score zero).
+
+    Algorithm: degree-based edge orientation (Suri & Vassilvitskii,
+    WWW'11, public) — direct every edge from its lower-(degree, id)
+    endpoint to the higher one, join oriented edges on their source to
+    enumerate wedges, then close each wedge against the oriented edge
+    set. Each triangle is produced EXACTLY once, and wedge fan-out is
+    bounded by the oriented out-degree (O(sqrt(|E|)) for any graph),
+    which is what keeps high-degree hubs from exploding at 100 TB.
+
+    Output: ``node, n_triangles`` (nodes in no triangle are omitted).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # orient low-(degree, id) -> high-(degree, id)
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(
+        F.col("o1.u").alias("w1"), F.col("o1.v").alias("w2"), F.col("o2.v").alias("w3")
+    )
+    # close the wedge: (w2, w3) must be an edge in EITHER orientation
+    closer = oriented.select(
+        F.least("u", "v").alias("ca"), F.greatest("u", "v").alias("cb")
+    )
+    tris = wedges.join(
+        closer,
+        (F.least("w2", "w3") == F.col("ca")) & (F.greatest("w2", "w3") == F.col("cb")),
+    ).select("w1", "w2", "w3")
+    return (
+        tris.select(F.explode(F.array("w1", "w2", "w3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

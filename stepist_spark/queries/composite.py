@@ -668,7 +668,10 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.queries.llm_text import BANDS, N_HASHES, _docs_with_near_dups
 
     corpus = _docs_with_near_dups(spark, sf)
-    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
+    # one materialization feeds clustering AND triangle counting
+    cands = dedup.minhash_lsh_candidates(
+        corpus, "doc_id", "text", N_HASHES, BANDS
+    ).localCheckpoint(eager=False)
     cl = clusters.dup_clusters(cands).select(
         F.lit("cluster").alias("part"),
         F.col("doc_id").cast("bigint").alias("node"),
@@ -686,7 +689,15 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("v1"),
         F.col("in_deg").cast("bigint").alias("v2"),
     )
-    return cl.unionByName(prp)
+    # triangle participation over the SAME near-dup candidate graph:
+    # dup groups are near-cliques, so the counts discriminate structure
+    tri = graphs.triangle_counts(cands).select(
+        F.lit("triangle").alias("part"),
+        F.col("node").cast("bigint").alias("node"),
+        F.col("n_triangles").cast("bigint").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
+    return cl.unionByName(prp).unionByName(tri)
 
 
 def _c03_sql() -> str:
@@ -760,7 +771,22 @@ g_pr(iter, node, rank) AS (
         GROUP BY a.dst, p.iter
     ) g
 ),
-g_ind AS (SELECT dst AS node, count(*) AS in_deg FROM g_edges GROUP BY dst)
+g_ind AS (SELECT dst AS node, count(*) AS in_deg FROM g_edges GROUP BY dst),
+-- triangle part over the SAME cands edge set (id_a < id_b canonical)
+tri_ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cands WHERE id_a <> id_b),
+tri_t AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM tri_ed e1
+    JOIN tri_ed e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN tri_ed e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tri_n AS (
+    SELECT node, count(*) AS n FROM (
+        SELECT x AS node FROM tri_t
+        UNION ALL SELECT y FROM tri_t
+        UNION ALL SELECT z FROM tri_t
+    ) t GROUP BY node
+)
 SELECT 'cluster' AS part, node, cluster_id AS v1,
        count(*) OVER (PARTITION BY cluster_id) AS v2
 FROM comp
@@ -769,6 +795,8 @@ SELECT 'pagerank' AS part, p.node, p.rank AS v1,
        COALESCE(i.in_deg, 0) AS v2
 FROM g_pr p LEFT JOIN g_ind i ON i.node = p.node
 WHERE p.iter = {_PR_ITERS}
+UNION ALL
+SELECT 'triangle', node, n, CAST(NULL AS BIGINT) FROM tri_n
 """
 
 

@@ -67,3 +67,55 @@ class TestPageRank:
             for r in in_degrees(_edges(spark, [(1, 2), (3, 2), (2, 1)])).collect()
         }
         assert got == {1: 1, 2: 2, 3: 0}
+
+
+def _py_triangles(pairs):
+    import itertools
+
+    adj = {}
+    edges = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        if (lo, hi) in edges:
+            continue
+        edges.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+class TestTriangleCounts:
+    def _run(self, spark, pairs):
+        from stepist_spark.operators.graphs import triangle_counts
+
+        df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        return {
+            r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+        }
+
+    def test_single_triangle(self, spark):
+        assert self._run(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+
+    def test_clique4_and_chain(self, spark):
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)]
+        got = self._run(spark, pairs)
+        # K4: each node is in C(3,2)=3 triangles; the chain has none
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)]
+        assert self._run(spark, pairs) == {1: 1, 2: 1, 3: 1}
+
+    def test_matches_python_brute_force(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+        assert self._run(spark, pairs) == _py_triangles(pairs)
