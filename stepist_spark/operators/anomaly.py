@@ -317,3 +317,75 @@ SELECT f.cohort_week,
 FROM active a JOIN firsts f ON f.u = a.u
 GROUP BY f.cohort_week, week_offset
 """
+
+
+def grouped_median_mad(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """EXACT per-group discrete median and MAD (median absolute
+    deviation) — the robust-statistics pair for outlier thresholds
+    (median ± k*MAD survives the contamination that wrecks mean/std).
+
+    'Discrete' = the element at rank (n+1) DIV 2 of the sorted group —
+    no interpolation, so the result is always an actual data value and
+    is bit-identical across engines regardless of tie order (ties don't
+    affect WHICH VALUE sits at a rank). Two sort-shuffles per call
+    (values, then absolute deviations), both keyed by the group.
+
+    Output: ``*group_cols, median, mad, n``.
+    """
+    from pyspark.sql import Window
+
+    def _discrete_median(frame: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy(F.col(col).asc())
+        cw = Window.partitionBy(*group_cols)
+        ranked = frame.select(
+            *group_cols,
+            F.col(col),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(cw).alias("_n"),
+        )
+        return ranked.filter(
+            F.col("_rn") == F.expr("(_n + 1) DIV 2")
+        ).select(*group_cols, F.col(col).alias("_med"), F.col("_n").alias("n"))
+
+    vals = df.select(*group_cols, F.col(value_col).alias("_v"))
+    med = _discrete_median(vals, "_v").withColumnRenamed("_med", "median")
+    dev = vals.join(med, group_cols).select(
+        *group_cols, F.abs(F.col("_v") - F.col("median")).alias("_d")
+    )
+    mad = _discrete_median(dev, "_d").select(
+        *group_cols, F.col("_med").alias("mad")
+    )
+    return med.join(mad, group_cols).select(*group_cols, "median", "mad", "n")
+
+
+def grouped_median_mad_sql(
+    table_sql: str, group_exprs: list[str], value_expr: str
+) -> str:
+    """DuckDB mirror of :func:`grouped_median_mad` (two CTE levels per
+    median — window results can't feed another window in one level)."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH mm_t AS (SELECT {g}, {value_expr} AS v FROM ({table_sql})),
+mm_r1 AS (
+    SELECT {g}, v, row_number() OVER (PARTITION BY {g} ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY {g}) AS n
+    FROM mm_t
+),
+mm_med AS (SELECT {g}, v AS median, n FROM mm_r1 WHERE rn = (n + 1) // 2),
+mm_dev AS (
+    SELECT t.{g.replace(', ', ', t.')}, abs(t.v - m.median) AS d
+    FROM mm_t t JOIN mm_med m USING ({g})
+),
+mm_r2 AS (
+    SELECT {g}, d, row_number() OVER (PARTITION BY {g} ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY {g}) AS n
+    FROM mm_dev
+),
+mm_mad AS (SELECT {g}, d AS mad FROM mm_r2 WHERE rn = (n + 1) // 2)
+SELECT m.{g.replace(', ', ', m.')}, m.median, a.mad, m.n
+FROM mm_med m JOIN mm_mad a USING ({g})
+"""

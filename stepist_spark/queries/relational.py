@@ -1715,8 +1715,40 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n1"),
         F.col("n_customers").cast("bigint").alias("n2"),
     )
-    return pc.unionByName(hi)
+    # robust statistics ride along (operators/anomaly.py): exact
+    # discrete per-group median + MAD — always an actual data value,
+    # bit-identical across engines regardless of tie order
+    from stepist_spark.operators.anomaly import grouped_median_mad
 
+    mm = grouped_median_mad(
+        load_table(spark, sf, "lineitem").select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        "l_quantity",
+    ).select(
+        F.lit("mad").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("median").cast("double").alias("d1"),
+        F.col("mad").cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    return pc.unionByName(hi).unionByName(mm)
+
+
+def _q25_mad_sql() -> str:
+    from stepist_spark.operators.anomaly import grouped_median_mad_sql
+
+    return grouped_median_mad_sql(
+        "SELECT l_returnflag, l_quantity FROM lineitem",
+        ["l_returnflag"],
+        "l_quantity",
+    )
+
+
+_Q25_MAD_SQL = _q25_mad_sql()
 
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
@@ -1732,6 +1764,11 @@ SELECT 'hist', CAST(bucket AS VARCHAR), CAST(sum_price AS DOUBLE),
        CAST(max_price AS DOUBLE), CAST(NULL AS VARCHAR),
        CAST(n_orders AS BIGINT), CAST(n_customers AS BIGINT)
 FROM ({Q35_SQL})
+UNION ALL
+SELECT 'mad', l_returnflag, CAST(median AS DOUBLE), CAST(mad AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_Q25_MAD_SQL})
 """
 
 

@@ -213,3 +213,33 @@ class TestCohortRetention:
             ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1,
         }
+
+
+class TestGroupedMedianMad:
+    def test_exact_values(self, spark):
+        from stepist_spark.operators.anomaly import grouped_median_mad
+
+        rows = [("a", v) for v in [1.0, 3.0, 5.0, 7.0, 100.0]] + [
+            ("b", v) for v in [10.0, 20.0]
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r["g"]: (r["median"], r["mad"], r["n"])
+            for r in grouped_median_mad(df, ["g"], "v").collect()
+        }
+        # a: sorted [1,3,5,7,100], rank (5+1)//2=3 -> 5; deviations
+        # [4,2,0,2,95] sorted [0,2,2,4,95] -> rank 3 -> 2
+        # b: rank (2+1)//2=1 -> 10; deviations [0,10] -> rank 1 -> 0
+        assert got == {"a": (5.0, 2.0, 5), "b": (10.0, 0.0, 2)}
+
+    def test_outlier_resistant(self, spark):
+        from stepist_spark.operators.anomaly import grouped_median_mad
+
+        clean = [("g", float(i)) for i in range(1, 100)]
+        dirty = clean + [("g", 1e12)]
+        df_c = spark.createDataFrame(clean, "g string, v double")
+        df_d = spark.createDataFrame(dirty, "g string, v double")
+        mc = grouped_median_mad(df_c, ["g"], "v").collect()[0]
+        md = grouped_median_mad(df_d, ["g"], "v").collect()[0]
+        assert abs(mc["median"] - md["median"]) <= 1.0
+        assert abs(mc["mad"] - md["mad"]) <= 1.0
