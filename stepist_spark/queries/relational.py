@@ -1735,7 +1735,30 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
     )
-    return pc.unionByName(hi).unionByName(mm)
+    # grouped OLS trend fit rides along (operators/regression.py):
+    # price-vs-quantity per returnflag — exact decimal sufficient
+    # statistics, double formula evaluated identically in both engines
+    from stepist_spark.operators.regression import grouped_ols
+
+    ols = grouped_ols(
+        load_table(spark, sf, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    ).select(
+        F.lit("ols").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("slope").alias("d1"),
+        F.col("intercept").alias("d2"),
+        F.col("r2").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    return pc.unionByName(hi).unionByName(mm).unionByName(ols)
 
 
 def _q25_mad_sql() -> str:
@@ -1749,6 +1772,20 @@ def _q25_mad_sql() -> str:
 
 
 _Q25_MAD_SQL = _q25_mad_sql()
+
+
+def _q25_ols_sql() -> str:
+    from stepist_spark.operators.regression import grouped_ols_sql
+
+    return grouped_ols_sql(
+        "SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem",
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+_Q25_OLS_SQL = _q25_ols_sql()
 
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
@@ -1769,6 +1806,10 @@ SELECT 'mad', l_returnflag, CAST(median AS DOUBLE), CAST(mad AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
        CAST(n AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({_Q25_MAD_SQL})
+UNION ALL
+SELECT 'ols', l_returnflag, slope, intercept, r2, CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_Q25_OLS_SQL})
 """
 
 

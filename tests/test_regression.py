@@ -1,0 +1,53 @@
+"""Grouped OLS vs closed-form / numpy reference."""
+
+from __future__ import annotations
+
+from stepist_spark.operators.regression import grouped_ols
+
+
+def _fit(spark, rows, scale=10**6):
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    return {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in grouped_ols(df, ["g"], "x", "y", scale).collect()
+    }
+
+
+class TestGroupedOls:
+    def test_exact_line(self, spark):
+        rows = [("a", float(x), 3.0 * x + 2.0) for x in range(10)]
+        n, slope, intercept, r2 = _fit(spark, rows)["a"]
+        assert (n, slope, intercept, r2) == (10, 3.0, 2.0, 1.0)
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+        ys = [2.1, 3.9, 6.2, 7.8, 10.1, 11.9]
+        got = _fit(spark, [("g", x, y) for x, y in zip(xs, ys)])["g"]
+        b, a = np.polyfit(xs, ys, 1)
+        assert abs(got[1] - b) < 1e-4
+        assert abs(got[2] - a) < 1e-4
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[3] - r * r) < 1e-4
+
+    def test_degenerate_groups(self, spark):
+        rows = [
+            ("one_point", 1.0, 5.0),
+            ("const_x", 2.0, 1.0),
+            ("const_x", 2.0, 9.0),
+            ("const_y", 1.0, 7.0),
+            ("const_y", 3.0, 7.0),
+        ]
+        got = _fit(spark, rows)
+        assert got["one_point"][1] is None            # n < 2
+        assert got["const_x"][1] is None              # zero x-variance
+        assert got["const_y"][1] == 0.0               # flat line fits
+        assert got["const_y"][3] is None              # r2 undefined
+
+    def test_independent_groups(self, spark):
+        rows = [("p", float(x), 2.0 * x) for x in range(5)] + [
+            ("q", float(x), -1.0 * x + 10.0) for x in range(5)
+        ]
+        got = _fit(spark, rows)
+        assert got["p"][1] == 2.0 and got["q"][1] == -1.0
