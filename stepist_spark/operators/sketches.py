@@ -570,3 +570,121 @@ def cms_estimate(
     return out.withColumn(estimate_col, F.least(*ests)).drop(
         *[f"_e{d}" for d in range(depth)]
     )
+
+
+# --------------------------------------------------------------------------
+# Log-linear quantile sketch — the mergeable-quantiles member of the
+# family (HLL: distinct, Bloom: membership, CMS: frequency; this:
+# "what's the p95"). The bucket layout is the public HdrHistogram /
+# DDSketch idea restated with PURE INTEGER arithmetic so both engines
+# agree bit-for-bit: values below 2^sub_bits land in exact unit
+# buckets; above, each power-of-two octave splits into 2^sub_bits
+# linear sub-buckets, giving relative error <= 2^-sub_bits at any
+# magnitude. Bucket index and bucket lower bound are integer
+# shift/divide expressions (floor(log2 v) comes from the BINARY STRING
+# LENGTH of v — no libm, whose last-ulp log() differences across
+# engines would flip boundary values into neighboring buckets).
+# Per-shard sketches merge by bucket-wise count sum — order-free,
+# exactly the pre-aggregate-then-merge shape of the other sketches.
+
+
+def qsketch_build(
+    df: DataFrame,
+    value_col: str,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Build the sketch: one ``(bucket, cnt, sub_bits)`` row per
+    non-empty bucket. ``value_col`` must be a NON-NEGATIVE bigint
+    (scale/offset upstream). One projection + one map-side-combined
+    hash aggregate; the sketch is at most ~64 * 2^sub_bits rows."""
+    sb = 1 << sub_bits
+    v = F.col(value_col).cast("bigint")
+    o = (F.length(F.conv(v, 10, 2)) - 1).cast("bigint")
+    sub = F.expr(
+        f"{value_col} DIV shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(length(conv({value_col}, 10, 2)) - 1 - {sub_bits} AS INT)) - {sb}"
+    )
+    bucket = F.when(v < sb, v).otherwise(o * sb + sub).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select("bucket", "cnt", F.lit(sub_bits).cast("int").alias("sub_bits"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches by bucket-wise count sum; mismatched
+    ``sub_bits`` stamps raise at evaluation time."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    merged = out.groupBy("bucket", "sub_bits").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    return merged.select(
+        "bucket", "cnt", _uniform_stamp("sub_bits", "qsketch_merge")
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    quantiles: Sequence[tuple[int, int]],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile estimates from the sketch: for each rational
+    ``(q_num, q_den)``, the LOWER BOUND of the bucket containing the
+    rank-``ceil(q*n)`` element (clamped to rank >= 1). The estimate is
+    an under-approximation within relative error 2^-sub_bits.
+
+    Output: ``q_num, q_den, est, n`` — one row per requested quantile.
+    One cumulative window over the (tiny) bucket table per call.
+    """
+    from pyspark.sql import Window
+
+    sb = 1 << sub_bits
+    sk = _probe_ready(sketch, {"sub_bits": sub_bits})
+    guarded = "sub_bits" in sk.columns
+    cnt = (
+        _stamp_guard(F.col("cnt"), {"sub_bits": sub_bits}, "qsketch_quantiles")
+        if guarded
+        else F.col("cnt")
+    )
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sk.select(
+        "bucket",
+        F.sum(cnt).over(w).alias("cum"),
+        F.sum(cnt).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    # bucket lower bound: exact region is the value itself; above,
+    # (2^sb + sub) << (octave - sub_bits)
+    lb = F.when(F.col("bucket") < sb, F.col("bucket")).otherwise(
+        F.expr(
+            f"shiftleft(CAST({sb} + bucket % {sb} AS BIGINT), "
+            f"CAST(bucket DIV {sb} - {sub_bits} AS INT))"
+        )
+    )
+    parts = []
+    for q_num, q_den in quantiles:
+        rank = F.expr(f"greatest(CAST(1 AS BIGINT), ({q_num} * n + {q_den} - 1) DIV {q_den})")
+        hit = cum.filter(F.col("cum") >= rank).select(
+            F.lit(q_num).cast("int").alias("q_num"),
+            F.lit(q_den).cast("int").alias("q_den"),
+            lb.alias("_lb"),
+            "n",
+        )
+        parts.append(
+            hit.groupBy("q_num", "q_den").agg(
+                F.min("_lb").alias("est"), F.max("n").alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -793,11 +793,39 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     pctl = _disc_median(samp, "pctl_sample")
     pctl_exact = _disc_median(base, "pctl_exact")
 
+    # mergeable QUANTILE sketch (log-linear integer buckets): the full
+    # bucket table certified word-for-word + the rank-located quantile
+    # estimates, both hash-gated
+    prices = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c")
+    )
+    qsk = sketches.qsketch_build(prices, "price_c", sub_bits=5).localCheckpoint(
+        eager=False
+    )
+    qsk_cells = qsk.select(
+        F.lit("qsk_cells").alias("part"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("cnt").cast("double").alias("est"),
+    )
+    qsk_est = sketches.qsketch_quantiles(
+        qsk, [(1, 2), (9, 10), (99, 100)], sub_bits=5
+    ).select(
+        F.lit("qsk_est").alias("part"),
+        F.concat(F.col("q_num").cast("string"), F.lit("/"), F.col("q_den").cast("string")).alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("est").cast("double").alias("est"),
+    )
+
     return (
         fine.unionByName(rolled)
         .unionByName(exact)
         .unionByName(pctl)
         .unionByName(pctl_exact)
+        .unionByName(qsk_cells)
+        .unionByName(qsk_est)
     )
 
 
@@ -848,6 +876,29 @@ WITH fine_regs AS (
 rolled_regs AS (
     SELECT l_returnflag, bucket, max(reg) AS reg
     FROM fine_regs GROUP BY l_returnflag, bucket
+),
+qsk_cells_t AS (
+    SELECT bucket, count(*) AS cnt FROM (
+        SELECT CASE WHEN v < 32 THEN v
+                    ELSE (length(format('{{:b}}', v)) - 1) * 32
+                         + v // (1::BIGINT << CAST(length(format('{{:b}}', v)) - 1 - 5 AS INT)) - 32
+               END AS bucket
+        FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem)
+    ) GROUP BY bucket
+),
+qsk_cum AS (
+    SELECT bucket,
+           sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER () AS n
+    FROM qsk_cells_t
+),
+qsk_lb AS (
+    SELECT bucket, cum, n,
+           CASE WHEN bucket < 32 THEN bucket
+                ELSE CAST(32 + bucket % 32 AS BIGINT)
+                     << CAST(bucket // 32 - 5 AS INT)
+           END AS lb
+    FROM qsk_cum
 )
 SELECT 'fine' AS part, l_returnflag AS k1, l_linestatus AS k2, est FROM (
     {est("l_returnflag, l_linestatus", "l_returnflag, l_linestatus", "fine_regs")}
@@ -877,6 +928,19 @@ SELECT 'pctl_exact', l_returnflag, CAST(NULL AS VARCHAR), est FROM (
            count(*) OVER (PARTITION BY l_returnflag) AS n
     FROM lineitem
 ) WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+UNION ALL
+SELECT 'qsk_cells', CAST(bucket AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(cnt AS DOUBLE)
+FROM qsk_cells_t
+UNION ALL
+SELECT 'qsk_est', '1/2', CAST(NULL AS VARCHAR), CAST(min(lb) AS DOUBLE)
+FROM qsk_lb WHERE cum >= greatest(1, (1 * n + 2 - 1) // 2)
+UNION ALL
+SELECT 'qsk_est', '9/10', CAST(NULL AS VARCHAR), CAST(min(lb) AS DOUBLE)
+FROM qsk_lb WHERE cum >= greatest(1, (9 * n + 10 - 1) // 10)
+UNION ALL
+SELECT 'qsk_est', '99/100', CAST(NULL AS VARCHAR), CAST(min(lb) AS DOUBLE)
+FROM qsk_lb WHERE cum >= greatest(1, (99 * n + 100 - 1) // 100)
 """
 
 

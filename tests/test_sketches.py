@@ -351,3 +351,64 @@ class TestProbeAfterMerge:
             ).collect()
         }
         assert est == {f"k{i}": 10 for i in range(7)}
+
+
+class TestQuantileSketch:
+    def _vals(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "x bigint")
+
+    def test_relative_error_bound(self, spark):
+        import random
+
+        from stepist_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+        rng = random.Random(11)
+        vals = [rng.randrange(0, 10**7) for _ in range(4000)]
+        sk = qsketch_build(self._vals(spark, vals), "x", sub_bits=5)
+        qs = [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+        got = {
+            (r["q_num"], r["q_den"]): (r["est"], r["n"])
+            for r in qsketch_quantiles(sk, qs, sub_bits=5).collect()
+        }
+        sv = sorted(vals)
+        for (qn, qd), (est, n) in got.items():
+            assert n == len(vals)
+            rank = max(1, -(-qn * n // qd))
+            true = sv[rank - 1]
+            assert est <= true  # lower-bound estimator never overshoots
+            assert true - est <= max(true / 32, 1)  # 2^-sub_bits relative
+
+    def test_exact_region_is_exact(self, spark):
+        from stepist_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+        vals = list(range(32)) * 3  # all below 2^sub_bits
+        sk = qsketch_build(self._vals(spark, vals), "x", sub_bits=5)
+        est = qsketch_quantiles(sk, [(1, 2)], sub_bits=5).collect()[0]["est"]
+        sv = sorted(vals)
+        assert est == sv[max(1, -(-len(vals) // 2)) - 1]
+
+    def test_merge_equals_direct(self, spark):
+        from stepist_spark.operators.sketches import qsketch_build, qsketch_merge
+
+        vals = [v * 37 % 100000 for v in range(2000)]
+        df = self._vals(spark, vals)
+        direct = qsketch_build(df, "x")
+        merged = qsketch_merge(
+            qsketch_build(df.filter("x % 3 = 0"), "x"),
+            qsketch_build(df.filter("x % 3 = 1"), "x"),
+            qsketch_build(df.filter("x % 3 = 2"), "x"),
+        )
+        a = sorted(map(tuple, direct.select("bucket", "cnt").collect()))
+        b = sorted(map(tuple, merged.select("bucket", "cnt").collect()))
+        assert a == b
+
+    def test_mismatched_sub_bits_raises(self, spark):
+        from stepist_spark.operators.sketches import qsketch_build, qsketch_merge
+
+        df = self._vals(spark, [1, 100, 10000])
+        m = qsketch_merge(qsketch_build(df, "x", 5), qsketch_build(df, "x", 6))
+        try:
+            m.collect()
+            raise AssertionError("expected mixed-stamp merge to raise")
+        except Exception as ex:
+            assert "merge" in str(ex).lower() or "parameter" in str(ex).lower()
