@@ -6,6 +6,40 @@ where possible, broadcast for small sides, LSH bucketing for the
 quadratic problems (near-dup, ANN).
 """
 
-from stepist_spark.operators import asof, dedup, multimodal, similarity, sketches, skew, topk
+from stepist_spark.operators import (
+    anomaly,
+    asof,
+    cdc,
+    clusters,
+    dedup,
+    graphs,
+    integrity,
+    layout,
+    multimodal,
+    profiling,
+    regression,
+    similarity,
+    sketches,
+    skew,
+    timeseries,
+    topk,
+)
 
-__all__ = ["asof", "dedup", "multimodal", "similarity", "sketches", "skew", "topk"]
+__all__ = [
+    "anomaly",
+    "asof",
+    "cdc",
+    "clusters",
+    "dedup",
+    "graphs",
+    "integrity",
+    "layout",
+    "multimodal",
+    "profiling",
+    "regression",
+    "similarity",
+    "sketches",
+    "skew",
+    "timeseries",
+    "topk",
+]
