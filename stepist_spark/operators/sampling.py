@@ -316,3 +316,69 @@ def deterministic_shuffle(
         .withColumn(out_col, (F.col("_offset") + F.col("_local")).cast("bigint"))
         .drop("_h", "_pid", "_local", "_offset")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — priority
+    sampling (Duffield, Lund & Thorup, JACM'07, public): each row gets
+    priority weight/u for a uniform u, and the k highest priorities per
+    group are kept, so selection probability rises with weight while
+    every row keeps a nonzero chance.
+
+    Engine-portable determinism: u is the repo-wide portable md5 hash
+    of the id (salted ':wps'), and the ranking key is the integer
+    quantization ``(u * 10^6) DIV weight`` — comparing u/weight ratios
+    without any floating-point division, so Spark and an oracle agree
+    on EXACTLY which rows are kept (ties break by id). Weights must be
+    positive integers; rows with weight <= 0 are dropped.
+
+    One window sort per group over the input — same shape as top-k.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    u = hashing.word_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":wps"))
+    ).cast("bigint")
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wnum", (u * F.lit(1_000_000)).cast("bigint"))
+        .withColumn("_wkey", F.expr(f"_wnum DIV {weight_col}"))
+        .drop("_wnum")
+    )
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("_wrn", F.row_number().over(w))
+        .filter(F.col("_wrn") <= k)
+        .drop("_wkey", "_wrn")
+    )
+
+
+def weighted_priority_sample_sql(
+    table_sql: str,
+    id_expr: str,
+    weight_expr: str,
+    k: int,
+    group_exprs: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`weighted_priority_sample`."""
+    g = ", ".join(group_exprs or [])
+    part = f"PARTITION BY {g}" if g else ""
+    h = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR) || ':wps'")
+    return f"""
+SELECT * EXCLUDE (_wkey, _wrn) FROM (
+    SELECT *, row_number() OVER ({part} ORDER BY _wkey, {id_expr}) AS _wrn
+    FROM (
+        SELECT *, (CAST({h} AS BIGINT) * 1000000) // ({weight_expr}) AS _wkey
+        FROM ({table_sql}) WHERE ({weight_expr}) > 0
+    )
+) WHERE _wrn <= {k}
+"""

@@ -392,7 +392,22 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.lit(None).cast("string").alias("split"),
     )
-    return split.unionByName(mix)
+    # weighted sampling WITHOUT replacement (priority sampling): 8 docs
+    # per lang, weighted by text length — longer docs proportionally
+    # likelier, selection decided by exact integer keys
+    weighted = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", F.length("text").cast("bigint").alias("w")
+    )
+    wps = sampling.weighted_priority_sample(
+        weighted, "doc_id", "w", 8, group_cols=["lang"]
+    ).select(
+        F.lit("wps").alias("part"),
+        "doc_id",
+        "source",
+        "lang",
+        F.lit(None).cast("string").alias("split"),
+    )
+    return split.unionByName(mix).unionByName(wps)
 
 
 def _t13_sql() -> str:
@@ -409,6 +424,14 @@ def _t13_sql() -> str:
         "documents", "lang", "doc_id", MIX_TARGETS,
         select_cols="doc_id, source, lang",
     )
+    wps = sampling.weighted_priority_sample_sql(
+        "SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS w "
+        "FROM documents",
+        "doc_id",
+        "w",
+        8,
+        group_exprs=["lang"],
+    )
     return f"""
 SELECT 'split' AS part, doc_id, source, lang,
        {sampling.split_label_sql('doc_id')} AS split
@@ -416,6 +439,9 @@ FROM ({inner})
 UNION ALL
 SELECT 'mix', doc_id, source, lang, CAST(NULL AS VARCHAR)
 FROM ({mix})
+UNION ALL
+SELECT 'wps', doc_id, source, lang, CAST(NULL AS VARCHAR)
+FROM (SELECT doc_id, source, lang FROM ({wps}))
 """
 
 

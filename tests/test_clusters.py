@@ -78,3 +78,31 @@ class TestSampling:
         df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, src string")
         out = sampling.stratified_sample(df, "src", "doc_id", 5)
         assert out.count() == 3
+
+
+class TestWeightedPrioritySample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, w bigint")
+
+    def test_deterministic_and_partition_independent(self, spark):
+        rows = [(i, (i % 7) + 1) for i in range(300)]
+        a = sampling.weighted_priority_sample(self._df(spark, rows), "doc_id", "w", 20)
+        b = sampling.weighted_priority_sample(
+            self._df(spark, rows).repartition(7), "doc_id", "w", 20
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        assert a.count() == 20
+
+    def test_heavier_items_overrepresented(self, spark):
+        rows = [(i, 1) for i in range(1000)] + [(i, 10) for i in range(1000, 2000)]
+        out = sampling.weighted_priority_sample(self._df(spark, rows), "doc_id", "w", 200)
+        heavy = out.filter("w = 10").count()
+        # expectation ~10/11 of the sample; demand a clear majority
+        assert heavy > 140
+
+    def test_nonpositive_weights_dropped_and_small_groups_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 0), (3, "b", 2)], "doc_id bigint, g string, w bigint"
+        )
+        out = sampling.weighted_priority_sample(df, "doc_id", "w", 10, group_cols=["g"])
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
