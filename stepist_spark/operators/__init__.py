@@ -18,9 +18,11 @@ from stepist_spark.operators import (
     multimodal,
     profiling,
     regression,
+    sessions,
     similarity,
     sketches,
     skew,
+    skyline,
     timeseries,
     topk,
 )
@@ -37,9 +39,11 @@ __all__ = [
     "multimodal",
     "profiling",
     "regression",
+    "sessions",
     "similarity",
     "sketches",
     "skew",
+    "skyline",
     "timeseries",
     "topk",
 ]

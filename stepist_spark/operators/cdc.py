@@ -24,8 +24,10 @@ last-write-wins per job id) restated as set semantics.
 Determinism contract (for the oracle gate): ties on ``seq_col`` break
 by operation precedence (delete wins over upsert, so replaying a
 batch that deletes-then-reinserts at the same seq is stable) and then
-by the ordering of ``tie_cols``; pass a unique ``seq_col`` to make the
-tie-break irrelevant.
+by ascending order over the optional ``tie_cols`` columns. WITHOUT
+``tie_cols``, two same-op changes for one key at the same seq resolve
+arbitrarily (row_number over an underdetermined order) — pass a unique
+``seq_col`` or ``tie_cols`` whenever the stream can carry such ties.
 """
 
 from __future__ import annotations
@@ -46,13 +48,16 @@ def latest_changes(
     key_cols: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Collapse a change stream to one latest-wins row per key.
 
     Highest ``seq_col`` wins; on equal seq a delete outranks an
     insert/update (op descending happens to order D > U > I in ASCII —
     we make that explicit with a precedence column so the contract
-    survives renamed op codes).
+    survives renamed op codes); remaining ties order ascending by
+    ``tie_cols``. With no ``tie_cols``, same-key/same-seq/same-
+    precedence rows resolve arbitrarily — see the module contract.
     """
     prec = (
         F.when(F.col(op_col) == OP_DELETE, F.lit(2))
@@ -60,7 +65,9 @@ def latest_changes(
         .otherwise(F.lit(0))
     )
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
-        F.col(seq_col).desc(), prec.desc()
+        F.col(seq_col).desc(),
+        prec.desc(),
+        *[F.col(c).asc() for c in tie_cols],
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
@@ -75,6 +82,7 @@ def apply_changes(
     key_cols: Sequence[str],
     seq_col: str = "seq",
     op_col: str = "op",
+    tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Apply a CDC change stream to a target snapshot; returns the new
     snapshot with the target's schema.
@@ -82,9 +90,11 @@ def apply_changes(
     Inserts of keys already present behave as updates (upsert
     semantics); deletes of absent keys are no-ops. The change stream
     must carry every target column plus ``seq_col`` and ``op_col``.
+    ``tie_cols`` forwards to :func:`latest_changes` for same-seq
+    determinism.
     """
     key_cols = list(key_cols)
-    latest = latest_changes(changes, key_cols, seq_col, op_col)
+    latest = latest_changes(changes, key_cols, seq_col, op_col, tie_cols)
     upserts = latest.filter(F.col(op_col) != OP_DELETE).select(*target.columns)
     untouched = target.join(
         latest.select(*key_cols), on=key_cols, how="left_anti"

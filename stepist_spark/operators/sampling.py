@@ -246,7 +246,12 @@ def mixture_resample_sql(
     select_cols: str = "*",
 ) -> str:
     """DuckDB mirror of :func:`mixture_resample` — same expression tree
-    in the same order, so the kept rows hash-match."""
+    in the same order, so the kept rows hash-match.
+
+    The helper ``_rate`` column is filtered on inside the subquery and
+    never projected, so the default ``select_cols='*'`` returns exactly
+    the input columns — matching the Spark side's ``.drop('_rate')``
+    (round-4 ADVICE: the old shape leaked ``_rate`` through ``*``)."""
     vals = ", ".join(f"('{k}', {float(v)!r})" for k, v in sorted(targets.items()))
     h = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR) || ':mix'")
     return f"""
@@ -258,9 +263,9 @@ SELECT {select_cols} FROM (
     _rates AS (
         SELECT _g, least(1.0, (SELECT _scale FROM _sc) * _p / _n) AS _rate FROM _j
     )
-    SELECT t.*, _rate FROM {table} t JOIN _rates ON t.{group_expr} = _rates._g
+    SELECT t.* FROM {table} t JOIN _rates ON t.{group_expr} = _rates._g
+    WHERE ({h}) % {buckets} < floor(_rate * {buckets})
 )
-WHERE ({h}) % {buckets} < floor(_rate * {buckets})
 """
 
 
@@ -331,24 +336,36 @@ def weighted_priority_sample(
     group are kept, so selection probability rises with weight while
     every row keeps a nonzero chance.
 
-    Engine-portable determinism: u is the repo-wide portable md5 hash
-    of the id (salted ':wps'), and the ranking key is the integer
-    quantization ``(u * 10^6) DIV weight`` — comparing u/weight ratios
-    without any floating-point division, so Spark and an oracle agree
-    on EXACTLY which rows are kept (ties break by id). Weights must be
-    positive integers; rows with weight <= 0 are dropped.
+    Engine-portable determinism: u is a 63-bit uniform composed from
+    two repo-wide portable md5 hashes of the id (salts ':wps' and
+    ':wps2' — ``h1 * 2^31 + (h2 % 2^31)``, which tops out at exactly
+    2^63 - 1, the bigint max), and the ranking key is the integer
+    quantization ``u DIV weight`` — comparing u/weight ratios without
+    any floating-point division, so Spark and an oracle agree on
+    EXACTLY which rows are kept (ties break by id). Weights must be
+    positive integers; rows with weight <= 0 are dropped. Resolution:
+    the key keeps ~2^63/weight distinct values, so weights up to ~10^12
+    still discriminate at >= ~9×10^6 levels; beyond ~10^17 the id
+    tiebreak starts to dominate (round-4 ADVICE: the old 32-bit u lost
+    discrimination near weight ~10^6).
 
     One window sort per group over the input — same shape as top-k.
     """
     from pyspark.sql import Window
 
     gcols = list(group_cols or [])
-    u = hashing.word_hash32(
+    u1 = hashing.word_hash32(
         F.concat(F.col(id_col).cast("string"), F.lit(":wps"))
+    ).cast("bigint")
+    u2 = hashing.word_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":wps2"))
     ).cast("bigint")
     keyed = (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("_wnum", (u * F.lit(1_000_000)).cast("bigint"))
+        .withColumn(
+            "_wnum",
+            (u1 * F.lit(2_147_483_648) + (u2 % F.lit(2_147_483_648))).cast("bigint"),
+        )
         .withColumn("_wkey", F.expr(f"_wnum DIV {weight_col}"))
         .drop("_wnum")
     )
@@ -372,12 +389,14 @@ def weighted_priority_sample_sql(
     """DuckDB mirror of :func:`weighted_priority_sample`."""
     g = ", ".join(group_exprs or [])
     part = f"PARTITION BY {g}" if g else ""
-    h = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR) || ':wps'")
+    h1 = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR) || ':wps'")
+    h2 = hashing.word_hash32_sql(f"CAST({id_expr} AS VARCHAR) || ':wps2'")
     return f"""
 SELECT * EXCLUDE (_wkey, _wrn) FROM (
     SELECT *, row_number() OVER ({part} ORDER BY _wkey, {id_expr}) AS _wrn
     FROM (
-        SELECT *, (CAST({h} AS BIGINT) * 1000000) // ({weight_expr}) AS _wkey
+        SELECT *, (CAST({h1} AS BIGINT) * 2147483648
+                   + (CAST({h2} AS BIGINT) % 2147483648)) // ({weight_expr}) AS _wkey
         FROM ({table_sql}) WHERE ({weight_expr}) > 0
     )
 ) WHERE _wrn <= {k}

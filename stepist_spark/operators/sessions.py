@@ -1,0 +1,134 @@
+"""Batch sessionization: gap-based session assignment over an event
+log — the batch twin of the streaming session window
+(`streaming/windows.py` session_agg): a user's events belong to one
+session until the gap to the next event exceeds the threshold; then a
+new session starts.
+
+The reference has no event analytics at all (SURVEY.md §2.2 — its
+"stream" is a Redis list, `stepist/flow/libs/simple_queue.py:15-77`);
+this is the LLM/product-analytics extension surface.
+
+Spark-first shape: ONE user-partitioned window sort over the events
+(lag to find boundaries, a running sum of boundary flags to number
+sessions), then a per-session hash aggregate for the stats. No
+self-joins, no per-session scans; at 100 TB the cost is one shuffle
+on ``user_col`` — and the same exchange serves both the window and
+the aggregate (groupBy(user, session) is a superset of the window's
+partition key, so the sort output is reused).
+
+Cross-engine determinism: all time arithmetic is INTEGER MICROSECONDS
+(Spark ``unix_micros`` == DuckDB ``epoch_us``) — Spark's
+``unix_timestamp`` truncates sub-second parts while DuckDB's
+``epoch()`` returns a fractional double, so second-level math would
+disagree on any event log with sub-second timestamps. Events are
+ordered by (ts, tiebreak_col) inside each user, so same-timestamp
+events get a stable order on any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_sec: int,
+    tiebreak_col: str,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Append ``session_col``: the user's 1-based session number.
+
+    A session boundary falls BEFORE any event whose gap to the user's
+    previous event is STRICTLY greater than ``gap_sec`` (an event
+    exactly ``gap_sec`` later still extends the session — matching
+    Spark's ``session_window`` close-on-exceed semantics). The gap
+    compares exact integer microseconds.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    gap_us = us - prev
+    boundary = F.when(prev.isNull() | (gap_us > gap_sec * _US), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_sec: int,
+    tiebreak_col: str,
+    agg_exprs: Sequence["F.Column"] = (),
+) -> DataFrame:
+    """Per-session summary: one row per (user, session) with
+    ``n_events``, ``session_start``/``session_end``, the integer
+    ``duration_sec`` (floor of the exact microsecond span), plus any
+    caller ``agg_exprs``.
+
+    One window pass (:func:`sessionize`) + one hash aggregate on
+    (user, session) — co-partitioned with the window exchange.
+    """
+    s = sessionize(df, user_col, ts_col, gap_sec, tiebreak_col)
+    span_us = F.unix_micros(F.max(ts_col).cast("timestamp")) - F.unix_micros(
+        F.min(ts_col).cast("timestamp")
+    )
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        span_us.cast("bigint").alias("_span_us"),
+        *agg_exprs,
+    ).withColumn(
+        "duration_sec", F.expr(f"_span_us DIV {_US}")
+    ).drop("_span_us")
+
+
+def session_stats_sql(
+    table_sql: str,
+    user_expr: str,
+    ts_expr: str,
+    gap_sec: int,
+    tiebreak_expr: str,
+    extra_aggs: str = "",
+) -> str:
+    """DuckDB mirror of :func:`session_stats` — identical boundary
+    rule (strict >, integer-microsecond gap), identical tiebreak."""
+    extra = f", {extra_aggs}" if extra_aggs else ""
+    return f"""
+SELECT {user_expr} AS u, session_idx, count(*) AS n_events,
+       min({ts_expr}) AS session_start, max({ts_expr}) AS session_end,
+       (epoch_us(max({ts_expr})) - epoch_us(min({ts_expr}))) // {_US}
+           AS duration_sec{extra}
+FROM (
+    SELECT *, CAST(sum(_boundary) OVER (
+        PARTITION BY {user_expr} ORDER BY {ts_expr}, {tiebreak_expr}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_idx
+    FROM (
+        SELECT *, CASE WHEN _prev_us IS NULL
+                        OR epoch_us({ts_expr}) - _prev_us > {gap_sec * _US}
+                   THEN 1 ELSE 0 END AS _boundary
+        FROM (
+            SELECT *, lag(epoch_us({ts_expr})) OVER (
+                PARTITION BY {user_expr} ORDER BY {ts_expr}, {tiebreak_expr}
+            ) AS _prev_us
+            FROM ({table_sql})
+        )
+    )
+)
+GROUP BY 1, 2
+"""

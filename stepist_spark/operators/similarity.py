@@ -747,3 +747,60 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         )
     )
     return bound.select(id_col, q.alias("qvec"), "max_abs")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for
+    each anchor, the k most-similar corpus vectors with a DIFFERENT
+    label — the negatives nearest the decision boundary, which carry
+    most of the training signal (the dense-retrieval mining recipe of
+    DPR, Karpukhin et al. 2020, public).
+
+    Exact path (this function): broadcast anchors × one corpus scan —
+    the brute_force_topk shape with the label-mismatch predicate
+    applied BEFORE the cosine, so same-label rows never pay the
+    O(d) similarity. At 100 TB with a large anchor set, bound the
+    candidates first (ivf_assign both sides, equi-join on cluster —
+    the semantic_dedup shape) and feed each cluster's slice through
+    the same predicate; the per-anchor window is unchanged.
+
+    Output: ``query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim`` (6 dp), k rows per anchor, deterministic
+    (cos_sim desc, neighbor_id) tiebreak.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        V.to_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        V.to_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -339,6 +339,29 @@ def _uniform_stamp(name: str, what: str) -> "F.Column":
     ).alias(name)
 
 
+def _uniform_guard(value: "F.Column", names: list[str], what: str) -> "F.Column":
+    """Pruning-proof companion to :func:`_uniform_stamp`: fold the
+    mismatched-shard condition into the DATA column itself, so the
+    check survives even when a consumer never references the stamp
+    columns (round-4 ADVICE: ``bloom_merge(a, b).select('word_idx',
+    'word')`` let Catalyst column-prune the stamp guard away and a
+    mismatched merge could silently emit a false-negative bitmap).
+    Same whole-frame window as ``_uniform_stamp`` — Catalyst plans the
+    shared window spec once, so this adds no extra pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    cond = F.lit(True)
+    for name in names:
+        cond = cond & (F.min(name).over(w) == F.max(name).over(w))
+    return F.when(cond, value).otherwise(
+        F.raise_error(
+            f"{what}: shards were built with mismatched {'/'.join(names)} — "
+            "sketches only merge when build parameters agree"
+        )
+    )
+
+
 def bloom_build(
     df: DataFrame,
     value_col: str,
@@ -383,7 +406,9 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     )
     return merged.select(
         "word_idx",
-        "word",
+        _uniform_guard(
+            F.col("word"), ["m_bits", "n_hashes"], "bloom_merge"
+        ).alias("word"),
         _uniform_stamp("m_bits", "bloom_merge"),
         _uniform_stamp("n_hashes", "bloom_merge"),
     )
@@ -519,7 +544,7 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return merged.select(
         "row_idx",
         "col_idx",
-        "cnt",
+        _uniform_guard(F.col("cnt"), ["depth", "width"], "cms_merge").alias("cnt"),
         _uniform_stamp("depth", "cms_merge"),
         _uniform_stamp("width", "cms_merge"),
     )
@@ -623,7 +648,9 @@ def qsketch_merge(*sketches: DataFrame) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("cnt")
     )
     return merged.select(
-        "bucket", "cnt", _uniform_stamp("sub_bits", "qsketch_merge")
+        "bucket",
+        _uniform_guard(F.col("cnt"), ["sub_bits"], "qsketch_merge").alias("cnt"),
+        _uniform_stamp("sub_bits", "qsketch_merge"),
     )
 
 

@@ -817,10 +817,13 @@ C03_SQL = _c03_sql()
 # `stepist/flow/libs/simple_queue.py:49-60`) restated as files.
 def _cdc_fixture(spark: SparkSession, sf: str):
     """Deterministic CDC fixture carved from orders: a target snapshot
-    (every 10th key) plus a two-wave change stream (every 5th key at
+    (every 10th key) plus a three-wave change stream (every 5th key at
     seq 1 with mixed I/U/D ops; every 15th key again at seq 2 as an
-    update) — so the merge exercises upsert-of-existing, insert-of-new,
-    delete, AND latest-wins override of a wave-1 delete."""
+    update, TWICE with different payloads) — so the merge exercises
+    upsert-of-existing, insert-of-new, delete, latest-wins override of
+    a wave-1 delete, AND a same-seq/same-op tie that only the
+    ``tie_cols`` contract resolves deterministically (round-4 ADVICE:
+    the contract used to be promised but unimplemented)."""
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", F.ascii("o_orderstatus").alias("_st")
     )
@@ -846,7 +849,16 @@ def _cdc_fixture(spark: SparkSession, sf: str):
         F.lit(2).alias("seq"),
         F.lit("U").alias("op"),
     )
-    return target, chg1.unionByName(chg2)
+    # same keys, same seq, same op, different payload: a true tie that
+    # tie_cols=["ck"] must resolve to the smaller ck (here the +11 row)
+    chg3 = o.filter(F.col("o_orderkey") % 15 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") + 11).cast("bigint").alias("ck"),
+        (F.col("_st") + 3).cast("bigint").alias("st"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return target, chg1.unionByName(chg2).unionByName(chg3)
 
 
 # w01 — sink/merge family, two tag-union parts:
@@ -894,7 +906,7 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("min_quality_scaled").cast("bigint").alias("v3"),
     )
     target, changes = _cdc_fixture(spark, sf)
-    merged = cdc.apply_changes(target, changes, ["k"], "seq", "op")
+    merged = cdc.apply_changes(target, changes, ["k"], "seq", "op", tie_cols=["ck"])
     cdc_part = merged.select(
         F.lit("cdc").alias("part"),
         F.col("k").cast("string").alias("k"),
@@ -905,7 +917,7 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     base_agg = target.groupBy("st").agg(
         F.count(F.lit(1)).alias("n"), F.sum("ck").alias("ck")
     )
-    latest = cdc.latest_changes(changes, ["k"], "seq", "op")
+    latest = cdc.latest_changes(changes, ["k"], "seq", "op", tie_cols=["ck"])
     removed = target.join(latest.select("k"), "k", "semi")
     added = latest.filter(F.col("op") != cdc.OP_DELETE).select("k", "ck", "st")
     mv_part = cdc.incremental_agg(
@@ -955,13 +967,19 @@ cdc_changes AS (
     SELECT o_orderkey, CAST(o_custkey + 13 AS BIGINT),
            CAST(ascii(o_orderstatus) + 2 AS BIGINT), 2, 'U'
     FROM orders WHERE o_orderkey % 15 = 0
+    UNION ALL
+    -- same key/seq/op, different payload: the tie_cols=['ck'] witness
+    SELECT o_orderkey, CAST(o_custkey + 11 AS BIGINT),
+           CAST(ascii(o_orderstatus) + 3 AS BIGINT), 2, 'U'
+    FROM orders WHERE o_orderkey % 15 = 0
 ),
 cdc_latest AS (
     SELECT * FROM (
         SELECT *, row_number() OVER (
             PARTITION BY k
             ORDER BY seq DESC,
-                     CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC
+                     CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC,
+                     ck ASC
         ) AS rn
         FROM cdc_changes
     ) WHERE rn = 1

@@ -25,10 +25,29 @@ N_QUERY = 8
 # v01 — brute-force exact cosine top-k for the first N_QUERY vectors,
 # tag-unioned (round 3) with the banded-LSH approximate top-k (former
 # v04) — same output shape, exact vs sub-linear scale path in one gate.
+# Round 5 adds the 'hardneg' part: hard-negative mining (top-k nearest
+# DIFFERENT-label corpus vectors per anchor — similarity.hard_negatives);
+# the extra xk column carries the neighbor label the oracle recomputes.
 def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    no_xk = F.lit(None).cast("bigint").alias("xk")
     exact = _v01_exact(spark, sf).withColumn("part", F.lit("exact"))
     lsh = v04_lsh_topk(spark, sf).withColumn("part", F.lit("lsh"))
-    return exact.unionByName(lsh).select("part", "query_id", "neighbor_id", "cos_sim")
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_QUERY)
+    hn = similarity.hard_negatives(
+        emb, anchors, "vec_id", "embedding", "label", k=K
+    ).select(
+        F.lit("hardneg").alias("part"),
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("neighbor_label").cast("bigint").alias("xk"),
+    )
+    return (
+        exact.select("part", "query_id", "neighbor_id", "cos_sim", no_xk)
+        .unionByName(lsh.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
+        .unionByName(hn)
+    )
 
 
 def _v01_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -136,10 +155,30 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+V01HN_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERY}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           c.label AS neighbor_label, round({_COS}, 6) AS cos_sim
+    FROM q, e c WHERE q.label <> c.label
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(neighbor_label AS BIGINT) AS xk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn <= {K}
+"""
+
 V01_SQL = f"""
-SELECT 'exact' AS part, query_id, neighbor_id, cos_sim FROM ({V01X_SQL})
+SELECT 'exact' AS part, query_id, neighbor_id, cos_sim,
+       CAST(NULL AS BIGINT) AS xk
+FROM ({V01X_SQL})
 UNION ALL
-SELECT 'lsh', query_id, neighbor_id, cos_sim FROM ({V04_SQL})
+SELECT 'lsh', query_id, neighbor_id, cos_sim, CAST(NULL AS BIGINT)
+FROM ({V04_SQL})
+UNION ALL
+SELECT 'hardneg', query_id, neighbor_id, cos_sim, xk FROM ({V01HN_SQL})
 """
 
 

@@ -1651,6 +1651,22 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # batch sessionization (operators/sessions.py): gap-based session
+    # stats — one user-partitioned window + one co-partitioned agg;
+    # duration_sec certifies the integer-microsecond time math
+    from stepist_spark.operators.sessions import session_stats
+
+    se = session_stats(ev, "user_id", "ts", 1800, "event_id").select(
+        F.lit("sessionize").alias("part"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("session_idx")
+        ).alias("wkey"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("duration_sec").alias("sum_k"),
+        F.col("session_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -1659,6 +1675,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(fu.select("*", *nulls))
         .unionByName(tr.select("*", *nulls))
         .unionByName(co.select("*", *nulls))
+        .unionByName(se.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -1670,6 +1687,7 @@ def _q22m_sql() -> str:
         funnel_stages_sql,
         rolling_zscore_sql,
     )
+    from stepist_spark.operators.sessions import session_stats_sql
 
     az = rolling_zscore_sql(Q22_SQL, ["event_type"], "window_start", "n")
     fu = funnel_stages_sql(
@@ -1683,6 +1701,10 @@ def _q22m_sql() -> str:
     )
     co = cohort_retention_sql(
         "SELECT user_id, ts::TIMESTAMP AS ts FROM events", "user_id", "ts"
+    )
+    se = session_stats_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events",
+        "user_id", "ts", 1800, "event_id",
     )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
@@ -1712,6 +1734,12 @@ SELECT 'cohort', CAST(cohort_week AS VARCHAR), n_users,
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({co})
 UNION ALL
+SELECT 'sessionize', CAST(u AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR),
+       CAST(n_events AS BIGINT), CAST(NULL AS DOUBLE), duration_sec,
+       session_start, session_end,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({se})
+UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly
 FROM ({az})
@@ -1740,10 +1768,45 @@ def q24_subquery_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("trap_count").cast("bigint").alias("n1"),
         F.col("delta_from_mean").alias("d1"),
     )
-    return co.unionByName(il)
+    # skyline part (operators/skyline.py): per-priority Pareto frontier
+    # of orders minimizing (price cents, days since 1992-01-01) — the
+    # oracle verifies with the brute-force correlated NOT EXISTS, so
+    # the window formulation is checked against the subquery SEMANTICS,
+    # not a mirror of itself
+    from stepist_spark.operators.skyline import skyline
+
+    pts = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("y"),
+    )
+    sky = skyline(pts, "x", "y", ["o_orderpriority"]).select(
+        F.lit("skyline").alias("part"),
+        F.col("o_orderkey").cast("bigint").alias("k1"),
+        F.col("o_orderpriority").alias("s1"),
+        F.lit(None).cast("boolean").alias("b1"),
+        F.lit(None).cast("boolean").alias("b2"),
+        F.col("x").alias("n1"),
+        F.col("y").cast("double").alias("d1"),
+    )
+    return co.unionByName(il).unionByName(sky)
 
 
-Q24M_SQL = f"""
+def _q24m_sql() -> str:
+    from stepist_spark.operators.skyline import skyline_not_exists_sql
+
+    sky = skyline_not_exists_sql(
+        """SELECT o_orderkey AS k, o_orderpriority AS g,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                  CAST(date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+           FROM orders""",
+        "x", "y", ["g"], select_cols="a.k, a.g, a.x, a.y",
+    )
+    return f"""
 SELECT 'corr' AS part, CAST(c_custkey AS BIGINT) AS k1,
        CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS BOOLEAN) AS b1,
        CAST(NULL AS BOOLEAN) AS b2, CAST(c_nationkey AS BIGINT) AS n1,
@@ -1753,7 +1816,14 @@ UNION ALL
 SELECT 'inlist', CAST(s_suppkey AS BIGINT), s_name, in_region0,
        not_in_region1, CAST(trap_count AS BIGINT), delta_from_mean
 FROM ({Q32_SQL})
+UNION ALL
+SELECT 'skyline', CAST(k AS BIGINT), g, CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN), x, CAST(y AS DOUBLE)
+FROM ({sky})
 """
+
+
+Q24M_SQL = _q24m_sql()
 
 
 def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:

@@ -154,6 +154,14 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not counts:
+        # degenerate dataset (custom sf with no user_id % 8 == 0 rows):
+        # fail loudly with context instead of min() of an empty dict
+        raise ValueError(
+            f"s02 barrier part: events at {sf!r} has no rows with "
+            "user_id % 8 == 0 — the barrier discriminator needs a "
+            "non-empty subset"
+        )
     sabotaged = min(counts)  # this group stays one arrival short forever
     key = None
     for t, n in counts.items():

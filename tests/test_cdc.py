@@ -67,6 +67,15 @@ class TestApplyChanges:
         b = _snap(apply_changes(t.repartition(7), ch.repartition(5), ["k"]))
         assert a == b
 
+    def test_same_seq_same_op_tie_breaks_by_tie_cols(self, spark):
+        t = _target(spark, [(1, "a")])
+        # two U rows for the same key at the same seq: only the tie_cols
+        # contract makes the winner deterministic (ascending -> "m")
+        ch = _changes(spark, [(1, "x", 5, "U"), (1, "m", 5, "U")])
+        assert _snap(apply_changes(t, ch, ["k"], tie_cols=["v"])) == [(1, "m")]
+        got = latest_changes(ch.repartition(3), ["k"], tie_cols=["v"]).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(1, "m")]
+
     def test_latest_changes_keeps_full_row(self, spark):
         ch = _changes(spark, [(1, "x", 1, "U"), (1, "y", 2, "I"), (2, "z", 1, "U")])
         got = sorted(

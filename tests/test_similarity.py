@@ -295,3 +295,39 @@ class TestIvfPq:
             # every returned pair carries the same ADC score the
             # unpruned scorer assigns it
             assert all_scores[(r["query_id"], r["neighbor_id"])] == r["adc_dot"]
+
+
+class TestHardNegatives:
+    def test_matches_numpy_reference(self, emb, queries):
+        import numpy as np
+
+        rows = emb.select("vec_id", "embedding", "label").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        labels = {r["vec_id"]: r["label"] for r in rows}
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        got = similarity.hard_negatives(
+            emb, queries, "vec_id", "embedding", "label", k=3
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q in queries.collect():
+            sims = norm @ norm[list(ids).index(q["vec_id"])]
+            cand = sorted(
+                (
+                    (round(float(s), 6), int(i))
+                    for s, i in zip(sims, ids)
+                    if labels[int(i)] != q["label"]
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            mine = sorted(
+                ((r["cos_sim"], r["neighbor_id"]) for r in by_q[q["vec_id"]]),
+                key=lambda t: (-t[0], t[1]),
+            )
+            assert [(pytest.approx(s, abs=2e-6), i) for s, i in cand] == mine
+
+    def test_no_same_label_neighbors(self, emb, queries):
+        got = similarity.hard_negatives(emb, queries, "vec_id", "embedding", "label")
+        assert got.filter(F.col("query_label") == F.col("neighbor_label")).count() == 0

@@ -310,8 +310,40 @@ class TestSketchParamGuards:
             sketches.bloom_merge(a, b).collect()
         c1 = sketches.cms_build(df, "v", depth=4, width=256)
         c2 = sketches.cms_build(df, "v", depth=4, width=512)
-        with pytest.raises(Exception, match="mismatched width"):
+        with pytest.raises(Exception, match="mismatched depth/width"):
             sketches.cms_merge(c1, c2).collect()
+
+    def test_merge_mismatch_survives_stamp_column_pruning(self, spark):
+        # Round-4 ADVICE: selecting only the data columns let Catalyst
+        # prune the stamp-column guard and a mismatched merge silently
+        # produced a false-negative bitmap. The guard now rides the data
+        # column itself, so even a stamp-free consumer raises.
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        a = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        b = sketches.bloom_build(df, "v", m_bits=1 << 13, n_hashes=4)
+        pruned = sketches.bloom_merge(a, b).select("word_idx", "word")
+        with pytest.raises(Exception, match="mismatched m_bits/n_hashes"):
+            pruned.agg(F.sum("word")).collect()
+        c1 = sketches.cms_build(df, "v", depth=4, width=256)
+        c2 = sketches.cms_build(df, "v", depth=4, width=512)
+        with pytest.raises(Exception, match="mismatched depth/width"):
+            sketches.cms_merge(c1, c2).select("cnt").agg(F.sum("cnt")).collect()
+        q1 = sketches.qsketch_build(df.selectExpr("length(v) AS n"), "n", sub_bits=3)
+        q2 = sketches.qsketch_build(df.selectExpr("length(v) AS n"), "n", sub_bits=4)
+        with pytest.raises(Exception, match="mismatched sub_bits"):
+            sketches.qsketch_merge(q1, q2).select("cnt").agg(F.sum("cnt")).collect()
+
+    def test_merge_uniform_shards_unaffected_by_guard(self, spark):
+        df = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+        a = sketches.bloom_build(df.limit(2), "v", m_bits=1 << 12, n_hashes=4)
+        b = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        direct = sketches.bloom_build(df, "v", m_bits=1 << 12, n_hashes=4)
+        got = sorted(
+            (r.word_idx, r.word)
+            for r in sketches.bloom_merge(a, b).select("word_idx", "word").collect()
+        )
+        exp = sorted((r.word_idx, r.word) for r in direct.collect())
+        assert got == exp
 
     def test_merge_same_params_passes_guard(self, spark):
         df = spark.createDataFrame([("x",), ("y",)], "v string")
