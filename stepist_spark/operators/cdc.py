@@ -221,3 +221,80 @@ def snapshot_diff(
     return j.select(
         *key_cols, status.alias("status"), changed_arr.alias("changed_cols")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2: turn a change stream into a
+    VERSION HISTORY — one row per surviving version with
+    ``valid_from_seq`` (the change's seq), ``valid_to_seq`` (the next
+    change's seq for the key, NULL while current) and ``is_current``.
+    Deletes close the previous version's interval without opening one.
+    The warehouse "as of seq S" query is then a plain range predicate:
+    ``valid_from_seq <= S AND (valid_to_seq IS NULL OR S <
+    valid_to_seq)``.
+
+    Two window passes over the CHANGE SET only (never the snapshot):
+    collapse same-(key, seq) ties with :func:`latest_changes`'s
+    precedence contract (delete outranks upsert, then ascending
+    ``tie_cols``), then one ``lead`` over seq per key. Both hash on
+    ``key_cols`` — one exchange at any scale.
+    """
+    key_cols = list(key_cols)
+    prec = (
+        F.when(F.col(op_col) == OP_DELETE, F.lit(2))
+        .when(F.col(op_col) == OP_UPDATE, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w_tie = Window.partitionBy(
+        *[F.col(k) for k in key_cols], F.col(seq_col)
+    ).orderBy(prec.desc(), *[F.col(c).asc() for c in tie_cols])
+    collapsed = (
+        changes.withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_seq = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.col(seq_col).asc()
+    )
+    return (
+        collapsed.withColumn("valid_from_seq", F.col(seq_col).cast("bigint"))
+        .withColumn("valid_to_seq", F.lead(F.col(seq_col).cast("bigint")).over(w_seq))
+        .filter(F.col(op_col) != OP_DELETE)
+        .withColumn("is_current", F.col("valid_to_seq").isNull())
+    )
+
+
+def scd2_history_sql(
+    changes_sql: str,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    tie_cols: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`scd2_history` — same tie collapse, same
+    lead window."""
+    keys = ", ".join(key_cols)
+    ties = "".join(f", {c} ASC" for c in tie_cols)
+    prec = f"CASE {op_col} WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END"
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, CAST({seq_col} AS BIGINT) AS valid_from_seq,
+           lead(CAST({seq_col} AS BIGINT)) OVER (
+               PARTITION BY {keys} ORDER BY {seq_col} ASC
+           ) AS valid_to_seq
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {keys}, {seq_col}
+            ORDER BY {prec} DESC{ties}
+        ) AS _rn
+        FROM ({changes_sql})
+    ) WHERE _rn = 1
+)
+WHERE {op_col} <> 'D'
+"""

@@ -166,6 +166,50 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Exact set CONTAINMENT on candidate pairs — Broder's asymmetric
+    overlap c(A→B) = |A∩B| / |A| (public, "On the resemblance and
+    containment of documents", 1997). Distinct from Jaccard: a short
+    document quoted whole inside a long one scores containment 1.0 but
+    low resemblance — the signal for quotation/partial-copy detection
+    that symmetric near-dup scores miss.
+
+    Same single-join shape as :func:`jaccard_pairs` (sets land on the
+    bounded candidate set, JVM array intrinsics, one unrounded double
+    division per direction). Output: ``id_a, id_b, contain_a_in_b,
+    contain_b_in_a``.
+    """
+    from stepist_spark.session import spread
+
+    toked = spread(df).select(
+        F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_tk")
+    )
+    unit = hashing.shingles(F.col("_tk"), shingle_k) if shingle_k else F.col("_tk")
+    sets = toked.select("_sid", F.array_distinct(unit).alias("_set"))
+    joined = (
+        candidates.join(
+            sets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_set", "set_a"),
+            "id_a",
+        ).join(
+            sets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_set", "set_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    na, nb = F.size("set_a"), F.size("set_b")
+    c_ab = F.when(na > 0, inter.cast("double") / na.cast("double")).otherwise(F.lit(0.0))
+    c_ba = F.when(nb > 0, inter.cast("double") / nb.cast("double")).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a", "id_b", c_ab.alias("contain_a_in_b"), c_ba.alias("contain_b_in_a")
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     id_col: str,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,4 +90,108 @@ ts_grid AS (
 SELECT g.k, g.grid_ts, o.ts, {vals}
 FROM ts_grid g ASOF JOIN ts_obs o
 ON g.k = o.k AND g.grid_ts >= o.ts
+"""
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """LOCF time-weighted average per key — the hypertable
+    ``time_weight('LOCF', ...)`` primitive for irregular samples: each
+    sample holds its value until the next one, and the average is
+    ``∫ v dt / (t_last - t_first)`` over the key's observed span.
+    Sensor/price series where sample density varies make the plain
+    AVG meaningless; this weights by holding time instead.
+
+    Output: ``*key_cols, n_samples, first_ts, last_ts, total_us, twa``
+    (6-dp double; NULL when the span is empty — fewer than 2 samples
+    or all at one instant).
+
+    Shape: ONE key-partitioned window (lead) + ONE map-side-combined
+    hash aggregate — no self-join, no per-gridpoint work.
+
+    Portability contract (the grouped_ols discipline): values scale to
+    integers (floor(v*scale + 0.5)), segment durations are exact
+    integer microseconds, their products accumulate in decimal(38,0)
+    (== DuckDB HUGEINT sums), and only the final ratio drops to double
+    — identical expression both engines, bit-equal before the 6-dp
+    round. Same-timestamp samples order by ``tiebreak_col`` (zero-
+    length segments contribute nothing either way — the tiebreak only
+    pins WHICH value the window's lead sees, keeping both engines on
+    the same segment decomposition).
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    nxt = F.lead(us).over(w)
+    vfp = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+    seg = (nxt - us).cast("decimal(18,0)")
+    contrib = (vfp * seg).cast("decimal(38,0)")
+    staged = df.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        us.alias("_us"),
+        contrib.alias("_vdt"),
+    )
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("_ts").alias("first_ts"),
+        F.max("_ts").alias("last_ts"),
+        (F.max("_us") - F.min("_us")).cast("bigint").alias("total_us"),
+        F.sum("_vdt").alias("_sum_vdt"),
+    )
+    twa = (
+        F.col("_sum_vdt").cast("double")
+        / (F.col("total_us").cast("double") * F.lit(float(scale)))
+    )
+    return agg.select(
+        *key_cols,
+        "n_samples",
+        "first_ts",
+        "last_ts",
+        "total_us",
+        F.when(F.col("total_us") > 0, F.round(twa, 6)).alias("twa"),
+    )
+
+
+def time_weighted_avg_sql(
+    table_sql: str,
+    key_exprs: Sequence[str],
+    ts_expr: str,
+    value_expr: str,
+    tiebreak_expr: str,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`time_weighted_avg` (HUGEINT segment
+    sums == the Spark side's decimal(38,0))."""
+    g = ", ".join(key_exprs)
+    return f"""
+WITH twa_t AS (
+    SELECT {g}, {ts_expr} AS ts, epoch_us({ts_expr}) AS us,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS vfp,
+           lead(epoch_us({ts_expr})) OVER (
+               PARTITION BY {g} ORDER BY {ts_expr}, {tiebreak_expr}
+           ) AS nxt
+    FROM ({table_sql})
+),
+twa_s AS (
+    SELECT {g}, count(*) AS n_samples,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           max(us) - min(us) AS total_us,
+           sum(vfp::HUGEINT * (nxt - us)) AS sum_vdt
+    FROM twa_t GROUP BY {g}
+)
+SELECT {g}, n_samples, first_ts, last_ts, total_us,
+       CASE WHEN total_us > 0
+            THEN round(CAST(sum_vdt AS DOUBLE)
+                       / (CAST(total_us AS DOUBLE) * {scale}.0), 6)
+       END AS twa
+FROM twa_s
 """

@@ -940,16 +940,33 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("v2"),
         F.lit(None).cast("bigint").alias("v3"),
     )
-    return sink.unionByName(cdc_part).unionByName(mv_part).unionByName(z_part)
+    # 'scd2' — the SAME change stream as Type 2 version history
+    # (cdc.scd2_history): validity intervals with delete-closed gaps
+    # and the same-seq tie collapsed by tie_cols
+    scd = cdc.scd2_history(changes, ["k"], "seq", "op", tie_cols=["ck"]).select(
+        F.lit("scd2").alias("part"),
+        F.col("k").cast("string").alias("k"),
+        F.col("ck").alias("v1"),
+        F.col("valid_from_seq").alias("v2"),
+        F.col("valid_to_seq").alias("v3"),
+    )
+    return (
+        sink.unionByName(cdc_part)
+        .unionByName(mv_part)
+        .unionByName(z_part)
+        .unionByName(scd)
+    )
 
 
 def _w01_sql() -> str:
+    from stepist_spark.operators.cdc import scd2_history_sql
     from stepist_spark.operators.layout import z_value_sql
     from stepist_spark.queries.llm_text import T04_SQL
 
     zv = z_value_sql(
         ["o_custkey", "(month(o_orderdate) * 32 + day(o_orderdate))"], 16
     )
+    scd = scd2_history_sql("SELECT * FROM cdc_changes", ["k"], "seq", "op", ["ck"])
     return f"""
 WITH sink AS ({T04_SQL}),
 cdc_target AS (
@@ -1008,6 +1025,9 @@ SELECT 'zorder' AS part, CAST(o_orderkey AS VARCHAR) AS k,
        CAST({zv} AS BIGINT) AS v1,
        CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
 FROM orders WHERE o_orderkey % 101 = 0
+UNION ALL
+SELECT 'scd2', CAST(k AS VARCHAR), ck, valid_from_seq, valid_to_seq
+FROM ({scd})
 """
 
 

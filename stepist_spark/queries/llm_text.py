@@ -210,7 +210,12 @@ FROM documents GROUP BY source
 #              (a dropped true pair would show as a missing row).
 def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _docs_with_near_dups(spark, sf)
-    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text", N_HASHES, BANDS)
+    # one materialization of the (id, id) candidate pairs feeds all
+    # three verification consumers (tok/shingle Jaccard + containment)
+    # — without it each branch re-runs the shingle→minhash→band build
+    cands = dedup.minhash_lsh_candidates(
+        corpus, "doc_id", "text", N_HASHES, BANDS
+    ).localCheckpoint(eager=False)
     tok = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0)
     sh = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0, shingle_k=3)
     lsh = (
@@ -233,7 +238,17 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard_tok"),
         F.col("jaccard").alias("jaccard_shingle"),
     )
-    return lsh.unionByName(pp)
+    # 'contain' — Broder CONTAINMENT per LSH candidate (asymmetric
+    # quotation/partial-copy signal): both directions ride the two
+    # double columns (dedup.containment_pairs)
+    cn = dedup.containment_pairs(corpus, cands, "doc_id", "text").select(
+        F.lit("contain").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("contain_a_in_b").alias("jaccard_tok"),
+        F.col("contain_b_in_a").alias("jaccard_shingle"),
+    )
+    return lsh.unionByName(pp).unionByName(cn)
 
 
 def _jac_sql(a: str, b: str) -> str:
@@ -273,6 +288,18 @@ ON a._sid < b._sid
 AND 1 * greatest(len(a._set), len(b._set)) <= 2 * least(len(a._set), len(b._set))
 AND len(list_intersect(a._set, b._set)) * 2
     >= len(list_distinct(list_concat(a._set, b._set))) * 1
+UNION ALL
+-- contain part: directional token-set containment per LSH candidate
+SELECT 'contain' AS part, id_a, id_b,
+       CASE WHEN len(ta._set) > 0
+            THEN CAST(len(list_intersect(ta._set, tb._set)) AS DOUBLE)
+                 / len(ta._set) ELSE 0.0 END AS jaccard_tok,
+       CASE WHEN len(tb._set) > 0
+            THEN CAST(len(list_intersect(ta._set, tb._set)) AS DOUBLE)
+                 / len(tb._set) ELSE 0.0 END AS jaccard_shingle
+FROM cands
+JOIN sets_t ta ON ta._sid = id_a
+JOIN sets_t tb ON tb._sid = id_b
 """
 
 

@@ -1521,12 +1521,29 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("v").alias("d1"),
     )
+    # time-weighted average (operators/timeseries.py): the hypertable
+    # time_weight('LOCF') primitive over the raw irregular events —
+    # exact decimal value×duration sums, one window + one agg
+    from stepist_spark.operators.timeseries import time_weighted_avg
+
+    tw = time_weighted_avg(
+        load_table(spark, sf, "events"), ["event_type"], "ts", "value", "event_id"
+    ).select(
+        F.lit("twa").alias("part"),
+        F.col("event_type").alias("k1"),
+        F.col("first_ts").cast("timestamp_ntz").alias("ts1"),
+        F.col("last_ts").cast("timestamp_ntz").alias("ts2"),
+        F.col("n_samples").cast("bigint").alias("n1"),
+        F.col("total_us").alias("n2"),
+        F.col("twa").alias("d1"),
+    )
     return (
         rj.unionByName(rb)
         .unionByName(_aj("asof", "backward"))
         .unionByName(_aj("asof_fwd", "forward"))
         .unionByName(_aj("asof_near", "nearest"))
         .unionByName(rs)
+        .unionByName(tw)
     )
 
 
@@ -1544,6 +1561,18 @@ def _resample_sql() -> str:
 
 
 _RESAMPLE_SQL = _resample_sql()
+
+
+def _twa_sql() -> str:
+    from stepist_spark.operators.timeseries import time_weighted_avg_sql
+
+    return time_weighted_avg_sql(
+        "SELECT event_type, ts::TIMESTAMP AS ts, value, event_id FROM events",
+        ["event_type"], "ts", "value", "event_id",
+    )
+
+
+_TWA_SQL = _twa_sql()
 
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
@@ -1571,6 +1600,10 @@ UNION ALL
 SELECT 'resample', k, grid_ts, ts,
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), v
 FROM ({_RESAMPLE_SQL})
+UNION ALL
+SELECT 'twa', event_type, first_ts, last_ts,
+       CAST(n_samples AS BIGINT), CAST(total_us AS BIGINT), twa
+FROM ({_TWA_SQL})
 """
 
 

@@ -152,3 +152,69 @@ class TestIncrementalAgg:
         )
         rows = {r["grp"]: (r["n"], r["amt"]) for r in got.collect()}
         assert rows == {"a": (1, 1), "z": (2, 10)}
+
+
+class TestScd2History:
+    def _ch(self, spark, rows):
+        return spark.createDataFrame(rows, "k bigint, v string, seq bigint, op string")
+
+    def test_versions_and_delete_closes_interval(self, spark):
+        from stepist_spark.operators.cdc import scd2_history
+
+        ch = self._ch(
+            spark,
+            [(1, "a", 1, "I"), (1, "b", 3, "U"), (1, None, 5, "D"), (1, "c", 7, "I")],
+        )
+        got = sorted(
+            (r["v"], r["valid_from_seq"], r["valid_to_seq"], r["is_current"])
+            for r in scd2_history(ch, ["k"]).collect()
+        )
+        assert got == [("a", 1, 3, False), ("b", 3, 5, False), ("c", 7, None, True)]
+
+    def test_same_seq_tie_collapses_by_tie_cols(self, spark):
+        from stepist_spark.operators.cdc import scd2_history
+
+        ch = self._ch(spark, [(1, "x", 2, "U"), (1, "m", 2, "U"), (1, "z", 4, "U")])
+        got = sorted(
+            (r["v"], r["valid_from_seq"], r["valid_to_seq"])
+            for r in scd2_history(ch, ["k"], tie_cols=["v"]).collect()
+        )
+        assert got == [("m", 2, 4), ("z", 4, None)]
+
+    def test_delete_outranks_upsert_at_same_seq(self, spark):
+        from stepist_spark.operators.cdc import scd2_history
+
+        ch = self._ch(spark, [(1, "a", 1, "I"), (1, "b", 2, "U"), (1, None, 2, "D")])
+        got = sorted(
+            (r["v"], r["valid_from_seq"], r["valid_to_seq"])
+            for r in scd2_history(ch, ["k"]).collect()
+        )
+        # seq 2 collapses to the delete: 'a' closes at 2, no version at 2
+        assert got == [("a", 1, 2)]
+
+    def test_duckdb_mirror_parity(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.cdc import scd2_history, scd2_history_sql
+
+        rows = [
+            (k, f"v{k}_{s}", s, op)
+            for k in range(20)
+            for s, op in [(1, "I"), (2, "U" if k % 3 else "D"), (4, "U")]
+        ] + [(5, "tie", 2, "U")]
+        ch = self._ch(spark, rows)
+        got = sorted(
+            (r["k"], r["v"], r["valid_from_seq"], r["valid_to_seq"])
+            for r in scd2_history(ch, ["k"], tie_cols=["v"]).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ch (k BIGINT, v VARCHAR, seq BIGINT, op VARCHAR)")
+        con.executemany("INSERT INTO ch VALUES (?, ?, ?, ?)", rows)
+        sql = scd2_history_sql("SELECT * FROM ch", ["k"], "seq", "op", ["v"])
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"SELECT k, v, valid_from_seq, valid_to_seq FROM ({sql})"
+            ).fetchall()
+        )
+        assert got == exp

@@ -92,3 +92,49 @@ class TestSetSimilarityJoin:
         assert set(got) == set(want)
         for k, v in want.items():
             assert abs(got[k] - float(v)) < 1e-12
+
+
+class TestContainmentPairs:
+    def test_asymmetric_quote_detection(self, spark):
+        from stepist_spark.operators.dedup import containment_pairs
+
+        docs = _docs(spark, ["alpha beta gamma delta", "alpha beta", "zeta eta"])
+        cands = spark.createDataFrame(
+            [(0, 1), (0, 2)], "id_a bigint, id_b bigint"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["contain_a_in_b"], r["contain_b_in_a"])
+            for r in containment_pairs(docs, cands, "doc_id", "text").collect()
+        }
+        # doc 1 is fully quoted inside doc 0: containment 1.0 one way,
+        # 0.5 the other; disjoint pair scores 0 both ways
+        assert got[(0, 1)] == (2 / 4, 1.0)
+        assert got[(0, 2)] == (0.0, 0.0)
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(WORDS), min_size=1, max_size=6).map(" ".join),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_python_reference(self, spark, texts):
+        from stepist_spark.operators.dedup import containment_pairs
+
+        cands = [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))]
+        cdf = spark.createDataFrame(cands, "id_a bigint, id_b bigint")
+        got = {
+            (r["id_a"], r["id_b"]): (r["contain_a_in_b"], r["contain_b_in_a"])
+            for r in containment_pairs(
+                _docs(spark, texts), cdf, "doc_id", "text"
+            ).collect()
+        }
+        sets = [frozenset(t.lower().split()) for t in texts]
+        for a, b in cands:
+            inter = len(sets[a] & sets[b])
+            exp = (
+                inter / len(sets[a]) if sets[a] else 0.0,
+                inter / len(sets[b]) if sets[b] else 0.0,
+            )
+            assert got[(a, b)] == exp

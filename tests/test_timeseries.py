@@ -44,3 +44,88 @@ class TestResampleFfill:
         out = resample_ffill(_series(spark, rows), "k", "ts", ["v"], step="3 hours")
         assert out.filter(F.col("v").isNull()).count() == 0
         assert out.count() == 8  # 23h span anchored at 00:17 -> 8 points
+
+
+class TestTimeWeightedAvg:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k string, ts string, v double, eid bigint"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    def test_hand_example(self, spark):
+        from stepist_spark.operators.timeseries import time_weighted_avg
+
+        # v=10 holds 10s, v=20 holds 20s, last sample ends the span:
+        # twa = (10*10 + 20*20) / 30
+        df = self._ev(spark, [
+            ("a", "2024-01-01 00:00:00", 10.0, 1),
+            ("a", "2024-01-01 00:00:10", 20.0, 2),
+            ("a", "2024-01-01 00:00:30", 99.0, 3),
+        ])
+        (r,) = time_weighted_avg(df, ["k"], "ts", "v", "eid").collect()
+        assert r["n_samples"] == 3
+        assert r["total_us"] == 30_000_000
+        assert r["twa"] == round((10 * 10 + 20 * 20) / 30, 6)
+
+    def test_single_sample_is_null(self, spark):
+        from stepist_spark.operators.timeseries import time_weighted_avg
+
+        df = self._ev(spark, [("a", "2024-01-01 00:00:00", 5.0, 1)])
+        (r,) = time_weighted_avg(df, ["k"], "ts", "v", "eid").collect()
+        assert r["twa"] is None and r["total_us"] == 0
+
+    def test_irregular_density_beats_plain_avg(self, spark):
+        from stepist_spark.operators.timeseries import time_weighted_avg
+
+        # one hour-long stretch at v=0 (LOCF holds it), then a burst of
+        # rapid samples at v=100: the plain AVG is dominated by the
+        # burst's row count, the TWA by holding time
+        rows = [("a", "2024-01-01 00:00:00", 0.0, 0)]
+        rows += [("a", f"2024-01-01 01:00:{s:02d}", 100.0, s + 1) for s in range(10)]
+        df = self._ev(spark, rows)
+        (r,) = time_weighted_avg(df, ["k"], "ts", "v", "eid").collect()
+        assert r["twa"] < 1.0  # plain avg would be ~90.9
+
+    def test_duckdb_mirror_parity(self, spark):
+        import random
+
+        import duckdb
+
+        from stepist_spark.operators.timeseries import (
+            time_weighted_avg,
+            time_weighted_avg_sql,
+        )
+
+        rng = random.Random(11)
+        rows = []
+        eid = 0
+        for k in ("x", "y", "z"):
+            t = 0
+            for _ in range(rng.randint(1, 60)):
+                t += rng.randint(0, 5_000_000)  # micros, incl. 0-gaps
+                eid += 1
+                rows.append((k, t, rng.uniform(-50, 50), eid))
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (k, base + dt.timedelta(microseconds=t), v, e) for k, t, v, e in rows
+        ]
+        df = spark.createDataFrame(
+            data, "k string, ts timestamp_ntz, v double, eid bigint"
+        )
+        got = sorted(
+            (r["k"], r["n_samples"], r["total_us"], r["twa"])
+            for r in time_weighted_avg(df, ["k"], "ts", "v", "eid").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ev (k VARCHAR, ts TIMESTAMP, v DOUBLE, eid BIGINT)")
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", data)
+        sql = time_weighted_avg_sql("SELECT * FROM ev", ["k"], "ts", "v", "eid")
+        exp = sorted(
+            (r[0], r[1], r[2], r[3])
+            for r in con.execute(
+                f"SELECT k, n_samples, total_us, twa FROM ({sql})"
+            ).fetchall()
+        )
+        assert got == exp
