@@ -166,6 +166,32 @@ def jaccard_pairs(
     )
 
 
+def pair_set_stats(sets: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Join a prepared ``(_sid, _set)`` table onto candidate pairs ONCE
+    and emit the exact overlap statistics every set-overlap score
+    derives from: ``id_a, id_b, inter, n_a, n_b`` (jaccard =
+    inter/(n_a + n_b - inter), containment = inter/n_a). Lets a gate
+    that needs several scores over the same set unit pay the pair join
+    a single time.
+    """
+    joined = (
+        candidates.join(
+            sets.withColumnRenamed("_sid", "id_a").withColumnRenamed("_set", "set_a"),
+            "id_a",
+        ).join(
+            sets.withColumnRenamed("_sid", "id_b").withColumnRenamed("_set", "set_b"),
+            "id_b",
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).alias("inter"),
+        F.size("set_a").alias("n_a"),
+        F.size("set_b").alias("n_b"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     candidates: DataFrame,

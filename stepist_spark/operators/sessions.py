@@ -132,3 +132,66 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    out_col: str = "active_users",
+) -> DataFrame:
+    """EXACT rolling distinct-active counts (the DAU/WAU/MAU family):
+    for every observed calendar day, the number of DISTINCT users seen
+    in the trailing ``window_days`` days (day inclusive).
+
+    Distinct counts don't sum across days, so the naive plan rescans
+    the window per day; instead each distinct (user, day) pair
+    CONTRIBUTES ITSELF FORWARD to the ``window_days`` windows it can
+    appear in — |pairs| × window rows through one hash aggregate, and
+    the raw event table is touched once. At 100 TB that is one shuffle
+    keyed by day, partial-aggregated map-side.
+
+    Output: ``day, {out_col}`` for each day that has events (leading
+    days count a partial trailing window, matching the usual product-
+    metric convention).
+    """
+    pairs = df.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    ).distinct()
+    observed = pairs.select(F.col("_d").alias("day")).distinct()
+    contrib = pairs.select(
+        "_u",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
+        "_d",
+    ).select("_u", F.date_add(F.col("_d"), F.col("_off")).alias("day"))
+    return (
+        contrib.join(observed, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("_u").alias(out_col))
+    )
+
+
+def rolling_active_users_sql(
+    table_sql: str,
+    user_expr: str,
+    ts_expr: str,
+    window_days: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`rolling_active_users`."""
+    return f"""
+WITH rau_pairs AS (
+    SELECT DISTINCT {user_expr} AS u, CAST({ts_expr} AS DATE) AS d
+    FROM ({table_sql})
+),
+rau_days AS (SELECT DISTINCT d AS day FROM rau_pairs),
+rau_contrib AS (
+    -- generate_series yields BIGINT; DATE + BIGINT doesn't bind in
+    -- DuckDB, so cast the offset to INTEGER
+    SELECT u, d + CAST(o AS INTEGER) AS day
+    FROM rau_pairs, (SELECT unnest(generate_series(0, {window_days - 1})) AS o)
+)
+SELECT c.day, count(DISTINCT u) AS active_users
+FROM rau_contrib c JOIN rau_days USING (day)
+GROUP BY c.day
+"""

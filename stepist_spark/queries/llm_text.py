@@ -209,25 +209,45 @@ FROM documents GROUP BY source
 #              independent, so it certifies the prefix-filter pruning
 #              (a dropped true pair would show as a missing row).
 def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.session import spread
+
     corpus = _docs_with_near_dups(spark, sf)
-    # one materialization of the (id, id) candidate pairs feeds all
-    # three verification consumers (tok/shingle Jaccard + containment)
-    # — without it each branch re-runs the shingle→minhash→band build
+    # one materialization of the (id, id) candidate pairs feeds every
+    # verification consumer — without it each branch re-runs the
+    # shingle→minhash→band build
     cands = dedup.minhash_lsh_candidates(
         corpus, "doc_id", "text", N_HASHES, BANDS
     ).localCheckpoint(eager=False)
-    tok = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0)
-    sh = dedup.jaccard_pairs(corpus, cands, "doc_id", "text", threshold=0.0, shingle_k=3)
-    lsh = (
-        tok.withColumnRenamed("jaccard", "jaccard_tok")
-        .join(sh.withColumnRenamed("jaccard", "jaccard_shingle"), ["id_a", "id_b"])
-        .select(
-            F.lit("lsh").alias("part"),
-            "id_a",
-            "id_b",
-            "jaccard_tok",
-            "jaccard_shingle",
-        )
+    # tokenize once per SET UNIT, join the pairs once per unit, and
+    # derive every score (tok/shingle Jaccard, both containment
+    # directions) from the shared (inter, n_a, n_b) statistics —
+    # instead of one tokenize+join pipeline per score
+    toked = spread(corpus).select(
+        F.col("doc_id").alias("_sid"), TX.tokens(F.col("text")).alias("_tk")
+    )
+    tok_sets = toked.select("_sid", F.array_distinct("_tk").alias("_set"))
+    sh_sets = toked.select(
+        "_sid", F.array_distinct(hashing.shingles(F.col("_tk"), 3)).alias("_set")
+    )
+    # (id, id, 3 ints) rows: cheap to materialize, consumed twice
+    tok_stats = dedup.pair_set_stats(tok_sets, cands).localCheckpoint(eager=False)
+    sh_stats = dedup.pair_set_stats(sh_sets, cands)
+
+    def _jac(stats_prefix: str = "") -> "F.Column":
+        i, a, b = (F.col(f"{stats_prefix}{c}") for c in ("inter", "n_a", "n_b"))
+        u = a + b - i
+        return F.when(u > 0, i.cast("double") / u.cast("double")).otherwise(F.lit(0.0))
+
+    sh_named = sh_stats.select(
+        "id_a", "id_b", F.col("inter").alias("s_inter"),
+        F.col("n_a").alias("s_n_a"), F.col("n_b").alias("s_n_b"),
+    )
+    lsh = tok_stats.join(sh_named, ["id_a", "id_b"]).select(
+        F.lit("lsh").alias("part"),
+        "id_a",
+        "id_b",
+        _jac().alias("jaccard_tok"),
+        _jac("s_").alias("jaccard_shingle"),
     )
     pp = dedup.set_similarity_join(
         corpus, "doc_id", "text", t_num=1, t_den=2, shingle_k=3
@@ -240,13 +260,19 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     # 'contain' — Broder CONTAINMENT per LSH candidate (asymmetric
     # quotation/partial-copy signal): both directions ride the two
-    # double columns (dedup.containment_pairs)
-    cn = dedup.containment_pairs(corpus, cands, "doc_id", "text").select(
+    # double columns, straight off the shared token statistics
+    c_ab = F.when(
+        F.col("n_a") > 0, F.col("inter").cast("double") / F.col("n_a").cast("double")
+    ).otherwise(F.lit(0.0))
+    c_ba = F.when(
+        F.col("n_b") > 0, F.col("inter").cast("double") / F.col("n_b").cast("double")
+    ).otherwise(F.lit(0.0))
+    cn = tok_stats.select(
         F.lit("contain").alias("part"),
         "id_a",
         "id_b",
-        F.col("contain_a_in_b").alias("jaccard_tok"),
-        F.col("contain_b_in_a").alias("jaccard_shingle"),
+        c_ab.alias("jaccard_tok"),
+        c_ba.alias("jaccard_shingle"),
     )
     return lsh.unionByName(pp).unionByName(cn)
 

@@ -1608,7 +1608,10 @@ FROM ({_TWA_SQL})
 
 
 def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
-    tw = q22_tumbling_window(spark, sf)
+    # the hourly tumbling aggregate feeds BOTH the 'tumble' part and
+    # the rolling z-score — materialize the (tiny, |types|×|hours|)
+    # table once instead of re-running the events aggregation
+    tw = q22_tumbling_window(spark, sf).localCheckpoint(eager=False)
     t = tw.select(
         F.lit("tumble").alias("part"),
         F.col("event_type").alias("wkey"),
@@ -1684,6 +1687,19 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # rolling 7-day distinct actives (operators/sessions.py): each
+    # (user, day) pair contributes itself forward — one shuffle, exact
+    from stepist_spark.operators.sessions import rolling_active_users
+
+    wa = rolling_active_users(ev, "user_id", "ts", window_days=7).select(
+        F.lit("wau").alias("part"),
+        F.col("day").cast("string").alias("wkey"),
+        F.col("active_users").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     # batch sessionization (operators/sessions.py): gap-based session
     # stats — one user-partitioned window + one co-partitioned agg;
     # duration_sec certifies the integer-microsecond time math
@@ -1708,6 +1724,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(fu.select("*", *nulls))
         .unionByName(tr.select("*", *nulls))
         .unionByName(co.select("*", *nulls))
+        .unionByName(wa.select("*", *nulls))
         .unionByName(se.select("*", *nulls))
         .unionByName(az)
     )
@@ -1739,6 +1756,12 @@ def _q22m_sql() -> str:
         "SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events",
         "user_id", "ts", 1800, "event_id",
     )
+    from stepist_spark.operators.sessions import rolling_active_users_sql
+
+    wa = rolling_active_users_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts FROM events",
+        "user_id", "ts", window_days=7,
+    )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
        sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end,
@@ -1766,6 +1789,12 @@ SELECT 'cohort', CAST(cohort_week AS VARCHAR), n_users,
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({co})
+UNION ALL
+SELECT 'wau', CAST(day AS VARCHAR), CAST(active_users AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({wa})
 UNION ALL
 SELECT 'sessionize', CAST(u AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR),
        CAST(n_events AS BIGINT), CAST(NULL AS DOUBLE), duration_sec,

@@ -82,3 +82,43 @@ class TestSessionize:
             ).fetchall()
         )
         assert got == exp
+
+
+class TestRollingActiveUsers:
+    def test_matches_python_brute_force(self, spark):
+        import random
+
+        from stepist_spark.operators.sessions import rolling_active_users
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(800):
+            rows.append(
+                (rng.randrange(40), T0 + dt.timedelta(days=rng.randrange(20),
+                                                      hours=rng.randrange(24)), i)
+            )
+        df = _ev(spark, rows)
+        got = {
+            str(r["day"]): r["active_users"]
+            for r in rolling_active_users(df, "user_id", "ts", 7).collect()
+        }
+        pairs = {(u, ts.date()) for u, ts, _ in rows}
+        days = sorted({d for _, d in pairs})
+        exp = {
+            str(d): len(
+                {u for u, pd in pairs if 0 <= (d - pd).days < 7}
+            )
+            for d in days
+        }
+        assert got == exp
+
+    def test_window_one_is_daily_actives(self, spark):
+        from stepist_spark.operators.sessions import rolling_active_users
+
+        rows = [(1, T0, 1), (2, T0, 2), (1, T0 + dt.timedelta(days=1), 3)]
+        df = _ev(spark, rows)
+        got = sorted(
+            (str(r["day"]), r["active_users"])
+            for r in rolling_active_users(df, "user_id", "ts", 1).collect()
+        )
+        assert got == [("2024-01-01", 2), ("2024-01-02", 1)]
