@@ -515,3 +515,21 @@ def pii_counts(text: Column) -> Column:
         fields.append(F.regexp_count(cur, F.lit(pat)).alias(kind))
         cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
     return F.struct(*fields)
+
+
+def sentence_count(text: Column) -> Column:
+    """Heuristic sentence count: nonempty (after trim) segments between
+    runs of sentence terminators ``. ! ?`` — the C4/Gopher-style
+    structural quality signal (too-few-sentences docs are boilerplate
+    or navigation debris). Regex-split + filter stay JVM-side; both
+    engines keep trailing empty segments, and the trim filter makes
+    the count agree regardless."""
+    segs = F.split(text, r"[.!?]+")
+    return F.size(F.filter(segs, lambda s: F.length(F.trim(s)) > 0)).cast("bigint")
+
+
+def sentence_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split_regex({expr}, '[.!?]+'), "
+        f"s -> length(trim(s)) > 0)) AS BIGINT)"
+    )

@@ -147,6 +147,15 @@ def t03_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.array_distinct(TX.subword_tokens(txt))).cast("bigint").alias(
             "n_distinct_subtokens"
         ),
+        # structural quality signals (round 5): sentence segmentation
+        # by terminator runs; the ratio is one division of identical
+        # integers — unrounded like the other ratio columns
+        TX.sentence_count(txt).alias("n_sentences"),
+        F.when(
+            TX.sentence_count(txt) > 0,
+            TX.token_count(txt, toks=tk).cast("double")
+            / TX.sentence_count(txt).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("tokens_per_sentence"),
     )
 
 
@@ -160,7 +169,12 @@ SELECT doc_id,
        lang,
        {TX.lang_id_sql('text')} AS lang_guess,
        len({TX.subword_tokens_sql('text')}) AS n_subtokens,
-       len(list_distinct({TX.subword_tokens_sql('text')})) AS n_distinct_subtokens
+       len(list_distinct({TX.subword_tokens_sql('text')})) AS n_distinct_subtokens,
+       {TX.sentence_count_sql('text')} AS n_sentences,
+       CASE WHEN {TX.sentence_count_sql('text')} > 0
+            THEN CAST({TX.token_count_sql('text')} AS DOUBLE)
+                 / {TX.sentence_count_sql('text')}
+            ELSE 0.0 END AS tokens_per_sentence
 FROM documents
 """
 

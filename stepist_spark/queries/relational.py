@@ -388,6 +388,11 @@ def q08_window_suite(spark: SparkSession, sf: str) -> DataFrame:
         n_in_band.alias("n_in_band"),
         F.ntile(4).over(w_status).cast("bigint").alias("quartile"),
         F.round(F.first("o_totalprice").over(w_status), 2).alias("cheapest_so_far"),
+        # rank transforms (round 5): exact rationals of identical ints
+        # under the unique (price, orderkey) order — bit-identical
+        # doubles on both engines, shipped unrounded
+        F.percent_rank().over(w_status).alias("pct_rank"),
+        F.cume_dist().over(w_status).alias("cume"),
     )
 
 
@@ -400,7 +405,9 @@ SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
        count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
        CAST(ntile(4) OVER ws AS BIGINT) AS quartile,
-       round(first_value(o_totalprice) OVER ws, 2) AS cheapest_so_far
+       round(first_value(o_totalprice) OVER ws, 2) AS cheapest_so_far,
+       percent_rank() OVER ws AS pct_rank,
+       cume_dist() OVER ws AS cume
 FROM orders
 WHERE o_custkey < 50
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
