@@ -46,9 +46,11 @@ def sessionize(
     """Append ``session_col``: the user's 1-based session number.
 
     A session boundary falls BEFORE any event whose gap to the user's
-    previous event is STRICTLY greater than ``gap_sec`` (an event
-    exactly ``gap_sec`` later still extends the session — matching
-    Spark's ``session_window`` close-on-exceed semantics). The gap
+    previous event is STRICTLY greater than ``gap_sec`` — an event
+    exactly ``gap_sec`` later still extends the session. NOTE this
+    differs from ``session_window``'s half-open interval by exactly
+    the boundary instant: there, a session spans [start, last + gap)
+    and an event at precisely last + gap opens a NEW session. The gap
     compares exact integer microseconds.
     """
     w = Window.partitionBy(user_col).orderBy(

@@ -950,11 +950,31 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("valid_from_seq").alias("v2"),
         F.col("valid_to_seq").alias("v3"),
     )
+    # 'evolve' — SCHEMA EVOLUTION through the file sink: generation 1
+    # writes (k, ck), generation 2 appends (k, ck, st) to the same
+    # directory; the mergeSchema read reconciles both footers and g1
+    # rows surface NULL for the late-added column. Disjoint key slices
+    # keep the result deterministic. overwrite-then-append stays
+    # idempotent across bench reruns (overwrite clears the directory).
+    ev_dir = os.path.join(scratch_dir(spark, "w01"), "evolve")
+    g1 = target.filter(F.col("k") % 20 == 0).select("k", "ck")
+    g2 = target.filter(F.col("k") % 20 == 10).select("k", "ck", "st")
+    g1.write.mode("overwrite").parquet(ev_dir)
+    g2.write.mode("append").parquet(ev_dir)
+    evolved = spark.read.option("mergeSchema", "true").parquet(ev_dir)
+    ev_part = evolved.select(
+        F.lit("evolve").alias("part"),
+        F.col("k").cast("string").alias("k"),
+        F.col("ck").alias("v1"),
+        F.col("st").alias("v2"),
+        F.lit(None).cast("bigint").alias("v3"),
+    )
     return (
         sink.unionByName(cdc_part)
         .unionByName(mv_part)
         .unionByName(z_part)
         .unionByName(scd)
+        .unionByName(ev_part)
     )
 
 
@@ -1028,6 +1048,14 @@ FROM orders WHERE o_orderkey % 101 = 0
 UNION ALL
 SELECT 'scd2', CAST(k AS VARCHAR), ck, valid_from_seq, valid_to_seq
 FROM ({scd})
+UNION ALL
+-- evolve part: g1 rows carry NULL for the late-added st column
+SELECT 'evolve', CAST(k AS VARCHAR), ck, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM cdc_target WHERE k % 20 = 0
+UNION ALL
+SELECT 'evolve', CAST(k AS VARCHAR), ck, st, CAST(NULL AS BIGINT)
+FROM cdc_target WHERE k % 20 = 10
 """
 
 

@@ -236,29 +236,70 @@ HAVING event_type <> (SELECT min(event_type) FROM events WHERE user_id % 8 = 0)
 
 
 # --------------------------------------------------------------------------
-# s03 — stream-stream inner interval join: purchases joined to signups
-# within the 6 hours before each purchase. Both sides are unbounded
-# streams buffered in the state store; the watermark + event-time range
-# bound state eviction (streaming/joins.py).
+# s03 — stream-stream LEFT OUTER interval join: purchases joined to
+# signups within the 6 hours before each purchase. Both sides are
+# unbounded streams buffered in the state store; the watermark +
+# event-time range bound state eviction (streaming/joins.py). The
+# OUTER upgrade (round 5) certifies strictly more than the former
+# inner gate: matched rows reproduce the inner result, and every
+# unmatched purchase must ALSO emit — with a null signup — once the
+# watermark proves no match can still arrive. Outer emission only
+# happens when the watermark passes each left row, so each staged
+# input carries one far-future sentinel row (user_id -1): batch 0's
+# event-time max lands 30 days past every real row, and the engine's
+# no-data batch then flushes the whole unmatched set. The sentinels
+# sit AT the watermark frontier and can never emit (and the matched
+# sentinel pair is dropped from the SINK table — filtering user_id
+# inside the streaming query would be pushed below the watermark
+# operator and silently delete the sentinels at the scan).
 def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.session import load_table
     from stepist_spark.streaming.joins import interval_join
     from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
 
+    ev = load_table(spark, sf, "events")
     # withWatermark demands TIMESTAMP (ltz) event time; the session tz
     # is UTC, so casting the ntz column preserves the wall clock.
     # The user_id % 4 cohort bounds buffered state (the gate certifies
     # the join machinery, not full-corpus throughput — r01 subsets the
     # same way); both sides and the oracle share the predicate.
-    purchases = (
-        _events_stream(spark, sf)
-        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 4 == 0))
-        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"), "value")
+    p_rows = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == 0)
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").cast("double").alias("value"),
     )
-    signups = (
-        _events_stream(spark, sf)
-        .filter((F.col("event_type") == "signup") & (F.col("user_id") % 4 == 0))
-        .select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
+    s_rows = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") % 4 == 0)
+    ).select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
+    # one bounded driver read parameterizes the sentinel timestamp
+    far = ev.agg(
+        (F.max("ts").cast("timestamp") + F.expr("INTERVAL 30 DAYS")).alias("far")
+    ).collect()[0]["far"]
+
+    d = fresh_scratch(spark, "s03_outer")
+    pdir, sdir = (os.path.join(d, x) for x in ("p", "s"))
+    os.makedirs(pdir), os.makedirs(sdir)
+    # the per-stream watermark is the MIN across streams, so BOTH
+    # sides carry the sentinel
+    write_stream_file(
+        p_rows.unionByName(
+            spark.createDataFrame(
+                [(-1, -1, far, 0.0)],
+                "event_id bigint, user_id bigint, p_ts timestamp, value double",
+            )
+        ),
+        pdir, "all.parquet", _MTIME0,
     )
+    write_stream_file(
+        s_rows.unionByName(
+            spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp")
+        ),
+        sdir, "all.parquet", _MTIME0,
+    )
+
+    purchases = spark.readStream.schema(p_rows.schema).parquet(pdir)
+    signups = spark.readStream.schema(s_rows.schema).parquet(sdir)
     joined = interval_join(
         purchases,
         signups,
@@ -268,6 +309,7 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         lower="6 hours",
         upper="0 seconds",
         watermark="6 hours",
+        how="leftOuter",
     )
     out = joined.select(
         "event_id", "user_id", "p_ts", "s_ts", F.round("value", 2).alias("value")
@@ -282,7 +324,9 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         await_drained(q, 300)
-    return spark.table(sink)
+    # sentinel filter AFTER the sink: in-query it would push below the
+    # watermark operator and delete the sentinels at the scan
+    return spark.table(sink).filter(F.col("user_id") >= 0)
 
 
 S03_SQL = """
@@ -291,7 +335,7 @@ WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts, value
      s AS (SELECT user_id, ts::TIMESTAMP AS s_ts
            FROM events WHERE event_type = 'signup' AND user_id % 4 = 0)
 SELECT p.event_id, p.user_id, p.p_ts, s.s_ts, round(p.value, 2) AS value
-FROM p JOIN s ON s.user_id = p.user_id
+FROM p LEFT JOIN s ON s.user_id = p.user_id
    AND s.s_ts >= p.p_ts - INTERVAL 6 HOUR AND s.s_ts <= p.p_ts
 """
 

@@ -554,3 +554,22 @@ class TestRollingZscoreProperty:
             for r in rolling_zscore(df, ["key"], "t", "n", lookback=lookback).collect()
         }
         assert got == expect
+
+
+class TestSentenceCountProperties:
+    @SETTINGS
+    @given(TEXTS)
+    def test_matches_python_reference(self, spark, texts):
+        import re
+
+        got = _run(spark, texts, TX.sentence_count(F.col("text")))
+        exp = {
+            i: len([s for s in re.split(r"[.!?]+", t) if s.strip()])
+            for i, t in enumerate(texts)
+        }
+        assert got == exp
+
+    def test_edge_cases(self, spark):
+        texts = ["", "...", "a. b! c?", "no terminator", " . x .. "]
+        got = _run(spark, texts, TX.sentence_count(F.col("text")))
+        assert got == {0: 0, 1: 0, 2: 3, 3: 1, 4: 1}
