@@ -518,18 +518,23 @@ def pii_counts(text: Column) -> Column:
 
 
 def sentence_count(text: Column) -> Column:
-    """Heuristic sentence count: nonempty (after trim) segments between
-    runs of sentence terminators ``. ! ?`` — the C4/Gopher-style
-    structural quality signal (too-few-sentences docs are boilerplate
-    or navigation debris). Regex-split + filter stay JVM-side; both
-    engines keep trailing empty segments, and the trim filter makes
-    the count agree regardless."""
+    """Heuristic sentence count: segments between runs of sentence
+    terminators ``. ! ?`` that contain at least one non-whitespace
+    character — the C4/Gopher-style structural quality signal
+    (too-few-sentences docs are boilerplate or navigation debris).
+    Regex-split + filter stay JVM-side. The emptiness check is the
+    EXPLICIT class ``[^ \\t\\n\\r]`` rather than trim() or ``\\S``:
+    trim strips only ASCII spaces (a tab-only segment would count) and
+    the ``\\s`` class differs between Java regex, RE2, and Python —
+    the literal class means all three agree."""
     segs = F.split(text, r"[.!?]+")
-    return F.size(F.filter(segs, lambda s: F.length(F.trim(s)) > 0)).cast("bigint")
+    return F.size(
+        F.filter(segs, lambda s: s.rlike("[^ \\t\\n\\r]"))
+    ).cast("bigint")
 
 
 def sentence_count_sql(expr: str) -> str:
     return (
         f"CAST(len(list_filter(string_split_regex({expr}, '[.!?]+'), "
-        f"s -> length(trim(s)) > 0)) AS BIGINT)"
+        f"s -> regexp_matches(s, '[^ \\t\\n\\r]'))) AS BIGINT)"
     )

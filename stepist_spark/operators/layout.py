@@ -110,3 +110,66 @@ def write_zordered(
     clustered.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").format(
         fmt
     ).save(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-file COMPACTION for a file-backed table directory: rewrite
+    its many small files into ~``target_mb`` files and swap them in.
+    Returns ``(n_files_before, n_files_after)``.
+
+    Why it matters at 100 TB: streaming sinks and fine-grained
+    partition writes accumulate kB-scale files; every query then pays
+    a task per file and the namenode/driver pays listing + footer
+    metadata per file — compaction is the standing maintenance job
+    that keeps scan parallelism matched to data, not to write history.
+
+    Plan shape: ONE read of the directory, a round-robin repartition
+    to ceil(total_bytes / target) (no sort — use :func:`write_zordered`
+    when re-clustering is wanted too), one write to a staging dir,
+    then a filesystem swap via the Hadoop FileSystem API (works on any
+    scheme Spark can reach, not just local paths). NOT atomic for
+    concurrent readers — like any non-table-format rewrite, schedule
+    it in a maintenance window or use a table format for snapshot
+    isolation.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+
+    def _data_files(p):
+        # recurse so hive-partitioned layouts count leaf files (the
+        # rewrite itself flattens partition dirs — re-partitioned
+        # layouts should compact per partition directory instead)
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                out.extend(_data_files(st.getPath()))
+            elif st.isFile():
+                out.append(st)
+        return out
+
+    before = _data_files(hpath)
+    total_bytes = sum(st.getLen() for st in before)
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(path)
+    staging = path.rstrip("/") + "__compact_staging"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(spath, True)
+    df.repartition(n_out).write.mode("overwrite").format(fmt).save(staging)
+
+    fs.delete(hpath, True)
+    if not fs.rename(spath, hpath):
+        raise IOError(f"compact_files: rename {staging} -> {path} failed")
+    return len(before), len(_data_files(hpath))

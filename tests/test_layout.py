@@ -93,3 +93,33 @@ class TestWriteZordered:
             if st["dx"] <= 160 and st["dy"] <= 160:
                 tight += 1
         assert tight >= len(files) // 2
+
+
+class TestCompactFiles:
+    def test_compacts_and_preserves_rows(self, spark, tmp_path):
+        from stepist_spark.operators.layout import compact_files
+
+        path = str(tmp_path / "many")
+        df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+        df.repartition(40).write.parquet(path)
+        exp = sorted(map(tuple, spark.read.parquet(path).collect()))
+        n_before, n_after = compact_files(spark, path, target_mb=128)
+        assert n_before == 40
+        assert n_after == 1  # 10k bigint rows << 128 MB
+        got = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert got == exp
+
+    def test_target_splits_into_multiple_files(self, spark, tmp_path):
+        from stepist_spark.operators.layout import compact_files
+
+        path = str(tmp_path / "big")
+        # incompressible pad (hex of per-row md5) so the on-disk size
+        # actually reflects the row count
+        spark.range(200_000).selectExpr(
+            "id", "md5(CAST(id AS STRING)) || md5(CAST(id + 7 AS STRING)) AS pad"
+        ).repartition(50).write.parquet(path)
+        # ~a few MB of data with a 1 MB target -> several output files
+        n_before, n_after = compact_files(spark, path, target_mb=1)
+        assert n_before == 50
+        assert 1 < n_after < 50
+        assert spark.read.parquet(path).count() == 200_000

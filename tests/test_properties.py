@@ -562,14 +562,18 @@ class TestSentenceCountProperties:
     def test_matches_python_reference(self, spark, texts):
         import re
 
+        # the contract's explicit non-whitespace class, NOT str.strip()
+        # (python strips \x0b/\f/unicode spaces the engines don't)
         got = _run(spark, texts, TX.sentence_count(F.col("text")))
         exp = {
-            i: len([s for s in re.split(r"[.!?]+", t) if s.strip()])
+            i: len(
+                [s for s in re.split(r"[.!?]+", t) if re.search(r"[^ \t\n\r]", s)]
+            )
             for i, t in enumerate(texts)
         }
         assert got == exp
 
     def test_edge_cases(self, spark):
-        texts = ["", "...", "a. b! c?", "no terminator", " . x .. "]
+        texts = ["", "...", "a. b! c?", "no terminator", " . x .. ", "a.\t\n.b"]
         got = _run(spark, texts, TX.sentence_count(F.col("text")))
-        assert got == {0: 0, 1: 0, 2: 3, 3: 1, 4: 1}
+        assert got == {0: 0, 1: 0, 2: 3, 3: 1, 4: 1, 5: 2}
