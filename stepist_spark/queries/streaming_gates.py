@@ -69,7 +69,11 @@ def write_stream_file(df: DataFrame, dest_dir: str, name: str, mtime: float) -> 
     mtimes give deterministic micro-batch order (the lever behind the
     late-data and history-dedup certifications)."""
     tmp = os.path.join(dest_dir, f"_tmp_{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition(1), NOT coalesce(1): coalesce folds the whole
+    # upstream (scan + filters) into the single write task — measured
+    # 6.5s vs 0.95s staging a filtered events slice at sf0.1. The
+    # exchange keeps the scan wide; only the file write is single-task.
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     dest = stage_part(part, os.path.join(dest_dir, name), mtime)
     shutil.rmtree(tmp)
@@ -575,7 +579,79 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.col("text")).alias("k"),
         F.lit(None).cast("double").alias("value"),
     )
-    return dedup_part.unionByName(restart_part).unionByName(incr_part)
+    # ---- 'upsert' part ------------------------------------------------------
+    # the streaming MATERIALIZED-VIEW pattern: update-mode aggregate ->
+    # foreachBatch -> cdc.apply_changes MERGE into a file-backed target
+    # (the production Spark recipe for warehouse sinks without a table
+    # format). Two micro-batches both touch most keys, so batch 2's
+    # upsert must OVERRIDE batch 1's partial totals — an append-style
+    # sink would leave stale rows and fail the oracle's full-data agg.
+    e3 = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") % 4 == 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    du = fresh_scratch(spark, "s05_upsert")
+    udir = os.path.join(du, "in")
+    os.makedirs(udir, exist_ok=True)
+    write_stream_file(e3.filter(F.col("event_id") % 2 == 0), udir, "a.parquet", _MTIME0)
+    write_stream_file(e3.filter(F.col("event_id") % 2 == 1), udir, "b.parquet", _MTIME0 + 60)
+    usrc = (
+        spark.readStream.schema(e3.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(udir)
+    )
+    uagg = usrc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    from stepist_spark.operators import cdc as _cdc
+
+    state = {"dir": None}
+
+    def _merge_batch(batch_df, batch_id):
+        if state["dir"] is None:
+            prev = batch_df.sparkSession.createDataFrame(
+                [], "event_type string, n bigint, cents bigint"
+            )
+        else:
+            prev = batch_df.sparkSession.read.parquet(state["dir"])
+        changes = batch_df.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").cast("bigint").alias("cents"),
+            F.lit(int(batch_id)).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        merged = _cdc.apply_changes(prev, changes, ["event_type"], "seq", "op")
+        out = os.path.join(du, f"tgt_{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        state["dir"] = out
+
+    with stream_shuffle_partitions(spark, 8):
+        q4 = (
+            uagg.writeStream.outputMode("update")
+            .foreachBatch(_merge_batch)
+            .option("checkpointLocation", os.path.join(du, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q4, 300)
+    upsert_part = spark.read.parquet(state["dir"]).select(
+        F.lit("upsert").alias("part"),
+        F.col("n").alias("id"),
+        F.lit(None).cast(ts_type).alias("ts"),
+        F.col("event_type").alias("k"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    return (
+        dedup_part.unionByName(restart_part)
+        .unionByName(incr_part)
+        .unionByName(upsert_part)
+    )
 
 
 # 'incr' mirror: first-seen batch wins, then min doc_id within the
@@ -604,6 +680,12 @@ FROM events WHERE user_id % 4 = 2
 UNION ALL
 SELECT 'incr', doc_id, CAST(NULL AS TIMESTAMP), h, CAST(NULL AS DOUBLE)
 FROM (SELECT h, doc_id FROM k1 UNION ALL SELECT h, doc_id FROM k2)
+UNION ALL
+-- upsert part: the foreachBatch-merged streaming MV must equal the
+-- full-data aggregate (stale batch-1 partials would fail this)
+SELECT 'upsert', count(*), CAST(NULL AS TIMESTAMP), event_type,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+FROM events WHERE user_id % 4 = 3 GROUP BY event_type
 """
 
 
