@@ -26,6 +26,7 @@ def asof_join(
     right_time: str,
     right_payload: list[str] | None = None,
     direction: str = "backward",
+    tolerance: "F.Column | None" = None,
 ) -> DataFrame:
     """For each left row, attach the as-of right row matching on the
     equi-key ``on``:
@@ -39,6 +40,13 @@ def asof_join(
       ``merge_asof(direction='nearest')`` semantics).
 
     Left rows with no qualifying right row are dropped (inner as-of).
+
+    ``tolerance`` bounds the match distance like pandas
+    ``merge_asof(tolerance=...)``: a candidate farther than it is
+    treated as absent (so 'nearest' falls back to the OTHER side
+    before dropping the row). Pass a literal matching the time
+    column's subtraction type — ``F.expr("INTERVAL 2 HOURS")`` for
+    timestamps, a number for numeric keys.
 
     Determinism caveat: if the right side contains MULTIPLE rows with
     the same (key, time), which one's payload is attached is partition-
@@ -96,6 +104,12 @@ def asof_join(
     carried = merged
     back = F.last("_rpay", ignorenulls=True).over(w_back)
     fwd = F.first("_rpay", ignorenulls=True).over(w_fwd)
+    if tolerance is not None:
+        # invalidate each candidate BEFORE direction logic: 'nearest'
+        # must fall back to the other side when the closer candidate
+        # is out of tolerance (a post-pick filter would drop the row)
+        back = F.when((F.col("_t") - back[right_time]) <= tolerance, back)
+        fwd = F.when((fwd[right_time] - F.col("_t")) <= tolerance, fwd)
     if direction == "backward":
         carried = carried.withColumn("_pick", back)
     elif direction == "forward":

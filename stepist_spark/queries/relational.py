@@ -643,7 +643,9 @@ GROUP BY band
 
 # --------------------------------------------------------------------------
 # q19 — as-of join: for each purchase, the user's most recent signup <= ts
-def _asof_events(spark: SparkSession, sf: str, direction: str) -> DataFrame:
+def _asof_events(
+    spark: SparkSession, sf: str, direction: str, tolerance=None
+) -> DataFrame:
     ev = load_table(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -657,6 +659,7 @@ def _asof_events(spark: SparkSession, sf: str, direction: str) -> DataFrame:
         right_time="ts",
         right_payload=[],
         direction=direction,
+        tolerance=tolerance,
     )
     lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         F.col("asof_ts").cast("timestamp")
@@ -713,6 +716,25 @@ SELECT event_id, user_id, ts, signup_ts, lag_us, value FROM (
                ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)), s.ts
            ) AS rn
     FROM p JOIN s ON s.user_id = p.user_id
+) WHERE rn = 1
+"""
+
+
+# nearest WITH TOLERANCE: out-of-tolerance candidates are absent, so
+# the nearest pick is taken over the within-2h set only
+Q19T_SQL = """
+WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'signup')
+SELECT event_id, user_id, ts, signup_ts, lag_us, value FROM (
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts,
+           epoch_us(p.ts) - epoch_us(s.ts) AS lag_us,
+           round(p.value, 2) AS value,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)), s.ts
+           ) AS rn
+    FROM p JOIN s ON s.user_id = p.user_id
+       AND abs(epoch_us(p.ts) - epoch_us(s.ts)) <= 7200000000
 ) WHERE rn = 1
 """
 
@@ -1497,8 +1519,8 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_price").alias("d1"),
     )
 
-    def _aj(tag: str, direction: str) -> DataFrame:
-        return _asof_events(spark, sf, direction).select(
+    def _aj(tag: str, direction: str, tolerance=None) -> DataFrame:
+        return _asof_events(spark, sf, direction, tolerance).select(
             F.lit(tag).alias("part"),
             F.col("event_id").cast("string").alias("k1"),
             F.col("ts").alias("ts1"),
@@ -1549,6 +1571,10 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(_aj("asof", "backward"))
         .unionByName(_aj("asof_fwd", "forward"))
         .unionByName(_aj("asof_near", "nearest"))
+        # tolerance-bounded nearest (pandas merge_asof tolerance=...):
+        # candidates beyond 2h are treated as ABSENT, so the pick must
+        # fall back to the other side before dropping the row
+        .unionByName(_aj("asof_tol", "nearest", F.expr("INTERVAL 2 HOURS")))
         .unionByName(rs)
         .unionByName(tw)
     )
@@ -1603,6 +1629,10 @@ UNION ALL
 SELECT 'asof_near', CAST(event_id AS VARCHAR), ts, signup_ts,
        CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
 FROM ({Q19N_SQL})
+UNION ALL
+SELECT 'asof_tol', CAST(event_id AS VARCHAR), ts, signup_ts,
+       CAST(user_id AS BIGINT), CAST(lag_us AS BIGINT), value
+FROM ({Q19T_SQL})
 UNION ALL
 SELECT 'resample', k, grid_ts, ts,
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), v

@@ -122,3 +122,65 @@ class TestAsofDirections:
             asof.asof_join(
                 left, right, on="k", left_time="t", right_time="t", direction="sideways"
             )
+
+
+class TestAsofTolerance:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 205, "b"), (2, 50, "c")],
+            "k bigint, t bigint, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 90, "r90"), (1, 300, "r300"), (2, 500, "r500")],
+            "k bigint, t bigint, rv string",
+        )
+        return left, right
+
+    def _got(self, spark, direction, tol):
+        left, right = self._frames(spark)
+        out = asof.asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            direction=direction, tolerance=tol,
+        )
+        return {r["tag"]: (r["asof_t"], r["asof_rv"]) for r in out.collect()}
+
+    def test_backward_tolerance_drops_far_matches(self, spark):
+        # 'a' at 100 has r90 (dist 10, kept); 'b' at 205 only r90
+        # backward (dist 115 > 50: dropped); 'c' has no backward match
+        got = self._got(spark, "backward", F.lit(50))
+        assert got == {"a": (90, "r90")}
+
+    def test_nearest_falls_back_to_other_side(self, spark):
+        # 'b' at 205: backward r90 (dist 115), forward r300 (dist 95).
+        # tol=100 invalidates backward but keeps forward — a post-pick
+        # filter would have dropped the row entirely
+        got = self._got(spark, "nearest", F.lit(100))
+        assert got["b"] == (300, "r300")
+        assert got["a"] == (90, "r90")
+        assert "c" not in got  # nearest r500 dist 450 > 100
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        left, right = self._frames(spark)
+        out = asof.asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            direction="nearest", tolerance=F.lit(100),
+        )
+        got = sorted(
+            (r["tag"], r["asof_t"]) for r in out.collect()
+        )
+        lp = left.toPandas().sort_values("t")
+        rp = right.toPandas().sort_values("t")
+        m = pd.merge_asof(lp, rp, on="t", by="k", direction="nearest", tolerance=100)
+        exp = sorted(
+            (row.tag, int(row.t_r) if pd.notna(row.t_r) else None)
+            for row in m.assign(
+                t_r=pd.merge_asof(
+                    lp, rp.rename(columns={"t": "rt"}).assign(t=lambda d: d.rt),
+                    on="t", by="k", direction="nearest", tolerance=100,
+                ).rt
+            ).itertuples()
+            if pd.notna(row.rv)
+        )
+        assert got == exp
