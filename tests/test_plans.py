@@ -264,3 +264,74 @@ class TestCatalogHygiene:
             if "BroadcastNestedLoopJoin" in strategies:
                 offenders.append(name)
         assert not offenders, offenders
+
+
+class TestRound5PlanShapes:
+    def test_skyline_prefilter_stages_two_windows(self, spark):
+        """The scale path: a partition-local dominance pass (windowed by
+        (group, partition id)) must precede the global per-group pass,
+        and disabling the prefilter must leave exactly one Window."""
+        from stepist_spark.operators.skyline import skyline
+        from stepist_spark.plans.inspect import explain_str
+
+        pts = load_table(spark, SF, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_custkey").alias("x"),
+            F.col("o_orderkey").alias("y"),
+        )
+        pre = explain_str(skyline(pts, "x", "y", ["o_orderpriority"]))
+        assert pre.count("Window") >= 2
+        flat = explain_str(
+            skyline(pts, "x", "y", ["o_orderpriority"], prefilter=False)
+        )
+        assert flat.count("Window") < pre.count("Window")
+
+    def test_rolling_actives_partial_aggregates(self, spark):
+        """The forward-contribution plan must partial-aggregate map-side
+        (count distinct compiles to two-phase aggregation) and never
+        self-join the event table."""
+        from stepist_spark.operators.sessions import rolling_active_users
+        from stepist_spark.plans.inspect import explain_str, has_partial_aggregate
+
+        ev = load_table(spark, SF, "events")
+        df = rolling_active_users(ev, "user_id", "ts", 7)
+        assert has_partial_aggregate(df)
+        assert "CartesianProduct" not in explain_str(df)
+
+    def test_hard_negatives_broadcasts_anchors(self, spark):
+        from stepist_spark.operators.similarity import hard_negatives
+        from stepist_spark.plans.inspect import explain_str
+
+        emb = load_table(spark, SF, "embeddings")
+        anchors = emb.filter(F.col("vec_id") < 4)
+        plan = explain_str(hard_negatives(emb, anchors, "vec_id", "embedding", "label"))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the label-mismatch predicate must sit in the join, before topk
+        assert "query_label" in plan
+
+    def test_session_stats_single_exchange(self, spark):
+        """sessionize's window and the per-session aggregate hash on
+        user-prefixed keys: the plan must contain exactly ONE exchange
+        over the events input (the agg reuses the window's sort)."""
+        from stepist_spark.operators.sessions import session_stats
+        from stepist_spark.plans.inspect import explain_str
+
+        import re
+
+        ev = load_table(spark, SF, "events")
+        plan = explain_str(session_stats(ev, "user_id", "ts", 1800, "event_id"))
+        # one hashpartitioning of the raw events; the groupBy must not
+        # introduce a second full shuffle of the event rows
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_time_weighted_avg_partial_aggregates(self, spark):
+        from stepist_spark.operators.timeseries import time_weighted_avg
+        from stepist_spark.plans.inspect import explain_str
+
+        ev = load_table(spark, SF, "events")
+        plan = explain_str(
+            time_weighted_avg(ev, ["event_type"], "ts", "value", "event_id")
+        )
+        assert "partial" in plan.lower() or "Exchange" in plan
+        assert "CartesianProduct" not in plan
