@@ -16,6 +16,7 @@ from stepist_spark.operators import (
     integrity,
     layout,
     multimodal,
+    privacy,
     profiling,
     regression,
     sessions,
@@ -37,6 +38,7 @@ __all__ = [
     "integrity",
     "layout",
     "multimodal",
+    "privacy",
     "profiling",
     "regression",
     "sessions",

@@ -416,3 +416,70 @@ mm_mad AS (SELECT {g}, d AS mad FROM mm_r2 WHERE rn = (n + 1) // 2)
 SELECT m.{g.replace(', ', ', m.')}, m.median, a.mad, m.n
 FROM mm_med m JOIN mm_mad a USING ({g})
 """
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """EXACT per-group LOWER WEIGHTED MEDIAN: the smallest value v with
+    cumulative weight(<= v) * 2 >= total weight — importance-weighted
+    robust center (sample weights from resampling/mixture pipelines
+    land here). Always an actual data value; weights must be
+    non-negative integers so the doubled-cumulative comparison is
+    exact on every engine.
+
+    Same shape as :func:`grouped_median_mad`: raw rows touched only by
+    one (group, value) weight aggregation; the pick is a cumulative
+    window over the distinct-value table plus a min — no per-group
+    sort of the raw rows.
+
+    Output: ``*group_cols, weighted_median, total_weight``.
+    """
+    from pyspark.sql import Window
+
+    wc = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("_w")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    c = wc.withColumn("_cum", F.sum("_w").over(wcum)).withColumn(
+        "_tot", F.sum("_w").over(wtot)
+    )
+    return (
+        c.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("weighted_median"),
+            F.max("_tot").alias("total_weight"),
+        )
+    )
+
+
+def grouped_weighted_median_sql(
+    table_sql: str,
+    group_exprs: list[str],
+    value_expr: str,
+    weight_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_weighted_median`."""
+    g = ", ".join(group_exprs)
+    return f"""
+SELECT {g}, min(v) AS weighted_median, max(tot) AS total_weight FROM (
+    SELECT {g}, v,
+           sum(w) OVER (PARTITION BY {g} ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(w) OVER (PARTITION BY {g}) AS tot
+    FROM (
+        SELECT {g}, {value_expr} AS v, CAST(sum({weight_expr}) AS BIGINT) AS w
+        FROM ({table_sql}) GROUP BY {g}, {value_expr}
+    )
+) WHERE cum * 2 >= tot
+GROUP BY {g}
+"""

@@ -197,3 +197,53 @@ SELECT c.day, count(DISTINCT u) AS active_users
 FROM rau_contrib c JOIN rau_days USING (day)
 GROUP BY c.day
 """
+
+
+def longest_daily_streak(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per user: the LONGEST RUN of consecutive active calendar days
+    plus the total distinct active days — the classic gaps-and-islands
+    engagement metric (same island trick t21's span oracle uses,
+    surfaced as an operator).
+
+    One distinct (user, day) aggregation, one user-keyed window
+    (row_number), one hash aggregate on the (user, day - rank) island
+    anchor — the raw events never sort globally.
+
+    Output: ``*user_col, longest_streak, n_active_days``.
+    """
+    days = df.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    ).distinct()
+    w = Window.partitionBy("_u").orderBy(F.col("_d").asc())
+    anchored = days.withColumn(
+        "_anchor", F.date_sub(F.col("_d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("_u", "_anchor").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return islands.groupBy(F.col("_u").alias(user_col)).agg(
+        F.max("_len").alias("longest_streak"),
+        F.sum("_len").alias("n_active_days"),
+    )
+
+
+def longest_daily_streak_sql(
+    table_sql: str, user_expr: str, ts_expr: str
+) -> str:
+    """DuckDB mirror of :func:`longest_daily_streak`."""
+    return f"""
+SELECT u, max(len) AS longest_streak, CAST(sum(len) AS BIGINT) AS n_active_days
+FROM (
+    SELECT u, anchor, count(*) AS len FROM (
+        SELECT u, d, d - CAST(row_number() OVER (
+            PARTITION BY u ORDER BY d) AS INTEGER) AS anchor
+        FROM (SELECT DISTINCT {user_expr} AS u, CAST({ts_expr} AS DATE) AS d
+              FROM ({table_sql}))
+    ) GROUP BY u, anchor
+)
+GROUP BY u
+"""

@@ -804,3 +804,24 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def truncated_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int = 16,
+) -> DataFrame:
+    """Matryoshka-style retrieval: cosine top-k over only the FIRST
+    ``dims`` coordinates of each vector (MRL, Kusupati et al. 2022,
+    public — nested-prefix embeddings let a coarse low-dim pass read
+    1/d of the bytes and a full-dim pass rerank the shortlist). Exact
+    over the truncated space, deterministic tiebreak — the cheap first
+    stage of a two-stage funnel, not an approximation of full-dim
+    cosine.
+    """
+    c = corpus.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    q = queries.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    return brute_force_topk(c, q, id_col, vec_col, k=k)

@@ -1322,7 +1322,30 @@ def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
         sig["dup_line_char_frac"].alias("d2"),
         sig["top_bigram_share"].alias("d3"),
     )
-    return p.unionByName(b).unionByName(r)
+    # 'kanon' — k-anonymity suppression (operators/privacy.py): rows
+    # surviving with their quasi-identifier ((lang, source) + a coarse
+    # length bucket so some groups genuinely fall under k) group size;
+    # suppressed rows are ABSENT — the discriminator
+    from stepist_spark.operators.privacy import k_anonymity
+
+    quasi = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source",
+        F.expr("n_chars DIV 100").alias("len_bucket"),
+    )
+    ka = k_anonymity(quasi, ["lang", "source", "len_bucket"], k=5).filter(
+        F.col("is_k_anon")
+    ).select(
+        F.lit("kanon").alias("part"),
+        "doc_id",
+        F.concat_ws(":", "lang", "source", F.col("len_bucket").cast("string")).alias("s1"),
+        F.col("group_size").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+    )
+    return p.unionByName(b).unionByName(r).unionByName(ka)
 
 
 def _t22_sql() -> str:
@@ -1386,6 +1409,16 @@ SELECT 'rep', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        {TX.dup_line_char_frac_sql('lines')},
        {TX.top_bigram_share_sql('tk')}
 FROM rep_bound
+UNION ALL
+SELECT 'kanon', doc_id,
+       lang || ':' || source || ':' || CAST(len_bucket AS VARCHAR),
+       group_size, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+    SELECT doc_id, lang, source, len_bucket,
+           count(*) OVER (PARTITION BY lang, source, len_bucket) AS group_size
+    FROM (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket FROM documents)
+) WHERE group_size >= 5
 """
 
 

@@ -43,10 +43,16 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         "cos_sim",
         F.col("neighbor_label").cast("bigint").alias("xk"),
     )
+    # Matryoshka truncated-dim retrieval: exact top-k over the FIRST
+    # 16 coordinates — the cheap coarse pass of a two-stage funnel
+    mrl = similarity.truncated_topk(
+        emb, anchors, "vec_id", "embedding", k=K, dims=16
+    ).withColumn("part", F.lit("mrl"))
     return (
         exact.select("part", "query_id", "neighbor_id", "cos_sim", no_xk)
         .unionByName(lsh.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
         .unionByName(hn)
+        .unionByName(mrl.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
     )
 
 
@@ -170,6 +176,20 @@ SELECT query_id, neighbor_id, cos_sim,
 ) WHERE rn <= {K}
 """
 
+V01MRL_SQL = f"""
+WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 6) AS cos_sim
+    FROM q, e c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn <= {K}
+"""
+
 V01_SQL = f"""
 SELECT 'exact' AS part, query_id, neighbor_id, cos_sim,
        CAST(NULL AS BIGINT) AS xk
@@ -179,6 +199,9 @@ SELECT 'lsh', query_id, neighbor_id, cos_sim, CAST(NULL AS BIGINT)
 FROM ({V04_SQL})
 UNION ALL
 SELECT 'hardneg', query_id, neighbor_id, cos_sim, xk FROM ({V01HN_SQL})
+UNION ALL
+SELECT 'mrl', query_id, neighbor_id, cos_sim, CAST(NULL AS BIGINT)
+FROM ({V01MRL_SQL})
 """
 
 

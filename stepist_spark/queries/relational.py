@@ -1737,6 +1737,19 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # gaps-and-islands engagement metric (operators/sessions.py):
+    # longest consecutive-day streak + total active days per user
+    from stepist_spark.operators.sessions import longest_daily_streak
+
+    st = longest_daily_streak(ev, "user_id", "ts").select(
+        F.lit("streak").alias("part"),
+        F.col("user_id").cast("string").alias("wkey"),
+        F.col("longest_streak").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("n_active_days").cast("bigint").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     # batch sessionization (operators/sessions.py): gap-based session
     # stats — one user-partitioned window + one co-partitioned agg;
     # duration_sec certifies the integer-microsecond time math
@@ -1762,6 +1775,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(tr.select("*", *nulls))
         .unionByName(co.select("*", *nulls))
         .unionByName(wa.select("*", *nulls))
+        .unionByName(st.select("*", *nulls))
         .unionByName(se.select("*", *nulls))
         .unionByName(az)
     )
@@ -1793,11 +1807,17 @@ def _q22m_sql() -> str:
         "SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events",
         "user_id", "ts", 1800, "event_id",
     )
-    from stepist_spark.operators.sessions import rolling_active_users_sql
+    from stepist_spark.operators.sessions import (
+        longest_daily_streak_sql,
+        rolling_active_users_sql,
+    )
 
     wa = rolling_active_users_sql(
         "SELECT user_id, ts::TIMESTAMP AS ts FROM events",
         "user_id", "ts", window_days=7,
+    )
+    sk = longest_daily_streak_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts FROM events", "user_id", "ts"
     )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
@@ -1832,6 +1852,12 @@ SELECT 'wau', CAST(day AS VARCHAR), CAST(active_users AS BIGINT),
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({wa})
+UNION ALL
+SELECT 'streak', CAST(u AS VARCHAR), CAST(longest_streak AS BIGINT),
+       CAST(NULL AS DOUBLE), n_active_days,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({sk})
 UNION ALL
 SELECT 'sessionize', CAST(u AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR),
        CAST(n_events AS BIGINT), CAST(NULL AS DOUBLE), duration_sec,
@@ -1991,7 +2017,30 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
     )
-    return pc.unionByName(hi).unionByName(mm).unionByName(ols)
+    # importance-weighted robust center (operators/anomaly.py): exact
+    # lower weighted median of extendedprice weighted by quantity —
+    # always an actual data value, doubled-cumulative integer decision
+    from stepist_spark.operators.anomaly import grouped_weighted_median
+
+    wm = grouped_weighted_median(
+        load_table(spark, sf, "lineitem").select(
+            "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("bigint").alias("w")
+        ),
+        ["l_returnflag"],
+        "l_extendedprice",
+        "w",
+    ).select(
+        F.lit("wmed").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("weighted_median").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("total_weight").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    return pc.unionByName(hi).unionByName(mm).unionByName(ols).unionByName(wm)
 
 
 def _q25_mad_sql() -> str:
@@ -2020,6 +2069,21 @@ def _q25_ols_sql() -> str:
 
 _Q25_OLS_SQL = _q25_ols_sql()
 
+
+def _q25_wmed_sql() -> str:
+    from stepist_spark.operators.anomaly import grouped_weighted_median_sql
+
+    return grouped_weighted_median_sql(
+        "SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT) AS w "
+        "FROM lineitem",
+        ["l_returnflag"],
+        "l_extendedprice",
+        "w",
+    )
+
+
+_Q25_WMED_SQL = _q25_wmed_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -2043,6 +2107,12 @@ UNION ALL
 SELECT 'ols', l_returnflag, slope, intercept, r2, CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(n AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({_Q25_OLS_SQL})
+UNION ALL
+SELECT 'wmed', l_returnflag, CAST(weighted_median AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(total_weight AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM ({_Q25_WMED_SQL})
 """
 
 

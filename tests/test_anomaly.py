@@ -243,3 +243,58 @@ class TestGroupedMedianMad:
         md = grouped_median_mad(df_d, ["g"], "v").collect()[0]
         assert abs(mc["median"] - md["median"]) <= 1.0
         assert abs(mc["mad"] - md["mad"]) <= 1.0
+
+
+class TestGroupedWeightedMedian:
+    def test_hand_example(self, spark):
+        from stepist_spark.operators.anomaly import grouped_weighted_median
+
+        # values 1..4 with weights 1,1,5,1: cum at 3 is 7 of 8 -> first
+        # value with 2*cum >= tot is 3
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 5), ("a", 4.0, 1)],
+            "g string, v double, w bigint",
+        )
+        (r,) = grouped_weighted_median(df, ["g"], "v", "w").collect()
+        assert (r["weighted_median"], r["total_weight"]) == (3.0, 8)
+
+    def test_unit_weights_match_lower_median(self, spark):
+        from stepist_spark.operators.anomaly import grouped_weighted_median
+
+        import random
+
+        rng = random.Random(3)
+        rows = [("g", float(rng.randrange(100)), 1) for _ in range(101)]
+        df = spark.createDataFrame(rows, "g string, v double, w bigint")
+        (r,) = grouped_weighted_median(df, ["g"], "v", "w").collect()
+        vals = sorted(v for _, v, _ in rows)
+        # lower median: smallest v with 2*rank >= n
+        import math
+
+        assert r["weighted_median"] == vals[math.ceil(len(vals) / 2) - 1]
+
+    def test_python_reference_random_weights(self, spark):
+        from stepist_spark.operators.anomaly import grouped_weighted_median
+
+        import random
+
+        rng = random.Random(9)
+        rows = [
+            (g, float(rng.randrange(20)), rng.randrange(1, 6))
+            for g in ("x", "y")
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, w bigint")
+        got = {
+            r["g"]: (r["weighted_median"], r["total_weight"])
+            for r in grouped_weighted_median(df, ["g"], "v", "w").collect()
+        }
+        for g in ("x", "y"):
+            items = sorted((v, w) for gg, v, w in rows if gg == g)
+            tot = sum(w for _, w in items)
+            cum = 0
+            for v, w in items:
+                cum += w
+                if 2 * cum >= tot:
+                    assert got[g] == (v, tot)
+                    break

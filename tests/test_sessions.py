@@ -122,3 +122,44 @@ class TestRollingActiveUsers:
             for r in rolling_active_users(df, "user_id", "ts", 1).collect()
         )
         assert got == [("2024-01-01", 2), ("2024-01-02", 1)]
+
+
+class TestLongestDailyStreak:
+    def test_hand_example(self, spark):
+        from stepist_spark.operators.sessions import longest_daily_streak
+
+        rows = []
+        eid = 0
+        for day in (1, 2, 3, 7, 8, 20):  # streaks 3, 2, 1
+            for _ in range(2):  # duplicate events on the same day
+                eid += 1
+                rows.append((5, T0 + dt.timedelta(days=day), eid))
+        df = _ev(spark, rows)
+        (r,) = longest_daily_streak(df, "user_id", "ts").collect()
+        assert (r["longest_streak"], r["n_active_days"]) == (3, 6)
+
+    def test_python_reference(self, spark):
+        import random
+
+        from stepist_spark.operators.sessions import longest_daily_streak
+
+        rng = random.Random(13)
+        rows = [
+            (u, T0 + dt.timedelta(days=rng.randrange(30)), i)
+            for i, u in enumerate(rng.choices(range(8), k=400))
+        ]
+        df = _ev(spark, rows)
+        got = {
+            r["user_id"]: (r["longest_streak"], r["n_active_days"])
+            for r in longest_daily_streak(df, "user_id", "ts").collect()
+        }
+        byu = {}
+        for u, ts, _ in rows:
+            byu.setdefault(u, set()).add(ts.date())
+        for u, days in byu.items():
+            ds = sorted(days)
+            best = run = 1
+            for a, b in zip(ds, ds[1:]):
+                run = run + 1 if (b - a).days == 1 else 1
+                best = max(best, run)
+            assert got[u] == (best, len(ds))

@@ -331,3 +331,31 @@ class TestHardNegatives:
     def test_no_same_label_neighbors(self, emb, queries):
         got = similarity.hard_negatives(emb, queries, "vec_id", "embedding", "label")
         assert got.filter(F.col("query_label") == F.col("neighbor_label")).count() == 0
+
+
+class TestTruncatedTopk:
+    def test_equals_brute_force_on_sliced_vectors(self, emb, queries):
+        import numpy as np
+
+        got = _pairs(
+            similarity.truncated_topk(emb, queries, "vec_id", "embedding", k=3, dims=16)
+        )
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        mat = np.array([r["embedding"][:16] for r in rows], dtype=np.float64)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for q in queries.collect():
+            sims = norm @ norm[ids.index(q["vec_id"])]
+            cand = sorted(
+                ((round(float(s), 6), int(i)) for s, i in zip(sims, ids)
+                 if i != q["vec_id"]),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            for s, i in cand:
+                assert abs(got[(q["vec_id"], i)] - s) < 2e-6
+
+    def test_full_dims_matches_untruncated(self, emb, queries):
+        d = len(emb.select("embedding").first()["embedding"])
+        a = _pairs(similarity.truncated_topk(emb, queries, k=3, dims=d))
+        b = _pairs(similarity.brute_force_topk(emb, queries, k=3))
+        assert a == b
