@@ -429,7 +429,10 @@ def grouped_weighted_median(
     robust center (sample weights from resampling/mixture pipelines
     land here). Always an actual data value; weights must be
     non-negative integers so the doubled-cumulative comparison is
-    exact on every engine.
+    exact on every engine. Zero-weight values can never be selected
+    (the cumulative only crosses the half-total at a value carrying
+    mass) — except the degenerate all-zero-weight group, which returns
+    its minimum value with ``total_weight`` 0.
 
     Same shape as :func:`grouped_median_mad`: raw rows touched only by
     one (group, value) weight aggregation; the pick is a cumulative

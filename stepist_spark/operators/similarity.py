@@ -820,7 +820,8 @@ def truncated_topk(
     1/d of the bytes and a full-dim pass rerank the shortlist). Exact
     over the truncated space, deterministic tiebreak — the cheap first
     stage of a two-stage funnel, not an approximation of full-dim
-    cosine.
+    cosine. ``dims`` beyond the vector length degrades to full-dim
+    top-k (slice truncates to the available elements on both engines).
     """
     c = corpus.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
     q = queries.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))

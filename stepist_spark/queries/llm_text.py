@@ -1337,7 +1337,12 @@ def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.lit("kanon").alias("part"),
         "doc_id",
-        F.concat_ws(":", "lang", "source", F.col("len_bucket").cast("string")).alias("s1"),
+        # concat (NULL-propagating, matching the oracle's ||), NOT
+        # concat_ws (which silently skips NULL quasi values)
+        F.concat(
+            F.col("lang"), F.lit(":"), F.col("source"), F.lit(":"),
+            F.col("len_bucket").cast("string"),
+        ).alias("s1"),
         F.col("group_size").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
         F.lit(None).cast("bigint").alias("n3"),
