@@ -715,3 +715,44 @@ def qsketch_quantiles(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rolling_hll_actives(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    p: int = HLL_P,
+    estimate_col: str = "approx_active_users",
+) -> DataFrame:
+    """APPROXIMATE rolling distinct actives from MERGEABLE per-day HLL
+    registers — the merge-don't-rescan twin of
+    ``sessions.rolling_active_users``: the exact operator ships
+    |user-day pairs| × window rows per pass, while this builds per-day
+    register tables ONCE (≤ m rows/day regardless of traffic) and
+    every trailing window is a register-wise max over ≤ window·m
+    kilobyte-scale rows. At 100 TB the raw events are touched once no
+    matter how many window lengths ride on the same registers; the
+    price is the HLL error (~4.6% at p=9), which the exact twin
+    witnesses at test scale.
+
+    Output: ``day, {estimate_col}`` for each observed day (portable
+    estimate — bit-reproducible cross-engine like the q21 family).
+    """
+    days = df.select(
+        F.to_date(F.col(ts_col)).alias("_d"), F.col(user_col).alias("_u")
+    )
+    regs = portable_hll_registers(days, ["_d"], "_u", p=p)
+    observed = days.select(F.col("_d").alias("day")).distinct()
+    contrib = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
+        "_d",
+        "bucket",
+        "reg",
+    ).select(F.date_add(F.col("_d"), F.col("_off")).alias("day"), "bucket", "reg")
+    merged = (
+        contrib.join(observed, "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return portable_hll_estimate(merged, ["day"], p=p, estimate_col=estimate_col)

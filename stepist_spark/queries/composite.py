@@ -1091,18 +1091,51 @@ def w02_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_date STRING",
         meta_schema="hub_job_id STRING, attempt INT",
     )
-    return back.select(
+    env = back.select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
         "o_date",
         meta_value(back, "hub_job_id").alias("job_id"),
     )
+    # TEXT-SOURCE round-trips (round 5): the same slice through the
+    # jsonl and csv writer/reader paths, read back under an EXPLICIT
+    # schema (inference would come back long/decimal-ish); a hash match
+    # certifies numeric fidelity through both text codecs (Spark writes
+    # round-trippable shortest-repr doubles). job_id doubles as the
+    # part discriminator
+    import os as _os
+
+    from stepist_spark.session import scratch_dir
+    from stepist_spark.sources import readers, writers
+
+    base = orders
+    schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_date STRING"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_date"]
+    jdir = _os.path.join(scratch_dir(spark, "w02"), "jsonl")
+    cdir = _os.path.join(scratch_dir(spark, "w02"), "csv")
+    writers.write(base, jdir, fmt="json", mode="overwrite")
+    writers.write(base, cdir, fmt="csv", mode="overwrite", header="true")
+    jback = readers.read(spark, jdir, fmt="json", schema=schema).select(
+        *cols, F.lit("jsonl").alias("job_id")
+    )
+    cback = readers.read(spark, cdir, fmt="csv", schema=schema, header="true").select(
+        *cols, F.lit("csv").alias("job_id")
+    )
+    return env.unionByName(jback).unionByName(cback)
 
 
 W02_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice,
        CAST(o_orderdate AS VARCHAR) AS o_date, 'w02' AS job_id
+FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS VARCHAR), 'jsonl'
+FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS VARCHAR), 'csv'
 FROM orders WHERE o_orderkey % 50 = 0
 """
 

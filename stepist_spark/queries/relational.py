@@ -848,6 +848,17 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.col("est").cast("double").alias("est"),
     )
 
+    # temporal sketch rollup (round 5): rolling 7-day distinct actives
+    # from MERGED per-day registers — the merge-don't-rescan twin of
+    # q22's exact 'wau' part, with the exact value as the error witness
+    wau = sketches.rolling_hll_actives(
+        load_table(spark, sf, "events"), "user_id", "ts", window_days=7
+    ).select(
+        F.lit("wau_hll").alias("part"),
+        F.col("day").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("approx_active_users").alias("est"),
+    )
     return (
         fine.unionByName(rolled)
         .unionByName(exact)
@@ -855,6 +866,7 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pctl_exact)
         .unionByName(qsk_cells)
         .unionByName(qsk_est)
+        .unionByName(wau)
     )
 
 
@@ -892,6 +904,7 @@ FROM (
 )
 """
 
+    hu = span_hash60_sql("CAST(user_id AS VARCHAR)")
     return f"""
 WITH fine_regs AS (
     SELECT l_returnflag, l_linestatus, bucket, max(rho) AS reg FROM (
@@ -901,6 +914,23 @@ WITH fine_regs AS (
                     ELSE {maxbits + 1} - length(bin(({h}) >> {HLL_P})) END AS rho
         FROM lineitem
     ) GROUP BY l_returnflag, l_linestatus, bucket
+),
+wau_day_regs AS (
+    SELECT d, bucket, max(rho) AS reg FROM (
+        SELECT CAST(ts AS DATE) AS d,
+               ({hu}) % {m} AS bucket,
+               CASE WHEN (({hu}) >> {HLL_P}) = 0 THEN {maxbits + 1}
+                    ELSE {maxbits + 1} - length(bin(({hu}) >> {HLL_P})) END AS rho
+        FROM events
+    ) GROUP BY d, bucket
+),
+wau_merged AS (
+    SELECT day, bucket, max(reg) AS reg FROM (
+        SELECT d + CAST(o AS INTEGER) AS day, bucket, reg
+        FROM wau_day_regs, (SELECT unnest(generate_series(0, 6)) AS o)
+    ) c
+    JOIN (SELECT DISTINCT d AS day FROM wau_day_regs) obs USING (day)
+    GROUP BY day, bucket
 ),
 rolled_regs AS (
     SELECT l_returnflag, bucket, max(reg) AS reg
@@ -970,6 +1000,10 @@ FROM qsk_lb WHERE cum >= greatest(1, (9 * n + 10 - 1) // 10)
 UNION ALL
 SELECT 'qsk_est', '99/100', CAST(NULL AS VARCHAR), CAST(min(lb) AS DOUBLE)
 FROM qsk_lb WHERE cum >= greatest(1, (99 * n + 100 - 1) // 100)
+UNION ALL
+SELECT 'wau_hll', CAST(day AS VARCHAR), CAST(NULL AS VARCHAR), est FROM (
+    {est("day", "day", "wau_merged")}
+)
 """
 
 

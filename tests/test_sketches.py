@@ -444,3 +444,45 @@ class TestQuantileSketch:
             raise AssertionError("expected mixed-stamp merge to raise")
         except Exception as ex:
             assert "merge" in str(ex).lower() or "parameter" in str(ex).lower()
+
+
+class TestRollingHllActives:
+    def test_tracks_exact_within_error(self, spark):
+        from stepist_spark.operators.sessions import rolling_active_users
+        from stepist_spark.operators.sketches import rolling_hll_actives
+
+        ev = load_table(spark, "/root/testdata/sf0.01", "events")
+        exact = {
+            str(r["day"]): r["active_users"]
+            for r in rolling_active_users(ev, "user_id", "ts", 7).collect()
+        }
+        approx = {
+            str(r["day"]): r["approx_active_users"]
+            for r in rolling_hll_actives(ev, "user_id", "ts", 7).collect()
+        }
+        assert set(approx) == set(exact)
+        for d, n in exact.items():
+            # ~4.6% std error at p=9; allow 4 sigma
+            assert abs(approx[d] - n) <= max(5, 0.2 * n), (d, n, approx[d])
+
+    def test_window_one_matches_per_day_estimate(self, spark):
+        from pyspark.sql import functions as F2
+
+        from stepist_spark.operators.sketches import (
+            portable_hll_estimate,
+            portable_hll_registers,
+            rolling_hll_actives,
+        )
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        a = {
+            str(r["day"]): r["approx_active_users"]
+            for r in rolling_hll_actives(ev, "user_id", "ts", 1).collect()
+        }
+        days = ev.select(F2.to_date("ts").alias("day"), "user_id")
+        regs = portable_hll_registers(days, ["day"], "user_id")
+        b = {
+            str(r["day"]): r["approx_distinct"]
+            for r in portable_hll_estimate(regs, ["day"]).collect()
+        }
+        assert a == b
