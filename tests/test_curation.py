@@ -226,3 +226,49 @@ class TestRepetitionSignals:
         s = self._sig(spark, spam)
         assert s["dup_line_frac"] == pytest.approx(0.8)
         assert s["top_bigram_share"] > 0.2
+
+
+class TestAdvice5Regressions:
+    """Round-4 ADVICE items, pinned."""
+
+    def test_mixture_sql_default_star_hides_rate(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.sampling import (
+            mixture_resample,
+            mixture_resample_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 3 else "b") for i in range(200)], "id bigint, grp string"
+        )
+        t = {"a": 0.7, "b": 0.3}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (id BIGINT, grp VARCHAR)")
+        con.executemany(
+            "INSERT INTO docs VALUES (?, ?)", [(r.id, r.grp) for r in df.collect()]
+        )
+        # DEFAULT select_cols='*' must emit exactly the input columns —
+        # the old shape leaked the helper _rate column through *
+        res = con.execute(mixture_resample_sql("docs", "grp", "id", t))
+        cols = [d[0] for d in res.description]
+        assert cols == ["id", "grp"]
+        exp = sorted(tuple(r) for r in res.fetchall())
+        got = sorted(
+            (r["id"], r["grp"]) for r in mixture_resample(df, "grp", "id", t).collect()
+        )
+        assert got == exp
+
+    def test_wps_large_weights_keep_resolution(self, spark):
+        from stepist_spark.operators.sampling import weighted_priority_sample
+
+        # weights around 1e9 collapsed the old (u32 * 1e6) DIV w key to
+        # a handful of values, letting the id tiebreak decide; the
+        # 63-bit key must keep the heavy class overrepresented
+        rows = [(i, 1_000_000_000) for i in range(1000)] + [
+            (i, 10_000_000_000) for i in range(1000, 2000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        out = weighted_priority_sample(df, "doc_id", "w", 200)
+        heavy = out.filter("w = 10000000000").count()
+        assert heavy > 140  # ~10/11 expected; an id-tiebreak pick gives ~100

@@ -446,3 +446,19 @@ class TestEngineStream:
         _drain(q)
         total = spark.sql("SELECT sum(v2) s FROM t_engine_stream").collect()[0]["s"]
         assert total == 2 * (1 + 2 + 3 + 10)
+
+
+class TestS02EmptySubsetGuard:
+    def test_degenerate_sf_fails_loudly(self, spark, tmp_path):
+        """Round-4 ADVICE: an sf whose events lack user_id % 8 == 0 rows
+        must raise a descriptive error, not min() of an empty dict."""
+        import pytest as _pytest
+
+        from stepist_spark.queries.streaming_gates import s02_sliding_window
+        from stepist_spark.session import load_table
+
+        src = load_table(spark, "/root/testdata/sf0.001", "events")
+        deg = str(tmp_path / "degenerate_sf")
+        src.filter("user_id % 8 <> 0").write.parquet(f"{deg}/events.parquet")
+        with _pytest.raises(ValueError, match="user_id % 8"):
+            s02_sliding_window(spark, deg)
