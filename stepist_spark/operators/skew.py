@@ -117,3 +117,61 @@ def salted_agg(
 
     partial = salted.groupBy(*key_list, "_salt").agg(*partial_exprs)
     return partial.groupBy(*key_list).agg(*final_exprs)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: str | list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Skew DIAGNOSIS for a prospective shuffle key: the ``top_n``
+    hottest key values with exact counts and their share of all rows —
+    the number to look at BEFORE choosing a salt factor or an AQE skew
+    hint (a key holding more than ~1/partitions of the rows straggles
+    any hash exchange keyed on it; its count/total is the minimum salt
+    multiplier that levels it).
+
+    One map-side-combined count aggregation over the rows; the total
+    and the ranking ride windows over the |keys|-row count table. The
+    final ranking window is global (single task over |keys| rows) —
+    fine for grouping keys up to ~1e8; for unbounded-cardinality keys
+    run :func:`~stepist_spark.operators.sketches.frequent_items`
+    instead and join its top set back for exact counts.
+
+    Output: ``*key_cols, n_rows, share`` (share = one exact-integer
+    division), hottest first, deterministic key tiebreak.
+    """
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    wtot = Window.partitionBy()
+    wr = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        counts.withColumn("_tot", F.sum("n_rows").over(wtot))
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= top_n)
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_tot").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def skew_report_sql(
+    table_sql: str, key_exprs: str | list[str], top_n: int = 10
+) -> str:
+    """DuckDB mirror of :func:`skew_report`."""
+    keys = [key_exprs] if isinstance(key_exprs, str) else list(key_exprs)
+    g = ", ".join(keys)
+    ties = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+SELECT {g}, n_rows, CAST(n_rows AS DOUBLE) / tot AS share FROM (
+    SELECT {g}, n_rows, sum(n_rows) OVER () AS tot,
+           row_number() OVER (ORDER BY n_rows DESC, {ties}) AS rk
+    FROM (SELECT {g}, count(*) AS n_rows FROM ({table_sql}) GROUP BY {g})
+) WHERE rk <= {top_n}
+"""

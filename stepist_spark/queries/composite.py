@@ -289,10 +289,29 @@ def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         "max_price",
         "avg_qty",
     )
-    return agg.unionByName(j)
+    # 'report' — the skew DIAGNOSIS that motivates the two mitigations
+    # above: the 10 hottest o_custkey values with exact counts and
+    # their row share (operators/skew.skew_report)
+    from stepist_spark.operators.skew import skew_report
+
+    rep = skew_report(
+        load_table(spark, sf, "orders").select("o_custkey"), "o_custkey", top_n=10
+    ).select(
+        F.lit("report").alias("part"),
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("share").alias("sum_qty"),
+        "n_rows",
+        F.lit(None).cast("double").alias("max_price"),
+        F.lit(None).cast("double").alias("avg_qty"),
+    )
+    return agg.unionByName(j).unionByName(rep)
 
 
-Q36_SQL = """
+def _q36_sql() -> str:
+    from stepist_spark.operators.skew import skew_report_sql
+
+    rep = skew_report_sql("SELECT o_custkey FROM orders", "o_custkey", top_n=10)
+    return f"""
 SELECT 'agg' AS part, l_returnflag AS k, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
        count(l_quantity) AS n_rows, round(max(l_extendedprice), 2) AS max_price,
        CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty
@@ -303,7 +322,14 @@ SELECT 'join', o_orderpriority, CAST(count(*) AS DOUBLE), count(*),
        CAST(sum(l_quantity) AS DOUBLE) / count(*)
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+UNION ALL
+SELECT 'report', CAST(o_custkey AS VARCHAR), share, n_rows,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM ({rep})
 """
+
+
+Q36_SQL = _q36_sql()
 
 
 # --------------------------------------------------------------------------

@@ -76,3 +76,23 @@ class TestSaltedAgg:
     def test_rejects_non_algebraic(self, spark):
         with pytest.raises(ValueError, match="algebraic"):
             skew.salted_agg(spark.range(3), "id", {"x": ("id", "median")})
+
+
+class TestSkewReport:
+    def test_top_keys_and_shares(self, spark):
+        from stepist_spark.operators.skew import skew_report
+
+        rows = [("hot",)] * 50 + [("warm",)] * 30 + [("a",)] * 10 + [("b",)] * 10
+        df = spark.createDataFrame(rows, "k string")
+        got = [
+            (r["k"], r["n_rows"], r["share"])
+            for r in skew_report(df, "k", top_n=2).collect()
+        ]
+        assert got == [("hot", 50, 0.5), ("warm", 30, 0.3)]
+
+    def test_tie_breaks_by_key(self, spark):
+        from stepist_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+        got = [r["k"] for r in skew_report(df, "k", top_n=2).collect()]
+        assert got == ["a", "b"]
