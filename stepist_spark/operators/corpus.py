@@ -185,3 +185,148 @@ def ngram_contamination(
         "contamination_ratio",
         F.col("n_contaminated").cast("double") / F.col("n_shingles"),
     )
+
+
+def distribution_shift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-group corpus drift: add-one-smoothed KL divergence of each
+    group's token distribution from the REST of the corpus — the
+    distribution-shift monitor a training-data pipeline runs when a
+    new source/dump lands (Kullback & Leibler 1951; the data-mixing
+    diagnostics of CCNet/DoReMi are public descendants).
+
+    Semantics: vocabulary V = tokens with global count >= ``min_count``
+    (out-of-vocabulary tokens are excluded on BOTH sides, so the two
+    distributions share support); for group p with complement q,
+    ``p_i = (c_pi + 1) / (N_p + |V|)`` and KL(p||q) =
+    sum_i p_i * ln(p_i / q_i).
+
+    Engine-portable exactness (the t23 log pattern): each token's
+    ``ln(ratio)`` — one double division of exact bigint products, one
+    ``ln`` — is scaled to an integer ``floor(ln * 1e6)`` BEFORE the
+    weighted sum, so the aggregate is an order-free bigint and the
+    value hash is stable.
+
+    Scale shape: one explode+count shuffle (vocabulary-sized after
+    map-side partials), then a (groups x V) frame built by
+    broadcasting the TINY group table across the vocabulary — never a
+    corpus-sized join. Output: ``grp, n_tokens, vocab_v, kl_scaled,
+    kl`` (kl rounded to 6 dp).
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    gt = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return distribution_shift_from_counts(gt, min_count=min_count)
+
+
+def distribution_shift_from_counts(
+    gt: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """:func:`distribution_shift` from a precomputed per-(group, token)
+    count frame ``(grp, tok, c)`` — lets a pipeline that already built
+    an inverted index (ranking.doc_postings) reuse that single corpus
+    explode instead of re-tokenizing."""
+    vocab = (
+        gt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("c_all"))
+        .filter(F.col("c_all") >= min_count)
+    )
+    # in-vocab token mass per group and overall
+    gv = gt.join(vocab.select("tok"), "tok").groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_p")
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    gv = gv.select(
+        "grp", "n_p", F.sum("n_p").over(wall).cast("bigint").alias("n_all")
+    )
+    v_count = vocab.select(F.count(F.lit(1)).cast("bigint").alias("v"))
+    # (group x vocab) support frame: broadcast the tiny group table
+    support = vocab.crossJoin(F.broadcast(gv)).crossJoin(F.broadcast(v_count))
+    cells = support.join(
+        gt.withColumnsRenamed({"c": "c_p"}), ["grp", "tok"], "left"
+    ).select(
+        "grp",
+        "tok",
+        "n_p",
+        "n_all",
+        "v",
+        F.coalesce(F.col("c_p"), F.lit(0)).cast("bigint").alias("c_p"),
+        "c_all",
+    )
+    # p side: group; q side: complement (rest of corpus)
+    num = (F.col("c_p") + 1) * ((F.col("n_all") - F.col("n_p")) + F.col("v"))
+    den = ((F.col("c_all") - F.col("c_p")) + 1) * (F.col("n_p") + F.col("v"))
+    term = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1_000_000)
+    ).cast("bigint") * (F.col("c_p") + 1)
+    out = cells.groupBy("grp", "n_p", "v").agg(
+        F.sum(term).cast("bigint").alias("kl_scaled")
+    )
+    return out.select(
+        "grp",
+        F.col("n_p").alias("n_tokens"),
+        F.col("v").alias("vocab_v"),
+        "kl_scaled",
+        F.round(
+            F.col("kl_scaled").cast("double")
+            / ((F.col("n_p") + F.col("v")).cast("double") * F.lit(1_000_000.0)),
+            6,
+        ).alias("kl"),
+    )
+
+
+def distribution_shift_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    group_expr: str,
+    min_count: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`distribution_shift` — same smoothing,
+    same floor(ln*1e6) scaling, same aggregation order-freeness."""
+    from stepist_spark.functions.text import tokens_sql
+
+    return f"""
+WITH _tok AS (
+    SELECT {group_expr} AS grp, unnest({tokens_sql(text_expr)}) AS tok
+    FROM {table}
+),
+_gt AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c FROM _tok GROUP BY 1, 2),
+_vocab AS (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS c_all FROM _gt GROUP BY 1
+    HAVING sum(c) >= {min_count}
+),
+_gv AS (
+    SELECT g.grp, CAST(sum(g.c) AS BIGINT) AS n_p
+    FROM _gt g JOIN _vocab v ON g.tok = v.tok GROUP BY 1
+),
+_gv2 AS (SELECT grp, n_p, CAST(sum(n_p) OVER () AS BIGINT) AS n_all FROM _gv),
+_v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM _vocab),
+_cells AS (
+    SELECT gv.grp, vo.tok, gv.n_p, gv.n_all, _v.v,
+           CAST(coalesce(g.c, 0) AS BIGINT) AS c_p, vo.c_all
+    FROM _vocab vo CROSS JOIN _gv2 gv CROSS JOIN _v
+    LEFT JOIN _gt g ON g.grp = gv.grp AND g.tok = vo.tok
+)
+SELECT grp, n_p AS n_tokens, v AS vocab_v,
+       CAST(sum(CAST(floor(ln(
+           CAST((c_p + 1) * ((n_all - n_p) + v) AS DOUBLE)
+           / CAST(((c_all - c_p) + 1) * (n_p + v) AS DOUBLE)
+       ) * 1000000) AS BIGINT) * (c_p + 1)) AS BIGINT) AS kl_scaled,
+       round(CAST(sum(CAST(floor(ln(
+           CAST((c_p + 1) * ((n_all - n_p) + v) AS DOUBLE)
+           / CAST(((c_all - c_p) + 1) * (n_p + v) AS DOUBLE)
+       ) * 1000000) AS BIGINT) * (c_p + 1)) AS DOUBLE)
+             / (CAST(n_p + v AS DOUBLE) * 1000000.0), 6) AS kl
+FROM _cells
+GROUP BY grp, n_p, v
+"""

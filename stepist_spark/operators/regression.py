@@ -112,3 +112,87 @@ SELECT {g}, n,
                        / ((nd*dxx - dx*dx) * (nd*dyy - dy*dy)), 6) END AS r2
 FROM ols_d
 """
+
+
+def chi_square_contingency(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square contingency cells for two categorical
+    columns — the independence test every segmentation / feature-
+    selection pass runs (Pearson 1900, public).
+
+    Spark-first shape: ONE count aggregate collapses the data to its
+    |A|x|B| contingency cells; row totals, column totals and the grand
+    total are whole-frame windows over that TINY cell frame (never
+    over the raw rows), so at 100 TB the cost is the one count shuffle.
+
+    Engine-portable exactness: observed/row/col/grand totals are exact
+    bigints; ``expected = row_n * col_n / n`` is ONE double division
+    of exact integer products, and the cell contribution
+    ``(o - e)^2 / e`` is a fixed sequence of individually-rounded IEEE
+    ops on identical inputs — bit-equal on any engine — then rounded
+    to 6 dp. The chi2 statistic is the sum of the per-cell rounded
+    contributions; the gate hash-compares the cell frame itself.
+
+    Output: one row per cell ``(a, b, observed, row_n, col_n, n,
+    expected, contrib)`` plus the summary via ``.groupBy().agg`` by
+    the caller, or use the returned ``contrib`` decimal sum.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_tot = cells.select(
+        "a",
+        "b",
+        "observed",
+        F.sum("observed").over(wa).cast("bigint").alias("row_n"),
+        F.sum("observed").over(wb).cast("bigint").alias("col_n"),
+        F.sum("observed").over(wall).cast("bigint").alias("n"),
+    )
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n").cast("double")
+    contrib = (F.col("observed").cast("double") - e) * (
+        F.col("observed").cast("double") - e
+    ) / e
+    return with_tot.select(
+        "a",
+        "b",
+        "observed",
+        "row_n",
+        "col_n",
+        "n",
+        F.round(e, 6).alias("expected"),
+        F.round(contrib, 6).alias("contrib"),
+    )
+
+
+def chi_square_contingency_sql(table: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB mirror of :func:`chi_square_contingency` — identical
+    expression sequence so every cell hash-matches."""
+    return f"""
+WITH cells AS (
+    SELECT {a_expr} AS a, {b_expr} AS b, CAST(count(*) AS BIGINT) AS observed
+    FROM {table} GROUP BY 1, 2
+),
+tot AS (
+    SELECT a, b, observed,
+           CAST(sum(observed) OVER (PARTITION BY a) AS BIGINT) AS row_n,
+           CAST(sum(observed) OVER (PARTITION BY b) AS BIGINT) AS col_n,
+           CAST(sum(observed) OVER () AS BIGINT) AS n
+    FROM cells
+)
+SELECT a, b, observed, row_n, col_n, n,
+       round(CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+       round(
+           (CAST(observed AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(observed AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           AS contrib
+FROM tot
+"""

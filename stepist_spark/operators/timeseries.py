@@ -195,3 +195,88 @@ SELECT {g}, n_samples, first_ts, last_ts, total_us,
        END AS twa
 FROM twa_s
 """
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union overlapping/touching intervals per key — the classic
+    gaps-and-islands rollup (public SQL folklore; the `range_agg` of
+    PostgreSQL, `merge_overlapping` of interval libraries): intervals
+    ``[start, end)`` that overlap or abut collapse into one island.
+
+    Spark-first shape: ONE window pass per key ordered by (start, end)
+    — a new island opens where ``start`` exceeds the running max of
+    all previous ends; the island id is the running sum of those open
+    flags — then one group-by. Cost at 100 TB: a single (key, start)
+    sort-shuffle, no self-join, no explode.
+
+    Output: ``<key_col>, island, island_start, island_end,
+    n_intervals, covered_us`` — covered_us is the EXACT microsecond
+    length of the merged island (bigint; no FP).
+    """
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    with_island = df.withColumn("island", F.sum(opens).over(w_order))
+    return (
+        with_island.groupBy(key_col, "island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .withColumn(
+            "covered_us",
+            # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+            F.expr(
+                "timestampdiff(MICROSECOND, island_start, island_end)"
+            ).cast("bigint"),
+        )
+    )
+
+
+def merge_intervals_sql(
+    intervals_sql: str,
+    key_expr: str = "k",
+    start_expr: str = "s",
+    end_expr: str = "e",
+) -> str:
+    """DuckDB mirror of :func:`merge_intervals` — identical window
+    semantics (running max of prior ends, running sum of open flags)."""
+    return f"""
+WITH iv AS (SELECT {key_expr} AS k, {start_expr} AS s, {end_expr} AS e
+            FROM ({intervals_sql})),
+flagged AS (
+    SELECT k, s, e,
+           CASE WHEN max(e) OVER (
+                    PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                 OR s > max(e) OVER (
+                    PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS _open
+    FROM iv
+),
+islands AS (
+    SELECT k, s, e,
+           sum(_open) OVER (PARTITION BY k ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged
+)
+SELECT k, island, min(s) AS island_start, max(e) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(epoch_us(max(e)) - epoch_us(min(s)) AS BIGINT) AS covered_us
+FROM islands GROUP BY k, island
+"""

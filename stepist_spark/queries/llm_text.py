@@ -622,7 +622,26 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         "score_scaled",
     )
-    return vocab.unionByName(bm)
+    # per-source distribution shift rides along (operators/corpus.py):
+    # smoothed KL of each source's token distribution vs the rest of
+    # the corpus, fed from the SAME postings pass (no re-tokenize) —
+    # the doc_id->source map joins co-partitioned on doc_id
+    gt = (
+        postings.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(F.col("source").alias("grp"), "tok")
+        .agg(F.sum("tf").cast("bigint").alias("c"))
+    )
+    kl = corpus_ops.distribution_shift_from_counts(gt, min_count=5).select(
+        F.lit("kl").alias("part"),
+        F.col("grp").alias("tok"),
+        F.lit(None).cast("bigint").alias("qid"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("n_tokens").alias("n1"),
+        F.col("vocab_v").alias("n2"),
+        F.col("kl_scaled").alias("score_scaled"),
+    )
+    return vocab.unionByName(bm).unionByName(kl)
 
 
 _T16_VOCAB_SQL = f"""
@@ -637,6 +656,12 @@ SELECT doc_id AS query_id,
        array_to_string(({TX.tokens_sql('text')})[1:6], ' ') AS query_text
 FROM documents WHERE doc_id % 50 = 0
 """
+
+
+def _t16_kl_sql() -> str:
+    from stepist_spark.operators.corpus import distribution_shift_sql
+
+    return distribution_shift_sql("documents", "doc_id", "text", "source", 5)
 
 
 def _t16_sql() -> str:
@@ -654,6 +679,10 @@ UNION ALL
 SELECT 'bm25', CAST(NULL AS VARCHAR), query_id, doc_id, rank,
        n_terms_hit, CAST(NULL AS BIGINT), score_scaled
 FROM ({bm25})
+UNION ALL
+SELECT 'kl', grp, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), n_tokens, vocab_v, kl_scaled
+FROM ({_t16_kl_sql()})
 """
 
 

@@ -1493,7 +1493,42 @@ def q13_scalar_string_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("date").alias("dt2"),
         F.lit(None).cast("date").alias("dt3"),
     )
-    return sc.unionByName(sa).unionByName(pr)
+    # data-quality expectations ride along (operators/expectations.py):
+    # row-level checks share ONE aggregate pass; the report mixes
+    # passing and violated constraints so the gate discriminates
+    from stepist_spark.operators.expectations import expect
+
+    ex = expect(load_table(spark, sf, "lineitem"), _EXPECT_CONSTRAINTS).select(
+        F.lit("expect").alias("part"),
+        F.col("constraint").alias("k1"),
+        F.col("column").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.col("violations").alias("n1"),
+        F.col("total").alias("n2"),
+        F.col("passed").cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
+    return sc.unionByName(sa).unionByName(pr).unionByName(ex)
+
+
+#: mixed pass/fail so the expect gate discriminates: the between and
+#: in_set checks are deliberately narrower than the data
+_EXPECT_CONSTRAINTS = [
+    ("not_null", "l_orderkey"),
+    ("non_negative", "l_quantity"),
+    ("between", "l_discount", 0.0, 0.05),
+    ("in_set", "l_returnflag", ["A", "N"]),
+    ("matches", "l_linestatus", "^[OF]$"),
+    ("unique", ["l_orderkey", "l_linenumber"]),
+    ("unique", ["l_partkey"]),
+]
 
 
 _PROFILE_COLS = [
@@ -1509,6 +1544,12 @@ def _q13_profile_sql() -> str:
     from stepist_spark.operators.profiling import profile_table_sql
 
     return profile_table_sql("SELECT * FROM orders", _PROFILE_COLS)
+
+
+def _q13_expect_sql() -> str:
+    from stepist_spark.operators.expectations import expect_sql
+
+    return expect_sql("lineitem", _EXPECT_CONSTRAINTS)
 
 
 Q13M_SQL = f"""
@@ -1530,6 +1571,12 @@ SELECT 'profile', col_name, min_repr, max_repr, NULL, NULL,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
 FROM ({_q13_profile_sql()})
+UNION ALL
+SELECT 'expect', "constraint", "column", NULL, NULL, NULL,
+       violations, total, CAST(passed AS BIGINT), NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM ({_q13_expect_sql()})
 """
 
 
@@ -1611,6 +1658,29 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(_aj("asof_tol", "nearest", F.expr("INTERVAL 2 HOURS")))
         .unionByName(rs)
         .unionByName(tw)
+        .unionByName(_q18_islands(spark, sf))
+    )
+
+
+def _q18_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-union (gaps-and-islands) part: each event claims a
+    30-minute activity interval; overlapping intervals per user merge
+    into islands (operators/timeseries.py merge_intervals)."""
+    from stepist_spark.operators.timeseries import merge_intervals
+
+    iv = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, "k", "s", "e").select(
+        F.lit("island").alias("part"),
+        F.col("k").cast("string").alias("k1"),
+        F.col("island_start").alias("ts1"),
+        F.col("island_end").alias("ts2"),
+        F.col("island").cast("bigint").alias("n1"),
+        F.col("n_intervals").alias("n2"),
+        F.col("covered_us").cast("double").alias("d1"),
     )
 
 
@@ -1640,6 +1710,18 @@ def _twa_sql() -> str:
 
 
 _TWA_SQL = _twa_sql()
+
+
+def _islands_sql() -> str:
+    from stepist_spark.operators.timeseries import merge_intervals_sql
+
+    return merge_intervals_sql(
+        "SELECT user_id AS k, ts::TIMESTAMP AS s, "
+        "ts::TIMESTAMP + INTERVAL 30 MINUTE AS e FROM events"
+    )
+
+
+_ISLANDS_SQL = _islands_sql()
 
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
@@ -1675,6 +1757,10 @@ UNION ALL
 SELECT 'twa', event_type, first_ts, last_ts,
        CAST(n_samples AS BIGINT), CAST(total_us AS BIGINT), twa
 FROM ({_TWA_SQL})
+UNION ALL
+SELECT 'island', CAST(k AS VARCHAR), island_start, island_end,
+       CAST(island AS BIGINT), n_intervals, CAST(covered_us AS DOUBLE)
+FROM ({_ISLANDS_SQL})
 """
 
 
@@ -2074,7 +2160,37 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("total_weight").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
     )
-    return pc.unionByName(hi).unionByName(mm).unionByName(ols).unionByName(wm)
+    # chi-square contingency cells ride along (operators/regression.py):
+    # event_type x user-segment independence — exact bigint counts,
+    # one-division expected values, per-cell contribution round 6
+    from stepist_spark.operators.regression import chi_square_contingency
+
+    chi = chi_square_contingency(
+        load_table(spark, sf, "events").select(
+            "event_type", (F.col("user_id") % 4).alias("seg")
+        ),
+        "event_type",
+        "seg",
+    ).select(
+        F.lit("chi2").alias("part"),
+        F.concat(F.col("a"), F.lit(":"), F.col("b").cast("string")).alias("k1"),
+        F.col("expected").alias("d1"),
+        F.col("contrib").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat(
+            F.col("col_n").cast("string"), F.lit(":"), F.col("n").cast("string")
+        ).alias("s1"),
+        F.col("observed").alias("n1"),
+        F.col("row_n").alias("n2"),
+    )
+    return (
+        pc.unionByName(hi)
+        .unionByName(mm)
+        .unionByName(ols)
+        .unionByName(wm)
+        .unionByName(chi)
+    )
 
 
 def _q25_mad_sql() -> str:
@@ -2118,6 +2234,19 @@ def _q25_wmed_sql() -> str:
 
 _Q25_WMED_SQL = _q25_wmed_sql()
 
+
+def _q25_chi2_sql() -> str:
+    from stepist_spark.operators.regression import chi_square_contingency_sql
+
+    return chi_square_contingency_sql(
+        "(SELECT event_type, user_id % 4 AS seg FROM events)",
+        "event_type",
+        "seg",
+    )
+
+
+_Q25_CHI2_SQL = _q25_chi2_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -2147,6 +2276,12 @@ SELECT 'wmed', l_returnflag, CAST(weighted_median AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(total_weight AS BIGINT),
        CAST(NULL AS BIGINT)
 FROM ({_Q25_WMED_SQL})
+UNION ALL
+SELECT 'chi2', a || ':' || CAST(b AS VARCHAR), expected, contrib,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(col_n AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+       observed, row_n
+FROM ({_Q25_CHI2_SQL})
 """
 
 
@@ -2167,8 +2302,42 @@ def q02_join_agg_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("revenue").alias("rev"),
         F.col("n_items").cast("bigint").alias("n"),
     )
-    return t.unionByName(r)
+    # market-basket association rules ride along
+    # (operators/association.py): parts co-ordered within orders,
+    # top-50 directional rules by lift — counts packed into s2
+    from stepist_spark.operators.association import association_rules
 
+    ar = association_rules(
+        load_table(spark, sf, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_pair_support=2,
+        k=50,
+    ).select(
+        F.lit("rules").alias("part"),
+        F.col("antecedent").cast("bigint").alias("k"),
+        F.col("consequent").cast("string").alias("s1"),
+        # confidence is pair_n/ante_n, fully determined by the packed
+        # counts — certify the exact integers, not a double's string form
+        F.concat_ws(
+            ":",
+            F.col("ante_n").cast("string"),
+            F.col("cons_n").cast("string"),
+            F.col("n_baskets").cast("string"),
+        ).alias("s2"),
+        F.col("lift").alias("rev"),
+        F.col("pair_n").alias("n"),
+    )
+    return t.unionByName(r).unionByName(ar)
+
+
+def _q02_rules_sql() -> str:
+    from stepist_spark.operators.association import association_rules_sql
+
+    return association_rules_sql("lineitem", "l_orderkey", "l_partkey", 2, 50)
+
+
+_Q02_RULES_SQL = _q02_rules_sql()
 
 Q02M_SQL = f"""
 SELECT 'top' AS part, CAST(l_orderkey AS BIGINT) AS k, o_orderpriority AS s1,
@@ -2178,6 +2347,12 @@ UNION ALL
 SELECT 'nation', CAST(NULL AS BIGINT), n_name, CAST(NULL AS VARCHAR), revenue,
        CAST(n_items AS BIGINT)
 FROM ({Q03_SQL})
+UNION ALL
+SELECT 'rules', CAST(antecedent AS BIGINT), CAST(consequent AS VARCHAR),
+       CAST(ante_n AS VARCHAR) || ':' || CAST(cons_n AS VARCHAR)
+           || ':' || CAST(n_baskets AS VARCHAR),
+       lift, pair_n
+FROM ({_Q02_RULES_SQL})
 """
 
 

@@ -146,3 +146,55 @@ def test_salient_terms_shuffle_join_path(spark):
         map(key, salient_terms(docs, "doc_id", "text", broadcast_df=False).collect())
     )
     assert a == b and a
+
+
+class TestDistributionShift:
+    def test_identical_groups_near_zero(self, spark):
+        from stepist_spark.operators.corpus import distribution_shift
+
+        docs = spark.createDataFrame(
+            [(1, "x y z x", "a"), (2, "x y z x", "b")],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r["grp"]: r for r in distribution_shift(docs, "doc_id", "text", "source").collect()}
+        # same distribution both sides: every log-ratio is ~0, and the
+        # floor() makes each scaled term <= 0, so kl is a small negative
+        for r in out.values():
+            assert abs(r["kl"]) < 0.01
+            assert r["n_tokens"] == 4 and r["vocab_v"] == 3
+
+    def test_disjoint_vocab_is_larger(self, spark):
+        from stepist_spark.operators.corpus import distribution_shift
+
+        docs = spark.createDataFrame(
+            [(1, "x x x x", "a"), (2, "y y y y", "b"), (3, "x y", "b")],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r["grp"]: r["kl"] for r in distribution_shift(docs, "doc_id", "text", "source").collect()}
+        assert out["a"] > 0.3  # concentrated on a token the rest lacks
+
+    def test_from_counts_matches_text_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions.text import tokens
+        from stepist_spark.operators.corpus import (
+            distribution_shift,
+            distribution_shift_from_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "p q r p", "a"), (2, "q r s", "b"), (3, "p p s", "a")],
+            "doc_id bigint, text string, source string",
+        )
+        direct = sorted(
+            map(tuple, distribution_shift(docs, "doc_id", "text", "source").collect())
+        )
+        gt = (
+            docs.select(F.col("source").alias("grp"), F.explode(tokens(F.col("text"))).alias("tok"))
+            .groupBy("grp", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        via_counts = sorted(
+            map(tuple, distribution_shift_from_counts(gt).collect())
+        )
+        assert direct == via_counts and direct

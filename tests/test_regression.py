@@ -51,3 +51,33 @@ class TestGroupedOls:
         ]
         got = _fit(spark, rows)
         assert got["p"][1] == 2.0 and got["q"][1] == -1.0
+
+
+class TestChiSquareContingency:
+    def test_known_2x2(self, spark):
+        from stepist_spark.operators.regression import chi_square_contingency
+
+        rows = (
+            [("m", "y")] * 30 + [("m", "n")] * 10
+            + [("f", "y")] * 20 + [("f", "n")] * 40
+        )
+        df = spark.createDataFrame(rows, "g string, r string")
+        out = {(r["a"], r["b"]): r for r in chi_square_contingency(df, "g", "r").collect()}
+        c = out[("m", "y")]
+        assert c["observed"] == 30 and c["row_n"] == 40 and c["col_n"] == 50
+        assert c["n"] == 100
+        assert c["expected"] == 20.0
+        assert c["contrib"] == 5.0  # (30-20)^2/20
+        # chi2 statistic = 5 + 5 + 10/3 + 10/3 = 16.666666...
+        assert out[("m", "n")]["contrib"] == 5.0
+        assert out[("f", "y")]["contrib"] == round(10 / 3, 6)
+        total = round(sum(r["contrib"] for r in out.values()), 4)
+        assert total == 16.6667
+
+    def test_independent_near_zero(self, spark):
+        from stepist_spark.operators.regression import chi_square_contingency
+
+        rows = [(g, r) for g in ("a", "b") for r in ("x", "y") for _ in range(25)]
+        df = spark.createDataFrame(rows, "g string, r string")
+        out = chi_square_contingency(df, "g", "r").collect()
+        assert all(r["contrib"] == 0.0 for r in out)

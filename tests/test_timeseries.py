@@ -129,3 +129,71 @@ class TestTimeWeightedAvg:
             ).fetchall()
         )
         assert got == exp
+
+
+class TestMergeIntervals:
+    def _iv(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.createDataFrame(rows, "k string, s string, e string")
+            .withColumn("s", F.col("s").cast("timestamp"))
+            .withColumn("e", F.col("e").cast("timestamp"))
+        )
+
+    def test_overlap_abut_disjoint(self, spark):
+        from stepist_spark.operators.timeseries import merge_intervals
+
+        df = self._iv(
+            spark,
+            [
+                # overlapping pair -> one island
+                ("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+                ("a", "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
+                # abutting (start == previous end) merges too
+                ("a", "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+                # gap -> new island
+                ("a", "2024-01-01 05:00:00", "2024-01-01 06:00:00"),
+                ("b", "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+            ],
+        )
+        out = {
+            (r["k"], r["island"]): (
+                str(r["island_start"]),
+                str(r["island_end"]),
+                r["n_intervals"],
+                r["covered_us"],
+            )
+            for r in merge_intervals(df, "k", "s", "e").collect()
+        }
+        assert out[("a", 1)] == (
+            "2024-01-01 00:00:00",
+            "2024-01-01 03:00:00",
+            3,
+            3 * 3600 * 1_000_000,
+        )
+        assert out[("a", 2)] == (
+            "2024-01-01 05:00:00",
+            "2024-01-01 06:00:00",
+            1,
+            3600 * 1_000_000,
+        )
+        assert out[("b", 1)][2] == 1
+
+    def test_contained_interval(self, spark):
+        from stepist_spark.operators.timeseries import merge_intervals
+
+        # an interval fully inside an earlier one must not split the
+        # island even though its end is EARLIER than the running max
+        df = self._iv(
+            spark,
+            [
+                ("k", "2024-01-01 00:00:00", "2024-01-01 10:00:00"),
+                ("k", "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+                ("k", "2024-01-01 03:00:00", "2024-01-01 04:00:00"),
+            ],
+        )
+        rows = merge_intervals(df, "k", "s", "e").collect()
+        assert len(rows) == 1
+        assert rows[0]["n_intervals"] == 3
+        assert rows[0]["covered_us"] == 10 * 3600 * 1_000_000
