@@ -171,3 +171,99 @@ def bucketize_range(
     return fact.withColumn(
         bucket_col, F.floor(F.col(value_col) / F.lit(bucket_width)).cast("bigint")
     )
+
+
+def asof_join_multi(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    specs: list[tuple],
+    right_payload: list[str] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Several as-of joins over the SAME (left, right, key, time) pair
+    from ONE sort-shuffle: ``specs`` is a list of ``(tag, direction,
+    tolerance)`` tuples and the output is the union of each spec's
+    :func:`asof_join` result with a leading ``part`` = tag column.
+
+    Why: each asof_join call pays a full (key, time) sort of the
+    unioned sides. A gate (or pipeline) that wants backward AND
+    forward AND nearest views of the same pair re-sorts identically
+    N times. Here the backward/forward carries are computed once over
+    one sort and checkpointed (``materialize``); each spec is then a
+    column-level pick + filter over that KB-per-row frame — direction
+    logic is tolerance-dependent but carry construction is not.
+    """
+    payload = right_payload if right_payload is not None else [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in [right_time, *payload]]).alias("_rpay"),
+    )
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    merged = r.unionByName(l, allowMissingColumns=True)
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    w_back = (
+        Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("_k").orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = (
+        merged.withColumn("_b", F.last("_rpay", ignorenulls=True).over(w_back))
+        .withColumn("_f", F.first("_rpay", ignorenulls=True).over(w_fwd))
+        .filter(F.col("_side") == 1)
+        .drop("_rpay", "_side")
+    )
+    if materialize:
+        carried = carried.localCheckpoint(eager=False)
+
+    outs = []
+    for tag, direction, tolerance in specs:
+        if direction not in ("backward", "forward", "nearest"):
+            raise ValueError(
+                f"direction must be backward|forward|nearest, got {direction!r}"
+            )
+        back, fwd = F.col("_b"), F.col("_f")
+        if tolerance is not None:
+            back = F.when((F.col("_t") - back[right_time]) <= tolerance, back)
+            fwd = F.when((fwd[right_time] - F.col("_t")) <= tolerance, fwd)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            # an exact-time right row sits in the backward carry (right
+            # sorts before left at equal times) — recover it
+            pick = F.when(
+                back.isNotNull() & (back[right_time] == F.col("_t")), back
+            ).otherwise(fwd)
+        else:
+            b_dist = F.col("_t") - back[right_time]
+            f_dist = fwd[right_time] - F.col("_t")
+            pick = (
+                F.when(back.isNull(), fwd)
+                .when(fwd.isNull(), back)
+                .when(b_dist <= f_dist, back)
+                .otherwise(fwd)
+            )
+        picked = carried.withColumn("_pick", pick).filter(F.col("_pick").isNotNull())
+        sel = [F.lit(tag).alias("part")]
+        sel += [F.col(f"_l_{c}").alias(c) for c in lcols]
+        sel.append(F.col(f"_pick.{right_time}").alias(f"asof_{right_time}"))
+        sel.extend(F.col(f"_pick.{c}").alias(f"asof_{c}") for c in payload)
+        outs.append(picked.select(*sel))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

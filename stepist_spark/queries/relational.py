@@ -1600,16 +1600,44 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_price").alias("d1"),
     )
 
-    def _aj(tag: str, direction: str, tolerance=None) -> DataFrame:
-        return _asof_events(spark, sf, direction, tolerance).select(
-            F.lit(tag).alias("part"),
-            F.col("event_id").cast("string").alias("k1"),
-            F.col("ts").alias("ts1"),
-            F.col("signup_ts").alias("ts2"),
-            F.col("user_id").cast("bigint").alias("n1"),
-            F.col("lag_us").cast("bigint").alias("n2"),
-            F.col("value").alias("d1"),
-        )
+    # all four as-of views (backward / forward / nearest / tolerance-
+    # bounded nearest) of the SAME purchases×signups pair share ONE
+    # (user, time) sort via asof_join_multi — four separate asof_join
+    # calls would re-shuffle the union identically four times
+    ev_all = load_table(spark, sf, "events")
+    purchases = ev_all.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev_all.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    aj_all = asof_ops.asof_join_multi(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=[],
+        specs=[
+            ("asof", "backward", None),
+            ("asof_fwd", "forward", None),
+            ("asof_near", "nearest", None),
+            # tolerance-bounded nearest: candidates beyond 2h are
+            # treated as ABSENT, so the pick must fall back to the
+            # other side before dropping the row
+            ("asof_tol", "nearest", F.expr("INTERVAL 2 HOURS")),
+        ],
+    )
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("asof_ts").cast("timestamp")
+    )
+    aj = aj_all.select(
+        "part",
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("ts").alias("ts1"),
+        F.col("asof_ts").alias("ts2"),
+        F.col("user_id").cast("bigint").alias("n1"),
+        lag_us.cast("bigint").alias("n2"),
+        F.round("value", 2).alias("d1"),
+    )
 
     # time-series regularization rides along (operators/timeseries.py):
     # per event type, a 6-hour grid forward-filled from the (type, ts)
@@ -1649,13 +1677,7 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         rj.unionByName(rb)
-        .unionByName(_aj("asof", "backward"))
-        .unionByName(_aj("asof_fwd", "forward"))
-        .unionByName(_aj("asof_near", "nearest"))
-        # tolerance-bounded nearest (pandas merge_asof tolerance=...):
-        # candidates beyond 2h are treated as ABSENT, so the pick must
-        # fall back to the other side before dropping the row
-        .unionByName(_aj("asof_tol", "nearest", F.expr("INTERVAL 2 HOURS")))
+        .unionByName(aj)
         .unionByName(rs)
         .unionByName(tw)
         .unionByName(_q18_islands(spark, sf))

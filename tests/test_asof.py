@@ -184,3 +184,49 @@ class TestAsofTolerance:
             if pd.notna(row.rv)
         )
         assert got == exp
+
+
+class TestAsofJoinMulti:
+    def test_matches_individual_joins(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.asof import asof_join, asof_join_multi
+
+        left = spark.createDataFrame(
+            [(1, "u", 100, "l1"), (2, "u", 205, "l2"), (3, "v", 50, "l3"),
+             (4, "w", 10, "l4")],
+            "id bigint, k string, t bigint, tag string",
+        )
+        right = spark.createDataFrame(
+            [("u", 90, "r1"), ("u", 200, "r2"), ("u", 210, "r3"),
+             ("v", 500, "r4")],
+            "k string, t bigint, pay string",
+        )
+        specs = [
+            ("b", "backward", None),
+            ("f", "forward", None),
+            ("n", "nearest", None),
+            ("ntol", "nearest", F.lit(20)),
+        ]
+        multi = asof_join_multi(left, right, "k", "t", "t", specs)
+        got = {
+            part: sorted(
+                (r["id"], r["asof_t"], r["asof_pay"])
+                for r in multi.filter(F.col("part") == part).collect()
+            )
+            for part, _, _ in specs
+        }
+        for part, direction, tol in specs:
+            single = sorted(
+                (r["id"], r["asof_t"], r["asof_pay"])
+                for r in asof_join(
+                    left, right, "k", "t", "t", direction=direction, tolerance=tol
+                ).collect()
+            )
+            assert got[part] == single, part
+        # sanity on semantics, not just self-consistency
+        assert got["b"] == [(1, 90, "r1"), (2, 200, "r2")]
+        assert (1, 90, "r1") in got["b"]
+        assert (3, 500, "r4") in got["f"]
+        assert (2, 200, "r2") in got["n"]  # backward wins |205-200| < |210-205|? 5==5 -> backward
+        assert all(r[0] != 3 for r in got["ntol"])  # v's only match is 450 away
