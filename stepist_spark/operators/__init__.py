@@ -9,6 +9,7 @@ quadratic problems (near-dup, ANN).
 from stepist_spark.operators import (
     anomaly,
     asof,
+    attribution,
     cdc,
     clusters,
     dedup,
@@ -19,6 +20,7 @@ from stepist_spark.operators import (
     privacy,
     profiling,
     regression,
+    segmentation,
     sessions,
     similarity,
     sketches,
@@ -31,6 +33,7 @@ from stepist_spark.operators import (
 __all__ = [
     "anomaly",
     "asof",
+    "attribution",
     "cdc",
     "clusters",
     "dedup",
@@ -41,6 +44,7 @@ __all__ = [
     "privacy",
     "profiling",
     "regression",
+    "segmentation",
     "sessions",
     "similarity",
     "sketches",

@@ -486,3 +486,125 @@ SELECT {g}, min(v) AS weighted_median, max(tot) AS total_weight FROM (
 ) WHERE cum * 2 >= tot
 GROUP BY {g}
 """
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """CUSUM change-point detection per group (Page 1954, public): the
+    position where the cumulative deviation from the group mean is
+    largest — the standard single-change locator for level shifts in
+    a metric stream.
+
+    Math kept EXACT by multiplying through: with scaled integers
+    ``v_i = floor(value·scale + 0.5)``, the cumulative deviation at
+    row t is ``S_t = Σ_{i≤t}(v_i) − t·mean(v)``; scaling by n gives
+    ``D_t = n·P_t − t·T`` (P_t prefix sum, T group total) — a
+    decimal(38,0)/HUGEINT integer, no float mean ever computed. The
+    change point is the row maximizing |D_t| with earliest-(ts, id)
+    tiebreak; ``cusum_stat = max|D_t| / (n·scale)`` is ONE double
+    division at the end (mean-deviation units), rounded to 6 dp.
+
+    Spark-first shape: ONE group-partitioned window sort carries the
+    prefix sum, row number, and group totals; the argmax is a
+    row_number over the same exchange (different order key — a
+    partition-local re-sort, no second shuffle). Output one row per
+    group: ``*group_cols, n, change_ts, change_id, t_at_max,
+    d_abs_scaled, cusum_stat``.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(38,0)")
+    w_ord = Window.partitionBy(*group_cols).orderBy(
+        F.col("_ts").asc(), F.col("_id").asc()
+    )
+    w_all = Window.partitionBy(*group_cols)
+    staged = df.select(
+        *group_cols,
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    ).select(
+        *group_cols,
+        "_ts",
+        "_id",
+        F.sum("_v").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("_p"),
+        F.row_number().over(w_ord).cast("decimal(38,0)").alias("_t"),
+        F.sum("_v").over(w_all).alias("_tot"),
+        F.count(F.lit(1)).over(w_all).cast("decimal(38,0)").alias("_n"),
+    )
+    d = (F.col("_n") * F.col("_p") - F.col("_t") * F.col("_tot")).alias("_d")
+    with_d = staged.select(
+        *group_cols, "_ts", "_id", "_t", "_n",
+        F.abs(d).cast("decimal(38,0)").alias("_dabs"),
+    )
+    w_pick = Window.partitionBy(*group_cols).orderBy(
+        F.col("_dabs").desc(), F.col("_ts").asc(), F.col("_id").asc()
+    )
+    return (
+        with_d.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_n").cast("bigint").alias("n"),
+            F.col("_ts").alias("change_ts"),
+            F.col("_id").alias("change_id"),
+            F.col("_t").cast("bigint").alias("t_at_max"),
+            F.col("_dabs").cast("decimal(38,0)").alias("d_abs_scaled"),
+            F.round(
+                F.col("_dabs").cast("double")
+                / (F.col("_n").cast("double") * F.lit(float(scale))),
+                6,
+            ).alias("cusum_stat"),
+        )
+    )
+
+
+def cusum_changepoint_sql(
+    table_sql: str,
+    group_exprs,
+    ts_expr: str,
+    value_expr: str,
+    id_expr: str,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`cusum_changepoint` — same multiplied-
+    through integer deviation (HUGEINT == decimal(38,0)), same
+    (|D| desc, ts, id) pick."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH cus_t AS (
+    SELECT {g}, {ts_expr} AS ts, {id_expr} AS id,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS HUGEINT) AS v
+    FROM ({table_sql})
+),
+cus_s AS (
+    SELECT {g}, ts, id,
+           sum(v) OVER (PARTITION BY {g} ORDER BY ts, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+           CAST(row_number() OVER (PARTITION BY {g} ORDER BY ts, id) AS HUGEINT) AS t,
+           sum(v) OVER (PARTITION BY {g}) AS tot,
+           CAST(count(*) OVER (PARTITION BY {g}) AS HUGEINT) AS n
+    FROM cus_t
+),
+cus_d AS (
+    SELECT {g}, ts, id, t, n, abs(n * p - t * tot) AS dabs
+    FROM cus_s
+),
+cus_r AS (
+    SELECT *, row_number() OVER (PARTITION BY {g}
+                                 ORDER BY dabs DESC, ts ASC, id ASC) AS rn
+    FROM cus_d
+)
+SELECT {g}, CAST(n AS BIGINT) AS n, ts AS change_ts, id AS change_id,
+       CAST(t AS BIGINT) AS t_at_max, dabs AS d_abs_scaled,
+       round(CAST(dabs AS DOUBLE) / (CAST(n AS DOUBLE) * {scale}.0), 6)
+           AS cusum_stat
+FROM cus_r WHERE rn = 1
+"""

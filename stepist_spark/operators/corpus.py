@@ -284,6 +284,142 @@ def distribution_shift_from_counts(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_pair_count: int = 2,
+    top_k: int = 50,
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over ADJACENT
+    token bigrams — the corpus phrase-discovery pass (Church & Hanks
+    1990, public): ``pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )`` with
+    unigram probabilities from token counts and bigram probabilities
+    from adjacent-pair counts.
+
+    Spark-first shape: bigrams are built INSIDE each row with a JVM
+    ``transform`` over the token array (zip-adjacent — no per-document
+    window sort, no positional shuffle); unigram and bigram counts are
+    each ONE map-side-combined hash aggregate, so both shuffles are
+    vocabulary-sized. The unigram table joins back onto the (already
+    ``min_pair_count``-filtered) pair frame — broadcast by default,
+    ``broadcast_unigrams=False`` for open web-scale vocabularies (the
+    salient_terms contract). Top-k compiles to TakeOrderedAndProject.
+
+    Engine-portable exactness (the distribution_shift log pattern):
+    ``pmi = ln( (c_ab·N_uni²) / (N_bi·c_a·c_b) )`` — exact decimal/
+    HUGEINT integer products, ONE double division, ONE ``ln``, scaled
+    to ``floor(ln·1e6)`` so ranking and hashing are integer-stable;
+    ties break on the pair strings.
+
+    Output: ``a, b, c_ab, c_a, c_b, pmi_scaled, pmi`` (pmi = 6-dp).
+    """
+    toked = df.select(tokens(F.col(text_col)).alias("_tk"))
+    uni = (
+        toked.select(F.explode("_tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bi = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_tk) >= 2 THEN "
+                    "transform(slice(_tk, 1, size(_tk) - 1), "
+                    "          (x, i) -> struct(x AS a, _tk[i + 1] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("_bg")
+        )
+        .select("_bg.a", "_bg.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
+    pairs = bi.filter(F.col("c_ab") >= min_pair_count)
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    if broadcast_unigrams:
+        ua, ub = F.broadcast(ua), F.broadcast(ub)
+    joined = (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("c_ab").cast(dec) * F.col("n_uni").cast(dec) * F.col("n_uni").cast(dec)
+    )
+    den = F.col("n_bi").cast(dec) * F.col("c_a").cast(dec) * F.col("c_b").cast(dec)
+    pmi_scaled = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1_000_000)
+    ).cast("bigint")
+    return (
+        joined.select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi_scaled.alias("pmi_scaled"),
+        )
+        .withColumn(
+            "pmi", F.round(F.col("pmi_scaled").cast("double") / F.lit(1_000_000.0), 6)
+        )
+        .orderBy(F.col("pmi_scaled").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_k)
+    )
+
+
+def pmi_collocations_sql(
+    table: str,
+    text_expr: str,
+    min_pair_count: int = 2,
+    top_k: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`pmi_collocations` — same zip-adjacent
+    bigrams (list_transform's 1-based lambda index), same HUGEINT
+    products, one division + one ln, same floor(ln*1e6) scaling and
+    (pmi desc, a, b) ordering."""
+    from stepist_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_expr)
+    return f"""
+WITH _pmi_tk AS (SELECT {tk} AS tk FROM {table}),
+_pmi_uni AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(tk) AS tok FROM _pmi_tk) GROUP BY tok
+),
+_pmi_bi AS (
+    SELECT bg.a AS a, bg.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+    FROM (
+        SELECT unnest(list_transform(tk[1:len(tk)-1],
+                                     (x, i) -> {{'a': x, 'b': tk[i + 1]}})) AS bg
+        FROM _pmi_tk WHERE len(tk) >= 2
+    ) GROUP BY 1, 2
+),
+_pmi_nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM _pmi_uni),
+_pmi_nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM _pmi_bi)
+SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(floor(ln(
+           CAST(c_ab::HUGEINT * n_uni * n_uni AS DOUBLE)
+           / CAST(n_bi::HUGEINT * ua.c * ub.c AS DOUBLE)
+       ) * 1000000) AS BIGINT) AS pmi_scaled,
+       round(CAST(floor(ln(
+           CAST(c_ab::HUGEINT * n_uni * n_uni AS DOUBLE)
+           / CAST(n_bi::HUGEINT * ua.c * ub.c AS DOUBLE)
+       ) * 1000000) AS BIGINT) / 1000000.0, 6) AS pmi
+FROM _pmi_bi
+JOIN _pmi_uni ua ON _pmi_bi.a = ua.tok
+JOIN _pmi_uni ub ON _pmi_bi.b = ub.tok
+CROSS JOIN _pmi_nu CROSS JOIN _pmi_nb
+WHERE c_ab >= {min_pair_count}
+ORDER BY pmi_scaled DESC, a, b LIMIT {top_k}
+"""
+
+
 def distribution_shift_sql(
     table: str,
     id_expr: str,

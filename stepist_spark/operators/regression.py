@@ -114,6 +114,117 @@ FROM ols_d
 """
 
 
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: int = 10**6,
+) -> DataFrame:
+    """Pearson correlation for every column pair in ONE aggregation
+    pass — the feature-selection / profiling primitive (which numeric
+    columns move together).
+
+    Spark-first shape: the whole table collapses to a single row of
+    sufficient statistics (n, per-column Σx and Σx², per-pair Σxy) in
+    one map-side-combined aggregate — k(k+3)/2 + 1 sums, no sort, no
+    per-pair rescans; the pair rows are then an explode of a literal
+    array over that ONE row. At 100 TB the cost is one scan.
+
+    Portability contract (the grouped_ols discipline): inputs scale to
+    integers half-up, sums accumulate EXACTLY in decimal(38,0)
+    (DuckDB: HUGEINT), and the final ``r = (nΣxy − ΣxΣy) /
+    sqrt((nΣxx − Σx²)(nΣyy − Σy²))`` is a fixed sequence of
+    individually-rounded IEEE ops (sqrt is correctly rounded) over
+    identical exact integers — bit-equal across engines, then 6-dp.
+
+    Output: one row per unordered pair ``(col_a, col_b, n, corr)``
+    with col_a < col_b in ``cols`` order; corr NULL when either side
+    has zero variance or n < 2.
+    """
+    cols = list(cols)
+    scaled = {
+        c: F.floor(F.col(c) * scale + F.lit(0.5)).cast("decimal(19,0)") for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(scaled[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(scaled[c] * scaled[c]).alias(f"_q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(scaled[a] * scaled[b]).alias(f"_x_{a}_{b}"))
+    stats = df.agg(*aggs)
+
+    nd = F.col("n").cast("double")
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa = F.col(f"_s_{a}").cast("double")
+            sb = F.col(f"_s_{b}").cast("double")
+            qa = F.col(f"_q_{a}").cast("double")
+            qb = F.col(f"_q_{b}").cast("double")
+            xab = F.col(f"_x_{a}_{b}").cast("double")
+            cov_n = nd * xab - sa * sb
+            va_n = nd * qa - sa * sa
+            vb_n = nd * qb - sb * sb
+            corr = F.when(
+                (F.col("n") >= 2) & (va_n > 0) & (vb_n > 0),
+                F.round(cov_n / F.sqrt(va_n * vb_n), 6),
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    corr.alias("corr"),
+                )
+            )
+    return stats.select(
+        F.col("n"), F.explode(F.array(*pair_structs)).alias("_p")
+    ).select("_p.col_a", "_p.col_b", "n", "_p.corr")
+
+
+def corr_matrix_sql(
+    table_sql: str,
+    cols: Sequence[str],
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`corr_matrix` — same scaled-integer
+    sums (HUGEINT == decimal(38,0) exactness), same IEEE expression
+    sequence per pair, so every corr hash-matches."""
+    cols = list(cols)
+    sums = ["count(*) AS n"]
+    for c in cols:
+        sums.append(f"sum(_i_{c}) AS s_{c}")
+        sums.append(f"sum(_i_{c}::HUGEINT * _i_{c}) AS q_{c}")
+    scaled = ", ".join(
+        f"CAST(floor(({c}) * {scale} + 0.5) AS BIGINT) AS _i_{c}" for c in cols
+    )
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(f"sum(_i_{a}::HUGEINT * _i_{b}) AS x_{a}_{b}")
+            pair_rows.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE)*CAST(q_{a} AS DOUBLE)
+                 - CAST(s_{a} AS DOUBLE)*CAST(s_{a} AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE)*CAST(q_{b} AS DOUBLE)
+                 - CAST(s_{b} AS DOUBLE)*CAST(s_{b} AS DOUBLE) > 0
+            THEN round(
+              (CAST(n AS DOUBLE)*CAST(x_{a}_{b} AS DOUBLE)
+               - CAST(s_{a} AS DOUBLE)*CAST(s_{b} AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE)*CAST(q_{a} AS DOUBLE)
+                      - CAST(s_{a} AS DOUBLE)*CAST(s_{a} AS DOUBLE))
+                   * (CAST(n AS DOUBLE)*CAST(q_{b} AS DOUBLE)
+                      - CAST(s_{b} AS DOUBLE)*CAST(s_{b} AS DOUBLE))), 6)
+       END AS corr FROM corr_s"""
+            )
+    union = "\nUNION ALL\n".join(pair_rows)
+    return f"""
+WITH corr_t AS (SELECT {scaled} FROM ({table_sql})),
+corr_s AS (SELECT {', '.join(sums)} FROM corr_t)
+{union}
+"""
+
+
 def chi_square_contingency(
     df: DataFrame,
     a_col: str,

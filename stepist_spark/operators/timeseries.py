@@ -280,3 +280,95 @@ SELECT k, island, min(s) AS island_start, max(e) AS island_end,
        CAST(epoch_us(max(e)) - epoch_us(min(s)) AS BIGINT) AS covered_us
 FROM islands GROUP BY k, island
 """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    trunc_unit: str = "day",
+) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick downsampling per group
+    and time bucket — the classic time-series rollup (every metrics /
+    market-data store; TimescaleDB's ``time_bucket`` + first/last).
+
+    Spark-first shape: ONE map-side-combined hash aggregate — open and
+    close are ``min_by``/``max_by`` over an ordering key, so there is
+    NO per-bucket window sort and no second pass; at 100 TB the cost
+    is one (group, bucket)-keyed shuffle of partial aggregates.
+
+    Cross-engine determinism: values go to integer cents half-up;
+    same-timestamp ties are broken by ``id_col`` through ONE exact
+    composite ordering key ``epoch_us(ts)·10¹⁹ + id`` held in
+    decimal(38,0) (DuckDB: HUGEINT) — both engines pick the same row
+    without a struct-ordered sort (DuckDB arg_min/arg_max cannot order
+    by structs). ``vwap_cents`` (bucket mean) is ONE double division
+    of exact integers, rounded to 6 dp.
+
+    Output: ``*group_cols, bucket, open_cents, high_cents, low_cents,
+    close_cents, n_ticks, volume_cents, vwap_cents``.
+    """
+    group_cols = list(group_cols)
+    import decimal
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    # the 10^19 shift MUST be a decimal literal: a double 1e19 would
+    # pull the whole key into float where the id tiebreak is below
+    # the 53-bit mantissa and silently vanishes
+    okey = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("decimal(18,0)")
+        * F.lit(decimal.Decimal(10**19))
+        + F.col(id_col).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    bucket = F.date_trunc(trunc_unit, F.col(ts_col)).alias("bucket")
+    out = (
+        df.select(*group_cols, bucket, cents.alias("_c"), okey.alias("_o"))
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.min_by("_c", "_o").alias("open_cents"),
+            F.max("_c").alias("high_cents"),
+            F.min("_c").alias("low_cents"),
+            F.max_by("_c", "_o").alias("close_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.sum("_c").cast("bigint").alias("volume_cents"),
+        )
+    )
+    return out.withColumn(
+        "vwap_cents",
+        F.round(
+            F.col("volume_cents").cast("double") / F.col("n_ticks").cast("double"), 6
+        ),
+    )
+
+
+def ohlc_bars_sql(
+    table_sql: str,
+    group_exprs: Sequence[str],
+    ts_expr: str,
+    value_expr: str,
+    id_expr: str,
+    trunc_unit: str = "day",
+) -> str:
+    """DuckDB mirror of :func:`ohlc_bars` — same cents scaling, same
+    HUGEINT composite ordering key, same one-division mean."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH ohlc_t AS (
+    SELECT {g}, date_trunc('{trunc_unit}', {ts_expr}) AS bucket,
+           CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS c,
+           epoch_us({ts_expr})::HUGEINT * 10000000000000000000::HUGEINT
+               + ({id_expr}) AS o
+    FROM ({table_sql})
+)
+SELECT {g}, bucket,
+       arg_min(c, o) AS open_cents,
+       max(c) AS high_cents,
+       min(c) AS low_cents,
+       arg_max(c, o) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(c) AS BIGINT) AS volume_cents,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS vwap_cents
+FROM ohlc_t GROUP BY {g}, bucket
+"""

@@ -641,7 +641,22 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vocab_v").alias("n2"),
         F.col("kl_scaled").alias("score_scaled"),
     )
-    return vocab.unionByName(bm).unionByName(kl)
+    # top-PMI collocations ride along (operators/corpus.py): adjacent-
+    # bigram phrase discovery, zip-adjacent inside each row (no
+    # positional shuffle), integer-scaled ln for stable ranking
+    pmi = corpus_ops.pmi_collocations(
+        docs.select("text"), "text", min_pair_count=3, top_k=50
+    ).select(
+        F.lit("pmi").alias("part"),
+        F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("tok"),
+        F.col("c_a").alias("qid"),
+        F.col("c_b").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("c_ab").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("pmi_scaled").alias("score_scaled"),
+    )
+    return vocab.unionByName(bm).unionByName(kl).unionByName(pmi)
 
 
 _T16_VOCAB_SQL = f"""
@@ -664,6 +679,12 @@ def _t16_kl_sql() -> str:
     return distribution_shift_sql("documents", "doc_id", "text", "source", 5)
 
 
+def _t16_pmi_sql() -> str:
+    from stepist_spark.operators.corpus import pmi_collocations_sql
+
+    return pmi_collocations_sql("documents", "text", 3, 50)
+
+
 def _t16_sql() -> str:
     from stepist_spark.operators import ranking
 
@@ -683,6 +704,10 @@ UNION ALL
 SELECT 'kl', grp, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), n_tokens, vocab_v, kl_scaled
 FROM ({_t16_kl_sql()})
+UNION ALL
+SELECT 'pmi', a || ' ' || b, c_a, c_b, CAST(NULL AS BIGINT),
+       c_ab, CAST(NULL AS BIGINT), pmi_scaled
+FROM ({_t16_pmi_sql()})
 """
 
 

@@ -1675,12 +1675,58 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.col("total_us").alias("n2"),
         F.col("twa").alias("d1"),
     )
+    # OHLC candlestick downsampling rides along (operators/
+    # timeseries.py): one min_by/max_by hash aggregate per (type, day)
+    # — integer cents, composite epoch_us·10^19+id ordering key
+    from stepist_spark.operators.timeseries import ohlc_bars
+
+    oh = ohlc_bars(
+        load_table(spark, sf, "events"), ["event_type"], "ts", "value", "event_id"
+    ).select(
+        F.lit("ohlc").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.col("open_cents").cast("string"),
+            F.col("high_cents").cast("string"),
+            F.col("low_cents").cast("string"),
+            F.col("close_cents").cast("string"),
+        ).alias("k1"),
+        F.col("bucket").cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n_ticks").alias("n1"),
+        F.col("volume_cents").alias("n2"),
+        F.col("vwap_cents").alias("d1"),
+    )
+    # CUSUM change-point rides along (operators/anomaly.py): the
+    # largest cumulative level-shift deviation per event type —
+    # multiplied-through exact integers, no float mean
+    from stepist_spark.operators.anomaly import cusum_changepoint
+
+    cu = cusum_changepoint(
+        load_table(spark, sf, "events"), ["event_type"], "ts", "value", "event_id"
+    ).select(
+        F.lit("cusum").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.col("change_id").cast("string"),
+            F.col("d_abs_scaled").cast("string"),
+        ).alias("k1"),
+        F.col("change_ts").cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n").alias("n1"),
+        F.col("t_at_max").alias("n2"),
+        F.col("cusum_stat").alias("d1"),
+    )
     return (
         rj.unionByName(rb)
         .unionByName(aj)
         .unionByName(rs)
         .unionByName(tw)
         .unionByName(_q18_islands(spark, sf))
+        .unionByName(oh)
+        .unionByName(cu)
     )
 
 
@@ -1745,6 +1791,30 @@ def _islands_sql() -> str:
 
 _ISLANDS_SQL = _islands_sql()
 
+
+def _q18_ohlc_sql() -> str:
+    from stepist_spark.operators.timeseries import ohlc_bars_sql
+
+    return ohlc_bars_sql(
+        "SELECT event_type, ts::TIMESTAMP AS ts, value, event_id FROM events",
+        ["event_type"], "ts", "value", "event_id",
+    )
+
+
+_Q18_OHLC_SQL = _q18_ohlc_sql()
+
+
+def _q18_cusum_sql() -> str:
+    from stepist_spark.operators.anomaly import cusum_changepoint_sql
+
+    return cusum_changepoint_sql(
+        "SELECT event_type, ts::TIMESTAMP AS ts, value, event_id FROM events",
+        ["event_type"], "ts", "value", "event_id",
+    )
+
+
+_Q18_CUSUM_SQL = _q18_cusum_sql()
+
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
        CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
@@ -1783,6 +1853,22 @@ UNION ALL
 SELECT 'island', CAST(k AS VARCHAR), island_start, island_end,
        CAST(island AS BIGINT), n_intervals, CAST(covered_us AS DOUBLE)
 FROM ({_ISLANDS_SQL})
+UNION ALL
+SELECT 'ohlc',
+       event_type || ':' || CAST(open_cents AS VARCHAR)
+           || ':' || CAST(high_cents AS VARCHAR)
+           || ':' || CAST(low_cents AS VARCHAR)
+           || ':' || CAST(close_cents AS VARCHAR),
+       bucket, CAST(NULL AS TIMESTAMP),
+       n_ticks, volume_cents, vwap_cents
+FROM ({_Q18_OHLC_SQL})
+UNION ALL
+SELECT 'cusum',
+       event_type || ':' || CAST(change_id AS VARCHAR)
+           || ':' || CAST(d_abs_scaled AS VARCHAR),
+       change_ts, CAST(NULL AS TIMESTAMP),
+       n, t_at_max, cusum_stat
+FROM ({_Q18_CUSUM_SQL})
 """
 
 
@@ -1908,6 +1994,43 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.col("session_start").cast("timestamp_ntz").alias("window_start"),
         F.col("session_end").cast("timestamp_ntz").alias("window_end"),
     )
+    # multi-touch attribution rides along (operators/attribution.py):
+    # one reverse-running-count window maps every click/view to the
+    # user's next purchase; per-conversion paths + linear channel
+    # credit (exact scaled-integer credits — order-free sums)
+    from stepist_spark.operators.attribution import (
+        attributed_touches,
+        channel_credit,
+        conversion_paths,
+    )
+
+    at = attributed_touches(
+        ev, "user_id", "ts", "event_type", "value", "event_id",
+        "purchase", ["click", "view"],
+    ).localCheckpoint(eager=False)
+    ap = conversion_paths(at).select(
+        F.lit("attrib").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("conv_id").cast("string"),
+            F.col("first_touch_type"),
+            F.col("last_touch_type"),
+        ).alias("wkey"),
+        F.col("n_touches").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("value_cents").alias("sum_k"),
+        F.col("conv_ts").cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
+    ac = channel_credit(at, "linear").select(
+        F.lit("attrib_credit").alias("part"),
+        F.col("touch_type").alias("wkey"),
+        F.col("n_touches").alias("n"),
+        F.col("credit").alias("sum_value"),
+        F.col("credit_scaled").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -1919,6 +2042,8 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(wa.select("*", *nulls))
         .unionByName(st.select("*", *nulls))
         .unionByName(se.select("*", *nulls))
+        .unionByName(ap.select("*", *nulls))
+        .unionByName(ac.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -1961,6 +2086,18 @@ def _q22m_sql() -> str:
     sk = longest_daily_streak_sql(
         "SELECT user_id, ts::TIMESTAMP AS ts FROM events", "user_id", "ts"
     )
+    from stepist_spark.operators.attribution import (
+        attributed_touches_sql,
+        channel_credit_sql,
+        conversion_paths_sql,
+    )
+
+    at = attributed_touches_sql(
+        "events", "user_id", "ts::TIMESTAMP", "event_type", "value", "event_id",
+        "purchase", ["click", "view"],
+    )
+    ap = conversion_paths_sql(at)
+    ac = channel_credit_sql(at, "linear")
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
        sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end,
@@ -2006,6 +2143,19 @@ SELECT 'sessionize', CAST(u AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR),
        session_start, session_end,
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({se})
+UNION ALL
+SELECT 'attrib',
+       CAST(conv_id AS VARCHAR) || ':' || first_touch_type
+           || ':' || last_touch_type,
+       n_touches, CAST(NULL AS DOUBLE), value_cents,
+       conv_ts, CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({ap})
+UNION ALL
+SELECT 'attrib_credit', touch_type, n_touches, credit, credit_scaled,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({ac})
 UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly
@@ -2206,12 +2356,32 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("observed").alias("n1"),
         F.col("row_n").alias("n2"),
     )
+    # one-pass Pearson correlation matrix rides along (operators/
+    # regression.py): all pairwise corrs of four lineitem measures
+    # from ONE sufficient-statistics aggregate
+    from stepist_spark.operators.regression import corr_matrix
+
+    corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    cor = corr_matrix(
+        load_table(spark, sf, "lineitem").select(*corr_cols), corr_cols
+    ).select(
+        F.lit("corr").alias("part"),
+        F.concat(F.col("col_a"), F.lit(":"), F.col("col_b")).alias("k1"),
+        F.col("corr").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
         .unionByName(ols)
         .unionByName(wm)
         .unionByName(chi)
+        .unionByName(cor)
     )
 
 
@@ -2269,6 +2439,18 @@ def _q25_chi2_sql() -> str:
 
 _Q25_CHI2_SQL = _q25_chi2_sql()
 
+
+def _q25_corr_sql() -> str:
+    from stepist_spark.operators.regression import corr_matrix_sql
+
+    return corr_matrix_sql(
+        "SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+_Q25_CORR_SQL = _q25_corr_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -2304,6 +2486,11 @@ SELECT 'chi2', a || ':' || CAST(b AS VARCHAR), expected, contrib,
        CAST(col_n AS VARCHAR) || ':' || CAST(n AS VARCHAR),
        observed, row_n
 FROM ({_Q25_CHI2_SQL})
+UNION ALL
+SELECT 'corr', col_a || ':' || col_b, corr, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_Q25_CORR_SQL})
 """
 
 
@@ -2350,7 +2537,23 @@ def q02_join_agg_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lift").alias("rev"),
         F.col("pair_n").alias("n"),
     )
-    return t.unionByName(r).unionByName(ar)
+    # RFM customer segmentation rides along (operators/segmentation.py):
+    # one orders aggregate to the |customers|-row frame, three
+    # tie-stable NTILE windows over that dimension-sized table
+    from stepist_spark.operators.segmentation import rfm_segments
+
+    rfm = rfm_segments(
+        load_table(spark, sf, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    ).select(
+        F.lit("rfm").alias("part"),
+        F.col("customer").cast("bigint").alias("k"),
+        F.col("segment").alias("s1"),
+        F.col("last_ts").cast("string").alias("s2"),
+        # cents/100.0 is the same single IEEE division in both engines
+        (F.col("monetary_cents").cast("double") / F.lit(100.0)).alias("rev"),
+        F.col("frequency").alias("n"),
+    )
+    return t.unionByName(r).unionByName(ar).unionByName(rfm)
 
 
 def _q02_rules_sql() -> str:
@@ -2360,6 +2563,17 @@ def _q02_rules_sql() -> str:
 
 
 _Q02_RULES_SQL = _q02_rules_sql()
+
+
+def _q02_rfm_sql() -> str:
+    from stepist_spark.operators.segmentation import rfm_segments_sql
+
+    return rfm_segments_sql(
+        "SELECT * FROM orders", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+_Q02_RFM_SQL = _q02_rfm_sql()
 
 Q02M_SQL = f"""
 SELECT 'top' AS part, CAST(l_orderkey AS BIGINT) AS k, o_orderpriority AS s1,
@@ -2375,6 +2589,10 @@ SELECT 'rules', CAST(antecedent AS BIGINT), CAST(consequent AS VARCHAR),
            || ':' || CAST(n_baskets AS VARCHAR),
        lift, pair_n
 FROM ({_Q02_RULES_SQL})
+UNION ALL
+SELECT 'rfm', CAST(customer AS BIGINT), segment, CAST(last_ts AS VARCHAR),
+       CAST(monetary_cents AS DOUBLE) / 100.0, frequency
+FROM ({_Q02_RFM_SQL})
 """
 
 

@@ -298,3 +298,63 @@ class TestGroupedWeightedMedian:
                 if 2 * cum >= tot:
                     assert got[g] == (v, tot)
                     break
+
+
+class TestCusumChangepoint:
+    def test_planted_level_shift(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import cusum_changepoint
+
+        base = dt.datetime(2024, 1, 1)
+        # 10 points at 1.0 then 10 points at 5.0: |D| peaks at the shift
+        rows = [
+            ("g", base + dt.timedelta(hours=i), 1.0 if i < 10 else 5.0, i)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double, id bigint")
+        [r] = cusum_changepoint(df, ["g"], "ts", "v", "id").collect()
+        assert r["t_at_max"] == 10 and r["change_id"] == 9
+        assert r["n"] == 20
+        # stat = max|sum_{i<=t}(v_i - mean)| ; mean=3, t=10 -> |10*1-10*3| = 20
+        assert abs(r["cusum_stat"] - 20.0) < 1e-6
+
+    def test_matches_python_bruteforce(self, spark):
+        import datetime as dt
+        import random
+
+        from stepist_spark.operators.anomaly import cusum_changepoint
+
+        rng = random.Random(3)
+        vals = [round(rng.uniform(0, 10), 3) for _ in range(50)]
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("g", base + dt.timedelta(minutes=i), v, i) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double, id bigint")
+        [r] = cusum_changepoint(df, ["g"], "ts", "v", "id").collect()
+        scale = 10**6
+        iv = [int((v * scale) + 0.5) for v in vals]
+        n, tot = len(iv), sum(iv)
+        best_t, best_d = None, -1
+        p = 0
+        for t, v in enumerate(iv, start=1):
+            p += v
+            d = abs(n * p - t * tot)
+            if d > best_d:
+                best_t, best_d = t, d
+        assert r["t_at_max"] == best_t
+        assert int(r["d_abs_scaled"]) == best_d
+
+    def test_flat_series_zero(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import cusum_changepoint
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("g", base + dt.timedelta(hours=i), 2.5, i) for i in range(5)]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double, id bigint")
+        [r] = cusum_changepoint(df, ["g"], "ts", "v", "id").collect()
+        assert r["cusum_stat"] == 0.0
+        # all |D|=0: earliest (ts, id) wins
+        assert r["t_at_max"] == 1 and r["change_id"] == 0

@@ -198,3 +198,58 @@ class TestDistributionShift:
             map(tuple, distribution_shift_from_counts(gt).collect())
         )
         assert direct == via_counts and direct
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_vs_reference(self, spark):
+        import math
+
+        from stepist_spark.operators.corpus import pmi_collocations
+
+        # "new york" always adjacent; "the" everywhere -> low PMI
+        docs = [
+            ("the cat sat in new york",),
+            ("new york is the place",),
+            ("the dog sat on the mat",),
+            ("they moved to new york",),
+        ]
+        df = spark.createDataFrame(docs, "text string")
+        rows = pmi_collocations(df, "text", min_pair_count=2, top_k=5).collect()
+        top = rows[0]
+        assert (top["a"], top["b"]) == ("new", "york")
+        # python reference on the same tokenization (lowercase words)
+        toks = [d[0].split() for d in docs]
+        uni: dict = {}
+        bi: dict = {}
+        for tk in toks:
+            for t in tk:
+                uni[t] = uni.get(t, 0) + 1
+            for x, y in zip(tk, tk[1:]):
+                bi[(x, y)] = bi.get((x, y), 0) + 1
+        n_uni = sum(uni.values())
+        n_bi = sum(bi.values())
+        c_ab = bi[("new", "york")]
+        exp = math.floor(
+            math.log((c_ab * n_uni * n_uni) / (n_bi * uni["new"] * uni["york"]))
+            * 1_000_000
+        )
+        assert top["pmi_scaled"] == exp
+        assert top["c_ab"] == c_ab and top["c_a"] == uni["new"]
+
+    def test_min_pair_count_filters(self, spark):
+        from stepist_spark.operators.corpus import pmi_collocations
+
+        df = spark.createDataFrame(
+            [("alpha beta",), ("alpha beta",), ("gamma delta",)], "text string"
+        )
+        rows = pmi_collocations(df, "text", min_pair_count=2, top_k=10).collect()
+        pairs = {(r["a"], r["b"]) for r in rows}
+        assert ("alpha", "beta") in pairs
+        assert ("gamma", "delta") not in pairs
+
+    def test_single_token_docs_no_bigrams(self, spark):
+        from stepist_spark.operators.corpus import pmi_collocations
+
+        df = spark.createDataFrame([("solo",), ("word pair",)], "text string")
+        rows = pmi_collocations(df, "text", min_pair_count=1, top_k=10).collect()
+        assert {(r["a"], r["b"]) for r in rows} == {("word", "pair")}

@@ -81,3 +81,47 @@ class TestChiSquareContingency:
         df = spark.createDataFrame(rows, "g string, r string")
         out = chi_square_contingency(df, "g", "r").collect()
         assert all(r["contrib"] == 0.0 for r in out)
+
+
+class TestCorrMatrix:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from stepist_spark.operators.regression import corr_matrix
+
+        rng = np.random.RandomState(7)
+        x = rng.rand(40)
+        y = 2.0 * x + rng.rand(40) * 0.1
+        z = rng.rand(40)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double",
+        )
+        got = {
+            (r["col_a"], r["col_b"]): (r["n"], r["corr"])
+            for r in corr_matrix(df, ["x", "y", "z"]).collect()
+        }
+        assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+        for (a, b), (n, c) in got.items():
+            assert n == 40
+            ref = np.corrcoef(
+                {"x": x, "y": y, "z": z}[a], {"x": x, "y": y, "z": z}[b]
+            )[0, 1]
+            assert abs(c - ref) < 1e-4, (a, b, c, ref)
+        assert got[("x", "y")][1] > 0.99
+
+    def test_zero_variance_null(self, spark):
+        from stepist_spark.operators.regression import corr_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+        )
+        [r] = corr_matrix(df, ["x", "c"]).collect()
+        assert r["corr"] is None and r["n"] == 3
+
+    def test_single_row_null(self, spark):
+        from stepist_spark.operators.regression import corr_matrix
+
+        df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+        [r] = corr_matrix(df, ["x", "y"]).collect()
+        assert r["corr"] is None and r["n"] == 1

@@ -197,3 +197,49 @@ class TestMergeIntervals:
         assert len(rows) == 1
         assert rows[0]["n_intervals"] == 3
         assert rows[0]["covered_us"] == 10 * 3600 * 1_000_000
+
+
+class TestOhlcBars:
+    def test_hand_bars_and_tie_break(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.timeseries import ohlc_bars
+
+        d0 = dt.datetime(2024, 3, 1)
+        rows = [
+            # day 1: open=1.00 (earliest), close=4.00 (latest)
+            ("a", d0.replace(hour=1), 1.0, 10),
+            ("a", d0.replace(hour=5), 9.0, 11),
+            ("a", d0.replace(hour=9), 0.5, 12),
+            ("a", d0.replace(hour=23), 4.0, 13),
+            # day 2, same-ts ties: id decides open (20) and close (22)
+            ("a", d0.replace(day=2, hour=3), 7.0, 20),
+            ("a", d0.replace(day=2, hour=3), 2.0, 21),
+            ("a", d0.replace(day=2, hour=3), 5.0, 22),
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double, id bigint")
+        got = {
+            r["bucket"].day: r
+            for r in ohlc_bars(df, ["g"], "ts", "v", "id", "day").collect()
+        }
+        d1, d2 = got[1], got[2]
+        assert (d1["open_cents"], d1["close_cents"]) == (100, 400)
+        assert (d1["high_cents"], d1["low_cents"]) == (900, 50)
+        assert d1["n_ticks"] == 4 and d1["volume_cents"] == 1450
+        assert d1["vwap_cents"] == round(1450 / 4, 6)
+        assert (d2["open_cents"], d2["close_cents"]) == (700, 500)
+
+    def test_one_row_bucket(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.timeseries import ohlc_bars
+
+        df = spark.createDataFrame(
+            [("g", dt.datetime(2024, 1, 1, 6), 3.333, 1)],
+            "g string, ts timestamp, v double, id bigint",
+        )
+        [r] = ohlc_bars(df, ["g"], "ts", "v", "id", "day").collect()
+        assert (
+            r["open_cents"] == r["close_cents"] == r["high_cents"]
+            == r["low_cents"] == 333
+        )
