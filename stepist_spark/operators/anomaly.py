@@ -608,3 +608,72 @@ SELECT {g}, CAST(n AS BIGINT) AS n, ts AS change_ts, id AS change_id,
            AS cusum_stat
 FROM cus_r WHERE rn = 1
 """
+
+
+def event_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    path_len: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent length-``path_len`` event paths — the
+    sequential-pattern pass behind "common journeys" analytics (the
+    k-gram specialization of GSP/PrefixSpan, Agrawal ICDE'95 public).
+
+    Spark-first shape: ONE user-partitioned window sort carries all
+    ``path_len − 1`` leads (one exchange, one sort — leads share the
+    frame), then one hash aggregate on the path; the top-k compiles
+    to TakeOrderedAndProject. Windows cross session boundaries by
+    design — pre-filter or pre-sessionize to scope paths.
+
+    Output: ``path ('a>b>c'), n`` with (n desc, path) determinism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, path_len)
+    ]
+    paths = events.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from stepist_spark.operators import topk as topk_ops
+
+    return topk_ops.global_topk(
+        counted, order=[F.col("n").desc(), F.col("path").asc()], k=top_k
+    )
+
+
+def event_paths_sql(
+    events_sql: str,
+    user_expr: str,
+    ts_expr: str,
+    type_expr: str,
+    tiebreak_expr: str,
+    path_len: int = 3,
+    top_k: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`event_paths`."""
+    over = (
+        f"OVER (PARTITION BY {user_expr} ORDER BY {ts_expr}, {tiebreak_expr})"
+    )
+    parts = [f"{type_expr}"] + [
+        f"lead({type_expr}, {i}) {over}" for i in range(1, path_len)
+    ]
+    concat = " || '>' || ".join(parts)
+    last = parts[-1]
+    return f"""
+SELECT path, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT {concat} AS path, {last} AS _last
+    FROM ({events_sql})
+) WHERE _last IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path ASC LIMIT {top_k}
+"""

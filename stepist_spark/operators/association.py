@@ -46,12 +46,25 @@ def basket_pairs(
     return a.join(b, "_basket").filter(F.col("item_a") < F.col("item_b"))
 
 
+def pair_counts(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Co-occurrence counts per unordered item pair — the shared
+    upstream of :func:`association_rules` and :func:`item_similarity`
+    (compute once, localCheckpoint, feed both). Output:
+    ``item_a, item_b, pair_n`` with ``item_a < item_b``."""
+    return (
+        basket_pairs(df, basket_col, item_col)
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     min_pair_support: int = 2,
     k: int = 50,
+    pair_counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` directional association rules by lift.
 
@@ -65,12 +78,12 @@ def association_rules(
     ).distinct()
     n_baskets = items.select("_basket").distinct().count()
 
-    pairs = (
-        basket_pairs(df, basket_col, item_col)
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= min_pair_support)
+    pc = (
+        pair_counts(df, basket_col, item_col)
+        if pair_counts_df is None
+        else pair_counts_df
     )
+    pairs = pc.filter(F.col("pair_n") >= min_pair_support)
     item_n = items.groupBy(F.col("_item").alias("item")).agg(
         F.count(F.lit(1)).alias("item_n")
     )
@@ -168,4 +181,122 @@ JOIN _cnt cc ON d.consequent = cc.item
 CROSS JOIN _nb nb
 ORDER BY lift DESC, confidence DESC, antecedent, consequent
 LIMIT {k}
+"""
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    top_n: int = 3,
+    pair_counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: cosine similarity
+    over binary basket-membership vectors — ``cos(i,j) = c_ij /
+    sqrt(c_i · c_j)`` (Sarwar WWW'01 item-based CF, public) — top-n
+    neighbors per item.
+
+    Spark-first shape: reuses the :func:`pair_counts` co-occurrence
+    pass (pass ``pair_counts_df`` to share it with
+    :func:`association_rules`); per-item counts broadcast onto the
+    pair frame; the per-item top-n is a window over the PAIR-count
+    frame (items², support-pruned), never over raw baskets.
+
+    Engine portability: cosine is sqrt of an exact bigint product,
+    then ONE division — a fixed IEEE sequence identical on any
+    engine, so ranking on the unrounded double is stable; ties break
+    by neighbor id. Output: ``item, neighbor, rank, pair_n, item_n,
+    neighbor_n, cosine`` (6-dp).
+    """
+    from pyspark.sql import Window
+
+    pc = (
+        pair_counts(df, basket_col, item_col)
+        if pair_counts_df is None
+        else pair_counts_df
+    )
+    pairs = pc.filter(F.col("pair_n") >= min_pair_support)
+    items = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    item_n = items.groupBy(F.col("_item").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_n")
+    )
+    both = pairs.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "pair_n"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "pair_n"
+        )
+    )
+    joined = both.join(F.broadcast(item_n), "item").join(
+        F.broadcast(
+            item_n.withColumnsRenamed({"item": "neighbor", "item_n": "neighbor_n"})
+        ),
+        "neighbor",
+    )
+    cos = F.col("pair_n").cast("double") / F.sqrt(
+        (F.col("item_n") * F.col("neighbor_n")).cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(
+        cos.desc(), F.col("neighbor").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "item",
+            "neighbor",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            F.col("item_n").cast("bigint").alias("item_n"),
+            F.col("neighbor_n").cast("bigint").alias("neighbor_n"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+def item_similarity_sql(
+    table: str,
+    basket_expr: str,
+    item_expr: str,
+    min_pair_support: int = 2,
+    top_n: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`item_similarity` — same cosine
+    expression sequence and (cosine desc, neighbor) ranking."""
+    return f"""
+WITH _cf_items AS (
+    SELECT DISTINCT {basket_expr} AS _basket, {item_expr} AS _item FROM {table}
+),
+_cf_pairs AS (
+    SELECT a._item AS item_a, b._item AS item_b, count(*) AS pair_n
+    FROM _cf_items a JOIN _cf_items b ON a._basket = b._basket AND a._item < b._item
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_pair_support}
+),
+_cf_cnt AS (SELECT _item AS item, count(*) AS item_n FROM _cf_items GROUP BY 1),
+_cf_dir AS (
+    SELECT item_a AS item, item_b AS neighbor, pair_n FROM _cf_pairs
+    UNION ALL
+    SELECT item_b, item_a, pair_n FROM _cf_pairs
+),
+_cf_sc AS (
+    SELECT d.item, d.neighbor, d.pair_n, ci.item_n, cn.item_n AS neighbor_n,
+           CAST(d.pair_n AS DOUBLE)
+               / sqrt(CAST(ci.item_n * cn.item_n AS DOUBLE)) AS _cos
+    FROM _cf_dir d
+    JOIN _cf_cnt ci ON d.item = ci.item
+    JOIN _cf_cnt cn ON d.neighbor = cn.item
+),
+_cf_rk AS (
+    SELECT *, row_number() OVER (PARTITION BY item
+                                 ORDER BY _cos DESC, neighbor ASC) AS rank
+    FROM _cf_sc
+)
+SELECT item, neighbor, CAST(rank AS BIGINT) AS rank,
+       CAST(pair_n AS BIGINT) AS pair_n, CAST(item_n AS BIGINT) AS item_n,
+       CAST(neighbor_n AS BIGINT) AS neighbor_n, round(_cos, 6) AS cosine
+FROM _cf_rk WHERE rank <= {top_n}
 """

@@ -207,3 +207,98 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def neighborhood_overlap(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor and Jaccard link scores for every vertex pair
+    sharing >= ``min_common`` neighbors — the classic link-prediction
+    / community-strength signal (Liben-Nowell & Kleinberg CIKM'03,
+    public; the "embeddedness" of Easley-Kleinberg).
+
+    Spark-first shape: undirected edges canonicalize and dedupe once;
+    candidate pairs come from a WEDGE join (both edge lists keyed on
+    the shared neighbor — never an all-pairs cross join, the triangle-
+    counting fan-out shape); degrees are a |V|-row aggregate broadcast
+    back onto the pair frame. Jaccard = common / (deg_a + deg_b −
+    common): one double division of exact bigints, round 6.
+
+    Output: ``a, b, common, deg_a, deg_b, jaccard`` with ``a < b``.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    # symmetric adjacency: each undirected edge as (node, neighbor)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # wedge join on the shared neighbor: pairs (a, b) with a < b
+    left = adj.select(F.col("nbr").alias("_w"), F.col("node").alias("a"))
+    right = adj.select(F.col("nbr").alias("_w"), F.col("node").alias("b"))
+    pairs = (
+        left.join(right, "_w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(deg.withColumnsRenamed({"node": "a", "deg": "deg_a"})), "a"
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"node": "b", "deg": "deg_b"})), "b"
+        )
+    )
+    union_n = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    return out.select(
+        "a",
+        "b",
+        "common",
+        "deg_a",
+        "deg_b",
+        F.round(F.col("common").cast("double") / union_n.cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )
+
+
+def neighborhood_overlap_sql(
+    edges_sql: str,
+    src_expr: str = "src",
+    dst_expr: str = "dst",
+    min_common: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`neighborhood_overlap` — same wedge
+    join, same one-division Jaccard."""
+    return f"""
+WITH no_e AS (
+    SELECT DISTINCT least({src_expr}, {dst_expr}) AS u,
+           greatest({src_expr}, {dst_expr}) AS v
+    FROM ({edges_sql}) WHERE {src_expr} <> {dst_expr}
+),
+no_adj AS (
+    SELECT u AS node, v AS nbr FROM no_e
+    UNION ALL
+    SELECT v, u FROM no_e
+),
+no_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM no_adj GROUP BY 1),
+no_pairs AS (
+    SELECT l.node AS a, r.node AS b, CAST(count(*) AS BIGINT) AS common
+    FROM no_adj l JOIN no_adj r ON l.nbr = r.nbr AND l.node < r.node
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_common}
+)
+SELECT p.a, p.b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+       round(CAST(p.common AS DOUBLE)
+             / CAST(da.deg + db.deg - p.common AS DOUBLE), 6) AS jaccard
+FROM no_pairs p
+JOIN no_deg da ON p.a = da.node
+JOIN no_deg db ON p.b = db.node
+"""

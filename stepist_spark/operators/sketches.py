@@ -756,3 +756,72 @@ def rolling_hll_actives(
         .agg(F.max("reg").alias("reg"))
     )
     return portable_hll_estimate(merged, ["day"], p=p, estimate_col=estimate_col)
+
+
+def hll_pair_intersections(
+    registers: DataFrame,
+    label_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Distinct-intersection estimates for every unordered pair of
+    label sets via inclusion-exclusion over ONE portable-HLL register
+    table: ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` (Flajolet 2007 HLL
+    + the standard set-algebra composition, public).
+
+    Spark-first shape: the raw data was already collapsed to the
+    per-label register table (≤ m rows per label); every pairwise
+    union is a register-wise MAX over those kilobyte rows — the pair
+    sweep never touches raw data, so k labels cost k(k-1)/2 merges of
+    2^p-row frames. The tiny label list broadcasts.
+
+    Estimates reuse :func:`portable_hll_estimate` (bit-reproducible);
+    the intersection is one add/subtract of the 4-dp-rounded
+    estimates (can go slightly negative for near-disjoint sets —
+    reported as-is, the caller clamps if needed).
+
+    Output: ``label_a, label_b, est_a, est_b, est_union, est_inter``.
+    """
+    labels = registers.select(F.col(label_col).alias("_l")).distinct()
+    pairs = (
+        labels.select(F.col("_l").alias("label_a"))
+        .crossJoin(F.broadcast(labels.select(F.col("_l").alias("label_b"))))
+        .filter(F.col("label_a") < F.col("label_b"))
+    )
+    ra = pairs.join(
+        registers.select(
+            F.col(label_col).alias("label_a"), "bucket", "reg"
+        ),
+        "label_a",
+    )
+    rb = pairs.join(
+        registers.select(
+            F.col(label_col).alias("label_b"), "bucket", "reg"
+        ),
+        "label_b",
+    )
+    union_regs = (
+        ra.select("label_a", "label_b", "bucket", "reg")
+        .unionByName(rb.select("label_a", "label_b", "bucket", "reg"))
+        .groupBy("label_a", "label_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_u = portable_hll_estimate(
+        union_regs, ["label_a", "label_b"], p, "est_union"
+    )
+    est_l = portable_hll_estimate(registers, label_col, p, "est_l")
+    ea = est_l.select(F.col(label_col).alias("label_a"), F.col("est_l").alias("est_a"))
+    eb = est_l.select(F.col(label_col).alias("label_b"), F.col("est_l").alias("est_b"))
+    return (
+        est_u.join(F.broadcast(ea), "label_a")
+        .join(F.broadcast(eb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_inter"),
+        )
+    )

@@ -723,7 +723,21 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_triangles").cast("bigint").alias("v1"),
         F.lit(None).cast("bigint").alias("v2"),
     )
-    return cl.unionByName(prp).unionByName(tri)
+    # neighborhood-overlap link scores over the SAME candidate graph
+    # (operators/graphs.py): common-neighbor counts + degrees packed
+    # into one exact bigint (20 bits each — jaccard is a pure function
+    # of the three certified integers)
+    no = graphs.neighborhood_overlap(cands, "id_a", "id_b").select(
+        F.lit("overlap").alias("part"),
+        F.col("a").cast("bigint").alias("node"),
+        F.col("b").cast("bigint").alias("v1"),
+        (
+            F.col("common") * F.lit(1 << 40)
+            + F.col("deg_a") * F.lit(1 << 20)
+            + F.col("deg_b")
+        ).cast("bigint").alias("v2"),
+    )
+    return cl.unionByName(prp).unionByName(tri).unionByName(no)
 
 
 def _c03_sql() -> str:
@@ -812,6 +826,25 @@ tri_n AS (
         UNION ALL SELECT y FROM tri_t
         UNION ALL SELECT z FROM tri_t
     ) t GROUP BY node
+),
+-- neighborhood-overlap part over the same cands graph (wedge join on
+-- the shared neighbor; unions wrapped per the WITH RECURSIVE gotcha)
+no_e AS (
+    SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+    FROM cands WHERE id_a <> id_b
+),
+no_adj AS (
+    SELECT node, nbr FROM (
+        SELECT u AS node, v AS nbr FROM no_e
+        UNION ALL
+        SELECT v, u FROM no_e
+    ) t
+),
+no_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM no_adj GROUP BY 1),
+no_pairs AS (
+    SELECT l.node AS a, r.node AS b, CAST(count(*) AS BIGINT) AS common
+    FROM no_adj l JOIN no_adj r ON l.nbr = r.nbr AND l.node < r.node
+    GROUP BY 1, 2
 )
 SELECT 'cluster' AS part, node, cluster_id AS v1,
        count(*) OVER (PARTITION BY cluster_id) AS v2
@@ -823,6 +856,12 @@ FROM g_pr p LEFT JOIN g_ind i ON i.node = p.node
 WHERE p.iter = {_PR_ITERS}
 UNION ALL
 SELECT 'triangle', node, n, CAST(NULL AS BIGINT) FROM tri_n
+UNION ALL
+SELECT 'overlap', p.a, p.b,
+       p.common * {1 << 40} + da.deg * {1 << 20} + db.deg
+FROM no_pairs p
+JOIN no_deg da ON p.a = da.node
+JOIN no_deg db ON p.b = db.node
 """
 
 

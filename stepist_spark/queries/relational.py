@@ -859,6 +859,43 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("k2"),
         F.col("approx_active_users").alias("est"),
     )
+    # set-algebra over sketches (round 6): inclusion-exclusion
+    # intersection estimates for every event-type pair of user sets —
+    # pairwise register-MAX merges over the kilobyte register table,
+    # never the raw events — with the exact intersection as witness
+    ev = load_table(spark, sf, "events")
+    type_regs = sketches.portable_hll_registers(ev, "event_type", "user_id")
+    hp_all = sketches.hll_pair_intersections(type_regs, "event_type")
+    pair_key = F.concat(F.col("label_a"), F.lit(">"), F.col("label_b"))
+    hp = hp_all.select(
+        F.lit("hll_pair").alias("part"),
+        pair_key.alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("est_inter").alias("est"),
+    ).unionByName(
+        hp_all.select(
+            F.lit("hll_union").alias("part"),
+            pair_key.alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("est_union").alias("est"),
+        )
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    pair_exact = (
+        tu.alias("a")
+        .join(tu.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.lit("pair_exact").alias("part"),
+            F.concat(F.col("ta"), F.lit(">"), F.col("tb")).alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n_inter").cast("double").alias("est"),
+        )
+    )
     return (
         fine.unionByName(rolled)
         .unionByName(exact)
@@ -867,6 +904,8 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(qsk_cells)
         .unionByName(qsk_est)
         .unionByName(wau)
+        .unionByName(hp)
+        .unionByName(pair_exact)
     )
 
 
@@ -936,6 +975,27 @@ rolled_regs AS (
     SELECT l_returnflag, bucket, max(reg) AS reg
     FROM fine_regs GROUP BY l_returnflag, bucket
 ),
+type_regs AS (
+    SELECT event_type, bucket, max(rho) AS reg FROM (
+        SELECT event_type,
+               ({hu}) % {m} AS bucket,
+               CASE WHEN (({hu}) >> {HLL_P}) = 0 THEN {maxbits + 1}
+                    ELSE {maxbits + 1} - length(bin(({hu}) >> {HLL_P})) END AS rho
+        FROM events
+    ) GROUP BY event_type, bucket
+),
+type_pairs AS (
+    SELECT a.event_type AS label_a, b.event_type AS label_b
+    FROM (SELECT DISTINCT event_type FROM events) a
+    JOIN (SELECT DISTINCT event_type FROM events) b
+      ON a.event_type < b.event_type
+),
+pair_regs AS (
+    SELECT p.label_a, p.label_b, r.bucket, max(r.reg) AS reg
+    FROM type_pairs p
+    JOIN type_regs r ON r.event_type = p.label_a OR r.event_type = p.label_b
+    GROUP BY 1, 2, 3
+),
 qsk_cells_t AS (
     SELECT bucket, count(*) AS cnt FROM (
         SELECT CASE WHEN v < 32 THEN v
@@ -1004,6 +1064,27 @@ UNION ALL
 SELECT 'wau_hll', CAST(day AS VARCHAR), CAST(NULL AS VARCHAR), est FROM (
     {est("day", "day", "wau_merged")}
 )
+UNION ALL
+SELECT 'hll_union', label_a || '>' || label_b, CAST(NULL AS VARCHAR), est FROM (
+    {est("label_a, label_b", "label_a, label_b", "pair_regs")}
+)
+UNION ALL
+SELECT 'hll_pair', u.label_a || '>' || u.label_b, CAST(NULL AS VARCHAR),
+       round(ea.est + eb.est - u.est, 4)
+FROM ({est("label_a, label_b", "label_a, label_b", "pair_regs")}) u
+JOIN ({est("event_type", "event_type", "type_regs")}) ea
+  ON ea.event_type = u.label_a
+JOIN ({est("event_type", "event_type", "type_regs")}) eb
+  ON eb.event_type = u.label_b
+UNION ALL
+SELECT 'pair_exact', ta || '>' || tb, CAST(NULL AS VARCHAR),
+       CAST(count(*) AS DOUBLE)
+FROM (
+    SELECT a.event_type AS ta, b.event_type AS tb, a.user_id
+    FROM (SELECT DISTINCT event_type, user_id FROM events) a
+    JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+) GROUP BY ta, tb
 """
 
 
@@ -1515,7 +1596,53 @@ def q13_scalar_string_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("date").alias("dt2"),
         F.lit(None).cast("date").alias("dt3"),
     )
-    return sc.unionByName(sa).unionByName(pr).unionByName(ex)
+    # Benford first-digit audit rides along (operators/profiling.py):
+    # leading digit from the cents STRING — no log10 boundary risk
+    from stepist_spark.operators.profiling import benford_digits, column_entropy
+
+    bf = benford_digits(load_table(spark, sf, "orders"), "o_totalprice").select(
+        F.lit("benford").alias("part"),
+        F.col("digit").alias("k1"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.col("n").alias("n1"),
+        F.col("total").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.col("share").alias("d1"),
+        F.col("deviation").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
+    # per-column Shannon entropy rides along (same module): one
+    # unpivot-explode scan, order-free integer log terms
+    en = column_entropy(load_table(spark, sf, "orders"), _PROFILE_COLS).select(
+        F.lit("entropy").alias("part"),
+        F.col("col_name").alias("k1"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.col("n").alias("n1"),
+        F.col("n_distinct").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.col("entropy").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
+    return (
+        sc.unionByName(sa)
+        .unionByName(pr)
+        .unionByName(ex)
+        .unionByName(bf)
+        .unionByName(en)
+    )
 
 
 #: mixed pass/fail so the expect gate discriminates: the between and
@@ -1552,6 +1679,18 @@ def _q13_expect_sql() -> str:
     return expect_sql("lineitem", _EXPECT_CONSTRAINTS)
 
 
+def _q13_benford_sql() -> str:
+    from stepist_spark.operators.profiling import benford_digits_sql
+
+    return benford_digits_sql("SELECT * FROM orders", "o_totalprice")
+
+
+def _q13_entropy_sql() -> str:
+    from stepist_spark.operators.profiling import column_entropy_sql
+
+    return column_entropy_sql("SELECT * FROM orders", _PROFILE_COLS)
+
+
 Q13M_SQL = f"""
 SELECT 'scalar' AS part, CAST(p_partkey AS VARCHAR) AS k1,
        name_upper AS s1, type_prefix AS s2, brand_type AS s3, size_class AS s4,
@@ -1577,6 +1716,18 @@ SELECT 'expect', "constraint", "column", NULL, NULL, NULL,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
 FROM ({_q13_expect_sql()})
+UNION ALL
+SELECT 'benford', digit, NULL, NULL, NULL, NULL,
+       n, total, CAST(NULL AS BIGINT), NULL,
+       share, deviation,
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM ({_q13_benford_sql()})
+UNION ALL
+SELECT 'entropy', col_name, NULL, NULL, NULL, NULL,
+       n, n_distinct, CAST(NULL AS BIGINT), NULL,
+       entropy, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM ({_q13_entropy_sql()})
 """
 
 
@@ -2031,6 +2182,21 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # top event 3-gram paths ride along (operators/anomaly.py): all
+    # leads share one user-keyed window sort; top-20 by count
+    from stepist_spark.operators.anomaly import event_paths
+
+    pa = event_paths(
+        ev, "user_id", "ts", "event_type", "event_id", path_len=3, top_k=20
+    ).select(
+        F.lit("path3").alias("part"),
+        F.col("path").alias("wkey"),
+        F.col("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -2044,6 +2210,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(se.select("*", *nulls))
         .unionByName(ap.select("*", *nulls))
         .unionByName(ac.select("*", *nulls))
+        .unionByName(pa.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -2098,6 +2265,12 @@ def _q22m_sql() -> str:
     )
     ap = conversion_paths_sql(at)
     ac = channel_credit_sql(at, "linear")
+    from stepist_spark.operators.anomaly import event_paths_sql
+
+    pa = event_paths_sql(
+        "SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id FROM events",
+        "user_id", "ts", "event_type", "event_id", path_len=3, top_k=20,
+    )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
        sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end,
@@ -2156,6 +2329,11 @@ SELECT 'attrib_credit', touch_type, n_touches, credit, credit_scaled,
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({ac})
+UNION ALL
+SELECT 'path3', path, n, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({pa})
 UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly
@@ -2513,15 +2691,24 @@ def q02_join_agg_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     # market-basket association rules ride along
     # (operators/association.py): parts co-ordered within orders,
-    # top-50 directional rules by lift — counts packed into s2
-    from stepist_spark.operators.association import association_rules
+    # top-50 directional rules by lift — counts packed into s2.
+    # The pair-count co-occurrence pass is computed ONCE and shared
+    # with the item-item CF part below (localCheckpoint).
+    from stepist_spark.operators.association import (
+        association_rules,
+        item_similarity,
+        pair_counts,
+    )
 
+    li = load_table(spark, sf, "lineitem")
+    pc = pair_counts(li, "l_orderkey", "l_partkey").localCheckpoint(eager=False)
     ar = association_rules(
-        load_table(spark, sf, "lineitem"),
+        li,
         "l_orderkey",
         "l_partkey",
         min_pair_support=2,
         k=50,
+        pair_counts_df=pc,
     ).select(
         F.lit("rules").alias("part"),
         F.col("antecedent").cast("bigint").alias("k"),
@@ -2553,7 +2740,29 @@ def q02_join_agg_topk(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("monetary_cents").cast("double") / F.lit(100.0)).alias("rev"),
         F.col("frequency").alias("n"),
     )
-    return t.unionByName(r).unionByName(ar).unionByName(rfm)
+    # item-item collaborative filtering (operators/association.py):
+    # cosine top-3 neighbors per part from the SAME pair-count pass
+    cf = item_similarity(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_pair_support=2,
+        top_n=3,
+        pair_counts_df=pc,
+    ).select(
+        F.lit("cf").alias("part"),
+        F.col("item").cast("bigint").alias("k"),
+        F.col("neighbor").cast("string").alias("s1"),
+        F.concat_ws(
+            ":",
+            F.col("rank").cast("string"),
+            F.col("item_n").cast("string"),
+            F.col("neighbor_n").cast("string"),
+        ).alias("s2"),
+        F.col("cosine").alias("rev"),
+        F.col("pair_n").alias("n"),
+    )
+    return t.unionByName(r).unionByName(ar).unionByName(rfm).unionByName(cf)
 
 
 def _q02_rules_sql() -> str:
@@ -2575,6 +2784,15 @@ def _q02_rfm_sql() -> str:
 
 _Q02_RFM_SQL = _q02_rfm_sql()
 
+
+def _q02_cf_sql() -> str:
+    from stepist_spark.operators.association import item_similarity_sql
+
+    return item_similarity_sql("lineitem", "l_orderkey", "l_partkey", 2, 3)
+
+
+_Q02_CF_SQL = _q02_cf_sql()
+
 Q02M_SQL = f"""
 SELECT 'top' AS part, CAST(l_orderkey AS BIGINT) AS k, o_orderpriority AS s1,
        CAST(o_orderdate AS VARCHAR) AS s2, revenue AS rev, CAST(NULL AS BIGINT) AS n
@@ -2593,6 +2811,12 @@ UNION ALL
 SELECT 'rfm', CAST(customer AS BIGINT), segment, CAST(last_ts AS VARCHAR),
        CAST(monetary_cents AS DOUBLE) / 100.0, frequency
 FROM ({_Q02_RFM_SQL})
+UNION ALL
+SELECT 'cf', CAST(item AS BIGINT), CAST(neighbor AS VARCHAR),
+       CAST(rank AS VARCHAR) || ':' || CAST(item_n AS VARCHAR)
+           || ':' || CAST(neighbor_n AS VARCHAR),
+       cosine, pair_n
+FROM ({_Q02_CF_SQL})
 """
 
 

@@ -358,3 +358,35 @@ class TestCusumChangepoint:
         assert r["cusum_stat"] == 0.0
         # all |D|=0: earliest (ts, id) wins
         assert r["t_at_max"] == 1 and r["change_id"] == 0
+
+
+class TestEventPaths:
+    def test_trigram_counts(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import event_paths
+
+        base = dt.datetime(2024, 1, 1)
+        seq = {1: ["v", "c", "p", "v"], 2: ["v", "c", "p"], 3: ["c", "p"]}
+        rows = [
+            (u, base + dt.timedelta(minutes=i), t, u * 100 + i)
+            for u, types in seq.items()
+            for i, t in enumerate(types)
+        ]
+        df = spark.createDataFrame(rows, "u bigint, ts timestamp, t string, id bigint")
+        got = {r["path"]: r["n"] for r in event_paths(df, "u", "ts", "t", "id").collect()}
+        # user1 contributes v>c>p and c>p>v; user2 contributes v>c>p
+        assert got == {"v>c>p": 2, "c>p>v": 1}
+
+    def test_no_cross_user_paths(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import event_paths
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, "a", 1), (1, base + dt.timedelta(minutes=1), "b", 2),
+            (2, base + dt.timedelta(minutes=2), "c", 3),
+        ]
+        df = spark.createDataFrame(rows, "u bigint, ts timestamp, t string, id bigint")
+        assert event_paths(df, "u", "ts", "t", "id", path_len=3).count() == 0

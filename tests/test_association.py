@@ -87,3 +87,40 @@ class TestAssociationRules:
         r2 = association_rules(df, "basket", "item", 1, k=3).collect()
         assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
         assert len(r1) == 3
+
+
+class TestItemSimilarity:
+    def test_cosine_matches_reference(self, spark):
+        import math
+
+        from stepist_spark.operators.association import item_similarity
+
+        # baskets: x&y co-occur twice; x alone once; z with y once
+        rows = [
+            (1, "x"), (1, "y"),
+            (2, "x"), (2, "y"),
+            (3, "x"),
+            (4, "y"), (4, "z"),
+        ]
+        df = spark.createDataFrame(rows, "basket bigint, item string")
+        got = {
+            (r["item"], r["neighbor"]): r
+            for r in item_similarity(df, "basket", "item", 1, 3).collect()
+        }
+        xy = got[("x", "y")]
+        assert xy["pair_n"] == 2 and xy["item_n"] == 3 and xy["neighbor_n"] == 3
+        assert abs(xy["cosine"] - round(2 / math.sqrt(9), 6)) < 1e-12
+        # symmetric entry exists
+        assert ("y", "x") in got
+        # ranking: y's top neighbor is x (cos 2/3) over z (cos 1/sqrt(6))
+        assert got[("y", "x")]["rank"] == 1 and got[("y", "z")]["rank"] == 2
+
+    def test_min_support_prunes(self, spark):
+        from stepist_spark.operators.association import item_similarity
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+            "basket bigint, item string",
+        )
+        got = {(r["item"], r["neighbor"]) for r in item_similarity(df, "basket", "item", 2, 5).collect()}
+        assert ("a", "b") in got and ("a", "c") not in got

@@ -119,3 +119,44 @@ class TestTriangleCounts:
         rng = random.Random(7)
         pairs = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
         assert self._run(spark, pairs) == _py_triangles(pairs)
+
+
+class TestNeighborhoodOverlap:
+    def test_matches_python_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from stepist_spark.operators.graphs import neighborhood_overlap
+
+        rng = random.Random(11)
+        edges = set()
+        while len(edges) < 30:
+            a, b = rng.randint(1, 12), rng.randint(1, 12)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+        got = {
+            (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"], r["jaccard"])
+            for r in neighborhood_overlap(df).collect()
+        }
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        exp = {}
+        for a, b in itertools.combinations(sorted(adj), 2):
+            common = len(adj[a] & adj[b])
+            if common >= 1:
+                j = round(common / (len(adj[a]) + len(adj[b]) - common), 6)
+                exp[(a, b)] = (common, len(adj[a]), len(adj[b]), j)
+        assert got == exp
+
+    def test_triangle_pair(self, spark):
+        from stepist_spark.operators.graphs import neighborhood_overlap
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+        )
+        got = {(r["a"], r["b"]): r["common"] for r in neighborhood_overlap(df).collect()}
+        # every pair shares exactly the third vertex
+        assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}

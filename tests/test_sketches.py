@@ -486,3 +486,34 @@ class TestRollingHllActives:
             for r in portable_hll_estimate(regs, ["day"]).collect()
         }
         assert a == b
+
+
+class TestHllPairIntersections:
+    def test_inclusion_exclusion_accuracy(self, spark):
+        from stepist_spark.operators.sketches import (
+            hll_pair_intersections,
+            portable_hll_registers,
+        )
+
+        # A = 0..999, B = 500..1499 -> |A∩B| = 500
+        rows = [("A", i) for i in range(1000)] + [("B", i) for i in range(500, 1500)]
+        df = spark.createDataFrame(rows, "label string, v bigint")
+        regs = portable_hll_registers(df, "label", "v")
+        [r] = hll_pair_intersections(regs, "label").collect()
+        assert (r["label_a"], r["label_b"]) == ("A", "B")
+        # HLL p=9 -> ~4.6% std error per estimate; the intersection
+        # compounds three estimates, allow 15%
+        assert abs(r["est_inter"] - 500) < 75, r["est_inter"]
+        assert abs(r["est_union"] - 1500) < 150, r["est_union"]
+
+    def test_disjoint_sets_near_zero(self, spark):
+        from stepist_spark.operators.sketches import (
+            hll_pair_intersections,
+            portable_hll_registers,
+        )
+
+        rows = [("A", i) for i in range(800)] + [("B", i) for i in range(1000, 1800)]
+        df = spark.createDataFrame(rows, "label string, v bigint")
+        regs = portable_hll_registers(df, "label", "v")
+        [r] = hll_pair_intersections(regs, "label").collect()
+        assert abs(r["est_inter"]) < 120, r["est_inter"]
