@@ -538,3 +538,59 @@ def sentence_count_sql(expr: str) -> str:
         f"CAST(len(list_filter(string_split_regex({expr}, '[.!?]+'), "
         f"s -> regexp_matches(s, '[^ \\t\\n\\r]'))) AS BIGINT)"
     )
+
+
+def syllable_count(text: Column, toks: Column | None = None) -> Column:
+    """Heuristic total syllables: per token, the number of vowel GROUPS
+    (``[aeiouy]+`` runs, min 1 per token) — the standard cheap English
+    syllable proxy behind readability formulas (Flesch 1948, public).
+    One JVM higher-order fold over the token array, no UDF."""
+    tk = tokens(text) if toks is None else toks
+    # vowel groups = split-segments − 1 (split keeps leading/trailing
+    # empties in BOTH Spark split(limit=-1 default) and DuckDB
+    # string_split_regex, so the count is identical)
+    counts = F.transform(
+        tk,
+        lambda t: F.greatest(F.lit(1), F.size(F.split(t, "[aeiouy]+")) - 1),
+    )
+    return F.aggregate(counts, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def syllable_count_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`syllable_count`."""
+    tk = tokens_sql(expr)
+    # coalesce: DuckDB's list_sum of an EMPTY list is NULL, Spark's
+    # aggregate with a 0 init is 0
+    return (
+        f"CAST(coalesce(list_sum(list_transform({tk}, t -> greatest(1, "
+        f"len(string_split_regex(t, '[aeiouy]+')) - 1))), 0) AS BIGINT)"
+    )
+
+
+def flesch_reading_ease(text: Column, toks: Column | None = None) -> Column:
+    """Flesch reading ease (Flesch 1948): ``206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words)`` with the heuristic
+    :func:`syllable_count`. NULL when the doc has no words or no
+    sentences. Two exact-integer divisions and a fixed literal
+    combination — the same IEEE sequence in both engines; round at
+    the call site."""
+    tk = tokens(text) if toks is None else toks
+    w = F.size(tk).cast("double")
+    s = sentence_count(text).cast("double")
+    sy = syllable_count(text, toks=tk).cast("double")
+    return F.when(
+        (w > 0) & (s > 0),
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w),
+    )
+
+
+def flesch_reading_ease_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`flesch_reading_ease` — identical
+    expression order."""
+    w = f"CAST({token_count_sql(expr)} AS DOUBLE)"
+    s = f"CAST({sentence_count_sql(expr)} AS DOUBLE)"
+    sy = f"CAST({syllable_count_sql(expr)} AS DOUBLE)"
+    return (
+        f"CASE WHEN {w} > 0 AND {s} > 0 THEN "
+        f"206.835 - 1.015 * ({w} / {s}) - 84.6 * ({sy} / {w}) END"
+    )

@@ -677,3 +677,93 @@ SELECT path, CAST(count(*) AS BIGINT) AS n FROM (
 GROUP BY path
 ORDER BY n DESC, path ASC LIMIT {top_k}
 """
+
+
+def seasonal_baseline(
+    events: DataFrame,
+    group_cols,
+    ts_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Day-of-week seasonal baseline + residuals over daily event
+    counts — the weekday-effect decomposition behind "is today's
+    volume normal FOR A TUESDAY" monitoring (classical seasonal
+    indices, Persons 1919, public).
+
+    Exactness by multiplying through (the CUSUM discipline): with
+    daily counts n_d, the baseline for day d is the mean of its
+    day-of-week cohort — never computed as a float; the residual is
+    ``resid_scaled = (n_d · days_dow − sum_dow) · scale DIV days_dow``
+    — one integer division, so the gate hashes exact bigints; the
+    6-dp ``resid`` view divides once in double.
+
+    Spark-first shape: raw events collapse in ONE hash aggregate to
+    the (group, date) daily-count frame; the day-of-week cohort
+    stats are windows over that TINY frame. Output: ``*group_cols,
+    day, dow (1=Sunday..7, Spark dayofweek), n, days_dow, sum_dow,
+    resid_scaled, resid``. Negative residuals are safe: Spark DIV and
+    DuckDB // both truncate toward zero.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    daily = events.groupBy(
+        *group_cols, F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Spark dayofweek: 1=Sunday..7=Saturday (DuckDB's dayofweek+1)
+    daily = daily.withColumn("dow", F.dayofweek(F.col("day")).cast("bigint"))
+    w = Window.partitionBy(*group_cols, "dow")
+    staged = daily.select(
+        *group_cols,
+        "day",
+        "dow",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("days_dow"),
+        F.sum("n").over(w).cast("bigint").alias("sum_dow"),
+    )
+    resid_scaled = F.expr(
+        f"CAST(((n * days_dow - sum_dow) * {scale}) DIV days_dow AS BIGINT)"
+    )
+    return staged.select(
+        *group_cols,
+        "day",
+        "dow",
+        "n",
+        "days_dow",
+        "sum_dow",
+        resid_scaled.alias("resid_scaled"),
+        F.round(resid_scaled.cast("double") / F.lit(float(scale)), 6).alias("resid"),
+    )
+
+
+def seasonal_baseline_sql(
+    events_sql: str,
+    group_exprs,
+    ts_expr: str,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`seasonal_baseline` — same multiplied-
+    through integer residual. Spark's ``dayofweek`` is 1=Sunday..7,
+    DuckDB's ``dayofweek`` is 0=Sunday..6 — mirrored as ``dow+1``."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH sb_daily AS (
+    SELECT {g}, CAST({ts_expr} AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ({events_sql}) GROUP BY {g}, CAST({ts_expr} AS DATE)
+),
+sb_dow AS (
+    SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM sb_daily
+),
+sb_st AS (
+    SELECT *, CAST(count(*) OVER (PARTITION BY {g}, dow) AS BIGINT) AS days_dow,
+           CAST(sum(n) OVER (PARTITION BY {g}, dow) AS BIGINT) AS sum_dow
+    FROM sb_dow
+)
+SELECT {g}, day, dow, n, days_dow, sum_dow,
+       CAST(((n * days_dow - sum_dow) * {scale}) // days_dow AS BIGINT)
+           AS resid_scaled,
+       round(CAST(((n * days_dow - sum_dow) * {scale}) // days_dow AS BIGINT)
+             / {scale}.0, 6) AS resid
+FROM sb_st
+"""

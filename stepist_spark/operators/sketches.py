@@ -825,3 +825,104 @@ def hll_pair_intersections(
             ).alias("est_inter"),
         )
     )
+
+
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches via
+    the inner product ``min_d Σ_w cnt_a[d,w]·cnt_b[d,w]`` (Cormode &
+    Muthukrishnan 2005; the AMS F₂ idea specialized to CMS) — the
+    join-size estimator a planner consults before picking a strategy,
+    and the scale answer to "how big will this join be" without
+    running it.
+
+    Spark-first shape: both inputs are ALREADY kilobyte-scale sketch
+    tables (≤ depth·width cells); the inner product is one cell-keyed
+    equi-join + one ≤depth-row aggregate — the raw tables are never
+    touched. Mismatched (depth, width) shards raise via the stamp
+    guard rather than silently under-estimating.
+
+    The estimate is an EXACT integer function of the sketch cells
+    (products and sums of bigints, min over depth) — fully
+    hash-gateable, no float anywhere. Output: one row
+    ``(est_join_size, depth, width)``.
+    """
+    a = sketch_a.select(
+        "row_idx",
+        "col_idx",
+        _uniform_guard(F.col("cnt"), ["depth", "width"], "cms_join_size").alias(
+            "_ca"
+        ),
+        "depth",
+        "width",
+    )
+    b = sketch_b.select(
+        F.col("row_idx").alias("_rb"),
+        F.col("col_idx").alias("_cb"),
+        _uniform_guard(F.col("cnt"), ["depth", "width"], "cms_join_size").alias(
+            "_nb"
+        ),
+        F.col("depth").alias("_db"),
+        F.col("width").alias("_wb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("row_idx") == F.col("_rb")) & (F.col("col_idx") == F.col("_cb")),
+    )
+    mismatch = joined.filter(
+        (F.col("depth") != F.col("_db")) | (F.col("width") != F.col("_wb"))
+    )
+    per_row = (
+        joined.groupBy("row_idx", "depth", "width")
+        .agg(
+            F.sum(
+                F.col("_ca").cast("decimal(38,0)") * F.col("_nb").cast("decimal(38,0)")
+            ).alias("_dot")
+        )
+    )
+    # min over depth rows; depth/width ride along for provenance
+    return per_row.groupBy("depth", "width").agg(
+        F.min("_dot").cast("decimal(38,0)").alias("est_join_size")
+    ).select("est_join_size", "depth", "width")
+
+
+def cms_join_size_sql(
+    table_a: str,
+    expr_a: str,
+    table_b: str,
+    expr_b: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB mirror of :func:`cms_join_size` over the raw tables —
+    rebuilds both sketches with the same portable md5 hash and takes
+    the same min-of-dot-products (all HUGEINT-exact)."""
+    from stepist_spark.functions import hashing
+
+    def cells(table: str, expr: str) -> str:
+        arms = " UNION ALL ".join(
+            "SELECT {d} AS row_idx, ({h}) % {w} AS col_idx FROM {t}".format(
+                d=d,
+                h=hashing.word_hash32_sql(
+                    "'{d}:' || CAST(({e}) AS VARCHAR)".format(d=d, e=expr)
+                ),
+                w=width,
+                t=table,
+            )
+            for d in range(depth)
+        )
+        return (
+            f"SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM ({arms}) GROUP BY 1, 2"
+        )
+
+    return f"""
+WITH cjs_a AS ({cells(table_a, expr_a)}),
+cjs_b AS ({cells(table_b, expr_b)}),
+cjs_dot AS (
+    SELECT a.row_idx, sum(a.cnt::HUGEINT * b.cnt) AS dot
+    FROM cjs_a a JOIN cjs_b b ON a.row_idx = b.row_idx AND a.col_idx = b.col_idx
+    GROUP BY a.row_idx
+)
+SELECT min(dot) AS est_join_size, {depth} AS depth, {width} AS width
+FROM cjs_dot
+"""

@@ -304,13 +304,50 @@ def q36_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("max_price"),
         F.lit(None).cast("double").alias("avg_qty"),
     )
-    return agg.unionByName(j).unionByName(rep)
+    # 'joinsize' — the planner-style CMS join-cardinality estimate for
+    # the SAME lineitem⋈orders join the salted mitigation runs, with
+    # the exact size as witness (operators/sketches.cms_join_size:
+    # kilobyte sketches, min-of-dot-products, integer-exact)
+    from stepist_spark.operators import sketches as sk_ops
+
+    sa = sk_ops.cms_build(
+        li.select("l_orderkey"), "l_orderkey", depth=4, width=8192
+    )
+    sb = sk_ops.cms_build(
+        orders.select("o_orderkey"), "o_orderkey", depth=4, width=8192
+    )
+    js = sk_ops.cms_join_size(sa, sb).select(
+        F.lit("joinsize").alias("part"),
+        F.lit("cms").alias("k"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.col("est_join_size").cast("bigint").alias("n_rows"),
+        F.lit(None).cast("double").alias("max_price"),
+        F.lit(None).cast("double").alias("avg_qty"),
+    )
+    je = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"))
+        .join(orders.select("o_orderkey"), "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("joinsize").alias("part"),
+            F.lit("exact").alias("k"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            "n_rows",
+            F.lit(None).cast("double").alias("max_price"),
+            F.lit(None).cast("double").alias("avg_qty"),
+        )
+    )
+    return agg.unionByName(j).unionByName(rep).unionByName(js).unionByName(je)
 
 
 def _q36_sql() -> str:
     from stepist_spark.operators.skew import skew_report_sql
+    from stepist_spark.operators.sketches import cms_join_size_sql
 
     rep = skew_report_sql("SELECT o_custkey FROM orders", "o_custkey", top_n=10)
+    cjs = cms_join_size_sql(
+        "lineitem", "l_orderkey", "orders", "o_orderkey", depth=4, width=8192
+    )
     return f"""
 SELECT 'agg' AS part, l_returnflag AS k, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
        count(l_quantity) AS n_rows, round(max(l_extendedprice), 2) AS max_price,
@@ -326,6 +363,15 @@ UNION ALL
 SELECT 'report', CAST(o_custkey AS VARCHAR), share, n_rows,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM ({rep})
+UNION ALL
+SELECT 'joinsize', 'cms', CAST(NULL AS DOUBLE),
+       CAST(est_join_size AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM ({cjs})
+UNION ALL
+SELECT 'joinsize', 'exact', CAST(NULL AS DOUBLE), count(*),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 

@@ -156,6 +156,10 @@ def t03_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
             TX.token_count(txt, toks=tk).cast("double")
             / TX.sentence_count(txt).cast("double"),
         ).otherwise(F.lit(0.0)).alias("tokens_per_sentence"),
+        # readability (round 6): vowel-group syllable proxy + Flesch
+        # reading ease — two exact-int divisions, fixed literal combo
+        TX.syllable_count(txt, toks=tk).alias("n_syllables"),
+        F.round(TX.flesch_reading_ease(txt, toks=tk), 6).alias("flesch"),
     )
 
 
@@ -174,7 +178,9 @@ SELECT doc_id,
        CASE WHEN {TX.sentence_count_sql('text')} > 0
             THEN CAST({TX.token_count_sql('text')} AS DOUBLE)
                  / {TX.sentence_count_sql('text')}
-            ELSE 0.0 END AS tokens_per_sentence
+            ELSE 0.0 END AS tokens_per_sentence,
+       {TX.syllable_count_sql('text')} AS n_syllables,
+       round({TX.flesch_reading_ease_sql('text')}, 6) AS flesch
 FROM documents
 """
 

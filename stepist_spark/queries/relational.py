@@ -2182,6 +2182,25 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # day-of-week seasonal residuals ride along (operators/anomaly.py):
+    # daily counts -> cohort windows over the tiny frame, residuals
+    # multiplied through to exact integers
+    from stepist_spark.operators.anomaly import seasonal_baseline
+
+    sb = seasonal_baseline(ev, ["event_type"], "ts").select(
+        F.lit("seasonal").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.col("day").cast("string"),
+            F.col("dow").cast("string"),
+        ).alias("wkey"),
+        F.col("n"),
+        F.col("resid").alias("sum_value"),
+        F.col("resid_scaled").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     # top event 3-gram paths ride along (operators/anomaly.py): all
     # leads share one user-keyed window sort; top-20 by count
     from stepist_spark.operators.anomaly import event_paths
@@ -2211,6 +2230,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(ap.select("*", *nulls))
         .unionByName(ac.select("*", *nulls))
         .unionByName(pa.select("*", *nulls))
+        .unionByName(sb.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -2270,6 +2290,11 @@ def _q22m_sql() -> str:
     pa = event_paths_sql(
         "SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id FROM events",
         "user_id", "ts", "event_type", "event_id", path_len=3, top_k=20,
+    )
+    from stepist_spark.operators.anomaly import seasonal_baseline_sql
+
+    sb = seasonal_baseline_sql(
+        "SELECT event_type, ts::TIMESTAMP AS ts FROM events", ["event_type"], "ts"
     )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
@@ -2334,6 +2359,13 @@ SELECT 'path3', path, n, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({pa})
+UNION ALL
+SELECT 'seasonal',
+       event_type || ':' || CAST(day AS VARCHAR) || ':' || CAST(dow AS VARCHAR),
+       n, resid, resid_scaled,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({sb})
 UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly

@@ -390,3 +390,56 @@ class TestEventPaths:
         ]
         df = spark.createDataFrame(rows, "u bigint, ts timestamp, t string, id bigint")
         assert event_paths(df, "u", "ts", "t", "id", path_len=3).count() == 0
+
+
+class TestSeasonalBaseline:
+    def test_planted_weekday_effect(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import seasonal_baseline
+
+        # 4 weeks: Mondays get 10 events, other days 2 — except one
+        # anomalous Monday with 22
+        rows = []
+        eid = 0
+        base = dt.date(2024, 1, 1)  # a Monday
+        for d in range(28):
+            day = base + dt.timedelta(days=d)
+            n = 10 if day.weekday() == 0 else 2
+            if d == 21:
+                n = 22  # anomalous 4th Monday
+            for _ in range(n):
+                rows.append(("g", dt.datetime.combine(day, dt.time(12)), eid))
+                eid += 1
+        df = spark.createDataFrame(rows, "g string, ts timestamp, id bigint")
+        out = {
+            (str(r["day"]), r["n"]): r
+            for r in seasonal_baseline(df, ["g"], "ts").collect()
+        }
+        anom = out[("2024-01-22", 22)]
+        # Monday cohort: 10,10,10,22 -> mean 13 -> resid 9
+        assert anom["days_dow"] == 4 and anom["sum_dow"] == 52
+        assert anom["resid"] == 9.0
+        normal = out[("2024-01-08", 10)]
+        assert normal["resid"] == -3.0  # 10 vs 13
+        tue = out[("2024-01-02", 2)]
+        assert tue["resid"] == 0.0
+
+    def test_negative_resid_division(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import seasonal_baseline
+
+        # cohort counts 1, 2, 4 -> mean 7/3; resid for n=1 is -4/3
+        rows = []
+        eid = 0
+        for week, n in enumerate((1, 2, 4)):
+            day = dt.date(2024, 1, 1) + dt.timedelta(days=7 * week)
+            for _ in range(n):
+                rows.append(("g", dt.datetime.combine(day, dt.time(9)), eid))
+                eid += 1
+        df = spark.createDataFrame(rows, "g string, ts timestamp, id bigint")
+        got = {r["n"]: r["resid_scaled"] for r in seasonal_baseline(df, ["g"], "ts").collect()}
+        # (1*3 - 7) * 1e6 DIV 3 = -4000000 DIV 3 = -1333333 (trunc toward 0)
+        assert got[1] == -1333333
+        assert got[4] == 1666666

@@ -272,3 +272,36 @@ class TestAdvice5Regressions:
         out = weighted_priority_sample(df, "doc_id", "w", 200)
         heavy = out.filter("w = 10000000000").count()
         assert heavy > 140  # ~10/11 expected; an id-tiebreak pick gives ~100
+
+
+class TestReadability:
+    def test_syllables_and_flesch(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions.text import (
+            flesch_reading_ease,
+            syllable_count,
+        )
+
+        df = spark.createDataFrame(
+            [("The cat sat on the mat. It was happy!",), ("",)], "text string"
+        )
+        rows = df.select(
+            syllable_count(F.col("text")).alias("sy"),
+            F.round(flesch_reading_ease(F.col("text")), 6).alias("fl"),
+        ).collect()
+        # the(1) cat(1) sat(1) on(1) the(1) mat.(1) it(1) was(1) happy!(2)
+        assert rows[0]["sy"] == 10
+        w, s, sy = 9.0, 2.0, 10.0
+        exp = round(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 6)
+        assert rows[0]["fl"] == exp
+        assert rows[1]["sy"] == 0 and rows[1]["fl"] is None
+
+    def test_no_vowel_token_counts_one(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions.text import syllable_count
+
+        df = spark.createDataFrame([("tsk pfft 123",)], "text string")
+        [r] = df.select(syllable_count(F.col("text")).alias("sy")).collect()
+        assert r["sy"] == 3

@@ -517,3 +517,33 @@ class TestHllPairIntersections:
         regs = portable_hll_registers(df, "label", "v")
         [r] = hll_pair_intersections(regs, "label").collect()
         assert abs(r["est_inter"]) < 120, r["est_inter"]
+
+
+class TestCmsJoinSize:
+    def test_upper_bound_and_accuracy(self, spark):
+        from stepist_spark.operators.sketches import cms_build, cms_join_size
+
+        # join size = sum over keys of c_a * c_b
+        a_rows = [(k,) for k in range(200) for _ in range(3)]   # 200 keys x3
+        b_rows = [(k,) for k in range(100, 300) for _ in range(2)]  # overlap 100..199
+        a = spark.createDataFrame(a_rows, "k bigint")
+        b = spark.createDataFrame(b_rows, "k bigint")
+        exact = 100 * 3 * 2
+        sa = cms_build(a, "k", depth=4, width=4096)
+        sb = cms_build(b, "k", depth=4, width=4096)
+        [r] = cms_join_size(sa, sb).collect()
+        est = int(r["est_join_size"])
+        assert est >= exact  # CMS inner product never under-estimates
+        # expected additive noise ~ n_a*n_b/width = 600*400/4096 ~ 59
+        assert est <= exact + 600, est
+
+    def test_disjoint_near_zero(self, spark):
+        from stepist_spark.operators.sketches import cms_build, cms_join_size
+
+        a = spark.createDataFrame([(k,) for k in range(150)], "k bigint")
+        b = spark.createDataFrame([(k,) for k in range(1000, 1150)], "k bigint")
+        [r] = cms_join_size(
+            cms_build(a, "k", depth=4, width=4096),
+            cms_build(b, "k", depth=4, width=4096),
+        ).collect()
+        assert int(r["est_join_size"]) <= 30
