@@ -767,3 +767,125 @@ SELECT {g}, day, dow, n, days_dow, sum_dow,
              / {scale}.0, 6) AS resid
 FROM sb_st
 """
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    lo: tuple = (5, 100),
+    hi: tuple = (95, 100),
+) -> DataFrame:
+    """Winsorized (percentile-clamped) aggregates per group — the
+    outlier-robust mean every metrics pipeline reports alongside the
+    raw one (Winsor/Tukey, public). Values below the lower exact
+    discrete quantile or above the upper one are CLAMPED to it, then
+    aggregated.
+
+    Spark-first shape (the grouped_median_mad discipline): raw rows
+    are touched ONLY by one (group, cents) count aggregate; quantile
+    location and the winsorized sum both ride windows/aggregates over
+    that value-counts frame — clamping is applied to DISTINCT values
+    weighted by their counts, never to raw rows again.
+
+    Exactness: cents bigints; quantile ranks are ceil-integer
+    arithmetic (``(n·num + den − 1) DIV den``); the winsorized sum is
+    an exact bigint; the mean is ONE double division, round 6.
+
+    Output: ``*group_cols, n, p_lo_cents, p_hi_cents,
+    sum_wins_cents, mean_wins``.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    counts = (
+        df.select(*group_cols, cents.alias("v"))
+        .groupBy(*group_cols, "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    st = counts.select(
+        *group_cols,
+        "v",
+        "c",
+        F.sum("c").over(w_ord).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    r_lo = F.expr(f"CAST((n * {lo[0]} + {lo[1]} - 1) DIV {lo[1]} AS BIGINT)")
+    r_hi = F.expr(f"CAST((n * {hi[0]} + {hi[1]} - 1) DIV {hi[1]} AS BIGINT)")
+    flagged = st.select(
+        *group_cols,
+        "v",
+        "c",
+        "n",
+        F.when(F.col("cum") >= F.greatest(F.lit(1), r_lo), F.col("v")).alias("_vlo"),
+        F.when(F.col("cum") >= F.greatest(F.lit(1), r_hi), F.col("v")).alias("_vhi"),
+    )
+    bounds = flagged.groupBy(*group_cols, "n").agg(
+        F.min("_vlo").alias("p_lo_cents"), F.min("_vhi").alias("p_hi_cents")
+    )
+    joined = counts.join(bounds, group_cols)
+    clamped = F.greatest(
+        F.col("p_lo_cents"), F.least(F.col("p_hi_cents"), F.col("v"))
+    )
+    out = joined.groupBy(*group_cols, "n", "p_lo_cents", "p_hi_cents").agg(
+        F.sum(clamped * F.col("c")).cast("bigint").alias("sum_wins_cents")
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        "p_lo_cents",
+        "p_hi_cents",
+        "sum_wins_cents",
+        F.round(
+            F.col("sum_wins_cents").cast("double")
+            / (F.col("n").cast("double") * F.lit(100.0)),
+            6,
+        ).alias("mean_wins"),
+    )
+
+
+def winsorized_stats_sql(
+    table_sql: str,
+    group_exprs,
+    value_expr: str,
+    lo: tuple = (5, 100),
+    hi: tuple = (95, 100),
+) -> str:
+    """DuckDB mirror of :func:`winsorized_stats`."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH ws_cnt AS (
+    SELECT {g}, CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql}) GROUP BY {g}, 2
+),
+ws_st AS (
+    SELECT {g}, v, c,
+           sum(c) OVER (PARTITION BY {g} ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY {g}) AS n
+    FROM ws_cnt
+),
+ws_b AS (
+    SELECT {g}, n,
+           min(CASE WHEN cum >= greatest(1, (n * {lo[0]} + {lo[1]} - 1) // {lo[1]})
+                    THEN v END) AS p_lo_cents,
+           min(CASE WHEN cum >= greatest(1, (n * {hi[0]} + {hi[1]} - 1) // {hi[1]})
+                    THEN v END) AS p_hi_cents
+    FROM ws_st GROUP BY {g}, n
+)
+SELECT {g}, n, p_lo_cents, p_hi_cents,
+       CAST(sum(greatest(p_lo_cents, least(p_hi_cents, v)) * c) AS BIGINT)
+           AS sum_wins_cents,
+       round(CAST(sum(greatest(p_lo_cents, least(p_hi_cents, v)) * c) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0), 6) AS mean_wins
+FROM ws_cnt JOIN ws_b USING ({g})
+GROUP BY {g}, n, p_lo_cents, p_hi_cents
+"""

@@ -248,3 +248,91 @@ SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
 FROM ({touches_sql})
 GROUP BY 1
 """
+
+
+def time_to_convert(touches: DataFrame) -> DataFrame:
+    """Per-channel time-to-convert stats from
+    :func:`attributed_touches`, keyed by the FIRST touch's type: the
+    number of conversions, total/mean first-touch-to-conversion
+    microseconds, and the exact discrete median — the "how long does
+    the funnel take per acquisition channel" report.
+
+    Exactness: durations are integer microseconds (``unix_micros`` ==
+    DuckDB ``epoch_us``); the median is an actual data value located
+    by a cumulative window over the per-channel duration counts (the
+    grouped_median_mad shape — never a per-channel sort of raw rows);
+    the mean is ONE double division, round 6.
+
+    Output: ``first_touch_type, n_conv, total_us, median_us, mean_us``.
+    """
+    from pyspark.sql import Window
+
+    first = touches.filter(F.col("is_first")).select(
+        F.col("touch_type").alias("first_touch_type"),
+        (
+            F.unix_micros(F.col("conv_ts").cast("timestamp"))
+            - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+        ).alias("tt_us"),
+    )
+    counts = first.groupBy("first_touch_type", "tt_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_ord = (
+        Window.partitionBy("first_touch_type")
+        .orderBy(F.col("tt_us").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("first_touch_type")
+    st = counts.select(
+        "first_touch_type",
+        "tt_us",
+        "c",
+        F.sum("c").over(w_ord).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum(F.col("c") * F.col("tt_us")).over(w_all).alias("total"),
+    )
+    med_rank = F.expr("CAST((n + 1) DIV 2 AS BIGINT)")
+    return (
+        st.filter(F.col("cum") >= med_rank)
+        .groupBy("first_touch_type", "n", "total")
+        .agg(F.min("tt_us").alias("median_us"))
+        .select(
+            "first_touch_type",
+            F.col("n").cast("bigint").alias("n_conv"),
+            F.col("total").cast("bigint").alias("total_us"),
+            F.col("median_us").cast("bigint").alias("median_us"),
+            F.round(
+                F.col("total").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean_us"),
+        )
+    )
+
+
+def time_to_convert_sql(touches_sql: str) -> str:
+    """DuckDB mirror of :func:`time_to_convert`."""
+    return f"""
+WITH ttc_f AS (
+    SELECT touch_type AS first_touch_type,
+           epoch_us(conv_ts) - epoch_us(touch_ts) AS tt_us
+    FROM ({touches_sql}) WHERE is_first
+),
+ttc_c AS (
+    SELECT first_touch_type, tt_us, CAST(count(*) AS BIGINT) AS c
+    FROM ttc_f GROUP BY 1, 2
+),
+ttc_s AS (
+    SELECT *,
+           sum(c) OVER (PARTITION BY first_touch_type ORDER BY tt_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY first_touch_type) AS n,
+           sum(c * tt_us) OVER (PARTITION BY first_touch_type) AS total
+    FROM ttc_c
+)
+SELECT first_touch_type, CAST(n AS BIGINT) AS n_conv,
+       CAST(total AS BIGINT) AS total_us,
+       CAST(min(tt_us) AS BIGINT) AS median_us,
+       round(CAST(total AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_us
+FROM ttc_s
+WHERE cum >= (n + 1) // 2
+GROUP BY first_touch_type, n, total
+"""

@@ -302,3 +302,73 @@ FROM no_pairs p
 JOIN no_deg da ON p.a = da.node
 JOIN no_deg db ON p.b = db.node
 """
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS from a seed set: every vertex reachable within
+    ``max_depth`` hops, labeled with its MINIMUM hop distance — the
+    blast-radius / influence-frontier traversal (lineage impact,
+    contamination spread, k-hop ego networks).
+
+    Spark-first shape: ``max_depth`` rounds of (frontier ⋈ edges) —
+    each round one equi-join keyed on the edge source plus an anti-join
+    against the visited set; the frontier is localCheckpointed per
+    round so lineage stays flat (the clusters/pagerank discipline).
+    Work per round is |frontier-out-edges|, never |V|²; depth is a
+    CONSTANT of the query, so the whole traversal is max_depth joins.
+
+    Output: ``node, depth`` (seeds at depth 0; minimum distance wins).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+def bfs_depths_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_depth: int,
+) -> str:
+    """DuckDB mirror of :func:`bfs_depths` — a recursive CTE carrying
+    (node, depth); min(depth) per node replays the visited-set rule.
+    Expects ``edges_sql`` to yield (src, dst) and ``seeds_sql`` (node).
+    UNION (not ALL) dedups (node, depth) states per round so a cyclic
+    graph cannot multiply paths — the state space is bounded |V|·depth.
+    """
+    return f"""
+WITH RECURSIVE bfs_walk(node, depth) AS (
+    SELECT node, 0 FROM ({seeds_sql}) t
+    UNION
+    SELECT e.dst, w.depth + 1
+    FROM bfs_walk w JOIN ({edges_sql}) e ON e.src = w.node
+    WHERE w.depth < {max_depth}
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth
+FROM bfs_walk GROUP BY node
+"""

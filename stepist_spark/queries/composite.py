@@ -783,7 +783,22 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             + F.col("deg_b")
         ).cast("bigint").alias("v2"),
     )
-    return cl.unionByName(prp).unionByName(tri).unionByName(no)
+    # bounded-depth BFS from a seed customer set over the SAME trade
+    # graph (operators/graphs.py): min hop distance within 3 hops
+    seeds = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 5)
+        .select(F.col("c_custkey").cast("bigint").alias("node"))
+    )
+    bfs = graphs.bfs_depths(edges, seeds, max_depth=3).select(
+        F.lit("bfs").alias("part"),
+        F.col("node").cast("bigint").alias("node"),
+        F.col("depth").cast("bigint").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
+    return (
+        cl.unionByName(prp).unionByName(tri).unionByName(no).unionByName(bfs)
+    )
 
 
 def _c03_sql() -> str:
@@ -891,6 +906,15 @@ no_pairs AS (
     SELECT l.node AS a, r.node AS b, CAST(count(*) AS BIGINT) AS common
     FROM no_adj l JOIN no_adj r ON l.nbr = r.nbr AND l.node < r.node
     GROUP BY 1, 2
+),
+-- bounded-depth BFS over the same trade graph: UNION (not ALL) dedups
+-- (node, depth) states so the cyclic graph cannot multiply paths
+bfs_walk(node, depth) AS (
+    SELECT c_custkey, 0 FROM customer WHERE c_custkey < 5
+    UNION
+    SELECT e.dst, w.depth + 1
+    FROM bfs_walk w JOIN g_edges e ON e.src = w.node
+    WHERE w.depth < 3
 )
 SELECT 'cluster' AS part, node, cluster_id AS v1,
        count(*) OVER (PARTITION BY cluster_id) AS v2
@@ -908,6 +932,9 @@ SELECT 'overlap', p.a, p.b,
 FROM no_pairs p
 JOIN no_deg da ON p.a = da.node
 JOIN no_deg db ON p.b = db.node
+UNION ALL
+SELECT 'bfs', node, CAST(min(depth) AS BIGINT), CAST(NULL AS BIGINT)
+FROM bfs_walk GROUP BY node
 """
 
 

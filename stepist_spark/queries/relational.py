@@ -393,25 +393,53 @@ def q08_window_suite(spark: SparkSession, sf: str) -> DataFrame:
         # doubles on both engines, shipped unrounded
         F.percent_rank().over(w_status).alias("pct_rank"),
         F.cume_dist().over(w_status).alias("cume"),
+        # linearly-weighted moving average over the last 4 orders
+        # (round 6): exact integer cents through a lag chain, one
+        # integer DIV — NULL until the window is complete
+        _q08_wma4(w).alias("wma4_cents"),
     )
 
 
+def _q08_wma4(w) -> "F.Column":
+    from stepist_spark.functions.text import _intdiv
+
+    c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    c1, c2, c3 = (F.lag(c, i).over(w) for i in (1, 2, 3))
+    total = c * 4 + c1 * 3 + c2 * 2 + c3
+    # _intdiv: (a - a%b)/b — exact for the non-negative cents sums here
+    return F.when(c3.isNotNull(), _intdiv(total, F.lit(10).cast("bigint")))
+
+
 Q08_SQL = """
-SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-       round(lag(o_totalprice) OVER w, 2) AS prev_price,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING), 2) AS running_total,
-       row_number() OVER w AS order_seq,
-       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
-       CAST(ntile(4) OVER ws AS BIGINT) AS quartile,
-       round(first_value(o_totalprice) OVER ws, 2) AS cheapest_so_far,
-       percent_rank() OVER ws AS pct_rank,
-       cume_dist() OVER ws AS cume
-FROM orders
-WHERE o_custkey < 50
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       ws AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+SELECT o_custkey, o_orderkey, orderdate, prev_price, running_total,
+       order_seq, n_in_band, quartile, cheapest_so_far, pct_rank, cume,
+       -- (tot - tot%10)/10 mirrors the Spark _intdiv (exact for the
+       -- non-negative cents sums here)
+       CASE WHEN _c3 IS NOT NULL THEN
+         CAST(((_c*4 + _c1*3 + _c2*2 + _c3)
+               - (_c*4 + _c1*3 + _c2*2 + _c3) % 10) / 10 AS BIGINT)
+       END AS wma4_cents
+FROM (
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           row_number() OVER w AS order_seq,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
+           CAST(ntile(4) OVER ws AS BIGINT) AS quartile,
+           round(first_value(o_totalprice) OVER ws, 2) AS cheapest_so_far,
+           percent_rank() OVER ws AS pct_rank,
+           cume_dist() OVER ws AS cume,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS _c,
+           lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 1) OVER w AS _c1,
+           lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 2) OVER w AS _c2,
+           lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 3) OVER w AS _c3
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           ws AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+)
 """
 
 
@@ -2216,6 +2244,18 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # time-to-convert per first-touch channel (operators/attribution.py)
+    from stepist_spark.operators.attribution import time_to_convert
+
+    tc = time_to_convert(at).select(
+        F.lit("ttc").alias("part"),
+        F.col("first_touch_type").alias("wkey"),
+        F.col("n_conv").alias("n"),
+        F.col("mean_us").alias("sum_value"),
+        F.col("median_us").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -2231,6 +2271,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(ac.select("*", *nulls))
         .unionByName(pa.select("*", *nulls))
         .unionByName(sb.select("*", *nulls))
+        .unionByName(tc.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -2291,6 +2332,9 @@ def _q22m_sql() -> str:
         "SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id FROM events",
         "user_id", "ts", "event_type", "event_id", path_len=3, top_k=20,
     )
+    from stepist_spark.operators.attribution import time_to_convert_sql
+
+    tc = time_to_convert_sql(at)
     from stepist_spark.operators.anomaly import seasonal_baseline_sql
 
     sb = seasonal_baseline_sql(
@@ -2366,6 +2410,11 @@ SELECT 'seasonal',
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({sb})
+UNION ALL
+SELECT 'ttc', first_touch_type, n_conv, mean_us, median_us,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({tc})
 UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly
@@ -2585,6 +2634,31 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
     )
+    # winsorized robust mean rides along (operators/anomaly.py):
+    # p5/p95 clamp located and applied on the value-counts frame —
+    # raw rows touched once
+    from stepist_spark.operators.anomaly import winsorized_stats
+
+    ws = winsorized_stats(
+        load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        "l_extendedprice",
+    ).select(
+        F.lit("winsor").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("mean_wins").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("p_lo_cents").cast("string"),
+            F.col("p_hi_cents").cast("string"),
+            F.col("sum_wins_cents").cast("string"),
+        ).alias("s1"),
+        F.col("n").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -2592,6 +2666,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(wm)
         .unionByName(chi)
         .unionByName(cor)
+        .unionByName(ws)
     )
 
 
@@ -2661,6 +2736,19 @@ def _q25_corr_sql() -> str:
 
 _Q25_CORR_SQL = _q25_corr_sql()
 
+
+def _q25_winsor_sql() -> str:
+    from stepist_spark.operators.anomaly import winsorized_stats_sql
+
+    return winsorized_stats_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        ["l_returnflag"],
+        "l_extendedprice",
+    )
+
+
+_Q25_WINSOR_SQL = _q25_winsor_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -2701,6 +2789,13 @@ SELECT 'corr', col_a || ':' || col_b, corr, CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
        CAST(n AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({_Q25_CORR_SQL})
+UNION ALL
+SELECT 'winsor', l_returnflag, mean_wins, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(p_lo_cents AS VARCHAR) || ':' || CAST(p_hi_cents AS VARCHAR)
+           || ':' || CAST(sum_wins_cents AS VARCHAR),
+       CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_Q25_WINSOR_SQL})
 """
 
 

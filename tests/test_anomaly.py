@@ -443,3 +443,37 @@ class TestSeasonalBaseline:
         # (1*3 - 7) * 1e6 DIV 3 = -4000000 DIV 3 = -1333333 (trunc toward 0)
         assert got[1] == -1333333
         assert got[4] == 1666666
+
+
+class TestWinsorizedStats:
+    def test_clamps_outliers(self, spark):
+        from stepist_spark.operators.anomaly import winsorized_stats
+
+        # 18 values of 10.00, one 0.01, one 1000.00 -> p5=0.01? n=20:
+        # r_lo = ceil(20*5/100)=1 -> p_lo = min value (0.01);
+        # r_hi = ceil(20*95/100)=19 -> p_hi = 10.00 (cum at 10.00 is 19)
+        rows = [("g", 10.0)] * 18 + [("g", 0.01), ("g", 1000.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        [r] = winsorized_stats(df, ["g"], "v").collect()
+        assert r["n"] == 20
+        assert r["p_lo_cents"] == 1 and r["p_hi_cents"] == 1000
+        # sum = 18*1000 + 1 + clamp(100000 -> 1000) = 19001
+        assert r["sum_wins_cents"] == 19001
+        assert r["mean_wins"] == round(19001 / 2000.0, 6)
+
+    def test_matches_python(self, spark):
+        import random
+
+        from stepist_spark.operators.anomaly import winsorized_stats
+
+        rng = random.Random(5)
+        vals = [round(rng.uniform(0, 100), 2) for _ in range(200)]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        [r] = winsorized_stats(df, ["g"], "v").collect()
+        cents = sorted(int(v * 100 + 0.5) for v in vals)
+        n = len(cents)
+        p_lo = cents[max(1, -(-n * 5 // 100)) - 1]
+        p_hi = cents[max(1, -(-n * 95 // 100)) - 1]
+        exp = sum(min(p_hi, max(p_lo, c)) for c in cents)
+        assert (r["p_lo_cents"], r["p_hi_cents"]) == (p_lo, p_hi)
+        assert r["sum_wins_cents"] == exp

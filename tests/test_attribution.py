@@ -105,3 +105,44 @@ class TestRfm:
         [r] = rfm_segments(df, "cust", "ts", "amt", n_tiles=2).collect()
         assert r["monetary_cents"] == 30  # 10 + 20, no float drift
         assert r["frequency"] == 2
+
+
+class TestTimeToConvert:
+    def test_median_and_mean(self, spark):
+        from stepist_spark.operators.attribution import (
+            attributed_touches,
+            time_to_convert,
+        )
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+
+        def t(mins):
+            return base + dt.timedelta(minutes=mins)
+
+        rows = [
+            # conv 1: first touch view at 0, conv at 10 -> 600s
+            (1, t(0), "view", 0.0, 1),
+            (1, t(10), "buy", 5.0, 2),
+            # conv 2 (same user): first touch view at 20, conv at 50 -> 1800s
+            (1, t(20), "view", 0.0, 3),
+            (1, t(30), "click", 0.0, 4),
+            (1, t(50), "buy", 5.0, 5),
+            # conv 3 (user 2): first touch click at 0 -> 300s
+            (2, t(0), "click", 0.0, 6),
+            (2, t(5), "buy", 5.0, 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "user bigint, ts timestamp, etype string, value double, eid bigint"
+        )
+        tt = attributed_touches(
+            df, "user", "ts", "etype", "value", "eid", "buy", ["click", "view"]
+        )
+        got = {r["first_touch_type"]: r for r in time_to_convert(tt).collect()}
+        v = got["view"]
+        assert v["n_conv"] == 2
+        assert v["total_us"] == (600 + 1800) * 1_000_000
+        assert v["median_us"] == 600 * 1_000_000  # lower median of {600, 1800}
+        assert v["mean_us"] == round((600 + 1800) * 1_000_000 / 2, 6)
+        c = got["click"]
+        assert c["n_conv"] == 1 and c["median_us"] == 300 * 1_000_000

@@ -160,3 +160,36 @@ class TestNeighborhoodOverlap:
         got = {(r["a"], r["b"]): r["common"] for r in neighborhood_overlap(df).collect()}
         # every pair shares exactly the third vertex
         assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+class TestBfsDepths:
+    def test_min_depth_on_cycle(self, spark):
+        from stepist_spark.operators.graphs import bfs_depths
+
+        # 1->2->3->1 cycle plus 3->4, 5 isolated
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src bigint, dst bigint"
+        )
+        seeds = spark.createDataFrame([(1,)], "node bigint")
+        got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, 5).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_depth_bound(self, spark):
+        from stepist_spark.operators.graphs import bfs_depths
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src bigint, dst bigint"
+        )
+        seeds = spark.createDataFrame([(0,)], "node bigint")
+        got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, 3).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_multi_seed_min_wins(self, spark):
+        from stepist_spark.operators.graphs import bfs_depths
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (9, 3)], "src bigint, dst bigint"
+        )
+        seeds = spark.createDataFrame([(1,), (9,)], "node bigint")
+        got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, 4).collect()}
+        assert got[3] == 1  # via seed 9, not depth 2 via 1->2->3

@@ -241,6 +241,8 @@ class TestCatalogHygiene:
         "t25_resample_shuffle", # broadcast 1-row group-min cross join
         "t16_vocabulary",       # BM25: broadcast 1-row corpus-stats cross join
         "q04_semi_anti_join",   # fk_report: broadcast 1-row count cross joins
+        "q21_approx_sketches",  # hll_pair_intersections: |labels|² pair build
+                                # (≤ tens of rows) + broadcast 1-row totals
         # t18 deliberately NOT listed: bloom_probe's word-table probes
         # are broadcast HASH joins — the hygiene sweep guards that
     }
