@@ -889,3 +889,155 @@ SELECT {g}, n, p_lo_cents, p_hi_cents,
 FROM ws_cnt JOIN ws_b USING ({g})
 GROUP BY {g}, n, p_lo_cents, p_hi_cents
 """
+
+
+def gini_coefficient(df, group_cols, value_col: str) -> DataFrame:
+    """Gini concentration coefficient per group over NON-NEGATIVE
+    values (Gini 1912, public) — the inequality / revenue-concentration
+    metric: 0 = perfectly equal, →1 = one row holds everything.
+
+    Exact rank-weighted sum WITHOUT sorting raw rows (the value-counts
+    discipline): for a distinct value v with count c whose predecessors
+    total cum_prev rows, its occurrences hold ranks cum_prev+1 ..
+    cum_prev+c, so ``Σ_i i·x_(i)`` gains ``v·(c·cum_prev +
+    c(c+1) DIV 2)`` — an exact decimal/HUGEINT term per distinct value.
+    ``G = (2·S) / (n·T) − (n+1)/n`` is then a fixed two-division IEEE
+    sequence over exact integers, round 6 (NULL when T = 0).
+
+    Output: ``*group_cols, n, total_cents, s_scaled, gini``.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    counts = (
+        df.select(*group_cols, cents.alias("v"))
+        .groupBy(*group_cols, "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = "decimal(38,0)"
+    staged = counts.withColumn(
+        "cum_prev", F.coalesce(F.sum("c").over(w_prev), F.lit(0)).cast(dec)
+    )
+    term = F.col("v").cast(dec) * (
+        F.col("c").cast(dec) * F.col("cum_prev")
+        + F.expr("CAST((c * (c + 1)) DIV 2 AS DECIMAL(38,0))")
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast(dec) * F.col("c").cast(dec)).cast(dec).alias("_t"),
+        F.sum(term).cast(dec).alias("_s"),
+    )
+    nd = F.col("n").cast("double")
+    g = (F.lit(2.0) * F.col("_s").cast("double")) / (
+        nd * F.col("_t").cast("double")
+    ) - (nd + F.lit(1.0)) / nd
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("_t").cast("decimal(38,0)").alias("total_cents"),
+        F.col("_s").cast("decimal(38,0)").alias("s_scaled"),
+        F.when(F.col("_t") > 0, F.round(g, 6)).alias("gini"),
+    )
+
+
+def gini_coefficient_sql(table_sql: str, group_exprs, value_expr: str) -> str:
+    """DuckDB mirror of :func:`gini_coefficient`."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH gi_c AS (
+    SELECT {g}, CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql}) GROUP BY {g}, 2
+),
+gi_s AS (
+    SELECT {g}, v, c,
+           CAST(coalesce(sum(c) OVER (PARTITION BY {g} ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+               AS cum_prev
+    FROM gi_c
+),
+gi_a AS (
+    SELECT {g}, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(v::HUGEINT * c) AS HUGEINT) AS t,
+           CAST(sum(v::HUGEINT * (c::HUGEINT * cum_prev
+                + CAST((c * (c + 1)) // 2 AS HUGEINT))) AS HUGEINT) AS s
+    FROM gi_s GROUP BY {g}
+)
+SELECT {g}, n, t AS total_cents, s AS s_scaled,
+       CASE WHEN t > 0 THEN
+         round((2.0 * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+       END AS gini
+FROM gi_a
+"""
+
+
+def quantile_buckets(
+    df,
+    group_cols,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equal-frequency (quantile) bucket MAP per group: each distinct
+    value gets the bucket of its upper CDF position — the feature-
+    discretization binning step of a tabular ML pipeline. Join the map
+    back on (group, value) to label raw rows.
+
+    Exactness: ``bucket = ceil(cum·B / n)`` in pure integer arithmetic
+    over the value-counts frame (ties share a bucket by construction —
+    same value, same cum). Raw rows are touched once by the count
+    aggregate. Output: ``*group_cols, v_cents, c, bucket``.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    counts = (
+        df.select(*group_cols, cents.alias("v_cents"))
+        .groupBy(*group_cols, "v_cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v_cents").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    st = counts.select(
+        *group_cols,
+        "v_cents",
+        "c",
+        F.sum("c").over(w_ord).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bucket = F.expr(f"CAST((cum * {n_buckets} + n - 1) DIV n AS BIGINT)")
+    return st.select(*group_cols, "v_cents", "c", bucket.alias("bucket"))
+
+
+def quantile_buckets_sql(
+    table_sql: str, group_exprs, value_expr: str, n_buckets: int = 10
+) -> str:
+    """DuckDB mirror of :func:`quantile_buckets`."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH qb_c AS (
+    SELECT {g}, CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS v_cents,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql}) GROUP BY {g}, 2
+),
+qb_s AS (
+    SELECT *, sum(c) OVER (PARTITION BY {g} ORDER BY v_cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY {g}) AS n
+    FROM qb_c
+)
+SELECT {g}, v_cents, c,
+       CAST((cum * {n_buckets} + n - 1) // n AS BIGINT) AS bucket
+FROM qb_s
+"""

@@ -307,3 +307,178 @@ SELECT a, b, observed, row_n, col_n, n,
            AS contrib
 FROM tot
 """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two groups — the standard distribution-drift test
+    (Kolmogorov 1933 / Smirnov 1939, public) behind "did this metric's
+    shape change".
+
+    Exactness by cross-multiplying: with cents integers, ``D =
+    max_v |F_a(v) − F_b(v)|`` is located on ``|cum_a·n_b − cum_b·n_a|``
+    — an exact decimal(38,0)/HUGEINT integer, so the argmax (earliest
+    value on ties) and the statistic's numerator are hash-exact; the
+    final ``ks = D_scaled / (n_a·n_b)`` is ONE double division, 6 dp.
+
+    Spark-first shape: raw rows collapse in ONE (group, cents) count
+    aggregate; CDFs are cumulative windows over the merged distinct-
+    value frame. Output one row: ``n_a, n_b, v_at_max_cents,
+    d_scaled, ks``.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    counts = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(F.col(group_col).alias("_g"), cents.alias("v"))
+        .groupBy("_g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ca = F.sum(F.when(F.col("_g") == group_a, F.col("c")).otherwise(0))
+    cb = F.sum(F.when(F.col("_g") == group_b, F.col("c")).otherwise(0))
+    per_v = counts.groupBy("v").agg(ca.alias("ca"), cb.alias("cb"))
+    w_ord = (
+        Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    st = per_v.select(
+        "v",
+        F.sum("ca").over(w_ord).cast("decimal(38,0)").alias("cum_a"),
+        F.sum("cb").over(w_ord).cast("decimal(38,0)").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("decimal(38,0)").alias("n_a"),
+        F.sum("cb").over(w_all).cast("decimal(38,0)").alias("n_b"),
+    )
+    d = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    w_pick = Window.orderBy(F.col("_d").desc(), F.col("v").asc())
+    return (
+        st.withColumn("_d", d)
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("v").alias("v_at_max_cents"),
+            F.col("_d").cast("decimal(38,0)").alias("d_scaled"),
+            F.round(
+                F.col("_d").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
+def ks_two_sample_sql(
+    table_sql: str,
+    group_expr: str,
+    value_expr: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB mirror of :func:`ks_two_sample`."""
+    return f"""
+WITH ks_c AS (
+    SELECT {group_expr} AS g, CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql})
+    WHERE {group_expr} IN ('{group_a}', '{group_b}')
+    GROUP BY 1, 2
+),
+ks_v AS (
+    SELECT v,
+           sum(CASE WHEN g = '{group_a}' THEN c ELSE 0 END) AS ca,
+           sum(CASE WHEN g = '{group_b}' THEN c ELSE 0 END) AS cb
+    FROM ks_c GROUP BY v
+),
+ks_s AS (
+    SELECT v,
+           CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum_a,
+           CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum_b,
+           CAST(sum(ca) OVER () AS HUGEINT) AS n_a,
+           CAST(sum(cb) OVER () AS HUGEINT) AS n_b
+    FROM ks_v
+),
+ks_d AS (
+    SELECT *, abs(cum_a * n_b - cum_b * n_a) AS d,
+           row_number() OVER (ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC) AS rn
+    FROM ks_s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       v AS v_at_max_cents, d AS d_scaled,
+       round(CAST(d AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks
+FROM ks_d WHERE rn = 1
+"""
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: int = 10,
+) -> DataFrame:
+    """Smoothed target (mean) encoding per category — the standard
+    high-cardinality categorical feature for tabular models (Micci-
+    Barreca SIGKDD'01, public): ``enc = (sum_t + m·prior) / (n + m)``
+    with the global mean as prior.
+
+    Exactness: targets go to integer cents; the smoothed ratio is
+    evaluated as ``(sum_t·N + m·T) / ((n + m)·N)`` — exact decimal
+    products, ONE double division, 6 dp — so no float prior ever
+    propagates. Spark-first: one per-category aggregate; the 1-row
+    global total broadcasts. Output: ``category, n, sum_cents, enc``
+    (enc in currency units).
+    """
+    cents = F.floor(F.col(target_col) * 100 + F.lit(0.5)).cast("bigint")
+    per_cat = df.select(F.col(cat_col).alias("category"), cents.alias("_t")).groupBy(
+        "category"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_t").cast("bigint").alias("sum_cents"),
+    )
+    tot = per_cat.agg(
+        F.sum("n").cast("bigint").alias("_N"), F.sum("sum_cents").cast("bigint").alias("_T")
+    )
+    dec = "decimal(38,0)"
+    joined = per_cat.crossJoin(F.broadcast(tot))
+    num = F.col("sum_cents").cast(dec) * F.col("_N").cast(dec) + F.lit(m) * F.col(
+        "_T"
+    ).cast(dec)
+    den = (F.col("n") + F.lit(m)).cast(dec) * F.col("_N").cast(dec)
+    return joined.select(
+        "category",
+        "n",
+        "sum_cents",
+        F.round(num.cast("double") / den.cast("double") / F.lit(100.0), 6).alias(
+            "enc"
+        ),
+    )
+
+
+def target_encode_sql(
+    table_sql: str,
+    cat_expr: str,
+    target_expr: str,
+    m: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`target_encode`."""
+    return f"""
+WITH te_c AS (
+    SELECT {cat_expr} AS category, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(({target_expr}) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ({table_sql}) GROUP BY 1
+),
+te_t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sum_cents) AS BIGINT) AS tt
+         FROM te_c)
+SELECT category, n, sum_cents,
+       round(CAST(sum_cents::HUGEINT * nn + {m} * tt::HUGEINT AS DOUBLE)
+             / CAST((n + {m})::HUGEINT * nn AS DOUBLE) / 100.0, 6) AS enc
+FROM te_c CROSS JOIN te_t
+"""

@@ -482,10 +482,63 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
-    return roll.unionByName(cub).unionByName(gs)
+    # smoothed target encoding rides along (operators/regression.py):
+    # per-priority mean order value with the global prior, exact
+    # decimal products, one division
+    from stepist_spark.operators.regression import target_encode
+
+    te = target_encode(orders, "o_orderpriority", "o_totalprice", m=10).select(
+        F.lit("tenc").alias("gset"),
+        F.col("category").alias("key1"),
+        F.concat_ws(":", F.col("sum_cents").cast("string")).alias("key2"),
+        F.col("n"),
+        F.col("enc").alias("sum_val"),
+    )
+    # Gini revenue concentration rides along (operators/anomaly.py):
+    # exact rank-weighted sums from the value-counts frame
+    from stepist_spark.operators.anomaly import gini_coefficient
+
+    gi = gini_coefficient(orders, ["o_orderpriority"], "o_totalprice").select(
+        F.lit("gini").alias("gset"),
+        F.col("o_orderpriority").alias("key1"),
+        F.concat_ws(
+            ":",
+            F.col("total_cents").cast("string"),
+            F.col("s_scaled").cast("string"),
+        ).alias("key2"),
+        F.col("n"),
+        F.col("gini").alias("sum_val"),
+    )
+    return roll.unionByName(cub).unionByName(gs).unionByName(te).unionByName(gi)
 
 
-Q09_SQL = """
+def _q09_tenc_sql() -> str:
+    from stepist_spark.operators.regression import target_encode_sql
+
+    return target_encode_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+        m=10,
+    )
+
+
+_Q09_TENC_SQL = _q09_tenc_sql()
+
+
+def _q09_gini_sql() -> str:
+    from stepist_spark.operators.anomaly import gini_coefficient_sql
+
+    return gini_coefficient_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+
+
+_Q09_GINI_SQL = _q09_gini_sql()
+
+Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -497,6 +550,14 @@ UNION ALL
 SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_extendedprice), 2) AS sum_val
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+UNION ALL
+SELECT 'tenc', category, CAST(sum_cents AS VARCHAR), n, enc
+FROM ({_Q09_TENC_SQL})
+UNION ALL
+SELECT 'gini', o_orderpriority,
+       CAST(total_cents AS VARCHAR) || ':' || CAST(s_scaled AS VARCHAR),
+       n, gini
+FROM ({_Q09_GINI_SQL})
 """
 
 
@@ -2659,6 +2720,53 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n1"),
         F.lit(None).cast("bigint").alias("n2"),
     )
+    # two-sample KS drift rides along (operators/regression.py):
+    # cross-multiplied exact CDF distance between returnflag groups
+    from stepist_spark.operators.regression import ks_two_sample
+
+    ks = ks_two_sample(
+        load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+        "A",
+        "N",
+    ).select(
+        F.lit("ks").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("v_at_max_cents").cast("string"),
+            F.col("d_scaled").cast("string"),
+        ).alias("k1"),
+        F.col("ks").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_a").alias("n1"),
+        F.col("n_b").alias("n2"),
+    )
+    # equal-frequency bucket map rides along (operators/anomaly.py):
+    # quantile discretization of l_quantity (small distinct domain)
+    from stepist_spark.operators.anomaly import quantile_buckets
+
+    qb = quantile_buckets(
+        load_table(spark, sf, "lineitem").select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        "l_quantity",
+        n_buckets=4,
+    ).select(
+        F.lit("qbucket").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":", F.col("v_cents").cast("string"), F.col("bucket").cast("string")
+        ).alias("s1"),
+        F.col("c").alias("n1"),
+        F.col("bucket").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -2667,6 +2775,8 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(chi)
         .unionByName(cor)
         .unionByName(ws)
+        .unionByName(ks)
+        .unionByName(qb)
     )
 
 
@@ -2749,6 +2859,35 @@ def _q25_winsor_sql() -> str:
 
 _Q25_WINSOR_SQL = _q25_winsor_sql()
 
+
+def _q25_ks_sql() -> str:
+    from stepist_spark.operators.regression import ks_two_sample_sql
+
+    return ks_two_sample_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        "A",
+        "N",
+    )
+
+
+_Q25_KS_SQL = _q25_ks_sql()
+
+
+def _q25_qbucket_sql() -> str:
+    from stepist_spark.operators.anomaly import quantile_buckets_sql
+
+    return quantile_buckets_sql(
+        "SELECT l_returnflag, l_quantity FROM lineitem",
+        ["l_returnflag"],
+        "l_quantity",
+        n_buckets=4,
+    )
+
+
+_Q25_QBUCKET_SQL = _q25_qbucket_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -2796,6 +2935,17 @@ SELECT 'winsor', l_returnflag, mean_wins, CAST(NULL AS DOUBLE),
            || ':' || CAST(sum_wins_cents AS VARCHAR),
        CAST(n AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({_Q25_WINSOR_SQL})
+UNION ALL
+SELECT 'ks', CAST(v_at_max_cents AS VARCHAR) || ':' || CAST(d_scaled AS VARCHAR),
+       ks, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), n_a, n_b
+FROM ({_Q25_KS_SQL})
+UNION ALL
+SELECT 'qbucket', l_returnflag, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(v_cents AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
+       c, bucket
+FROM ({_Q25_QBUCKET_SQL})
 """
 
 

@@ -477,3 +477,59 @@ class TestWinsorizedStats:
         exp = sum(min(p_hi, max(p_lo, c)) for c in cents)
         assert (r["p_lo_cents"], r["p_hi_cents"]) == (p_lo, p_hi)
         assert r["sum_wins_cents"] == exp
+
+
+class TestGiniCoefficient:
+    def test_known_values(self, spark):
+        from stepist_spark.operators.anomaly import gini_coefficient
+
+        # perfectly equal -> 0
+        eq = spark.createDataFrame([("g", 5.0)] * 4, "g string, v double")
+        [r] = gini_coefficient(eq, ["g"], "v").collect()
+        assert r["gini"] == 0.0
+        # one holder of everything among n=4: G = (n-1)/n = 0.75
+        conc = spark.createDataFrame(
+            [("g", 0.0)] * 3 + [("g", 100.0)], "g string, v double"
+        )
+        [r2] = gini_coefficient(conc, ["g"], "v").collect()
+        assert r2["gini"] == 0.75
+
+    def test_matches_python(self, spark):
+        import random
+
+        from stepist_spark.operators.anomaly import gini_coefficient
+
+        rng = random.Random(2)
+        vals = [round(rng.uniform(0, 500), 2) for _ in range(100)]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        [r] = gini_coefficient(df, ["g"], "v").collect()
+        cents = sorted(int(v * 100 + 0.5) for v in vals)
+        n, t = len(cents), sum(cents)
+        s = sum((i + 1) * x for i, x in enumerate(cents))
+        exp = round((2.0 * s) / (n * t) - (n + 1.0) / n, 6)
+        assert r["gini"] == exp
+
+
+class TestQuantileBuckets:
+    def test_bucket_assignment(self, spark):
+        from stepist_spark.operators.anomaly import quantile_buckets
+
+        # 1..8 into 4 buckets: pairs per bucket
+        rows = [("g", float(v)) for v in range(1, 9)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r["v_cents"]: r["bucket"]
+            for r in quantile_buckets(df, ["g"], "v", 4).collect()
+        }
+        assert got == {100: 1, 200: 1, 300: 2, 400: 2, 500: 3, 600: 3, 700: 4, 800: 4}
+
+    def test_ties_share_bucket(self, spark):
+        from stepist_spark.operators.anomaly import quantile_buckets
+
+        rows = [("g", 1.0)] * 6 + [("g", 2.0)] * 2
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r["v_cents"]: r["bucket"]
+            for r in quantile_buckets(df, ["g"], "v", 4).collect()
+        }
+        assert got == {100: 3, 200: 4}  # cum 6/8 -> ceil(24/8)=3; cum 8 -> 4

@@ -125,3 +125,61 @@ class TestCorrMatrix:
         df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
         [r] = corr_matrix(df, ["x", "y"]).collect()
         assert r["corr"] is None and r["n"] == 1
+
+
+class TestKsTwoSample:
+    def test_matches_python(self, spark):
+        import random
+
+        from stepist_spark.operators.regression import ks_two_sample
+
+        rng = random.Random(9)
+        a = [round(rng.gauss(50, 10), 2) for _ in range(150)]
+        b = [round(rng.gauss(55, 12), 2) for _ in range(120)]
+        rows = [("A", v) for v in a] + [("B", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        [r] = ks_two_sample(df, "g", "v", "A", "B").collect()
+        ca = sorted(int(v * 100 + 0.5) for v in a)
+        cb = sorted(int(v * 100 + 0.5) for v in b)
+        vals = sorted(set(ca) | set(cb))
+        import bisect
+
+        best = max(
+            abs(bisect.bisect_right(ca, v) * len(cb) - bisect.bisect_right(cb, v) * len(ca))
+            for v in vals
+        )
+        assert int(r["d_scaled"]) == best
+        assert r["ks"] == round(best / (len(ca) * len(cb)), 6)
+
+    def test_identical_distributions_zero(self, spark):
+        from stepist_spark.operators.regression import ks_two_sample
+
+        rows = [("A", float(v)) for v in range(10)] + [
+            ("B", float(v)) for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        [r] = ks_two_sample(df, "g", "v", "A", "B").collect()
+        assert r["ks"] == 0.0
+
+
+class TestTargetEncode:
+    def test_smoothing_formula(self, spark):
+        from stepist_spark.operators.regression import target_encode
+
+        # cat x: 2 rows avg 10; cat y: 1 row 40; global mean = 20
+        rows = [("x", 10.0), ("x", 10.0), ("y", 40.0)]
+        df = spark.createDataFrame(rows, "cat string, t double")
+        got = {r["category"]: r for r in target_encode(df, "cat", "t", m=1).collect()}
+        # enc(x) = (2000 + 1*2000)/(3) /100 ... formula: (sum*N + m*T)/((n+m)*N)
+        # x: (2000*3 + 1*6000) / (3*3) = 12000/9 cents = 13.333333
+        assert got["x"]["enc"] == round(12000 / 9 / 100, 6)
+        # y: (4000*3 + 6000) / (2*3) = 18000/6 = 3000 cents = 30.0
+        assert got["y"]["enc"] == 30.0
+
+    def test_large_m_pulls_to_prior(self, spark):
+        from stepist_spark.operators.regression import target_encode
+
+        rows = [("x", 0.0)] * 5 + [("y", 100.0)] * 5
+        df = spark.createDataFrame(rows, "cat string, t double")
+        got = {r["category"]: r["enc"] for r in target_encode(df, "cat", "t", m=10**6).collect()}
+        assert abs(got["x"] - 50.0) < 0.01 and abs(got["y"] - 50.0) < 0.01
