@@ -1,0 +1,232 @@
+"""A/B experiment statistics at corpus scale: Welch's unequal-variance
+t statistic for a metric comparison and the two-proportion pooled z
+statistic for a conversion comparison (Welch, Biometrika 1947;
+standard experimentation-platform methodology — public).
+
+The reference has no analytics surface (SURVEY.md §2.2); this is the
+product-analytics extension family (experiment readout over event
+logs).
+
+Spark-first shape: both tests collapse the fact table to ONE row of
+sufficient statistics in a single map-side-combined conditional
+aggregate (no per-group rescans, no sort) — the corr_matrix
+discipline. At 100 TB the cost is one scan.
+
+Cross-engine determinism: metric values scale to integer cents
+half-up and the sums accumulate EXACTLY in decimal(38,0) (DuckDB:
+HUGEINT); the final statistics are a fixed sequence of
+individually-rounded IEEE ops (+,−,×,÷,sqrt are correctly rounded)
+over identical exact integers — bit-equal across engines — then 6-dp
+rounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's t between two groups of a metric column.
+
+    Output (one row): ``n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b``
+    (exact, in scaled integer units) plus ``mean_a, mean_b, t_stat,
+    welch_df`` (doubles, 6 dp; NULL when either group has n < 2 or
+    both variances are zero). Means are in ORIGINAL units
+    (mean = S/(n·scale) — two exact-operand divisions)."""
+    g = F.col(group_col)
+    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+    in_a = g == group_a
+    in_b = g == group_b
+
+    def _msum(cond: Column, expr: Column, alias: str) -> Column:
+        return F.sum(F.when(cond, expr)).cast("decimal(38,0)").alias(alias)
+
+    stats = df.filter(in_a | in_b).agg(
+        F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
+        _msum(in_a, x, "sum_a"),
+        _msum(in_b, x, "sum_b"),
+        _msum(in_a, x * x, "sumsq_a"),
+        _msum(in_b, x * x, "sumsq_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sum_a").cast("double")
+    sb = F.col("sum_b").cast("double")
+    qa = F.col("sumsq_a").cast("double")
+    qb = F.col("sumsq_b").cast("double")
+    # sample variance via the exact-integer numerator: n·Σx² − (Σx)²
+    va = (na * qa - sa * sa) / (na * (na - F.lit(1.0)))
+    vb = (nb * qb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    valid = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.col("sum_a").cast("bigint").alias("sum_a"),
+        F.col("sum_b").cast("bigint").alias("sum_b"),
+        F.col("sumsq_a").cast("bigint").alias("sumsq_a"),
+        F.col("sumsq_b").cast("bigint").alias("sumsq_b"),
+        F.round(sa / na / F.lit(float(scale)), 6).alias("mean_a"),
+        F.round(sb / nb / F.lit(float(scale)), 6).alias("mean_b"),
+        F.when(valid, F.round(t, 6)).alias("t_stat"),
+        F.when(valid, F.round(wdf, 6)).alias("welch_df"),
+    )
+
+
+def welch_ttest_sql(
+    table_sql: str,
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+    value_expr: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`welch_ttest` — identical HUGEINT sums
+    and IEEE expression sequence."""
+    return f"""
+WITH _r AS (
+    SELECT ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS _x
+    FROM ({table_sql})
+    WHERE ({group_expr}) IN ('{group_a}', '{group_b}')
+),
+_s AS (
+    SELECT
+        CAST(count(CASE WHEN _g = '{group_a}' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(count(CASE WHEN _g = '{group_b}' THEN 1 END) AS BIGINT) AS n_b,
+        sum(CASE WHEN _g = '{group_a}' THEN CAST(_x AS HUGEINT) END) AS sum_a,
+        sum(CASE WHEN _g = '{group_b}' THEN CAST(_x AS HUGEINT) END) AS sum_b,
+        sum(CASE WHEN _g = '{group_a}' THEN CAST(_x AS HUGEINT) * _x END) AS sumsq_a,
+        sum(CASE WHEN _g = '{group_b}' THEN CAST(_x AS HUGEINT) * _x END) AS sumsq_b
+    FROM _r
+)
+SELECT n_a, n_b,
+       CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(sumsq_a AS BIGINT) AS sumsq_a, CAST(sumsq_b AS BIGINT) AS sumsq_b,
+       round(CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / {float(scale)}, 6) AS mean_a,
+       round(CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / {float(scale)}, 6) AS mean_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND _se2 > 0
+            THEN round((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / sqrt(_se2), 6) END AS t_stat,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND _se2 > 0
+            THEN round((_se2 * _se2)
+                       / (_sea * _sea / (CAST(n_a AS DOUBLE) - 1.0)
+                          + _seb * _seb / (CAST(n_b AS DOUBLE) - 1.0)), 6)
+       END AS welch_df
+FROM (
+    SELECT *,
+        ((CAST(n_a AS DOUBLE) * CAST(sumsq_a AS DOUBLE)
+          - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+        / CAST(n_a AS DOUBLE) AS _sea,
+        ((CAST(n_b AS DOUBLE) * CAST(sumsq_b AS DOUBLE)
+          - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE))
+         / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+        / CAST(n_b AS DOUBLE) AS _seb,
+        ((CAST(n_a AS DOUBLE) * CAST(sumsq_a AS DOUBLE)
+          - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+        / CAST(n_a AS DOUBLE)
+        + ((CAST(n_b AS DOUBLE) * CAST(sumsq_b AS DOUBLE)
+            - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+        / CAST(n_b AS DOUBLE) AS _se2
+    FROM _s
+)
+"""
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    success_col: str,
+) -> DataFrame:
+    """Pooled two-proportion z between two groups of a boolean
+    outcome. Output (one row): exact ``n_a, n_b, s_a, s_b`` plus
+    ``rate_a, rate_b, z_stat`` (doubles, 6 dp; z NULL when a group is
+    empty or the pooled rate is degenerate 0/1)."""
+    g = F.col(group_col)
+    y = F.col(success_col).cast("boolean").cast("int")
+    in_a = g == group_a
+    in_b = g == group_b
+    stats = df.filter(in_a | in_b).agg(
+        F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
+        F.sum(F.when(in_a, y)).cast("bigint").alias("s_a"),
+        F.sum(F.when(in_b, y)).cast("bigint").alias("s_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("s_a").cast("double") / na
+    pb = F.col("s_b").cast("double") / nb
+    pp = (F.col("s_a") + F.col("s_b")).cast("double") / (na + nb)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    valid = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("s_a") + F.col("s_b") > 0)
+        & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b"))
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.when(valid, F.round((pa - pb) / se, 6)).alias("z_stat"),
+    )
+
+
+def two_proportion_ztest_sql(
+    table_sql: str,
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+    success_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`two_proportion_ztest`."""
+    return f"""
+WITH _r AS (
+    SELECT ({group_expr}) AS _g, CAST(({success_expr}) AS INTEGER) AS _y
+    FROM ({table_sql})
+    WHERE ({group_expr}) IN ('{group_a}', '{group_b}')
+),
+_s AS (
+    SELECT CAST(count(CASE WHEN _g = '{group_a}' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN _g = '{group_b}' THEN 1 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN _g = '{group_a}' THEN _y END) AS BIGINT) AS s_a,
+           CAST(sum(CASE WHEN _g = '{group_b}' THEN _y END) AS BIGINT) AS s_b
+    FROM _r
+)
+SELECT n_a, n_b, s_a, s_b,
+       round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                 AND s_a + s_b < n_a + n_b
+            THEN round(
+              (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / sqrt((CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       END AS z_stat
+FROM _s
+"""

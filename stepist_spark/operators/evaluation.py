@@ -1,0 +1,192 @@
+"""Model-evaluation primitives over scored corpora: ROC AUC via the
+tie-corrected Mann-Whitney rank statistic, and exact confusion-matrix
+cells. The quality-classifier family (operators/classifier.py) gates
+training + scoring; this module closes the loop — evaluating a
+filter-model's ranking quality over billions of scored documents is
+itself a large-scale aggregation problem (Fawcett, "An introduction
+to ROC analysis", PRL 2006 — public).
+
+The reference has no analytics surface (SURVEY.md §2.2); this is the
+LLM-pipeline extension family (model-based curation evaluation).
+
+Spark-first shape: AUC never sorts raw rows per-score — it collapses
+to VALUE COUNTS first (one map-side-combined hash aggregate to
+|distinct scores| rows per group), then runs the rank-cumulative
+window over that tiny frame — the same value-counts discipline as
+median/MAD and winsorized_stats. At 100 TB the cost is one scan plus
+a |score-domain|-sized window; integer fixed-point scores (the
+classifier's ``margin_scaled``) keep that domain compact.
+
+Cross-engine determinism: the Mann-Whitney statistic is kept as
+EXACT integers — ``2·R_pos`` (twice the positive rank-sum; doubling
+makes tied average ranks integral) accumulates in decimal(38,0)
+(DuckDB: HUGEINT) — and the final AUC is one double division of
+exact integers, then 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Tie-corrected ROC AUC per group from a boolean label and an
+    orderable (ideally integer fixed-point) score.
+
+    AUC = (R_pos − n_pos·(n_pos+1)/2) / (n_pos·n_neg) with R_pos the
+    sum of AVERAGE ranks of positives (ties share the mean rank —
+    equivalent to counting tied pairs as half-concordant). Everything
+    stays integral by tracking ``2·R_pos``: a tied run of g rows
+    starting after c predecessors contributes ``n_pos_run ·
+    (2c + g + 1)``.
+
+    Output per group: ``n_pos, n_neg, auc_num, auc_den, auc`` where
+    ``auc_num = 2·R_pos − n_pos·(n_pos+1)`` and ``auc_den =
+    2·n_pos·n_neg`` are exact (auc = auc_num/auc_den, 6 dp; NULL when
+    a class is empty).
+    """
+    gcols = list(group_cols or [])
+    lab = F.col(label_col).cast("boolean").cast("int")
+    vc = (
+        df.select(*gcols, lab.alias("_y"), F.col(score_col).alias("_s"))
+        .groupBy(*gcols, "_s")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_g"),
+            F.sum("_y").cast("decimal(38,0)").alias("_gp"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy(F.col("_s").asc())
+        if gcols
+        else Window.partitionBy().orderBy(F.col("_s").asc())
+    )
+    cum = F.sum("_g").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ranked = vc.select(
+        *gcols,
+        "_g",
+        "_gp",
+        (cum - F.col("_g")).alias("_c"),
+    )
+    # 2·R_pos contribution of each tied run: n_pos_run · (2c + g + 1)
+    contrib = F.col("_gp") * (F.lit(2) * F.col("_c") + F.col("_g") + F.lit(1))
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("_gp").cast("decimal(38,0)").alias("_np"),
+        F.sum("_g").cast("decimal(38,0)").alias("_n"),
+        F.sum(contrib).cast("decimal(38,0)").alias("_2rp"),
+    )
+    n_pos = F.col("_np")
+    n_neg = F.col("_n") - F.col("_np")
+    num = F.col("_2rp") - n_pos * (n_pos + F.lit(1))
+    den = F.lit(2) * n_pos * n_neg
+    return agg.select(
+        *gcols,
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        num.cast("bigint").alias("auc_num"),
+        den.cast("bigint").alias("auc_den"),
+        F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("auc"),
+    )
+
+
+def roc_auc_sql(
+    table_sql: str,
+    label_expr: str,
+    score_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB mirror of :func:`roc_auc` — same value-counts → rank-run
+    cumulative → exact HUGEINT Mann-Whitney arithmetic, one double
+    division, 6-dp round."""
+    gexprs = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in gexprs)
+    gby = ("GROUP BY " + ", ".join(gexprs)) if gexprs else ""
+    part = ("PARTITION BY " + ", ".join(gexprs)) if gexprs else ""
+    gby_s = (", ".join(gexprs) + ", _s") if gexprs else "_s"
+    return f"""
+WITH _rows AS (
+    SELECT {gsel}CAST(({label_expr}) AS INTEGER) AS _y,
+           ({score_expr}) AS _s
+    FROM ({table_sql})
+),
+_vc AS (
+    SELECT {gsel}_s, CAST(count(*) AS HUGEINT) AS _g,
+           CAST(sum(_y) AS HUGEINT) AS _gp
+    FROM _rows GROUP BY {gby_s}
+),
+_rk AS (
+    SELECT {gsel}_g, _gp,
+           sum(_g) OVER ({part} ORDER BY _s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _g AS _c
+    FROM _vc
+),
+_agg AS (
+    SELECT {gsel}sum(_gp) AS _np, sum(_g) AS _n,
+           sum(_gp * (2 * _c + _g + 1)) AS _2rp
+    FROM _rk {gby}
+)
+SELECT {gsel}CAST(_np AS BIGINT) AS n_pos,
+       CAST(_n - _np AS BIGINT) AS n_neg,
+       CAST(_2rp - _np * (_np + 1) AS BIGINT) AS auc_num,
+       CAST(2 * _np * (_n - _np) AS BIGINT) AS auc_den,
+       CASE WHEN 2 * _np * (_n - _np) > 0
+            THEN round(CAST(_2rp - _np * (_np + 1) AS DOUBLE)
+                       / CAST(2 * _np * (_n - _np) AS DOUBLE), 6)
+       END AS auc
+FROM _agg
+"""
+
+
+def confusion_stats(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact confusion-matrix cells per group: one hash aggregate to
+    at most 4 rows per group (``label, pred, n``) — the building block
+    for precision/recall/F1, which are single divisions of these
+    counts. NULL labels/predictions are excluded (scored-row
+    semantics)."""
+    gcols = list(group_cols or [])
+    return (
+        df.select(
+            *gcols,
+            F.col(label_col).cast("boolean").alias("label"),
+            F.col(pred_col).cast("boolean").alias("pred"),
+        )
+        .filter(F.col("label").isNotNull() & F.col("pred").isNotNull())
+        .groupBy(*gcols, "label", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def confusion_stats_sql(
+    table_sql: str,
+    label_expr: str,
+    pred_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB mirror of :func:`confusion_stats`."""
+    gexprs = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in gexprs)
+    gby = ", ".join(gexprs + ["label", "pred"])
+    return f"""
+SELECT {gsel}label, pred, CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT {gsel}CAST(({label_expr}) AS BOOLEAN) AS label,
+           CAST(({pred_expr}) AS BOOLEAN) AS pred
+    FROM ({table_sql})
+)
+WHERE label IS NOT NULL AND pred IS NOT NULL
+GROUP BY {gby}
+"""

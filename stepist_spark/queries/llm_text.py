@@ -1524,7 +1524,37 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("logp_scaled").alias("v"),
         F.lit(None).cast("boolean").alias("keep"),
     )
-    return c.unionByName(p)
+    # model evaluation rides along (operators/evaluation.py): ROC AUC
+    # of the trained classifier's margin against the true labels —
+    # tie-corrected Mann-Whitney kept as exact integers on the
+    # value-counts frame — plus the exact confusion cells at the
+    # keep-threshold. Slotting: 'auc' packs (n_neg, n_pos, auc_num)
+    # into (doc_id, n, v); 'cm' packs the cell id 2·label+pred into
+    # doc_id (schema reuse across the tag union; auc_den is derivable
+    # as 2·n_pos·n_neg and the one-division double AUC is certified
+    # by tests/test_evaluation.py).
+    from stepist_spark.operators.evaluation import confusion_stats, roc_auc
+
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")), "doc_id"
+    )
+    auc = roc_auc(labeled, "label", "margin_scaled").select(
+        F.lit("auc").alias("part"),
+        F.col("n_neg").alias("doc_id"),
+        F.col("n_pos").alias("n"),
+        F.col("auc_num").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    cm = confusion_stats(labeled, "label", "keep").select(
+        F.lit("cm").alias("part"),
+        (
+            F.lit(2) * F.col("label").cast("int") + F.col("pred").cast("int")
+        ).cast("bigint").alias("doc_id"),
+        F.col("n"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.col("pred").alias("keep"),
+    )
+    return c.unionByName(p).unionByName(auc).unionByName(cm)
 
 
 def _t23_sql() -> str:
@@ -1581,6 +1611,26 @@ lp AS (
 ppl AS (
     SELECT doc_id, count(*) AS n_bigrams, CAST(sum(_lp) AS BIGINT) AS logp
     FROM lp GROUP BY doc_id
+),
+lab AS (
+    SELECT d.doc_id, (d.lang = 'en') AS y, coalesce(s.margin, 0) AS sc,
+           coalesce(s.margin, 0) >= 0 AS pred
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+),
+auc_vc AS (
+    SELECT sc, CAST(count(*) AS HUGEINT) AS g,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS gp
+    FROM lab GROUP BY sc
+),
+auc_rk AS (
+    SELECT g, gp,
+           sum(g) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - g AS c
+    FROM auc_vc
+),
+auc_agg AS (
+    SELECT sum(gp) AS np, sum(g) AS n, sum(gp * (2 * c + g + 1)) AS r2p
+    FROM auc_rk
 )
 SELECT 'clf' AS part, d.doc_id, coalesce(s.n_toks, 0) AS n,
        coalesce(s.margin, 0) AS v, coalesce(s.margin, 0) >= 0 AS keep
@@ -1589,6 +1639,14 @@ UNION ALL
 SELECT 'ppl', d.doc_id, coalesce(p.n_bigrams, 0), coalesce(p.logp, 0),
        CAST(NULL AS BOOLEAN)
 FROM documents d LEFT JOIN ppl p USING (doc_id)
+UNION ALL
+SELECT 'auc', CAST(n - np AS BIGINT), CAST(np AS BIGINT),
+       CAST(r2p - np * (np + 1) AS BIGINT), CAST(NULL AS BOOLEAN)
+FROM auc_agg
+UNION ALL
+SELECT 'cm', CAST(2 * CAST(y AS INT) + CAST(pred AS INT) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT), pred
+FROM lab GROUP BY y, pred
 """
 
 

@@ -243,6 +243,8 @@ class TestCatalogHygiene:
         "q04_semi_anti_join",   # fk_report: broadcast 1-row count cross joins
         "q21_approx_sketches",  # hll_pair_intersections: |labels|² pair build
                                 # (≤ tens of rows) + broadcast 1-row totals
+        "q09_grouping_multi",   # target_encode: broadcast 1-row global-prior
+                                # cross join onto the |categories| frame
         # t18 deliberately NOT listed: bloom_probe's word-table probes
         # are broadcast HASH joins — the hygiene sweep guards that
     }
