@@ -156,14 +156,17 @@ def two_proportion_ztest(
     group_col: str,
     group_a: str,
     group_b: str,
-    success_col: str,
+    success_col: "str | Column",
 ) -> DataFrame:
     """Pooled two-proportion z between two groups of a boolean
     outcome. Output (one row): exact ``n_a, n_b, s_a, s_b`` plus
     ``rate_a, rate_b, z_stat`` (doubles, 6 dp; z NULL when a group is
-    empty or the pooled rate is degenerate 0/1)."""
+    empty or the pooled rate is degenerate 0/1). ``success_col`` may
+    be a column name or a boolean Column expression."""
     g = F.col(group_col)
-    y = F.col(success_col).cast("boolean").cast("int")
+    y = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("boolean").cast("int")
     in_a = g == group_a
     in_b = g == group_b
     stats = df.filter(in_a | in_b).agg(

@@ -2767,6 +2767,48 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c").alias("n1"),
         F.col("bucket").alias("n2"),
     )
+    # A/B experiment readout rides along (operators/abtest.py): Welch's
+    # unequal-variance t on extendedprice and the pooled two-proportion
+    # z on a quantity-threshold conversion, both between returnflag
+    # cohorts A and N — ONE conditional sufficient-statistics aggregate
+    # each, exact decimal sums, fixed IEEE formula
+    from stepist_spark.operators.abtest import two_proportion_ztest, welch_ttest
+
+    li_ab = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    wt = welch_ttest(li_ab, "l_returnflag", "A", "N", "l_extendedprice").select(
+        F.lit("welch").alias("part"),
+        F.lit("A:N").alias("k1"),
+        F.col("t_stat").alias("d1"),
+        F.col("welch_df").alias("d2"),
+        F.col("mean_a").alias("d3"),
+        F.col("mean_b").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("sum_a").cast("string"),
+            F.col("sum_b").cast("string"),
+            F.col("sumsq_a").cast("string"),
+            F.col("sumsq_b").cast("string"),
+        ).alias("s1"),
+        F.col("n_a").alias("n1"),
+        F.col("n_b").alias("n2"),
+    )
+    pz = two_proportion_ztest(
+        li_ab, "l_returnflag", "A", "N", F.col("l_quantity") >= 25
+    ).select(
+        F.lit("propz").alias("part"),
+        F.lit("A:N").alias("k1"),
+        F.col("z_stat").alias("d1"),
+        F.col("rate_a").alias("d2"),
+        F.col("rate_b").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":", F.col("s_a").cast("string"), F.col("s_b").cast("string")
+        ).alias("s1"),
+        F.col("n_a").alias("n1"),
+        F.col("n_b").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -2777,6 +2819,8 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(ws)
         .unionByName(ks)
         .unionByName(qb)
+        .unionByName(wt)
+        .unionByName(pz)
     )
 
 
@@ -2888,6 +2932,36 @@ def _q25_qbucket_sql() -> str:
 
 _Q25_QBUCKET_SQL = _q25_qbucket_sql()
 
+
+def _q25_welch_sql() -> str:
+    from stepist_spark.operators.abtest import welch_ttest_sql
+
+    return welch_ttest_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "A",
+        "N",
+        "l_extendedprice",
+    )
+
+
+_Q25_WELCH_SQL = _q25_welch_sql()
+
+
+def _q25_propz_sql() -> str:
+    from stepist_spark.operators.abtest import two_proportion_ztest_sql
+
+    return two_proportion_ztest_sql(
+        "SELECT l_returnflag, l_quantity FROM lineitem",
+        "l_returnflag",
+        "A",
+        "N",
+        "l_quantity >= 25",
+    )
+
+
+_Q25_PROPZ_SQL = _q25_propz_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -2946,6 +3020,16 @@ SELECT 'qbucket', l_returnflag, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(v_cents AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
        c, bucket
 FROM ({_Q25_QBUCKET_SQL})
+UNION ALL
+SELECT 'welch', 'A:N', t_stat, welch_df, mean_a, mean_b,
+       CAST(sum_a AS VARCHAR) || ':' || CAST(sum_b AS VARCHAR)
+           || ':' || CAST(sumsq_a AS VARCHAR) || ':' || CAST(sumsq_b AS VARCHAR),
+       n_a, n_b
+FROM ({_Q25_WELCH_SQL})
+UNION ALL
+SELECT 'propz', 'A:N', z_stat, rate_a, rate_b, CAST(NULL AS DOUBLE),
+       CAST(s_a AS VARCHAR) || ':' || CAST(s_b AS VARCHAR), n_a, n_b
+FROM ({_Q25_PROPZ_SQL})
 """
 
 
