@@ -29,6 +29,12 @@ def compare(name, sdf, con, sql):
     du = con.execute(sql).df()
     sp = sp[sorted(sp.columns)]
     du = du[sorted(du.columns)]
+    # harmonize datetime resolutions (Spark->ns, DuckDB->us): with
+    # check_exact assert_frame_equal compares raw int64 representations
+    for frame in (sp, du):
+        for c in frame.columns:
+            if str(frame[c].dtype).startswith("datetime64"):
+                frame[c] = frame[c].astype("datetime64[us]")
     sp = sp.sort_values(list(sp.columns)).reset_index(drop=True)
     du = du.sort_values(list(du.columns)).reset_index(drop=True)
     ok_rows = len(sp) == len(du)

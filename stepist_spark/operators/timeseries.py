@@ -372,3 +372,130 @@ SELECT {g}, bucket,
        round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS vwap_cents
 FROM ohlc_t GROUP BY {g}, bucket
 """
+
+
+def acf(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function per series: Pearson r between the
+    series and its lag-k shift for k = 1..``max_lag`` — the classic
+    seasonality/persistence diagnostic (Box & Jenkins, "Time Series
+    Analysis", 1970 — public).
+
+    Input is one row per (group, step) with an INTEGER value (the
+    caller pre-aggregates raw facts to the series grain, e.g. daily
+    cents totals — so at 100 TB this operator runs over |days|-sized
+    frames, not raw events). Each series is assumed to fit a per-group
+    window sort; the raw-fact collapse upstream is the scale-bearing
+    shuffle.
+
+    Spark-first shape: ONE window pass materializes all K lag columns
+    (a single per-group sort), a stack unpivot turns them into
+    (lag, x, y) pair rows, and one hash aggregate produces the exact
+    decimal(38,0) sufficient statistics per (group, lag). The corr is
+    the corr_matrix fixed IEEE formula over those exact integers —
+    bit-equal across engines — then 6-dp rounded.
+
+    Output: ``*group_cols, lag, n_pairs, corr`` (corr NULL when n < 2
+    or a side has zero variance; pairs with a NULL lagged value are
+    excluded, i.e. the first k rows of each series).
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(F.col(order_col).asc())
+    x = F.col(value_col).cast("decimal(19,0)")
+    lagged = df.select(
+        *gcols,
+        x.alias("_x"),
+        *[F.lag(x, k).over(w).alias(f"_y{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, _y)".format(
+        n=max_lag,
+        args=", ".join(f"{k}, _y{k}" for k in range(1, max_lag + 1)),
+    )
+    pairs = lagged.selectExpr(*gcols, "_x", stack_expr).filter(
+        F.col("_y").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    agg = pairs.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_x").cast(dec).alias("_sx"),
+        F.sum("_y").cast(dec).alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).cast(dec).alias("_qx"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y").cast(dec)).cast(dec).alias("_qy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).cast(dec).alias("_xy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    qx = F.col("_qx").cast("double")
+    qy = F.col("_qy").cast("double")
+    xy = F.col("_xy").cast("double")
+    cov_n = nd * xy - sx * sy
+    vx_n = nd * qx - sx * sx
+    vy_n = nd * qy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx_n > 0) & (vy_n > 0),
+        F.round(cov_n / F.sqrt(vx_n * vy_n), 6),
+    )
+    return agg.select(
+        *gcols, F.col("lag").cast("bigint").alias("lag"), "n_pairs", corr.alias("corr")
+    )
+
+
+def acf_sql(
+    series_sql: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`acf` — identical HUGEINT sufficient
+    statistics and IEEE corr formula per (group, lag)."""
+    gcols = list(group_cols)
+    gsel = "".join(f"{g}, " for g in gcols)
+    part = ("PARTITION BY " + ", ".join(gcols)) if gcols else ""
+    lag_cols = ", ".join(
+        f"lag(_x, {k}) OVER ({part} ORDER BY {order_col}) AS _y{k}"
+        for k in range(1, max_lag + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {gsel}{k} AS lag, _x, _y{k} AS _y FROM _lagged"
+        for k in range(1, max_lag + 1)
+    )
+    gby = ", ".join(gcols + ["lag"])
+    return f"""
+WITH _lagged AS (
+    SELECT {gsel}{order_col}, CAST({value_col} AS BIGINT) AS _x, {lag_cols}
+    FROM ({series_sql})
+),
+_pairs AS (
+    SELECT * FROM ({unions}) _u WHERE _y IS NOT NULL
+),
+_agg AS (
+    SELECT {gsel}lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(CAST(_x AS HUGEINT)) AS sx, sum(CAST(_y AS HUGEINT)) AS sy,
+           sum(CAST(_x AS HUGEINT) * _x) AS qx,
+           sum(CAST(_y AS HUGEINT) * _y) AS qy,
+           sum(CAST(_x AS HUGEINT) * _y) AS xy
+    FROM _pairs GROUP BY {gby}
+)
+SELECT {gsel}CAST(lag AS BIGINT) AS lag, n_pairs,
+       CASE WHEN n_pairs >= 2
+             AND CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round(
+              (CAST(n_pairs AS DOUBLE) * CAST(xy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS corr
+FROM _agg
+"""

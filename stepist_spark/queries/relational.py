@@ -1959,6 +1959,34 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.col("t_at_max").alias("n2"),
         F.col("cusum_stat").alias("d1"),
     )
+    # autocorrelation function rides along (operators/timeseries.py):
+    # lag-1..5 Pearson of each type's DAILY cents series — the raw
+    # events collapse to the day grain first, so the lag windows run
+    # over |days|-sized frames; exact sufficient stats, corr_matrix
+    # IEEE formula
+    from stepist_spark.operators.timeseries import acf
+
+    daily = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("v"))
+    )
+    ac = acf(daily, ["event_type"], "d", "v", max_lag=5).select(
+        F.lit("acf").alias("part"),
+        F.concat_ws(":", F.col("event_type"), F.col("lag").cast("string")).alias(
+            "k1"
+        ),
+        F.lit(None).cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n_pairs").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("corr").alias("d1"),
+    )
     return (
         rj.unionByName(rb)
         .unionByName(aj)
@@ -1967,6 +1995,7 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(_q18_islands(spark, sf))
         .unionByName(oh)
         .unionByName(cu)
+        .unionByName(ac)
     )
 
 
@@ -2055,6 +2084,23 @@ def _q18_cusum_sql() -> str:
 
 _Q18_CUSUM_SQL = _q18_cusum_sql()
 
+
+def _q18_acf_sql() -> str:
+    from stepist_spark.operators.timeseries import acf_sql
+
+    return acf_sql(
+        "SELECT event_type, CAST(ts AS DATE) AS d, "
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)",
+        ["event_type"],
+        "d",
+        "v",
+        max_lag=5,
+    )
+
+
+_Q18_ACF_SQL = _q18_acf_sql()
+
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
        CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
@@ -2109,6 +2155,11 @@ SELECT 'cusum',
        change_ts, CAST(NULL AS TIMESTAMP),
        n, t_at_max, cusum_stat
 FROM ({_Q18_CUSUM_SQL})
+UNION ALL
+SELECT 'acf', event_type || ':' || CAST(lag AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       n_pairs, CAST(NULL AS BIGINT), corr
+FROM ({_Q18_ACF_SQL})
 """
 
 

@@ -243,3 +243,50 @@ class TestOhlcBars:
             r["open_cents"] == r["close_cents"] == r["high_cents"]
             == r["low_cents"] == 333
         )
+
+
+class TestAcf:
+    def _ref(self, xs, k):
+        import math
+
+        pairs = [(xs[i], xs[i - k]) for i in range(k, len(xs))]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        qx = sum(p[0] ** 2 for p in pairs)
+        qy = sum(p[1] ** 2 for p in pairs)
+        xy = sum(p[0] * p[1] for p in pairs)
+        vx = n * qx - sx * sx
+        vy = n * qy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            return None
+        return (n * xy - sx * sy) / math.sqrt(vx * vy)
+
+    def test_matches_pairwise_pearson(self, spark):
+        from stepist_spark.operators.timeseries import acf
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+        rows = [("s", i, v) for i, v in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, t int, v bigint")
+        got = {r["lag"]: r for r in acf(df, ["g"], "t", "v", max_lag=3).collect()}
+        for k in (1, 2, 3):
+            assert got[k]["n_pairs"] == len(xs) - k
+            assert abs(got[k]["corr"] - self._ref(xs, k)) < 1e-6
+
+    def test_alternating_series_lag2_positive(self, spark):
+        from stepist_spark.operators.timeseries import acf
+
+        xs = [1, 9, 1, 9, 1, 9, 1, 9]
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(xs)], "g string, t int, v bigint"
+        )
+        got = {r["lag"]: r["corr"] for r in acf(df, ["g"], "t", "v", 2).collect()}
+        assert got[1] == -1.0 and got[2] == 1.0
+
+    def test_constant_series_null(self, spark):
+        from stepist_spark.operators.timeseries import acf
+
+        df = spark.createDataFrame(
+            [("s", i, 5) for i in range(6)], "g string, t int, v bigint"
+        )
+        assert all(r["corr"] is None for r in acf(df, ["g"], "t", "v", 2).collect())
