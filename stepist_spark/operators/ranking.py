@@ -219,3 +219,100 @@ SELECT query_id, doc_id, rank, score_scaled, n_terms_hit FROM (
     FROM agg
 ) WHERE rank <= {k}
 """
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: "list[str]",
+) -> DataFrame:
+    """Exact multi-word phrase search over a positional inverted
+    index — the retrieval primitive BM25's bag-of-words scoring can't
+    express (contiguous token adjacency; Manning/Raghavan/Schütze IIR
+    §2.4 positional postings, public).
+
+    Spark-first shape: ONE posexplode builds the positional postings
+    (doc_id, pos, tok); the tiny phrase-term table (|phrases|·|terms|
+    rows) BROADCAST-joins onto it; every matched term votes for the
+    candidate start position ``pos − offset``, and a start that
+    collects all m distinct offsets is one occurrence. The only
+    shuffle is the (phrase, doc, start) vote aggregate — never an
+    m-way self-join of the postings. At 100 TB the posting build is
+    the one corpus pass; phrase terms prune the postings to the
+    matched-token subset before the shuffle.
+
+    Output: one row per (phrase, doc_id) with ``n_occurrences >= 1``
+    plus ``first_pos`` (earliest match start — exact min). Phrases
+    tokenize with the corpus tokenizer; single-token phrases degrade
+    to plain term frequency.
+    """
+    phrase_rows = []
+    for p in phrases:
+        terms = p.split()
+        for off, t in enumerate(terms):
+            phrase_rows.append((p, off, t, len(terms)))
+    spark = docs.sparkSession
+    terms_df = spark.createDataFrame(
+        phrase_rows, "phrase string, off int, term string, m int"
+    )
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    votes = pos.join(
+        F.broadcast(terms_df), pos["tok"] == terms_df["term"], "inner"
+    ).select(
+        "phrase",
+        "doc_id",
+        (F.col("pos") - F.col("off")).alias("start"),
+        "off",
+        "m",
+    ).filter(F.col("start") >= 0)
+    hits = (
+        votes.groupBy("phrase", "doc_id", "start", "m")
+        .agg(F.count_distinct("off").alias("_k"))
+        .filter(F.col("_k") == F.col("m"))
+    )
+    return hits.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("start").cast("bigint").alias("first_pos"),
+    )
+
+
+def phrase_occurrences_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    phrases: "list[str]",
+) -> str:
+    """DuckDB mirror of :func:`phrase_occurrences` — positional
+    postings via the 1-based range/list_extract pattern (DuckDB has
+    no WITH ORDINALITY), identical vote/threshold relational plan."""
+    values = ", ".join(
+        f"('{p}', {off}, '{t}', {len(p.split())})"
+        for p in phrases
+        for off, t in enumerate(p.split())
+    )
+    return f"""
+WITH _terms(phrase, off, term, m) AS (VALUES {values}),
+_pos AS (
+    SELECT {id_col} AS doc_id, i - 1 AS pos, list_extract(tk, i) AS tok
+    FROM (
+        SELECT {id_col}, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS tk FROM {table})
+    )
+),
+_votes AS (
+    SELECT t.phrase, p.doc_id, p.pos - t.off AS start, t.off, t.m
+    FROM _pos p JOIN _terms t ON p.tok = t.term
+    WHERE p.pos - t.off >= 0
+),
+_hits AS (
+    SELECT phrase, doc_id, start, m, count(DISTINCT off) AS _k
+    FROM _votes GROUP BY phrase, doc_id, start, m
+)
+SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM _hits WHERE _k = m GROUP BY phrase, doc_id
+"""

@@ -662,7 +662,22 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("pmi_scaled").alias("score_scaled"),
     )
-    return vocab.unionByName(bm).unionByName(kl).unionByName(pmi)
+    # exact positional phrase search rides along (operators/
+    # ranking.py): adjacency retrieval the bag-of-words BM25 part
+    # can't express — one posexplode + broadcast term join
+    from stepist_spark.operators.ranking import phrase_occurrences
+
+    ph = phrase_occurrences(docs, "doc_id", "text", T16_PHRASES).select(
+        F.lit("phrase").alias("part"),
+        F.col("phrase").alias("tok"),
+        F.lit(None).cast("bigint").alias("qid"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("first_pos").alias("rank"),
+        F.col("n_occurrences").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("score_scaled"),
+    )
+    return vocab.unionByName(bm).unionByName(kl).unionByName(pmi).unionByName(ph)
 
 
 _T16_VOCAB_SQL = f"""
@@ -691,6 +706,19 @@ def _t16_pmi_sql() -> str:
     return pmi_collocations_sql("documents", "text", 3, 50)
 
 
+# exact positional phrase search (operators/ranking.py): contiguous
+# bigram/trigram matches over the documents table — vote-per-start
+# aggregation on a broadcast phrase-term table, never an m-way
+# postings self-join
+T16_PHRASES = ["key scan", "table table", "fast sort", "scan query big"]
+
+
+def _t16_phrase_sql() -> str:
+    from stepist_spark.operators.ranking import phrase_occurrences_sql
+
+    return phrase_occurrences_sql("documents", "doc_id", "text", T16_PHRASES)
+
+
 def _t16_sql() -> str:
     from stepist_spark.operators import ranking
 
@@ -714,6 +742,10 @@ UNION ALL
 SELECT 'pmi', a || ' ' || b, c_a, c_b, CAST(NULL AS BIGINT),
        c_ab, CAST(NULL AS BIGINT), pmi_scaled
 FROM ({_t16_pmi_sql()})
+UNION ALL
+SELECT 'phrase', phrase, CAST(NULL AS BIGINT), doc_id, first_pos,
+       n_occurrences, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_t16_phrase_sql()})
 """
 
 

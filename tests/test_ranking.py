@@ -124,3 +124,66 @@ def test_shuffle_query_join_path(spark, frames):
     a = sorted(map(key, bm25_topk(docs, qs, k=10).collect()))
     b = sorted(map(key, bm25_topk(docs, qs, k=10, broadcast_queries=False).collect()))
     assert a == b and a
+
+
+class TestPhraseOccurrences:
+    def _run(self, spark, docs, phrases):
+        from stepist_spark.operators.ranking import phrase_occurrences
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        return {
+            (r["phrase"], r["doc_id"]): (r["n_occurrences"], r["first_pos"])
+            for r in phrase_occurrences(df, "doc_id", "text", phrases).collect()
+        }
+
+    def test_adjacency_required(self, spark):
+        got = self._run(
+            spark,
+            [(1, "fast key scan now"), (2, "fast scan key now")],
+            ["key scan"],
+        )
+        assert got == {("key scan", 1): (1, 1)}
+
+    def test_overlapping_matches_both_count(self, spark):
+        got = self._run(spark, [(1, "go go go go")], ["go go"])
+        assert got[("go go", 1)] == (3, 0)
+
+    def test_trigram_and_multiple_phrases(self, spark):
+        got = self._run(
+            spark,
+            [(1, "the quick brown fox the quick fox")],
+            ["the quick brown", "quick fox", "missing phrase"],
+        )
+        assert got[("the quick brown", 1)] == (1, 0)
+        assert got[("quick fox", 1)] == (1, 5)
+        assert ("missing phrase", 1) not in got
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.ranking import phrase_occurrences_sql
+
+        rows = [
+            (1, "key scan table table fast sort key scan"),
+            (2, "sort fast table key scan table table table"),
+            (3, "nothing here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        p = str(tmp_path / "docs.parquet")
+        df.write.parquet(p)
+        from stepist_spark.operators.ranking import phrase_occurrences
+
+        phrases = ["key scan", "table table", "fast sort"]
+        got = sorted(
+            (r["phrase"], r["doc_id"], r["n_occurrences"], r["first_pos"])
+            for r in phrase_occurrences(df, "doc_id", "text", phrases).collect()
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                phrase_occurrences_sql("documents", "doc_id", "text", phrases)
+            ).fetchall()
+        )
+        assert got == want
