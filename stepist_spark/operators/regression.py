@@ -482,3 +482,137 @@ SELECT category, n, sum_cents,
              / CAST((n + {m})::HUGEINT * nn AS DOUBLE) / 100.0, 6) AS enc
 FROM te_c CROSS JOIN te_t
 """
+
+
+def split_gain(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    scale: int = 10**6,
+) -> DataFrame:
+    """Gini-impurity decrease of a single split on each candidate
+    categorical feature against a boolean label — the decision-stump
+    feature-ranking primitive (CART, Breiman et al. 1984, public).
+
+    ``gain(f) = gini(parent) − Σ_k (n_k/n)·gini(child_k)`` with
+    ``gini = 1 − Σ_c (c/n)²``. Everything stays EXACT integers:
+    per-child ``(n_k² − c0_k² − c1_k²)·scale DIV (n·n_k)`` and parent
+    ``(n² − c0² − c1²)·scale DIV n²`` are integer divisions of exact
+    decimal(38,0) products (DuckDB: HUGEINT ``//``), so the summed
+    gain_scaled is an order-free bigint — the KL/chi² discipline.
+
+    Spark-first shape: ONE stack unpivot melts all features
+    (|features|× row amplification), one hash aggregate collapses to
+    the |features|·|values| cell frame, and parent totals come from a
+    per-feature window over that TINY frame — no second scan, no
+    1-row cross join. NULL feature values form their own child.
+
+    Output per feature: ``feature, n, n_values, parent_gini_scaled,
+    gain_scaled, gain`` (gain = gain_scaled/scale, one division).
+    """
+    feats = list(feature_cols)
+    lab = F.col(label_col).cast("boolean").cast("int")
+    stack_expr = "stack({n}, {args}) AS (feature, value)".format(
+        n=len(feats),
+        args=", ".join(f"'{f}', CAST({f} AS STRING)" for f in feats),
+    )
+    melted = df.select(lab.alias("_y"), *feats).selectExpr("_y", stack_expr)
+    cells = melted.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nk"),
+        F.sum("_y").cast("decimal(38,0)").alias("c1k"),
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("feature")
+    cells = cells.select(
+        "feature",
+        "nk",
+        "c1k",
+        F.sum("nk").over(wf).cast("decimal(38,0)").alias("n"),
+        F.sum("c1k").over(wf).cast("decimal(38,0)").alias("c1"),
+    )
+    c0k = F.col("nk") - F.col("c1k")
+    # integer DIV (truncating; numerators are non-negative so it equals
+    # DuckDB's floor //) keeps every term an exact bigint
+    cells = cells.withColumn(
+        "_num",
+        (F.col("nk") * F.col("nk") - c0k * c0k - F.col("c1k") * F.col("c1k"))
+        * F.lit(scale),
+    ).withColumn("_term", F.expr("_num div (n * nk)"))
+    agg = cells.groupBy("feature").agg(
+        F.max("n").alias("_n"),
+        F.max("c1").alias("_c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("_term").cast("bigint").alias("_wchild"),
+    )
+    agg = agg.withColumn(
+        "_pnum",
+        (
+            F.col("_n") * F.col("_n")
+            - (F.col("_n") - F.col("_c1")) * (F.col("_n") - F.col("_c1"))
+            - F.col("_c1") * F.col("_c1")
+        )
+        * F.lit(scale),
+    ).withColumn("_parent", F.expr("_pnum div (_n * _n)"))
+    return agg.select(
+        "feature",
+        F.col("_n").cast("bigint").alias("n"),
+        "n_values",
+        F.col("_parent").alias("parent_gini_scaled"),
+        (F.col("_parent") - F.col("_wchild")).alias("gain_scaled"),
+        F.round(
+            (F.col("_parent") - F.col("_wchild")).cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("gain"),
+    )
+
+
+def split_gain_sql(
+    table_sql: str,
+    label_expr: str,
+    feature_exprs: "dict[str, str]",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`split_gain` — same melt, HUGEINT cell
+    arithmetic, and integer ``//`` divisions. ``feature_exprs`` maps
+    feature name -> SQL expression."""
+    melts = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST(({expr}) AS VARCHAR) AS value, "
+        f"CAST(({label_expr}) AS INTEGER) AS _y FROM ({table_sql})"
+        for name, expr in feature_exprs.items()
+    )
+    return f"""
+WITH _m AS ({melts}),
+_cells AS (
+    SELECT feature, value, CAST(count(*) AS HUGEINT) AS nk,
+           CAST(sum(_y) AS HUGEINT) AS c1k
+    FROM _m GROUP BY feature, value
+),
+_w AS (
+    SELECT feature, nk, c1k,
+           sum(nk) OVER (PARTITION BY feature) AS n,
+           sum(c1k) OVER (PARTITION BY feature) AS c1
+    FROM _cells
+),
+_t AS (
+    SELECT feature, n, c1, nk,
+           ((nk * nk - (nk - c1k) * (nk - c1k) - c1k * c1k) * {scale})
+               // (n * nk) AS term
+    FROM _w
+),
+_agg AS (
+    SELECT feature, max(n) AS n, max(c1) AS c1,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(term) AS BIGINT) AS wchild
+    FROM _t GROUP BY feature
+)
+SELECT feature, CAST(n AS BIGINT) AS n, n_values,
+       CAST((n * n - (n - c1) * (n - c1) - c1 * c1) * {scale} // (n * n)
+            AS BIGINT) AS parent_gini_scaled,
+       CAST((n * n - (n - c1) * (n - c1) - c1 * c1) * {scale} // (n * n)
+            AS BIGINT) - wchild AS gain_scaled,
+       round((CAST((n * n - (n - c1) * (n - c1) - c1 * c1) * {scale} // (n * n)
+                   AS BIGINT) - wchild) / {float(scale)}, 6) AS gain
+FROM _agg
+"""

@@ -538,9 +538,18 @@ def t15_word_stats(spark: SparkSession, sf: str) -> DataFrame:
     counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w_doc = Window.partitionBy("doc_id")
     w_rep = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    # lexical-richness measures ride on the SAME value-counts frame
+    # (no extra corpus pass): type count, hapax legomena (tokens
+    # occurring once in the doc), and the type-token ratio — the
+    # classic vocabulary-diversity quality signals
     top = (
         counts.withColumn("_rn", F.row_number().over(w_rep))
         .withColumn("n_tokens", F.sum("cnt").over(w_doc).cast("bigint"))
+        .withColumn("n_types", F.count(F.lit(1)).over(w_doc).cast("bigint"))
+        .withColumn(
+            "hapax",
+            F.sum((F.col("cnt") == 1).cast("int")).over(w_doc).cast("bigint"),
+        )
         .filter(F.col("_rn") == 1)
         .select(
             "doc_id",
@@ -548,6 +557,12 @@ def t15_word_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.col("tok").alias("top_token"),
             F.col("cnt").cast("bigint").alias("top_freq"),
             (F.col("cnt").cast("double") / F.col("n_tokens")).alias("top_ratio"),
+            "n_types",
+            "hapax",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
         )
     )
     sal = corpus_ops.salient_terms(docs, "doc_id", "text").select(
@@ -570,11 +585,16 @@ j AS (
     SELECT c.doc_id, c.tok, c.cnt, d.df,
            row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cnt DESC, c.tok) AS r1,
            row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cnt DESC, d.df, c.tok) AS r2,
-           CAST(sum(c.cnt) OVER (PARTITION BY c.doc_id) AS BIGINT) AS n_tokens
+           CAST(sum(c.cnt) OVER (PARTITION BY c.doc_id) AS BIGINT) AS n_tokens,
+           CAST(count(*) OVER (PARTITION BY c.doc_id) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY c.doc_id) AS BIGINT) AS hapax
     FROM counts c JOIN dfreq d USING (tok)
 )
 SELECT t.doc_id, t.n_tokens, t.tok AS top_token, t.cnt AS top_freq,
        CAST(t.cnt AS DOUBLE) / t.n_tokens AS top_ratio,
+       t.n_types, t.hapax,
+       round(CAST(t.n_types AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6) AS ttr,
        s.tok AS salient_token, s.cnt AS salient_tf, s.df AS salient_df
 FROM (SELECT * FROM j WHERE r1 = 1) t
 JOIN (SELECT * FROM j WHERE r2 = 1) s USING (doc_id)

@@ -2860,6 +2860,32 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_a").alias("n1"),
         F.col("n_b").alias("n2"),
     )
+    # decision-stump feature ranking rides along (operators/
+    # regression.py): Gini-impurity decrease of purchase-vs-rest on
+    # the user-segment and hour-of-day features — exact integer DIV
+    # cell arithmetic, one melt + one hash aggregate
+    from stepist_spark.operators.regression import split_gain
+
+    ev_feat = load_table(spark, sf, "events").select(
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        (F.col("user_id") % 4).cast("string").alias("seg"),
+        F.expr("hour(ts) div 6").cast("string").alias("hq"),
+    )
+    sg = split_gain(ev_feat, "is_purchase", ["seg", "hq"]).select(
+        F.lit("gain").alias("part"),
+        F.col("feature").alias("k1"),
+        F.col("gain").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("parent_gini_scaled").cast("string"),
+            F.col("gain_scaled").cast("string"),
+        ).alias("s1"),
+        F.col("n").alias("n1"),
+        F.col("n_values").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -2872,6 +2898,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(qb)
         .unionByName(wt)
         .unionByName(pz)
+        .unionByName(sg)
     )
 
 
@@ -3013,6 +3040,22 @@ def _q25_propz_sql() -> str:
 
 _Q25_PROPZ_SQL = _q25_propz_sql()
 
+
+def _q25_gain_sql() -> str:
+    from stepist_spark.operators.regression import split_gain_sql
+
+    return split_gain_sql(
+        "SELECT * FROM events",
+        "event_type = 'purchase'",
+        {
+            "seg": "CAST(user_id % 4 AS VARCHAR)",
+            "hq": "CAST(hour(ts) // 6 AS VARCHAR)",
+        },
+    )
+
+
+_Q25_GAIN_SQL = _q25_gain_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -3081,6 +3124,12 @@ UNION ALL
 SELECT 'propz', 'A:N', z_stat, rate_a, rate_b, CAST(NULL AS DOUBLE),
        CAST(s_a AS VARCHAR) || ':' || CAST(s_b AS VARCHAR), n_a, n_b
 FROM ({_Q25_PROPZ_SQL})
+UNION ALL
+SELECT 'gain', feature, gain, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE),
+       CAST(parent_gini_scaled AS VARCHAR) || ':' || CAST(gain_scaled AS VARCHAR),
+       n, n_values
+FROM ({_Q25_GAIN_SQL})
 """
 
 

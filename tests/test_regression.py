@@ -183,3 +183,83 @@ class TestTargetEncode:
         df = spark.createDataFrame(rows, "cat string, t double")
         got = {r["category"]: r["enc"] for r in target_encode(df, "cat", "t", m=10**6).collect()}
         assert abs(got["x"] - 50.0) < 0.01 and abs(got["y"] - 50.0) < 0.01
+
+
+class TestSplitGain:
+    def _ref(self, rows, feat_idx):
+        # pure-Python gini gain with the same scaled-integer floors
+        from collections import defaultdict
+
+        scale = 10**6
+        n = len(rows)
+        c1 = sum(1 for r in rows if r[0])
+        c0 = n - c1
+        parent = (n * n - c0 * c0 - c1 * c1) * scale // (n * n)
+        cells = defaultdict(lambda: [0, 0])
+        for r in rows:
+            k = r[feat_idx]
+            cells[k][0] += 1
+            cells[k][1] += 1 if r[0] else 0
+        wchild = 0
+        for nk, c1k in cells.values():
+            c0k = nk - c1k
+            wchild += (nk * nk - c0k * c0k - c1k * c1k) * scale // (n * nk)
+        return parent, parent - wchild, len(cells)
+
+    def test_matches_reference_and_pure_split(self, spark):
+        from stepist_spark.operators.regression import split_gain
+
+        rows = [
+            (True, "a", "x"), (True, "a", "y"), (True, "a", "x"),
+            (False, "b", "x"), (False, "b", "y"), (False, "b", "x"),
+            (True, "c", "y"), (False, "c", "x"),
+        ]
+        df = spark.createDataFrame(rows, "y boolean, f1 string, f2 string")
+        got = {r["feature"]: r for r in split_gain(df, "y", ["f1", "f2"]).collect()}
+        for i, f in ((1, "f1"), (2, "f2")):
+            parent, gain, nv = self._ref(rows, i)
+            assert got[f]["parent_gini_scaled"] == parent
+            assert got[f]["gain_scaled"] == gain
+            assert got[f]["n_values"] == nv
+            assert got[f]["n"] == len(rows)
+        # f1 separates classes (almost) perfectly; f2 carries ~nothing
+        assert got["f1"]["gain_scaled"] > got["f2"]["gain_scaled"]
+        assert got["f2"]["gain"] <= 0.05
+
+    def test_null_feature_forms_own_child(self, spark):
+        from stepist_spark.operators.regression import split_gain
+
+        rows = [(True, "a"), (False, None), (False, None), (True, "a")]
+        df = spark.createDataFrame(rows, "y boolean, f string")
+        r = split_gain(df, "y", ["f"]).collect()[0]
+        assert r["n_values"] == 2
+        # perfect split: gain == parent impurity
+        assert r["gain_scaled"] == r["parent_gini_scaled"]
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.regression import split_gain, split_gain_sql
+
+        rows = [
+            (i % 3 == 0, str(i % 4), str(i % 5)) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "y boolean, f1 string, f2 string")
+        p = str(tmp_path / "t.parquet")
+        df.write.parquet(p)
+        got = sorted(
+            tuple(r)
+            for r in split_gain(df, "y", ["f1", "f2"]).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                split_gain_sql(
+                    f"SELECT * FROM '{p}/*.parquet'",
+                    "y",
+                    {"f1": "f1", "f2": "f2"},
+                )
+            ).fetchall()
+        )
+        assert got == want
