@@ -190,3 +190,95 @@ FROM (
 WHERE label IS NOT NULL AND pred IS NOT NULL
 GROUP BY {gby}
 """
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-curve bins: equal-frequency score deciles with the
+    exact positive rate per bin — the calibration diagnostic that
+    pairs with :func:`roc_auc` (ranking quality says nothing about
+    probability quality; DeGroot & Fienberg 1983, public).
+
+    Spark-first shape: the quantile_buckets discipline — raw rows are
+    touched by ONE (score, label) count aggregate; bin assignment is
+    ``ceil(cum·B/n)`` pure-integer arithmetic over the value-counts
+    frame (tied scores share a bin by construction, so the split is
+    engine-independent); the bin rollup is a second tiny aggregate.
+
+    Output per bin: ``bin, lo_score, hi_score, n, n_pos, pos_rate``
+    (rate = one division, 6 dp).
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("boolean").cast("int")
+    vc = (
+        df.select(F.col(score_col).alias("_s"), lab.alias("_y"))
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+            F.sum("_y").cast("bigint").alias("_cp"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy()
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    st = vc.select(
+        "_s",
+        "_c",
+        "_cp",
+        F.sum("_c").over(w_ord).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    bucket = F.expr(f"CAST((_cum * {n_bins} + _n - 1) DIV _n AS BIGINT)")
+    agg = st.select("_s", "_c", "_cp", bucket.alias("bin")).groupBy("bin").agg(
+        F.min("_s").cast("bigint").alias("lo_score"),
+        F.max("_s").cast("bigint").alias("hi_score"),
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum("_cp").cast("bigint").alias("n_pos"),
+    )
+    return agg.select(
+        "bin",
+        "lo_score",
+        "hi_score",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+    )
+
+
+def calibration_bins_sql(
+    table_sql: str,
+    label_expr: str,
+    score_expr: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`calibration_bins`."""
+    return f"""
+WITH _vc AS (
+    SELECT ({score_expr}) AS _s,
+           CAST(count(*) AS BIGINT) AS _c,
+           CAST(sum(CAST(({label_expr}) AS INTEGER)) AS BIGINT) AS _cp
+    FROM ({table_sql}) GROUP BY 1
+),
+_st AS (
+    SELECT _s, _c, _cp,
+           sum(_c) OVER (ORDER BY _s ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS _cum,
+           sum(_c) OVER () AS _n
+    FROM _vc
+)
+SELECT CAST((_cum * {n_bins} + _n - 1) // _n AS BIGINT) AS bin,
+       CAST(min(_s) AS BIGINT) AS lo_score, CAST(max(_s) AS BIGINT) AS hi_score,
+       CAST(sum(_c) AS BIGINT) AS n, CAST(sum(_cp) AS BIGINT) AS n_pos,
+       round(CAST(sum(_cp) AS DOUBLE) / CAST(sum(_c) AS DOUBLE), 6) AS pos_rate
+FROM _st GROUP BY 1
+"""

@@ -616,3 +616,188 @@ SELECT feature, CAST(n AS BIGINT) AS n, n_values,
                    AS BIGINT) - wchild) / {float(scale)}, 6) AS gain
 FROM _agg
 """
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    ref_group: str,
+    cmp_group: str,
+    value_col: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Population Stability Index between a reference cohort and a
+    comparison cohort of a numeric column — the standard production
+    model-monitoring drift score (credit-scoring literature; PSI < 0.1
+    stable / > 0.25 shifted).
+
+    Methodology: equal-frequency bins are derived from the REFERENCE
+    side (the deployed model's training distribution), the comparison
+    side is histogrammed into those fixed edges, and
+    ``PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)`` with add-one smoothing so
+    empty bins stay finite.
+
+    Cross-engine exactness (the KL/chi² discipline): with smoothed
+    numerators ``A_b = (c_ref_b+1)·(n_cmp+B)`` and ``B_b =
+    (c_cmp_b+1)·(n_ref+B)``, each bin's term is
+    ``floor(ln(A_b/B_b)·scale) · (A_b − B_b)`` — an exact bigint — and
+    ``PSI = Σ terms / ((n_ref+B)·(n_cmp+B)·scale)``, ONE double
+    division at the end.
+
+    Spark-first shape: raw rows are touched by ONE (side, value)
+    count aggregate; bin edges come from a cumulative window over the
+    reference value-counts frame; the ≤n_bins edge table broadcasts
+    onto the comparison value counts. Output: one row per bin
+    ``(bin, hi_cents, c_ref, c_cmp, term_scaled, psi)`` with the same
+    psi on every row (a window over the ≤n_bins frame).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    vc = (
+        df.filter(g.isin(ref_group, cmp_group))
+        .select((g == ref_group).alias("_is_ref"), cents.alias("v"))
+        .groupBy("_is_ref", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ref = vc.filter(F.col("_is_ref")).drop("_is_ref")
+    cmp_ = vc.filter(~F.col("_is_ref")).drop("_is_ref")
+    w_ord = (
+        Window.partitionBy().orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    binned = ref.select(
+        "v",
+        "c",
+        F.expr(
+            f"CAST((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW) * {n_bins} + sum(c) OVER () - 1) "
+            f"DIV sum(c) OVER () AS BIGINT)"
+        ).alias("bin"),
+    )
+    ref_bins = binned.groupBy("bin").agg(
+        F.max("v").alias("hi_cents"), F.sum("c").cast("bigint").alias("c_ref")
+    )
+    # comparison values take the smallest bin whose upper edge covers
+    # them; values above the last edge fall into the last bin
+    edges = ref_bins.select("bin", "hi_cents")
+    last_bin = F.lit(n_bins)
+    joined = cmp_.join(
+        F.broadcast(edges), F.col("v") <= F.col("hi_cents"), "left"
+    ).groupBy("v", "c").agg(F.min("bin").alias("_bin"))
+    cmp_bins = (
+        joined.select(F.coalesce(F.col("_bin"), last_bin).alias("bin"), "c")
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("c_cmp"))
+    )
+    # hi_cents -1 marks a comparison-only bin (possible only when the
+    # reference side has fewer than n_bins distinct bins) — kept
+    # non-NULL so packed string encodings agree across engines
+    cells = ref_bins.join(cmp_bins, "bin", "full").select(
+        "bin",
+        F.coalesce("hi_cents", F.lit(-1)).alias("hi_cents"),
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cmp", F.lit(0)).alias("c_cmp"),
+    )
+    w = Window.partitionBy()
+    dec = "decimal(38,0)"
+    cells = cells.select(
+        "bin",
+        "hi_cents",
+        "c_ref",
+        "c_cmp",
+        F.sum("c_ref").over(w).cast(dec).alias("_nr"),
+        F.sum("c_cmp").over(w).cast(dec).alias("_nc"),
+    )
+    a = (F.col("c_ref").cast(dec) + 1) * (F.col("_nc") + F.lit(n_bins))
+    b = (F.col("c_cmp").cast(dec) + 1) * (F.col("_nr") + F.lit(n_bins))
+    term = (
+        F.floor(F.log(a.cast("double") / b.cast("double")) * F.lit(scale)).cast(
+            dec
+        )
+        * (a - b)
+    ).cast(dec)
+    cells = cells.withColumn("term_scaled", term)
+    den = (
+        (F.col("_nr") + F.lit(n_bins)) * (F.col("_nc") + F.lit(n_bins))
+    ).cast("double") * F.lit(float(scale))
+    return cells.select(
+        "bin",
+        "hi_cents",
+        "c_ref",
+        "c_cmp",
+        F.col("term_scaled").cast("bigint").alias("term_scaled"),
+        F.round(
+            F.sum(F.col("term_scaled").cast(dec)).over(w).cast("double") / den, 9
+        ).alias("psi"),
+    )
+
+
+def psi_drift_sql(
+    table_sql: str,
+    group_expr: str,
+    ref_group: str,
+    cmp_group: str,
+    value_expr: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`psi_drift` — identical bin derivation,
+    HUGEINT smoothed products, floor(ln·scale) integer terms."""
+    return f"""
+WITH _vc AS (
+    SELECT ({group_expr}) = '{ref_group}' AS _is_ref,
+           CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql})
+    WHERE ({group_expr}) IN ('{ref_group}', '{cmp_group}')
+    GROUP BY 1, 2
+),
+_refb AS (
+    SELECT v, c,
+           CAST((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) * {n_bins} + sum(c) OVER () - 1)
+                // sum(c) OVER () AS BIGINT) AS bin
+    FROM _vc WHERE _is_ref
+),
+_ref_bins AS (
+    SELECT bin, max(v) AS hi_cents, CAST(sum(c) AS BIGINT) AS c_ref
+    FROM _refb GROUP BY bin
+),
+_cmp_assign AS (
+    SELECT t.v, t.c, coalesce(min(e.bin), {n_bins}) AS bin
+    FROM (SELECT v, c FROM _vc WHERE NOT _is_ref) t
+    LEFT JOIN _ref_bins e ON t.v <= e.hi_cents
+    GROUP BY t.v, t.c
+),
+_cmp_bins AS (
+    SELECT bin, CAST(sum(c) AS BIGINT) AS c_cmp FROM _cmp_assign GROUP BY bin
+),
+_cells AS (
+    SELECT coalesce(r.bin, m.bin) AS bin, coalesce(r.hi_cents, -1) AS hi_cents,
+           coalesce(r.c_ref, 0) AS c_ref, coalesce(m.c_cmp, 0) AS c_cmp
+    FROM _ref_bins r FULL JOIN _cmp_bins m ON r.bin = m.bin
+),
+_tot AS (
+    SELECT *, CAST(sum(c_ref) OVER () AS HUGEINT) AS nr,
+           CAST(sum(c_cmp) OVER () AS HUGEINT) AS nc
+    FROM _cells
+),
+_terms AS (
+    SELECT bin, hi_cents, c_ref, c_cmp, nr, nc,
+           CAST(floor(ln(CAST((c_ref + 1) * (nc + {n_bins}) AS DOUBLE)
+                         / CAST((c_cmp + 1) * (nr + {n_bins}) AS DOUBLE))
+                      * {scale}) AS HUGEINT)
+               * ((c_ref + 1) * (nc + {n_bins})
+                  - (c_cmp + 1) * (nr + {n_bins})) AS term
+    FROM _tot
+)
+SELECT bin, hi_cents, c_ref, c_cmp, CAST(term AS BIGINT) AS term_scaled,
+       round(CAST(sum(term) OVER () AS DOUBLE)
+             / (CAST((nr + {n_bins}) * (nc + {n_bins}) AS DOUBLE)
+                * {float(scale)}), 9) AS psi
+FROM _terms
+"""

@@ -499,3 +499,80 @@ SELECT {gsel}CAST(lag AS BIGINT) AS lag, n_pairs,
        END AS corr
 FROM _agg
 """
+
+
+def period_over_period(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Period-over-period comparison (WoW/MoM product-metric change):
+    each (group, day) row pairs with the same group's row exactly
+    ``period_days`` earlier — calendar-aligned, so weekday effects
+    cancel (the report the seasonal-baseline operator normalizes
+    differently).
+
+    Input is the pre-aggregated daily frame with NON-NEGATIVE integer
+    values (counts/cents) — the acf grain discipline: at 100 TB the
+    fact collapse upstream is the scale-bearing shuffle; this join is
+    |days|-sized and co-partitioned on (group, date).
+
+    Exactness: ``ratio_scaled = v·10^6 DIV prev`` (non-negative, so
+    Spark's truncating div equals DuckDB's floor //); diff is an exact
+    bigint; ratio is the one-division double (NULL when no prior row
+    or prev = 0).
+
+    Output: ``*group_cols, d, v, prev_v, diff, ratio_scaled, ratio``.
+    """
+    gcols = list(group_cols)
+    cur = df.select(
+        *gcols, F.col(date_col).alias("d"), F.col(value_col).cast("bigint").alias("v")
+    )
+    prev = df.select(
+        *gcols,
+        F.date_add(F.col(date_col), period_days).alias("d"),
+        F.col(value_col).cast("bigint").alias("_pv"),
+    )
+    j = cur.join(prev, [*gcols, "d"], "left")
+    return j.select(
+        *gcols,
+        "d",
+        "v",
+        F.col("_pv").alias("prev_v"),
+        (F.col("v") - F.col("_pv")).alias("diff"),
+        F.when(
+            F.col("_pv") > 0, F.expr("(v * 1000000L) div _pv")
+        ).alias("ratio_scaled"),
+        F.when(
+            F.col("_pv") > 0,
+            F.round(F.col("v").cast("double") / F.col("_pv").cast("double"), 6),
+        ).alias("ratio"),
+    )
+
+
+def period_over_period_sql(
+    series_sql: str,
+    group_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`period_over_period` (DATE + INTERVAL
+    literal — ``DATE + BIGINT`` does not bind in DuckDB)."""
+    gcols = list(group_cols)
+    gsel = "".join(f"{g}, " for g in gcols)
+    on = " AND ".join([f"c.{g} = p.{g}" for g in gcols] + ["c.d = p.d2"])
+    csel = "".join(f"c.{g}, " for g in gcols)
+    return f"""
+WITH _s AS (SELECT {gsel}{date_col} AS d, CAST({value_col} AS BIGINT) AS v
+            FROM ({series_sql})),
+_p AS (SELECT {gsel}d + INTERVAL {period_days} DAYS AS d2, v AS pv FROM _s)
+SELECT {csel}c.d, c.v, p.pv AS prev_v, c.v - p.pv AS diff,
+       CASE WHEN p.pv > 0 THEN (c.v * 1000000) // p.pv END AS ratio_scaled,
+       CASE WHEN p.pv > 0
+            THEN round(CAST(c.v AS DOUBLE) / CAST(p.pv AS DOUBLE), 6)
+       END AS ratio
+FROM _s c LEFT JOIN _p p ON {on}
+"""

@@ -1606,12 +1606,31 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("v"),
         F.col("pred").alias("keep"),
     )
-    return c.unionByName(p).unionByName(auc).unionByName(cm)
+    # calibration deciles (operators/evaluation.py): equal-frequency
+    # score bins with exact positive counts — bin id packed into the
+    # doc_id slot, n_pos into v
+    from stepist_spark.operators.evaluation import calibration_bins
+
+    cal = calibration_bins(labeled, "label", "margin_scaled", n_bins=10).select(
+        F.lit("cal").alias("part"),
+        F.col("bin").alias("doc_id"),
+        F.col("n"),
+        F.col("n_pos").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    return (
+        c.unionByName(p).unionByName(auc).unionByName(cm).unionByName(cal)
+    )
 
 
 def _t23_sql() -> str:
+    from stepist_spark.operators.evaluation import calibration_bins_sql
+
     h = hashing.word_hash32_sql("t")
     toks = TX.tokens_sql("text")
+    # references the lab CTE of the enclosing statement (DuckDB CTEs
+    # are visible inside later subqueries)
+    _CAL_SQL = calibration_bins_sql("SELECT y, sc FROM lab", "y", "sc", 10)
     return f"""
 WITH buckets AS (
     SELECT doc_id, (lang = 'en') AS pos,
@@ -1699,6 +1718,9 @@ UNION ALL
 SELECT 'cm', CAST(2 * CAST(y AS INT) + CAST(pred AS INT) AS BIGINT),
        CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT), pred
 FROM lab GROUP BY y, pred
+UNION ALL
+SELECT 'cal', bin, n, n_pos, CAST(NULL AS BOOLEAN)
+FROM ({_CAL_SQL})
 """
 
 

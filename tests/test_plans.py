@@ -245,6 +245,8 @@ class TestCatalogHygiene:
                                 # (≤ tens of rows) + broadcast 1-row totals
         "q09_grouping_multi",   # target_encode: broadcast 1-row global-prior
                                 # cross join onto the |categories| frame
+        "q25_percentile_histogram",  # psi_drift: broadcast ≤n_bins edge table
+                                     # range-joined onto comparison value counts
         # t18 deliberately NOT listed: bloom_probe's word-table probes
         # are broadcast HASH joins — the hygiene sweep guards that
     }

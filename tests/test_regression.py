@@ -263,3 +263,53 @@ class TestSplitGain:
             ).fetchall()
         )
         assert got == want
+
+
+class TestPsiDrift:
+    def _df(self, spark, a_vals, b_vals):
+        rows = [("A", float(v)) for v in a_vals] + [("B", float(v)) for v in b_vals]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_identical_distributions_zero(self, spark):
+        from stepist_spark.operators.regression import psi_drift
+
+        vals = [i % 10 for i in range(200)]
+        out = psi_drift(self._df(spark, vals, vals), "g", "A", "B", "v", 5).collect()
+        assert all(r["term_scaled"] == 0 for r in out)
+        assert out[0]["psi"] == 0.0
+
+    def test_shift_detected_and_nonnegative(self, spark):
+        from stepist_spark.operators.regression import psi_drift
+
+        a = [i % 10 for i in range(300)]
+        b = [5 + (i % 10) for i in range(300)]  # shifted up
+        out = psi_drift(self._df(spark, a, b), "g", "A", "B", "v", 5).collect()
+        psi = out[0]["psi"]
+        assert psi > 0.25  # classic "shifted" threshold
+        tot_ref = sum(r["c_ref"] for r in out)
+        tot_cmp = sum(r["c_cmp"] for r in out)
+        assert tot_ref == 300 and tot_cmp == 300  # nothing dropped
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.regression import psi_drift, psi_drift_sql
+
+        import random
+
+        rng = random.Random(3)
+        rows = [("A", round(rng.uniform(0, 50), 2)) for _ in range(400)] + [
+            ("B", round(rng.uniform(10, 60), 2)) for _ in range(350)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        p = str(tmp_path / "t.parquet")
+        df.write.parquet(p)
+        got = sorted(tuple(r) for r in psi_drift(df, "g", "A", "B", "v").collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                psi_drift_sql(f"SELECT * FROM '{p}/*.parquet'", "g", "A", "B", "v")
+            ).fetchall()
+        )
+        assert got == want

@@ -290,3 +290,30 @@ class TestAcf:
             [("s", i, 5) for i in range(6)], "g string, t int, v bigint"
         )
         assert all(r["corr"] is None for r in acf(df, ["g"], "t", "v", 2).collect())
+
+
+class TestPeriodOverPeriod:
+    def test_alignment_and_ratio(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.timeseries import period_over_period
+
+        d0 = dt.date(2024, 1, 1)
+        rows = [("t", d0 + dt.timedelta(days=i), 100 + 10 * i) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, d date, v bigint")
+        out = {r["d"]: r for r in period_over_period(df, ["g"], "d", "v", 7).collect()}
+        r = out[d0 + dt.timedelta(days=8)]
+        assert r["prev_v"] == 110 and r["v"] == 180 and r["diff"] == 70
+        assert r["ratio_scaled"] == 180 * 10**6 // 110
+        assert out[d0]["prev_v"] is None and out[d0]["ratio"] is None
+
+    def test_gap_days_have_no_prev(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.timeseries import period_over_period
+
+        d0 = dt.date(2024, 1, 1)
+        rows = [("t", d0, 5), ("t", d0 + dt.timedelta(days=10), 8)]
+        df = spark.createDataFrame(rows, "g string, d date, v bigint")
+        out = {r["d"]: r for r in period_over_period(df, ["g"], "d", "v", 7).collect()}
+        assert out[d0 + dt.timedelta(days=10)]["prev_v"] is None
