@@ -801,3 +801,121 @@ SELECT bin, hi_cents, c_ref, c_cmp, CAST(term AS BIGINT) AS term_scaled,
                 * {float(scale)}), 9) AS psi
 FROM _terms
 """
+
+
+def mutual_information(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    scale: int = 10**6,
+) -> DataFrame:
+    """Mutual information I(feature; label) per candidate categorical
+    feature against a boolean label — the information-theoretic twin
+    of :func:`split_gain` (Cover & Thomas, Elements of Information
+    Theory — public; the standard filter-method feature ranking).
+
+    ``I = Σ_cells p(x,y)·ln( p(x,y) / (p(x)p(y)) )`` computed as
+    ``(1/n)·Σ c_xy·ln(c_xy·n / (c_x·c_y))``. Cross-engine exactness
+    (the KL discipline): each cell's ln of a ratio of EXACT bigint
+    products is scaled to ``floor(ln·scale)`` BEFORE the
+    ``c_xy``-weighted sum, so the aggregate is an order-free bigint;
+    ``mi = mi_scaled / (n·scale)`` is one division. Empty cells
+    contribute zero and never materialize.
+
+    Spark-first shape: the split_gain melt — one stack unpivot, one
+    hash aggregate to the |features|·|values|·2 cell frame, marginals
+    via windows over that tiny frame.
+
+    Output per feature: ``feature, n, n_values, mi_scaled, mi``.
+    """
+    from pyspark.sql import Window
+
+    feats = list(feature_cols)
+    lab = F.col(label_col).cast("boolean").cast("int")
+    stack_expr = "stack({n}, {args}) AS (feature, value)".format(
+        n=len(feats),
+        args=", ".join(f"'{f}', CAST({f} AS STRING)" for f in feats),
+    )
+    melted = df.select(lab.alias("_y"), *feats).selectExpr("_y", stack_expr)
+    cells = melted.groupBy("feature", "value", "_y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cxy")
+    )
+    wf = Window.partitionBy("feature")
+    wx = Window.partitionBy("feature", "value")
+    wy = Window.partitionBy("feature", "_y")
+    cells = cells.select(
+        "feature",
+        "value",
+        "cxy",
+        F.sum("cxy").over(wx).cast("decimal(38,0)").alias("cx"),
+        F.sum("cxy").over(wy).cast("decimal(38,0)").alias("cy"),
+        F.sum("cxy").over(wf).cast("decimal(38,0)").alias("n"),
+    )
+    num = F.col("cxy") * F.col("n")
+    den = F.col("cx") * F.col("cy")
+    term = (
+        F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(scale)
+        ).cast("decimal(38,0)")
+        * F.col("cxy")
+    )
+    agg = cells.groupBy("feature").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count_distinct("value").cast("bigint").alias("n_values"),
+        F.sum(term).cast("bigint").alias("mi_scaled"),
+    )
+    return agg.select(
+        "feature",
+        "n",
+        "n_values",
+        "mi_scaled",
+        F.round(
+            F.col("mi_scaled").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(scale))),
+            9,
+        ).alias("mi"),
+    )
+
+
+def mutual_information_sql(
+    table_sql: str,
+    label_expr: str,
+    feature_exprs: "dict[str, str]",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`mutual_information`."""
+    melts = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST(({expr}) AS VARCHAR) AS value, "
+        f"CAST(({label_expr}) AS INTEGER) AS _y FROM ({table_sql})"
+        for name, expr in feature_exprs.items()
+    )
+    return f"""
+WITH _m AS ({melts}),
+_cells AS (
+    SELECT feature, value, _y, CAST(count(*) AS HUGEINT) AS cxy
+    FROM _m GROUP BY feature, value, _y
+),
+_w AS (
+    SELECT feature, value, cxy,
+           sum(cxy) OVER (PARTITION BY feature, value) AS cx,
+           sum(cxy) OVER (PARTITION BY feature, _y) AS cy,
+           sum(cxy) OVER (PARTITION BY feature) AS n
+    FROM _cells
+),
+_t AS (
+    SELECT feature, n, value,
+           CAST(floor(ln(CAST(cxy * n AS DOUBLE) / CAST(cx * cy AS DOUBLE))
+                      * {scale}) AS HUGEINT) * cxy AS term
+    FROM _w
+),
+_agg AS (
+    SELECT feature, CAST(max(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT value) AS BIGINT) AS n_values,
+           CAST(sum(term) AS BIGINT) AS mi_scaled
+    FROM _t GROUP BY feature
+)
+SELECT feature, n, n_values, mi_scaled,
+       round(CAST(mi_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * {float(scale)}), 9)
+           AS mi
+FROM _agg
+"""

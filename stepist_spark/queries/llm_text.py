@@ -480,7 +480,38 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.lit(None).cast("string").alias("split"),
     )
-    return split.unionByName(mix).unionByName(wps)
+    # corpus-mixing budget (operators/mixing.py): waterfill the token
+    # budget over languages (budget 350 puts fr/de in the saturated
+    # branch and es/zh/en at the floored common level at sf0.01), then
+    # realize it with the deterministic md5-rank quota take. The
+    # allocation table is |langs| rows; slots: allocated->doc_id,
+    # key->source, avail->lang, saturated->split.
+    from stepist_spark.operators.mixing import take_quota, waterfill_allocation
+
+    avail = docs.groupBy(F.col("lang").alias("src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    alloc = waterfill_allocation(avail, "src", "a", WFILL_BUDGET)
+    wf = alloc.select(
+        F.lit("wfill").alias("part"),
+        F.col("allocated").alias("doc_id"),
+        F.col("key").alias("source"),
+        F.col("avail").cast("string").alias("lang"),
+        F.col("saturated").cast("string").alias("split"),
+    )
+    qt = take_quota(docs, "lang", "doc_id", alloc).select(
+        F.lit("quota").alias("part"),
+        "doc_id",
+        "source",
+        "lang",
+        F.lit(None).cast("string").alias("split"),
+    )
+    return (
+        split.unionByName(mix).unionByName(wps).unionByName(wf).unionByName(qt)
+    )
+
+
+WFILL_BUDGET = 350
 
 
 def _t13_sql() -> str:
@@ -505,6 +536,25 @@ def _t13_sql() -> str:
         8,
         group_exprs=["lang"],
     )
+    from stepist_spark.operators.mixing import (
+        take_quota_sql,
+        waterfill_allocation_sql,
+    )
+
+    wfill = waterfill_allocation_sql(
+        "SELECT lang AS src, CAST(count(*) AS BIGINT) AS a "
+        "FROM documents GROUP BY lang",
+        "src",
+        "a",
+        WFILL_BUDGET,
+    )
+    quota = take_quota_sql(
+        "SELECT doc_id, source, lang FROM documents",
+        "lang",
+        "doc_id",
+        wfill,
+        select_cols="doc_id, source, lang",
+    )
     return f"""
 SELECT 'split' AS part, doc_id, source, lang,
        {sampling.split_label_sql('doc_id')} AS split
@@ -515,6 +565,13 @@ FROM ({mix})
 UNION ALL
 SELECT 'wps', doc_id, source, lang, CAST(NULL AS VARCHAR)
 FROM (SELECT doc_id, source, lang FROM ({wps}))
+UNION ALL
+SELECT 'wfill', allocated, key, CAST(avail AS VARCHAR),
+       CAST(saturated AS VARCHAR)
+FROM ({wfill})
+UNION ALL
+SELECT 'quota', doc_id, source, lang, CAST(NULL AS VARCHAR)
+FROM (SELECT doc_id, source, lang FROM ({quota}))
 """
 
 

@@ -2935,6 +2935,21 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("user_id") % 4).cast("string").alias("seg"),
         F.expr("hour(ts) div 6").cast("string").alias("hq"),
     )
+    # mutual information rides the SAME feature frame — the
+    # information-theoretic twin ranking (operators/regression.py)
+    from stepist_spark.operators.regression import mutual_information
+
+    mi = mutual_information(ev_feat, "is_purchase", ["seg", "hq"]).select(
+        F.lit("mi").alias("part"),
+        F.col("feature").alias("k1"),
+        F.col("mi").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.col("mi_scaled").cast("string").alias("s1"),
+        F.col("n").alias("n1"),
+        F.col("n_values").alias("n2"),
+    )
     sg = split_gain(ev_feat, "is_purchase", ["seg", "hq"]).select(
         F.lit("gain").alias("part"),
         F.col("feature").alias("k1"),
@@ -2984,6 +2999,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(wt)
         .unionByName(pz)
         .unionByName(sg)
+        .unionByName(mi)
         .unionByName(ps)
     )
 
@@ -3157,6 +3173,22 @@ def _q25_psi_sql() -> str:
 
 _Q25_PSI_SQL = _q25_psi_sql()
 
+
+def _q25_mi_sql() -> str:
+    from stepist_spark.operators.regression import mutual_information_sql
+
+    return mutual_information_sql(
+        "SELECT * FROM events",
+        "event_type = 'purchase'",
+        {
+            "seg": "CAST(user_id % 4 AS VARCHAR)",
+            "hq": "CAST(hour(ts) // 6 AS VARCHAR)",
+        },
+    )
+
+
+_Q25_MI_SQL = _q25_mi_sql()
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -3237,6 +3269,10 @@ SELECT 'psi', CAST(bin AS VARCHAR), psi, CAST(NULL AS DOUBLE),
        CAST(hi_cents AS VARCHAR) || ':' || CAST(term_scaled AS VARCHAR),
        c_ref, c_cmp
 FROM ({_Q25_PSI_SQL})
+UNION ALL
+SELECT 'mi', feature, mi, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(mi_scaled AS VARCHAR), n, n_values
+FROM ({_Q25_MI_SQL})
 """
 
 

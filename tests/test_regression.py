@@ -313,3 +313,44 @@ class TestPsiDrift:
             ).fetchall()
         )
         assert got == want
+
+
+class TestMutualInformation:
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from stepist_spark.operators.regression import mutual_information
+
+        rows = [(i % 3 == 0, str(i % 4), str((i * i) % 3)) for i in range(120)]
+        df = spark.createDataFrame(rows, "y boolean, f1 string, f2 string")
+        got = {
+            r["feature"]: r
+            for r in mutual_information(df, "y", ["f1", "f2"]).collect()
+        }
+        scale = 10**6
+        n = len(rows)
+        for idx, f in ((1, "f1"), (2, "f2")):
+            cells = Counter((r[idx], r[0]) for r in rows)
+            cx = Counter(r[idx] for r in rows)
+            cy = Counter(r[0] for r in rows)
+            want = sum(
+                c * math.floor(math.log(c * n / (cx[x] * cy[y])) * scale)
+                for (x, y), c in cells.items()
+            )
+            assert got[f]["mi_scaled"] == want
+            assert got[f]["n"] == n
+
+    def test_perfect_predictor_beats_noise(self, spark):
+        from stepist_spark.operators.regression import mutual_information
+
+        rows = [(i % 2 == 0, str(i % 2), str(i % 5)) for i in range(200)]
+        df = spark.createDataFrame(rows, "y boolean, sig string, noise string")
+        got = {
+            r["feature"]: r["mi"]
+            for r in mutual_information(df, "y", ["sig", "noise"]).collect()
+        }
+        import math
+
+        assert abs(got["sig"] - math.log(2)) < 1e-3  # I = H(y) = ln 2
+        assert got["noise"] < 0.01
