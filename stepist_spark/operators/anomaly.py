@@ -1041,3 +1041,111 @@ SELECT {g}, v_cents, c,
        CAST((cum * {n_buckets} + n - 1) // n AS BIGINT) AS bucket
 FROM qb_s
 """
+
+
+def interarrival_burstiness(
+    df,
+    group_cols,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival-time burstiness per group: the coefficient of
+    variation of consecutive-event gaps and the Goh-Barabási
+    burstiness index ``B = (cv − 1)/(cv + 1)`` (Goh & Barabási, EPL
+    2008 — public; B → −1 periodic, 0 Poisson, → 1 bursty) — the
+    temporal-texture signal a rate/seasonal baseline can't see.
+
+    Exactness: gaps are exact integer microseconds (``unix_micros`` ==
+    DuckDB ``epoch_us``; id tiebreak makes the order unique), the
+    sufficient statistics accumulate in decimal(38,0)/HUGEINT, and
+    cv/B are a fixed IEEE sequence over those exact integers, 6-dp.
+
+    Spark-first shape: ONE group-keyed window sort (the same exchange
+    discipline as event_transitions) + one map-side-combined
+    aggregate. Output: ``*group_cols, n_gaps, sum_us, cv, burstiness``
+    (NULL cv/B when < 2 gaps or zero mean).
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        df.select(*group_cols, us.alias("_us"), F.col(id_col).alias("_id"))
+        .select(
+            *group_cols,
+            (F.col("_us") - F.lag("_us").over(
+                Window.partitionBy(*group_cols).orderBy(
+                    F.col("_us").asc(), F.col("_id").asc()
+                )
+            )).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    st = gaps.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("_gap").cast(dec)).cast(dec).alias("_s"),
+        F.sum(F.col("_gap").cast(dec) * F.col("_gap").cast(dec)).cast(dec).alias("_q"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    # cv = sample-std / mean = sqrt((n·q − s²)/(n−1)) · n / (s · n) …
+    # spelled as one fixed sequence: sqrt(n·(n·q − s²)/(n−1)) / s
+    cv = F.sqrt(nd * (nd * qd - sd * sd) / (nd - F.lit(1.0))) / sd
+    valid = (F.col("n_gaps") >= 2) & (F.col("_s") > 0)
+    return st.select(
+        *group_cols,
+        "n_gaps",
+        F.col("_s").cast("bigint").alias("sum_us"),
+        F.when(valid, F.round(cv, 6)).alias("cv"),
+        F.when(valid, F.round((cv - F.lit(1.0)) / (cv + F.lit(1.0)), 6)).alias(
+            "burstiness"
+        ),
+    )
+
+
+def interarrival_burstiness_sql(
+    table_sql: str,
+    group_exprs,
+    ts_expr: str,
+    id_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`interarrival_burstiness`."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH _e AS (
+    SELECT {g}, epoch_us(CAST(({ts_expr}) AS TIMESTAMP)) AS _us,
+           ({id_expr}) AS _id
+    FROM ({table_sql})
+),
+_gaps AS (
+    SELECT {g}, _us - lag(_us) OVER (PARTITION BY {g} ORDER BY _us, _id) AS _gap
+    FROM _e
+),
+_st AS (
+    SELECT {g}, CAST(count(*) AS BIGINT) AS n_gaps,
+           sum(CAST(_gap AS HUGEINT)) AS _s,
+           sum(CAST(_gap AS HUGEINT) * _gap) AS _q
+    FROM _gaps WHERE _gap IS NOT NULL GROUP BY {g}
+)
+SELECT {g}, n_gaps, CAST(_s AS BIGINT) AS sum_us,
+       CASE WHEN n_gaps >= 2 AND _s > 0
+            THEN round(sqrt(CAST(n_gaps AS DOUBLE)
+                            * (CAST(n_gaps AS DOUBLE) * CAST(_q AS DOUBLE)
+                               - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
+                            / (CAST(n_gaps AS DOUBLE) - 1.0))
+                       / CAST(_s AS DOUBLE), 6) END AS cv,
+       CASE WHEN n_gaps >= 2 AND _s > 0
+            THEN round((sqrt(CAST(n_gaps AS DOUBLE)
+                             * (CAST(n_gaps AS DOUBLE) * CAST(_q AS DOUBLE)
+                                - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
+                             / (CAST(n_gaps AS DOUBLE) - 1.0))
+                        / CAST(_s AS DOUBLE) - 1.0)
+                       / (sqrt(CAST(n_gaps AS DOUBLE)
+                               * (CAST(n_gaps AS DOUBLE) * CAST(_q AS DOUBLE)
+                                  - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
+                               / (CAST(n_gaps AS DOUBLE) - 1.0))
+                          / CAST(_s AS DOUBLE) + 1.0), 6) END AS burstiness
+FROM _st
+"""

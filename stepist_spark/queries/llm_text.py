@@ -294,7 +294,22 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         c_ab.alias("jaccard_tok"),
         c_ba.alias("jaccard_shingle"),
     )
-    return lsh.unionByName(pp).unionByName(cn)
+    # 'cosine' — Ochiai / Salton set-cosine per LSH candidate
+    # (inter / sqrt(n_a·n_b), the binary-vector cosine): the FOURTH
+    # score off the SAME shared token statistics — zero extra joins;
+    # sqrt of an exact integer product is correctly rounded
+    oc = tok_stats.select(
+        F.lit("cosine").alias("part"),
+        "id_a",
+        "id_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("inter").cast("double")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("jaccard_tok"),
+        F.lit(None).cast("double").alias("jaccard_shingle"),
+    )
+    return lsh.unionByName(pp).unionByName(cn).unionByName(oc)
 
 
 def _jac_sql(a: str, b: str) -> str:
@@ -343,6 +358,18 @@ SELECT 'contain' AS part, id_a, id_b,
        CASE WHEN len(tb._set) > 0
             THEN CAST(len(list_intersect(ta._set, tb._set)) AS DOUBLE)
                  / len(tb._set) ELSE 0.0 END AS jaccard_shingle
+FROM cands
+JOIN sets_t ta ON ta._sid = id_a
+JOIN sets_t tb ON tb._sid = id_b
+UNION ALL
+-- cosine part: Ochiai set-cosine per LSH candidate off the same sets
+SELECT 'cosine' AS part, id_a, id_b,
+       CASE WHEN len(ta._set) > 0 AND len(tb._set) > 0
+            THEN CAST(len(list_intersect(ta._set, tb._set)) AS DOUBLE)
+                 / sqrt(CAST(len(ta._set) AS DOUBLE)
+                        * CAST(len(tb._set) AS DOUBLE))
+            ELSE 0.0 END AS jaccard_tok,
+       CAST(NULL AS DOUBLE) AS jaccard_shingle
 FROM cands
 JOIN sets_t ta ON ta._sid = id_a
 JOIN sets_t tb ON tb._sid = id_b

@@ -2407,6 +2407,19 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # temporal-texture signal (operators/anomaly.py): inter-arrival CV
+    # and Goh-Barabasi burstiness per type — one type-keyed window sort
+    from stepist_spark.operators.anomaly import interarrival_burstiness
+
+    bu = interarrival_burstiness(ev, ["event_type"], "ts", "event_id").select(
+        F.lit("burst").alias("part"),
+        F.col("event_type").alias("wkey"),
+        F.col("n_gaps").alias("n"),
+        F.col("burstiness").alias("sum_value"),
+        F.col("sum_us").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -2424,6 +2437,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(sb.select("*", *nulls))
         .unionByName(tc.select("*", *nulls))
         .unionByName(wow.select("*", *nulls))
+        .unionByName(bu.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -2491,6 +2505,14 @@ def _q22m_sql() -> str:
 
     sb = seasonal_baseline_sql(
         "SELECT event_type, ts::TIMESTAMP AS ts FROM events", ["event_type"], "ts"
+    )
+    from stepist_spark.operators.anomaly import interarrival_burstiness_sql
+
+    bu = interarrival_burstiness_sql(
+        "SELECT event_type, ts, event_id FROM events",
+        ["event_type"],
+        "ts",
+        "event_id",
     )
     from stepist_spark.operators.timeseries import period_over_period_sql
 
@@ -2573,6 +2595,11 @@ SELECT 'wow',
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({wow})
+UNION ALL
+SELECT 'burst', event_type, n_gaps, burstiness, sum_us,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({bu})
 UNION ALL
 SELECT 'seasonal',
        event_type || ':' || CAST(day AS VARCHAR) || ':' || CAST(dow AS VARCHAR),

@@ -533,3 +533,46 @@ class TestQuantileBuckets:
             for r in quantile_buckets(df, ["g"], "v", 4).collect()
         }
         assert got == {100: 3, 200: 4}  # cum 6/8 -> ceil(24/8)=3; cum 8 -> 4
+
+
+class TestInterarrivalBurstiness:
+    def test_matches_python_and_regimes(self, spark):
+        import datetime as dt
+        import math
+
+        from stepist_spark.operators.anomaly import interarrival_burstiness
+
+        t0 = dt.datetime(2024, 1, 1)
+        periodic = [("p", t0 + dt.timedelta(seconds=10 * i), i) for i in range(20)]
+        bursty_gaps = [1, 1, 1, 1, 1, 1, 1, 1, 1, 600] * 2
+        ts, acc = [], 0
+        for g in bursty_gaps:
+            acc += g
+            ts.append(acc)
+        bursty = [("b", t0 + dt.timedelta(seconds=s), i) for i, s in enumerate(ts)]
+        df = spark.createDataFrame(
+            periodic + bursty, "g string, ts timestamp, id bigint"
+        )
+        out = {
+            r["g"]: r
+            for r in interarrival_burstiness(df, ["g"], "ts", "id").collect()
+        }
+        assert out["p"]["cv"] == 0.0 and out["p"]["burstiness"] == -1.0
+        gaps = [(ts[i] - ts[i - 1]) * 10**6 for i in range(1, len(ts))]
+        n = len(gaps)
+        mean = sum(gaps) / n
+        var = sum((x - mean) ** 2 for x in gaps) / (n - 1)
+        cv = math.sqrt(var) / mean
+        assert abs(out["b"]["cv"] - cv) < 1e-4
+        assert abs(out["b"]["burstiness"] - (cv - 1) / (cv + 1)) < 1e-4
+        assert out["b"]["burstiness"] > 0.4  # clearly bursty
+
+    def test_single_event_group_absent(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.anomaly import interarrival_burstiness
+
+        df = spark.createDataFrame(
+            [("solo", dt.datetime(2024, 1, 1), 1)], "g string, ts timestamp, id bigint"
+        )
+        assert interarrival_burstiness(df, ["g"], "ts", "id").count() == 0
