@@ -199,3 +199,17 @@ def span_hash60(col: Column) -> Column:
 def span_hash60_sql(expr: str) -> str:
     """DuckDB mirror of :func:`span_hash60`."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def sketch_pos(h: Column, d: int, width: int) -> Column:
+    """d-th sketch cell position from an EXISTING 32-bit value hash:
+    ``((A_d·h + B_d) mod P) mod width`` — ONE md5 per value feeds all
+    depth rows (a 4x hash-cost cut over per-depth seeded md5 at
+    depth 4; same universal-hash family as the MinHash signatures, so
+    the coefficients are already cross-engine literals)."""
+    return (minhash_of_hash(h, d) % F.lit(width)).cast("int")
+
+
+def sketch_pos_sql(h_expr: str, d: int, width: int) -> str:
+    """DuckDB mirror of :func:`sketch_pos`."""
+    return f"CAST(({minhash_of_hash_sql(h_expr, d)}) % {width} AS INT)"

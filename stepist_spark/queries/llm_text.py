@@ -1215,14 +1215,16 @@ def _t19_sql() -> str:
     toks = f"SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents"
 
     def pos_union(src: str) -> str:
-        rows = []
-        for d in range(CMS_DEPTH):
-            seeded = f"'{d}:' || tok"
-            rows.append(
-                f"SELECT tok, {d} AS row_idx, "
-                f"CAST({hashing.word_hash32_sql(seeded)} % {CMS_WIDTH} AS INT) "
-                f"AS col_idx FROM {src}"
-            )
+        # one md5 per token, positions re-derived per depth
+        # (hashing.sketch_pos discipline — must stay in lockstep with
+        # operators/sketches.cms_build)
+        hv = f"SELECT *, {hashing.word_hash32_sql('tok')} AS _h FROM {src}"
+        rows = [
+            f"SELECT tok, {d} AS row_idx, "
+            f"{hashing.sketch_pos_sql('_h', d, CMS_WIDTH)} AS col_idx "
+            f"FROM ({hv})"
+            for d in range(CMS_DEPTH)
+        ]
         return "\n    UNION ALL\n    ".join(rows)
 
     return f"""
