@@ -576,3 +576,90 @@ SELECT {csel}c.d, c.v, p.pv AS prev_v, c.v - p.pv AS diff,
        END AS ratio
 FROM _s c LEFT JOIN _p p ON {on}
 """
+
+
+def decayed_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    half_life_days: int = 7,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Time-decayed popularity score per key: each event contributes
+    weight ``(1/2)^(age_days DIV half_life_days)`` relative to the
+    newest event in the dataset — the trending/recency ranking signal
+    (exponentially-decayed counters, Cormode et al. "Forward decay",
+    ICDE 2009 — public).
+
+    Exactness: ages are integer days, the halving count is an integer
+    division, and the weight is ``scale DIV 2^k`` — EXACT bigints end
+    to end (no float pow); weights vanish for k >= ~20 at the default
+    scale, which is the decay doing its job. The reference date is the
+    data's own max day (deterministic), not wall-clock.
+
+    Spark-first shape: raw events collapse in ONE hash aggregate to
+    the (group, day) frame; the reference day and the weighted sum
+    ride windows/aggregates over that tiny table.
+
+    Output: ``*group_cols, n_events, score_scaled, score`` (score =
+    score_scaled/scale, one division).
+    """
+    gcols = list(group_cols)
+    daily = (
+        df.select(*gcols, F.to_date(F.col(ts_col)).alias("_d"))
+        .groupBy(*gcols, "_d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w_all = Window.partitionBy()
+    daily = daily.withColumn("_maxd", F.max("_d").over(w_all))
+    daily = daily.withColumn(
+        "_k",
+        F.least(
+            F.expr(f"CAST(datediff(_maxd, _d) AS BIGINT) div {half_life_days}"),
+            F.lit(62).cast("bigint"),
+        ).cast("int"),
+    ).withColumn("_wt", F.expr(f"{scale}L div shiftleft(1L, _k)"))
+    term = F.col("_c") * F.col("_wt")
+    agg = daily.groupBy(*gcols).agg(
+        F.sum("_c").cast("bigint").alias("n_events"),
+        F.sum(term).cast("bigint").alias("score_scaled"),
+    )
+    return agg.select(
+        *gcols,
+        "n_events",
+        "score_scaled",
+        F.round(F.col("score_scaled").cast("double") / F.lit(float(scale)), 6).alias(
+            "score"
+        ),
+    )
+
+
+def decayed_counts_sql(
+    table_sql: str,
+    group_exprs: Sequence[str],
+    ts_expr: str,
+    half_life_days: int = 7,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`decayed_counts`."""
+    g = ", ".join(group_exprs)
+    return f"""
+WITH _daily AS (
+    SELECT {g}, CAST(({ts_expr}) AS DATE) AS _d,
+           CAST(count(*) AS BIGINT) AS _c
+    FROM ({table_sql}) GROUP BY {g}, 2
+),
+_ref AS (
+    SELECT *, max(_d) OVER () AS _maxd FROM _daily
+),
+_w AS (
+    SELECT {g}, _c,
+           {scale} // (1 << least(CAST(date_diff('day', _d, _maxd) AS BIGINT)
+                                  // {half_life_days}, 62)) AS _wt
+    FROM _ref
+)
+SELECT {g}, CAST(sum(_c) AS BIGINT) AS n_events,
+       CAST(sum(_c * _wt) AS BIGINT) AS score_scaled,
+       round(CAST(sum(_c * _wt) AS DOUBLE) / {float(scale)}, 6) AS score
+FROM _w GROUP BY {g}
+"""

@@ -2420,6 +2420,20 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # trending/recency signal (operators/timeseries.py): exact
+    # integer-halving decayed popularity per type, anchored to the
+    # data's own max day
+    from stepist_spark.operators.timeseries import decayed_counts
+
+    dc = decayed_counts(ev, ["event_type"], "ts", half_life_days=7).select(
+        F.lit("decay").alias("part"),
+        F.col("event_type").alias("wkey"),
+        F.col("n_events").alias("n"),
+        F.col("score").alias("sum_value"),
+        F.col("score_scaled").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
@@ -2438,6 +2452,7 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(tc.select("*", *nulls))
         .unionByName(wow.select("*", *nulls))
         .unionByName(bu.select("*", *nulls))
+        .unionByName(dc.select("*", *nulls))
         .unionByName(az)
     )
 
@@ -2513,6 +2528,11 @@ def _q22m_sql() -> str:
         ["event_type"],
         "ts",
         "event_id",
+    )
+    from stepist_spark.operators.timeseries import decayed_counts_sql
+
+    dc = decayed_counts_sql(
+        "SELECT event_type, ts FROM events", ["event_type"], "ts", half_life_days=7
     )
     from stepist_spark.operators.timeseries import period_over_period_sql
 
@@ -2600,6 +2620,11 @@ SELECT 'burst', event_type, n_gaps, burstiness, sum_us,
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
 FROM ({bu})
+UNION ALL
+SELECT 'decay', event_type, n_events, score, score_scaled,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({dc})
 UNION ALL
 SELECT 'seasonal',
        event_type || ':' || CAST(day AS VARCHAR) || ':' || CAST(dow AS VARCHAR),

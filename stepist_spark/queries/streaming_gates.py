@@ -419,8 +419,17 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     # must report inactive with a recorded final batch — deterministic
     # indicator bits, gated alongside the data
     st = flow2.status()
+    # n packs (inactive-bit, exact total input rows): the introspection
+    # counter must equal the 600 committed hop-1 rows — the
+    # jobs_count-style metric is now value-gated, not just indicator-
+    # gated (recentProgress numInputRows summed across batches)
     status = spark.createDataFrame(
-        [("status", 0, int(not st["active"]), int(st["batch_id"] is not None))],
+        [(
+            "status",
+            0,
+            int(not st["active"]) * 10_000 + int(st["input_rows"] or 0),
+            int(st["batch_id"] is not None),
+        )],
         "part string, k bigint, n bigint, sum_value bigint",
     ).select(
         "part", "k", "n", "sum_value",
@@ -441,7 +450,7 @@ SELECT 'win' AS part, CAST(value % 3 AS BIGINT) AS k, count(*) AS n,
 FROM (SELECT unnest(generate_series(0, 599)) AS value)
 GROUP BY 2, 5, 6
 UNION ALL
-SELECT 'status', 0, 1, 1, NULL, NULL
+SELECT 'status', 0, 10600, 1, NULL, NULL
 """
 
 

@@ -170,11 +170,18 @@ class StreamFlow:
         if self._query is None:
             return {"active": False}
         lp = self._query.lastProgress
+        total_in = None
+        try:
+            rp = self._query.recentProgress or []
+            total_in = sum(int(p.get("numInputRows") or 0) for p in rp)
+        except Exception:
+            pass
         return {
             "active": self._query.isActive,
             "status": self._query.status,
             "rows_per_sec": (lp or {}).get("processedRowsPerSecond"),
             "batch_id": (lp or {}).get("batchId"),
+            "input_rows": total_in,
         }
 
     def stop(self) -> None:

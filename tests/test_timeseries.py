@@ -317,3 +317,52 @@ class TestPeriodOverPeriod:
         df = spark.createDataFrame(rows, "g string, d date, v bigint")
         out = {r["d"]: r for r in period_over_period(df, ["g"], "d", "v", 7).collect()}
         assert out[d0 + dt.timedelta(days=10)]["prev_v"] is None
+
+
+class TestDecayedCounts:
+    def test_halving_weights(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.timeseries import decayed_counts
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = (
+            [("a", t0)] * 4                                  # age 0 -> weight 1e6
+            + [("a", t0 - dt.timedelta(days=7))] * 2          # k=1 -> 5e5
+            + [("a", t0 - dt.timedelta(days=20))] * 8         # k=2 -> 25e4
+            + [("b", t0 - dt.timedelta(days=700))] * 3        # k=100 -> cap -> 0
+        )
+        df = spark.createDataFrame(rows, "g string, ts timestamp")
+        out = {r["g"]: r for r in decayed_counts(df, ["g"], "ts", 7).collect()}
+        assert out["a"]["score_scaled"] == 4 * 10**6 + 2 * 500_000 + 8 * 250_000
+        assert out["a"]["n_events"] == 14
+        assert out["b"]["score_scaled"] == 0  # fully decayed but counted
+        assert out["b"]["n_events"] == 3
+
+    def test_sql_mirror(self, spark, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from stepist_spark.operators.timeseries import (
+            decayed_counts,
+            decayed_counts_sql,
+        )
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = [
+            (f"g{i % 3}", t0 - dt.timedelta(days=(i * 5) % 40, hours=i % 24))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp")
+        p = str(tmp_path / "t.parquet")
+        df.write.parquet(p)
+        got = sorted(tuple(r) for r in decayed_counts(df, ["g"], "ts", 7).collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                decayed_counts_sql(f"SELECT * FROM '{p}/*.parquet'", ["g"], "ts", 7)
+            ).fetchall()
+        )
+        assert got == want
