@@ -826,3 +826,104 @@ def truncated_topk(
     c = corpus.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
     q = queries.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
     return brute_force_topk(c, q, id_col, vec_col, k=k)
+
+
+def embedding_norm_stats(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Embedding-space QA per label: exact fixed-point L2-norm sums
+    and the mean vector norm — the collapse/blow-up health check a
+    trained-embedding pipeline runs before indexing (near-zero norms
+    = dead encoder; diverging per-label means = drift).
+
+    Cross-engine exactness: coordinates scale half-up to integers,
+    the per-row squared-norm is an exact bigint fold, the per-row
+    ``floor(sqrt(·))`` is a correctly-rounded sqrt of an exact
+    integer (deterministic), and the per-label sum of those bigints is
+    order-free; mean_norm is one division.
+
+    One scan, one map-side-combined aggregate. Output per label:
+    ``label, n_vecs, norm_sum_scaled, mean_norm`` (mean in original
+    units, 6 dp).
+    """
+    s = F.lit(scale).cast("double")
+    sq = F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * s + F.lit(0.5)).cast("decimal(38,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v * v,
+    )
+    norm_scaled = F.floor(F.sqrt(sq.cast("double"))).cast("bigint")
+    per = df.select(F.col(label_col).alias("label"), norm_scaled.alias("_ns"))
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("_ns").cast("bigint").alias("norm_sum_scaled"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        "norm_sum_scaled",
+        F.round(
+            F.col("norm_sum_scaled").cast("double")
+            / (F.col("n_vecs").cast("double") * F.lit(float(scale))),
+            6,
+        ).alias("mean_norm"),
+    )
+
+
+def embedding_norm_stats_sql(
+    table_sql: str,
+    vec_expr: str,
+    label_expr: str,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`embedding_norm_stats`."""
+    return f"""
+WITH _n AS (
+    SELECT ({label_expr}) AS label,
+           CAST(floor(sqrt(CAST(list_sum(list_transform(
+               ({vec_expr})::DOUBLE[],
+               x -> CAST(floor(x * {scale} + 0.5) AS HUGEINT)
+                    * CAST(floor(x * {scale} + 0.5) AS HUGEINT)
+           )) AS DOUBLE))) AS BIGINT) AS _ns
+    FROM ({table_sql})
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(_ns) AS BIGINT) AS norm_sum_scaled,
+       round(CAST(sum(_ns) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * {float(scale)}), 6) AS mean_norm
+FROM _n GROUP BY label
+"""
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """ANN quality metric: per-query recall@k of an approximate
+    top-k result against the exact one — THE acceptance number for an
+    IVF/PQ/LSH index (how much quality the speedup trades away).
+
+    Both inputs are ``(query_id, neighbor_id, ...)`` top-k frames.
+    One co-partitioned join on (query, neighbor) + one count per
+    query; recall = hits/k is the single division. Exact counts —
+    trivially hash-certifiable.
+
+    Output: ``query_id, n_hits, recall``.
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    j = a.join(e, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )

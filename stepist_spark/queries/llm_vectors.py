@@ -235,8 +235,21 @@ def v05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         n_probe=N_PROBE,
         centroids=cent1,
     ).withColumn("part", F.lit("refined"))
-    return seeded.unionByName(refined).select(
-        "part", "query_id", "neighbor_id", "cos_sim"
+    # 'recall' — the ANN acceptance metric: refined-IVF recall@K per
+    # query against the exact brute-force top-K (operators/
+    # similarity.recall_at_k) — n_hits packed into neighbor_id,
+    # recall into cos_sim
+    exact = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=K)
+    rec = similarity.recall_at_k(refined, exact, K).select(
+        F.lit("recall").alias("part"),
+        "query_id",
+        F.col("n_hits").alias("neighbor_id"),
+        F.col("recall").alias("cos_sim"),
+    )
+    return (
+        seeded.unionByName(refined)
+        .select("part", "query_id", "neighbor_id", "cos_sim")
+        .unionByName(rec)
     )
 
 
@@ -296,6 +309,13 @@ UNION ALL
 SELECT 'refined', query_id, neighbor_id, cos_sim FROM (
     {_IVF_LEVEL_SQL.format(cent="cent_r")}
 )
+UNION ALL
+SELECT 'recall', a.query_id, CAST(count(x.neighbor_id) AS BIGINT),
+       round(CAST(count(x.neighbor_id) AS DOUBLE) / {float(K)}, 6)
+FROM ({_IVF_LEVEL_SQL.format(cent="cent_r")}) a
+LEFT JOIN ({V01X_SQL}) x
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY a.query_id
 """
 
 
@@ -332,10 +352,32 @@ def v06_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("max_abs").alias("d1"),
     )
-    return cen.unionByName(quant)
+    # 'norm' — embedding-space QA (operators/similarity.py): exact
+    # per-label fixed-point L2-norm sums + mean norm (collapse/drift
+    # health check); norm_sum_scaled -> n1, n_vecs -> n2
+    ns = similarity.embedding_norm_stats(emb, "embedding", "label").select(
+        F.lit("norm").alias("part"),
+        F.col("label").cast("string").alias("key"),
+        F.lit(None).cast("bigint").alias("dim"),
+        F.col("norm_sum_scaled").alias("n1"),
+        F.col("n_vecs").alias("n2"),
+        F.col("mean_norm").alias("d1"),
+    )
+    return cen.unionByName(quant).unionByName(ns)
 
 
-V06_SQL = """
+
+def _v06_norm_sql() -> str:
+    from stepist_spark.operators.similarity import embedding_norm_stats_sql
+
+    return embedding_norm_stats_sql(
+        "SELECT label, embedding FROM embeddings", "embedding", "label"
+    )
+
+
+_V06_NORM_SQL = _v06_norm_sql()
+
+V06_SQL = f"""
 WITH ex AS (
     SELECT label, i - 1 AS dim,
            CAST(floor(list_extract(v, i) * 1000000 + 0.5) AS BIGINT) AS s
@@ -366,6 +408,10 @@ SELECT 'quant', CAST(vec_id AS VARCHAR), i - 1,
        END,
        CAST(NULL AS BIGINT), m
 FROM qx
+UNION ALL
+SELECT 'norm', CAST(label AS VARCHAR), CAST(NULL AS BIGINT),
+       norm_sum_scaled, n_vecs, mean_norm
+FROM ({_V06_NORM_SQL})
 """
 
 

@@ -359,3 +359,38 @@ class TestTruncatedTopk:
         a = _pairs(similarity.truncated_topk(emb, queries, k=3, dims=d))
         b = _pairs(similarity.brute_force_topk(emb, queries, k=3))
         assert a == b
+
+
+class TestRecallAtK:
+    def test_counts_hits(self, spark):
+        from stepist_spark.operators.similarity import recall_at_k
+
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 99)],
+            "query_id bigint, neighbor_id bigint",
+        )
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 13), (2, 20), (2, 21), (2, 22)],
+            "query_id bigint, neighbor_id bigint",
+        )
+        got = {r["query_id"]: r for r in recall_at_k(approx, exact, 3).collect()}
+        assert got[1]["n_hits"] == 2 and abs(got[1]["recall"] - 2 / 3) < 1e-6
+        assert got[2]["n_hits"] == 2
+
+
+class TestEmbeddingNormStats:
+    def test_exact_norms(self, spark):
+        import math
+
+        from stepist_spark.operators.similarity import embedding_norm_stats
+
+        rows = [
+            (0, [3.0, 4.0]),       # norm 5
+            (0, [0.6, 0.8]),       # norm 1
+            (1, [0.0, 0.0]),       # collapsed
+        ]
+        df = spark.createDataFrame(rows, "label int, embedding array<float>")
+        got = {r["label"]: r for r in embedding_norm_stats(df, "embedding", "label").collect()}
+        assert got[0]["norm_sum_scaled"] == 5_000_000 + 1_000_000
+        assert got[0]["mean_norm"] == 3.0
+        assert got[1]["norm_sum_scaled"] == 0 and got[1]["mean_norm"] == 0.0
