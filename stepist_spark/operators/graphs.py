@@ -372,3 +372,79 @@ WITH RECURSIVE bfs_walk(node, depth) AS (
 SELECT node, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs_walk GROUP BY node
 """
+
+
+def cheapest_paths_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded Bellman-Ford: the minimum path COST from a seed set to
+    every vertex reachable within ``max_hops`` weighted hops — the
+    weighted twin of :func:`bfs_depths` (supply-chain landed cost,
+    latency radius, cheapest influence path).
+
+    Spark-first shape: ``max_hops`` min-plus relaxation rounds, each
+    ONE equi-join of the current best-dist table against the edges
+    plus one min-aggregate, localCheckpointed per round (flat
+    lineage). Work per round is |dist-out-edges|; hops are a CONSTANT
+    of the query. Weights are exact NON-NEGATIVE bigints, so costs
+    are exact integers and min() is order-free.
+
+    Output: ``node, cost`` — the exact minimum path weight (seeds at
+    cost 0). Hop counts are deliberately NOT emitted: under best-
+    prefix relaxation the hop count of a cost-tied path is not well-
+    defined (the min-hop min-cost path may ride a suboptimal-cost
+    prefix the relaxation prunes), so certifying it would certify an
+    implementation artifact.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("bigint").alias("_w"),
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_hops):
+        relaxed = dist.join(e, dist["node"] == e["_s"]).select(
+            F.col("_d").alias("node"),
+            (F.col("cost") + F.col("_w")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def cheapest_paths_bounded_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_hops: int,
+) -> str:
+    """DuckDB mirror of :func:`cheapest_paths_bounded` — enumerates
+    every path of ≤ max_hops hops via a bounded recursive CTE carrying
+    (node, cost, hops), then takes the min cost per node. The UNION
+    dedups repeated states so cycles cannot multiply rows; expects
+    ``edges_sql`` to yield (src, dst, w) and ``seeds_sql`` (node)."""
+    return f"""
+WITH RECURSIVE _walk(node, cost, hops) AS (
+    SELECT node, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM (SELECT node FROM ({seeds_sql}) t)
+    UNION
+    SELECT e.dst, w.cost + e.w, w.hops + 1
+    FROM _walk w JOIN ({edges_sql}) e ON e.src = w.node
+    WHERE w.hops < {max_hops}
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM _walk GROUP BY node
+"""

@@ -712,6 +712,28 @@ _PR_ITERS = 5
 _SUPP_OFFSET = 1_000_000  # suppliers share custkey's id range; disjoin them
 
 
+def _weighted_order_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """The :func:`_order_graph` trade graph with the exact per-pair
+    trade count as the edge weight (src, dst, w) — symmetrized."""
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 16 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+
+
 def _order_graph(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetrized customer<->supplier edges from a deterministic order
     slice: one undirected edge per (customer, supplier) pair that ever
@@ -796,8 +818,23 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("depth").cast("bigint").alias("v1"),
         F.lit(None).cast("bigint").alias("v2"),
     )
+    # bounded Bellman-Ford over the SAME trade graph, weighted by the
+    # exact per-pair trade count (operators/graphs.py): min landed
+    # cost within 3 weighted hops from the same seed customers
+    sssp = graphs.cheapest_paths_bounded(
+        _weighted_order_graph(spark, sf), seeds, max_hops=3
+    ).select(
+        F.lit("sssp").alias("part"),
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cost").cast("bigint").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
     return (
-        cl.unionByName(prp).unionByName(tri).unionByName(no).unionByName(bfs)
+        cl.unionByName(prp)
+        .unionByName(tri)
+        .unionByName(no)
+        .unionByName(bfs)
+        .unionByName(sssp)
     )
 
 
@@ -915,6 +952,29 @@ bfs_walk(node, depth) AS (
     SELECT e.dst, w.depth + 1
     FROM bfs_walk w JOIN g_edges e ON e.src = w.node
     WHERE w.depth < 3
+),
+-- weighted twin: per-pair trade counts as edge weights; bounded
+-- min-plus walk, min cost per node (UNION dedups repeated states)
+gw_pairs AS (
+    SELECT o.o_custkey AS c, l.l_suppkey + {_SUPP_OFFSET} AS s,
+           CAST(count(*) AS BIGINT) AS w
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 16 = 0
+    GROUP BY 1, 2
+),
+gw_edges AS (
+    SELECT src, dst, w FROM (
+        SELECT c AS src, s AS dst, w FROM gw_pairs
+        UNION ALL
+        SELECT s, c, w FROM gw_pairs
+    ) t
+),
+sssp_walk(node, cost, hops) AS (
+    SELECT c_custkey, CAST(0 AS BIGINT), 0 FROM customer WHERE c_custkey < 5
+    UNION
+    SELECT e.dst, wk.cost + e.w, wk.hops + 1
+    FROM sssp_walk wk JOIN gw_edges e ON e.src = wk.node
+    WHERE wk.hops < 3
 )
 SELECT 'cluster' AS part, node, cluster_id AS v1,
        count(*) OVER (PARTITION BY cluster_id) AS v2
@@ -935,6 +995,9 @@ JOIN no_deg db ON p.b = db.node
 UNION ALL
 SELECT 'bfs', node, CAST(min(depth) AS BIGINT), CAST(NULL AS BIGINT)
 FROM bfs_walk GROUP BY node
+UNION ALL
+SELECT 'sssp', node, CAST(min(cost) AS BIGINT), CAST(NULL AS BIGINT)
+FROM sssp_walk GROUP BY node
 """
 
 
@@ -1260,7 +1323,17 @@ def w02_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     cback = readers.read(spark, cdir, fmt="csv", schema=schema, header="true").select(
         *cols, F.lit("csv").alias("job_id")
     )
-    return env.unionByName(jback).unionByName(cback)
+    # ORC round-trip (round 6): the same slice through the columnar
+    # ORC writer/reader (Spark-native). The oracle has no ORC reader —
+    # the hash gate works because the values must survive the ORC
+    # codec and STILL equal DuckDB's direct parquet view of the same
+    # slice: a real cross-format fidelity certification
+    odir = _os.path.join(scratch_dir(spark, "w02"), "orc")
+    writers.write(base, odir, fmt="orc", mode="overwrite")
+    oback = readers.read(spark, odir, fmt="orc", schema=schema).select(
+        *cols, F.lit("orc").alias("job_id")
+    )
+    return env.unionByName(jback).unionByName(cback).unionByName(oback)
 
 
 W02_SQL = """
@@ -1274,6 +1347,10 @@ FROM orders WHERE o_orderkey % 50 = 0
 UNION ALL
 SELECT o_orderkey, o_custkey, o_totalprice,
        CAST(o_orderdate AS VARCHAR), 'csv'
+FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS VARCHAR), 'orc'
 FROM orders WHERE o_orderkey % 50 = 0
 """
 

@@ -193,3 +193,73 @@ class TestBfsDepths:
         seeds = spark.createDataFrame([(1,), (9,)], "node bigint")
         got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, 4).collect()}
         assert got[3] == 1  # via seed 9, not depth 2 via 1->2->3
+
+
+class TestCheapestPathsBounded:
+    def _ref(self, edges, seeds, max_hops):
+        # brute force: enumerate all paths up to max_hops
+        best = {s: 0 for s in seeds}
+        frontier = [(s, 0) for s in seeds]
+        for _ in range(max_hops):
+            nxt = []
+            for node, cost in frontier:
+                for (a, b, w) in edges:
+                    if a == node:
+                        c = cost + w
+                        nxt.append((b, c))
+                        if b not in best or c < best[b]:
+                            best[b] = c
+            frontier = nxt
+        return best
+
+    def test_matches_bruteforce_with_cycle(self, spark):
+        from stepist_spark.operators.graphs import cheapest_paths_bounded
+
+        edges = [
+            (1, 2, 5), (2, 3, 5), (1, 3, 20), (3, 1, 1),
+            (2, 4, 100), (3, 4, 1), (4, 2, 1),
+        ]
+        e = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+        seeds = spark.createDataFrame([(1,)], "node bigint")
+        got = {
+            r["node"]: r["cost"]
+            for r in cheapest_paths_bounded(e, seeds, 3).collect()
+        }
+        assert got == self._ref(edges, [1], 3)
+        # the cheap detour 1->2->3->4 (cost 11) must beat 1->3->4 (21)
+        assert got[4] == 11
+
+    def test_matches_duckdb_mirror(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.graphs import (
+            cheapest_paths_bounded,
+            cheapest_paths_bounded_sql,
+        )
+
+        import random
+
+        rng = random.Random(5)
+        edges = list({
+            (rng.randrange(10), rng.randrange(10), rng.randrange(1, 9))
+            for _ in range(40)
+        })
+        e = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+        seeds = spark.createDataFrame([(0,), (1,)], "node bigint")
+        got = sorted(
+            (r["node"], r["cost"])
+            for r in cheapest_paths_bounded(e, seeds, 3).collect()
+        )
+        con = duckdb.connect()
+        erows = ", ".join(f"({a},{b},{w})" for a, b, w in edges)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                cheapest_paths_bounded_sql(
+                    f"SELECT * FROM (VALUES {erows}) e(src, dst, w)",
+                    "SELECT * FROM (VALUES (0), (1)) s(node)",
+                    3,
+                )
+            ).fetchall()
+        )
+        assert got == want
