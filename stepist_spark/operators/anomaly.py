@@ -1149,3 +1149,137 @@ SELECT {g}, n_gaps, CAST(_s AS BIGINT) AS sum_us,
                           / CAST(_s AS DOUBLE) + 1.0), 6) END AS burstiness
 FROM _st
 """
+
+
+def grouped_percentile_cont(
+    df,
+    group_cols,
+    value_col: str,
+    quantiles=((1, 4), (1, 2), (19, 20)),
+) -> DataFrame:
+    """ANSI ``PERCENTILE_CONT`` per group, EXACTLY: the linearly-
+    interpolated quantile at rational positions ``q = a/b`` — the
+    SQL-standard continuous percentile the discrete median/'pct'
+    operators deliberately avoid (they emit data values; this emits
+    the standard's interpolation).
+
+    Exactness: the 0-based position is the rational ``a·(n−1)/b``;
+    with ``idx = a·(n−1) DIV b`` and ``rem = a·(n−1) MOD b``, the
+    result is ``(lo·(b−rem) + hi·rem) / b`` over integer cents — an
+    EXACT bigint numerator over literal denominator b, one division
+    at the end. lo/hi are the idx-th and (idx+1)-th order statistics,
+    located by a cumulative window over the value-counts frame — raw
+    rows are touched once by the count aggregate, never sorted.
+
+    Output: ``*group_cols, q_num, q_den, n, v_scaled_num, value``
+    (v_scaled_num = the exact bigint numerator in cents·b units;
+    value = v_scaled_num/(100·b), 6 dp).
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    vc = (
+        df.select(*group_cols, cents.alias("v"))
+        .groupBy(*group_cols, "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    st = vc.select(
+        *group_cols,
+        "v",
+        F.sum("c").over(w_ord).alias("cum"),
+        (F.sum("c").over(w_ord) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    outs = []
+    for a, b in quantiles:
+        idx = F.expr(f"({a}L * (n - 1)) div {b}")       # 0-based lower index
+        rem = F.expr(f"({a}L * (n - 1)) % {b}")
+        # order statistics idx (lo) and idx+1 (hi), 1-based ranks
+        lo = st.filter(
+            (F.col("cum_before") <= idx) & (idx < F.col("cum"))
+        ).select(*group_cols, F.col("v").alias("_lo"), idx.alias("_idx"), rem.alias("_rem"), "n")
+        hi_rank = idx + F.lit(1)
+        hi = st.filter(
+            (F.col("cum_before") <= hi_rank) & (hi_rank < F.col("cum"))
+        ).select(*group_cols, F.col("v").alias("_hi"))
+        j = lo.join(hi, group_cols, "left").select(
+            *group_cols,
+            F.lit(a).cast("bigint").alias("q_num"),
+            F.lit(b).cast("bigint").alias("q_den"),
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.col("_lo") * (F.lit(b) - F.col("_rem"))
+                + F.coalesce(F.col("_hi"), F.col("_lo")) * F.col("_rem")
+            ).cast("bigint").alias("v_scaled_num"),
+        )
+        outs.append(j)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        *group_cols,
+        "q_num",
+        "q_den",
+        "n",
+        "v_scaled_num",
+        F.round(
+            F.col("v_scaled_num").cast("double") / F.lit(100.0 * 1) / F.col("q_den").cast("double"),
+            6,
+        ).alias("value"),
+    )
+
+
+def grouped_percentile_cont_sql(
+    table_sql: str,
+    group_exprs,
+    value_expr: str,
+    quantiles=((1, 4), (1, 2), (19, 20)),
+) -> str:
+    """DuckDB mirror of :func:`grouped_percentile_cont`."""
+    g = ", ".join(group_exprs)
+    arms = []
+    for a, b in quantiles:
+        arms.append(f"""
+SELECT {g}, CAST({a} AS BIGINT) AS q_num, CAST({b} AS BIGINT) AS q_den,
+       CAST(lo.n AS BIGINT) AS n,
+       CAST(lo._lo * ({b} - lo._rem)
+            + coalesce(hi._hi, lo._lo) * lo._rem AS BIGINT) AS v_scaled_num,
+       round(CAST(lo._lo * ({b} - lo._rem)
+                  + coalesce(hi._hi, lo._lo) * lo._rem AS DOUBLE)
+             / 100.0 / {b}, 6) AS value
+FROM (
+    SELECT {g}, v AS _lo, ({a} * (n - 1)) // {b} AS _idx,
+           ({a} * (n - 1)) % {b} AS _rem, n
+    FROM _pc_st
+    WHERE cum_before <= ({a} * (n - 1)) // {b}
+      AND ({a} * (n - 1)) // {b} < cum
+) lo LEFT JOIN (
+    SELECT {g}, v AS _hi FROM _pc_st
+    WHERE cum_before <= ({a} * (n - 1)) // {b} + 1
+      AND ({a} * (n - 1)) // {b} + 1 < cum
+) hi USING ({g})""")
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH _pc_vc AS (
+    SELECT {g}, CAST(floor(({value_expr}) * 100 + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql}) GROUP BY {g}, 2
+),
+_pc_st AS (
+    SELECT {g}, v,
+           sum(c) OVER (PARTITION BY {g} ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY {g} ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_before,
+           sum(c) OVER (PARTITION BY {g}) AS n
+    FROM _pc_vc
+)
+{union}
+"""

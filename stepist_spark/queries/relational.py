@@ -3017,6 +3017,30 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n1"),
         F.col("n_values").alias("n2"),
     )
+    # ANSI PERCENTILE_CONT rides along (operators/anomaly.py): the
+    # SQL-standard interpolated quantile, exact rational numerator
+    # over the value-counts frame — complements the discrete 'pct'
+    # and 'wmed' parts which emit actual data values
+    from stepist_spark.operators.anomaly import grouped_percentile_cont
+
+    pcc = grouped_percentile_cont(
+        li3.select("l_returnflag", "l_quantity"), ["l_returnflag"], "l_quantity"
+    ).select(
+        F.lit("pctc").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("l_returnflag"),
+            F.col("q_num").cast("string"),
+            F.col("q_den").cast("string"),
+        ).alias("k1"),
+        F.col("value").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.col("v_scaled_num").cast("string").alias("s1"),
+        F.col("n").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
     # PSI drift monitoring rides along (operators/regression.py):
     # reference-derived equal-frequency bins, smoothed scaled-ln
     # integer terms — the production model-monitoring twin of the 'ks'
@@ -3053,6 +3077,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(sg)
         .unionByName(mi)
         .unionByName(ps)
+        .unionByName(pcc)
     )
 
 
@@ -3211,6 +3236,19 @@ def _q25_gain_sql() -> str:
 _Q25_GAIN_SQL = _q25_gain_sql()
 
 
+def _q25_pctc_sql() -> str:
+    from stepist_spark.operators.anomaly import grouped_percentile_cont_sql
+
+    return grouped_percentile_cont_sql(
+        "SELECT l_returnflag, l_quantity FROM lineitem",
+        ["l_returnflag"],
+        "l_quantity",
+    )
+
+
+_Q25_PCTC_SQL = _q25_pctc_sql()
+
+
 def _q25_psi_sql() -> str:
     from stepist_spark.operators.regression import psi_drift_sql
 
@@ -3325,6 +3363,12 @@ UNION ALL
 SELECT 'mi', feature, mi, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(mi_scaled AS VARCHAR), n, n_values
 FROM ({_Q25_MI_SQL})
+UNION ALL
+SELECT 'pctc',
+       l_returnflag || ':' || CAST(q_num AS VARCHAR) || ':' || CAST(q_den AS VARCHAR),
+       value, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(v_scaled_num AS VARCHAR), n, CAST(NULL AS BIGINT)
+FROM ({_Q25_PCTC_SQL})
 """
 
 

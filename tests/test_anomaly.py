@@ -576,3 +576,55 @@ class TestInterarrivalBurstiness:
             [("solo", dt.datetime(2024, 1, 1), 1)], "g string, ts timestamp, id bigint"
         )
         assert interarrival_burstiness(df, ["g"], "ts", "id").count() == 0
+
+
+class TestPercentileCont:
+    def test_matches_numpy_linear(self, spark):
+        import numpy as np
+
+        from stepist_spark.operators.anomaly import grouped_percentile_cont
+
+        vals = [3.0, 1.0, 4.0, 1.5, 5.0, 9.0, 2.5, 6.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        out = {
+            (r["q_num"], r["q_den"]): r
+            for r in grouped_percentile_cont(df, ["g"], "v").collect()
+        }
+        for (a, b) in ((1, 4), (1, 2), (19, 20)):
+            want = float(np.percentile(vals, 100 * a / b, method="linear"))
+            assert abs(out[(a, b)]["value"] - want) < 1e-6, (a, b)
+            assert out[(a, b)]["n"] == len(vals)
+
+    def test_single_row_and_exact_hit(self, spark):
+        from stepist_spark.operators.anomaly import grouped_percentile_cont
+
+        df = spark.createDataFrame([("g", 7.0)], "g string, v double")
+        out = grouped_percentile_cont(df, ["g"], "v", [(1, 2)]).collect()
+        assert out[0]["value"] == 7.0
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.anomaly import (
+            grouped_percentile_cont,
+            grouped_percentile_cont_sql,
+        )
+
+        import random
+
+        rng = random.Random(2)
+        rows = [(f"g{i % 3}", round(rng.uniform(0, 99), 2)) for i in range(300)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        p = str(tmp_path / "t.parquet")
+        df.write.parquet(p)
+        got = sorted(tuple(r) for r in grouped_percentile_cont(df, ["g"], "v").collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                grouped_percentile_cont_sql(
+                    f"SELECT * FROM '{p}/*.parquet'", ["g"], "v"
+                )
+            ).fetchall()
+        )
+        assert got == want
