@@ -29,12 +29,21 @@ def compare(name, sdf, con, sql):
     du = con.execute(sql).df()
     sp = sp[sorted(sp.columns)]
     du = du[sorted(du.columns)]
-    # harmonize datetime resolutions (Spark->ns, DuckDB->us): with
-    # check_exact assert_frame_equal compares raw int64 representations
+    # harmonize datetime representations: Spark DATE -> object of
+    # datetime.date while DuckDB DATE -> datetime64[us]; and ns-vs-us
+    # resolutions compare raw int64 under check_exact
+    import datetime as _dt
+
+    import pandas as _pd
+
     for frame in (sp, du):
         for c in frame.columns:
             if str(frame[c].dtype).startswith("datetime64"):
                 frame[c] = frame[c].astype("datetime64[us]")
+            elif frame[c].dtype == object:
+                nn = frame[c].dropna()
+                if len(nn) and isinstance(nn.iloc[0], (_dt.date, _dt.datetime)):
+                    frame[c] = _pd.to_datetime(frame[c]).astype("datetime64[us]")
     sp = sp.sort_values(list(sp.columns)).reset_index(drop=True)
     du = du.sort_values(list(du.columns)).reset_index(drop=True)
     ok_rows = len(sp) == len(du)

@@ -1623,6 +1623,53 @@ def q13_scalar_string_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("month_start").alias("dt2"),
         F.col("month_end").alias("dt3"),
     )
+    # array higher-order-function suite ('array' part): the list
+    # surface a pipeline uses constantly — transform/filter/aggregate
+    # fold/sort/distinct/slice all JVM-side (no UDF), mirrored by
+    # DuckDB's list lambdas
+    words = F.split(F.col("p_name"), " ")
+    arr = load_table(spark, sf, "part").select(
+        F.lit("array").alias("part"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.array_join(F.array_sort(words), ",").alias("s1"),
+        F.array_join(
+            F.transform(words, lambda x: F.concat_ws(":", x, F.length(x).cast("string"))),
+            ",",
+        ).alias("s2"),
+        F.array_join(F.slice(F.array_sort(words), 1, 2), ",").alias("s3"),
+        F.array_join(F.reverse(F.array_sort(words)), ",").alias("s4"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("n1"),
+        F.size(F.filter(words, lambda x: F.length(x) > 4)).cast("bigint").alias("n2"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
+    # regex scalar suite ('regex' part): extraction/replacement/match
+    # counting with character-class patterns that parse identically in
+    # Java regex and RE2
+    rx = load_table(spark, sf, "part").select(
+        F.lit("regex").alias("part"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.regexp_extract(F.col("p_type"), "^([A-Z]+)", 1).alias("s1"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("s2"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("s3"),
+        F.lit(None).cast("string").alias("s4"),
+        F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("date").alias("dt1"),
+        F.lit(None).cast("date").alias("dt2"),
+        F.lit(None).cast("date").alias("dt3"),
+    )
     sa = q27_string_agg(spark, sf).select(
         F.lit("stragg").alias("part"),
         F.col("r_name").alias("k1"),
@@ -1726,7 +1773,9 @@ def q13_scalar_string_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("date").alias("dt3"),
     )
     return (
-        sc.unionByName(sa)
+        sc.unionByName(arr)
+        .unionByName(rx)
+        .unionByName(sa)
         .unionByName(pr)
         .unionByName(ex)
         .unionByName(bf)
@@ -1787,6 +1836,31 @@ SELECT 'scalar' AS part, CAST(p_partkey AS VARCHAR) AS k1,
        marked_up AS d1, price_sqrt AS d2,
        ship_by AS dt1, month_start AS dt2, month_end AS dt3
 FROM ({Q13_SQL})
+UNION ALL
+SELECT 'array', CAST(p_partkey AS VARCHAR),
+       array_to_string(list_sort(string_split(p_name, ' ')), ','),
+       array_to_string(list_transform(string_split(p_name, ' '),
+                                      x -> x || ':' || CAST(length(x) AS VARCHAR)), ','),
+       array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 2), ','),
+       array_to_string(list_reverse(list_sort(string_split(p_name, ' '))), ','),
+       CAST(list_sum(list_transform(string_split(p_name, ' '), x -> length(x))) AS BIGINT),
+       CAST(len(list_filter(string_split(p_name, ' '), x -> length(x) > 4)) AS BIGINT),
+       CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM part
+UNION ALL
+SELECT 'regex', CAST(p_partkey AS VARCHAR),
+       regexp_extract(p_type, '^([A-Z]+)', 1),
+       regexp_replace(p_name, '[aeiou]', '_', 'g'),
+       regexp_extract(p_brand, '([0-9]+)', 1),
+       CAST(NULL AS VARCHAR),
+       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE)
+FROM part
 UNION ALL
 SELECT 'stragg', r_name, nations, NULL, NULL, NULL,
        CAST(n_nations AS BIGINT), NULL, NULL, NULL,
