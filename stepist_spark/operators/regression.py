@@ -484,11 +484,43 @@ FROM te_c CROSS JOIN te_t
 """
 
 
+def feature_cells(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """Shared (feature, value, label) cell-count frame: ONE stack melt
+    + ONE hash aggregate feeding BOTH :func:`split_gain` and
+    :func:`mutual_information` — at 100 TB the melt over the fact
+    table is the dominant cost and this halves it when a pipeline
+    wants both rankings. Output: ``feature, value, _y, cxy``."""
+    feats = list(feature_cols)
+    lab = F.col(label_col).cast("boolean").cast("int")
+    stack_expr = "stack({n}, {args}) AS (feature, value)".format(
+        n=len(feats),
+        args=", ".join(f"'{f}', CAST({f} AS STRING)" for f in feats),
+    )
+    melted = df.select(lab.alias("_y"), *feats).selectExpr("_y", stack_expr)
+    return melted.groupBy("feature", "value", "_y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cxy")
+    )
+
+
+def split_gain_cells(cells: DataFrame) -> DataFrame:
+    """Collapse a :func:`feature_cells` frame to the per-(feature,
+    value) (nk, c1k) shape split_gain consumes."""
+    return cells.groupBy("feature", "value").agg(
+        F.sum("cxy").cast("decimal(38,0)").alias("nk"),
+        F.sum(F.col("cxy") * F.col("_y")).cast("decimal(38,0)").alias("c1k"),
+    )
+
+
 def split_gain(
     df: DataFrame,
     label_col: str,
     feature_cols: Sequence[str],
     scale: int = 10**6,
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """Gini-impurity decrease of a single split on each candidate
     categorical feature against a boolean label — the decision-stump
@@ -510,16 +542,10 @@ def split_gain(
     Output per feature: ``feature, n, n_values, parent_gini_scaled,
     gain_scaled, gain`` (gain = gain_scaled/scale, one division).
     """
-    feats = list(feature_cols)
-    lab = F.col(label_col).cast("boolean").cast("int")
-    stack_expr = "stack({n}, {args}) AS (feature, value)".format(
-        n=len(feats),
-        args=", ".join(f"'{f}', CAST({f} AS STRING)" for f in feats),
-    )
-    melted = df.select(lab.alias("_y"), *feats).selectExpr("_y", stack_expr)
-    cells = melted.groupBy("feature", "value").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("nk"),
-        F.sum("_y").cast("decimal(38,0)").alias("c1k"),
+    cells = split_gain_cells(
+        cells_df
+        if cells_df is not None
+        else feature_cells(df, label_col, feature_cols)
     )
     from pyspark.sql import Window
 
@@ -808,6 +834,7 @@ def mutual_information(
     label_col: str,
     feature_cols: Sequence[str],
     scale: int = 10**6,
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual information I(feature; label) per candidate categorical
     feature against a boolean label — the information-theoretic twin
@@ -830,15 +857,10 @@ def mutual_information(
     """
     from pyspark.sql import Window
 
-    feats = list(feature_cols)
-    lab = F.col(label_col).cast("boolean").cast("int")
-    stack_expr = "stack({n}, {args}) AS (feature, value)".format(
-        n=len(feats),
-        args=", ".join(f"'{f}', CAST({f} AS STRING)" for f in feats),
-    )
-    melted = df.select(lab.alias("_y"), *feats).selectExpr("_y", stack_expr)
-    cells = melted.groupBy("feature", "value", "_y").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("cxy")
+    cells = (
+        cells_df
+        if cells_df is not None
+        else feature_cells(df, label_col, feature_cols)
     )
     wf = Window.partitionBy("feature")
     wx = Window.partitionBy("feature", "value")

@@ -3054,18 +3054,27 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # regression.py): Gini-impurity decrease of purchase-vs-rest on
     # the user-segment and hour-of-day features — exact integer DIV
     # cell arithmetic, one melt + one hash aggregate
-    from stepist_spark.operators.regression import split_gain
+    from stepist_spark.operators.regression import (
+        feature_cells,
+        mutual_information,
+        split_gain,
+    )
 
     ev_feat = load_table(spark, sf, "events").select(
         (F.col("event_type") == "purchase").alias("is_purchase"),
         (F.col("user_id") % 4).cast("string").alias("seg"),
         F.expr("hour(ts) div 6").cast("string").alias("hq"),
     )
-    # mutual information rides the SAME feature frame — the
-    # information-theoretic twin ranking (operators/regression.py)
-    from stepist_spark.operators.regression import mutual_information
+    # mutual information rides the SAME feature frame — and both
+    # rankings consume ONE shared (feature, value, label) cell-count
+    # aggregate: the identical melt+agg child in the two branches
+    # collapses to a single scan/shuffle via ReusedExchange, halving
+    # the fact-table melt cost at 100 TB
+    ev_cells = feature_cells(ev_feat, "is_purchase", ["seg", "hq"])
 
-    mi = mutual_information(ev_feat, "is_purchase", ["seg", "hq"]).select(
+    mi = mutual_information(
+        ev_feat, "is_purchase", ["seg", "hq"], cells_df=ev_cells
+    ).select(
         F.lit("mi").alias("part"),
         F.col("feature").alias("k1"),
         F.col("mi").alias("d1"),
@@ -3076,7 +3085,9 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n1"),
         F.col("n_values").alias("n2"),
     )
-    sg = split_gain(ev_feat, "is_purchase", ["seg", "hq"]).select(
+    sg = split_gain(
+        ev_feat, "is_purchase", ["seg", "hq"], cells_df=ev_cells
+    ).select(
         F.lit("gain").alias("part"),
         F.col("feature").alias("k1"),
         F.col("gain").alias("d1"),
