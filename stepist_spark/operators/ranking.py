@@ -316,3 +316,88 @@ SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(min(start) AS BIGINT) AS first_pos
 FROM _hits WHERE _k = m GROUP BY phrase, doc_id
 """
+
+
+RRF_SCALE = 1_000_000_000  # fixed-point scale for RRF contributions
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    c: int = 60,
+    k: int = 10,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack & Clarke,
+    SIGIR'09 — the standard hybrid-retrieval combiner, e.g. BM25 ⊕
+    embedding-cosine): ``rrf(d) = Σ_systems 1/(c + rank_s(d))``,
+    summed over the systems that returned ``d``.
+
+    Each input frame must carry ``query_id, doc_id, rank`` (1-based
+    within its system). A document absent from a system's list simply
+    contributes nothing for that system — no outer join needed.
+
+    Exactness: each contribution is the INTEGER ``scale DIV (c +
+    rank)`` (both engines truncate non-negative integer division
+    identically), so the fused score is an order-free bigint sum —
+    hash-certifiable cross-engine, the classifier/BM25 fixed-point
+    discipline.
+
+    Scale shape: the inputs are already top-k lists (|queries|·k rows
+    per system — tiny relative to the corpora they were computed
+    from), so fusion is one union + one hash aggregate + one
+    per-query window over a few-hundred-row-per-query frame. The
+    expensive work (index probe, ANN scan) stays in the upstream
+    systems; RRF itself never touches the corpus.
+
+    Output: ``query_id, doc_id, fused_rank, rrf_scaled, n_systems``
+    (fused_rank deterministic via (rrf_scaled desc, doc_id asc)).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    contrib = F.expr(f"CAST({scale} AS BIGINT) DIV (CAST({c} AS BIGINT) + rank)")
+    agg = u.groupBy("query_id", "doc_id").agg(
+        F.sum(contrib).cast("bigint").alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "doc_id", "fused_rank", "rrf_scaled", "n_systems")
+    )
+
+
+def rrf_fuse_sql(
+    ranking_sqls: "list[str]",
+    c: int = 60,
+    k: int = 10,
+    scale: int = RRF_SCALE,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`. Each SQL must yield
+    ``(query_id, doc_id, rank)``; DuckDB's ``//`` truncates toward
+    zero on non-negative operands exactly like Spark's ``DIV``."""
+    union = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, rank FROM ({s})" for s in ranking_sqls
+    )
+    return f"""
+WITH _rrf_u AS ({union}),
+_rrf_s AS (
+    SELECT query_id, doc_id,
+           CAST(sum(CAST({scale} AS BIGINT) // (CAST({c} AS BIGINT) + rank)) AS BIGINT)
+               AS rrf_scaled,
+           CAST(count(*) AS BIGINT) AS n_systems
+    FROM _rrf_u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, fused_rank, rrf_scaled, n_systems FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM _rrf_s
+) WHERE fused_rank <= {k}
+"""

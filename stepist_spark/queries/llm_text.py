@@ -719,10 +719,11 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, 6)).alias("query_text"),
     )
-    bm = ranking.bm25_topk(
+    bm_raw = ranking.bm25_topk(
         docs.select("doc_id", "text"), queries, k=5, max_df_ratio=1.0,
         postings=postings,
-    ).select(
+    )
+    bm = bm_raw.select(
         F.lit("bm25").alias("part"),
         F.lit(None).cast("string").alias("tok"),
         F.col("query_id").cast("bigint").alias("qid"),
@@ -781,7 +782,48 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.lit(None).cast("bigint").alias("score_scaled"),
     )
-    return vocab.unionByName(bm).unionByName(kl).unionByName(pmi).unionByName(ph)
+    # hybrid retrieval via reciprocal-rank fusion (operators/
+    # ranking.py): the lexical BM25 list fuses with an embedding-
+    # cosine list over the SAME query ids (vec_id ↔ doc_id) — the
+    # standard sparse⊕dense combiner; fusion itself touches only the
+    # two top-k lists, never the corpora
+    from pyspark.sql import Window as _W
+
+    from stepist_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    cos_raw = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), "vec_id", "embedding", k=5
+    )
+    cos_ranked = cos_raw.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            _W.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+            )
+        )
+        .cast("bigint"),
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = ranking.rrf_fuse(
+        [bm_raw.select("query_id", "doc_id", "rank"), cos_ranked], c=60, k=8
+    ).select(
+        F.lit("rrf").alias("part"),
+        F.lit(None).cast("string").alias("tok"),
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("fused_rank").alias("rank"),
+        F.col("n_systems").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("rrf_scaled").alias("score_scaled"),
+    )
+    return (
+        vocab.unionByName(bm)
+        .unionByName(kl)
+        .unionByName(pmi)
+        .unionByName(ph)
+        .unionByName(fused)
+    )
 
 
 _T16_VOCAB_SQL = f"""
@@ -824,10 +866,30 @@ def _t16_phrase_sql() -> str:
 
 
 def _t16_sql() -> str:
+    from stepist_spark.functions import vectors as V
     from stepist_spark.operators import ranking
 
     bm25 = ranking.bm25_topk_sql(
         "(SELECT doc_id, text FROM documents)", _T16_QUERIES_SQL, k=5, max_df_ratio=1.0
+    )
+    cos_rank_sql = f"""
+WITH _e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_q AS (SELECT vec_id, v FROM _e WHERE vec_id % 50 = 0),
+_scored AS (
+    SELECT _q.vec_id AS query_id, _c.vec_id AS doc_id,
+           round({V.cosine_sql('_q.v', '_c.v')}, 6) AS cos_sim
+    FROM _q, _e _c WHERE _q.vec_id <> _c.vec_id
+)
+SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rn
+    FROM _scored
+) WHERE rn <= 5
+"""
+    rrf = ranking.rrf_fuse_sql(
+        [f"SELECT query_id, doc_id, rank FROM ({bm25})", cos_rank_sql],
+        c=60,
+        k=8,
     )
     return f"""
 SELECT 'vocab' AS part, tok, CAST(NULL AS BIGINT) AS qid,
@@ -850,6 +912,10 @@ UNION ALL
 SELECT 'phrase', phrase, CAST(NULL AS BIGINT), doc_id, first_pos,
        n_occurrences, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({_t16_phrase_sql()})
+UNION ALL
+SELECT 'rrf', CAST(NULL AS VARCHAR), query_id, doc_id, fused_rank,
+       n_systems, CAST(NULL AS BIGINT), rrf_scaled
+FROM ({rrf})
 """
 
 
@@ -1987,7 +2053,7 @@ QUERIES = [
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash split + target-mixture resample"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
-    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable)"),
+    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),

@@ -187,3 +187,69 @@ class TestPhraseOccurrences:
             ).fetchall()
         )
         assert got == want
+
+
+class TestRrfFuse:
+    """Reciprocal-rank fusion: hand-computed contributions, single-
+    system membership, determinism, and the DuckDB mirror."""
+
+    def _lists(self, spark):
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id bigint, doc_id bigint, rank bigint",
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+            "query_id bigint, doc_id bigint, rank bigint",
+        )
+        return a, b
+
+    def test_hand_computed_scores(self, spark):
+        from stepist_spark.operators.ranking import RRF_SCALE, rrf_fuse
+
+        a, b = self._lists(spark)
+        got = {
+            r["doc_id"]: (r["rrf_scaled"], r["n_systems"], r["fused_rank"])
+            for r in rrf_fuse([a, b], c=60, k=10).collect()
+        }
+        s = RRF_SCALE
+        # doc 10: rank 1 in a + rank 3 in b; doc 11: 2 + 1; 12: a only; 13: b only
+        exp = {
+            10: s // 61 + s // 63,
+            11: s // 62 + s // 61,
+            12: s // 63,
+            13: s // 62,
+        }
+        assert {d: v[0] for d, v in got.items()} == exp
+        assert got[10][1] == 2 and got[12][1] == 1
+        # 11 beats 10 (1/62+1/61 > 1/61+1/63); 13 (rank 2) beats 12 (rank 3)
+        order = sorted(got, key=lambda d: got[d][2])
+        assert order == [11, 10, 13, 12]
+
+    def test_k_cut_and_tiebreak(self, spark):
+        from stepist_spark.operators.ranking import rrf_fuse
+
+        # two docs with identical rank profiles tie on score -> doc_id asc
+        a = spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 1)],
+            "query_id bigint, doc_id bigint, rank bigint",
+        )
+        rows = rrf_fuse([a], c=60, k=1).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 20
+
+    def test_duckdb_mirror(self, spark):
+        from stepist_spark.operators.ranking import rrf_fuse, rrf_fuse_sql
+
+        a, b = self._lists(spark)
+        got = sorted(
+            (r["query_id"], r["doc_id"], r["fused_rank"], r["rrf_scaled"], r["n_systems"])
+            for r in rrf_fuse([a, b], c=60, k=10).collect()
+        )
+        con = duckdb.connect()
+        sql_a = "SELECT * FROM (VALUES (1, 10, 1), (1, 11, 2), (1, 12, 3)) t(query_id, doc_id, rank)"
+        sql_b = "SELECT * FROM (VALUES (1, 11, 1), (1, 13, 2), (1, 10, 3)) t(query_id, doc_id, rank)"
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(rrf_fuse_sql([sql_a, sql_b], c=60, k=10)).fetchall()
+        )
+        assert got == exp
