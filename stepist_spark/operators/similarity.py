@@ -927,3 +927,156 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             ),
         )
     )
+
+
+JL_SCALE = 1_000_000  # fixed-point quantization for JL projections
+
+
+def jl_sign_matrix(out_dims: int, in_dims: int, seed: str = "jl") -> "list[list[int]]":
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
+    2003: dense Rademacher entries preserve pairwise distances with
+    the JL guarantee). Derived driver-side from md5 so BOTH engines
+    receive the SAME matrix as literals — the projection is
+    data-independent, so at 100 TB the matrix is computed once (k×d
+    ints, kilobytes) and inlined into the plan; rows never pay a
+    per-element hash."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[-1] in "02468ace"
+            else -1
+            for i in range(1, in_dims + 1)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def signed_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 16,
+    in_dims: int = 64,
+    seed: str = "jl",
+    scale: int = JL_SCALE,
+) -> DataFrame:
+    """Project ``in_dims``-float vectors to ``out_dims`` exact-bigint
+    coordinates: ``proj_j = Σ_i sign_ji · round(x_i·scale)``. Each
+    coordinate is one JVM ``zip_with`` against a literal sign array +
+    one fold — all codegen, no UDF, no shuffle; the quantization makes
+    every downstream comparison an exact integer decision (the
+    LSH/PQ fixed-point discipline).
+
+    Output: ``(id_col, proj array<bigint>)``.
+    """
+    signs = jl_sign_matrix(out_dims, in_dims, seed)
+    q = f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+    projs = [
+        "aggregate(zip_with({v}, array({arr}), (x, s) -> s * {q}), "
+        "CAST(0 AS BIGINT), (a, p) -> a + p)".format(
+            v=vec_col, arr=", ".join(f"{s}L" for s in row), q=q
+        )
+        for row in signs
+    ]
+    return df.select(
+        F.col(id_col), F.expr("array(" + ", ".join(projs) + ")").alias("proj")
+    )
+
+
+def jl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    out_dims: int = 16,
+    in_dims: int = 64,
+    seed: str = "jl",
+    scale: int = JL_SCALE,
+) -> DataFrame:
+    """Top-k by EXACT integer dot product in JL-projected space — the
+    data-independent coarse pass of a two-stage funnel (project 64→16
+    floats to bigints = 4× fewer bytes per comparison; compose with a
+    full-dim rerank of the survivors). Unlike ``truncated_topk`` (MRL,
+    needs a trained importance-ordered embedding), JL works on ANY
+    embedding.
+
+    Queries are broadcast (small), the corpus streams once; scoring is
+    a codegen'd bigint fold, deterministic everywhere, so the result
+    hash-certifies cross-engine with no float discipline needed.
+
+    Output: ``query_id, neighbor_id, rank, dot_scaled`` (tiebreak
+    (dot desc, neighbor_id asc); dot_scaled is the raw integer dot of
+    the two projected vectors, ~scale² units).
+    """
+    pq = signed_projection(queries, id_col, vec_col, out_dims, in_dims, seed, scale)
+    pc = signed_projection(corpus, id_col, vec_col, out_dims, in_dims, seed, scale)
+    pairs = pc.select(
+        F.col(id_col).alias("neighbor_id"), F.col("proj").alias("cp")
+    ).crossJoin(
+        F.broadcast(
+            pq.select(F.col(id_col).alias("query_id"), F.col("proj").alias("qp"))
+        )
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.expr(
+        "aggregate(zip_with(qp, cp, (a, b) -> a * b), CAST(0 AS BIGINT), (s, p) -> s + p)"
+    )
+    scored = pairs.select("query_id", "neighbor_id", dot.alias("dot_scaled"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_scaled")
+    )
+
+
+def _jl_proj_sql(
+    vec: str, out_dims: int, in_dims: int, seed: str, scale: int
+) -> str:
+    """DuckDB list expression mirroring :func:`signed_projection` for
+    one vector column (1-based lambda index)."""
+    signs = jl_sign_matrix(out_dims, in_dims, seed)
+    q = f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+    projs = [
+        "CAST(list_sum(list_transform({v}, (x, i) -> "
+        "(LIST_VALUE({arr}))[i] * {q})) AS BIGINT)".format(
+            v=vec, arr=", ".join(str(s) for s in row), q=q
+        )
+        for row in signs
+    ]
+    return "LIST_VALUE(" + ", ".join(projs) + ")"
+
+
+def jl_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 8",
+    k: int = 5,
+    out_dims: int = 16,
+    in_dims: int = 64,
+    seed: str = "jl",
+    scale: int = JL_SCALE,
+) -> str:
+    """DuckDB mirror of :func:`jl_topk` (same literal sign matrix,
+    same integer arithmetic)."""
+    proj = _jl_proj_sql(vec_col, out_dims, in_dims, seed, scale)
+    return f"""
+WITH _jl AS (SELECT {id_col} AS _id, {proj} AS proj FROM {table}),
+_jq AS (SELECT _id, proj FROM _jl WHERE {query_pred.replace(id_col, '_id')}),
+_jp AS (
+    SELECT q._id AS query_id, c._id AS neighbor_id,
+           CAST(list_sum(list_transform(q.proj, (a, i) -> a * c.proj[i])) AS BIGINT)
+               AS dot_scaled
+    FROM _jq q, _jl c WHERE q._id <> c._id
+)
+SELECT query_id, neighbor_id, rank, dot_scaled FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id) AS BIGINT) AS rank
+    FROM _jp
+) WHERE rank <= {k}
+"""

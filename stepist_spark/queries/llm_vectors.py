@@ -48,11 +48,25 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     mrl = similarity.truncated_topk(
         emb, anchors, "vec_id", "embedding", k=K, dims=16
     ).withColumn("part", F.lit("mrl"))
+    # Johnson-Lindenstrauss signed projection 64→16: the data-
+    # INDEPENDENT coarse pass (works on any embedding, unlike MRL's
+    # trained ordering) — exact integer dot products in projected
+    # space, dot packed into xk, no float discipline needed
+    jl = similarity.jl_topk(
+        emb, anchors, "vec_id", "embedding", k=K, out_dims=16, in_dims=64
+    ).select(
+        F.lit("jl").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.col("dot_scaled").alias("xk"),
+    )
     return (
         exact.select("part", "query_id", "neighbor_id", "cos_sim", no_xk)
         .unionByName(lsh.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
         .unionByName(hn)
         .unionByName(mrl.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
+        .unionByName(jl)
     )
 
 
@@ -202,6 +216,9 @@ SELECT 'hardneg', query_id, neighbor_id, cos_sim, xk FROM ({V01HN_SQL})
 UNION ALL
 SELECT 'mrl', query_id, neighbor_id, cos_sim, CAST(NULL AS BIGINT)
 FROM ({V01MRL_SQL})
+UNION ALL
+SELECT 'jl', query_id, neighbor_id, CAST(NULL AS DOUBLE), dot_scaled
+FROM ({similarity.jl_topk_sql(query_pred=f"vec_id < {N_QUERY}", k=K)})
 """
 
 
@@ -597,7 +614,7 @@ FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
 # v02 bucket-assignment entry is subsumed by v03/v04, whose oracles
 # recompute every band signature.
 QUERIES = [
-    QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact + banded-LSH cosine top-k, tag-unioned"),
+    QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact + banded-LSH + hard-negatives + MRL + JL-projected cosine/dot top-k, tag-unioned"),
     QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dup pairs"),
     QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
     QuerySpec("v06_label_centroids", v06_label_centroids, V06_SQL, "per-label centroid vectors (fixed-point exact)"),

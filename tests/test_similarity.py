@@ -394,3 +394,83 @@ class TestEmbeddingNormStats:
         assert got[0]["norm_sum_scaled"] == 5_000_000 + 1_000_000
         assert got[0]["mean_norm"] == 3.0
         assert got[1]["norm_sum_scaled"] == 0 and got[1]["mean_norm"] == 0.0
+
+
+class TestJLProjection:
+    """JL signed random projection: numpy matmul parity, linearity of
+    the sign matrix derivation, and the exact-integer top-k."""
+
+    def test_projection_matches_numpy(self, spark, emb):
+        import numpy as np
+
+        from stepist_spark.operators.similarity import (
+            JL_SCALE,
+            jl_sign_matrix,
+            signed_projection,
+        )
+
+        rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.filter("vec_id < 6").collect()}
+        got = {r["vec_id"]: list(r["proj"])
+               for r in signed_projection(
+                   emb.filter("vec_id < 6"), out_dims=8, in_dims=64
+               ).collect()}
+        S = np.array(jl_sign_matrix(8, 64))
+        for vid, v in rows.items():
+            exp = (S @ np.round(v * JL_SCALE)).astype("int64").tolist()
+            assert got[vid] == exp, vid
+
+    def test_sign_matrix_deterministic_and_balanced(self):
+        from stepist_spark.operators.similarity import jl_sign_matrix
+
+        a = jl_sign_matrix(16, 64)
+        b = jl_sign_matrix(16, 64)
+        assert a == b
+        flat = [s for row in a for s in row]
+        assert set(flat) == {-1, 1}
+        # md5 hex digits are uniform: the balance should be well within
+        # 4 sigma of half (|Σ| <= 4·sqrt(n))
+        assert abs(sum(flat)) <= 4 * int(len(flat) ** 0.5) + 1
+
+    def test_topk_matches_numpy_bruteforce(self, spark, emb, queries):
+        import numpy as np
+
+        from stepist_spark.operators.similarity import (
+            JL_SCALE,
+            jl_sign_matrix,
+            jl_topk,
+        )
+
+        rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        S = np.array(jl_sign_matrix(16, 64))
+        proj = {i: S @ np.round(v * JL_SCALE) for i, v in rows.items()}
+        got = {}
+        for r in jl_topk(emb, queries, k=3).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["dot_scaled"])
+            )
+        for qid in got:
+            dots = sorted(
+                ((int(proj[qid] @ p), -i) for i, p in proj.items() if i != qid),
+                reverse=True,
+            )[:3]
+            exp = [(rk + 1, -ni, d) for rk, (d, ni) in enumerate(dots)]
+            assert sorted(got[qid]) == exp, qid
+
+    def test_duckdb_mirror(self, spark, emb):
+        import duckdb
+
+        from stepist_spark.operators.similarity import jl_topk, jl_topk_sql
+
+        got = sorted(tuple(r) for r in jl_topk(
+            emb, emb.filter("vec_id < 4"), k=3, out_dims=8
+        ).collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+        )
+        exp = sorted(tuple(r) for r in con.execute(
+            jl_topk_sql(query_pred="vec_id < 4", k=3, out_dims=8)
+        ).fetchall())
+        assert got == exp
