@@ -594,3 +594,20 @@ def flesch_reading_ease_sql(expr: str) -> str:
         f"CASE WHEN {w} > 0 AND {s} > 0 THEN "
         f"206.835 - 1.015 * ({w} / {s}) - 84.6 * ({sy} / {w}) END"
     )
+
+
+def canonical_text(text: Column) -> Column:
+    """Canonical form for normalization-robust dedup (the
+    RefinedWeb/C4 'normalized hash' discipline): lowercase, every run
+    of non-alphanumerics collapses to ONE space, trimmed. A document
+    re-encoded with different casing, punctuation or whitespace maps
+    to the same canonical string while genuinely different content
+    does not. One JVM lower + one global regexp_replace — codegen,
+    no UDF; the character class is spelled explicitly ([^a-z0-9]+)
+    so Java and RE2 regex agree byte-for-byte."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def canonical_text_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`canonical_text`."""
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"

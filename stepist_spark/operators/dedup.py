@@ -742,3 +742,24 @@ def cut_duplicate_spans(
         F.size(kept).alias("n_tokens_kept"),
         (F.size("_raw") - F.size(kept)).alias("n_tokens_cut"),
     )
+
+
+def canonical_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of documents identical AFTER canonicalization
+    (``functions.text.canonical_text``: lowercase, punctuation and
+    whitespace runs collapsed) — catches the re-encoded copies
+    byte-exact dedup misses (casing flips, reflowed whitespace,
+    punctuation variants). Same one-shuffle shape as
+    :func:`exact_dup_groups`: canonical md5 → hash aggregate.
+    Output: ``content_hash, n_dups, canonical_id`` for groups with
+    >1 member."""
+    from stepist_spark.functions.text import canonical_text
+
+    hashed = df.select(
+        F.md5(canonical_text(F.col(text_col))).alias("content_hash"), F.col(id_col)
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )

@@ -107,13 +107,40 @@ _CAND_JOIN_SQL = (
 # --------------------------------------------------------------------------
 # t01 — exact duplicate groups (hash-groupBy dedup)
 def t01_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_dup_groups(_docs_with_exact_dups(spark, sf), "doc_id", "text")
+    from stepist_spark.session import spread
+
+    exact = dedup.exact_dup_groups(
+        _docs_with_exact_dups(spark, sf), "doc_id", "text"
+    ).select(F.lit("exact").alias("part"), "content_hash", "n_dups", "canonical_id")
+    # 'canon' — normalization-robust dedup (round 6): the corpus plants
+    # re-ENCODED copies (upper-cased, padded with extra whitespace) that
+    # byte-exact md5 provably misses; canonical_dup_groups must still
+    # group them with their originals
+    docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text")
+    reencoded = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")).alias("text"),
+    )
+    canon = dedup.canonical_dup_groups(
+        docs.unionByName(reencoded), "doc_id", "text"
+    ).select(F.lit("canon").alias("part"), "content_hash", "n_dups", "canonical_id")
+    return exact.unionByName(canon)
 
 
 T01_SQL = f"""
-WITH corpus AS ({EXACT_DUP_CORPUS_SQL})
-SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+WITH corpus AS ({EXACT_DUP_CORPUS_SQL}),
+canon_corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 4000000 AS doc_id, '  ' || upper(text) || ' ' AS text
+    FROM documents WHERE doc_id % 40 = 0
+)
+SELECT 'exact' AS part, md5(text) AS content_hash, count(*) AS n_dups,
+       min(doc_id) AS canonical_id
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+UNION ALL
+SELECT 'canon', md5({TX.canonical_text_sql('text')}), count(*), min(doc_id)
+FROM canon_corpus GROUP BY md5({TX.canonical_text_sql('text')}) HAVING count(*) > 1
 """
 
 
@@ -2043,7 +2070,7 @@ T25_SQL = _t25_sql()
 # t14→t13, t17→t15. Round 3 adds t21–t25 over the formerly ungated
 # round-2 operators.
 QUERIES = [
-    QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup: md5 hash-groupBy"),
+    QuerySpec("t01_exact_dup_groups", t01_exact_dup_groups, T01_SQL, "exact dedup (md5 hash-groupBy) + canonical-hash normalized dedup"),
     QuerySpec("t03_doc_profile", t03_doc_profile, T03_SQL, "per-doc token/quality/lang-ID/subword profile"),
     # t04_quality_by_source has no row of its own: w01_sink_roundtrip
     # (queries/composite.py) runs the same query THROUGH the parquet

@@ -305,3 +305,63 @@ class TestReadability:
         df = spark.createDataFrame([("tsk pfft 123",)], "text string")
         [r] = df.select(syllable_count(F.col("text")).alias("sy")).collect()
         assert r["sy"] == 3
+
+
+class TestCanonicalDedup:
+    """Normalization-robust dedup: canonical_text collapses encoding
+    variance, canonical_dup_groups catches what byte-exact misses."""
+
+    def test_canonical_text_collapses_variants(self, spark):
+        from stepist_spark.functions.text import canonical_text
+
+        rows = spark.createDataFrame(
+            [
+                ("Hello,   World!",),
+                ("  hello world  ",),
+                ("HELLO--world",),
+                ("hello worlds",),
+            ],
+            "text string",
+        ).select(canonical_text(F.col("text")).alias("c")).collect()
+        assert [r["c"] for r in rows[:3]] == ["hello world"] * 3
+        assert rows[3]["c"] == "hello worlds"
+
+    def test_groups_reencoded_copies_exact_misses(self, spark):
+        from stepist_spark.operators.dedup import (
+            canonical_dup_groups,
+            exact_dup_groups,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "The cat sat."),
+                (2, "the CAT   sat"),
+                (3, "a different doc"),
+            ],
+            "doc_id bigint, text string",
+        )
+        assert exact_dup_groups(df, "doc_id", "text").count() == 0
+        got = canonical_dup_groups(df, "doc_id", "text").collect()
+        assert len(got) == 1
+        assert got[0]["n_dups"] == 2 and got[0]["canonical_id"] == 1
+
+    def test_sql_mirror(self, spark):
+        import duckdb
+
+        from stepist_spark.functions.text import canonical_text, canonical_text_sql
+
+        texts = ["Mixed CASE & punct...", "  spaces\teverywhere \n", "123-456"]
+        got = [
+            r["c"]
+            for r in spark.createDataFrame([(t,) for t in texts], "text string")
+            .select(canonical_text(F.col("text")).alias("c"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        exp = [
+            con.execute(
+                "SELECT " + canonical_text_sql("$1"), [t]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == exp
