@@ -505,7 +505,47 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
         F.col("window_start").cast(ntz).alias("window_start"),
         F.col("window_end").cast(ntz).alias("window_end"),
     )
-    return hourly.unionByName(late)
+
+    # ---- 'enrich' part ------------------------------------------------------
+    # stream-static BROADCAST join (round 6): the canonical streaming
+    # enrichment — each micro-batch joins the small static dimension
+    # with no state store and no stream shuffle. Value-discriminating:
+    # the grouping key (market segment) is only reachable THROUGH the
+    # join, so a wrong/missing join cannot match the oracle.
+    dim = F.broadcast(
+        load_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    esrc = stream_events(spark, sf)
+    eagg = (
+        esrc.join(dim, "user_id")
+        .groupBy(
+            F.concat_ws("|", F.col("event_type"), F.col("c_mktsegment")).alias(
+                "type_seg"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    esink = f"s01_enrich_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 8):
+        q3 = (
+            eagg.writeStream.format("memory")
+            .queryName(esink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q3, 300)
+    enrich = spark.table(esink).select(
+        F.lit("enrich").alias("part"),
+        F.col("type_seg").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        F.lit(None).cast(ntz).alias("window_start"),
+        F.lit(None).cast(ntz).alias("window_end"),
+    )
+    return hourly.unionByName(late).unionByName(enrich)
 
 
 S01_SQL = """
@@ -529,6 +569,11 @@ HAVING ws + INTERVAL 1 HOUR <= (
     WHERE user_id % 4 = 1 AND ts::TIMESTAMP >= (
         SELECT min(ts)::TIMESTAMP + INTERVAL 24 HOUR
         FROM events WHERE user_id % 4 = 1))
+UNION ALL
+SELECT 'enrich', e.event_type || '|' || c.c_mktsegment, count(*),
+       round(sum(e.value), 2), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type || '|' || c.c_mktsegment
 """
 
 
@@ -1362,7 +1407,7 @@ QUERIES = [
     QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "queue wire-envelope JSON codec round-trip incl. _meta"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
     QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
-    QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end + watermark late-data drop"),
+    QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end + watermark late-data drop + stream-static broadcast enrichment"),
     QuerySpec("r01_reducer_barrier", r01_reducer_barrier, R01_SQL, "ReducerStep barrier + Arrow-batched reduce"),
     QuerySpec("c01_curation_pipeline", c01_curation_pipeline, C01_SQL, "dedup -> quality gate -> embedding join -> LSH bucket"),
     QuerySpec("c02_knn_label_vote", c02_knn_label_vote, C02_SQL, "kNN majority label vote over exact top-5"),

@@ -462,3 +462,37 @@ class TestS02EmptySubsetGuard:
         src.filter("user_id % 8 <> 0").write.parquet(f"{deg}/events.parquet")
         with _pytest.raises(ValueError, match="user_id % 8"):
             s02_sliding_window(spark, deg)
+
+
+class TestStreamStaticJoin:
+    """Stream-static broadcast enrichment (the s01 'enrich' part):
+    each micro-batch joins a small static dimension; the join itself
+    needs NO state store — only the downstream agg is stateful."""
+
+    def test_enrichment_matches_batch_and_is_broadcast(self, spark, tmp_path):
+        rows = [
+            {"k": 1, "v": 10},
+            {"k": 2, "v": 20},
+            {"k": 1, "v": 30},
+            {"k": 9, "v": 99},  # no dim match: inner join drops it
+        ]
+        d = tmp_path / "ssj"
+        d.mkdir()
+        (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+        stream = read_stream(spark, "json", str(d), schema="k LONG, v LONG")
+        dim = spark.createDataFrame([(1, "gold"), (2, "blue")], "k LONG, seg STRING")
+        joined = stream.join(F.broadcast(dim), "k")
+        agg = joined.groupBy("seg").agg(F.sum("v").alias("total"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_ssj")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        got = {(r["seg"], r["total"]) for r in spark.sql("SELECT * FROM t_ssj").collect()}
+        assert got == {("gold", 40), ("blue", 20)}
+        # the only stateful operator is the aggregation, not the join
+        prog = q.lastProgress
+        assert prog is not None and len(prog["stateOperators"]) == 1
