@@ -1080,3 +1080,49 @@ SELECT query_id, neighbor_id, rank, dot_scaled FROM (
     FROM _jp
 ) WHERE rank <= {k}
 """
+
+
+def rerank_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Stage 2 of a retrieval funnel: exact-cosine rerank of a coarse
+    candidate list (``query_id, neighbor_id`` from ANY stage-1 —
+    :func:`jl_topk`, :func:`truncated_topk`, :func:`lsh_bucketed_topk`,
+    :func:`ivf_topk`), keep the top ``k``.
+
+    Scale shape: queries and the candidate list are both tiny
+    (|queries|·coarse_k rows) and BROADCAST onto one corpus scan — the
+    full-precision vectors of non-candidates are never touched by the
+    scoring expression and the corpus never shuffles. Same cosine +
+    (cos desc, id) discipline as :func:`brute_force_topk`, so the
+    rerank hash-certifies cross-engine.
+
+    Output: ``query_id, neighbor_id, cos_sim`` (rounded 6 dp).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
+    )
+    cand_q = candidates.select("query_id", "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.to_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.join(F.broadcast(cand_q), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -52,21 +52,34 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     # INDEPENDENT coarse pass (works on any embedding, unlike MRL's
     # trained ordering) — exact integer dot products in projected
     # space, dot packed into xk, no float discipline needed
-    jl = similarity.jl_topk(
+    jl_raw = similarity.jl_topk(
         emb, anchors, "vec_id", "embedding", k=K, out_dims=16, in_dims=64
-    ).select(
+    )
+    jl = jl_raw.select(
         F.lit("jl").alias("part"),
         "query_id",
         "neighbor_id",
         F.lit(None).cast("double").alias("cos_sim"),
         F.col("dot_scaled").alias("xk"),
     )
+    # two-stage funnel certified END-TO-END (round 6): JL coarse
+    # candidates (top-4K in projected space) reranked by exact cosine
+    # over the broadcast candidate list — one corpus scan, no shuffle
+    cand = similarity.jl_topk(
+        emb, anchors, "vec_id", "embedding", k=4 * K, out_dims=16, in_dims=64
+    )
+    funnel = similarity.rerank_exact(
+        emb, anchors, cand, "vec_id", "embedding", k=K
+    ).withColumn("part", F.lit("funnel"))
     return (
         exact.select("part", "query_id", "neighbor_id", "cos_sim", no_xk)
         .unionByName(lsh.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
         .unionByName(hn)
         .unionByName(mrl.select("part", "query_id", "neighbor_id", "cos_sim", no_xk))
         .unionByName(jl)
+        .unionByName(
+            funnel.select("part", "query_id", "neighbor_id", "cos_sim", no_xk)
+        )
     )
 
 
@@ -219,6 +232,24 @@ FROM ({V01MRL_SQL})
 UNION ALL
 SELECT 'jl', query_id, neighbor_id, CAST(NULL AS DOUBLE), dot_scaled
 FROM ({similarity.jl_topk_sql(query_pred=f"vec_id < {N_QUERY}", k=K)})
+UNION ALL
+SELECT 'funnel', query_id, neighbor_id, cos_sim, CAST(NULL AS BIGINT)
+FROM (
+    WITH _fc AS ({similarity.jl_topk_sql(query_pred=f"vec_id < {N_QUERY}", k=4 * K)}),
+    _fe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    _fs AS (
+        SELECT _fc.query_id, _fc.neighbor_id,
+               round({V.cosine_sql("q.v", "c.v")}, 6) AS cos_sim
+        FROM _fc
+        JOIN _fe q ON q.vec_id = _fc.query_id
+        JOIN _fe c ON c.vec_id = _fc.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM _fs
+    ) WHERE rn <= {K}
+)
 """
 
 

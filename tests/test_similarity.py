@@ -474,3 +474,45 @@ class TestJLProjection:
             jl_topk_sql(query_pred="vec_id < 4", k=3, out_dims=8)
         ).fetchall())
         assert got == exp
+
+
+class TestRerankExact:
+    """Funnel stage 2: exact rerank of coarse candidates."""
+
+    def test_full_candidates_equal_brute_force(self, emb, queries):
+        """Reranking an all-pairs candidate list must equal the exact
+        brute-force top-k."""
+        all_pairs = emb.select(F.col("vec_id").alias("neighbor_id")).crossJoin(
+            queries.select(F.col("vec_id").alias("query_id"))
+        ).filter("query_id <> neighbor_id")
+        got = _pairs(similarity.rerank_exact(emb, queries, all_pairs, k=3))
+        exact = _pairs(similarity.brute_force_topk(emb, queries, k=3))
+        assert got == exact
+
+    def test_rerank_restricted_to_candidates(self, spark, emb, queries):
+        """A candidate list missing a query's true neighbor cannot
+        emit it — the rerank only scores candidate pairs."""
+        cand = spark.createDataFrame(
+            [(0, 7), (0, 9)], "query_id bigint, neighbor_id bigint"
+        )
+        got = similarity.rerank_exact(
+            emb, queries.filter("vec_id = 0"), cand, k=3
+        ).collect()
+        assert {r["neighbor_id"] for r in got} == {7, 9}
+
+    def test_jl_funnel_recall_beats_or_matches_coarse(self, emb, queries):
+        """With a 4x coarse candidate pool the reranked top-3 overlaps
+        the exact top-3 at least as much as the raw JL top-3 does."""
+        exact = {q: set() for q in range(4)}
+        for (q, n) in _pairs(similarity.brute_force_topk(emb, queries, k=3)):
+            exact[q].add(n)
+        cand = similarity.jl_topk(emb, queries, k=12)
+        fun = {q: set() for q in range(4)}
+        for (q, n) in _pairs(similarity.rerank_exact(emb, queries, cand, k=3)):
+            fun[q].add(n)
+        coarse = {q: set() for q in range(4)}
+        for r in similarity.jl_topk(emb, queries, k=3).collect():
+            coarse[r["query_id"]].add(r["neighbor_id"])
+        fun_hits = sum(len(fun[q] & exact[q]) for q in exact)
+        coarse_hits = sum(len(coarse[q] & exact[q]) for q in exact)
+        assert fun_hits >= coarse_hits
