@@ -1126,3 +1126,104 @@ def rerank_exact(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mutual_margin_pairs(topk: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Mutual-nearest-neighbor pairs with ratio-margin scores — the
+    bitext/parallel-pair mining primitive (Artetxe & Schwenk ACL'19,
+    CCMatrix): keep (a, b) only if b is in a's top-k AND a is in b's
+    top-k, scored by ``margin = cos(a,b) / ((avg_k cos(a,·) +
+    avg_k cos(b,·)) / 2)`` — high-margin pairs stand out from their
+    neighborhoods, filtering hub vectors that are merely close to
+    everything.
+
+    Input: ANY symmetric top-k list ``query_id, neighbor_id, cos_sim``
+    (e.g. :func:`brute_force_topk` or an ANN list over the same set) —
+    the operator never touches the vectors, so at 100 TB the expensive
+    part stays in the stage-1 index and this is |ids|·k-row relational
+    work: one per-id sum, one self-join on the reversed pair.
+
+    Exactness: cosines are 6-dp; ``c6 = round(cos·1e6)`` is an exact
+    bigint, margin_scaled = ``c6·(k_a+k_b)·scale`` / ``(S_a+S_b)``
+    with explicit truncation TOWARD ZERO on both engines (Spark DIV
+    truncates, DuckDB // floors — they differ on negative numerators,
+    so the sign is factored out).
+
+    Output: ``id_a < id_b, c6, margin_scaled`` (margin NULL when the
+    denominator is not positive — degenerate all-negative
+    neighborhoods).
+    """
+    t = topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cos_sim") * scale).cast("bigint").alias("c6"),
+    )
+    sums = t.groupBy("query_id").agg(
+        F.sum("c6").alias("s6"), F.count(F.lit(1)).cast("bigint").alias("nk")
+    )
+    ab = t.filter(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "c6"
+    )
+    ba = t.filter(F.col("neighbor_id") < F.col("query_id")).select(
+        F.col("neighbor_id").alias("id_a"), F.col("query_id").alias("id_b")
+    )
+    mutual = ab.join(ba, ["id_a", "id_b"])
+    j = (
+        mutual.join(
+            sums.select(F.col("query_id").alias("id_a"), F.col("s6").alias("sa"),
+                        F.col("nk").alias("ka")),
+            "id_a",
+        )
+        .join(
+            sums.select(F.col("query_id").alias("id_b"), F.col("s6").alias("sb"),
+                        F.col("nk").alias("kb")),
+            "id_b",
+        )
+    )
+    num = F.col("c6") * (F.col("ka") + F.col("kb")) * F.lit(scale)
+    den = F.col("sa") + F.col("sb")
+    _n = f"(c6 * (ka + kb) * CAST({scale} AS BIGINT))"
+    tdiv = F.when(num >= 0, F.expr(f"{_n} DIV (sa + sb)")).otherwise(
+        -F.expr(f"(-{_n}) DIV (sa + sb)")
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "c6",
+        F.when(den > 0, tdiv).cast("bigint").alias("margin_scaled"),
+    )
+
+
+def mutual_margin_pairs_sql(topk_sql: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`mutual_margin_pairs`; ``topk_sql`` must
+    yield ``query_id, neighbor_id, cos_sim``."""
+    return f"""
+WITH _mt AS (
+    SELECT query_id, neighbor_id,
+           CAST(round(cos_sim * {scale}) AS BIGINT) AS c6
+    FROM ({topk_sql})
+),
+_ms AS (
+    SELECT query_id, CAST(sum(c6) AS BIGINT) AS s6,
+           CAST(count(*) AS BIGINT) AS nk
+    FROM _mt GROUP BY query_id
+),
+_mm AS (
+    SELECT ab.id_a, ab.id_b, ab.c6
+    FROM (SELECT query_id AS id_a, neighbor_id AS id_b, c6
+          FROM _mt WHERE query_id < neighbor_id) ab
+    JOIN (SELECT neighbor_id AS id_a, query_id AS id_b
+          FROM _mt WHERE neighbor_id < query_id) ba
+    USING (id_a, id_b)
+)
+SELECT m.id_a, m.id_b, m.c6,
+       CASE WHEN (a.s6 + b.s6) > 0 THEN CAST(
+           CASE WHEN m.c6 >= 0
+                THEN (m.c6 * (a.nk + b.nk) * {scale}) // (a.s6 + b.s6)
+                ELSE -((-(m.c6 * (a.nk + b.nk) * {scale})) // (a.s6 + b.s6))
+           END AS BIGINT)
+       END AS margin_scaled
+FROM _mm m
+JOIN _ms a ON a.query_id = m.id_a
+JOIN _ms b ON b.query_id = m.id_b
+"""

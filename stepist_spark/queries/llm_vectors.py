@@ -132,7 +132,28 @@ def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     corpus = emb.unionByName(plants)
-    return similarity.embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95)
+    near = similarity.embedding_near_dups(
+        corpus, "vec_id", "embedding", threshold=0.95
+    ).select(
+        F.lit("near").alias("part"),
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.lit(None).cast("bigint").alias("margin_scaled"),
+    )
+    # mutual-NN + ratio-margin mining rides along (round 6): the
+    # bitext/parallel-pair primitive — stage 1 is the brute-force
+    # top-5 over a subset, stage 2 is |ids|·k relational work only
+    sub = emb.filter(F.col("vec_id") % 5 == 0)
+    topk = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=5)
+    mutual = similarity.mutual_margin_pairs(topk).select(
+        F.lit("mutual").alias("part"),
+        "id_a",
+        "id_b",
+        (F.col("c6").cast("double") / F.lit(1e6)).alias("cos_sim"),
+        "margin_scaled",
+    )
+    return near.unionByName(mutual)
 
 
 _PCOS = V.cosine_sql("va.v", "vb.v")
@@ -149,11 +170,28 @@ cands AS (
     SELECT DISTINCT a._bid AS id_a, b._bid AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a._bid < b._bid
 )
-SELECT id_a, id_b, round({_PCOS}, 6) AS cos_sim
+SELECT 'near' AS part, id_a, id_b, round({_PCOS}, 6) AS cos_sim,
+       CAST(NULL AS BIGINT) AS margin_scaled
 FROM cands
 JOIN corpus va ON va.vec_id = id_a
 JOIN corpus vb ON vb.vec_id = id_b
 WHERE round({_PCOS}, 6) >= 0.95
+UNION ALL
+SELECT 'mutual', id_a, id_b, CAST(c6 AS DOUBLE) / 1e6, margin_scaled
+FROM ({similarity.mutual_margin_pairs_sql(f'''
+WITH _se AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             WHERE vec_id % 5 = 0),
+_ss AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({V.cosine_sql("q.v", "c.v")}, 6) AS cos_sim
+    FROM _se q, _se c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM _ss
+) WHERE rn <= 5
+''')})
 """
 
 
@@ -646,7 +684,7 @@ FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
 # recompute every band signature.
 QUERIES = [
     QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact + banded-LSH + hard-negatives + MRL + JL-projected cosine/dot top-k, tag-unioned"),
-    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dup pairs"),
+    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dup pairs + mutual-NN ratio-margin mining"),
     QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
     QuerySpec("v06_label_centroids", v06_label_centroids, V06_SQL, "per-label centroid vectors (fixed-point exact)"),
     QuerySpec("v07_pq_topk", v07_pq_topk, V07_SQL, "product-quantization ADC top-k, flat + IVF-PQ"),

@@ -516,3 +516,70 @@ class TestRerankExact:
         fun_hits = sum(len(fun[q] & exact[q]) for q in exact)
         coarse_hits = sum(len(coarse[q] & exact[q]) for q in exact)
         assert fun_hits >= coarse_hits
+
+
+class TestMutualMarginPairs:
+    """Mutual-NN + ratio-margin mining (bitext primitive)."""
+
+    def _topk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id bigint, neighbor_id bigint, cos_sim double"
+        )
+
+    def test_mutuality_required(self, spark):
+        from stepist_spark.operators.similarity import mutual_margin_pairs
+
+        # 1->2 and 2->1 mutual; 1->3 one-directional (3's list lacks 1)
+        t = self._topk(spark, [
+            (1, 2, 0.9), (1, 3, 0.5),
+            (2, 1, 0.9), (2, 3, 0.4),
+            (3, 2, 0.4), (3, 4, 0.3),
+            (4, 3, 0.3), (4, 2, 0.1),
+        ])
+        got = {(r["id_a"], r["id_b"]): r for r in mutual_margin_pairs(t).collect()}
+        assert set(got) == {(1, 2), (2, 3), (3, 4)}
+
+    def test_margin_hand_computed(self, spark):
+        from stepist_spark.operators.similarity import mutual_margin_pairs
+
+        t = self._topk(spark, [
+            (1, 2, 0.8), (1, 3, 0.2),
+            (2, 1, 0.8), (2, 3, 0.4),
+        ])
+        got = {(r["id_a"], r["id_b"]): r["margin_scaled"]
+               for r in mutual_margin_pairs(t).collect()}
+        # pair (1,2): c6=800000, k_a+k_b=4, S_a=1000000, S_b=1200000
+        assert got[(1, 2)] == (800_000 * 4 * 1_000_000) // 2_200_000
+
+    def test_negative_denominator_null(self, spark):
+        from stepist_spark.operators.similarity import mutual_margin_pairs
+
+        t = self._topk(spark, [(1, 2, -0.5), (2, 1, -0.5)])
+        rows = mutual_margin_pairs(t).collect()
+        assert len(rows) == 1 and rows[0]["margin_scaled"] is None
+
+    def test_negative_numerator_truncates_toward_zero_like_duckdb(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.similarity import (
+            mutual_margin_pairs,
+            mutual_margin_pairs_sql,
+        )
+
+        rows = [
+            (1, 2, -0.1), (1, 3, 0.9),
+            (2, 1, -0.1), (2, 3, 0.8),
+            (3, 1, 0.9), (3, 2, 0.8),
+        ]
+        t = self._topk(spark, rows)
+        got = sorted(tuple(r) for r in mutual_margin_pairs(t).collect())
+        con = duckdb.connect()
+        vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in rows)
+        sql = mutual_margin_pairs_sql(
+            f"SELECT * FROM (VALUES {vals}) t(query_id, neighbor_id, cos_sim)"
+        )
+        exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == exp
+        # the (1,2) margin is negative: proves the sign-factored path
+        m12 = [m for (a, b, _, m) in got if (a, b) == (1, 2)]
+        assert m12 and m12[0] < 0
