@@ -1797,8 +1797,28 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_pos").alias("v"),
         F.lit(None).cast("boolean").alias("keep"),
     )
+    # SLICED model evaluation (round 6): the same tie-corrected AUC
+    # per document source — slice regressions hide inside a healthy
+    # global AUC, so per-slice eval is the standard model QA gate;
+    # the source key rides the part tag ('auc:<source>')
+    lab_src = labeled.join(
+        load_table(spark, sf, "documents").select("doc_id", "source"), "doc_id"
+    )
+    auc_src = roc_auc(
+        lab_src, "label", "margin_scaled", group_cols=["source"]
+    ).select(
+        F.concat(F.lit("auc:"), F.col("source")).alias("part"),
+        F.col("n_neg").alias("doc_id"),
+        F.col("n_pos").alias("n"),
+        F.col("auc_num").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
     return (
-        c.unionByName(p).unionByName(auc).unionByName(cm).unionByName(cal)
+        c.unionByName(p)
+        .unionByName(auc)
+        .unionByName(cm)
+        .unionByName(cal)
+        .unionByName(auc_src)
     )
 
 
@@ -1881,6 +1901,25 @@ auc_rk AS (
 auc_agg AS (
     SELECT sum(gp) AS np, sum(g) AS n, sum(gp * (2 * c + g + 1)) AS r2p
     FROM auc_rk
+),
+slab AS (
+    SELECT d.source, l.y, l.sc FROM lab l JOIN documents d USING (doc_id)
+),
+svc AS (
+    SELECT source, sc, CAST(count(*) AS HUGEINT) AS g,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS gp
+    FROM slab GROUP BY source, sc
+),
+srk AS (
+    SELECT source, g, gp,
+           sum(g) OVER (PARTITION BY source ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - g AS c
+    FROM svc
+),
+sagg AS (
+    SELECT source, sum(gp) AS np, sum(g) AS n,
+           sum(gp * (2 * c + g + 1)) AS r2p
+    FROM srk GROUP BY source
 )
 SELECT 'clf' AS part, d.doc_id, coalesce(s.n_toks, 0) AS n,
        coalesce(s.margin, 0) AS v, coalesce(s.margin, 0) >= 0 AS keep
@@ -1900,6 +1939,10 @@ FROM lab GROUP BY y, pred
 UNION ALL
 SELECT 'cal', bin, n, n_pos, CAST(NULL AS BOOLEAN)
 FROM ({_CAL_SQL})
+UNION ALL
+SELECT 'auc:' || source, CAST(n - np AS BIGINT), CAST(np AS BIGINT),
+       CAST(r2p - np * (np + 1) AS BIGINT), CAST(NULL AS BOOLEAN)
+FROM sagg
 """
 
 
