@@ -401,3 +401,28 @@ SELECT * EXCLUDE (_wkey, _wrn) FROM (
     )
 ) WHERE _wrn <= {k}
 """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    buckets: int = 100,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash a CONTENT or
+    CLUSTER key instead of the row id, so every member of a duplicate
+    cluster lands in the SAME split — held-out contamination through
+    duplicated content is impossible by construction (the split-level
+    twin of decontamination; cf. Lee et al. 2022 'Deduplicating
+    Training Data', which measures exactly this eval leakage).
+
+    ``key_col``: any duplicate-collapsing key — a canonical-text md5
+    (:func:`stepist_spark.functions.text.canonical_text`), a MinHash
+    component id from ``operators.clusters``, or a SemDeDup cluster.
+    Same zero-shuffle shape as :func:`hash_split`: one JVM md5 per
+    row, no join against a cluster table when the key is derivable
+    from the row itself.
+
+    Output: the input plus a ``split`` column.
+    """
+    return df.withColumn("split", split_label(F.col(key_col), splits, buckets))

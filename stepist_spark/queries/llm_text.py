@@ -560,12 +560,63 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.lit(None).cast("string").alias("split"),
     )
+    # leakage-safe split (round 6): the corpus plants RE-ENCODED
+    # copies (upper-cased, whitespace-padded); splitting on the
+    # canonical-content md5 forces each copy into ITS ORIGINAL'S
+    # split — eval contamination through duplicates is impossible by
+    # construction. 'leakchk' certifies it: every content cluster
+    # spans exactly one split.
+    base = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    replants = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")).alias("text"),
+    )
+    lcorpus = base.unionByName(replants).withColumn(
+        "ckey", F.md5(TX.canonical_text(F.col("text")))
+    )
+    lsplit = sampling.leakage_safe_split(lcorpus, "ckey")
+    leak = lsplit.select(
+        F.lit("leak").alias("part"),
+        "doc_id",
+        F.col("ckey").alias("source"),
+        F.lit(None).cast("string").alias("lang"),
+        "split",
+    )
+    chk = (
+        lsplit.groupBy("ckey")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .groupBy(F.col("_ns").cast("bigint").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("string").alias("lang"))
+        .select(
+            F.lit("leakchk").alias("part"),
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            "lang",
+            F.lit(None).cast("string").alias("split"),
+        )
+    )
     return (
-        split.unionByName(mix).unionByName(wps).unionByName(wf).unionByName(qt)
+        split.unionByName(mix)
+        .unionByName(wps)
+        .unionByName(wf)
+        .unionByName(qt)
+        .unionByName(leak)
+        .unionByName(chk)
     )
 
 
 WFILL_BUDGET = 350
+
+
+_T13_LEAK_CORPUS_SQL = f"""
+SELECT doc_id, md5({TX.canonical_text_sql('text')}) AS ckey FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, '  ' || upper(text) || ' ' AS text
+    FROM documents WHERE doc_id % 25 = 0
+)
+"""
 
 
 def _t13_sql() -> str:
@@ -626,6 +677,21 @@ FROM ({wfill})
 UNION ALL
 SELECT 'quota', doc_id, source, lang, CAST(NULL AS VARCHAR)
 FROM (SELECT doc_id, source, lang FROM ({quota}))
+UNION ALL
+SELECT 'leak', doc_id, ckey, CAST(NULL AS VARCHAR),
+       {sampling.split_label_sql('ckey')}
+FROM ({_T13_LEAK_CORPUS_SQL})
+UNION ALL
+SELECT 'leakchk', ns, CAST(NULL AS VARCHAR), CAST(n AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM (
+    SELECT ns, count(*) AS n FROM (
+        SELECT ckey,
+               CAST(count(DISTINCT {sampling.split_label_sql('ckey')}) AS BIGINT)
+                   AS ns
+        FROM ({_T13_LEAK_CORPUS_SQL}) GROUP BY ckey
+    ) GROUP BY ns
+)
 """
 
 
@@ -2121,7 +2187,7 @@ QUERIES = [
     # the registry slot went to p02_flow_metrics instead.
     QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification"),
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
-    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash split + target-mixture resample"),
+    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash split + mixture/priority/waterfill sampling + leakage-safe cluster split"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),

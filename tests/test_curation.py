@@ -365,3 +365,33 @@ class TestCanonicalDedup:
             for t in texts
         ]
         assert got == exp
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_co_split(self, spark):
+        from stepist_spark.functions.text import canonical_text
+        from stepist_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} body") for i in range(40)]
+            + [(1000 + i, f"  DOC Number {i} BODY ") for i in range(40)],
+            "doc_id bigint, text string",
+        ).withColumn("ckey", F.md5(canonical_text(F.col("text"))))
+        out = leakage_safe_split(docs, "ckey")
+        # every re-encoded copy lands in its original's split
+        per_key = (
+            out.groupBy("ckey").agg(F.countDistinct("split").alias("ns")).collect()
+        )
+        assert all(r["ns"] == 1 for r in per_key)
+        # whereas id-keyed splitting DOES separate at least one pair
+        from stepist_spark.operators.sampling import hash_split
+
+        naive = hash_split(docs, "doc_id")
+        leaked = (
+            naive.withColumn("k", F.col("ckey"))
+            .groupBy("k")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .count()
+        )
+        assert leaked > 0
