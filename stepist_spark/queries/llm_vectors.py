@@ -52,8 +52,11 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     # INDEPENDENT coarse pass (works on any embedding, unlike MRL's
     # trained ordering) — exact integer dot products in projected
     # space, dot packed into xk, no float discipline needed
+    from stepist_spark.session import spread
+
+    emb_wide = spread(emb)  # see v03: one-partition scans serialize
     jl_raw = similarity.jl_topk(
-        emb, anchors, "vec_id", "embedding", k=K, out_dims=16, in_dims=64
+        emb_wide, anchors, "vec_id", "embedding", k=K, out_dims=16, in_dims=64
     )
     jl = jl_raw.select(
         F.lit("jl").alias("part"),
@@ -66,10 +69,10 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     # candidates (top-4K in projected space) reranked by exact cosine
     # over the broadcast candidate list — one corpus scan, no shuffle
     cand = similarity.jl_topk(
-        emb, anchors, "vec_id", "embedding", k=4 * K, out_dims=16, in_dims=64
+        emb_wide, anchors, "vec_id", "embedding", k=4 * K, out_dims=16, in_dims=64
     )
     funnel = similarity.rerank_exact(
-        emb, anchors, cand, "vec_id", "embedding", k=K
+        emb_wide, anchors, cand, "vec_id", "embedding", k=K
     ).withColumn("part", F.lit("funnel"))
     return (
         exact.select("part", "query_id", "neighbor_id", "cos_sim", no_xk)
@@ -144,7 +147,12 @@ def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     # mutual-NN + ratio-margin mining rides along (round 6): the
     # bitext/parallel-pair primitive — stage 1 is the brute-force
     # top-5 over a subset, stage 2 is |ids|·k relational work only
-    sub = emb.filter(F.col("vec_id") % 5 == 0)
+    from stepist_spark.session import spread
+
+    # spread(): the embeddings table scans as ONE partition at toy
+    # scale, which would serialize the |sub|x|sub| cosine pass on one
+    # core; at real scale the scan is already wide and this no-ops
+    sub = spread(emb.filter(F.col("vec_id") % 5 == 0))
     topk = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=5)
     mutual = similarity.mutual_margin_pairs(topk).select(
         F.lit("mutual").alias("part"),
