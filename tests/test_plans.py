@@ -247,6 +247,8 @@ class TestCatalogHygiene:
                                 # cross join onto the |categories| frame
         "q25_percentile_histogram",  # psi_drift: broadcast ≤n_bins edge table
                                      # range-joined onto comparison value counts
+        "v03_embedding_near_dups",   # mutual-NN: brute_force_topk's broadcast
+                                     # queries × spread corpus scan (v01 shape)
         # t18 deliberately NOT listed: bloom_probe's word-table probes
         # are broadcast HASH joins — the hygiene sweep guards that
     }
