@@ -1378,7 +1378,44 @@ def w02_envelope_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     oback = readers.read(spark, odir, fmt="orc", schema=schema).select(
         *cols, F.lit("orc").alias("job_id")
     )
-    return env.unionByName(jback).unionByName(cback).unionByName(oback)
+    # fixed-width round-trip (round 6): the mainframe/COBOL-feed text
+    # layout — money carried as exact integer cents (doubles don't
+    # belong in a fixed-width lane); the read-back re-derives the
+    # double via one division, mirrored in the oracle
+    from stepist_spark.sources import read_fixed_width, write_fixed_width
+
+    fdir = _os.path.join(scratch_dir(spark, "w02"), "fw")
+    fw_src = base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_cents"),
+        "o_date",
+    )
+    write_fixed_width(
+        fw_src, fdir, [("o_orderkey", 12), ("o_custkey", 12), ("o_cents", 14), ("o_date", 19)]
+    )
+    fback = read_fixed_width(
+        spark,
+        fdir,
+        [
+            ("o_orderkey", 12, "bigint"),
+            ("o_custkey", 12, "bigint"),
+            ("o_cents", 14, "bigint"),
+            ("o_date", 19, "string"),
+        ],
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_cents").cast("double") / F.lit(100.0)).alias("o_totalprice"),
+        "o_date",
+        F.lit("fw").alias("job_id"),
+    )
+    return (
+        env.unionByName(jback)
+        .unionByName(cback)
+        .unionByName(oback)
+        .unionByName(fback)
+    )
 
 
 W02_SQL = """
@@ -1397,6 +1434,11 @@ UNION ALL
 SELECT o_orderkey, o_custkey, o_totalprice,
        CAST(o_orderdate AS VARCHAR), 'orc'
 FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0,
+       CAST(o_orderdate AS VARCHAR), 'fw'
+FROM orders WHERE o_orderkey % 50 = 0
 """
 
 
@@ -1404,7 +1446,7 @@ QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
     QuerySpec("p02_flow_metrics", p02_flow_metrics, P02_SQL, "observe() step counters + save_result capture + StopFlowFlag"),
     QuerySpec("w01_sink_roundtrip", w01_sink_roundtrip, W01_SQL, "partitioned parquet sink write -> read-back round-trip"),
-    QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "queue wire-envelope JSON codec round-trip incl. _meta"),
+    QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "wire-envelope JSON codec + jsonl/csv/orc/fixed-width round-trips"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
     QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
     QuerySpec("s01_streaming_hourly", s01_streaming_hourly, S01_SQL, "streaming runtime end-to-end + watermark late-data drop + stream-static broadcast enrichment"),

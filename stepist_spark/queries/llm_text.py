@@ -884,7 +884,11 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
 
     from stepist_spark.operators import similarity
 
-    emb = load_table(spark, sf, "embeddings")
+    from stepist_spark.session import spread
+
+    # spread(): the small embeddings scan is one partition — without
+    # it the |queries|x|corpus| cosine pass serializes on one core
+    emb = spread(load_table(spark, sf, "embeddings"))
     cos_raw = similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), "vec_id", "embedding", k=5
     )

@@ -55,9 +55,12 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.session import spread
 
     emb_wide = spread(emb)  # see v03: one-partition scans serialize
-    jl_raw = similarity.jl_topk(
-        emb_wide, anchors, "vec_id", "embedding", k=K, out_dims=16, in_dims=64
-    )
+    # ONE projection pass serves both JL parts: the top-K list is the
+    # first K rows of the top-4K candidate list by construction
+    cand = similarity.jl_topk(
+        emb_wide, anchors, "vec_id", "embedding", k=4 * K, out_dims=16, in_dims=64
+    ).localCheckpoint(eager=False)
+    jl_raw = cand.filter(F.col("rank") <= K)
     jl = jl_raw.select(
         F.lit("jl").alias("part"),
         "query_id",
@@ -68,9 +71,6 @@ def v01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     # two-stage funnel certified END-TO-END (round 6): JL coarse
     # candidates (top-4K in projected space) reranked by exact cosine
     # over the broadcast candidate list — one corpus scan, no shuffle
-    cand = similarity.jl_topk(
-        emb_wide, anchors, "vec_id", "embedding", k=4 * K, out_dims=16, in_dims=64
-    )
     funnel = similarity.rerank_exact(
         emb_wide, anchors, cand, "vec_id", "embedding", k=K
     ).withColumn("part", F.lit("funnel"))

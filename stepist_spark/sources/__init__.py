@@ -15,6 +15,7 @@ bucketing because at 100 TB layout IS the performance model.
 """
 
 from stepist_spark.sources.envelope import envelope_schema, from_envelope, to_envelope
+from stepist_spark.sources.fixedwidth import read_fixed_width, write_fixed_width
 from stepist_spark.sources.readers import read, read_stream
 from stepist_spark.sources.writers import write, write_stream
 
@@ -22,8 +23,10 @@ __all__ = [
     "envelope_schema",
     "from_envelope",
     "read",
+    "read_fixed_width",
     "read_stream",
     "to_envelope",
     "write",
+    "write_fixed_width",
     "write_stream",
 ]

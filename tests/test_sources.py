@@ -155,3 +155,44 @@ def test_from_envelope_keeps_business_key_column(spark):
     # default behavior still drops the kafka routing key
     out2 = from_envelope(env, "x long, y string")
     assert "key" not in out2.columns
+
+
+class TestFixedWidth:
+    """Fixed-width text codec: round-trip fidelity + loud failure on
+    unrepresentable values."""
+
+    SPECS = [("k", 8, "bigint"), ("name", 10, "string"), ("cents", 12, "bigint")]
+
+    def test_roundtrip(self, spark, tmp_path):
+        from stepist_spark.sources import read_fixed_width, write_fixed_width
+
+        rows = [(1, "alpha", 12345), (22, "b", 0), (333, "gamma-x", 999999999)]
+        df = spark.createDataFrame(rows, "k bigint, name string, cents bigint")
+        p = str(tmp_path / "fw")
+        write_fixed_width(df, p, [(n, w) for n, w, _ in self.SPECS])
+        back = read_fixed_width(spark, p, self.SPECS)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+        # raw layout check: every line is exactly the summed width
+        raw = spark.read.text(p).collect()
+        assert {len(r["value"]) for r in raw} == {8 + 10 + 12}
+
+    def test_overflow_raises(self, spark, tmp_path):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from stepist_spark.sources import write_fixed_width
+
+        df = spark.createDataFrame([(123456789,)], "k bigint")
+        with pytest.raises(Exception) as ei:
+            write_fixed_width(df, str(tmp_path / "ofl"), [("k", 4)])
+        assert "overflow" in str(ei.value)
+
+    def test_padded_value_raises(self, spark, tmp_path):
+        import pytest
+
+        from stepist_spark.sources import write_fixed_width
+
+        df = spark.createDataFrame([(" padded",)], "s string")
+        with pytest.raises(Exception) as ei:
+            write_fixed_width(df, str(tmp_path / "pad"), [("s", 10)])
+        assert "whitespace" in str(ei.value)
