@@ -812,10 +812,12 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, 6)).alias("query_text"),
     )
+    # lazy localCheckpoint: the BM25 list feeds BOTH the 'bm25' part
+    # and the 'rrf' fusion below — materialize once per action
     bm_raw = ranking.bm25_topk(
         docs.select("doc_id", "text"), queries, k=5, max_df_ratio=1.0,
         postings=postings,
-    )
+    ).localCheckpoint(eager=False)
     bm = bm_raw.select(
         F.lit("bm25").alias("part"),
         F.lit(None).cast("string").alias("tok"),
@@ -876,34 +878,32 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("score_scaled"),
     )
     # hybrid retrieval via reciprocal-rank fusion (operators/
-    # ranking.py): the lexical BM25 list fuses with an embedding-
-    # cosine list over the SAME query ids (vec_id ↔ doc_id) — the
-    # standard sparse⊕dense combiner; fusion itself touches only the
-    # two top-k lists, never the corpora
-    from pyspark.sql import Window as _W
-
+    # ranking.py): the lexical BM25 list fuses with a DENSE ranking
+    # over the SAME query ids (vec_id ↔ doc_id) — the standard
+    # sparse⊕dense combiner. The dense leg is the JL-projected
+    # integer-dot top-k (similarity.jl_topk): RRF only consumes
+    # RANKS, so the cheap 16-bigint-dim stage-1 is the scale-honest
+    # choice over exact 64-float cosine (8× fewer bytes/pair; at sf1
+    # the cosine leg alone cost ~80s). Fusion itself touches only the
+    # two top-k lists, never the corpora.
     from stepist_spark.operators import similarity
-
     from stepist_spark.session import spread
 
     # spread(): the small embeddings scan is one partition — without
-    # it the |queries|x|corpus| cosine pass serializes on one core
+    # it the |queries|×|corpus| scoring pass serializes on one core
     emb = spread(load_table(spark, sf, "embeddings"))
-    cos_raw = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") % 50 == 0), "vec_id", "embedding", k=5
-    )
-    cos_ranked = cos_raw.withColumn(
-        "rank",
-        F.row_number()
-        .over(
-            _W.partitionBy("query_id").orderBy(
-                F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-            )
-        )
-        .cast("bigint"),
+    dense_ranked = similarity.jl_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding", k=5
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     fused = ranking.rrf_fuse(
-        [bm_raw.select("query_id", "doc_id", "rank"), cos_ranked], c=60, k=8
+        [
+            bm_raw.filter(F.col("query_id") % 100 == 0).select(
+                "query_id", "doc_id", "rank"
+            ),
+            dense_ranked,
+        ],
+        c=60,
+        k=8,
     ).select(
         F.lit("rrf").alias("part"),
         F.lit(None).cast("string").alias("tok"),
@@ -963,28 +963,22 @@ def _t16_phrase_sql() -> str:
 
 
 def _t16_sql() -> str:
-    from stepist_spark.functions import vectors as V
-    from stepist_spark.operators import ranking
+    from stepist_spark.operators import ranking, similarity
 
     bm25 = ranking.bm25_topk_sql(
         "(SELECT doc_id, text FROM documents)", _T16_QUERIES_SQL, k=5, max_df_ratio=1.0
     )
-    cos_rank_sql = f"""
-WITH _e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-_q AS (SELECT vec_id, v FROM _e WHERE vec_id % 50 = 0),
-_scored AS (
-    SELECT _q.vec_id AS query_id, _c.vec_id AS doc_id,
-           round({V.cosine_sql('_q.v', '_c.v')}, 6) AS cos_sim
-    FROM _q, _e _c WHERE _q.vec_id <> _c.vec_id
-)
-SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rn
-    FROM _scored
-) WHERE rn <= 5
-"""
+    dense_sql = (
+        "SELECT query_id, neighbor_id AS doc_id, rank FROM ("
+        + similarity.jl_topk_sql(query_pred="vec_id % 100 = 0", k=5)
+        + ")"
+    )
     rrf = ranking.rrf_fuse_sql(
-        [f"SELECT query_id, doc_id, rank FROM ({bm25})", cos_rank_sql],
+        [
+            f"SELECT query_id, doc_id, rank FROM ({bm25}) "
+            "WHERE query_id % 100 = 0",
+            dense_sql,
+        ],
         c=60,
         k=8,
     )
