@@ -343,3 +343,45 @@ class TestRound5PlanShapes:
         )
         assert "partial" in plan.lower() or "Exchange" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound6PlanShapes:
+    def test_jl_topk_prunes_and_broadcasts(self, spark):
+        """The JL projection must prune the scan to (vec_id, embedding)
+        — the label column never reaches the plan — and the query side
+        must broadcast (corpus never shuffles for the probe)."""
+        from stepist_spark.operators.similarity import jl_topk
+
+        emb = load_table(spark, SF, "embeddings")  # has a label column
+        df = jl_topk(emb, emb.filter("vec_id < 4"), k=3, out_dims=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "label" not in plan, "column pruning lost the projection"
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_rerank_exact_single_corpus_scan_no_shuffle_join(self, spark):
+        """Funnel stage 2: queries and candidates broadcast onto ONE
+        corpus pass — no sort-merge join, no corpus shuffle."""
+        from stepist_spark.operators.similarity import jl_topk, rerank_exact
+
+        emb = load_table(spark, SF, "embeddings")
+        anchors = emb.filter("vec_id < 4")
+        cand = jl_topk(emb, anchors, k=12, out_dims=4)
+        df = rerank_exact(emb, anchors, cand, k=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastExchange") >= 2
+
+    def test_rrf_fuse_never_touches_a_table(self, spark):
+        """Fusion is pure relational work over the top-k lists — its
+        plan must contain no file scan at all when fed list frames."""
+        from stepist_spark.operators.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1)], "query_id bigint, doc_id bigint, rank bigint"
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1)], "query_id bigint, doc_id bigint, rank bigint"
+        )
+        plan = rrf_fuse([a, b])._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan

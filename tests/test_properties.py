@@ -577,3 +577,105 @@ class TestSentenceCountProperties:
         texts = ["", "...", "a. b! c?", "no terminator", " . x .. ", "a.\t\n.b"]
         got = _run(spark, texts, TX.sentence_count(F.col("text")))
         assert got == {0: 0, 1: 0, 2: 3, 3: 1, 4: 1, 5: 2}
+
+
+class TestCanonicalTextProperties:
+    @given(texts=TEXTS)
+    @SETTINGS
+    def test_idempotent_and_matches_python(self, spark, texts):
+        """canon(canon(x)) == canon(x), and the Spark expression
+        matches the Python reference regex-for-regex."""
+
+        def canon_py(s: str) -> str:
+            return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r["c1"], r["c2"])
+            for r in df.select(
+                TX.canonical_text(F.col("text")).alias("c1"),
+                TX.canonical_text(TX.canonical_text(F.col("text"))).alias("c2"),
+            ).collect()
+        ]
+        for t, (c1, c2) in zip(texts, got):
+            assert c1 == canon_py(t), repr(t)
+            assert c2 == c1, repr(t)
+
+
+class TestRrfProperties:
+    @given(
+        lists=st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(1, 3),        # query_id
+                    st.integers(10, 25),      # doc_id
+                    st.integers(1, 8),        # rank
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @SETTINGS
+    def test_matches_python_reference(self, spark, lists):
+        """rrf_fuse == a dict-based Python reference on arbitrary
+        ranked lists (duplicate (q,d) rows within one system allowed —
+        both sides just sum their contributions)."""
+        from stepist_spark.operators.ranking import RRF_SCALE, rrf_fuse
+
+        frames = [
+            spark.createDataFrame(
+                rows, "query_id bigint, doc_id bigint, rank bigint"
+            )
+            for rows in lists
+        ]
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rrf_scaled"], r["n_systems"])
+            for r in rrf_fuse(frames, c=60, k=100).collect()
+        }
+        ref: dict = {}
+        for rows in lists:
+            for q, d, rk in rows:
+                s, n = ref.get((q, d), (0, 0))
+                ref[(q, d)] = (s + RRF_SCALE // (60 + rk), n + 1)
+        assert got == ref
+
+
+class TestJlProperties:
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=8,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @SETTINGS
+    def test_projection_matches_numpy(self, spark, vecs):
+        import numpy as np
+
+        from stepist_spark.operators.similarity import (
+            JL_SCALE,
+            jl_sign_matrix,
+            signed_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<float>"
+        )
+        got = {
+            r["vec_id"]: list(r["proj"])
+            for r in signed_projection(df, out_dims=4, in_dims=8).collect()
+        }
+        S = np.array(jl_sign_matrix(4, 8))
+        for i, v in enumerate(vecs):
+            # mirror Spark exactly: float32 storage, float64 math,
+            # bankers' rounding like Spark's round()
+            v64 = np.array(v, dtype=np.float32).astype(np.float64)
+            q = np.array([round(x * JL_SCALE) for x in v64], dtype=np.int64)
+            assert got[i] == (S @ q).astype("int64").tolist(), (i, v)
