@@ -763,3 +763,42 @@ def canonical_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical_id"))
         .filter(F.col("n_dups") > 1)
     )
+
+
+def canonical_dup_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized (id_a < id_b) pairs of canonically-identical
+    documents — the pair view of :func:`canonical_dup_groups` for
+    ensemble-dedup comparison. One md5 hash-agg shuffle + a within-
+    group self-join (group sizes are duplicate multiplicities, tiny)."""
+    from stepist_spark.functions.text import canonical_text
+
+    hashed = df.select(
+        F.md5(canonical_text(F.col(text_col))).alias("_h"), F.col(id_col).alias("_id")
+    )
+    a = hashed.select("_h", F.col("_id").alias("id_a"))
+    b = hashed.select("_h", F.col("_id").alias("id_b"))
+    return a.join(b, "_h").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+def pair_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """Ensemble-dedup diagnostic: full outer join of two normalized
+    (id_a < id_b) candidate-pair sets with membership flags — which
+    duplicates does each signal see that the other misses? (Multi-
+    signal dedup — lexical ⊕ semantic — is standard pipeline practice:
+    near-identical text with divergent embeddings flags embedding
+    drift; semantically-identical pairs with low lexical overlap are
+    paraphrase dups only the dense signal catches.)
+
+    Scale shape: both inputs are candidate-pair tables (already
+    sub-quadratic products of their generators); this is one
+    co-partitioned full outer join on (id_a, id_b). Output:
+    ``id_a, id_b, in_a, in_b`` (booleans, never both false).
+    """
+    a = pairs_a.select("id_a", "id_b").distinct().withColumn("in_a", F.lit(True))
+    b = pairs_b.select("id_a", "id_b").distinct().withColumn("in_b", F.lit(True))
+    return a.join(b, ["id_a", "id_b"], "full_outer").select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("in_a"), F.lit(False)).alias("in_a"),
+        F.coalesce(F.col("in_b"), F.lit(False)).alias("in_b"),
+    )

@@ -135,14 +135,43 @@ def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     corpus = emb.unionByName(plants)
-    near = similarity.embedding_near_dups(
+    near_raw = similarity.embedding_near_dups(
         corpus, "vec_id", "embedding", threshold=0.95
-    ).select(
+    ).localCheckpoint(eager=False)
+    near = near_raw.select(
         F.lit("near").alias("part"),
         "id_a",
         "id_b",
         "cos_sim",
         F.lit(None).cast("bigint").alias("margin_scaled"),
+    )
+    # ensemble-dedup agreement (round 6): the LEXICAL duplicate signal
+    # (canonical-hash pairs over documents, re-encoded text plants at
+    # %20) vs the SEMANTIC one (the embedding near-dups above, vector
+    # plants at %25) over ALIGNED ids (doc_id ↔ vec_id, both plant
+    # conventions use +1M) — the two signals agree exactly on %100
+    # ids, so both flag packings (1=vec only, 2=text only, 3=both)
+    # appear and a wrong membership on either side cannot hash-match
+    from stepist_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tplants = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper(F.col("text"))).alias("text"),
+    )
+    tpairs = dedup_ops.canonical_dup_pairs(
+        docs.unionByName(tplants), "doc_id", "text"
+    )
+    agree = dedup_ops.pair_agreement(
+        tpairs, near_raw.select("id_a", "id_b")
+    ).select(
+        F.lit("agree").alias("part"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("cos_sim"),
+        (
+            F.lit(2) * F.col("in_a").cast("int") + F.col("in_b").cast("int")
+        ).cast("bigint").alias("margin_scaled"),
     )
     # mutual-NN + ratio-margin mining rides along (round 6): the
     # bitext/parallel-pair primitive — stage 1 is the brute-force
@@ -161,10 +190,14 @@ def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c6").cast("double") / F.lit(1e6)).alias("cos_sim"),
         "margin_scaled",
     )
-    return near.unionByName(mutual)
+    return near.unionByName(mutual).unionByName(agree)
 
 
 _PCOS = V.cosine_sql("va.v", "vb.v")
+
+from stepist_spark.functions.text import canonical_text_sql as _ctsql
+
+_CANON_SQL = _ctsql("text")
 V03_SQL = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 corpus AS (
@@ -177,13 +210,38 @@ bands AS ({_bands_sql('corpus', 4, 16)}),
 cands AS (
     SELECT DISTINCT a._bid AS id_a, b._bid AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a._bid < b._bid
+),
+vnear AS (
+    SELECT id_a, id_b, round({_PCOS}, 6) AS cos_sim
+    FROM cands
+    JOIN corpus va ON va.vec_id = id_a
+    JOIN corpus vb ON vb.vec_id = id_b
+    WHERE round({_PCOS}, 6) >= 0.95
+),
+tcorpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, ' ' || upper(text) AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+thash AS (
+    SELECT doc_id, md5({_CANON_SQL}) AS h FROM tcorpus
+),
+tpairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM thash a JOIN thash b ON a.h = b.h AND a.doc_id < b.doc_id
 )
-SELECT 'near' AS part, id_a, id_b, round({_PCOS}, 6) AS cos_sim,
+SELECT 'near' AS part, id_a, id_b, cos_sim,
        CAST(NULL AS BIGINT) AS margin_scaled
-FROM cands
-JOIN corpus va ON va.vec_id = id_a
-JOIN corpus vb ON vb.vec_id = id_b
-WHERE round({_PCOS}, 6) >= 0.95
+FROM vnear
+UNION ALL
+SELECT 'agree', COALESCE(t.id_a, v.id_a), COALESCE(t.id_b, v.id_b),
+       CAST(NULL AS DOUBLE),
+       CAST(2 * (CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM tpairs t
+FULL JOIN (SELECT DISTINCT id_a, id_b FROM vnear) v
+ON t.id_a = v.id_a AND t.id_b = v.id_b
 UNION ALL
 SELECT 'mutual', id_a, id_b, CAST(c6 AS DOUBLE) / 1e6, margin_scaled
 FROM ({similarity.mutual_margin_pairs_sql(f'''
@@ -692,7 +750,7 @@ FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
 # recompute every band signature.
 QUERIES = [
     QuerySpec("v01_cosine_topk", v01_cosine_topk, V01_SQL, "brute-force exact + banded-LSH + hard-negatives + MRL + JL-projected cosine/dot top-k, tag-unioned"),
-    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dup pairs + mutual-NN ratio-margin mining"),
+    QuerySpec("v03_embedding_near_dups", v03_embedding_near_dups, V03_SQL, "banded-LSH embedding near-dups + mutual-NN margins + lexical-vs-semantic agreement"),
     QuerySpec("v05_ivf_topk", v05_ivf_topk, V05_SQL, "IVF-partitioned approximate top-k (seeded centroids)"),
     QuerySpec("v06_label_centroids", v06_label_centroids, V06_SQL, "per-label centroid vectors (fixed-point exact)"),
     QuerySpec("v07_pq_topk", v07_pq_topk, V07_SQL, "product-quantization ADC top-k, flat + IVF-PQ"),

@@ -395,3 +395,33 @@ class TestLeakageSafeSplit:
             .count()
         )
         assert leaked > 0
+
+
+class TestPairAgreement:
+    def test_flags_and_full_outer(self, spark):
+        from stepist_spark.operators.dedup import pair_agreement
+
+        a = spark.createDataFrame([(1, 2), (3, 4)], "id_a bigint, id_b bigint")
+        b = spark.createDataFrame([(3, 4), (5, 6)], "id_a bigint, id_b bigint")
+        got = {
+            (r["id_a"], r["id_b"]): (r["in_a"], r["in_b"])
+            for r in pair_agreement(a, b).collect()
+        }
+        assert got == {
+            (1, 2): (True, False),
+            (3, 4): (True, True),
+            (5, 6): (False, True),
+        }
+
+    def test_canonical_dup_pairs(self, spark):
+        from stepist_spark.operators.dedup import canonical_dup_pairs
+
+        df = spark.createDataFrame(
+            [(1, "The cat."), (2, " the CAT "), (3, "other"), (4, "THE cat")],
+            "doc_id bigint, text string",
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in canonical_dup_pairs(df, "doc_id", "text").collect()
+        )
+        assert got == [(1, 2), (1, 4), (2, 4)]
