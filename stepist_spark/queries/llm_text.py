@@ -1466,7 +1466,26 @@ def t21_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("frac"),
         F.col("text").alias("s1"),
     )
-    return sp.unionByName(st).unionByName(ct)
+    # corpus duplication-inflation metrics (round 6): what fraction of
+    # all k-token window occurrences are REPEATS of a window seen in
+    # another position — the headline statistic of Lee et al. 2022's
+    # dedup study. Rides the SAME hashed-window table: one more hash
+    # aggregate over |tokens| rows, zero extra corpus passes.
+    infl = wins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.countDistinct("_h").cast("bigint").alias("n_distinct"),
+    ).select(
+        F.lit("infl").alias("part"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("n_occ").alias("n1"),
+        F.col("n_distinct").alias("n2"),
+        (
+            (F.col("n_occ") - F.col("n_distinct")).cast("double")
+            / F.col("n_occ").cast("double")
+        ).alias("frac"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return sp.unionByName(st).unionByName(ct).unionByName(infl)
 
 
 T21_SQL = f"""
@@ -1574,6 +1593,12 @@ SELECT 'cut', c.doc_id, CAST(coalesce(t.n_kept, 0) AS BIGINT),
        CAST(coalesce(t.n_cut, 0) AS BIGINT), CAST(NULL AS DOUBLE),
        coalesce(t.text, '')
 FROM corpus c LEFT JOIN cut t USING (doc_id)
+UNION ALL
+SELECT 'infl', CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT h) AS BIGINT),
+       CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*),
+       CAST(NULL AS VARCHAR)
+FROM wins
 """
 
 
@@ -2191,7 +2216,7 @@ QUERIES = [
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),
-    QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats"),
+    QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats + keep-first cutting + corpus inflation"),
     QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition"),
     QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),
     QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),
