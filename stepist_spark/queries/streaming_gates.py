@@ -10,7 +10,8 @@ streaming machinery itself, not just the window expression:
   duration/slide windows) computed by the streaming engine in complete
   mode equals the batch grid oracle; tag-unioned with the streaming
   count-barrier (complete groups fire once, the deliberately
-  incomplete group never).
+  incomplete group never) and, round 6, STREAMING session windows —
+  the gap-merge state path vs the lag-based gaps-and-islands oracle.
 - s03: a stream-stream inner interval join — the state-store-buffered
   join with watermark eviction bounds — equals the batch range join.
 - s04: the reference's queue-consumption path
@@ -214,7 +215,43 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast(ntz).alias("window_start"),
         F.lit(None).cast(ntz).alias("window_end"),
     )
-    return slide.unionByName(barrier)
+
+    # ---- 'session' part ---------------------------------------------------
+    # STREAMING session windows (round 6): gap-merged variable-length
+    # windows use a DEDICATED state-store merge path (sessions extend
+    # and coalesce as events arrive) that tumbling/sliding never
+    # exercise; complete mode needs no watermark under availableNow.
+    # Batch session semantics are q22's 'session' part — this certifies
+    # the same gap-merge through the streaming engine.
+    from stepist_spark.streaming.windows import session_agg
+
+    ssrc = _events_stream(spark, sf).filter(F.col("user_id") % 16 == 0)
+    sagg = session_agg(
+        ssrc,
+        "ts",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["user_id"],
+    )
+    ssink = f"s02_session_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 8):
+        q3 = (
+            sagg.writeStream.format("memory")
+            .queryName(ssink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q3, 300)
+    session = spark.table(ssink).select(
+        F.lit("session").alias("part"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        F.col("window_start").cast(ntz).alias("window_start"),
+        F.col("window_end").cast(ntz).alias("window_end"),
+    )
+    return slide.unionByName(barrier).unionByName(session)
 
 
 # Epoch-aligned 2h/1h sliding windows = the two hour-truncated starts
@@ -236,6 +273,23 @@ SELECT 'barrier', event_type, count(*) AS n, CAST(sum(user_id) AS DOUBLE),
 FROM events WHERE user_id % 8 = 0
 GROUP BY event_type
 HAVING event_type <> (SELECT min(event_type) FROM events WHERE user_id % 8 = 0)
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), count(*), round(sum(value), 2),
+       min(ts), max(ts) + INTERVAL 30 MINUTE
+FROM (
+    SELECT user_id, value, ts, sum(newsess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+    FROM (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+               CASE WHEN lag(ts::TIMESTAMP) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+               THEN 1 ELSE 0 END AS newsess
+        FROM events WHERE user_id % 16 = 0
+    )
+)
+GROUP BY user_id, sess
 """
 
 
@@ -699,7 +753,7 @@ FROM events WHERE user_id % 4 = 3 GROUP BY event_type
 
 
 QUERIES = [
-    QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows + count-barrier incomplete-group drop"),
+    QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows + count-barrier drop + streaming session windows"),
     QuerySpec("s03_stream_interval_join", s03_stream_interval_join, S03_SQL, "stream-stream interval join vs batch range join"),
     QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "multi-hop StreamFlow (rate -> files -> windows) + introspection"),
     QuerySpec("s05_stream_dedup", s05_stream_dedup, S05_SQL, "stream dedup + checkpoint-restart exactly-once + history dedup"),
