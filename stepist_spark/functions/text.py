@@ -611,3 +611,37 @@ def canonical_text(text: Column) -> Column:
 def canonical_text_sql(expr: str) -> str:
     """DuckDB mirror of :func:`canonical_text`."""
     return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+# Classic UTF-8-decoded-as-Latin-1 artifacts (the 'A-tilde + continua-
+# tion' and 'a-circumflex + punctuation' digraph families) plus the
+# U+FFFD replacement character — the standard mojibake fingerprints of
+# encoding-damaged web text. Built from codepoint escapes so the
+# pattern is identical bytes in the Java-regex and RE2 mirrors.
+MOJIBAKE_RE = (
+    "(\u00c3[\u0080-\u00bf]"      # UTF-8 lead 0xC3 read as Latin-1
+    "|\u00e2[\u0080-\u00be]"      # UTF-8 lead 0xE2 (punctuation family)
+    "|\ufffd)"                      # replacement character
+)
+NON_ASCII_RE = "[^\\x00-\\x7f]"
+
+
+def mojibake_count(text: Column) -> Column:
+    """Occurrences of classic encoding-damage artifacts (mojibake
+    digraphs + U+FFFD). One JVM regexp pass — a standard web-corpus
+    quality gate signal."""
+    return F.size(F.regexp_extract_all(text, F.lit(MOJIBAKE_RE), 0)).cast("bigint")
+
+
+def mojibake_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{MOJIBAKE_RE}')) AS BIGINT)"
+
+
+def non_ascii_count(text: Column) -> Column:
+    """Characters outside ASCII — a high ratio on an expected-ASCII
+    corpus flags double-encoding or binary contamination."""
+    return F.size(F.regexp_extract_all(text, F.lit(NON_ASCII_RE), 0)).cast("bigint")
+
+
+def non_ascii_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '[^\\x00-\\x7f]')) AS BIGINT)"

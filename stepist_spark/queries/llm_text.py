@@ -1641,6 +1641,11 @@ FROM documents
 _BOILER_LINE = "JOIN OUR NEWSLETTER TODAY"
 
 
+# encoding-damage plant: mojibake digraphs + a replacement char,
+# shared verbatim by the Spark fixture and the SQL oracle
+_MOJI_PLANT = " caf\u00c3\u00a9 \u00e2\u0080\u0099quoted\u00e2\u0080\u0099 \ufffd"
+
+
 def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.session import spread
 
@@ -1730,7 +1735,34 @@ def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("d2"),
         F.lit(None).cast("double").alias("d3"),
     )
-    return p.unionByName(b).unionByName(r).unionByName(ka)
+    # 'moji' — encoding-damage detection (round 6): docs planted with
+    # classic UTF-8-as-Latin-1 artifacts + U+FFFD must flag; naturally
+    # clean docs must not. One JVM regexp pass per signal.
+    moji_corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(_MOJI_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    mj_n = TX.mojibake_count(F.col("text"))
+    na_n = TX.non_ascii_count(F.col("text"))
+    mj = moji_corpus.select(
+        F.lit("moji").alias("part"),
+        "doc_id",
+        F.lit(None).cast("string").alias("s1"),
+        mj_n.alias("n1"),
+        na_n.alias("n2"),
+        (mj_n >= 2).cast("int").cast("bigint").alias("n3"),
+        F.when(
+            F.length("text") > 0,
+            na_n.cast("double") / F.length("text").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+    )
+    return p.unionByName(b).unionByName(r).unionByName(ka).unionByName(mj)
 
 
 def _t22_sql() -> str:
@@ -1804,6 +1836,21 @@ FROM (
            count(*) OVER (PARTITION BY lang, source, len_bucket) AS group_size
     FROM (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket FROM documents)
 ) WHERE group_size >= 5
+UNION ALL
+SELECT 'moji', doc_id, CAST(NULL AS VARCHAR),
+       {TX.mojibake_count_sql('text')},
+       {TX.non_ascii_count_sql('text')},
+       CAST(CASE WHEN {TX.mojibake_count_sql('text')} >= 2 THEN 1 ELSE 0 END AS BIGINT),
+       CASE WHEN length(text) > 0
+            THEN CAST({TX.non_ascii_count_sql('text')} AS DOUBLE) / length(text)
+            ELSE 0.0 END,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 1 THEN text || '{_MOJI_PLANT}'
+                ELSE text END AS text
+    FROM documents
+)
 """
 
 
@@ -2217,7 +2264,7 @@ QUERIES = [
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),
     QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats + keep-first cutting + corpus inflation"),
-    QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition"),
+    QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition + k-anonymity + mojibake QA"),
     QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),
     QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),
     QuerySpec("t25_resample_shuffle", t25_resample_shuffle, T25_SQL, "temperature resample + shuffle rank + shard-writer layout"),

@@ -425,3 +425,58 @@ class TestPairAgreement:
             for r in canonical_dup_pairs(df, "doc_id", "text").collect()
         )
         assert got == [(1, 2), (1, 4), (2, 4)]
+
+
+class TestMojibakeSignals:
+    def test_planted_artifacts_flag_and_clean_does_not(self, spark):
+        from stepist_spark.functions.text import mojibake_count, non_ascii_count
+
+        plant = " caf\u00c3\u00a9 \u00e2\u0080\u0099q\u00e2\u0080\u0099 \ufffd"
+        df = spark.createDataFrame(
+            [(1, "clean body"), (2, "body" + plant), (3, "natural caf\u00e9")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: (r["m"], r["na"])
+            for r in df.select(
+                "doc_id",
+                mojibake_count(F.col("text")).alias("m"),
+                non_ascii_count(F.col("text")).alias("na"),
+            ).collect()
+        }
+        assert got[1] == (0, 0)
+        assert got[2][0] >= 3 and got[2][1] > got[2][0]
+        # natural accents are non-ASCII but NOT mojibake
+        assert got[3] == (0, 1)
+
+    def test_sql_mirror(self, spark):
+        import duckdb
+
+        from stepist_spark.functions.text import (
+            mojibake_count,
+            mojibake_count_sql,
+            non_ascii_count,
+            non_ascii_count_sql,
+        )
+
+        texts = ["x", "caf\u00c3\u00a9 \ufffd", "\u00e2\u0080\u0099", "caf\u00e9"]
+        got = [
+            (r["m"], r["na"])
+            for r in spark.createDataFrame([(t,) for t in texts], "text string")
+            .select(
+                mojibake_count(F.col("text")).alias("m"),
+                non_ascii_count(F.col("text")).alias("na"),
+            )
+            .collect()
+        ]
+        con = duckdb.connect()
+        exp = [
+            tuple(
+                con.execute(
+                    f"SELECT {mojibake_count_sql('$1')}, {non_ascii_count_sql('$1')}",
+                    [t],
+                ).fetchone()
+            )
+            for t in texts
+        ]
+        assert got == exp
