@@ -596,6 +596,36 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("string").alias("split"),
         )
     )
+    # length-matched resampling (round 6): a COMPOSITION gate — equal-
+    # frequency length quartiles (operators/anomaly.quantile_buckets)
+    # feed the deterministic target-mixture resampler so the kept
+    # corpus has a uniform length distribution (length-prior matching,
+    # the standard fix for length-biased web scrapes). Both stages are
+    # already individually certified; this certifies the composition.
+    from stepist_spark.operators.anomaly import quantile_buckets
+
+    qdocs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.lit(1).alias("g1"),
+        F.col("n_chars").cast("double").alias("nc"),
+    )
+    qmap = quantile_buckets(qdocs, ["g1"], "nc", n_buckets=4)
+    bucketed = qdocs.withColumn(
+        "v_cents", F.floor(F.col("nc") * 100 + F.lit(0.5)).cast("bigint")
+    ).join(
+        F.broadcast(qmap.select("v_cents", F.col("bucket").cast("string").alias("bkt"))),
+        "v_cents",
+    )
+    lm = sampling.mixture_resample(
+        bucketed, "bkt", "doc_id", {"1": 0.25, "2": 0.25, "3": 0.25, "4": 0.25}
+    ).select(
+        F.lit("lenmatch").alias("part"),
+        "doc_id",
+        "source",
+        F.col("bkt").alias("lang"),
+        F.lit(None).cast("string").alias("split"),
+    )
     return (
         split.unionByName(mix)
         .unionByName(wps)
@@ -603,6 +633,7 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(qt)
         .unionByName(leak)
         .unionByName(chk)
+        .unionByName(lm)
     )
 
 
@@ -660,6 +691,28 @@ def _t13_sql() -> str:
         wfill,
         select_cols="doc_id, source, lang",
     )
+    from stepist_spark.operators.anomaly import quantile_buckets_sql
+
+    qb = quantile_buckets_sql(
+        "SELECT 1 AS g1, CAST(n_chars AS DOUBLE) AS nc FROM documents",
+        ["g1"],
+        "nc",
+        4,
+    )
+    bucketed = f"""(
+    SELECT d.doc_id, d.source,
+           CAST(q.bucket AS VARCHAR) AS bkt
+    FROM documents d
+    JOIN ({qb}) q
+      ON CAST(floor(CAST(d.n_chars AS DOUBLE) * 100 + 0.5) AS BIGINT) = q.v_cents
+)"""
+    lenmatch = sampling.mixture_resample_sql(
+        bucketed,
+        "bkt",
+        "doc_id",
+        {"1": 0.25, "2": 0.25, "3": 0.25, "4": 0.25},
+        select_cols="doc_id, source, bkt",
+    )
     return f"""
 SELECT 'split' AS part, doc_id, source, lang,
        {sampling.split_label_sql('doc_id')} AS split
@@ -692,6 +745,9 @@ FROM (
         FROM ({_T13_LEAK_CORPUS_SQL}) GROUP BY ckey
     ) GROUP BY ns
 )
+UNION ALL
+SELECT 'lenmatch', doc_id, source, bkt, CAST(NULL AS VARCHAR)
+FROM ({lenmatch})
 """
 
 
@@ -2257,7 +2313,7 @@ QUERIES = [
     # the registry slot went to p02_flow_metrics instead.
     QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification"),
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
-    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified sample + hash split + mixture/priority/waterfill sampling + leakage-safe cluster split"),
+    QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified/hash/mixture/priority/waterfill sampling + leakage-safe + length-matched resampling"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),
