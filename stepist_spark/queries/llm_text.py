@@ -504,6 +504,7 @@ MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}
 
 def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sampling
+    from stepist_spark.session import spread
 
     docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang")
     sampled = sampling.stratified_sample(docs, "source", "doc_id", 5)
@@ -566,7 +567,9 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     # split — eval contamination through duplicates is impossible by
     # construction. 'leakchk' certifies it: every content cluster
     # spans exactly one split.
-    base = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    base = spread(load_table(spark, sf, "documents")).select(
+        "doc_id", "source", "text"
+    )
     replants = base.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
         "source",
@@ -575,7 +578,11 @@ def t13_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     lcorpus = base.unionByName(replants).withColumn(
         "ckey", F.md5(TX.canonical_text(F.col("text")))
     )
-    lsplit = sampling.leakage_safe_split(lcorpus, "ckey")
+    # lazy localCheckpoint: the split assignment feeds BOTH the 'leak'
+    # rows and the 'leakchk' aggregate — one canonical-md5 pass, not two
+    lsplit = sampling.leakage_safe_split(lcorpus, "ckey").localCheckpoint(
+        eager=False
+    )
     leak = lsplit.select(
         F.lit("leak").alias("part"),
         "doc_id",
