@@ -181,7 +181,7 @@ def v03_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     # spread(): the embeddings table scans as ONE partition at toy
     # scale, which would serialize the |sub|x|sub| cosine pass on one
     # core; at real scale the scan is already wide and this no-ops
-    sub = spread(emb.filter(F.col("vec_id") % 5 == 0))
+    sub = spread(emb.filter(F.col("vec_id") % 10 == 0))
     topk = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=5)
     mutual = similarity.mutual_margin_pairs(topk).select(
         F.lit("mutual").alias("part"),
@@ -246,7 +246,7 @@ UNION ALL
 SELECT 'mutual', id_a, id_b, CAST(c6 AS DOUBLE) / 1e6, margin_scaled
 FROM ({similarity.mutual_margin_pairs_sql(f'''
 WITH _se AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-             WHERE vec_id % 5 = 0),
+             WHERE vec_id % 10 = 0),
 _ss AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round({V.cosine_sql("q.v", "c.v")}, 6) AS cos_sim
