@@ -333,7 +333,9 @@ def rrf_fuse(
     summed over the systems that returned ``d``.
 
     Each input frame must carry ``query_id, doc_id, rank`` (1-based
-    within its system). A document absent from a system's list simply
+    within its system; ranks must be >= 1 — a rank of ``-c`` would
+    divide by zero, which ANSI mode raises loudly rather than
+    corrupting scores). A document absent from a system's list simply
     contributes nothing for that system — no outer join needed.
 
     Exactness: each contribution is the INTEGER ``scale DIV (c +

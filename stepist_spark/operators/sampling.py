@@ -423,6 +423,11 @@ def leakage_safe_split(
     row, no join against a cluster table when the key is derivable
     from the row itself.
 
+    NULL keys hash to NULL and fall through the bucket CASE to the
+    LAST split — they co-locate (no leak), but silently skew that
+    split; require a non-null key (coalesce a sentinel) if NULLs are
+    possible.
+
     Output: the input plus a ``split`` column.
     """
     return df.withColumn("split", split_label(F.col(key_col), splits, buckets))

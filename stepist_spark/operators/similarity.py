@@ -980,8 +980,20 @@ def signed_projection(
         )
         for row in signs
     ]
+    # dimension guard: zip_with pads a short/long vector with NULLs,
+    # which would fold to a silently-NULL projection (rows sinking to
+    # the bottom of every ranking instead of erroring) — one int
+    # comparison per row makes the mismatch loud instead
+    guard = (
+        f"CASE WHEN size({vec_col}) = {in_dims} THEN 1 "
+        f"ELSE raise_error(concat('signed_projection: expected {in_dims}-dim "
+        f"vectors, got dim ', CAST(size({vec_col}) AS STRING))) END"
+    )
     return df.select(
-        F.col(id_col), F.expr("array(" + ", ".join(projs) + ")").alias("proj")
+        F.col(id_col),
+        F.expr(
+            "CASE WHEN (" + guard + ") = 1 THEN array(" + ", ".join(projs) + ") END"
+        ).alias("proj"),
     )
 
 

@@ -583,3 +583,16 @@ class TestMutualMarginPairs:
         # the (1,2) margin is negative: proves the sign-factored path
         m12 = [m for (a, b, _, m) in got if (a, b) == (1, 2)]
         assert m12 and m12[0] < 0
+
+
+def test_signed_projection_dimension_mismatch_raises(spark):
+    from stepist_spark.operators.similarity import signed_projection
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.1] * 5)], "vec_id bigint, embedding array<float>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception) as ei:
+        signed_projection(df, out_dims=4, in_dims=8).collect()
+    assert "signed_projection" in str(ei.value)
