@@ -187,6 +187,14 @@ def t03_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
         # reading ease — two exact-int divisions, fixed literal combo
         TX.syllable_count(txt, toks=tk).alias("n_syllables"),
         F.round(TX.flesch_reading_ease(txt, toks=tk), 6).alias("flesch"),
+        # tokenizer fertility (round 6): chars per subword pre-token —
+        # the compression-rate signal tokenizer QA tracks per language;
+        # one division of two already-certified integers
+        F.when(
+            TX.subword_token_count(txt) > 0,
+            F.length(txt).cast("double")
+            / TX.subword_token_count(txt).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("fertility"),
     )
 
 
@@ -207,7 +215,11 @@ SELECT doc_id,
                  / {TX.sentence_count_sql('text')}
             ELSE 0.0 END AS tokens_per_sentence,
        {TX.syllable_count_sql('text')} AS n_syllables,
-       round({TX.flesch_reading_ease_sql('text')}, 6) AS flesch
+       round({TX.flesch_reading_ease_sql('text')}, 6) AS flesch,
+       CASE WHEN {TX.subword_token_count_sql('text')} > 0
+            THEN CAST(length(text) AS DOUBLE)
+                 / {TX.subword_token_count_sql('text')}
+            ELSE 0.0 END AS fertility
 FROM documents
 """
 
