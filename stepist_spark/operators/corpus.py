@@ -242,11 +242,11 @@ def distribution_shift_from_counts(
     gv = gt.join(vocab.select("tok"), "tok").groupBy("grp").agg(
         F.sum("c").cast("bigint").alias("n_p")
     )
-    from pyspark.sql import Window
+    from stepist_spark.operators.cumulative import whole_frame
 
-    wall = Window.partitionBy()
+    # |groups| rows — bounded frame, explicit single-task window
     gv = gv.select(
-        "grp", "n_p", F.sum("n_p").over(wall).cast("bigint").alias("n_all")
+        "grp", "n_p", F.sum("n_p").over(whole_frame()).cast("bigint").alias("n_all")
     )
     v_count = vocab.select(F.count(F.lit(1)).cast("bigint").alias("v"))
     # (group x vocab) support frame: broadcast the tiny group table

@@ -11,11 +11,12 @@ LLM-pipeline extension family (model-based curation evaluation).
 
 Spark-first shape: AUC never sorts raw rows per-score — it collapses
 to VALUE COUNTS first (one map-side-combined hash aggregate to
-|distinct scores| rows per group), then runs the rank-cumulative
-window over that tiny frame — the same value-counts discipline as
-median/MAD and winsorized_stats. At 100 TB the cost is one scan plus
-a |score-domain|-sized window; integer fixed-point scores (the
-classifier's ``margin_scaled``) keep that domain compact.
+|distinct scores| rows per group), then runs the rank-cumulative pass
+over that frame — the same value-counts discipline as median/MAD and
+winsorized_stats. The ungrouped cumulative rides the partition-offset
+pattern (operators/cumulative.ordered_cumsum), NOT a single-task
+global window, so a near-continuous score column (|distinct| ≈ |rows|)
+stays wide at 100 TB; grouped variants window per group as usual.
 
 Cross-engine determinism: the Mann-Whitney statistic is kept as
 EXACT integers — ``2·R_pos`` (twice the positive rank-sum; doubling
@@ -63,18 +64,26 @@ def roc_auc(
             F.sum("_y").cast("decimal(38,0)").alias("_gp"),
         )
     )
-    w = (
-        Window.partitionBy(*gcols).orderBy(F.col("_s").asc())
-        if gcols
-        else Window.partitionBy().orderBy(F.col("_s").asc())
-    )
-    cum = F.sum("_g").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ranked = vc.select(
-        *gcols,
-        "_g",
-        "_gp",
-        (cum - F.col("_g")).alias("_c"),
-    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy(F.col("_s").asc())
+        cum = F.sum("_g").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ranked = vc.select(
+            *gcols,
+            "_g",
+            "_gp",
+            (cum - F.col("_g")).alias("_c"),
+        )
+    else:
+        # ungrouped: |distinct scores| is unbounded for near-continuous
+        # scores, so NO single-task window — partition-offset cumsum
+        # (operators/cumulative.py) keeps the CDF pass wide at 100 TB
+        from stepist_spark.operators.cumulative import ordered_cumsum
+
+        ranked = ordered_cumsum(vc, "_s", ["_g"]).select(
+            "_g",
+            "_gp",
+            (F.col("cum__g") - F.col("_g")).alias("_c"),
+        )
     # 2·R_pos contribution of each tied run: n_pos_run · (2c + g + 1)
     contrib = F.col("_gp") * (F.lit(2) * F.col("_c") + F.col("_g") + F.lit(1))
     agg = ranked.groupBy(*gcols).agg(
@@ -212,8 +221,6 @@ def calibration_bins(
     Output per bin: ``bin, lo_score, hi_score, n, n_pos, pos_rate``
     (rate = one division, 6 dp).
     """
-    from pyspark.sql import Window
-
     lab = F.col(label_col).cast("boolean").cast("int")
     vc = (
         df.select(F.col(score_col).alias("_s"), lab.alias("_y"))
@@ -223,18 +230,17 @@ def calibration_bins(
             F.sum("_y").cast("bigint").alias("_cp"),
         )
     )
-    w_ord = (
-        Window.partitionBy()
-        .orderBy(F.col("_s").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy()
-    st = vc.select(
+    # |distinct scores| is unbounded for near-continuous scores: the
+    # cumulative + grand-total pass rides the partition-offset pattern
+    # (operators/cumulative.py) instead of a single-task global window
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    st = ordered_cumsum(vc, "_s", ["_c"], tot_prefix="tot_").select(
         "_s",
         "_c",
         "_cp",
-        F.sum("_c").over(w_ord).alias("_cum"),
-        F.sum("_c").over(w_all).alias("_n"),
+        F.col("cum__c").alias("_cum"),
+        F.col("tot__c").alias("_n"),
     )
     bucket = F.expr(f"CAST((_cum * {n_bins} + _n - 1) DIV _n AS BIGINT)")
     agg = st.select("_s", "_c", "_cp", bucket.alias("bin")).groupBy("bin").agg(

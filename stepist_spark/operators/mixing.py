@@ -53,8 +53,11 @@ def waterfill_allocation(
     a = avail.select(
         F.col(key_col).alias("key"), F.col(avail_col).cast("bigint").alias("avail")
     )
-    w_ord = Window.orderBy(F.col("avail").asc(), F.col("key").asc())
-    w_all = Window.partitionBy()
+    from stepist_spark.operators.cumulative import whole_frame
+
+    # |sources| rows (dozens) — bounded frame, explicit single-task
+    w_ord = whole_frame(F.col("avail").asc(), F.col("key").asc())
+    w_all = whole_frame()
     st = a.select(
         "key",
         "avail",

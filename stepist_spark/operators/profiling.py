@@ -114,7 +114,10 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    total = F.sum("n").over(Window.partitionBy())
+    from stepist_spark.operators.cumulative import whole_frame
+
+    # 9 digit rows — bounded frame, explicit single-task window
+    total = F.sum("n").over(whole_frame())
     expected = F.element_at(
         F.create_map(
             *[

@@ -256,9 +256,12 @@ def chi_square_contingency(
     cells = df.groupBy(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    from stepist_spark.operators.cumulative import whole_frame
+
     wa = Window.partitionBy("a")
     wb = Window.partitionBy("b")
-    wall = Window.partitionBy()
+    # |a×b| categorical cells — bounded frame, explicit single-task
+    wall = whole_frame()
     with_tot = cells.select(
         "a",
         "b",
@@ -328,11 +331,14 @@ def ks_two_sample(
     final ``ks = D_scaled / (n_a·n_b)`` is ONE double division, 6 dp.
 
     Spark-first shape: raw rows collapse in ONE (group, cents) count
-    aggregate; CDFs are cumulative windows over the merged distinct-
-    value frame. Output one row: ``n_a, n_b, v_at_max_cents,
-    d_scaled, ks``.
+    aggregate; CDFs are partition-offset cumulative sums over the
+    merged distinct-value frame (operators/cumulative.ordered_cumsum —
+    |distinct cents| can approach |rows| for a wide-domain metric, so
+    no single-task window), and the argmax row is picked with ONE
+    ``max_by`` hash aggregate instead of a global-rank window. Output
+    one row: ``n_a, n_b, v_at_max_cents, d_scaled, ks``.
     """
-    from pyspark.sql import Window
+    from stepist_spark.operators.cumulative import ordered_cumsum
 
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
     counts = (
@@ -344,34 +350,38 @@ def ks_two_sample(
     ca = F.sum(F.when(F.col("_g") == group_a, F.col("c")).otherwise(0))
     cb = F.sum(F.when(F.col("_g") == group_b, F.col("c")).otherwise(0))
     per_v = counts.groupBy("v").agg(ca.alias("ca"), cb.alias("cb"))
-    w_ord = (
-        Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy()
-    st = per_v.select(
+    st = ordered_cumsum(per_v, "v", ["ca", "cb"], tot_prefix="n_").select(
         "v",
-        F.sum("ca").over(w_ord).cast("decimal(38,0)").alias("cum_a"),
-        F.sum("cb").over(w_ord).cast("decimal(38,0)").alias("cum_b"),
-        F.sum("ca").over(w_all).cast("decimal(38,0)").alias("n_a"),
-        F.sum("cb").over(w_all).cast("decimal(38,0)").alias("n_b"),
+        F.col("cum_ca").cast("decimal(38,0)").alias("cum_a"),
+        F.col("cum_cb").cast("decimal(38,0)").alias("cum_b"),
+        F.col("n_ca").cast("decimal(38,0)").alias("n_a"),
+        F.col("n_cb").cast("decimal(38,0)").alias("n_b"),
     )
     d = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
-    w_pick = Window.orderBy(F.col("_d").desc(), F.col("v").asc())
-    return (
-        st.withColumn("_d", d)
-        .withColumn("_rn", F.row_number().over(w_pick))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            F.col("v").alias("v_at_max_cents"),
-            F.col("_d").cast("decimal(38,0)").alias("d_scaled"),
-            F.round(
-                F.col("_d").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-                6,
-            ).alias("ks"),
-        )
+    # argmax (earliest v on ties) as one hash aggregate: v is distinct,
+    # so the (d, -v) ordering struct has no ties and max_by is exact
+    best = st.withColumn("_d", d).agg(
+        F.max_by(
+            F.struct("n_a", "n_b", "v", "_d"),
+            F.struct(F.col("_d"), (-F.col("v")).alias("_nv")),
+        ).alias("_best")
+    )
+    # empty input: the agg yields one all-NULL row where the old
+    # window pick yielded none — keep the zero-row contract
+    best = best.filter(F.col("_best").isNotNull())
+    return best.select(
+        F.col("_best.n_a").cast("bigint").alias("n_a"),
+        F.col("_best.n_b").cast("bigint").alias("n_b"),
+        F.col("_best.v").alias("v_at_max_cents"),
+        F.col("_best._d").cast("decimal(38,0)").alias("d_scaled"),
+        F.round(
+            F.col("_best._d").cast("double")
+            / (
+                F.col("_best.n_a").cast("double")
+                * F.col("_best.n_b").cast("double")
+            ),
+            6,
+        ).alias("ks"),
     )
 
 
@@ -678,8 +688,6 @@ def psi_drift(
     ``(bin, hi_cents, c_ref, c_cmp, term_scaled, psi)`` with the same
     psi on every row (a window over the ≤n_bins frame).
     """
-    from pyspark.sql import Window
-
     g = F.col(group_col)
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
     vc = (
@@ -690,18 +698,16 @@ def psi_drift(
     )
     ref = vc.filter(F.col("_is_ref")).drop("_is_ref")
     cmp_ = vc.filter(~F.col("_is_ref")).drop("_is_ref")
-    w_ord = (
-        Window.partitionBy().orderBy(F.col("v").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy()
-    binned = ref.select(
+    # reference CDF over |distinct cents| rows — unbounded for a
+    # wide-domain metric, so partition-offset cumsum, not a global
+    # window (operators/cumulative.py)
+    from stepist_spark.operators.cumulative import ordered_cumsum, whole_frame
+
+    binned = ordered_cumsum(ref, "v", ["c"], tot_prefix="tot_").select(
         "v",
         "c",
         F.expr(
-            f"CAST((sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
-            f"AND CURRENT ROW) * {n_bins} + sum(c) OVER () - 1) "
-            f"DIV sum(c) OVER () AS BIGINT)"
+            f"CAST((cum_c * {n_bins} + tot_c - 1) DIV tot_c AS BIGINT)"
         ).alias("bin"),
     )
     ref_bins = binned.groupBy("bin").agg(
@@ -728,7 +734,8 @@ def psi_drift(
         F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
         F.coalesce("c_cmp", F.lit(0)).alias("c_cmp"),
     )
-    w = Window.partitionBy()
+    # ≤ n_bins+1 rows by construction: explicit bounded whole-frame
+    w = whole_frame()
     dec = "decimal(38,0)"
     cells = cells.select(
         "bin",

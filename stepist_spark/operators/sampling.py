@@ -163,7 +163,9 @@ def temperature_resample(
     # global min via a whole-frame window over the |groups|-row count
     # table: ONE corpus aggregation feeds both the min and the rates (a
     # counts.agg() + crossJoin would recompute the corpus scan twice)
-    n_min = F.min("_n").over(Window.partitionBy())
+    from stepist_spark.operators.cumulative import whole_frame
+
+    n_min = F.min("_n").over(whole_frame())
     ratio = F.col("_n") / n_min
     rate = (
         F.lit(1.0) / F.sqrt(ratio)
@@ -224,7 +226,9 @@ def mixture_resample(
     # scale via a whole-frame window over the |groups|-row table: one
     # corpus aggregation, not two (agg + crossJoin re-evaluates the
     # count scan per consumer)
-    scale = F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
+    from stepist_spark.operators.cumulative import whole_frame
+
+    scale = F.min(F.col("_n") / F.col("_p")).over(whole_frame())
     rates = joined.select(
         group_col,
         F.least(F.lit(1.0), scale * F.col("_p") / F.col("_n")).alias("_rate"),
@@ -306,7 +310,10 @@ def deterministic_shuffle(
     ).sortWithinPartitions(*parts)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
 
-    wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    from stepist_spark.operators.cumulative import whole_frame
+
+    # |partitions|-row frame: explicit bounded whole-frame window
+    wcum = whole_frame("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         with_pid.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -369,13 +376,22 @@ def weighted_priority_sample(
         .withColumn("_wkey", F.expr(f"_wnum DIV {weight_col}"))
         .drop("_wnum")
     )
-    w = (
-        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    ).orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col("_wkey").asc(), F.col(id_col).asc()
+        )
+        return (
+            keyed.withColumn("_wrn", F.row_number().over(w))
+            .filter(F.col("_wrn") <= k)
+            .drop("_wkey", "_wrn")
+        )
+    # ungrouped global top-k: sort().limit() plans as
+    # TakeOrderedAndProject — every task keeps ≤ k rows, no
+    # single-task window over the full keyed corpus
     return (
-        keyed.withColumn("_wrn", F.row_number().over(w))
-        .filter(F.col("_wrn") <= k)
-        .drop("_wkey", "_wrn")
+        keyed.orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wkey")
     )
 
 

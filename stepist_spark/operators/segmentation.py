@@ -25,7 +25,7 @@ tile on any engine; recency ranks on the raw last-purchase timestamp
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,17 +53,30 @@ def rfm_segments(
             F.sum("_c").cast("bigint").alias("monetary_cents"),
         )
     )
-    w_r = Window.orderBy(F.col("last_ts").asc(), F.col("customer").asc())
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("customer").asc())
-    w_m = Window.orderBy(F.col("monetary_cents").asc(), F.col("customer").asc())
-    scored = per_cust.select(
+    # three total-order NTILEs over the |customers| frame — unbounded
+    # at 100 TB, so each rides the partition-offset global_ntile
+    # (operators/cumulative.py: range exchange + local rank + broadcast
+    # offsets; bit-identical to ntile() OVER (ORDER BY ...)) instead of
+    # a single-task global window
+    from stepist_spark.operators.cumulative import global_ntile
+
+    scored = global_ntile(
+        per_cust, ["last_ts", "customer"], n_tiles, out_col="r_score"
+    )
+    scored = global_ntile(
+        scored, ["frequency", "customer"], n_tiles, out_col="f_score"
+    )
+    scored = global_ntile(
+        scored, ["monetary_cents", "customer"], n_tiles, out_col="m_score"
+    )
+    scored = scored.select(
         "customer",
         "last_ts",
         "frequency",
         "monetary_cents",
-        F.ntile(n_tiles).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(n_tiles).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(n_tiles).over(w_m).cast("bigint").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.withColumn(
         "segment",

@@ -326,9 +326,9 @@ def _uniform_stamp(name: str, what: str) -> "F.Column":
     frame — the merge-time guard against unioning shards built with
     different parameters. One whole-frame window over the MERGED sketch
     (KB-scale by construction), not over the raw data."""
-    from pyspark.sql import Window
+    from stepist_spark.operators.cumulative import whole_frame
 
-    w = Window.partitionBy()
+    w = whole_frame()
     return F.when(
         F.min(name).over(w) == F.max(name).over(w), F.col(name)
     ).otherwise(
@@ -348,9 +348,9 @@ def _uniform_guard(value: "F.Column", names: list[str], what: str) -> "F.Column"
     mismatched merge could silently emit a false-negative bitmap).
     Same whole-frame window as ``_uniform_stamp`` — Catalyst plans the
     shared window spec once, so this adds no extra pass."""
-    from pyspark.sql import Window
+    from stepist_spark.operators.cumulative import whole_frame
 
-    w = Window.partitionBy()
+    w = whole_frame()
     cond = F.lit(True)
     for name in names:
         cond = cond & (F.min(name).over(w) == F.max(name).over(w))
@@ -668,14 +668,17 @@ def qsketch_quantiles(
         if guarded
         else F.col("cnt")
     )
-    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+    from stepist_spark.operators.cumulative import whole_frame
+
+    # |buckets| sketch rows (KB-scale) — bounded, explicit single-task
+    w = whole_frame(F.col("bucket").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = sk.select(
         "bucket",
         F.sum(cnt).over(w).alias("cum"),
         F.sum(cnt).over(
-            Window.rowsBetween(
+            whole_frame().rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("n"),

@@ -131,33 +131,28 @@ def skew_report(
     any hash exchange keyed on it; its count/total is the minimum salt
     multiplier that levels it).
 
-    One map-side-combined count aggregation over the rows; the total
-    and the ranking ride windows over the |keys|-row count table. The
-    final ranking window is global (single task over |keys| rows) —
-    fine for grouping keys up to ~1e8; for unbounded-cardinality keys
-    run :func:`~stepist_spark.operators.sketches.frequent_items`
-    instead and join its top set back for exact counts.
+    One map-side-combined count aggregation over the rows; the top-n
+    pick is a sort().limit() — planned as TakeOrderedAndProject, so
+    every task keeps at most n rows and NOTHING ever concentrates the
+    |keys|-row count table on one task (grouping keys can be
+    unbounded-cardinality); the grand total is a 1-row aggregate
+    broadcast onto the ≤top_n result rows.
 
     Output: ``*key_cols, n_rows, share`` (share = one exact-integer
     division), hottest first, deterministic key tiebreak.
     """
-    from pyspark.sql import Window
-
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    wtot = Window.partitionBy()
-    wr = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
-    return (
-        counts.withColumn("_tot", F.sum("n_rows").over(wtot))
-        .withColumn("_rk", F.row_number().over(wr))
-        .filter(F.col("_rk") <= top_n)
-        .select(
-            *keys,
-            "n_rows",
-            (F.col("n_rows").cast("double") / F.col("_tot").cast("double")).alias(
-                "share"
-            ),
-        )
+    top = counts.orderBy(
+        F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]
+    ).limit(top_n)
+    tot = counts.agg(F.sum("n_rows").alias("_tot"))
+    return top.crossJoin(F.broadcast(tot)).select(
+        *keys,
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("_tot").cast("double")).alias(
+            "share"
+        ),
     )
 
 

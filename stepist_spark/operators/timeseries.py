@@ -610,8 +610,10 @@ def decayed_counts(
         .groupBy(*gcols, "_d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
-    w_all = Window.partitionBy()
-    daily = daily.withColumn("_maxd", F.max("_d").over(w_all))
+    from stepist_spark.operators.cumulative import whole_frame
+
+    # |distinct days| rows — bounded frame, explicit single-task
+    daily = daily.withColumn("_maxd", F.max("_d").over(whole_frame()))
     daily = daily.withColumn(
         "_k",
         F.least(

@@ -48,9 +48,18 @@ def get_spark(
         # repartition, on the raw scan's few partitions. Measured 10×+
         # slowdown on the LSH path; the rows it would skip (empty
         # arrays) are a vanishing fraction of a text corpus.
+        # EliminateWindowPartitions (Spark 4) folds constant window
+        # partition keys away, silently turning our EXPLICIT
+        # bounded-frame windows (Window.partitionBy(lit(0)) over
+        # provably-tiny frames — see operators/cumulative.whole_frame)
+        # back into unpartitioned windows. Excluding it keeps the
+        # explicit key, so any remaining "WARN WindowExec: No Partition
+        # Defined" in a log is a REAL unbounded single-task window, not
+        # an annotated bounded one.
         .config(
             "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate,"
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -108,8 +117,13 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # see get_spark: pathological for interpreted HOF pipelines
-    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # see get_spark: InferFiltersFromGenerate is pathological for
+    # interpreted HOF pipelines; EliminateWindowPartitions erases the
+    # explicit lit(0) bounded-frame window annotation
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate,"
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+    ),
 }
 
 

@@ -241,6 +241,10 @@ class TestCatalogHygiene:
         "t25_resample_shuffle", # broadcast 1-row group-min cross join
         "t16_vocabulary",       # BM25: broadcast 1-row corpus-stats cross join
         "q04_semi_anti_join",   # fk_report: broadcast 1-row count cross joins
+        "q36_salted_agg",       # skew_report: broadcast 1-row grand-total cross
+                                # join onto the ≤top_n heavy-hitter rows (the
+                                # round-7 TakeOrdered re-platform of the old
+                                # single-task ranking window)
         "q21_approx_sketches",  # hll_pair_intersections: |labels|² pair build
                                 # (≤ tens of rows) + broadcast 1-row totals
         "q09_grouping_multi",   # target_encode: broadcast 1-row global-prior
