@@ -201,15 +201,43 @@ def span_hash60_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def sketch_pos(h: Column, d: int, width: int) -> Column:
-    """d-th sketch cell position from an EXISTING 32-bit value hash:
-    ``((A_d·h + B_d) mod P) mod width`` — ONE md5 per value feeds all
-    depth rows (a 4x hash-cost cut over per-depth seeded md5 at
-    depth 4; same universal-hash family as the MinHash signatures, so
-    the coefficients are already cross-engine literals)."""
-    return (minhash_of_hash(h, d) % F.lit(width)).cast("int")
+# sketch_pos60 splits the 60-bit hash into two independent 30-bit
+# halves; the per-depth multiplier pairs come from the shared
+# coefficient table (A_d for the low half, A_{d+4} for the high half,
+# B_d as the addend) so both engines read the same literals.
+_POS60_HALF = 1 << 30
 
 
-def sketch_pos_sql(h_expr: str, d: int, width: int) -> str:
-    """DuckDB mirror of :func:`sketch_pos`."""
-    return f"CAST(({minhash_of_hash_sql(h_expr, d)}) % {width} AS INT)"
+def sketch_pos60(h: Column, d: int, width: int) -> Column:
+    """d-th sketch cell position from an EXISTING 60-bit value hash
+    (:func:`span_hash60`): ``((A_d·lo + A_{d+4}·hi + B_d) mod P) mod
+    width`` with ``lo/hi`` the hash's 30-bit halves.
+
+    Why not an affine rederivation of a 32-bit hash (the round-6
+    scheme): two values colliding in the 32-bit BASE hash collide in
+    EVERY depth row, so depth stops
+    reducing the CMS error once the distinct-value population reaches
+    birthday range (~2^16) — the (eps, delta) guarantee silently
+    degrades (round-6 ADVICE). Deriving all rows from 60 bits pushes
+    the all-row collision probability per pair to ~2^-60 while keeping
+    ONE md5 per value. Overflow-safe under ANSI: each product is
+    < 2^30·2^30 = 2^60, the sum < 2^62 < bigint max.
+    """
+    assert 0 <= d and d + 4 < len(MINHASH_A), "sketch_pos60 supports depth <= 8"
+    lo = h % F.lit(_POS60_HALF)
+    # shiftright is exact integer division by 2^30 for the non-negative
+    # span_hash60 (a double division would lose bits above 2^53)
+    hi = F.shiftright(h, 30)
+    mixed = (
+        F.lit(MINHASH_A[d]) * lo + F.lit(MINHASH_A[d + 4]) * hi + F.lit(MINHASH_B[d])
+    ) % F.lit(MINHASH_P)
+    return (mixed % F.lit(width)).cast("int")
+
+
+def sketch_pos60_sql(h_expr: str, d: int, width: int) -> str:
+    """DuckDB mirror of :func:`sketch_pos60`."""
+    return (
+        f"CAST((({MINHASH_A[d]}::BIGINT * (({h_expr}) % {_POS60_HALF}) "
+        f"+ {MINHASH_A[d + 4]}::BIGINT * (({h_expr}) // {_POS60_HALF}) "
+        f"+ {MINHASH_B[d]}) % {MINHASH_P}) % {width} AS INT)"
+    )

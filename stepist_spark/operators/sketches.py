@@ -481,6 +481,16 @@ def bloom_probe(
 # as the HLL rollup above.
 
 
+# CMS position-hash wire-format version. v2 (round 7): positions are
+# derived from the 60-bit span_hash60 via sketch_pos60 — a 32-bit base
+# (v1) let any base-hash collision collide in EVERY depth row, so depth
+# stopped reducing error at birthday-range (~2^16) distinct values
+# (round-6 ADVICE). The stamp rides every sketch and is guarded like
+# depth/width: probing a sketch built under a different scheme raises
+# instead of silently reading the wrong cells.
+CMS_HASH_SCHEME = 2
+
+
 def cms_build(
     df: DataFrame,
     value_col: str,
@@ -489,23 +499,26 @@ def cms_build(
     width: int = 1024,
 ) -> DataFrame:
     """Sparse count-min sketch: one ``(row_idx, col_idx, cnt)`` row per
-    non-zero cell. Positions use the portable md5 ``word_hash32`` with
-    per-row seed prefixes (engine-reproducible, like the Bloom filter).
+    non-zero cell, stamped ``(depth, width, scheme)``. Positions use
+    the portable md5 ``span_hash60`` with per-depth universal-hash
+    rederivation (engine-reproducible, like the Bloom filter).
     One explode (depth rows per value) + one hash-aggregate with
     map-side partial sums."""
     from stepist_spark.functions import hashing
 
     w = F.col(weight_col) if weight_col else F.lit(1)
     # ONE md5 per value; the depth positions are universal-hash
-    # rederivations of it (hashing.sketch_pos). Each depth row is its
-    # own map-side-combined aggregate and the tiny cell tables union —
-    # measured 2.8x faster than aggregating an exploded generator
-    # (the Generate breaks whole-stage codegen around the hash agg)
-    h = hashing.word_hash32(F.col(value_col).cast("string"))
+    # rederivations of its two 30-bit halves (hashing.sketch_pos60 —
+    # depth rows stay independent under base-hash collisions). Each
+    # depth row is its own map-side-combined aggregate and the tiny
+    # cell tables union — measured 2.8x faster than aggregating an
+    # exploded generator (the Generate breaks whole-stage codegen
+    # around the hash agg)
+    h = hashing.span_hash60(F.col(value_col).cast("string"))
     out = None
     for d in range(depth):
         part = (
-            df.select(hashing.sketch_pos(h, d, width).alias("col_idx"), w.alias("_w"))
+            df.select(hashing.sketch_pos60(h, d, width).alias("col_idx"), w.alias("_w"))
             .groupBy("col_idx")
             .agg(F.sum("_w").cast("bigint").alias("cnt"))
             .select(
@@ -521,6 +534,7 @@ def cms_build(
         "cnt",
         F.lit(depth).cast("int").alias("depth"),
         F.lit(width).cast("int").alias("width"),
+        F.lit(CMS_HASH_SCHEME).cast("int").alias("scheme"),
     )
 
 
@@ -531,15 +545,18 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    merged = out.groupBy("row_idx", "col_idx", "depth", "width").agg(
+    merged = out.groupBy("row_idx", "col_idx", "depth", "width", "scheme").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
     return merged.select(
         "row_idx",
         "col_idx",
-        _uniform_guard(F.col("cnt"), ["depth", "width"], "cms_merge").alias("cnt"),
+        _uniform_guard(
+            F.col("cnt"), ["depth", "width", "scheme"], "cms_merge"
+        ).alias("cnt"),
         _uniform_stamp("depth", "cms_merge"),
         _uniform_stamp("width", "cms_merge"),
+        _uniform_stamp("scheme", "cms_merge"),
     )
 
 
@@ -561,14 +578,21 @@ def cms_estimate(
     scan per lookup (Spark's GetMapValue has no hash index)."""
     from stepist_spark.functions import hashing
 
-    expect = {"depth": depth, "width": width}
+    expect = {"depth": depth, "width": width, "scheme": CMS_HASH_SCHEME}
+    if "depth" in sketch.columns and "scheme" not in sketch.columns:
+        raise ValueError(
+            "cms_estimate: sketch predates hash-scheme v2 (no 'scheme' "
+            "stamp) — its cells were placed by the old 32-bit position "
+            "hash and the estimates would be silently wrong; rebuild it "
+            "with cms_build"
+        )
     sketch = _probe_ready(sketch, expect)
     guarded = set(expect) <= set(sketch.columns)
     out = df
     ests = []
-    h = hashing.word_hash32(F.col(value_col).cast("string"))
+    h = hashing.span_hash60(F.col(value_col).cast("string"))
     for d in range(depth):
-        pos = hashing.sketch_pos(h, d, width)
+        pos = hashing.sketch_pos60(h, d, width)
         cnt = (
             _stamp_guard(F.col("cnt"), expect, "cms_estimate")
             if guarded
@@ -843,18 +867,18 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     a = sketch_a.select(
         "row_idx",
         "col_idx",
-        _uniform_guard(F.col("cnt"), ["depth", "width"], "cms_join_size").alias(
-            "_ca"
-        ),
+        _uniform_guard(
+            F.col("cnt"), ["depth", "width", "scheme"], "cms_join_size"
+        ).alias("_ca"),
         "depth",
         "width",
     )
     b = sketch_b.select(
         F.col("row_idx").alias("_rb"),
         F.col("col_idx").alias("_cb"),
-        _uniform_guard(F.col("cnt"), ["depth", "width"], "cms_join_size").alias(
-            "_nb"
-        ),
+        _uniform_guard(
+            F.col("cnt"), ["depth", "width", "scheme"], "cms_join_size"
+        ).alias("_nb"),
         F.col("depth").alias("_db"),
         F.col("width").alias("_wb"),
     )
@@ -893,10 +917,10 @@ def cms_join_size_sql(
     from stepist_spark.functions import hashing
 
     def cells(table: str, expr: str) -> str:
-        h = hashing.word_hash32_sql(f"CAST(({expr}) AS VARCHAR)")
+        h = hashing.span_hash60_sql(f"CAST(({expr}) AS VARCHAR)")
         arms = " UNION ALL ".join(
             f"SELECT {d} AS row_idx, "
-            f"{hashing.sketch_pos_sql('_h', d, width)} AS col_idx FROM _hv"
+            f"{hashing.sketch_pos60_sql('_h', d, width)} AS col_idx FROM _hv"
             for d in range(depth)
         )
         return (

@@ -1447,13 +1447,13 @@ def _t19_sql() -> str:
     toks = f"SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents"
 
     def pos_union(src: str) -> str:
-        # one md5 per token, positions re-derived per depth
-        # (hashing.sketch_pos discipline — must stay in lockstep with
-        # operators/sketches.cms_build)
-        hv = f"SELECT *, {hashing.word_hash32_sql('tok')} AS _h FROM {src}"
+        # one md5 per token, positions re-derived per depth from the
+        # 60-bit hash's halves (hashing.sketch_pos60 discipline — must
+        # stay in lockstep with operators/sketches.cms_build scheme v2)
+        hv = f"SELECT *, {hashing.span_hash60_sql('tok')} AS _h FROM {src}"
         rows = [
             f"SELECT tok, {d} AS row_idx, "
-            f"{hashing.sketch_pos_sql('_h', d, CMS_WIDTH)} AS col_idx "
+            f"{hashing.sketch_pos60_sql('_h', d, CMS_WIDTH)} AS col_idx "
             f"FROM ({hv})"
             for d in range(CMS_DEPTH)
         ]

@@ -259,6 +259,51 @@ class TestCountMin:
         # be far under the single-row expectation
         assert est <= 30
 
+    def test_depth_rows_independent_under_base_hash_collision(self, spark):
+        """Round-6 ADVICE regression: 'cmscol21060' and 'cmscol90424'
+        share the same FIRST-8-HEX md5 prefix (the old 32-bit base
+        hash), so under scheme v1 they landed in the same cell of
+        EVERY depth row. Scheme v2 derives positions from the 60-bit
+        hash, so at least one depth row must separate them."""
+        import hashlib
+
+        a, b = "cmscol21060", "cmscol90424"
+        assert (
+            hashlib.md5(a.encode()).hexdigest()[:8]
+            == hashlib.md5(b.encode()).hexdigest()[:8]
+        )
+        df = spark.createDataFrame([(a,), (b,)], "v string")
+        cells = sketches.cms_build(df, "v", depth=4, width=1 << 20)
+        # 2 values x 4 rows: if any row holds a cnt=2 cell the pair
+        # collided there; they must NOT collide in all 4
+        collided_rows = [
+            r.row_idx for r in cells.filter(F.col("cnt") == 2).collect()
+        ]
+        assert len(collided_rows) < 4, collided_rows
+
+    def test_legacy_unversioned_sketch_is_rejected(self, spark):
+        """A sketch with depth/width stamps but no 'scheme' column was
+        built by the pre-v2 position hash: probing it must raise, not
+        silently read the wrong cells."""
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        legacy = sketches.cms_build(df, "v", depth=4, width=256).drop("scheme")
+        with pytest.raises(ValueError, match="hash-scheme"):
+            sketches.cms_estimate(df, "v", legacy, depth=4, width=256)
+
+    def test_scheme_mismatch_raises_eagerly_when_cached(self, spark):
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        wrong = (
+            sketches.cms_build(df, "v", depth=4, width=256)
+            .withColumn("scheme", F.lit(1).cast("int"))
+            .cache()
+        )
+        try:
+            wrong.count()
+            with pytest.raises(ValueError, match="scheme"):
+                sketches.cms_estimate(df, "v", wrong, depth=4, width=256)
+        finally:
+            wrong.unpersist()
+
 
 class TestSketchParamGuards:
     def test_bloom_param_mismatch_raises_eagerly_when_cached(self, spark):
