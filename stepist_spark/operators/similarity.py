@@ -1075,11 +1075,15 @@ def jl_topk_sql(
     scale: int = JL_SCALE,
 ) -> str:
     """DuckDB mirror of :func:`jl_topk` (same literal sign matrix,
-    same integer arithmetic)."""
+    same integer arithmetic). The ``_jl`` CTE carries the id column
+    under BOTH its original name and ``_id`` so ``query_pred`` is used
+    verbatim — a textual ``replace(id_col, '_id')`` corrupted any
+    predicate where the id name appeared inside a longer identifier or
+    a string literal (round-6 ADVICE)."""
     proj = _jl_proj_sql(vec_col, out_dims, in_dims, seed, scale)
     return f"""
-WITH _jl AS (SELECT {id_col} AS _id, {proj} AS proj FROM {table}),
-_jq AS (SELECT _id, proj FROM _jl WHERE {query_pred.replace(id_col, '_id')}),
+WITH _jl AS (SELECT {id_col}, {id_col} AS _id, {proj} AS proj FROM {table}),
+_jq AS (SELECT _id, proj FROM _jl WHERE {query_pred}),
 _jp AS (
     SELECT q._id AS query_id, c._id AS neighbor_id,
            CAST(list_sum(list_transform(q.proj, (a, i) -> a * c.proj[i])) AS BIGINT)
@@ -1156,10 +1160,15 @@ def mutual_margin_pairs(topk: DataFrame, scale: int = 1_000_000) -> DataFrame:
     work: one per-id sum, one self-join on the reversed pair.
 
     Exactness: cosines are 6-dp; ``c6 = round(cos·1e6)`` is an exact
-    bigint, margin_scaled = ``c6·(k_a+k_b)·scale`` / ``(S_a+S_b)``
+    bigint. The denominator is the cited mean of PER-SIDE averages
+    ``(S_a/k_a + S_b/k_b)/2`` — cross-multiplied so the division stays
+    exact: margin_scaled = ``2·c6·k_a·k_b·scale / (S_a·k_b + S_b·k_a)``
     with explicit truncation TOWARD ZERO on both engines (Spark DIV
     truncates, DuckDB // floors — they differ on negative numerators,
-    so the sign is factored out).
+    so the sign is factored out). A pooled ``(S_a+S_b)/(k_a+k_b)``
+    denominator (round-6 ADVICE) only equals this when k_a == k_b;
+    short top-k lists (small corpora, boundary ties) made it deviate
+    from the published formula.
 
     Output: ``id_a < id_b, c6, margin_scaled`` (margin NULL when the
     denominator is not positive — degenerate all-negative
@@ -1192,11 +1201,12 @@ def mutual_margin_pairs(topk: DataFrame, scale: int = 1_000_000) -> DataFrame:
             "id_b",
         )
     )
-    num = F.col("c6") * (F.col("ka") + F.col("kb")) * F.lit(scale)
-    den = F.col("sa") + F.col("sb")
-    _n = f"(c6 * (ka + kb) * CAST({scale} AS BIGINT))"
-    tdiv = F.when(num >= 0, F.expr(f"{_n} DIV (sa + sb)")).otherwise(
-        -F.expr(f"(-{_n}) DIV (sa + sb)")
+    num = F.lit(2) * F.col("c6") * F.col("ka") * F.col("kb") * F.lit(scale)
+    den = F.col("sa") * F.col("kb") + F.col("sb") * F.col("ka")
+    _n = f"(2 * c6 * ka * kb * CAST({scale} AS BIGINT))"
+    _d = "(sa * kb + sb * ka)"
+    tdiv = F.when(num >= 0, F.expr(f"{_n} DIV {_d}")).otherwise(
+        -F.expr(f"(-{_n}) DIV {_d}")
     )
     return j.select(
         "id_a",
@@ -1229,10 +1239,12 @@ _mm AS (
     USING (id_a, id_b)
 )
 SELECT m.id_a, m.id_b, m.c6,
-       CASE WHEN (a.s6 + b.s6) > 0 THEN CAST(
+       CASE WHEN (a.s6 * b.nk + b.s6 * a.nk) > 0 THEN CAST(
            CASE WHEN m.c6 >= 0
-                THEN (m.c6 * (a.nk + b.nk) * {scale}) // (a.s6 + b.s6)
-                ELSE -((-(m.c6 * (a.nk + b.nk) * {scale})) // (a.s6 + b.s6))
+                THEN (2 * m.c6 * a.nk * b.nk * {scale})
+                     // (a.s6 * b.nk + b.s6 * a.nk)
+                ELSE -((-(2 * m.c6 * a.nk * b.nk * {scale}))
+                       // (a.s6 * b.nk + b.s6 * a.nk))
            END AS BIGINT)
        END AS margin_scaled
 FROM _mm m

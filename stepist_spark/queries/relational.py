@@ -2311,11 +2311,9 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     # (operators/anomaly.py — one window pass / two aggregations each)
     from stepist_spark.operators.anomaly import cohort_retention, event_transitions
 
-    # events staged ONCE, hash-partitioned on user_id and materialized:
-    # the user-keyed parts below (transitions, wau, streak, sessionize,
-    # attribution, paths, funnel, cohort) inherit the partitioning from
-    # the LogicalRDD, so their user-windows skip the per-part exchange —
-    # one shuffle of the fact table instead of ~8
+    # ev is a plain parquet load by design — see _q22_events: staging
+    # it once (repartition+localCheckpoint) measured ~15% SLOWER than
+    # letting each user-keyed part re-scan the columnar source
     tr = event_transitions(ev, "user_id", "ts", "event_type", "event_id").select(
         F.lit("transition").alias("part"),
         F.concat("from_type", F.lit(">"), "to_type").alias("wkey"),

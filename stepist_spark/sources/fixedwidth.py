@@ -17,9 +17,14 @@ the parse because each output column depends only on ``value``.
 Fidelity contract: values are LEFT-padded with spaces and trimmed on
 read, so values must not themselves start or end with a space (raise
 via an explicit guard); a value longer than its column width raises at
-write time instead of silently truncating. Only exactly-text-
-representable types belong here (integers, dates, bounded strings) —
-carry money as integer cents, not doubles.
+write time instead of silently truncating. Widths are BYTE widths:
+values must be single-byte (ASCII) text — a multi-byte character
+inside the char budget could still overflow the byte range an external
+fixed-OFFSET (COBOL-style) reader consumes, so non-ASCII raises at
+write time (round-6 ADVICE), as does NULL (the format has no
+sentinel). Only exactly-text-representable types belong here
+(integers, dates, bounded strings) — carry money as integer cents,
+not doubles.
 """
 
 from __future__ import annotations
@@ -34,14 +39,43 @@ __all__ = ["write_fixed_width", "read_fixed_width"]
 
 def _guarded(col: str, width: int) -> F.Column:
     s = F.col(col).cast("string")
-    bad_len = F.length(s) > width
+    # octet_length: the contract is a fixed BYTE range per column
+    bad_len = F.octet_length(s) > width
+    # byte-based external readers need bytes == chars; our own reader
+    # slices by character, so the two only agree on single-byte text
+    bad_bytes = F.octet_length(s) != F.length(s)
     bad_pad = s != F.trim(s)
     return (
         F.when(
+            s.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"fixed-width: column '{col}' is NULL — the format has "
+                    "no NULL sentinel; filter or fill first"
+                )
+            ),
+        )
+        .when(
             bad_len,
             F.raise_error(
                 F.concat(
-                    F.lit(f"fixed-width overflow: column '{col}' width {width} got "),
+                    F.lit(
+                        f"fixed-width overflow: column '{col}' width {width} "
+                        "bytes got "
+                    ),
+                    s,
+                )
+            ),
+        )
+        .when(
+            bad_bytes,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fixed-width: column '{col}' contains non-ASCII "
+                        "text — byte-offset layouts require single-byte "
+                        "characters: "
+                    ),
                     s,
                 )
             ),
@@ -71,7 +105,8 @@ def write_fixed_width(
     """Write ``df`` as fixed-width text lines; ``widths`` is the layout
     ``[(column, byte_width), ...]`` in line order. NULLs are not
     representable (no sentinel in the format) — filter or fill first;
-    a NULL raises through the cast guard."""
+    a NULL raises via an explicit guard at write time (it used to
+    surface later as a text-writer failure on the NULL line)."""
     line = F.concat(*[_guarded(c, w) for c, w in widths])
     df.select(line.alias("value")).write.mode(mode).text(path)
 

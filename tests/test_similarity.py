@@ -558,6 +558,24 @@ class TestMutualMarginPairs:
         rows = mutual_margin_pairs(t).collect()
         assert len(rows) == 1 and rows[0]["margin_scaled"] is None
 
+    def test_unequal_k_uses_per_side_means(self, spark):
+        """Round-6 ADVICE: with k_a != k_b the pooled average
+        (S_a+S_b)/(k_a+k_b) deviates from the cited Artetxe & Schwenk
+        margin; the denominator must be the mean of PER-SIDE averages."""
+        from stepist_spark.operators.similarity import mutual_margin_pairs
+
+        # id 1 has a 2-item list (S_a=1.0), id 2 a 1-item list (S_b=0.8)
+        t = self._topk(spark, [(1, 2, 0.8), (1, 3, 0.2), (2, 1, 0.8)])
+        got = {(r["id_a"], r["id_b"]): r["margin_scaled"]
+               for r in mutual_margin_pairs(t).collect()}
+        # per-side means: 0.5 and 0.8 -> denom 0.65 -> 0.8/0.65
+        exp = (2 * 800_000 * 2 * 1 * 1_000_000) // (
+            1_000_000 * 1 + 800_000 * 2
+        )
+        assert got[(1, 2)] == exp == 1_230_769
+        # the pooled-average formula would have given 0.8/0.6
+        assert got[(1, 2)] != (800_000 * 3 * 1_000_000) // 1_800_000
+
     def test_negative_numerator_truncates_toward_zero_like_duckdb(self, spark):
         import duckdb
 

@@ -196,3 +196,38 @@ class TestFixedWidth:
         with pytest.raises(Exception) as ei:
             write_fixed_width(df, str(tmp_path / "pad"), [("s", 10)])
         assert "whitespace" in str(ei.value)
+
+    def test_null_raises_at_write(self, spark, tmp_path):
+        """Round-6 ADVICE: a NULL used to yield a NULL line and fail
+        later inside the text writer; the guard must name the column."""
+        import pytest
+
+        from stepist_spark.sources import write_fixed_width
+
+        df = spark.createDataFrame([(None,)], "s string")
+        with pytest.raises(Exception) as ei:
+            write_fixed_width(df, str(tmp_path / "nul"), [("s", 10)])
+        assert "NULL" in str(ei.value) and "'s'" in str(ei.value)
+
+    def test_multibyte_within_char_budget_raises(self, spark, tmp_path):
+        """Round-6 ADVICE: widths are BYTE widths — 'héllo' is 5 chars
+        but 6 bytes, so a 5-wide column must reject it rather than emit
+        a line external byte-offset readers cannot parse."""
+        import pytest
+
+        from stepist_spark.sources import write_fixed_width
+
+        df = spark.createDataFrame([("héllo",)], "s string")
+        with pytest.raises(Exception) as ei:
+            write_fixed_width(df, str(tmp_path / "mb"), [("s", 5)])
+        assert "overflow" in str(ei.value) or "non-ASCII" in str(ei.value)
+
+    def test_non_ascii_in_byte_budget_raises(self, spark, tmp_path):
+        import pytest
+
+        from stepist_spark.sources import write_fixed_width
+
+        df = spark.createDataFrame([("hé",)], "s string")  # 3 bytes, fits 10
+        with pytest.raises(Exception) as ei:
+            write_fixed_width(df, str(tmp_path / "na"), [("s", 10)])
+        assert "non-ASCII" in str(ei.value)
