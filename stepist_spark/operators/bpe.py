@@ -221,7 +221,7 @@ def train_bpe(
     min_pair_count: int = 2,
     batch_size: int = 32,
     exact: bool = True,
-    auto_relax_after: int | None = None,
+    auto_relax_after: int | None = 3,
     round_log: list | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges. Returns ``(merges,
@@ -254,8 +254,11 @@ def train_bpe(
     (1 merge selected with a larger batch requested — the tie-heavy
     signature), switch the REMAINING rounds to ``exact=False`` batching
     with a loud warning, bounding total rounds on adversarial
-    distributions. None (default) keeps exact mode to the end and only
-    warns, preserving the sequential-fidelity guarantee.
+    distributions. The DEFAULT is 3 (round-6 verdict: an adversarial
+    tie-heavy corpus could otherwise cost ~n_merges Spark jobs for a
+    production 32k-merge vocabulary); pass ``None`` to keep exact mode
+    to the end — it then only warns, preserving the strict
+    sequential-fidelity guarantee at unbounded round cost.
 
     ``round_log``: optional list; appends each round's batch size —
     diagnostics for round-count regressions.

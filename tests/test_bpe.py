@@ -56,14 +56,18 @@ class TestBpe:
 
     def test_merges_and_segs_match_python(self, spark):
         exp_merges, exp_segs = _py_bpe(COUNTS, N_MERGES)
-        merges, wf = train_bpe(self._corpus(spark), n_merges=N_MERGES)
+        merges, wf = train_bpe(
+            self._corpus(spark), n_merges=N_MERGES, auto_relax_after=None
+        )
         assert merges == exp_merges
         assert len(merges) > 2  # the fixture genuinely trains
         got = {r["word"]: (r["n"], list(r["sym"])) for r in wf.collect()}
         assert got == {w: (c, exp_segs[w]) for w, c in COUNTS.items()}
 
     def test_segment_known_and_oov(self, spark):
-        merges, wf = train_bpe(self._corpus(spark), n_merges=N_MERGES)
+        merges, wf = train_bpe(
+            self._corpus(spark), n_merges=N_MERGES, auto_relax_after=None
+        )
         docs = spark.createDataFrame(
             [(1, "low newest lowest")], "doc_id bigint, text string"
         )
@@ -103,7 +107,7 @@ class TestBpe:
         sequential BPE on a corpus with real count variation (the
         8-merge fixture is too small to exercise conflict stops)."""
         counts, df = self._big_corpus(spark, n_words=800)
-        merges, _ = train_bpe(df, n_merges=150, batch_size=32)
+        merges, _ = train_bpe(df, n_merges=150, batch_size=32, auto_relax_after=None)
         exp_merges, _ = _py_bpe(counts, 150)
         assert merges == exp_merges
 
@@ -136,7 +140,7 @@ def test_nul_bearing_tokens_train_exactly(spark):
     merge map (sequential-fold fallback round)."""
     text = "a\x00b a\x00b a\x00b aa aa"
     df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
-    merges, segs = train_bpe(df, n_merges=4, batch_size=8)
+    merges, segs = train_bpe(df, n_merges=4, batch_size=8, auto_relax_after=None)
     # 'a\x00b' (freq 3): pairs (a,\x00):3 and (\x00,b):3 tie on count;
     # the (pair asc) name tiebreak puts ('\x00','b') first ('\x00'<'a');
     # then (a,\x00b):3 beats (a,a):2; then (a,a)
@@ -179,7 +183,24 @@ class TestTieHeavyAutoRelax:
             min_pair_count=2,
             batch_size=8,
             exact=True,
+            auto_relax_after=None,  # explicit opt-out of the default
             round_log=rounds,
         )
         assert len(merges) == 4
         assert rounds == [1, 1, 1, 1]  # degenerate but exact, by request
+
+    def test_default_bounds_adversarial_rounds(self, spark):
+        """Round-7: the DEFAULT must bound total rounds on a tie-heavy
+        corpus — 3 degenerate exact rounds, then full relaxed batches."""
+        docs = spark.createDataFrame(self.CORPUS, "text string")
+        rounds: list = []
+        merges, _ = train_bpe(
+            docs,
+            n_merges=12,
+            min_pair_count=2,
+            batch_size=8,
+            round_log=rounds,
+        )
+        assert len(merges) == 12
+        assert rounds[:3] == [1, 1, 1] and max(rounds) > 1, rounds
+        assert len(rounds) <= 7, rounds
