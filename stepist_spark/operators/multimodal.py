@@ -44,8 +44,29 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, byte_mean double, feature array<double>"
+    "media_id long, kind string, n_bytes long, byte_mean double, "
+    "feature array<double>, decode_error string"
 )
+
+
+def _decode_quarantined(decoder, payloads):
+    """Apply ``decoder`` per payload, QUARANTINING failures instead of
+    letting one corrupt file kill the whole Spark task (round-6
+    verdict #4): returns ``(features, errors)`` — feature NULL and a
+    truncated ``ExcType: message`` string on failure, error NULL on
+    success. At 100 TB a per-mille corruption rate is thousands of
+    files; retry-the-task semantics would never converge, while a
+    quarantine column lets the pipeline route bad rows to a dead-letter
+    sink with one filter."""
+    feats, errs = [], []
+    for b in payloads:
+        try:
+            feats.append(decoder(b))
+            errs.append(None)
+        except Exception as exc:  # decoder boundary: anything can raise
+            feats.append(None)
+            errs.append(f"{type(exc).__name__}: {exc}"[:200])
+    return feats, errs
 
 
 def _decode_image_stub(payload: bytes) -> list[float]:
@@ -81,7 +102,10 @@ def extract_features(media: DataFrame, decoder=None) -> DataFrame:
     the module ``DECODER`` stub); must be picklable — the callable
     ships to executors inside the Arrow task closure. Swapping it
     never changes the gated byte/grid accounting columns, only
-    ``feature`` (property-tested in test_multimodal).
+    ``feature`` (property-tested in test_multimodal). A decoder that
+    RAISES on a payload quarantines that row (``decode_error`` set,
+    ``feature`` NULL) instead of failing the task — see
+    :func:`_decode_quarantined`.
     """
 
     import numpy as np
@@ -90,7 +114,7 @@ def extract_features(media: DataFrame, decoder=None) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(decoder)
+            feats, errs = _decode_quarantined(decoder, pdf["payload"])
             # n_bytes vectorized over the batch (pandas .str.len works on
             # bytes); only the decode itself is per-payload
             n_bytes = pdf["payload"].str.len().fillna(0).astype("int64")
@@ -104,7 +128,10 @@ def extract_features(media: DataFrame, decoder=None) -> DataFrame:
                         if b is None or len(b) == 0
                         else float(np.frombuffer(b, dtype=np.uint8).mean())
                     ),
-                    "feature": feats,
+                    "feature": pd.Series(feats, index=pdf.index, dtype="object"),
+                    "decode_error": pd.Series(
+                        errs, index=pdf.index, dtype="object"
+                    ),
                 }
             )
 
@@ -187,7 +214,7 @@ def sample_audio_windows(
 PROFILE_SCHEMA = (
     "media_id long, kind string, n_bytes long, byte_mean double, "
     "feature array<double>, width int, height int, n_bytes_out long, "
-    "payload_out binary"
+    "payload_out binary, decode_error string"
 )
 
 
@@ -197,7 +224,9 @@ def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> Da
     ``decoder``: ``bytes -> list[float]`` injection seam, as in
     :func:`extract_features` — the default stays the documented stub,
     a real backend (PIL/ffmpeg) drops in without touching the Arrow
-    plumbing or the gated accounting columns.
+    plumbing or the gated accounting columns, and a payload it cannot
+    decode quarantines that row (``decode_error``/NULL feature) rather
+    than failing the task.
 
     Running :func:`extract_features` and :func:`resize_images`
     separately ships every payload to the Python workers twice and
@@ -234,6 +263,7 @@ def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> Da
             payload_out[is_img] = resized
             n_bytes_out = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
             n_bytes_out[is_img] = resized.map(len)
+            feats, errs = _decode_quarantined(decoder, pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -244,11 +274,14 @@ def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> Da
                         if b is None or len(b) == 0
                         else float(np.frombuffer(b, dtype=np.uint8).mean())
                     ),
-                    "feature": pdf["payload"].map(decoder),
+                    "feature": pd.Series(feats, index=pdf.index, dtype="object"),
                     "width": np.where(is_img, width, None),
                     "height": np.where(is_img, height, None),
                     "n_bytes_out": n_bytes_out,
                     "payload_out": payload_out,
+                    "decode_error": pd.Series(
+                        errs, index=pdf.index, dtype="object"
+                    ),
                 }
             )
 

@@ -198,3 +198,77 @@ class TestDecoderSeam:
         assert all(len(r.feature) == 2 for r in rows)
         nonempty = [r for r in rows if r.n_bytes > 0]
         assert nonempty and all(r.feature[1] == float(r.n_bytes) for r in nonempty)
+
+
+class TestDecodeQuarantine:
+    """Round-6 verdict #4: a real decoder backend RAISES on corrupt
+    payloads; one bad file must quarantine its row (decode_error set,
+    feature NULL), never kill the Spark task."""
+
+    @staticmethod
+    def _pil_shaped_decoder():
+        """A fake with a real backend's shape: validates a magic
+        header, 'opens' the buffer, derives (width, height)-style
+        numbers, and RAISES on anything it cannot parse — exactly how
+        a PIL.Image.open(BytesIO(payload)) wrapper behaves."""
+
+        def decode(payload: bytes) -> list[float]:
+            if payload is None or len(payload) < 4 or payload[:4] != b"IMG1":
+                raise ValueError("cannot identify image file")
+            body = payload[4:]
+            w, h = (len(body) % 17) + 1, (len(body) % 11) + 1
+            return [float(w), float(h), float(len(body)), float(body[0])]
+
+        return decode
+
+    @staticmethod
+    def _mixed_media(spark):
+        rows = [
+            (1, "image", "image/png", b"IMG1" + bytes(range(32))),
+            (2, "image", "image/png", b"GARBAGE-NOT-AN-IMAGE"),
+            (3, "image", "image/png", b"IMG1" + bytes(range(7))),
+            (4, "image", "image/png", None),
+        ]
+        return spark.createDataFrame(
+            rows, "media_id long, kind string, mime string, payload binary"
+        )
+
+    def test_corrupt_payloads_quarantine_not_crash(self, spark):
+        out = {
+            r.media_id: r
+            for r in mm.extract_features(
+                self._mixed_media(spark), decoder=self._pil_shaped_decoder()
+            ).collect()
+        }
+        assert out[1].decode_error is None and len(out[1].feature) == 4
+        assert out[3].decode_error is None and len(out[3].feature) == 4
+        for bad in (2, 4):
+            assert out[bad].feature is None
+            assert "ValueError" in out[bad].decode_error
+            assert "identify" in out[bad].decode_error
+        # accounting columns survive on quarantined rows
+        assert out[2].n_bytes == 20 and out[4].n_bytes == 0
+
+    def test_profile_media_quarantines_too(self, spark):
+        out = {
+            r.media_id: r
+            for r in mm.profile_media(
+                self._mixed_media(spark), 4, 2, decoder=self._pil_shaped_decoder()
+            ).collect()
+        }
+        assert out[1].decode_error is None and out[2].feature is None
+        assert "ValueError" in out[2].decode_error
+        # resize accounting is decoder-independent (stub resizer)
+        assert out[2].n_bytes_out == 8
+
+    def test_default_stub_never_quarantines(self, media):
+        rows = mm.extract_features(media).collect()
+        assert all(r.decode_error is None for r in rows)
+
+    def test_module_decoder_swap_path(self, spark, monkeypatch):
+        """The documented production swap: assign DECODER and every
+        operator picks it up without per-call wiring."""
+        monkeypatch.setattr(mm, "DECODER", self._pil_shaped_decoder())
+        out = mm.extract_features(self._mixed_media(spark)).collect()
+        errs = {r.media_id: r.decode_error for r in out}
+        assert errs[1] is None and errs[2] is not None
