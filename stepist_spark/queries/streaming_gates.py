@@ -493,7 +493,81 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     win = spark.table(sink).select(
         F.lit("win").alias("part"), "k", "n", "sum_value", "window_start", "window_end"
     )
-    return win.unionByName(status)
+
+    # 'env' — the reference's DEFINING deployment topology end-to-end
+    # (producer -> queue -> worker, `stepist/flow/libs/simple_queue.py:
+    # 49-77`, `stepist/flow/steps/step.py:125-152`): a producer stream
+    # serializes rows + session meta into the wire envelope and commits
+    # them to a broker-shaped directory; an INDEPENDENT consumer stream
+    # parses the envelopes back and aggregates. Meta round-trip is
+    # certified BY VALUE: the consumer's group key collapses to -1
+    # whenever `_meta.hub_job_id` did not survive the wire, and the
+    # oracle never emits k=-1. (Round-6 verdict #2 — previously only
+    # covered tests-only in test_streaming.)
+    from stepist_spark.pipeline import with_meta
+    from stepist_spark.session import load_table, stream_events
+    from stepist_spark.sources.envelope import from_envelope, to_envelope
+    from stepist_spark.streaming.runtime import await_drained
+
+    denv = fresh_scratch(spark, "s04_env")
+    env_dir, eckpt = os.path.join(denv, "wire"), os.path.join(denv, "eckpt")
+    exp_rows = (
+        load_table(spark, sf, "events").filter(F.col("event_id") % 37 == 0).count()
+    )
+
+    def produce(df: DataFrame) -> DataFrame:
+        sl = df.filter(F.col("event_id") % 37 == 0).select(
+            "event_id",
+            "user_id",
+            # integers on the wire: a double's JSON round-trip is an
+            # engine-specific shortest-repr question; cents are exact
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        return to_envelope(with_meta(sl, hub_job_id="s04env"), key_col="user_id")
+
+    hop_a = StreamFlow(stream_events(spark, sf), produce)
+    with stream_shuffle_partitions(spark, 4):
+        qa = hop_a.to_files(
+            env_dir, checkpoint=eckpt, trigger={"availableNow": True}
+        )
+        await_drained(qa)
+    committed = spark.read.parquet(env_dir).count()
+    if committed != exp_rows:
+        raise RuntimeError(f"s04 env hop-1 committed {committed}/{exp_rows} envelopes")
+
+    env_src = spark.readStream.schema("key string, value string").parquet(env_dir)
+
+    def consume(df: DataFrame) -> DataFrame:
+        parsed = from_envelope(
+            df,
+            "event_id BIGINT, user_id BIGINT, cents BIGINT",
+            meta_schema="hub_job_id STRING",
+        )
+        k = (
+            F.when(
+                F.col("_meta.hub_job_id") == "s04env", F.col("user_id") % 10
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+        )
+        return parsed.groupBy(k.alias("k")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_value"),
+        )
+
+    hop_b = StreamFlow(env_src, consume)
+    env_sink = f"s04_env_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 4):
+        hop_b.drain(env_sink, output_mode="complete")
+    env = spark.table(env_sink).select(
+        F.lit("env").alias("part"),
+        "k",
+        "n",
+        "sum_value",
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
+    return win.unionByName(status).unionByName(env)
 
 
 S04_SQL = """
@@ -505,6 +579,12 @@ FROM (SELECT unnest(generate_series(0, 599)) AS value)
 GROUP BY 2, 5, 6
 UNION ALL
 SELECT 'status', 0, 10600, 1, NULL, NULL
+UNION ALL
+SELECT 'env' AS part, CAST(user_id % 10 AS BIGINT) AS k, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,
+       NULL AS window_start, NULL AS window_end
+FROM events WHERE event_id % 37 = 0
+GROUP BY 2
 """
 
 
@@ -755,6 +835,6 @@ FROM events WHERE user_id % 4 = 3 GROUP BY event_type
 QUERIES = [
     QuerySpec("s02_sliding_window", s02_sliding_window, S02_SQL, "streaming sliding windows + count-barrier drop + streaming session windows"),
     QuerySpec("s03_stream_interval_join", s03_stream_interval_join, S03_SQL, "stream-stream interval join vs batch range join"),
-    QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "multi-hop StreamFlow (rate -> files -> windows) + introspection"),
+    QuerySpec("s04_rate_windows", s04_rate_windows, S04_SQL, "multi-hop StreamFlow (rate -> files -> windows) + introspection + two-hop wire-envelope topology (producer stream -> broker-shaped dir -> consumer stream, meta round-trip value-gated)"),
     QuerySpec("s05_stream_dedup", s05_stream_dedup, S05_SQL, "stream dedup + checkpoint-restart exactly-once + history dedup"),
 ]
