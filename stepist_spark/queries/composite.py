@@ -1215,12 +1215,36 @@ def w01_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("st").alias("v2"),
         F.lit(None).cast("bigint").alias("v3"),
     )
+    # 'compact'/'compactmeta' — small-file compaction certified through
+    # the sink round-trip (round-6 verdict #7: the one tested-but-
+    # ungated op): nation written as 16 deliberately-tiny files,
+    # compact_files rewrites them into 1 and swaps it in, and BOTH the
+    # row content after the swap (vs the oracle's direct table read)
+    # and the before/after file counts are hash-gated.
+    frag_dir = os.path.join(scratch_dir(spark, "w01"), "compact")
+    load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).repartition(16).write.mode("overwrite").parquet(frag_dir)
+    n_before, n_after = layout.compact_files(spark, frag_dir, target_mb=128)
+    comp_part = readers.read(spark, frag_dir, fmt="parquet").select(
+        F.lit("compact").alias("part"),
+        F.col("n_name").cast("string").alias("k"),
+        F.col("n_nationkey").cast("bigint").alias("v1"),
+        F.col("n_regionkey").cast("bigint").alias("v2"),
+        F.lit(None).cast("bigint").alias("v3"),
+    )
+    comp_meta = spark.createDataFrame(
+        [("compactmeta", "files", n_before, n_after, None)],
+        "part string, k string, v1 bigint, v2 bigint, v3 bigint",
+    )
     return (
         sink.unionByName(cdc_part)
         .unionByName(mv_part)
         .unionByName(z_part)
         .unionByName(scd)
         .unionByName(ev_part)
+        .unionByName(comp_part)
+        .unionByName(comp_meta)
     )
 
 
@@ -1302,6 +1326,13 @@ FROM cdc_target WHERE k % 20 = 0
 UNION ALL
 SELECT 'evolve', CAST(k AS VARCHAR), ck, st, CAST(NULL AS BIGINT)
 FROM cdc_target WHERE k % 20 = 10
+UNION ALL
+-- compaction preserves rows exactly; 16 tiny files become 1
+SELECT 'compact', n_name, CAST(n_nationkey AS BIGINT),
+       CAST(n_regionkey AS BIGINT), CAST(NULL AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'compactmeta', 'files', 16, 1, CAST(NULL AS BIGINT)
 """
 
 
@@ -1445,7 +1476,7 @@ FROM orders WHERE o_orderkey % 50 = 0
 QUERIES = [
     QuerySpec("p01_hub_branch_union", p01_hub_branch_union, P01_SQL, "Pipeline Step -> Hub fan-out -> unionByName merge"),
     QuerySpec("p02_flow_metrics", p02_flow_metrics, P02_SQL, "observe() step counters + save_result capture + StopFlowFlag"),
-    QuerySpec("w01_sink_roundtrip", w01_sink_roundtrip, W01_SQL, "partitioned parquet sink write -> read-back round-trip"),
+    QuerySpec("w01_sink_roundtrip", w01_sink_roundtrip, W01_SQL, "partitioned parquet sink write -> read-back round-trip + small-file compaction (row preservation and file counts gated)"),
     QuerySpec("w02_envelope_roundtrip", w02_envelope_roundtrip, W02_SQL, "wire-envelope JSON codec + jsonl/csv/orc/fixed-width round-trips"),
     QuerySpec("m01_media_features", m01_media_features, M01_SQL, "Arrow mapInPandas media features + resize plumbing"),
     QuerySpec("m02_sampling_grids", m02_sampling_grids, M02_SQL, "video frame + audio hop/window grids (JVM explode)"),
