@@ -91,11 +91,51 @@ def main() -> None:
         if best is not None and name not in failures:
             timings[name] = round(best, 3)
 
+    # Per-part timing breakdown for the fattest tag-union gates
+    # (round-6 verdict #9): each gate absorbed many parts over the
+    # rounds, so future growth needs attribution without same-day A/B
+    # runs. A literal part filter constant-folds every other union
+    # branch to an empty relation, so each timed pass executes ONLY
+    # that part's subtree (shared localCheckpoints were already
+    # materialized by the main timing runs above).
+    breakdown_gates = [
+        g
+        for g in os.environ.get(
+            "SPARK_GRAFT_BENCH_PARTS",
+            "q25_percentile_histogram,q22_event_windows,"
+            "q13_scalar_string_suite,q02_join_agg_topk,t13_sample_split",
+        ).split(",")
+        if g
+    ]
+    parts_out: dict[str, dict[str, float]] = {}
+    registry = all_queries()
+    for gname in breakdown_gates:
+        spec = registry.get(gname)
+        if spec is None or gname in failures:
+            continue
+        try:
+            gdf = spec.spark(spark, sf_dir)
+            if "part" not in gdf.columns:
+                continue
+            from pyspark.sql.functions import col as _col
+
+            tags = sorted(r["part"] for r in gdf.select("part").distinct().collect())
+            per: dict[str, float] = {}
+            for tag in tags:
+                t0 = time.perf_counter()
+                gdf.filter(_col("part") == tag).collect()
+                per[tag] = round(time.perf_counter() - t0, 3)
+            parts_out[gname] = per
+        except Exception as exc:
+            failures[f"{gname}:parts"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # The driver archives only the TAIL (~2 KB) of stdout; round 1's
     # headline metric was truncated off the FRONT of this line. Order
     # the big per-query dict first and the headline scalars last so a
     # front-truncated tail still shows metric/value/sf.
     out = {"queries": timings}
+    if parts_out:
+        out["parts"] = parts_out
     if failures:
         out["failures"] = failures
     out.update(
