@@ -187,6 +187,36 @@ def ngram_contamination(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+    max_ratio: float = 0.0,
+    **contamination_kwargs,
+) -> DataFrame:
+    """REMOVE contaminated documents: the action step on top of
+    :func:`ngram_contamination`'s audit (GPT-3 appendix C's discipline
+    — drop the whole document, don't trim; a partially-overlapping doc
+    is suspect wholesale). Keeps corpus rows whose contamination ratio
+    is <= ``max_ratio`` (default 0: any shared shingle drops the doc).
+
+    Documents with NO shingles (shorter than ``shingle_k`` tokens)
+    cannot share a verbatim k-gram and are KEPT — the audit emits no
+    row for them, and the anti-join below only removes flagged ids.
+    One anti-join over the audit's flagged-id set; all of
+    :func:`ngram_contamination`'s sharing/scale knobs pass through
+    (``corpus_shingles=``, ``broadcast_benchmark=False`` Bloom path).
+    Returns corpus rows unchanged.
+    """
+    audit = ngram_contamination(
+        corpus, benchmark, id_col, text_col, shingle_k, **contamination_kwargs
+    )
+    flagged = audit.filter(F.col("contamination_ratio") > max_ratio).select(id_col)
+    return corpus.join(flagged, id_col, "anti")
+
+
 def distribution_shift(
     df: DataFrame,
     id_col: str,

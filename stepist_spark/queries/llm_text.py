@@ -1160,7 +1160,26 @@ def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
         "n2",
         F.lit(None).cast("double").alias("ratio"),
     )
-    return exact.unionByName(words).unionByName(pre)
+    # 'clean' — the REMOVAL step (round 7): corpus_ops.decontaminate
+    # drops every flagged doc (GPT-3 drop-whole-doc discipline); the
+    # surviving id set is hash-gated against the oracle's anti-join.
+    # Shares the same shingle pass as the audit above.
+    clean = corpus_ops.decontaminate(
+        corpus,
+        bench,
+        "doc_id",
+        "text",
+        shingle_k=8,
+        corpus_shingles=corpus_sh,
+        benchmark_shingles=bench_sh_ids,
+    ).select(
+        F.lit("clean").alias("part"),
+        F.col("doc_id").cast("bigint").alias("k"),
+        F.lit(None).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    return exact.unionByName(words).unionByName(pre).unionByName(clean)
 
 
 _SH8 = hashing.shingles_sql(TX.tokens_sql("text"), 8)
@@ -1215,6 +1234,14 @@ UNION ALL
 SELECT 'bloom', CAST(doc_id AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS DOUBLE)
 FROM cflag GROUP BY doc_id
+UNION ALL
+-- removal: every corpus doc not flagged by the audit survives
+-- (docs with no shingles have no hit row and are kept)
+SELECT 'clean', CAST(c.doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM corpus c
+LEFT JOIN hit h ON h.doc_id = c.doc_id
+WHERE h.doc_id IS NULL
 """
 
 
@@ -1560,47 +1587,7 @@ def t21_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("frac"),
         F.lit(None).cast("string").alias("s1"),
     )
-    # benchmark decontamination (round 7): doc_id % 30 == 0 originals
-    # play the eval set; their % 10 exact-dup plants stay corpus-side,
-    # so verbatim train/test overlap provably exists and must be
-    # flagged. Rides the SAME hashed-window table — zero extra corpus
-    # tokenize passes (operators/decontam.py).
-    from stepist_spark.operators import decontam
-
-    is_eval = F.col("doc_id") % 30 == 0
-    cont = decontam.ngram_contamination(
-        corpus.filter(~is_eval),
-        corpus.filter(is_eval),
-        k=SPAN_K,
-        corpus_windows=wins.filter(~is_eval),
-        eval_windows=wins.filter(is_eval),
-    )
-    dec = cont.filter(F.col("contaminated")).select(
-        F.lit("decon").alias("part"),
-        "doc_id",
-        F.col("n_hit").alias("n1"),
-        F.col("n_windows").alias("n2"),
-        F.col("hit_frac").alias("frac"),
-        F.lit(None).cast("string").alias("s1"),
-    )
-    summ = cont.agg(
-        F.sum((~F.col("contaminated")).cast("int")).cast("bigint").alias("n_clean"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-    ).select(
-        F.lit("deconsum").alias("part"),
-        F.lit(None).cast("bigint").alias("doc_id"),
-        F.col("n_clean").alias("n1"),
-        F.col("n_docs").alias("n2"),
-        F.lit(None).cast("double").alias("frac"),
-        F.lit(None).cast("string").alias("s1"),
-    )
-    return (
-        sp.unionByName(st)
-        .unionByName(ct)
-        .unionByName(infl)
-        .unionByName(dec)
-        .unionByName(summ)
-    )
+    return sp.unionByName(st).unionByName(ct).unionByName(infl)
 
 
 T21_SQL = f"""
@@ -1714,29 +1701,6 @@ SELECT 'infl', CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*),
        CAST(NULL AS VARCHAR)
 FROM wins
-UNION ALL
-SELECT 'decon', s.doc_id, s.n_hit, s.n_windows,
-       round(CAST(s.n_hit AS DOUBLE) / CAST(s.n_windows AS DOUBLE), 6),
-       CAST(NULL AS VARCHAR)
-FROM (
-    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-    FROM (SELECT doc_id, h FROM wins WHERE doc_id % 30 <> 0) w
-    LEFT JOIN (SELECT DISTINCT h FROM wins WHERE doc_id % 30 = 0) e USING (h)
-    GROUP BY w.doc_id
-) s WHERE s.n_hit > 0
-UNION ALL
-SELECT 'deconsum', CAST(NULL AS BIGINT),
-       CAST(sum(CASE WHEN coalesce(s.n_hit, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
-FROM (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 30 <> 0) b
-LEFT JOIN (
-    SELECT w.doc_id,
-           CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-    FROM (SELECT doc_id, h FROM wins WHERE doc_id % 30 <> 0) w
-    LEFT JOIN (SELECT DISTINCT h FROM wins WHERE doc_id % 30 = 0) e USING (h)
-    GROUP BY w.doc_id
-) s USING (doc_id)
 """
 
 
@@ -2398,10 +2362,10 @@ QUERIES = [
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified/hash/mixture/priority/waterfill sampling + leakage-safe + length-matched resampling"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
     QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion"),
-    QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified)"),
+    QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified) + drop-whole-doc removal"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),
-    QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats + keep-first cutting + corpus inflation + benchmark decontamination (n-gram train/test overlap)"),
+    QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats + keep-first cutting + corpus inflation"),
     QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition + k-anonymity + mojibake QA"),
     QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),
     QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),

@@ -56,6 +56,40 @@ class TestDecontamination:
         corpus = _docs(spark, [(10, "too short")])
         assert corpus_ops.ngram_contamination(corpus, bench, "doc_id", "text", 8).count() == 0
 
+    def test_decontaminate_drops_flagged_keeps_short(self, spark):
+        """Round 7: the removal step — any shared 8-gram drops the
+        whole doc; clean docs and no-shingle (short) docs survive with
+        their columns unchanged."""
+        bench = _docs(spark, [(1, "one two three four five six seven eight nine")])
+        corpus = _docs(
+            spark,
+            [
+                (10, "one two three four five six seven eight nine"),  # copy
+                (11, "totally different words with no overlap at all here now"),
+                (12, "too short"),  # no 8-gram can exist
+            ],
+        )
+        clean = corpus_ops.decontaminate(corpus, bench, "doc_id", "text", shingle_k=8)
+        assert sorted(r["doc_id"] for r in clean.collect()) == [11, 12]
+        assert clean.columns == corpus.columns
+
+    def test_decontaminate_max_ratio_threshold(self, spark):
+        bench = _docs(spark, [(1, "one two three four five six seven eight")])
+        corpus = _docs(
+            spark,
+            [
+                # 1 hit of 3 shingles (ratio 1/3): kept at 0.5, dropped at 0
+                (10, "one two three four five six seven eight extra tail words"),
+            ],
+        )
+        kept = corpus_ops.decontaminate(
+            corpus, bench, "doc_id", "text", shingle_k=8, max_ratio=0.5
+        )
+        dropped = corpus_ops.decontaminate(
+            corpus, bench, "doc_id", "text", shingle_k=8, max_ratio=0.0
+        )
+        assert kept.count() == 1 and dropped.count() == 0
+
 
 class TestBoilerplateLines:
     def _run(self, spark, rows, **kw):
