@@ -42,7 +42,7 @@ targeted corpus audits are BM25 queries over the training corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stepist_spark.functions.text import tokens, tokens_sql
@@ -402,4 +402,127 @@ SELECT query_id, doc_id, fused_rank, rrf_scaled, n_systems FROM (
         PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank
     FROM _rrf_s
 ) WHERE fused_rank <= {k}
+"""
+
+
+NDCG_SCALE = 10**6
+
+
+def _dcg_weights(k: int, scale: int) -> "list[int]":
+    """Integer DCG discount LUT: ``W[i] = floor(scale / log2(i + 1))``
+    for ranks 1..k, computed ONCE driver-side and inlined as literals
+    in BOTH engines — no runtime transcendental ever enters the
+    cross-engine comparison (libm log2 rounding differs per platform;
+    a k-entry literal table cannot)."""
+    import math
+
+    return [int(scale // math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ranking_quality(
+    ranked: DataFrame,
+    rel_col: str,
+    k: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = NDCG_SCALE,
+) -> DataFrame:
+    """Per-query ranking-quality metrics over ANY top-k list —
+    nDCG@k (Järvelin & Kekäläinen TOIS'02, public) and the reciprocal
+    rank of the first relevant hit (MRR's per-query term): the
+    acceptance metrics for the retrieval family (BM25 / RRF / ANN),
+    scoring an actual ranking against graded relevance labels where
+    `recall_at_k` only checks set membership.
+
+    Input: one row per (query, doc) with a 1-based ``rank_col`` and a
+    non-negative integer relevance grade ``rel_col``. Rows with rank >
+    k are ignored. Output per query: ``n_scored, dcg_scaled,
+    idcg_scaled, ndcg_scaled, first_rel_rank`` — all exact bigints:
+    DCG uses the literal integer discount LUT (:func:`_dcg_weights`),
+    the ideal ordering re-ranks the SAME k rows by (grade desc, doc
+    asc), and ``ndcg_scaled = dcg·scale DIV idcg`` (NULL when every
+    grade is 0). ``first_rel_rank`` is NULL for queries with no
+    relevant hit (their reciprocal-rank term is 0 by convention).
+
+    Scale shape: one filter, one per-query window over ≤k rows (the
+    top-k list is k rows per query BY CONSTRUCTION — the window is
+    bounded however large the corpus), one hash aggregate.
+    """
+    w = _dcg_weights(k, scale)
+    weights = F.array(*[F.lit(x).cast("bigint") for x in w])
+    rel = F.col(rel_col).cast("bigint")
+    top = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+        rel.alias("_rel"),
+    )
+    w_ideal = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d").asc()
+    )
+    scored = top.withColumn("_ir", F.row_number().over(w_ideal)).select(
+        "_q",
+        "_rel",
+        "_r",
+        (F.col("_rel") * F.element_at(weights, F.col("_r"))).alias("_dterm"),
+        (F.col("_rel") * F.element_at(weights, F.col("_ir"))).alias("_iterm"),
+    )
+    agg = scored.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("_dterm").cast("bigint").alias("dcg_scaled"),
+        F.sum("_iterm").cast("bigint").alias("idcg_scaled"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_r"))).cast("bigint").alias(
+            "first_rel_rank"
+        ),
+    )
+    return agg.select(
+        F.col("_q").alias(query_col),
+        "n_scored",
+        "dcg_scaled",
+        "idcg_scaled",
+        F.when(
+            F.col("idcg_scaled") > 0,
+            F.expr(f"dcg_scaled * CAST({scale} AS BIGINT) DIV idcg_scaled"),
+        ).alias("ndcg_scaled"),
+        "first_rel_rank",
+    )
+
+
+def ranking_quality_sql(
+    ranked_sql: str,
+    rel_expr: str,
+    k: int = 5,
+    scale: int = NDCG_SCALE,
+) -> str:
+    """DuckDB mirror of :func:`ranking_quality`; ``ranked_sql`` must
+    yield ``query_id, doc_id, rank``. Same literal discount LUT, same
+    exact-integer DCG/IDCG and single integer division."""
+    w = _dcg_weights(k, scale)
+    lut = "[" + ", ".join(f"{x}::BIGINT" for x in w) + "]"
+    return f"""
+WITH _rq AS (
+    SELECT query_id, doc_id, CAST(rank AS INT) AS r,
+           CAST(({rel_expr}) AS BIGINT) AS rel
+    FROM ({ranked_sql}) WHERE rank <= {k}
+),
+_ri AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS INT) AS ir
+    FROM _rq
+),
+_ra AS (
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(rel * list_extract({lut}, r)) AS BIGINT) AS dcg_scaled,
+           CAST(sum(rel * list_extract({lut}, ir)) AS BIGINT) AS idcg_scaled,
+           CAST(min(CASE WHEN rel > 0 THEN r END) AS BIGINT) AS first_rel_rank
+    FROM _ri GROUP BY query_id
+)
+SELECT query_id, n_scored, dcg_scaled, idcg_scaled,
+       CASE WHEN idcg_scaled > 0
+            THEN dcg_scaled * CAST({scale} AS BIGINT) // idcg_scaled
+       END AS ndcg_scaled,
+       first_rel_rank
+FROM _ra
 """

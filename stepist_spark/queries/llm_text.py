@@ -989,12 +989,29 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("rrf_scaled").alias("score_scaled"),
     )
+    # ranking-quality acceptance metrics (round 7): nDCG@5 + first-
+    # relevant-rank of the SAME BM25 list, graded by n_terms_hit (how
+    # many query terms the doc contains — a label independent of the
+    # BM25 score order, so the metric discriminates). Touches only the
+    # k-rows-per-query list; the integer discount LUT is inlined in
+    # both engines (operators/ranking.ranking_quality).
+    rq = ranking.ranking_quality(bm_raw, rel_col="n_terms_hit", k=5).select(
+        F.lit("rankq").alias("part"),
+        F.lit(None).cast("string").alias("tok"),
+        F.col("query_id").cast("bigint").alias("qid"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("first_rel_rank").alias("rank"),
+        F.col("dcg_scaled").alias("n1"),
+        F.col("idcg_scaled").alias("n2"),
+        F.col("ndcg_scaled").alias("score_scaled"),
+    )
     return (
         vocab.unionByName(bm)
         .unionByName(kl)
         .unionByName(pmi)
         .unionByName(ph)
         .unionByName(fused)
+        .unionByName(rq)
     )
 
 
@@ -1057,6 +1074,11 @@ def _t16_sql() -> str:
         c=60,
         k=8,
     )
+    rankq = ranking.ranking_quality_sql(
+        f"SELECT query_id, doc_id, rank, n_terms_hit FROM ({bm25})",
+        rel_expr="n_terms_hit",
+        k=5,
+    )
     return f"""
 SELECT 'vocab' AS part, tok, CAST(NULL AS BIGINT) AS qid,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS rank,
@@ -1082,6 +1104,10 @@ UNION ALL
 SELECT 'rrf', CAST(NULL AS VARCHAR), query_id, doc_id, fused_rank,
        n_systems, CAST(NULL AS BIGINT), rrf_scaled
 FROM ({rrf})
+UNION ALL
+SELECT 'rankq', CAST(NULL AS VARCHAR), query_id, CAST(NULL AS BIGINT),
+       first_rel_rank, dcg_scaled, idcg_scaled, ndcg_scaled
+FROM ({rankq})
 """
 
 
@@ -2361,7 +2387,7 @@ QUERIES = [
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified/hash/mixture/priority/waterfill sampling + leakage-safe + length-matched resampling"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
-    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion"),
+    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion + nDCG@5/first-relevant-rank quality metrics"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified) + drop-whole-doc removal"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),

@@ -253,3 +253,91 @@ class TestRrfFuse:
             for r in con.execute(rrf_fuse_sql([sql_a, sql_b], c=60, k=10)).fetchall()
         )
         assert got == exp
+
+
+class TestRankingQuality:
+    """nDCG@k + first-relevant-rank vs a float reference and edges."""
+
+    def _ranked(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id bigint, doc_id bigint, rank bigint, rel bigint"
+        )
+
+    def test_matches_float_ndcg(self, spark):
+        import math
+
+        rows = [
+            (1, 10, 1, 3), (1, 11, 2, 0), (1, 12, 3, 2), (1, 13, 4, 0), (1, 14, 5, 1),
+            (2, 20, 1, 0), (2, 21, 2, 0), (2, 22, 3, 1),
+        ]
+        from stepist_spark.operators.ranking import ranking_quality
+
+        got = {
+            r.query_id: r
+            for r in ranking_quality(
+                self._ranked(spark, rows), rel_col="rel", k=5
+            ).collect()
+        }
+
+        def float_ndcg(pairs):
+            dcg = sum(rel / math.log2(r + 1) for r, rel in pairs)
+            ideal = sorted((rel for _, rel in pairs), reverse=True)
+            idcg = sum(rel / math.log2(i + 2) for i, rel in enumerate(ideal))
+            return dcg / idcg
+
+        for q, pairs in ((1, [(1, 3), (2, 0), (3, 2), (4, 0), (5, 1)]),
+                         (2, [(1, 0), (2, 0), (3, 1)])):
+            # integer-LUT nDCG agrees with float nDCG to ~1e-5 (the
+            # LUT floor costs < 1e-6 per weight)
+            assert abs(got[q].ndcg_scaled / 1e6 - float_ndcg(pairs)) < 1e-4, q
+        assert got[1].first_rel_rank == 1 and got[2].first_rel_rank == 3
+
+    def test_perfect_ranking_is_one(self, spark):
+        from stepist_spark.operators.ranking import ranking_quality
+
+        rows = [(1, 10, 1, 5), (1, 11, 2, 3), (1, 12, 3, 1)]
+        got = ranking_quality(self._ranked(spark, rows), "rel", k=5).collect()[0]
+        assert got.ndcg_scaled == 10**6
+        assert got.dcg_scaled == got.idcg_scaled
+
+    def test_all_irrelevant_is_null(self, spark):
+        from stepist_spark.operators.ranking import ranking_quality
+
+        rows = [(1, 10, 1, 0), (1, 11, 2, 0)]
+        got = ranking_quality(self._ranked(spark, rows), "rel", k=5).collect()[0]
+        assert got.ndcg_scaled is None and got.first_rel_rank is None
+
+    def test_rows_past_k_ignored(self, spark):
+        from stepist_spark.operators.ranking import ranking_quality
+
+        rows = [(1, 10, 1, 1), (1, 11, 2, 1), (1, 12, 3, 9)]
+        got = ranking_quality(self._ranked(spark, rows), "rel", k=2).collect()[0]
+        assert got.n_scored == 2 and got.first_rel_rank == 1
+
+    def test_duckdb_mirror(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.ranking import (
+            ranking_quality,
+            ranking_quality_sql,
+        )
+
+        rows = [
+            (1, 10, 1, 3), (1, 11, 2, 0), (1, 12, 3, 2),
+            (2, 20, 1, 0), (2, 22, 2, 4),
+        ]
+        got = sorted(
+            map(tuple, ranking_quality(self._ranked(spark, rows), "rel", k=5).collect())
+        )
+        vals = ", ".join(f"({q}, {d}, {r}, {rel})" for q, d, r, rel in rows)
+        duck = sorted(
+            tuple(r)
+            for r in duckdb.sql(
+                ranking_quality_sql(
+                    f"SELECT * FROM (VALUES {vals}) t(query_id, doc_id, rank, n_terms_hit)",
+                    rel_expr="n_terms_hit",
+                    k=5,
+                )
+            ).fetchall()
+        )
+        assert got == duck
