@@ -288,3 +288,122 @@ SELECT CAST((_cum * {n_bins} + _n - 1) // _n AS BIGINT) AS bin,
        round(CAST(sum(_cp) AS DOUBLE) / CAST(sum(_c) AS DOUBLE), 6) AS pos_rate
 FROM _st GROUP BY 1
 """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two categorical
+    raters (Cohen 1960, public) — the label-QA statistic for annotation
+    pipelines: raw accuracy flatters lopsided label distributions, and
+    at 100 TB "two labelers / model-vs-ruleset mostly agree" is only
+    meaningful after chance correction.
+
+    kappa = (p_o − p_e) / (1 − p_e) with p_o the observed agreement
+    and p_e = Σ_c row_c·col_c / n² the chance agreement from the two
+    raters' marginals. Cross-multiplied to stay exact:
+    ``kappa_scaled = (n·agree_n − pe_num)·scale DIV (n² − pe_num)``
+    (decimal(38,0)/HUGEINT products; the sign is factored out so Spark
+    DIV and DuckDB // agree on negative kappa; NULL when both raters
+    are constant and identical — p_e = 1, kappa undefined).
+
+    Spark-first shape: raw rows collapse in ONE (a, b) count aggregate
+    to the |A|×|B| categorical cell frame; marginals and the three
+    sums are joins/aggregates over that bounded frame. Rows where
+    either rating is NULL are excluded (unrated-row semantics, as in
+    :func:`confusion_stats`). Output per group: ``n, agree_n,
+    pe_num, kappa_scaled``.
+    """
+    gcols = list(group_cols or [])
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(
+            *gcols,
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy(*gcols, "_a", "_b")
+        .agg(F.count(F.lit(1)).cast(dec).alias("_c"))
+    )
+    rows_m = cells.groupBy(*gcols, "_a").agg(F.sum("_c").alias("_rn"))
+    cols_m = cells.groupBy(*gcols, "_b").agg(F.sum("_c").alias("_cn"))
+    # per-category row·col product: full outer on the category name so
+    # rater-exclusive categories contribute 0 (their partner marginal
+    # is absent)
+    marg = rows_m.select(*gcols, F.col("_a").alias("_cat"), "_rn").join(
+        cols_m.select(*gcols, F.col("_b").alias("_cat"), "_cn"),
+        gcols + ["_cat"],
+        "full",
+    )
+    pe = marg.groupBy(*gcols).agg(
+        F.sum(
+            F.coalesce(F.col("_rn"), F.lit(0)) * F.coalesce(F.col("_cn"), F.lit(0))
+        )
+        .cast(dec)
+        .alias("pe_num")
+    )
+    tot = cells.groupBy(*gcols).agg(
+        F.sum("_c").cast(dec).alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast(dec)
+        .alias("agree_n"),
+    )
+    j = tot.join(pe, gcols) if gcols else tot.crossJoin(pe)
+    num = (F.col("_n") * F.col("agree_n") - F.col("pe_num")) * F.lit(scale)
+    den = F.col("_n") * F.col("_n") - F.col("pe_num")
+    tdiv = F.when(
+        num >= 0, F.expr(f"(_n * agree_n - pe_num) * {scale} DIV (_n * _n - pe_num)")
+    ).otherwise(
+        -F.expr(f"-((_n * agree_n - pe_num) * {scale}) DIV (_n * _n - pe_num)")
+    )
+    return j.select(
+        *gcols,
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("agree_n").cast("bigint").alias("agree_n"),
+        F.col("pe_num").cast(dec).alias("pe_num"),
+        F.when(den > 0, tdiv).cast("bigint").alias("kappa_scaled"),
+    )
+
+
+def cohens_kappa_sql(
+    table_sql: str,
+    a_expr: str,
+    b_expr: str,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`cohens_kappa` (ungrouped) — same cell
+    collapse, HUGEINT marginal products, sign-factored division."""
+    return f"""
+WITH _kc AS (
+    SELECT CAST(({a_expr}) AS VARCHAR) AS a, CAST(({b_expr}) AS VARCHAR) AS b,
+           CAST(count(*) AS HUGEINT) AS c
+    FROM ({table_sql})
+    WHERE ({a_expr}) IS NOT NULL AND ({b_expr}) IS NOT NULL
+    GROUP BY 1, 2
+),
+_kr AS (SELECT a AS cat, sum(c) AS rn FROM _kc GROUP BY a),
+_kl AS (SELECT b AS cat, sum(c) AS cn FROM _kc GROUP BY b),
+_kp AS (
+    SELECT CAST(sum(coalesce(rn, 0) * coalesce(cn, 0)) AS HUGEINT) AS pe_num
+    FROM _kr FULL JOIN _kl USING (cat)
+),
+_kt AS (
+    SELECT CAST(sum(c) AS HUGEINT) AS n,
+           CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT) AS agree_n
+    FROM _kc
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(agree_n AS BIGINT) AS agree_n,
+       pe_num,
+       CASE WHEN n * n - pe_num > 0 THEN CAST(
+           CASE WHEN n * agree_n - pe_num >= 0
+                THEN ((n * agree_n - pe_num) * {scale}) // (n * n - pe_num)
+                ELSE -((-((n * agree_n - pe_num) * {scale})) // (n * n - pe_num))
+           END AS BIGINT)
+       END AS kappa_scaled
+FROM _kt, _kp
+"""

@@ -2077,12 +2077,27 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("auc_num").alias("v"),
         F.lit(None).cast("boolean").alias("keep"),
     )
+    # Cohen's kappa (round 7): chance-corrected agreement between the
+    # true label and the classifier's keep decision — the label-QA
+    # statistic; raw accuracy (the 'cm' cells) flatters lopsided label
+    # distributions, kappa does not. One row: (agree_n, n,
+    # kappa_scaled) packed into (doc_id, n, v).
+    from stepist_spark.operators.evaluation import cohens_kappa
+
+    kap = cohens_kappa(labeled, "label", "keep").select(
+        F.lit("kappa").alias("part"),
+        F.col("agree_n").alias("doc_id"),
+        F.col("n"),
+        F.col("kappa_scaled").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
     return (
         c.unionByName(p)
         .unionByName(auc)
         .unionByName(cm)
         .unionByName(cal)
         .unionByName(auc_src)
+        .unionByName(kap)
     )
 
 
@@ -2091,9 +2106,12 @@ def _t23_sql() -> str:
 
     h = hashing.word_hash32_sql("t")
     toks = TX.tokens_sql("text")
+    from stepist_spark.operators.evaluation import cohens_kappa_sql
+
     # references the lab CTE of the enclosing statement (DuckDB CTEs
     # are visible inside later subqueries)
     _CAL_SQL = calibration_bins_sql("SELECT y, sc FROM lab", "y", "sc", 10)
+    _KAP_SQL = cohens_kappa_sql("SELECT y, pred FROM lab", "y", "pred")
     return f"""
 WITH buckets AS (
     SELECT doc_id, (lang = 'en') AS pos,
@@ -2203,6 +2221,9 @@ FROM lab GROUP BY y, pred
 UNION ALL
 SELECT 'cal', bin, n, n_pos, CAST(NULL AS BOOLEAN)
 FROM ({_CAL_SQL})
+UNION ALL
+SELECT 'kappa', agree_n, n, kappa_scaled, CAST(NULL AS BOOLEAN)
+FROM ({_KAP_SQL})
 UNION ALL
 SELECT 'auc:' || source, CAST(n - np AS BIGINT), CAST(np AS BIGINT),
        CAST(r2p - np * (np + 1) AS BIGINT), CAST(NULL AS BOOLEAN)
@@ -2393,7 +2414,7 @@ QUERIES = [
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),
     QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats + keep-first cutting + corpus inflation"),
     QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition + k-anonymity + mojibake QA"),
-    QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact)"),
+    QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact) + AUC/sliced-AUC/confusion/calibration + Cohen kappa agreement"),
     QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),
     QuerySpec("t25_resample_shuffle", t25_resample_shuffle, T25_SQL, "temperature resample + shuffle rank + shard-writer layout"),
 ]

@@ -114,3 +114,88 @@ class TestCalibrationBins:
             ).fetchall()
         )
         assert got == want
+
+
+class TestCohensKappa:
+    def test_hand_computed_two_by_two(self, spark):
+        from stepist_spark.operators.evaluation import cohens_kappa
+
+        # the classic worked example: 20 A-yes/B-yes, 5 A-yes/B-no,
+        # 10 A-no/B-yes, 15 A-no/B-no -> po=0.7, pe=0.5, kappa=0.4
+        rows = (
+            [("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = cohens_kappa(df, "a", "b").collect()[0]
+        assert got.n == 50 and got.agree_n == 35
+        assert got.kappa_scaled == 400_000
+
+    def test_perfect_and_chance_and_negative(self, spark):
+        from stepist_spark.operators.evaluation import cohens_kappa
+
+        perfect = spark.createDataFrame(
+            [("x", "x")] * 3 + [("y", "y")] * 2, "a string, b string"
+        )
+        assert cohens_kappa(perfect, "a", "b").collect()[0].kappa_scaled == 10**6
+        # total disagreement on balanced marginals -> kappa = -1
+        anti = spark.createDataFrame(
+            [("x", "y")] * 5 + [("y", "x")] * 5, "a string, b string"
+        )
+        assert cohens_kappa(anti, "a", "b").collect()[0].kappa_scaled == -(10**6)
+
+    def test_constant_identical_raters_null(self, spark):
+        from stepist_spark.operators.evaluation import cohens_kappa
+
+        df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+        got = cohens_kappa(df, "a", "b").collect()[0]
+        assert got.kappa_scaled is None  # pe = 1: undefined
+
+    def test_rater_exclusive_categories(self, spark):
+        from stepist_spark.operators.evaluation import cohens_kappa
+
+        # category 'z' appears only for rater b: contributes 0 to pe
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "z"), ("y", "y"), ("y", "y")],
+            "a string, b string",
+        )
+        got = cohens_kappa(df, "a", "b").collect()[0]
+        # n=4, agree=3, pe_num = x:2*1 + y:2*2 + z:0*1 = 6
+        assert (got.n, got.agree_n, int(got.pe_num)) == (4, 3, 6)
+        assert got.kappa_scaled == (4 * 3 - 6) * 10**6 // (16 - 6)
+
+    def test_grouped_and_null_excluded(self, spark):
+        from stepist_spark.operators.evaluation import cohens_kappa
+
+        rows = [("g1", "x", "x"), ("g1", "x", None), ("g2", "x", "y"), ("g2", "y", "x")]
+        df = spark.createDataFrame(rows, "g string, a string, b string")
+        got = {r.g: r for r in cohens_kappa(df, "a", "b", group_cols=["g"]).collect()}
+        assert got["g1"].n == 1  # NULL rating excluded
+        assert got["g2"].kappa_scaled == -(10**6)
+
+    def test_duckdb_mirror(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.evaluation import (
+            cohens_kappa,
+            cohens_kappa_sql,
+        )
+
+        rows = (
+            [("y", "y")] * 7 + [("y", "n")] * 3 + [("n", "y")] * 2
+            + [("n", "n")] * 4 + [("m", "y")] * 2
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = sorted(map(tuple, cohens_kappa(df, "a", "b").collect()))
+        vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+        duck = sorted(
+            tuple(r)
+            for r in duckdb.sql(
+                cohens_kappa_sql(
+                    f"SELECT * FROM (VALUES {vals}) t(a, b)", "a", "b"
+                )
+            ).fetchall()
+        )
+        # pe_num comes back as Decimal from both engines; compare as int
+        norm = lambda rs: [(r[0], r[1], int(r[2]), r[3]) for r in rs]
+        assert norm(got) == norm(duck)
