@@ -1,0 +1,214 @@
+"""Bootstrap confidence intervals by deterministic Poissonization —
+uncertainty quantification for corpus/metric means at 100 TB, where
+classical closed-form CIs don't cover ratio/trimmed/derived metrics.
+
+Method (public): the Poisson bootstrap (Chamandy et al., "Estimating
+uncertainty for massive data streams", Google tech report 2012; the
+one-pass variant of Efron 1979's resampling) — instead of drawing B
+resamples WITH replacement (impossible without B shuffles of the full
+data), every row gets an independent Poisson(1) weight per replicate;
+replicate b's mean is Σ w_ib·x_i / Σ w_ib. For large n this is the
+classical bootstrap's distribution to O(1/n).
+
+Engine-portable determinism: the per-(row, replicate) weight derives
+from the portable md5 hash ``word_hash32(id:seed:b)`` inverted through
+the Poisson(1) CDF, whose cumulative thresholds ``T_k = floor(cdf_k ·
+2^32)`` are computed ONCE driver-side and inlined as literals in BOTH
+engines — so Spark and DuckDB materialize bit-identical weight
+matrices, and every replicate sum is an exact integer. Weights cap at
+8: the Poisson tail P[W >= 8] ≈ 1.0e-5 folds into weight 8 (total
+mass preserved; the distortion is documented, not silent).
+
+Spark-first shape: ONE scan; each row explodes to ``n_boot`` (b, w)
+pairs, but the per-replicate hash aggregate partially combines
+map-side, so the shuffle carries only ``n_boot × |partitions|`` rows
+regardless of data size. The replicate table (B rows) and the CI
+(2 ranks over B rows) are driver-free bounded-frame operations. Cost
+is one md5 per (row, replicate): pick ``n_boot`` to budget — B=32
+gives a usable 95% CI at 33 hashes/row.
+
+The reference has no analytics surface (SURVEY.md §2.2); this is the
+LLM-pipeline extension family (metric uncertainty for data-quality
+dashboards and A/B-style corpus comparisons).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stepist_spark.functions import hashing
+from stepist_spark.operators.cumulative import whole_frame
+
+#: Poisson(1) CDF thresholds on the 32-bit hash scale, k = 0..8.
+#: Literal in both engines — no runtime exp/factorial anywhere.
+_POIS_MAX = 8
+_POIS_T = []
+_cum = 0.0
+for _k in range(_POIS_MAX):
+    _cum += math.exp(-1.0) / math.factorial(_k)
+    _POIS_T.append(int(_cum * (1 << 32)))
+
+
+def _poisson_weight(u: Column) -> Column:
+    """Poisson(1) weight from a uniform 32-bit hash: branchless
+    ``Σ_k [u >= T_k]`` — 0 when u falls below the first threshold,
+    capped at 8."""
+    w = F.lit(0)
+    for t in _POIS_T:
+        w = w + (u >= F.lit(t)).cast("int")
+    return w
+
+
+def _poisson_weight_sql(u_expr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({u_expr}) >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+    )
+    return f"({terms})"
+
+
+def bootstrap_replicates(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 32,
+    seed: str = "boot",
+    scale: int = 100,
+) -> DataFrame:
+    """One row per bootstrap replicate: ``b, n_eff, sum_scaled, mean``
+    where ``n_eff = Σ w`` and ``sum_scaled = Σ w · round(x·scale)``
+    are exact bigints and ``mean`` (original units, 6 dp) is ONE
+    double division. Changing ``seed`` redraws all replicates;
+    replicate 0..n_boot-1 are mutually independent by hash-salt
+    construction. Empty replicates (possible on tiny inputs) emit
+    NULL mean.
+    """
+    cents = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
+    sid = F.col(id_col).cast("string")
+    pairs = df.select(sid.alias("_id"), cents.alias("_x")).select(
+        "_x",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_boot - 1)),
+                lambda b: _poisson_weight(
+                    hashing.word_hash32(
+                        F.concat(
+                            F.col("_id"), F.lit(f":{seed}:"), b.cast("string")
+                        )
+                    )
+                ),
+            )
+        ).alias("b", "_w"),
+    )
+    rep = pairs.groupBy("b").agg(
+        F.sum("_w").cast("bigint").alias("n_eff"),
+        F.sum(F.col("_w") * F.col("_x")).cast("bigint").alias("sum_scaled"),
+    )
+    return rep.select(
+        F.col("b").cast("bigint").alias("b"),
+        "n_eff",
+        "sum_scaled",
+        F.when(
+            F.col("n_eff") > 0,
+            F.round(
+                F.col("sum_scaled").cast("double")
+                / (F.col("n_eff").cast("double") * F.lit(float(scale))),
+                6,
+            ),
+        ).alias("mean"),
+    )
+
+
+def percentile_ci(
+    replicates: DataFrame,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Nearest-rank percentile CI over the B-row replicate table:
+    ``lo_mean`` = the ``ceil(B·α/2)``-th smallest replicate mean,
+    ``hi_mean`` the symmetric upper rank. Replicate means are IEEE
+    divisions of identical exact integers, so their sort order (tie
+    break: b) matches across engines. The rank pass is a
+    :func:`whole_frame` window over B rows — bounded by construction.
+    Output one row: ``n_boot, lo_rank, lo_mean, hi_mean``.
+    """
+    w = whole_frame(F.col("mean").asc(), F.col("b").asc())
+    ranked = replicates.filter(F.col("mean").isNotNull()).select(
+        "b",
+        "mean",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(whole_frame()).alias("_nb"),
+    )
+    lo_rank = F.expr(f"CAST(((_nb * {alpha_num}) + (2 * {alpha_den}) - 1) DIV (2 * {alpha_den}) AS BIGINT)")
+    lo_rank = F.greatest(F.lit(1).cast("bigint"), lo_rank)
+    picked = ranked.withColumn("_lo", lo_rank).withColumn(
+        "_hi", F.col("_nb") + 1 - F.col("_lo")
+    )
+    return picked.groupBy().agg(
+        F.max("_nb").cast("bigint").alias("n_boot"),
+        F.max("_lo").cast("bigint").alias("lo_rank"),
+        F.max(F.when(F.col("_rk") == F.col("_lo"), F.col("mean"))).alias("lo_mean"),
+        F.max(F.when(F.col("_rk") == F.col("_hi"), F.col("mean"))).alias("hi_mean"),
+    ).filter(F.col("n_boot").isNotNull())
+
+
+def bootstrap_replicates_sql(
+    table_sql: str,
+    value_expr: str,
+    id_expr: str,
+    n_boot: int = 32,
+    seed: str = "boot",
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`bootstrap_replicates` — same literal
+    Poisson thresholds, same md5 salts, same exact integer sums."""
+    u = hashing.word_hash32_sql(f"_id || ':{seed}:' || CAST(b AS VARCHAR)")
+    w = _poisson_weight_sql(u)
+    return f"""
+WITH _bs_rows AS (
+    SELECT CAST(({id_expr}) AS VARCHAR) AS _id,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS _x
+    FROM ({table_sql})
+),
+_bs_w AS (
+    SELECT b, {w} AS _w, _x
+    FROM _bs_rows, (SELECT unnest(range(0, {n_boot})) AS b)
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(sum(_w) AS BIGINT) AS n_eff,
+       CAST(sum(_w * _x) AS BIGINT) AS sum_scaled,
+       CASE WHEN sum(_w) > 0
+            THEN round(CAST(sum(_w * _x) AS DOUBLE)
+                       / (CAST(sum(_w) AS DOUBLE) * {float(scale)}), 6)
+       END AS mean
+FROM _bs_w GROUP BY b
+"""
+
+
+def percentile_ci_sql(
+    replicates_sql: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`percentile_ci` over a replicate SQL."""
+    return f"""
+WITH _ci_r AS (
+    SELECT b, mean,
+           row_number() OVER (ORDER BY mean ASC, b ASC) AS rk,
+           count(*) OVER () AS nb
+    FROM ({replicates_sql}) WHERE mean IS NOT NULL
+),
+_ci_p AS (
+    SELECT *, greatest(1, ((nb * {alpha_num}) + (2 * {alpha_den}) - 1)
+                          // (2 * {alpha_den})) AS lo
+    FROM _ci_r
+)
+SELECT CAST(max(nb) AS BIGINT) AS n_boot,
+       CAST(max(lo) AS BIGINT) AS lo_rank,
+       max(CASE WHEN rk = lo THEN mean END) AS lo_mean,
+       max(CASE WHEN rk = nb + 1 - lo THEN mean END) AS hi_mean
+FROM _ci_p
+HAVING max(nb) IS NOT NULL
+"""

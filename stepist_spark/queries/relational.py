@@ -3145,6 +3145,46 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_ref").alias("n1"),
         F.col("c_cmp").alias("n2"),
     )
+    # Poisson-bootstrap CI of the mean extendedprice (round 7,
+    # operators/bootstrap.py): 32 deterministic hash-Poisson replicates
+    # over a %5 order slice — every replicate's exact (n_eff,
+    # sum_scaled) integers are hash-gated, plus the nearest-rank 95%
+    # interval over the replicate table. Lazy localCheckpoint: the
+    # 32-row replicate frame feeds both parts without re-running the
+    # explode+aggregate pass.
+    from stepist_spark.operators import bootstrap as bs
+
+    li_b = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") % 5 == 0
+    ).select(
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("rid"),
+        "l_extendedprice",
+    )
+    reps = bs.bootstrap_replicates(
+        li_b, "l_extendedprice", "rid", n_boot=32
+    ).localCheckpoint(eager=False)
+    boot = reps.select(
+        F.lit("boot").alias("part"),
+        F.col("b").cast("string").alias("k1"),
+        F.col("mean").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_eff").alias("n1"),
+        F.col("sum_scaled").alias("n2"),
+    )
+    bootci = bs.percentile_ci(reps).select(
+        F.lit("bootci").alias("part"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("lo_mean").alias("d1"),
+        F.col("hi_mean").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_boot").alias("n1"),
+        F.col("lo_rank").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -3161,6 +3201,8 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(mi)
         .unionByName(ps)
         .unionByName(pcc)
+        .unionByName(boot)
+        .unionByName(bootci)
     )
 
 
@@ -3362,6 +3404,30 @@ def _q25_mi_sql() -> str:
 
 _Q25_MI_SQL = _q25_mi_sql()
 
+def _q25_boot_sql() -> str:
+    from stepist_spark.operators.bootstrap import bootstrap_replicates_sql
+
+    return bootstrap_replicates_sql(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "WHERE l_orderkey % 5 = 0",
+        value_expr="l_extendedprice",
+        id_expr="CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        n_boot=32,
+    )
+
+
+_Q25_BOOT_SQL = _q25_boot_sql()
+
+
+def _q25_ci_sql() -> str:
+    from stepist_spark.operators.bootstrap import percentile_ci_sql
+
+    return percentile_ci_sql(_Q25_BOOT_SQL)
+
+
+_Q25_CI_SQL = _q25_ci_sql()
+
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -3452,6 +3518,16 @@ SELECT 'pctc',
        value, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(v_scaled_num AS VARCHAR), n, CAST(NULL AS BIGINT)
 FROM ({_Q25_PCTC_SQL})
+UNION ALL
+SELECT 'boot', CAST(b AS VARCHAR), mean, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       n_eff, sum_scaled
+FROM ({_Q25_BOOT_SQL})
+UNION ALL
+SELECT 'bootci', CAST(NULL AS VARCHAR), lo_mean, hi_mean,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       n_boot, lo_rank
+FROM ({_Q25_CI_SQL})
 """
 
 
@@ -3630,5 +3706,5 @@ QUERIES = [
     QuerySpec("q21_approx_sketches", q21_approx_sketches, Q21_SQL, "portable HLL estimates + register-merge rollup vs exact, hash-gated"),
     QuerySpec("q22_event_windows", q22_event_windows, Q22M_SQL, "tumbling + session event windows, tag-unioned"),
     QuerySpec("q24_subquery_suite", q24_subquery_suite, Q24M_SQL, "correlated + IN/NOT IN/scalar subqueries, tag-unioned"),
-    QuerySpec("q25_percentile_histogram", q25_percentile_histogram, Q25M_SQL, "exact percentiles + integer-exact histogram, tag-unioned"),
+    QuerySpec("q25_percentile_histogram", q25_percentile_histogram, Q25M_SQL, "exact percentiles + integer-exact histogram + robust/hypothesis statistics + Poisson-bootstrap CI, tag-unioned"),
 ]
