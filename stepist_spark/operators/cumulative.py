@@ -61,6 +61,14 @@ def whole_frame(*order_cols: str | Column) -> WindowSpec:
 
 
 def _ranged_by(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+    # repartitionByRange runs a SAMPLING job to pick boundaries, and
+    # the offsets branch reads the frame a third time — without
+    # materialization each pass recomputes the whole upstream plan
+    # (measured: q25's KS/PSI parts tripled when the CDF inputs were
+    # re-derived per pass). A lazy localCheckpoint caches the input on
+    # first touch; at deployment scale the equivalent is persisting
+    # the value-counts table, which the caller would do anyway.
+    df = df.localCheckpoint(eager=False)
     cols = [F.col(c).asc() for c in order_cols]
     return (
         df.repartitionByRange(*cols)

@@ -50,6 +50,102 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banded MinHash signature rows ``(_id, bk)`` — bk = (band index,
+    band's signature slice) struct; two docs are LSH candidates iff
+    they share a bk value. The shared first stage of
+    :func:`minhash_lsh_candidates` (self-join dedup) and
+    :func:`minhash_lsh_candidates_between` (incremental new-vs-base
+    dedup); at deployment scale the BASE corpus's banded table is the
+    persistent index written to parquet once and reused per increment.
+    """
+    from stepist_spark.session import spread
+
+    rows_per_band = n_hashes // bands
+    if rows_per_band * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    # spread BEFORE the shingle projection: the array build + per-shingle
+    # hashing is the CPU-dense part, and a small scan's 1-2 input
+    # partitions would otherwise serialize it.
+    # Two projections on purpose: shingles() references its token array
+    # k+ times inside interpreted lambda bodies, so the tokens MUST be a
+    # bound column — inlining the tokenizer expression would re-run the
+    # regex split per shingle element (measured ~10× slowdown).
+    toked = spread(df).select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    toks = toked.select(
+        "_id", hashing.shingles(F.col("_tk"), shingle_k).alias("_toks")
+    )
+    sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=n_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"mh{b * rows_per_band + r}").alias(f"h{r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("_id", F.explode(band_structs).alias("bk"))
+
+
+def minhash_lsh_candidates_between(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    base_banded: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup candidates: which documents of a NEW batch
+    near-duplicate an EXISTING corpus — the nightly-crawl dedup shape
+    (every new dump is checked against the accumulated training set,
+    NOT re-deduplicated against itself from scratch).
+
+    Same shingle→minhash→band discipline as
+    :func:`minhash_lsh_candidates`, but the band match is an equi-join
+    BETWEEN the two frames' banded tables, so only the new batch pays
+    the tokenize+hash pass per increment — pass ``base_banded=`` (a
+    persisted/parquet-written :func:`banded_signatures` table) and the
+    base corpus is never rescanned. Ids need not be disjoint across
+    frames; a shared id is treated as two distinct documents (no
+    self-pair suppression across frames — an id collision between a
+    crawl and the base is itself a finding).
+
+    Output: ``base_id, new_id`` distinct candidate pairs. Skew story =
+    the self-join's (see :func:`minhash_lsh_candidates`): broadcast
+    below threshold, AQE skew-split sort-merge above.
+    """
+    from stepist_spark.session import ensure_runtime_tuning
+
+    ensure_runtime_tuning(new_docs.sparkSession)
+    nb = banded_signatures(
+        new_docs, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle_k=shingle_k
+    )
+    bb = (
+        base_banded
+        if base_banded is not None
+        else banded_signatures(
+            base_docs, id_col, text_col,
+            n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
+        )
+    )
+    return (
+        bb.alias("b")
+        .join(nb.alias("n"), F.col("b.bk") == F.col("n.bk"))
+        .select(F.col("b._id").alias("base_id"), F.col("n._id").alias("new_id"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -89,34 +185,10 @@ def minhash_lsh_candidates(
     tests/test_skew.py::TestLshBandJoinSkew plants a hot bucket and
     pins both the correctness and the plan shape.
     """
-    from stepist_spark.session import ensure_runtime_tuning, spread
+    from stepist_spark.session import ensure_runtime_tuning
 
     ensure_runtime_tuning(df.sparkSession)
 
-    rows_per_band = n_hashes // bands
-    if rows_per_band * bands != n_hashes:
-        raise ValueError("bands must divide n_hashes")
-    # spread BEFORE the shingle projection: the array build + per-shingle
-    # hashing is the CPU-dense part, and a small scan's 1-2 input
-    # partitions would otherwise serialize it.
-    # Two projections on purpose: shingles() references its token array
-    # k+ times inside interpreted lambda bodies, so the tokens MUST be a
-    # bound column — inlining the tokenizer expression would re-run the
-    # regex split per shingle element (measured ~10× slowdown).
-    toked = spread(df).select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-    toks = toked.select(
-        "_id", hashing.shingles(F.col("_tk"), shingle_k).alias("_toks")
-    )
-    sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=n_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[F.col(f"mh{b * rows_per_band + r}").alias(f"h{r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
     # persist the banded signatures: the self-join would otherwise
     # recompute the whole tokenize->shingle->hash pipeline for BOTH
     # sides. The banded frame is bands rows/doc of (id, small struct) —
@@ -125,9 +197,9 @@ def minhash_lsh_candidates(
     # frame per session, instead of leaking one per invocation).
     from pyspark.storagelevel import StorageLevel
 
-    banded = sig.select("_id", F.explode(band_structs).alias("bk")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    banded = banded_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle_k=shingle_k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     prev = _LAST_BANDED.pop(0) if _LAST_BANDED else None
     if prev is not None:
         try:

@@ -348,7 +348,26 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("jaccard_tok"),
         F.lit(None).cast("double").alias("jaccard_shingle"),
     )
-    return lsh.unionByName(pp).unionByName(cn).unionByName(oc)
+    # 'incr' — INCREMENTAL dedup (round 7): the plants (doc_id >= 2M)
+    # play a new crawl batch checked against the original corpus as
+    # the accumulated base — candidates come from the cross-frame band
+    # join (dedup.minhash_lsh_candidates_between), verified with the
+    # same shared shingle-set statistics.
+    base = corpus.filter(F.col("doc_id") < 2_000_000)
+    newb = corpus.filter(F.col("doc_id") >= 2_000_000)
+    ic = dedup.minhash_lsh_candidates_between(
+        newb, base, "doc_id", "text", N_HASHES, BANDS
+    ).select(F.col("base_id").alias("id_a"), F.col("new_id").alias("id_b"))
+    incr = dedup.pair_set_stats(sh_sets, ic).select(
+        F.lit("incr").alias("part"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard_tok"),
+        _jac().alias("jaccard_shingle"),
+    )
+    return (
+        lsh.unionByName(pp).unionByName(cn).unionByName(oc).unionByName(incr)
+    )
 
 
 def _jac_sql(a: str, b: str) -> str:
@@ -373,6 +392,18 @@ SELECT 'lsh' AS part, id_a, id_b,
 FROM cands
 JOIN sets_t ta ON ta._sid = id_a
 JOIN sets_t tb ON tb._sid = id_b
+JOIN sets_s sa ON sa._sid = id_a
+JOIN sets_s sb ON sb._sid = id_b
+UNION ALL
+-- incr part: cross-frame band join — plants (>= 2M) as the new
+-- batch, originals as the accumulated base
+SELECT 'incr' AS part, id_a, id_b,
+       CAST(NULL AS DOUBLE) AS jaccard_tok,
+       {_jac_sql('sa._set', 'sb._set')} AS jaccard_shingle
+FROM (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+         AND a._id < 2000000 AND b._id >= 2000000) ic
 JOIN sets_s sa ON sa._sid = id_a
 JOIN sets_s sb ON sb._sid = id_b
 UNION ALL
@@ -2404,7 +2435,7 @@ QUERIES = [
     # (queries/composite.py) runs the same query THROUGH the parquet
     # sink round-trip and gates it against the same T04_SQL oracle —
     # the registry slot went to p02_flow_metrics instead.
-    QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification"),
+    QuerySpec("t08_jaccard_pairs", t08_jaccard_pairs, T08_SQL, "LSH candidates + token & 3-shingle Jaccard verification + incremental new-vs-base cross-frame dedup"),
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified/hash/mixture/priority/waterfill sampling + leakage-safe + length-matched resampling"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),

@@ -3153,16 +3153,23 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # 32-row replicate frame feeds both parts without re-running the
     # explode+aggregate pass.
     from stepist_spark.operators import bootstrap as bs
+    from stepist_spark.session import spread
 
-    li_b = load_table(spark, sf, "lineitem").filter(
-        F.col("l_orderkey") % 5 == 0
+    # spread(): the filtered scan is 1-2 input partitions and the
+    # 32-replicate weight derivation (33 md5/row, interpreted HOF)
+    # would serialize on one core (measured ~30s -> ~1s at sf0.1)
+    li_b = spread(
+        load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
     ).select(
         F.concat_ws(":", "l_orderkey", "l_linenumber").alias("rid"),
         "l_extendedprice",
     )
-    reps = bs.bootstrap_replicates(
-        li_b, "l_extendedprice", "rid", n_boot=32
-    ).localCheckpoint(eager=False)
+    # NO localCheckpoint here: an RDD-scan leaf inside the 20-branch
+    # union makes AQE bail out for the WHOLE gate plan (measured
+    # 12.7s -> 48.7s total with every other branch losing partition
+    # coalescing); recomputing the cheap replicate pass for the second
+    # consumer costs ~0.2s
+    reps = bs.bootstrap_replicates(li_b, "l_extendedprice", "rid", n_boot=32)
     boot = reps.select(
         F.lit("boot").alias("part"),
         F.col("b").cast("string").alias("k1"),

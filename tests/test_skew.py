@@ -155,3 +155,80 @@ class TestLshBandJoinSkew:
             assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestIncrementalLsh:
+    """minhash_lsh_candidates_between: the new-batch-vs-base shape."""
+
+    @staticmethod
+    def _frames(spark):
+        base = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "an entirely different text about spark physical plans"),
+                (3, "yet another unrelated document mentioning parquet files"),
+            ],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                # near-copy of base doc 1 -> must be flagged
+                (101, "the quick brown fox jumps over the lazy dog today"),
+                # novel content -> must not pair
+                (102, "completely novel material with no shared shingles whatsoever"),
+            ],
+            "doc_id bigint, text string",
+        )
+        return base, new
+
+    def test_flags_near_copy_of_base_only(self, spark):
+        from stepist_spark.operators.dedup import minhash_lsh_candidates_between
+
+        base, new = self._frames(spark)
+        got = sorted(
+            (r.base_id, r.new_id)
+            for r in minhash_lsh_candidates_between(
+                new, base, "doc_id", "text"
+            ).collect()
+        )
+        assert (1, 101) in got
+        assert all(n != 102 for _, n in got)
+        # no base-base or new-new pairs ever
+        assert all(b <= 3 and n >= 101 for b, n in got)
+
+    def test_reused_base_index_matches_fresh(self, spark):
+        from stepist_spark.operators.dedup import (
+            banded_signatures,
+            minhash_lsh_candidates_between,
+        )
+
+        base, new = self._frames(spark)
+        idx = banded_signatures(base, "doc_id", "text").localCheckpoint()
+        fresh = sorted(
+            map(
+                tuple,
+                minhash_lsh_candidates_between(new, base, "doc_id", "text").collect(),
+            )
+        )
+        reused = sorted(
+            map(
+                tuple,
+                minhash_lsh_candidates_between(
+                    new, base, "doc_id", "text", base_banded=idx
+                ).collect(),
+            )
+        )
+        assert fresh == reused
+
+    def test_self_join_unchanged_by_refactor(self, spark):
+        """The banding extraction must leave the self-join results
+        identical: a doc and its near-copy in ONE frame still pair."""
+        from stepist_spark.operators.dedup import minhash_lsh_candidates
+
+        base, new = self._frames(spark)
+        both = base.unionByName(new)
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(both, "doc_id", "text").collect()
+        )
+        assert (1, 101) in got
