@@ -496,3 +496,98 @@ SELECT grp, n_p AS n_tokens, v AS vocab_v,
 FROM _cells
 GROUP BY grp, n_p, v
 """
+
+
+def vocabulary_richness(
+    df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**6,
+    token_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus vocabulary-COVERAGE estimators from the frequency-of-
+    frequencies table — "how much vocabulary haven't we seen yet", the
+    question a corpus-growth decision hangs on:
+
+    - **Chao1** lower-bound estimate of the TRUE vocabulary size
+      (Chao 1984, public): ``V + f1²/(2·f2)`` with f1/f2 the
+      singleton/doubleton type counts; when f2 = 0 the bias-corrected
+      ``V + f1·(f1−1)/2`` variant applies.
+    - **Good-Turing unseen mass** (Good 1953): ``p0 = f1/N`` — the
+      probability the NEXT token is a previously-unseen type.
+
+    Spark-first shape: one token-count hash aggregate (reusable: pass
+    ``token_counts`` = a ``(tok, c)`` frame, e.g. summed from the t16
+    postings pass, and the corpus is never re-tokenized), one
+    |distinct-frequencies|-bounded aggregate on top. Exactness: V, N,
+    f1, f2 are exact bigints; ``chao1_scaled`` keeps the correction
+    term as one integer division (DuckDB ``//`` == Spark ``DIV`` on
+    non-negatives); p0 is one double division, 6 dp.
+
+    Output one row: ``n_tokens, n_types, f1, f2, chao1_scaled, p0``.
+    """
+    if token_counts is None:
+        if df is None:
+            raise ValueError("pass a corpus df or a token_counts frame")
+        token_counts = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    agg = token_counts.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+    )
+    chao = F.when(
+        F.col("f2") > 0,
+        F.expr(f"n_types * CAST({scale} AS BIGINT) + (f1 * f1 * {scale}) DIV (2 * f2)"),
+    ).otherwise(
+        F.expr(f"n_types * CAST({scale} AS BIGINT) + (f1 * (f1 - 1) * {scale}) DIV 2")
+    )
+    return agg.filter(F.col("n_tokens").isNotNull()).select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        chao.cast("bigint").alias("chao1_scaled"),
+        F.round(
+            F.col("f1").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("p0"),
+    )
+
+
+def vocabulary_richness_sql(
+    corpus_sql: str,
+    text_expr: str = "text",
+    scale: int = 10**6,
+    token_counts_sql: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`vocabulary_richness`."""
+    from stepist_spark.functions.text import tokens_sql
+
+    tc = (
+        token_counts_sql
+        if token_counts_sql is not None
+        else (
+            f"SELECT tok, count(*) AS c FROM (SELECT unnest({tokens_sql(text_expr)})"
+            f" AS tok FROM ({corpus_sql})) GROUP BY tok"
+        )
+    )
+    return f"""
+WITH _vr AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM ({tc})
+)
+SELECT n_tokens, n_types, f1, f2,
+       CAST(CASE WHEN f2 > 0
+            THEN n_types * CAST({scale} AS BIGINT) + (f1 * f1 * {scale}) // (2 * f2)
+            ELSE n_types * CAST({scale} AS BIGINT) + (f1 * (f1 - 1) * {scale}) // 2
+       END AS BIGINT) AS chao1_scaled,
+       round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS p0
+FROM _vr WHERE n_tokens IS NOT NULL
+"""

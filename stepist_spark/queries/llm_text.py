@@ -1026,6 +1026,21 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
     # BM25 score order, so the metric discriminates). Touches only the
     # k-rows-per-query list; the integer discount LUT is inlined in
     # both engines (operators/ranking.ranking_quality).
+    # vocabulary-coverage estimators (round 7): Chao1 + Good-Turing
+    # unseen mass off the SAME postings pass (token totals = one
+    # vocabulary-sized aggregate, no re-tokenize)
+    vr = corpus_ops.vocabulary_richness(
+        token_counts=postings.groupBy("tok").agg(F.sum("tf").alias("c"))
+    ).select(
+        F.lit("vocabest").alias("part"),
+        F.lit(None).cast("string").alias("tok"),
+        F.col("f1").alias("qid"),
+        F.col("f2").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("n_types").alias("n1"),
+        F.col("n_tokens").alias("n2"),
+        F.col("chao1_scaled").alias("score_scaled"),
+    )
     rq = ranking.ranking_quality(bm_raw, rel_col="n_terms_hit", k=5).select(
         F.lit("rankq").alias("part"),
         F.lit(None).cast("string").alias("tok"),
@@ -1043,6 +1058,7 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(ph)
         .unionByName(fused)
         .unionByName(rq)
+        .unionByName(vr)
     )
 
 
@@ -1110,6 +1126,9 @@ def _t16_sql() -> str:
         rel_expr="n_terms_hit",
         k=5,
     )
+    from stepist_spark.operators.corpus import vocabulary_richness_sql
+
+    vocabest = vocabulary_richness_sql("SELECT text FROM documents")
     return f"""
 SELECT 'vocab' AS part, tok, CAST(NULL AS BIGINT) AS qid,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS rank,
@@ -1139,6 +1158,10 @@ UNION ALL
 SELECT 'rankq', CAST(NULL AS VARCHAR), query_id, CAST(NULL AS BIGINT),
        first_rel_rank, dcg_scaled, idcg_scaled, ndcg_scaled
 FROM ({rankq})
+UNION ALL
+SELECT 'vocabest', CAST(NULL AS VARCHAR), f1, f2, CAST(NULL AS BIGINT),
+       n_types, n_tokens, chao1_scaled
+FROM ({vocabest})
 """
 
 
@@ -2439,7 +2462,7 @@ QUERIES = [
     QuerySpec("t09_fingerprints", t09_fingerprints, T09_SQL, "SimHash + shingle fingerprints"),
     QuerySpec("t13_sample_split", t13_sample_split, T13_SQL, "stratified/hash/mixture/priority/waterfill sampling + leakage-safe + length-matched resampling"),
     QuerySpec("t15_word_stats", t15_word_stats, T15_SQL, "word repetition + salient term (integer-exact)"),
-    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion + nDCG@5/first-relevant-rank quality metrics"),
+    QuerySpec("t16_vocabulary", t16_vocabulary, T16_SQL, "corpus vocabulary (top-50) + BM25 retrieval top-5 (fixed-point portable) + KL shift + PMI + phrase search + RRF hybrid fusion + nDCG@5 quality metrics + Chao1/Good-Turing coverage estimators"),
     QuerySpec("t18_decontamination", t18_decontamination, T18_SQL, "n-gram decontamination: exact + Bloom-bitmap pre-filter (bitmap certified) + drop-whole-doc removal"),
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),

@@ -287,3 +287,58 @@ class TestPmiCollocations:
         df = spark.createDataFrame([("solo",), ("word pair",)], "text string")
         rows = pmi_collocations(df, "text", min_pair_count=1, top_k=10).collect()
         assert {(r["a"], r["b"]) for r in rows} == {("word", "pair")}
+
+
+class TestVocabularyRichness:
+    def test_hand_computed(self, spark):
+        # tokens: a×3, b×2, c×1, d×1 -> N=7, V=4, f1=2, f2=1
+        df = _docs(spark, [(1, "a a a b b c"), (2, "d")])
+        got = corpus_ops.vocabulary_richness(df).collect()[0]
+        assert (got.n_tokens, got.n_types, got.f1, got.f2) == (7, 4, 2, 1)
+        # chao1 = V + f1^2/(2 f2) = 4 + 4/2 = 6
+        assert got.chao1_scaled == 6_000_000
+        assert got.p0 == round(2 / 7, 6)
+
+    def test_no_doubletons_bias_corrected(self, spark):
+        # a×3, b×1, c×1: f2=0 -> chao1 = V + f1(f1-1)/2 = 3 + 1 = 4
+        df = _docs(spark, [(1, "a a a b c")])
+        got = corpus_ops.vocabulary_richness(df).collect()[0]
+        assert got.f2 == 0 and got.chao1_scaled == 4_000_000
+
+    def test_counts_reuse_matches_direct(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions import text as TX
+
+        df = _docs(spark, [(1, "x y x z"), (2, "y w")])
+        tc = (
+            df.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        direct = corpus_ops.vocabulary_richness(df).collect()
+        reused = corpus_ops.vocabulary_richness(token_counts=tc).collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple, reused))
+
+    def test_empty_corpus(self, spark):
+        df = _docs(spark, [])
+        assert corpus_ops.vocabulary_richness(df).count() == 0
+
+    def test_duckdb_mirror(self, spark):
+        import duckdb
+
+        from stepist_spark.operators.corpus import vocabulary_richness_sql
+
+        rows = [(1, "a a a b b c"), (2, "d e e f")]
+        df = _docs(spark, rows)
+        got = sorted(map(tuple, corpus_ops.vocabulary_richness(df).collect()))
+        vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+        duck = sorted(
+            tuple(r)
+            for r in duckdb.sql(
+                vocabulary_richness_sql(
+                    f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+                )
+            ).fetchall()
+        )
+        assert got == duck
