@@ -36,7 +36,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stepist_spark.functions import hashing
@@ -76,18 +78,25 @@ def bootstrap_replicates(
     n_boot: int = 32,
     seed: str = "boot",
     scale: int = 100,
+    group_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
-    """One row per bootstrap replicate: ``b, n_eff, sum_scaled, mean``
-    where ``n_eff = Σ w`` and ``sum_scaled = Σ w · round(x·scale)``
-    are exact bigints and ``mean`` (original units, 6 dp) is ONE
-    double division. Changing ``seed`` redraws all replicates;
-    replicate 0..n_boot-1 are mutually independent by hash-salt
-    construction. Empty replicates (possible on tiny inputs) emit
-    NULL mean.
+    """One row per bootstrap replicate (per group when ``group_cols``
+    is given — per-slice uncertainty, e.g. a mean-quality CI per
+    source): ``[*group_cols,] b, n_eff, sum_scaled, mean`` where
+    ``n_eff = Σ w`` and ``sum_scaled = Σ w · round(x·scale)`` are
+    exact bigints and ``mean`` (original units, 6 dp) is ONE double
+    division. Weights depend only on (id, seed, b), so a row keeps
+    the SAME weight whether the estimate is sliced or global —
+    grouped replicates sum to the ungrouped ones by construction.
+    Changing ``seed`` redraws all replicates; replicate 0..n_boot-1
+    are mutually independent by hash-salt construction. Empty
+    replicates (possible on tiny inputs) emit NULL mean.
     """
+    gcols = list(group_cols or [])
     cents = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
     sid = F.col(id_col).cast("string")
-    pairs = df.select(sid.alias("_id"), cents.alias("_x")).select(
+    pairs = df.select(*gcols, sid.alias("_id"), cents.alias("_x")).select(
+        *gcols,
         "_x",
         F.posexplode(
             F.transform(
@@ -102,11 +111,12 @@ def bootstrap_replicates(
             )
         ).alias("b", "_w"),
     )
-    rep = pairs.groupBy("b").agg(
+    rep = pairs.groupBy(*gcols, "b").agg(
         F.sum("_w").cast("bigint").alias("n_eff"),
         F.sum(F.col("_w") * F.col("_x")).cast("bigint").alias("sum_scaled"),
     )
     return rep.select(
+        *gcols,
         F.col("b").cast("bigint").alias("b"),
         "n_eff",
         "sum_scaled",
@@ -125,28 +135,34 @@ def percentile_ci(
     replicates: DataFrame,
     alpha_num: int = 5,
     alpha_den: int = 100,
+    group_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
-    """Nearest-rank percentile CI over the B-row replicate table:
-    ``lo_mean`` = the ``ceil(B·α/2)``-th smallest replicate mean,
-    ``hi_mean`` the symmetric upper rank. Replicate means are IEEE
-    divisions of identical exact integers, so their sort order (tie
-    break: b) matches across engines. The rank pass is a
-    :func:`whole_frame` window over B rows — bounded by construction.
-    Output one row: ``n_boot, lo_rank, lo_mean, hi_mean``.
+    """Nearest-rank percentile CI over the B-row replicate table (per
+    group when ``group_cols`` is given): ``lo_mean`` = the
+    ``ceil(B·α/2)``-th smallest replicate mean, ``hi_mean`` the
+    symmetric upper rank. Replicate means are IEEE divisions of
+    identical exact integers, so their sort order (tie break: b)
+    matches across engines. The rank pass is a :func:`whole_frame`
+    (or per-group) window over B rows — bounded by construction.
+    Output per group: ``n_boot, lo_rank, lo_mean, hi_mean``.
     """
-    w = whole_frame(F.col("mean").asc(), F.col("b").asc())
+    gcols = list(group_cols or [])
+    order = [F.col("mean").asc(), F.col("b").asc()]
+    w = Window.partitionBy(*gcols).orderBy(*order) if gcols else whole_frame(*order)
+    w_all = Window.partitionBy(*gcols) if gcols else whole_frame()
     ranked = replicates.filter(F.col("mean").isNotNull()).select(
+        *gcols,
         "b",
         "mean",
         F.row_number().over(w).alias("_rk"),
-        F.count(F.lit(1)).over(whole_frame()).alias("_nb"),
+        F.count(F.lit(1)).over(w_all).alias("_nb"),
     )
     lo_rank = F.expr(f"CAST(((_nb * {alpha_num}) + (2 * {alpha_den}) - 1) DIV (2 * {alpha_den}) AS BIGINT)")
     lo_rank = F.greatest(F.lit(1).cast("bigint"), lo_rank)
     picked = ranked.withColumn("_lo", lo_rank).withColumn(
         "_hi", F.col("_nb") + 1 - F.col("_lo")
     )
-    return picked.groupBy().agg(
+    return picked.groupBy(*gcols).agg(
         F.max("_nb").cast("bigint").alias("n_boot"),
         F.max("_lo").cast("bigint").alias("lo_rank"),
         F.max(F.when(F.col("_rk") == F.col("_lo"), F.col("mean"))).alias("lo_mean"),

@@ -97,3 +97,42 @@ class TestDuckdbMirror:
         )
         assert got_r == duck_r
         assert got_ci == duck_ci
+
+
+class TestGroupedBootstrap:
+    def test_grouped_sums_to_global(self, spark, data):
+        """Weights depend only on (id, seed, b): per-group replicate
+        integers must sum to the ungrouped replicate's."""
+        from pyspark.sql import functions as F
+
+        g = data.withColumn("grp", (F.col("rid") % 3).cast("string"))
+        grouped = bootstrap_replicates(
+            g, "v", "rid", n_boot=8, group_cols=["grp"]
+        )
+        rolled = {
+            r.b: (r.s, r.n)
+            for r in grouped.groupBy("b")
+            .agg(
+                F.sum("sum_scaled").alias("s"), F.sum("n_eff").alias("n")
+            )
+            .collect()
+        }
+        glob = {
+            r.b: (r.sum_scaled, r.n_eff)
+            for r in bootstrap_replicates(data, "v", "rid", n_boot=8).collect()
+        }
+        assert rolled == glob
+
+    def test_grouped_ci_per_group(self, spark, data):
+        from pyspark.sql import functions as F
+
+        g = data.withColumn("grp", (F.col("rid") % 2).cast("string"))
+        reps = bootstrap_replicates(g, "v", "rid", n_boot=16, group_cols=["grp"])
+        ci = {r.grp: r for r in percentile_ci(reps, group_cols=["grp"]).collect()}
+        assert set(ci) == {"0", "1"}
+        for grp, row in ci.items():
+            true_mean = (
+                g.filter(F.col("grp") == grp).agg(F.avg("v")).collect()[0][0]
+            )
+            assert row.n_boot == 16
+            assert row.lo_mean <= true_mean <= row.hi_mean, grp
