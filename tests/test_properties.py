@@ -212,7 +212,12 @@ class TestBpeBatchingProperty:
 
         text = " ".join(w for w, c in word_counts.items() for _ in range(c))
         df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
-        merges, _ = train_bpe(df, n_merges=12, batch_size=8)
+        # auto_relax_after=None: this property IS the strict
+        # sequential-fidelity contract; the bounded-rounds default
+        # (round 7) deliberately trades it away on tie-heavy corpora
+        merges, _ = train_bpe(
+            df, n_merges=12, batch_size=8, auto_relax_after=None
+        )
         exp_merges, _ = _py_bpe(word_counts, 12)
         assert merges == exp_merges
 
