@@ -645,3 +645,35 @@ def non_ascii_count(text: Column) -> Column:
 
 def non_ascii_count_sql(expr: str) -> str:
     return f"CAST(len(regexp_extract_all({expr}, '[^\\x00-\\x7f]')) AS BIGINT)"
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization — the canonical-composition scrubber
+    every multilingual corpus needs before hashing/dedup: the SAME
+    visible text can arrive precomposed (é = U+00E9) or decomposed
+    (e + U+0301), and byte-keyed operators (md5 dedup, shingles,
+    exact-substr windows) silently treat them as different documents.
+
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched pandas_udf over Python's unicodedata (the documented
+    slow path — one str pass per row, no per-character Python).
+    Cross-engine: DuckDB's ``nfc_normalize`` implements the same
+    Unicode canonical composition, and NFC is stable for assigned
+    codepoints across Unicode versions, so both engines agree
+    byte-for-byte on real text.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return pandas_udf(_norm, "string")(text)
+
+
+def nfc_normalize_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`nfc_normalize`."""
+    return f"nfc_normalize({expr})"

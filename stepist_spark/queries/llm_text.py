@@ -1944,7 +1944,44 @@ def t22_curation_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("d2"),
         F.lit(None).cast("double").alias("d3"),
     )
-    return p.unionByName(b).unionByName(r).unionByName(ka).unionByName(mj)
+    # 'nfc' — Unicode canonical-composition scrubbing (round 7):
+    # docs planted with DECOMPOSED accents (e + combining acute) must
+    # normalize to the precomposed form before any byte-keyed dedup;
+    # the normalized text, a changed flag, and the char-length delta
+    # are hash-gated against DuckDB's nfc_normalize.
+    nfc_corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"),
+                # DECOMPOSED plants: base + combining-mark escapes
+                # (a precomposed literal is a no-op under NFC)
+                F.lit(" cafe\u0301 de\u0301ja\u0300"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    normed = TX.nfc_normalize(F.col("text"))
+    nf = nfc_corpus.select(
+        F.lit("nfc").alias("part"),
+        "doc_id",
+        normed.alias("s1"),
+        (normed != F.col("text")).cast("int").cast("bigint").alias("n1"),
+        (F.length("text") - F.length(normed)).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+    )
+    return (
+        p.unionByName(b)
+        .unionByName(r)
+        .unionByName(ka)
+        .unionByName(mj)
+        .unionByName(nf)
+    )
 
 
 def _t22_sql() -> str:
@@ -2030,6 +2067,20 @@ SELECT 'moji', doc_id, CAST(NULL AS VARCHAR),
 FROM (
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 1 THEN text || '{_MOJI_PLANT}'
+                ELSE text END AS text
+    FROM documents
+)
+UNION ALL
+SELECT 'nfc', doc_id, nfc_normalize(text),
+       CAST(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END AS BIGINT),
+       CAST(length(text) - length(nfc_normalize(text)) AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 2
+                THEN text || ' cafe' || chr(769) || ' de' || chr(769)
+                     || 'ja' || chr(768)
                 ELSE text END AS text
     FROM documents
 )
@@ -2467,7 +2518,7 @@ QUERIES = [
     QuerySpec("t19_frequent_tokens", t19_frequent_tokens, T19_SQL, "frequent-items sketch (exact regime)"),
     QuerySpec("t20_sequence_packing", t20_sequence_packing, T20_SQL, "sequence packing + span corruption + overlap chunking"),
     QuerySpec("t21_duplicate_spans", t21_duplicate_spans, T21_SQL, "ExactSubstr duplicated spans + coverage stats + keep-first cutting + corpus inflation"),
-    QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition + k-anonymity + mojibake QA"),
+    QuerySpec("t22_curation_scrub", t22_curation_scrub, T22_SQL, "PII redaction + boilerplate removal + Gopher repetition + k-anonymity + mojibake QA + Unicode NFC scrubbing"),
     QuerySpec("t23_model_gates", t23_model_gates, T23_SQL, "hashed-BoW classifier + bigram-LM perplexity (integer-exact) + AUC/sliced-AUC/confusion/calibration + Cohen kappa agreement"),
     QuerySpec("t24_bpe_segment", t24_bpe_segment, T24_SQL, "BPE merge application (fixed merges, OOV path)"),
     QuerySpec("t25_resample_shuffle", t25_resample_shuffle, T25_SQL, "temperature resample + shuffle rank + shard-writer layout"),

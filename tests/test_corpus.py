@@ -342,3 +342,51 @@ class TestVocabularyRichness:
             ).fetchall()
         )
         assert got == duck
+
+
+class TestNfcNormalize:
+    def test_decomposed_composes(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions.text import nfc_normalize
+
+        decomposed = "cafe\u0301"          # e + combining acute
+        composed = "caf\u00e9"             # precomposed
+        rows = [(1, decomposed), (2, "plain ascii"), (3, None), (4, composed)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r.doc_id: r.n
+            for r in df.select(
+                "doc_id", nfc_normalize(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got[1] == composed           # composes
+        assert got[2] == "plain ascii"
+        assert got[3] is None
+        assert got[4] == composed           # already NFC: unchanged
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions.text import nfc_normalize, nfc_normalize_sql
+
+        texts = [
+            "cafe\u0301 de\u0301ja\u0300",   # decomposed accents
+            "a\u030a ring",                     # a + combining ring
+            "ascii only",
+            "caf\u00e9 already composed",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = sorted(
+            r.n
+            for r in df.select(nfc_normalize(F.col("text")).alias("n")).collect()
+        )
+        vals = ", ".join("('" + t + "')" for t in texts)
+        duck = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {nfc_normalize_sql('text')} FROM (VALUES {vals}) t(text)"
+            ).fetchall()
+        )
+        assert got == duck
