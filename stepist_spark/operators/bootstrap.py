@@ -10,12 +10,17 @@ data), every row gets an independent Poisson(1) weight per replicate;
 replicate b's mean is Σ w_ib·x_i / Σ w_ib. For large n this is the
 classical bootstrap's distribution to O(1/n).
 
-Engine-portable determinism: the per-(row, replicate) weight derives
-from the portable md5 hash ``word_hash32(id:seed:b)`` inverted through
-the Poisson(1) CDF, whose cumulative thresholds ``T_k = floor(cdf_k ·
-2^32)`` are computed ONCE driver-side and inlined as literals in BOTH
-engines — so Spark and DuckDB materialize bit-identical weight
-matrices, and every replicate sum is an exact integer. Weights cap at
+Engine-portable determinism AND one-hash cost: each row pays ONE
+portable md5 (``span_hash60(id:seed)``); the per-replicate uniform is
+an affine rederivation of the hash's two 30-bit halves with
+per-replicate coefficient triples that are themselves md5-derived
+driver-side and inlined as literals — the same pairwise-independent
+universal-hash discipline as the MinHash signatures and the CMS
+sketch_pos60 (a per-(row, replicate) md5 measured 33× the hash cost:
+~14s/replicate-pass at sf1 vs ~1s). The uniform inverts through the
+Poisson(1) CDF with thresholds ``T_k = floor(cdf_k · P)`` inlined in
+BOTH engines, so Spark and DuckDB materialize bit-identical weight
+matrices and every replicate sum is an exact integer. Weights cap at
 8: the Poisson tail P[W >= 8] ≈ 1.0e-5 folds into weight 8 (total
 mass preserved; the distortion is documented, not silent).
 
@@ -38,33 +43,47 @@ import math
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stepist_spark.functions import hashing
 from stepist_spark.operators.cumulative import whole_frame
 
-#: Poisson(1) CDF thresholds on the 32-bit hash scale, k = 0..8.
+#: The universal-hash modulus shared with the MinHash family.
+_P = hashing.MINHASH_P
+
+#: Poisson(1) CDF thresholds on the [0, P) uniform scale, k = 0..7.
 #: Literal in both engines — no runtime exp/factorial anywhere.
 _POIS_MAX = 8
 _POIS_T = []
 _cum = 0.0
 for _k in range(_POIS_MAX):
     _cum += math.exp(-1.0) / math.factorial(_k)
-    _POIS_T.append(int(_cum * (1 << 32)))
+    _POIS_T.append(int(_cum * _P))
 
 
-def _poisson_weight(u: Column) -> Column:
-    """Poisson(1) weight from a uniform 32-bit hash: branchless
-    ``Σ_k [u >= T_k]`` — 0 when u falls below the first threshold,
-    capped at 8."""
-    w = F.lit(0)
-    for t in _POIS_T:
-        w = w + (u >= F.lit(t)).cast("int")
-    return w
+def _rep_coeffs(n_boot: int, seed: str) -> "list[tuple[int, int, int]]":
+    """Per-replicate affine coefficient triples (C_b, D_b, E_b),
+    md5-derived driver-side — deterministic literals both engines
+    share. C/D are masked to 31 bits (and forced odd) so
+    ``C·lo + D·hi + E`` stays under 2^63 for 30-bit halves."""
+    import hashlib
+
+    out = []
+    for b in range(n_boot):
+        h = hashlib.md5(f"{seed}:rep:{b}".encode()).hexdigest()
+        c = (int(h[:8], 16) & 0x7FFFFFFF) | 1
+        d = (int(h[8:16], 16) & 0x7FFFFFFF) | 1
+        e = int(h[16:24], 16)
+        out.append((c, d, e))
+    return out
 
 
 def _poisson_weight_sql(u_expr: str) -> str:
+    """Poisson(1) weight from a uniform [0, P) hash: branchless
+    ``Σ_k [u >= T_k]`` — 0 below the first threshold, capped at 8
+    (numpy twin on the Spark side: searchsorted over the same
+    thresholds)."""
     terms = " + ".join(
         f"(CASE WHEN ({u_expr}) >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
     )
@@ -95,21 +114,39 @@ def bootstrap_replicates(
     gcols = list(group_cols or [])
     cents = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
     sid = F.col(id_col).cast("string")
-    pairs = df.select(*gcols, sid.alias("_id"), cents.alias("_x")).select(
+    coeffs = _rep_coeffs(n_boot, seed)
+    h60 = hashing.span_hash60(F.concat(sid, F.lit(f":{seed}")))
+    hashed = df.select(*gcols, cents.alias("_x"), h60.alias("_h")).select(
         *gcols,
         "_x",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_boot - 1)),
-                lambda b: _poisson_weight(
-                    hashing.word_hash32(
-                        F.concat(
-                            F.col("_id"), F.lit(f":{seed}:"), b.cast("string")
-                        )
-                    )
-                ),
-            )
-        ).alias("b", "_w"),
+        (F.col("_h") % F.lit(1 << 30)).alias("_lo"),
+        F.shiftright("_h", 30).alias("_hi"),
+    )
+    # Arrow-batched numpy twin of the certified integer formula (the
+    # repo's pandas_udf discipline): 32 branchless expression trees of
+    # 8 comparisons each fall out of codegen and evaluate interpreted
+    # (~10µs/row measured at sf1); numpy computes the same exact int64
+    # affines + searchsorted thresholds per batch instead.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    thresholds = np.asarray(_POIS_T, dtype=np.int64)
+    carr = np.asarray([c for c, _, _ in coeffs], dtype=np.int64)
+    darr = np.asarray([d for _, d, _ in coeffs], dtype=np.int64)
+    earr = np.asarray([e for _, _, e in coeffs], dtype=np.int64)
+
+    def _wvec(lo, hi):
+        lo_a = lo.to_numpy(np.int64)
+        hi_a = hi.to_numpy(np.int64)
+        # (n_rows, n_boot): c*lo < 2^61, +d*hi < 2^62 — int64-safe
+        u = (np.outer(lo_a, carr) + np.outer(hi_a, darr) + earr) % _P
+        w = np.searchsorted(thresholds, u, side="right").astype(np.int32)
+        return pd.Series(list(w))
+
+    wvec = pandas_udf(_wvec, "array<int>")
+    pairs = hashed.select(
+        *gcols, "_x", F.posexplode(wvec("_lo", "_hi")).alias("b", "_w")
     )
     rep = pairs.groupBy(*gcols, "b").agg(
         F.sum("_w").cast("bigint").alias("n_eff"),
@@ -180,17 +217,28 @@ def bootstrap_replicates_sql(
 ) -> str:
     """DuckDB mirror of :func:`bootstrap_replicates` — same literal
     Poisson thresholds, same md5 salts, same exact integer sums."""
-    u = hashing.word_hash32_sql(f"_id || ':{seed}:' || CAST(b AS VARCHAR)")
-    w = _poisson_weight_sql(u)
+    h60 = hashing.span_hash60_sql(f"_id || ':{seed}'")
+    coeffs = _rep_coeffs(n_boot, seed)
+    arms = " UNION ALL ".join(
+        f"SELECT {b} AS b, "
+        + _poisson_weight_sql(
+            f"(({c}::BIGINT * _lo + {d}::BIGINT * _hi + {e}) % {_P})"
+        )
+        + " AS _w, _x FROM _bs_h"
+        for b, (c, d, e) in enumerate(coeffs)
+    )
     return f"""
 WITH _bs_rows AS (
     SELECT CAST(({id_expr}) AS VARCHAR) AS _id,
            CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS _x
     FROM ({table_sql})
 ),
+_bs_h AS (
+    SELECT _x, ({h60}) % {1 << 30} AS _lo, ({h60}) // {1 << 30} AS _hi
+    FROM _bs_rows
+),
 _bs_w AS (
-    SELECT b, {w} AS _w, _x
-    FROM _bs_rows, (SELECT unnest(range(0, {n_boot})) AS b)
+    {arms}
 )
 SELECT CAST(b AS BIGINT) AS b,
        CAST(sum(_w) AS BIGINT) AS n_eff,

@@ -26,12 +26,14 @@ class TestPoissonWeights:
     def test_thresholds_are_poisson_cdf(self):
         import math
 
+        from stepist_spark.functions.hashing import MINHASH_P
+
         cum = 0.0
         for k, t in enumerate(_POIS_T):
             cum += math.exp(-1.0) / math.factorial(k)
-            assert t == int(cum * (1 << 32))
+            assert t == int(cum * MINHASH_P)
         # the >=8 tail (folded into weight 8) is ~1e-5 of the mass
-        assert _POIS_T[-1] / (1 << 32) > 0.99998
+        assert _POIS_T[-1] / MINHASH_P > 0.99998
 
     def test_mean_weight_near_one(self, spark, data):
         reps = bootstrap_replicates(data, "v", "rid", n_boot=16)
