@@ -29,8 +29,8 @@ pairs, but the per-replicate hash aggregate partially combines
 map-side, so the shuffle carries only ``n_boot × |partitions|`` rows
 regardless of data size. The replicate table (B rows) and the CI
 (2 ranks over B rows) are driver-free bounded-frame operations. Cost
-is one md5 per (row, replicate): pick ``n_boot`` to budget — B=32
-gives a usable 95% CI at 33 hashes/row.
+is one md5 plus n_boot affine evaluations per row: B=32 gives a
+usable 95% CI at one hash per row.
 
 The reference has no analytics surface (SURVEY.md §2.2); this is the
 LLM-pipeline extension family (metric uncertainty for data-quality
