@@ -102,8 +102,8 @@ def main() -> None:
         g
         for g in os.environ.get(
             "SPARK_GRAFT_BENCH_PARTS",
-            "q25_percentile_histogram,q22_event_windows,"
-            "q13_scalar_string_suite,q02_join_agg_topk,t13_sample_split",
+            "q25_percentile_histogram,t08_jaccard_pairs,"
+            "q22_event_windows,q02_join_agg_topk,q13_scalar_string_suite",
         ).split(",")
         if g
     ]
