@@ -447,3 +447,67 @@ def leakage_safe_split(
     Output: the input plus a ``split`` column.
     """
     return df.withColumn("split", split_label(F.col(key_col), splits, buckets))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    val_start_us: int,
+    test_start_us: int | None = None,
+    embargo_us: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Time-ordered train/val(/test) split with an EMBARGO gap — the
+    temporal twin of :func:`leakage_safe_split`: chronological splits
+    stop future data leaking into training, and the embargo drops the
+    rows within ``embargo_us`` BEFORE each boundary from the earlier
+    split, so features computed over trailing windows (rolling counts,
+    lagged aggregates) cannot straddle the boundary and see the later
+    period (the purged/embargoed split of López de Prado, "Advances in
+    Financial Machine Learning" 2018, public — equally load-bearing
+    for any event-stream corpus with windowed features).
+
+    Boundaries are EXACT µs epochs (compare with ``unix_micros`` —
+    DuckDB's ``epoch_us`` twin; second-level helpers truncate
+    sub-seconds differently across engines). Rows inside an embargo
+    zone get ``split = 'embargo'`` (dropped by the caller, but kept
+    visible here — silently vanishing rows are how leakage guards rot).
+    Pure per-row projection: no shuffle, no state, any scale.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = [(val_start_us, "train"), (test_start_us, "val")]
+    expr = F.lit("test" if test_start_us is not None else "val")
+    for boundary, name in reversed(bounds):
+        if boundary is None:
+            continue
+        expr = (
+            F.when(us < boundary - embargo_us, F.lit(name))
+            .when(us < boundary, F.lit("embargo"))
+            .otherwise(expr)
+        )
+    return df.withColumn(out_col, expr)
+
+
+def temporal_split_sql(
+    table_sql: str,
+    ts_expr: str,
+    val_start_us: int,
+    test_start_us: int | None = None,
+    embargo_us: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`temporal_split` (adds the ``split``
+    column to ``SELECT *``)."""
+    us = f"epoch_us(({ts_expr})::TIMESTAMP)"
+    tail = "'test'" if test_start_us is not None else "'val'"
+    if test_start_us is not None:
+        tail = (
+            f"CASE WHEN {us} < {test_start_us - embargo_us} THEN 'val' "
+            f"WHEN {us} < {test_start_us} THEN 'embargo' "
+            f"ELSE 'test' END"
+        )
+    return f"""
+SELECT *, CASE WHEN {us} < {val_start_us - embargo_us} THEN 'train'
+               WHEN {us} < {val_start_us} THEN 'embargo'
+               ELSE {tail} END AS split
+FROM ({table_sql})
+"""

@@ -2506,10 +2506,44 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # 'tsplit' — embargoed temporal train/val/test split (round 7,
+    # operators/sampling.temporal_split): boundaries at 70%/85% of the
+    # events time span with a 1-day embargo before each; one bounded
+    # driver read parameterizes the exact µs boundaries (the r01/s03
+    # discipline), the oracle recomputes them inline. Per-split counts
+    # + exact cents sums are hash-gated — embargoed rows stay VISIBLE
+    # as their own split.
+    from stepist_spark.operators.sampling import temporal_split
+
+    mnmx = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+    ).collect()[0]
+    mn, mx = int(mnmx["mn"]), int(mnmx["mx"])
+    val_us = mn + ((mx - mn) * 7) // 10
+    test_us = mn + ((mx - mn) * 17) // 20
+    emb_us = 86_400 * 1_000_000
+    ts = temporal_split(
+        ev, "ts", val_us, test_start_us=test_us, embargo_us=emb_us
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_k"),
+    ).select(
+        F.lit("tsplit").alias("part"),
+        F.col("split").alias("wkey"),
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+        "sum_k",
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
         t.select("*", *nulls)
+        .unionByName(ts.select("*", *nulls))
         .unionByName(s.select("*", *nulls))
         .unionByName(fu.select("*", *nulls))
         .unionByName(tr.select("*", *nulls))
@@ -2713,6 +2747,23 @@ UNION ALL
 SELECT 'zscore', event_type, CAST(n AS BIGINT), sum_value,
        CAST(sum_k AS BIGINT), window_start, window_end, z, is_anomaly
 FROM ({az})
+UNION ALL
+SELECT 'tsplit', split, CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM (
+    SELECT value,
+           CASE WHEN us < mn + ((mx - mn) * 7) // 10 - 86400000000 THEN 'train'
+                WHEN us < mn + ((mx - mn) * 7) // 10 THEN 'embargo'
+                WHEN us < mn + ((mx - mn) * 17) // 20 - 86400000000 THEN 'val'
+                WHEN us < mn + ((mx - mn) * 17) // 20 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM (SELECT value, epoch_us(ts::TIMESTAMP) AS us FROM events),
+         (SELECT min(epoch_us(ts::TIMESTAMP)) AS mn,
+                 max(epoch_us(ts::TIMESTAMP)) AS mx FROM events)
+)
+GROUP BY split
 """
 
 
@@ -3711,7 +3762,7 @@ QUERIES = [
     QuerySpec("q13_scalar_string_suite", q13_scalar_string_suite, Q13M_SQL, "scalar functions + ordered string agg, tag-unioned"),
     QuerySpec("q18_temporal_joins", q18_temporal_joins, Q18M_SQL, "range join + as-of join, tag-unioned"),
     QuerySpec("q21_approx_sketches", q21_approx_sketches, Q21_SQL, "portable HLL estimates + register-merge rollup vs exact, hash-gated"),
-    QuerySpec("q22_event_windows", q22_event_windows, Q22M_SQL, "tumbling + session event windows, tag-unioned"),
+    QuerySpec("q22_event_windows", q22_event_windows, Q22M_SQL, "tumbling + session event windows + product analytics + embargoed temporal split, tag-unioned"),
     QuerySpec("q24_subquery_suite", q24_subquery_suite, Q24M_SQL, "correlated + IN/NOT IN/scalar subqueries, tag-unioned"),
     QuerySpec("q25_percentile_histogram", q25_percentile_histogram, Q25M_SQL, "exact percentiles + integer-exact histogram + robust/hypothesis statistics + Poisson-bootstrap CI, tag-unioned"),
 ]

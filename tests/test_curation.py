@@ -480,3 +480,88 @@ class TestMojibakeSignals:
             for t in texts
         ]
         assert got == exp
+
+
+class TestTemporalSplit:
+    """sampling.temporal_split — embargoed chronological splits."""
+
+    def _df(self, spark):
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(100)
+        ]
+        return spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+
+    def test_boundaries_and_embargo(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.sampling import temporal_split
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        us = lambda h: int((base + dt.timedelta(hours=h)).timestamp() * 1_000_000)
+        # val at hour 70, test at hour 85, embargo 5 hours
+        got = {
+            r.event_id: r.split
+            for r in temporal_split(
+                self._df(spark), "ts", us(70), test_start_us=us(85),
+                embargo_us=5 * 3600 * 1_000_000,
+            ).collect()
+        }
+        assert got[0] == "train" and got[64] == "train"
+        assert got[65] == "embargo" and got[69] == "embargo"  # purged tail
+        assert got[70] == "val" and got[79] == "val"
+        assert got[80] == "embargo" and got[84] == "embargo"
+        assert got[85] == "test" and got[99] == "test"
+        # no silent row loss: every row labeled
+        assert len(got) == 100
+
+    def test_no_test_split(self, spark):
+        import datetime as dt
+
+        from stepist_spark.operators.sampling import temporal_split
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        us70 = int((base + dt.timedelta(hours=70)).timestamp() * 1_000_000)
+        got = {
+            r.event_id: r.split
+            for r in temporal_split(self._df(spark), "ts", us70).collect()
+        }
+        assert set(got.values()) == {"train", "val"}  # zero embargo
+
+    def test_duckdb_mirror(self, spark):
+        import datetime as dt
+
+        import duckdb
+
+        from stepist_spark.operators.sampling import (
+            temporal_split,
+            temporal_split_sql,
+        )
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        us = lambda h: int((base + dt.timedelta(hours=h)).timestamp() * 1_000_000)
+        df = self._df(spark)
+        got = sorted(
+            (r.event_id, r.split)
+            for r in temporal_split(
+                df, "ts", us(70), test_start_us=us(85),
+                embargo_us=3 * 3600 * 1_000_000,
+            ).collect()
+        )
+        vals = ", ".join(
+            f"({r.event_id}, TIMESTAMP '{r.ts}')" for r in df.collect()
+        )
+        duck = sorted(
+            (r[0], r[2])
+            for r in duckdb.sql(
+                temporal_split_sql(
+                    f"SELECT * FROM (VALUES {vals}) t(event_id, ts)",
+                    "ts", us(70), test_start_us=us(85),
+                    embargo_us=3 * 3600 * 1_000_000,
+                )
+            ).fetchall()
+        )
+        assert got == duck
