@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stepist_spark.operators.cumulative import grouped_frame
+from stepist_spark.operators.cumulative import require_groups as _require_groups
+
 
 def rolling_zscore(
     windowed: DataFrame,
@@ -58,6 +61,9 @@ def rolling_zscore(
     """
     from pyspark.sql import Window
 
+    key_cols = _require_groups(
+        key_cols, "rolling_zscore", "pre-aggregate to one global series first"
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(order_col)
@@ -348,12 +354,12 @@ def grouped_median_mad(
     def _median_of_counts(counts: DataFrame, col: str) -> DataFrame:
         """counts: (*group_cols, col, _cnt) -> per-group discrete
         median of the expanded multiset + total count."""
-        w = (
-            Window.partitionBy(*group_cols)
-            .orderBy(F.col(col).asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+        # grouped_frame: empty group_cols stays an explicit lit(0)
+        # whole-frame window over the BOUNDED value-counts table
+        w = grouped_frame(group_cols, F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, 0
         )
-        cw = Window.partitionBy(*group_cols)
+        cw = grouped_frame(group_cols)
         cum = counts.select(
             *group_cols,
             F.col(col),
@@ -446,12 +452,12 @@ def grouped_weighted_median(
     wc = df.groupBy(*group_cols, value_col).agg(
         F.sum(F.col(weight_col).cast("bigint")).alias("_w")
     )
-    wcum = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col(value_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # grouped_frame: empty group_cols stays an explicit lit(0)
+    # whole-frame window over the BOUNDED value-counts table
+    wcum = grouped_frame(group_cols, F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    wtot = Window.partitionBy(*group_cols)
+    wtot = grouped_frame(group_cols)
     c = wc.withColumn("_cum", F.sum("_w").over(wcum)).withColumn(
         "_tot", F.sum("_w").over(wtot)
     )
@@ -519,7 +525,9 @@ def cusum_changepoint(
     """
     from pyspark.sql import Window
 
-    group_cols = list(group_cols)
+    group_cols = _require_groups(
+        group_cols, "cusum_changepoint", "slice the stream into series first"
+    )
     v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(38,0)")
     w_ord = Window.partitionBy(*group_cols).orderBy(
         F.col("_ts").asc(), F.col("_id").asc()
@@ -804,12 +812,12 @@ def winsorized_stats(
         .groupBy(*group_cols, "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    w_ord = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col("v").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # grouped_frame: empty group_cols stays an explicit lit(0)
+    # whole-frame window over the BOUNDED value-counts table
+    w_ord = grouped_frame(group_cols, F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w_all = Window.partitionBy(*group_cols)
+    w_all = grouped_frame(group_cols)
     st = counts.select(
         *group_cols,
         "v",
@@ -915,10 +923,10 @@ def gini_coefficient(df, group_cols, value_col: str) -> DataFrame:
         .groupBy(*group_cols, "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    w_prev = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col("v").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # grouped_frame: empty group_cols stays an explicit lit(0)
+    # whole-frame window over the BOUNDED value-counts table
+    w_prev = grouped_frame(group_cols, F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
     dec = "decimal(38,0)"
     staged = counts.withColumn(
@@ -1003,12 +1011,12 @@ def quantile_buckets(
         .groupBy(*group_cols, "v_cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    w_ord = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col("v_cents").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # grouped_frame: empty group_cols stays an explicit lit(0)
+    # whole-frame window over the BOUNDED value-counts table
+    w_ord = grouped_frame(group_cols, F.col("v_cents").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w_all = Window.partitionBy(*group_cols)
+    w_all = grouped_frame(group_cols)
     st = counts.select(
         *group_cols,
         "v_cents",
@@ -1067,7 +1075,9 @@ def interarrival_burstiness(
     """
     from pyspark.sql import Window
 
-    group_cols = list(group_cols)
+    group_cols = _require_groups(
+        group_cols, "interarrival_burstiness", "slice the stream into series first"
+    )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gaps = (
         df.select(*group_cols, us.alias("_us"), F.col(id_col).alias("_id"))
@@ -1184,12 +1194,12 @@ def grouped_percentile_cont(
         .groupBy(*group_cols, "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    w_ord = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col("v").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # grouped_frame: empty group_cols stays an explicit lit(0)
+    # whole-frame window over the BOUNDED value-counts table
+    w_ord = grouped_frame(group_cols, F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w_all = Window.partitionBy(*group_cols)
+    w_all = grouped_frame(group_cols)
     st = vc.select(
         *group_cols,
         "v",

@@ -116,6 +116,11 @@ def bootstrap_replicates(
     sid = F.col(id_col).cast("string")
     coeffs = _rep_coeffs(n_boot, seed)
     h60 = hashing.span_hash60(F.concat(sid, F.lit(f":{seed}")))
+    # NULL ids hash to NULL: to_numpy(np.int64) on NaN is an UNSAFE
+    # cast yielding garbage weights silently, while the SQL mirror's
+    # NULL uniform contributes weight 0 — drop those rows explicitly
+    # so both engines agree (round-7 ADVICE)
+    df = df.where(F.col(id_col).isNotNull())
     hashed = df.select(*gcols, cents.alias("_x"), h60.alias("_h")).select(
         *gcols,
         "_x",

@@ -37,6 +37,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stepist_spark.operators.cumulative import require_groups
+
 #: operation codes in the change stream
 OP_INSERT = "I"
 OP_UPDATE = "U"
@@ -63,6 +65,9 @@ def latest_changes(
         F.when(F.col(op_col) == OP_DELETE, F.lit(2))
         .when(F.col(op_col) == OP_UPDATE, F.lit(1))
         .otherwise(F.lit(0))
+    )
+    key_cols = require_groups(
+        key_cols, "latest_changes", "CDC collapse is keyed by definition"
     )
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
         F.col(seq_col).desc(),
@@ -250,6 +255,9 @@ def scd2_history(
         F.when(F.col(op_col) == OP_DELETE, F.lit(2))
         .when(F.col(op_col) == OP_UPDATE, F.lit(1))
         .otherwise(F.lit(0))
+    )
+    key_cols = require_groups(
+        key_cols, "scd2_history", "SCD2 history is keyed by definition"
     )
     w_tie = Window.partitionBy(
         *[F.col(k) for k in key_cols], F.col(seq_col)

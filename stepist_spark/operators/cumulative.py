@@ -60,15 +60,69 @@ def whole_frame(*order_cols: str | Column) -> WindowSpec:
     return w.orderBy(*order_cols) if order_cols else w
 
 
-def _ranged_by(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+def grouped_frame(
+    group_cols: Sequence[str], *order_cols: str | Column
+) -> WindowSpec:
+    """Window partition spec over a CALLER-SUPPLIED group-column list
+    that cannot silently degrade to a bare unpartitioned window: an
+    empty list routes to the explicit ``lit(0)`` key of
+    :func:`whole_frame` instead of recreating the single-task
+    ``Window.partitionBy()`` shape invisibly (the empty-splat hole the
+    source lint cannot see). Non-empty calls are unchanged.
+
+    Use ONLY where the ungrouped frame is bounded at scale (value-counts
+    / per-group stats tables); for unbounded global-order work use
+    :func:`ordered_cumsum` / :func:`global_row_number`, and raw-row
+    grouped operators should raise on an empty group list instead.
+    """
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    return w.orderBy(*order_cols) if order_cols else w
+
+
+def require_groups(group_cols, fn: str, alternative: str) -> list:
+    """Guard for RAW-ROW grouped operators: an empty group list would
+    silently rebuild the bare single-task ``Window.partitionBy()``
+    shape over the full frame (invisible to the source lint — the
+    splat is non-empty textually). Bounded value-counts operators
+    route empty groups through :func:`grouped_frame` instead."""
+    cols = list(group_cols)
+    if not cols:
+        raise ValueError(
+            f"{fn}: group_cols must be non-empty — an ungrouped call "
+            f"windows the raw rows in ONE task; {alternative}"
+        )
+    return cols
+
+
+#: Materialization strategies for the cumulative-input frame.
+_MATERIALIZE = ("localCheckpoint", "persist", "none")
+
+
+def _ranged_by(
+    df: DataFrame, order_cols: Sequence[str], materialize: str = "localCheckpoint"
+) -> DataFrame:
     # repartitionByRange runs a SAMPLING job to pick boundaries, and
     # the offsets branch reads the frame a third time — without
     # materialization each pass recomputes the whole upstream plan
     # (measured: q25's KS/PSI parts tripled when the CDF inputs were
-    # re-derived per pass). A lazy localCheckpoint caches the input on
-    # first touch; at deployment scale the equivalent is persisting
-    # the value-counts table, which the caller would do anyway.
-    df = df.localCheckpoint(eager=False)
+    # re-derived per pass). Default: a lazy localCheckpoint caches the
+    # input on first touch — fastest in local mode, but the blocks are
+    # executor-local with lineage TRUNCATED, so on a real cluster an
+    # executor loss mid-query kills the job. Cluster deployments pass
+    # materialize='persist' (MEMORY_AND_DISK keeps lineage — a lost
+    # block recomputes instead of failing) or 'none' when the caller
+    # already materialized the frame.
+    if materialize not in _MATERIALIZE:
+        raise ValueError(
+            f"materialize must be one of {_MATERIALIZE}, got {materialize!r}"
+        )
+    if materialize == "localCheckpoint":
+        df = df.localCheckpoint(eager=False)
+    elif materialize == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     cols = [F.col(c).asc() for c in order_cols]
     return (
         df.repartitionByRange(*cols)
@@ -83,6 +137,7 @@ def ordered_cumsum(
     sum_cols: Sequence[str],
     cum_prefix: str = "cum_",
     tot_prefix: str | None = None,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Inclusive cumulative sums of ``sum_cols`` under the global
     ascending ``order_cols`` order, WITHOUT a single-task window.
@@ -100,9 +155,14 @@ def ordered_cumsum(
 
     Sum-column types are preserved (decimal stays decimal); the order
     key must uniquely identify rows (see module docstring).
+
+    ``materialize``: how the multi-pass input frame is cached —
+    ``'localCheckpoint'`` (default; fastest, lineage-truncating),
+    ``'persist'`` (MEMORY_AND_DISK, executor-loss-safe for cluster
+    deployments), or ``'none'`` (caller already materialized).
     """
     ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    with_pid = _ranged_by(df, ocols)
+    with_pid = _ranged_by(df, ocols, materialize)
 
     per_pid = with_pid.groupBy("_pid").agg(
         *[F.sum(c).alias(f"_s_{c}") for c in sum_cols]
@@ -137,15 +197,17 @@ def global_row_number(
     order_cols: str | Sequence[str],
     out_col: str = "rn",
     tot_col: str | None = None,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """1-based position of every row under the global ascending
     ``order_cols`` order (ties broken by nothing — the key must be
     unique), plus the grand row count when ``tot_col`` is given.
-    Same partition-offset shape as :func:`ordered_cumsum`; this is
-    ``deterministic_shuffle`` generalized to any caller-owned key.
+    Same partition-offset shape (and ``materialize`` seam) as
+    :func:`ordered_cumsum`; this is ``deterministic_shuffle``
+    generalized to any caller-owned key.
     """
     ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    with_pid = _ranged_by(df, ocols)
+    with_pid = _ranged_by(df, ocols, materialize)
 
     per_pid = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_excl = whole_frame("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -171,6 +233,7 @@ def global_ntile(
     order_cols: str | Sequence[str],
     n_tiles: int,
     out_col: str = "tile",
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """NTILE(n) under a global order without the single-task window.
 
@@ -180,7 +243,9 @@ def global_ntile(
     so the result is bit-identical to ``ntile(n) OVER (ORDER BY ...)``
     on any engine while staying wide at scale.
     """
-    ranked = global_row_number(df, order_cols, out_col="_gnt_rn", tot_col="_gnt_n")
+    ranked = global_row_number(
+        df, order_cols, out_col="_gnt_rn", tot_col="_gnt_n", materialize=materialize
+    )
     # exact integer forms (DIV = integer division; denominators are
     # nonzero whenever a row exists: N >= 1 so ceil(N/n) >= 1, and the
     # size_lo branch is only reached when N > n_hi*size_hi => size_lo>0)

@@ -218,7 +218,9 @@ PROFILE_SCHEMA = (
 )
 
 
-def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> DataFrame:
+def profile_media(
+    media: DataFrame, width: int, height: int, decoder=None, resizer=None
+) -> DataFrame:
     """Features AND resize in ONE Arrow pass — the fused m01 shape.
 
     ``decoder``: ``bytes -> list[float]`` injection seam, as in
@@ -226,7 +228,10 @@ def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> Da
     a real backend (PIL/ffmpeg) drops in without touching the Arrow
     plumbing or the gated accounting columns, and a payload it cannot
     decode quarantines that row (``decode_error``/NULL feature) rather
-    than failing the task.
+    than failing the task. ``resizer``: ``bytes -> bytes`` seam for the
+    resample step, quarantined the SAME way (round-7 ADVICE: a corrupt
+    image that throws in a real resize backend must set
+    ``decode_error`` and NULL the resize columns, not kill the task).
 
     Running :func:`extract_features` and :func:`resize_images`
     separately ships every payload to the Python workers twice and
@@ -241,29 +246,39 @@ def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> Da
     decoder = decoder or DECODER
     target = width * height
 
+    def _resize_stub(b):
+        if b is None or len(b) == 0:
+            return bytes(target)
+        arr = np.frombuffer(b, dtype=np.uint8)
+        reps = -(-target // len(arr))  # ceil
+        return np.tile(arr, reps)[:target].tobytes()
+
+    resizer = resizer or _resize_stub
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             is_img = pdf["kind"] == "image"
 
-            def _resize(b):
-                if b is None or len(b) == 0:
-                    return bytes(target)
-                arr = np.frombuffer(b, dtype=np.uint8)
-                reps = -(-target // len(arr))  # ceil
-                return np.tile(arr, reps)[:target].tobytes()
-
             # resize ONLY image rows: non-image payloads (possibly
             # NULL — len(None) raises) must never enter the resizer,
             # and with a real decoder swapped in, resizing rows that
-            # are discarded afterwards doubles the expensive work
-            resized = pdf.loc[is_img, "payload"].map(_resize)
+            # are discarded afterwards doubles the expensive work.
+            # QUARANTINED like the feature decode: a throwing resize
+            # NULLs the resize columns and records the error.
             payload_out = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
-            payload_out[is_img] = resized
             n_bytes_out = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
-            n_bytes_out[is_img] = resized.map(len)
+            resize_errs = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
+            for idx, b in pdf.loc[is_img, "payload"].items():
+                try:
+                    out = resizer(b)
+                    payload_out[idx] = out
+                    n_bytes_out[idx] = len(out)
+                except Exception as exc:  # resizer boundary: anything can raise
+                    resize_errs[idx] = f"{type(exc).__name__}: {exc}"[:200]
             feats, errs = _decode_quarantined(decoder, pdf["payload"])
+            dec_errs = pd.Series(errs, index=pdf.index, dtype="object")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -279,9 +294,9 @@ def profile_media(media: DataFrame, width: int, height: int, decoder=None) -> Da
                     "height": np.where(is_img, height, None),
                     "n_bytes_out": n_bytes_out,
                     "payload_out": payload_out,
-                    "decode_error": pd.Series(
-                        errs, index=pdf.index, dtype="object"
-                    ),
+                    # decode error wins the column; resize-only
+                    # failures surface where decode succeeded
+                    "decode_error": dec_errs.combine_first(resize_errs),
                 }
             )
 

@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stepist_spark.operators.cumulative import require_groups
+
 
 def k_anonymity(
     df: DataFrame,
@@ -34,6 +36,9 @@ def k_anonymity(
     a crowd)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    quasi_cols = require_groups(
+        quasi_cols, "k_anonymity", "an empty quasi set means every row is one crowd"
+    )
     w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
     return df.withColumn(
         size_col, F.count(F.lit(1)).over(w).cast("bigint")

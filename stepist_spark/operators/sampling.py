@@ -472,6 +472,9 @@ def temporal_split(
     sub-seconds differently across engines). Rows inside an embargo
     zone get ``split = 'embargo'`` (dropped by the caller, but kept
     visible here — silently vanishing rows are how leakage guards rot).
+    NULL/unparseable timestamps get ``split = 'unknown'`` for the same
+    reason: defaulting them into the final split would silently
+    contaminate the most leakage-sensitive slice.
     Pure per-row projection: no shuffle, no state, any scale.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -485,7 +488,11 @@ def temporal_split(
             .when(us < boundary, F.lit("embargo"))
             .otherwise(expr)
         )
-    return df.withColumn(out_col, expr)
+    # NULL/unparseable timestamps must NOT default into the final
+    # (most leakage-sensitive) split via the otherwise() branch —
+    # label them 'unknown' so they stay visible and routable
+    # (round-7 ADVICE)
+    return df.withColumn(out_col, F.when(us.isNull(), F.lit("unknown")).otherwise(expr))
 
 
 def temporal_split_sql(
@@ -506,7 +513,8 @@ def temporal_split_sql(
             f"ELSE 'test' END"
         )
     return f"""
-SELECT *, CASE WHEN {us} < {val_start_us - embargo_us} THEN 'train'
+SELECT *, CASE WHEN {us} IS NULL THEN 'unknown'
+               WHEN {us} < {val_start_us - embargo_us} THEN 'train'
                WHEN {us} < {val_start_us} THEN 'embargo'
                ELSE {tail} END AS split
 FROM ({table_sql})

@@ -1079,10 +1079,13 @@ def jl_topk_sql(
     under BOTH its original name and ``_id`` so ``query_pred`` is used
     verbatim — a textual ``replace(id_col, '_id')`` corrupted any
     predicate where the id name appeared inside a longer identifier or
-    a string literal (round-6 ADVICE)."""
+    a string literal (round-6 ADVICE). ``id_col == '_id'`` needs no
+    duplicate projection — emitting one made every ``_id`` reference
+    ambiguous (round-7 ADVICE)."""
     proj = _jl_proj_sql(vec_col, out_dims, in_dims, seed, scale)
+    id_sel = f"{id_col}" if id_col == "_id" else f"{id_col}, {id_col} AS _id"
     return f"""
-WITH _jl AS (SELECT {id_col}, {id_col} AS _id, {proj} AS proj FROM {table}),
+WITH _jl AS (SELECT {id_sel}, {proj} AS proj FROM {table}),
 _jq AS (SELECT _id, proj FROM _jl WHERE {query_pred}),
 _jp AS (
     SELECT q._id AS query_id, c._id AS neighbor_id,

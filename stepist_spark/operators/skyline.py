@@ -35,6 +35,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stepist_spark.operators.cumulative import grouped_frame
+
 
 def _dominated(y: "F.Column", w) -> "F.Column":
     strict = F.min(y).over(w.rangeBetween(Window.unboundedPreceding, -1))
@@ -66,7 +68,10 @@ def skyline(
             .filter(~F.col("_sky_dom"))
             .drop("_sky_pid", "_sky_dom")
         )
-    wg = Window.partitionBy(*gcols).orderBy(F.col(x_col).asc())
+    # grouped_frame: the ungrouped (default) call keeps an explicit
+    # lit(0) key — after the prefilter the global pass sees only the
+    # union of per-partition frontiers, bounded in practice
+    wg = grouped_frame(gcols, F.col(x_col).asc())
     return (
         pts.withColumn("_sky_dom", _dominated(y, wg))
         .filter(~F.col("_sky_dom"))

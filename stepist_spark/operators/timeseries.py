@@ -21,6 +21,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stepist_spark.operators.cumulative import require_groups
+
 
 def resample_ffill(
     df: DataFrame,
@@ -125,7 +127,9 @@ def time_weighted_avg(
     pins WHICH value the window's lead sees, keeping both engines on
     the same segment decomposition).
     """
-    key_cols = list(key_cols)
+    key_cols = require_groups(
+        key_cols, "time_weighted_avg", "tag a constant series key first"
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -404,7 +408,9 @@ def acf(
     or a side has zero variance; pairs with a NULL lagged value are
     excluded, i.e. the first k rows of each series).
     """
-    gcols = list(group_cols)
+    gcols = require_groups(
+        group_cols, "acf", "tag a constant series key first"
+    )
     w = Window.partitionBy(*gcols).orderBy(F.col(order_col).asc())
     x = F.col(value_col).cast("decimal(19,0)")
     lagged = df.select(

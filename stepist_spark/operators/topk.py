@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stepist_spark.operators.cumulative import require_groups
+
 
 def global_topk(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
@@ -27,6 +29,9 @@ def grouped_topk(
     k: int,
     rank_col: str = "rn",
 ) -> DataFrame:
+    group_cols = require_groups(
+        group_cols, "grouped_topk", "use global_topk (TakeOrderedAndProject)"
+    )
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn(rank_col, F.row_number().over(w))

@@ -467,7 +467,10 @@ def s01_streaming_hourly(spark: SparkSession, sf: str) -> DataFrame:
     import shutil as _shutil
 
     tmp = os.path.join(d, "_staged")
-    ev.withColumn("_tier", tier).coalesce(1).write.partitionBy("_tier").parquet(tmp)
+    # repartition(1), NOT coalesce(1): coalesce folds into the scan and
+    # serializes the upstream compute on one task (streaming_gates
+    # staging pattern)
+    ev.withColumn("_tier", tier).repartition(1).write.partitionBy("_tier").parquet(tmp)
     for t in (0, 1, 2):
         parts = _glob.glob(os.path.join(tmp, f"_tier={t}", "part-*.parquet"))
         if not parts:  # empty tier (degenerate subset): fewer batches, same data
