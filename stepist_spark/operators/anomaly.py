@@ -34,6 +34,17 @@ from stepist_spark.operators.cumulative import grouped_frame
 from stepist_spark.operators.cumulative import require_groups as _require_groups
 
 
+def _join_on_groups(left: DataFrame, right: DataFrame, group_cols) -> DataFrame:
+    """Inner join on the group key — or, for the UNGROUPED call, a
+    broadcast cross join against the then-1-row right side (the
+    standard 1-row scalar-frame pattern; ``join(on=[])`` is not a
+    valid Spark call)."""
+    cols = list(group_cols)
+    if cols:
+        return left.join(right, cols)
+    return left.crossJoin(F.broadcast(right))
+
+
 def rolling_zscore(
     windowed: DataFrame,
     key_cols: list[str],
@@ -380,7 +391,7 @@ def grouped_median_mad(
     vcounts = vcounts.localCheckpoint(eager=False)
     med = _median_of_counts(vcounts, "_v").withColumnRenamed("_med", "median")
     dcounts = (
-        vcounts.join(med.select(*group_cols, "median"), group_cols)
+        _join_on_groups(vcounts, med.select(*group_cols, "median"), group_cols)
         .select(
             *group_cols,
             F.abs(F.col("_v") - F.col("median")).alias("_d"),
@@ -392,7 +403,9 @@ def grouped_median_mad(
     mad = _median_of_counts(dcounts, "_d").select(
         *group_cols, F.col("_med").alias("mad")
     )
-    return med.join(mad, group_cols).select(*group_cols, "median", "mad", "n")
+    return _join_on_groups(med, mad, group_cols).select(
+        *group_cols, "median", "mad", "n"
+    )
 
 
 def grouped_median_mad_sql(
@@ -838,7 +851,7 @@ def winsorized_stats(
     bounds = flagged.groupBy(*group_cols, "n").agg(
         F.min("_vlo").alias("p_lo_cents"), F.min("_vhi").alias("p_hi_cents")
     )
-    joined = counts.join(bounds, group_cols)
+    joined = _join_on_groups(counts, bounds, group_cols)
     clamped = F.greatest(
         F.col("p_lo_cents"), F.least(F.col("p_hi_cents"), F.col("v"))
     )

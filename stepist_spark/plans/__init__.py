@@ -16,6 +16,7 @@ from stepist_spark.plans.inspect import (
     plan_summary,
     pushed_filters,
     scan_columns,
+    unpartitioned_windows,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "plan_summary",
     "pushed_filters",
     "scan_columns",
+    "unpartitioned_windows",
 ]

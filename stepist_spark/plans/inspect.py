@@ -77,3 +77,23 @@ def plan_summary(df: DataFrame) -> dict:
         "scan_columns": scan_columns(df),
         "has_take_ordered": "TakeOrderedAndProject" in plan,
     }
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window-family nodes in the OPTIMIZED logical plan whose partition
+    spec is EMPTY — the shape that moves the whole frame onto one task
+    (and logs ``WARN WindowExec: No Partition Defined``). The session
+    excludes Spark 4's EliminateWindowPartitions, so the explicit
+    ``lit(0)`` key of ``whole_frame()`` survives optimization and a hit
+    here is always a real unbounded-window regression, never the
+    declared bounded pattern. Returns one ``NodeClass@line`` marker per
+    offending node (empty list == hygienic plan)."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    out = []
+    for n in nodes:
+        cls = n.get("class", "").rsplit(".", 1)[-1]
+        if cls in ("Window", "WindowGroupLimit") and not n.get("partitionSpec"):
+            out.append(cls)
+    return out

@@ -16,12 +16,15 @@ bucketing because at 100 TB layout IS the performance model.
 
 from stepist_spark.sources.envelope import envelope_schema, from_envelope, to_envelope
 from stepist_spark.sources.fixedwidth import read_fixed_width, write_fixed_width
+from stepist_spark.sources.kafka import kafka_sink_options, kafka_source_options
 from stepist_spark.sources.readers import read, read_stream
 from stepist_spark.sources.writers import write, write_stream
 
 __all__ = [
     "envelope_schema",
     "from_envelope",
+    "kafka_sink_options",
+    "kafka_source_options",
     "read",
     "read_fixed_width",
     "read_stream",

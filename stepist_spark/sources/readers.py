@@ -75,6 +75,14 @@ def read_stream(
     """
     if fmt not in _STREAM_FORMATS:
         raise ValueError(f"unsupported stream format {fmt!r}; one of {sorted(_STREAM_FORMATS)}")
+    if fmt == "kafka":
+        # fail fast in the driver on a misconfigured reader — the
+        # option contract is validated broker-free (sources/kafka.py)
+        from stepist_spark.sources.kafka import validate_kafka_source_options
+
+        if path is not None:
+            raise ValueError("kafka stream takes options, not a path")
+        validate_kafka_source_options(options)
     reader = spark.readStream.format(fmt).options(**options)
     if schema is not None:
         reader = reader.schema(schema)

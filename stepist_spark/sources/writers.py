@@ -90,6 +90,21 @@ def write_stream(
     ``{"availableNow": True}`` (drain-and-stop, the analog of the
     reference's ``die_when_empty``, `simple_queue.py:34-36`).
     """
+    if fmt == "kafka":
+        # fail fast on a sink frame/option misconfiguration — the
+        # contract is validated broker-free (sources/kafka.py)
+        from stepist_spark.sources.kafka import (
+            validate_kafka_sink_frame,
+        )
+
+        if path is not None:
+            raise ValueError("kafka sink takes a 'topic' option, not a path")
+        if not str(options.get("kafka.bootstrap.servers", "")).strip():
+            raise ValueError(
+                "kafka sink requires the 'kafka.bootstrap.servers' option "
+                "(build options with kafka_sink_options())"
+            )
+        validate_kafka_sink_frame(df, options)
     writer = (
         df.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint)

@@ -628,3 +628,79 @@ class TestPercentileCont:
             ).fetchall()
         )
         assert got == want
+
+
+class TestEmptyGroupHygiene:
+    """Round-7 verdict #3: value-counts operators accept the ungrouped
+    call via the explicit lit(0) whole-frame route; raw-row operators
+    refuse it. Either way, no bare unpartitioned window can appear."""
+
+    @staticmethod
+    def _vals(spark):
+        data = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 100.0, 6.0, 7.0, 8.0]
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(data)], "id bigint, v double"
+        )
+
+    def test_value_counts_ops_accept_empty_groups(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators import anomaly
+        from stepist_spark.plans import unpartitioned_windows
+
+        df = self._vals(spark)
+        konst = df.withColumn("k", F.lit("a"))
+        for build in (
+            lambda d, g: anomaly.grouped_median_mad(d, g, "v"),
+            lambda d, g: anomaly.winsorized_stats(d, g, "v"),
+            lambda d, g: anomaly.gini_coefficient(d, g, "v"),
+            lambda d, g: anomaly.quantile_buckets(d, g, "v"),
+            lambda d, g: anomaly.grouped_weighted_median(
+                d.withColumn("w", F.lit(2)), g, "v", "w"
+            ),
+        ):
+            ungrouped = build(df, [])
+            assert unpartitioned_windows(ungrouped) == []
+            got = sorted(map(tuple, ungrouped.collect()))
+            # the ungrouped result must equal the constant-group twin
+            want = sorted(tuple(r)[1:] for r in build(konst, ["k"]).collect())
+            assert got == want
+
+    def test_raw_row_ops_refuse_empty_groups(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators import anomaly
+
+        df = self._vals(spark).withColumn(
+            "ts", (F.lit(1600000000) + F.col("id")).cast("timestamp")
+        )
+        with pytest.raises(ValueError, match="non-empty"):
+            anomaly.rolling_zscore(df, [], "id", "v")
+        with pytest.raises(ValueError, match="non-empty"):
+            anomaly.cusum_changepoint(df, [], "ts", "v", "id")
+        with pytest.raises(ValueError, match="non-empty"):
+            anomaly.interarrival_burstiness(df, [], "ts", "id")
+
+    def test_other_raw_row_guards(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators import topk, privacy, timeseries
+        from stepist_spark.operators.cdc import latest_changes
+
+        df = self._vals(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            topk.grouped_topk(df, [], [F.col("v").desc()], 3)
+        with pytest.raises(ValueError, match="non-empty"):
+            privacy.k_anonymity(df, [], 2)
+        ts = df.withColumn("ts", (F.lit(1600000000) + F.col("id")).cast("timestamp"))
+        with pytest.raises(ValueError, match="non-empty"):
+            timeseries.time_weighted_avg(ts, [], "ts", "v", "id")
+        with pytest.raises(ValueError, match="non-empty"):
+            timeseries.acf(ts, [], "id", "v", 2)
+        with pytest.raises(ValueError, match="non-empty"):
+            latest_changes(
+                df.withColumn("op", F.lit("I")).withColumn("seq", F.col("id")),
+                [], "seq", "op",
+            )

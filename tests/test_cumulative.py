@@ -171,3 +171,78 @@ class TestWholeFrame:
             if "Window [" in line:
                 spec = line.split("windowspecdefinition(")[1]
                 assert not spec.startswith("specifiedwindowframe"), line
+
+
+class TestGroupedFrame:
+    """Round-7 verdict #3: a caller-supplied EMPTY group list must not
+    silently rebuild the bare unpartitioned window."""
+
+    def test_empty_groups_route_to_lit_key(self, spark, frame):
+        from stepist_spark.operators.cumulative import grouped_frame
+        from stepist_spark.plans import unpartitioned_windows
+
+        d = frame.limit(60)
+        got = d.select(F.sum("c").over(grouped_frame([])).alias("t"))
+        ref = d.select(F.sum("c").over(Window.partitionBy()).alias("t"))
+        assert sorted(r["t"] for r in got.collect()) == sorted(
+            r["t"] for r in ref.collect()
+        )
+        assert unpartitioned_windows(got) == []
+        assert unpartitioned_windows(ref) == ["Window"]  # the shape we ban
+
+    def test_nonempty_groups_unchanged(self, spark, frame):
+        from stepist_spark.operators.cumulative import grouped_frame
+
+        got = frame.select(
+            "a", F.sum("c").over(grouped_frame(["a"], F.col("k").asc())).alias("s")
+        )
+        ref = frame.select(
+            "a",
+            F.sum("c")
+            .over(Window.partitionBy("a").orderBy(F.col("k").asc()))
+            .alias("s"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_require_groups_raises_with_context(self):
+        from stepist_spark.operators.cumulative import require_groups
+
+        with pytest.raises(ValueError, match="myop.*ONE task"):
+            require_groups([], "myop", "use the global twin")
+        assert require_groups(("a", "b"), "myop", "-") == ["a", "b"]
+
+
+class TestMaterializeSeam:
+    """Round-7 verdict #4: the cumulative primitives expose how their
+    multi-pass input is cached — persist (lineage-keeping, executor-
+    loss-safe) must produce the SAME results as the localCheckpoint
+    default, and plan as an InMemoryTableScan."""
+
+    def test_persist_same_results(self, spark, frame):
+        kw = dict(order_cols="k", sum_cols=["c"], tot_prefix="tot_")
+        a = ordered_cumsum(frame, materialize="localCheckpoint", **kw)
+        b = ordered_cumsum(frame, materialize="persist", **kw)
+        key = lambda rows: sorted((r["k"], r["cum_c"], r["tot_c"]) for r in rows)
+        assert key(a.collect()) == key(b.collect())
+
+    def test_persist_plans_inmemory_scan(self, spark, frame):
+        out = global_row_number(frame, "k", materialize="persist")
+        out.collect()  # populate the cache
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+
+    def test_none_skips_materialization(self, spark):
+        # fresh frame: the persist test above pins the shared fixture
+        # in the cache, which would mask this assertion
+        fresh = spark.createDataFrame(
+            [(i,) for i in range(977)], "k bigint"
+        ).repartition(5)
+        out = global_row_number(fresh, "k", materialize="none")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan and "Checkpoint" not in plan
+        rns = sorted(r["rn"] for r in out.collect())
+        assert rns == list(range(1, 978))
+
+    def test_invalid_mode_raises(self, spark, frame):
+        with pytest.raises(ValueError, match="materialize"):
+            ordered_cumsum(frame, "k", ["c"], materialize="eager")

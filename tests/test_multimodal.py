@@ -272,3 +272,129 @@ class TestDecodeQuarantine:
         out = mm.extract_features(self._mixed_media(spark)).collect()
         errs = {r.media_id: r.decode_error for r in out}
         assert errs[1] is None and errs[2] is not None
+
+
+class TestResizeQuarantine:
+    """Round-7 ADVICE: the resize step must quarantine like the feature
+    decode — a corrupt image that throws in a real resize backend sets
+    decode_error and NULLs the resize columns, never kills the task."""
+
+    @staticmethod
+    def _throwing_resizer():
+        def resize(payload: bytes) -> bytes:
+            if payload is None or payload[:4] != b"IMG1":
+                raise OSError("broken data stream when reading image file")
+            return payload[4:8] * 2
+        return resize
+
+    def test_resize_failure_quarantines_row(self, spark):
+        src = TestDecodeQuarantine._mixed_media(spark)
+        out = {
+            r.media_id: r
+            for r in mm.profile_media(
+                src, 4, 2, resizer=self._throwing_resizer()
+            ).collect()
+        }
+        # good image: resized through the injected backend
+        assert out[1].payload_out == bytes(range(4)) * 2
+        assert out[1].n_bytes_out == 8
+        # corrupt + NULL payloads: resize columns NULL, error recorded
+        for bad in (2, 4):
+            assert out[bad].payload_out is None
+            assert out[bad].n_bytes_out is None
+            assert "OSError" in out[bad].decode_error
+        # the default (stub) decoder succeeded, so the error column
+        # carries the RESIZE failure — and feature is still present
+        assert out[2].feature is not None
+
+    def test_decode_error_wins_when_both_fail(self, spark):
+        src = TestDecodeQuarantine._mixed_media(spark)
+        out = {
+            r.media_id: r
+            for r in mm.profile_media(
+                src,
+                4,
+                2,
+                decoder=TestDecodeQuarantine._pil_shaped_decoder(),
+                resizer=self._throwing_resizer(),
+            ).collect()
+        }
+        assert "ValueError" in out[2].decode_error  # decoder error wins
+        assert out[2].payload_out is None
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="PIL not installed in this environment",
+)
+class TestRealCodecDecode:
+    """Round-7 verdict task #5: when a REAL codec library is present,
+    certify the actual decode path through the DECODER seam for free —
+    skipped cleanly in codec-less sandboxes (the stub stays the
+    documented default there)."""
+
+    @staticmethod
+    def _png_bytes(w: int, h: int, color) -> bytes:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    @staticmethod
+    def _pil_decoder():
+        def decode(payload: bytes) -> list[float]:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            px = list(img.getdata())
+            return [
+                float(img.width),
+                float(img.height),
+                float(sum(px)) / len(px),
+                float(min(px)),
+                float(max(px)),
+            ]
+
+        return decode
+
+    def test_real_png_decodes_through_seam(self, spark):
+        rows = [
+            (1, "image", "image/png", self._png_bytes(8, 4, (255, 255, 255))),
+            (2, "image", "image/png", self._png_bytes(3, 5, (0, 0, 0))),
+            (3, "image", "image/png", b"NOT-A-PNG"),
+        ]
+        src = spark.createDataFrame(
+            rows, "media_id long, kind string, mime string, payload binary"
+        )
+        out = {
+            r.media_id: r
+            for r in mm.extract_features(src, decoder=self._pil_decoder()).collect()
+        }
+        assert out[1].feature[:2] == [8.0, 4.0] and out[1].feature[2] == 255.0
+        assert out[2].feature[:2] == [3.0, 5.0] and out[2].feature[2] == 0.0
+        assert out[3].feature is None and out[3].decode_error is not None
+
+    def test_real_resize_through_seam(self, spark):
+        import io
+
+        from PIL import Image
+
+        def resizer(payload: bytes) -> bytes:
+            img = Image.open(io.BytesIO(payload)).resize((4, 2))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        src = spark.createDataFrame(
+            [(1, "image", "image/png", self._png_bytes(8, 4, (10, 20, 30)))],
+            "media_id long, kind string, mime string, payload binary",
+        )
+        (row,) = mm.profile_media(src, 4, 2, resizer=resizer).collect()
+        back = Image.open(io.BytesIO(row.payload_out))
+        assert back.size == (4, 2)
+        assert row.decode_error is None

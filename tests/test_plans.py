@@ -278,6 +278,82 @@ class TestCatalogHygiene:
         assert not offenders, offenders
 
 
+def _bare_partitionby_sites(source: str, path: str = "<str>") -> list[str]:
+    """AST-level lint: every ``Window.partitionBy()`` call with zero
+    arguments (docstrings/comments don't count — the AST sees only
+    code). The runtime empty-splat variant (``partitionBy(*[])``) is
+    covered by grouped_frame/require_groups unit tests instead."""
+    import ast
+
+    sites = []
+    for node in ast.walk(ast.parse(source)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "partitionBy"
+            and not node.args
+            and not node.keywords
+        ):
+            v = node.func.value
+            base = getattr(v, "id", None) or getattr(v, "attr", None)
+            if base == "Window":
+                sites.append(f"{path}:{node.lineno}")
+    return sites
+
+
+class TestWindowHygiene:
+    """Round-7 verdict #2: make the 'zero bare Window.partitionBy()'
+    invariant a TEST, not a grep — (a) a source lint over the package,
+    (b) a plan sweep asserting every Window node in every registered
+    gate carries a partition spec, (c) planted regressions proving
+    both detectors fire."""
+
+    def test_no_bare_window_partitionby_in_source(self):
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[1] / "stepist_spark"
+        offenders = []
+        for path in sorted(root.rglob("*.py")):
+            offenders += _bare_partitionby_sites(path.read_text(), str(path))
+        assert not offenders, offenders
+
+    def test_lint_flags_planted_regression(self):
+        planted = (
+            "from pyspark.sql import Window\n"
+            "w = Window.partitionBy().orderBy('x')\n"
+            "ok = Window.partitionBy('k').orderBy('x')\n"
+            's = "Window.partitionBy() in a string does not count"\n'
+        )
+        assert _bare_partitionby_sites(planted) == ["<str>:2"]
+
+    def test_all_gates_windows_carry_partition_spec(self, spark, qs):
+        """Every Window/WindowGroupLimit node across every registered
+        batch gate must carry a partition spec — the runtime twin of
+        the source lint (catches empty-splat and third-party shapes
+        the AST pass can't see)."""
+        offenders = []
+        for name, spec in sorted(qs.items()):
+            if name.startswith("s0"):
+                continue  # starts streaming queries; covered in test_streaming
+            bad = plans.unpartitioned_windows(spec.spark(spark, SF))
+            if bad:
+                offenders.append((name, bad))
+        assert not offenders, offenders
+
+    def test_plan_detector_flags_planted_regression(self, spark):
+        from pyspark.sql import Window
+
+        bad = spark.range(32).withColumn(
+            "rn", F.row_number().over(Window.partitionBy().orderBy("id"))
+        )
+        assert plans.unpartitioned_windows(bad) == ["Window"]
+        good = spark.range(32).withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("id")),
+        )
+        assert plans.unpartitioned_windows(good) == []
+
+
 class TestRound5PlanShapes:
     def test_skyline_prefilter_stages_two_windows(self, spark):
         """The scale path: a partition-local dominance pass (windowed by
