@@ -151,6 +151,154 @@ FROM (
 """
 
 
+def cuped_adjusted(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    covariate_col: str,
+    scale: int = 100,
+    cov_scale: int = 100,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013 — public methodology): adjust each arm's metric
+    mean with a pre-experiment covariate, Ŷ_adj = Ȳ − θ·(X̄_arm − X̄),
+    where θ = Cov(X,Y)/Var(X) is pooled over both arms.
+
+    Same one-aggregate shape as :func:`welch_ttest`: ALL sufficient
+    statistics — pooled n/Σx/Σy/Σx²/Σy²/Σxy plus per-arm n/Σx/Σy —
+    come out of ONE map-side-combined conditional aggregate (one scan
+    at any SF). Values scale to integers half-up and accumulate
+    exactly in decimal(38,0)/HUGEINT; θ, the adjusted means (original
+    units), and the variance-reduction ratio ρ² = Cov²/(VarX·VarY) are
+    a fixed IEEE sequence over those exact integers, 6-dp rounded.
+    NULL θ/adjusted/rho2 when Var(X) = 0 (or Var(Y) = 0 for ρ²)."""
+    g = F.col(group_col)
+    y = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+    x = F.floor(F.col(covariate_col) * cov_scale + F.lit(0.5)).cast("decimal(19,0)")
+    in_a = g == group_a
+    in_b = g == group_b
+
+    def _d38(expr: Column, alias: str) -> Column:
+        return F.sum(expr).cast("decimal(38,0)").alias(alias)
+
+    stats = df.filter(in_a | in_b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _d38(x, "sx"),
+        _d38(y, "sy"),
+        _d38(x * x, "sxx"),
+        _d38(y * y, "syy"),
+        _d38(x * y, "sxy"),
+        F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
+        F.sum(F.when(in_a, x)).cast("decimal(38,0)").alias("sx_a"),
+        F.sum(F.when(in_b, x)).cast("decimal(38,0)").alias("sx_b"),
+        F.sum(F.when(in_a, y)).cast("decimal(38,0)").alias("sy_a"),
+        F.sum(F.when(in_b, y)).cast("decimal(38,0)").alias("sy_b"),
+    )
+    n = F.col("n").cast("double")
+    # n·Σxy − Σx·Σy etc. stay EXACT in decimal(38,0) before the one
+    # double cast — the corr_matrix discipline
+    cov_n = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("decimal(38,0)").cast("double")
+    varx_n = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("decimal(38,0)").cast("double")
+    vary_n = (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("decimal(38,0)").cast("double")
+    theta = cov_n / varx_n  # scaled-y per scaled-x units
+    xbar = F.col("sx").cast("double") / n
+
+    def _adj(sy_arm: str, sx_arm: str, n_arm: str) -> Column:
+        na = F.col(n_arm).cast("double")
+        return (
+            F.col(sy_arm).cast("double") / na
+            - theta * (F.col(sx_arm).cast("double") / na - xbar)
+        ) / F.lit(float(scale))
+
+    varx_ok = varx_n > 0
+    both = varx_ok & (vary_n > 0)
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.col("sy_a").cast("bigint").alias("sum_a"),
+        F.col("sy_b").cast("bigint").alias("sum_b"),
+        F.col("sx_a").cast("bigint").alias("cov_sum_a"),
+        F.col("sx_b").cast("bigint").alias("cov_sum_b"),
+        F.round(F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+                / F.lit(float(scale)), 6).alias("mean_a"),
+        F.round(F.col("sy_b").cast("double") / F.col("n_b").cast("double")
+                / F.lit(float(scale)), 6).alias("mean_b"),
+        F.when(varx_ok, F.round(theta * F.lit(float(cov_scale) / float(scale)), 6)).alias("theta"),
+        F.when(varx_ok, F.round(_adj("sy_a", "sx_a", "n_a"), 6)).alias("adj_mean_a"),
+        F.when(varx_ok, F.round(_adj("sy_b", "sx_b", "n_b"), 6)).alias("adj_mean_b"),
+        F.when(both, F.round(cov_n * cov_n / (varx_n * vary_n), 6)).alias("rho2"),
+    )
+
+
+def cuped_adjusted_sql(
+    table_sql: str,
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+    value_expr: str,
+    covariate_expr: str,
+    scale: int = 100,
+    cov_scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`cuped_adjusted` — identical HUGEINT
+    sums and IEEE expression sequence."""
+    return f"""
+WITH _r AS (
+    SELECT ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS HUGEINT) AS _y,
+           CAST(floor(({covariate_expr}) * {cov_scale} + 0.5) AS HUGEINT) AS _x
+    FROM ({table_sql})
+    WHERE ({group_expr}) IN ('{group_a}', '{group_b}')
+),
+_s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(_x) AS sx, sum(_y) AS sy,
+           sum(_x * _x) AS sxx, sum(_y * _y) AS syy, sum(_x * _y) AS sxy,
+           CAST(count(CASE WHEN _g = '{group_a}' THEN 1 END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN _g = '{group_b}' THEN 1 END) AS BIGINT) AS n_b,
+           sum(CASE WHEN _g = '{group_a}' THEN _x END) AS sx_a,
+           sum(CASE WHEN _g = '{group_b}' THEN _x END) AS sx_b,
+           sum(CASE WHEN _g = '{group_a}' THEN _y END) AS sy_a,
+           sum(CASE WHEN _g = '{group_b}' THEN _y END) AS sy_b
+    FROM _r
+),
+_t AS (
+    SELECT *,
+        CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+    FROM _s
+)
+SELECT n_a, n_b,
+       CAST(sy_a AS BIGINT) AS sum_a, CAST(sy_b AS BIGINT) AS sum_b,
+       CAST(sx_a AS BIGINT) AS cov_sum_a, CAST(sx_b AS BIGINT) AS cov_sum_b,
+       round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / {float(scale)}, 6) AS mean_a,
+       round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / {float(scale)}, 6) AS mean_b,
+       CASE WHEN varxn > 0 THEN round(covn / varxn * {float(cov_scale) / float(scale)}, 6) END AS theta,
+       CASE WHEN varxn > 0 THEN round(
+           (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - (covn / varxn) * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar))
+           / {float(scale)}, 6) END AS adj_mean_a,
+       CASE WHEN varxn > 0 THEN round(
+           (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - (covn / varxn) * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar))
+           / {float(scale)}, 6) END AS adj_mean_b,
+       CASE WHEN varxn > 0 AND varyn > 0
+            THEN round(covn * covn / (varxn * varyn), 6) END AS rho2
+FROM _t
+"""
+
+
 def two_proportion_ztest(
     df: DataFrame,
     group_col: str,

@@ -29,6 +29,18 @@ class QuerySpec:
     doc: str = ""
 
 
+# Per-part wall-clock attribution for gates whose cost lives in the
+# gate FUNCTION (streaming drains), not in the returned plan — bench's
+# filter-by-part re-collect would time ~0s for those (the sinks are
+# already materialized). Such gates deposit {part: seconds} here on
+# every run; bench.py prefers these over the plan-filter timing.
+PART_WALL: dict[str, dict[str, float]] = {}
+
+
+def record_part_wall(gate: str, parts: dict[str, float]) -> None:
+    PART_WALL[gate] = {k: round(v, 3) for k, v in parts.items()}
+
+
 # The driver's correctness harness checks the FIRST 50 registry
 # entries in registration order (observed in round 1: entries 51+ got
 # no CORRECTNESS row at all). Keep the total ≤ 50 — the assertion

@@ -330,30 +330,39 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     s_rows = ev.filter(
         (F.col("event_type") == "signup") & (F.col("user_id") % 4 == 0)
     ).select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
-    # one bounded driver read parameterizes the sentinel timestamp
-    far = ev.agg(
-        (F.max("ts").cast("timestamp") + F.expr("INTERVAL 30 DAYS")).alias("far")
-    ).collect()[0]["far"]
-
     d = fresh_scratch(spark, "s03_outer")
     pdir, sdir = (os.path.join(d, x) for x in ("p", "s"))
     os.makedirs(pdir), os.makedirs(sdir)
+    # stage the REAL rows first (one events scan per side)...
+    write_stream_file(p_rows, pdir, "real.parquet", _MTIME0)
+    write_stream_file(s_rows, sdir, "real.parquet", _MTIME0)
+    # ...then derive the sentinel timestamp from the STAGED files (the
+    # sentinel only needs to outrun the staged rows' max event time —
+    # reading the two single-file frames back replaces what used to be
+    # a third full events scan + driver agg) and stage the sentinels as
+    # second same-mtime files: availableNow with no maxFilesPerTrigger
+    # reads the whole directory in batch 0, so file layout within the
+    # batch is irrelevant.
+    staged_p = spark.read.parquet(pdir)
+    staged_s = spark.read.parquet(sdir)
+    far = (
+        staged_p.select(F.max("p_ts").alias("m"))
+        .unionByName(staged_s.select(F.max("s_ts").alias("m")))
+        .agg((F.max("m") + F.expr("INTERVAL 30 DAYS")).alias("far"))
+        .collect()[0]["far"]
+    )
     # the per-stream watermark is the MIN across streams, so BOTH
     # sides carry the sentinel
     write_stream_file(
-        p_rows.unionByName(
-            spark.createDataFrame(
-                [(-1, -1, far, 0.0)],
-                "event_id bigint, user_id bigint, p_ts timestamp, value double",
-            )
+        spark.createDataFrame(
+            [(-1, -1, far, 0.0)],
+            "event_id bigint, user_id bigint, p_ts timestamp, value double",
         ),
-        pdir, "all.parquet", _MTIME0,
+        pdir, "sentinel.parquet", _MTIME0,
     )
     write_stream_file(
-        s_rows.unionByName(
-            spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp")
-        ),
-        sdir, "all.parquet", _MTIME0,
+        spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp"),
+        sdir, "sentinel.parquet", _MTIME0,
     )
 
     purchases = spark.readStream.schema(p_rows.schema).parquet(pdir)
@@ -373,6 +382,12 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "p_ts", "s_ts", F.round("value", 2).alias("value")
     )
     sink = f"s03_sink_{next(_SINK_IDS)}"
+    # 8 state partitions, measured: at 10× sf0.1 inputs, 8 and 16 tie
+    # (~5.5s) and 32 is 1.5× WORSE — with 2-3 availableNow triggers the
+    # per-partition state-store instances cost more than the extra
+    # parallelism buys. A real cluster keyspace sizes this up via
+    # stream_shuffle_partitions (state partitioning is fixed at first
+    # trigger by the checkpoint).
     with stream_shuffle_partitions(spark, 8):
         q = (
             out.writeStream.format("memory")
@@ -605,37 +620,52 @@ GROUP BY 2
 #   micro-batch 2 replays batch 1's documents under shifted ids plus
 #   novel ones; only first-seen content may reach the output table —
 #   without the history anti-join the shifted copies land too.
+def _await_concurrent(queries, t0: float, timeout: float = 300.0) -> dict[str, float]:
+    """Poll a set of CONCURRENT streaming queries to completion and
+    return each one's completion offset (seconds from ``t0``).
+
+    ``awaitTermination`` would serialize attribution — a query that
+    finished while an earlier one was being awaited records the
+    awaiter's timestamp, not its own. Polling ``isActive`` keeps the
+    per-part numbers honest; the post-inactive ``awaitTermination(5)``
+    surfaces any query exception instead of letting the caller read a
+    partially-filled sink."""
+    pending = dict(queries)
+    done: dict[str, float] = {}
+    deadline = time.time() + timeout
+    while pending:
+        for name, q in list(pending.items()):
+            if not q.isActive:
+                q.awaitTermination(5)
+                done[name] = time.perf_counter() - t0
+                del pending[name]
+        if pending:
+            if time.time() > deadline:
+                for q in pending.values():
+                    q.stop()
+                raise TimeoutError(
+                    f"streaming queries still running at +{timeout}s: {sorted(pending)}"
+                )
+            time.sleep(0.05)
+    return done
+
+
 def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.queries import record_part_wall
     from stepist_spark.session import load_table
     from stepist_spark.streaming.dedup import stream_dedup
     from stepist_spark.streaming.incremental import dedup_against_history
-    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
 
-    # ---- 'dedup' part -----------------------------------------------------
-    src = _events_stream(spark, sf)
-    doubled = src.unionByName(src)
-    deduped = stream_dedup(doubled, ["event_id"]).select(
-        "event_id", "ts", "event_type", F.round("value", 2).alias("value")
-    )
-    sink = f"s05_sink_{next(_SINK_IDS)}"
-    with stream_shuffle_partitions(spark, 8):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drained(q, 300)
-    dedup_part = spark.table(sink).select(
-        F.lit("dedup").alias("part"),
-        F.col("event_id").alias("id"),
-        "ts",
-        F.col("event_type").alias("k"),
-        "value",
-    )
+    # The four certifications are INDEPENDENT pipelines (separate
+    # inputs, sinks, checkpoints), so after the batch staging writes
+    # they all start at once and drain CONCURRENTLY — each availableNow
+    # drain is mostly fixed per-trigger cost (planning, state commits,
+    # sink commits), and running them back-to-back made this the
+    # slowest gate at sf1 (round-7 verdict #1: ~30s of sequential
+    # drains; overlapped, the wall is max(parts), not sum).
 
-    # ---- 'restart' part -----------------------------------------------------
+    # ---- staging (batch jobs, before any stream starts) --------------------
     ev = (
         load_table(spark, sf, "events")
         .filter(F.col("user_id") % 4 == 2)
@@ -645,50 +675,8 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     in_dir, out_dir, ckpt = (os.path.join(d, p) for p in ("in", "out", "ckpt"))
     ev.repartition(4).write.parquet(in_dir)
 
-    def start_run():
-        rsrc = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-        )
-        return (
-            rsrc.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    with stream_shuffle_partitions(spark, 8):
-        q1 = start_run()
-        # kill the query MID-INPUT (after ≥2 of the 4 one-file batches
-        # committed); wherever the stop lands, the checkpointed file
-        # sink must make the restart land every row EXACTLY ONCE —
-        # reference operator #10's at-least-once upgraded to
-        # exactly-once (`stepist/flow/libs/simple_queue.py:42-47`)
-        deadline = time.time() + 120
-        while q1.isActive and time.time() < deadline:
-            lp = q1.lastProgress
-            if lp is not None and lp["batchId"] >= 1:
-                break
-            time.sleep(0.02)
-        q1.stop()
-        if not q1.awaitTermination(60):
-            raise TimeoutError("s05 restart: stopped query did not terminate in 60s")
-        q2 = start_run()
-        await_drained(q2, 300)
-    restart_part = spark.read.parquet(out_dir).select(
-        F.lit("restart").alias("part"),
-        F.col("event_id").alias("id"),
-        "ts",
-        F.col("event_type").alias("k"),
-        "value",
-    )
-
-    # ---- 'incr' part ------------------------------------------------------
-    # incremental HISTORY dedup (streaming/incremental.py): batch 2
-    # replays batch 1's documents under shifted ids plus novel ones;
-    # only first-seen content may land in the output table.
+    # 'incr' input: batch 2 replays batch 1's documents under shifted
+    # ids plus novel ones; only first-seen content may land.
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     d1 = docs.filter(F.col("doc_id") % 4 == 0)
     batch2 = (
@@ -700,35 +688,10 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(sdir, exist_ok=True)
     write_stream_file(d1, sdir, "a.parquet", _MTIME0)
     write_stream_file(batch2, sdir, "b.parquet", _MTIME0 + 60)
-    isrc = (
-        spark.readStream.schema(d1.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sdir)
-    )
-    with stream_shuffle_partitions(spark, 8):
-        q3 = dedup_against_history(
-            isrc,
-            out_dir=os.path.join(di, "out"),
-            history_dir=os.path.join(di, "hist"),
-            checkpoint=os.path.join(di, "ckpt"),
-            trigger={"availableNow": True},
-        )
-        await_drained(q3, 300)
-    ts_type = ev.schema["ts"].dataType.simpleString()
-    incr_part = spark.read.parquet(os.path.join(di, "out")).select(
-        F.lit("incr").alias("part"),
-        F.col("doc_id").alias("id"),
-        F.lit(None).cast(ts_type).alias("ts"),
-        F.md5(F.col("text")).alias("k"),
-        F.lit(None).cast("double").alias("value"),
-    )
-    # ---- 'upsert' part ------------------------------------------------------
-    # the streaming MATERIALIZED-VIEW pattern: update-mode aggregate ->
-    # foreachBatch -> cdc.apply_changes MERGE into a file-backed target
-    # (the production Spark recipe for warehouse sinks without a table
-    # format). Two micro-batches both touch most keys, so batch 2's
-    # upsert must OVERRIDE batch 1's partial totals — an append-style
-    # sink would leave stale rows and fail the oracle's full-data agg.
+
+    # 'upsert' input: two micro-batches both touch most keys, so batch
+    # 2's MERGE must OVERRIDE batch 1's partial totals — an append-
+    # style sink would leave stale rows and fail the full-data oracle.
     e3 = (
         load_table(spark, sf, "events")
         .filter(F.col("user_id") % 4 == 3)
@@ -743,14 +706,22 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(udir, exist_ok=True)
     write_stream_file(e3.filter(F.col("event_id") % 2 == 0), udir, "a.parquet", _MTIME0)
     write_stream_file(e3.filter(F.col("event_id") % 2 == 1), udir, "b.parquet", _MTIME0 + 60)
-    usrc = (
-        spark.readStream.schema(e3.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(udir)
-    )
-    uagg = usrc.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
-    )
+
+    # ---- start all four pipelines, drain concurrently ----------------------
+    def start_run():
+        rsrc = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return (
+            rsrc.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     from stepist_spark.operators import cdc as _cdc
 
     state = {"dir": None}
@@ -774,15 +745,101 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         state["dir"] = out
 
+    dd = fresh_scratch(spark, "s05_dedup")
+    ddir, dckpt = os.path.join(dd, "out"), os.path.join(dd, "ckpt")
     with stream_shuffle_partitions(spark, 8):
-        q4 = (
-            uagg.writeStream.outputMode("update")
+        t0 = time.perf_counter()
+        # 'dedup': the events stream unioned with ITSELF (every row
+        # arrives exactly twice) through dropDuplicates state. File
+        # sink, not memory: the memory sink collects every deduped row
+        # onto the driver (1.28M rows at sf1 — Spark warns on the
+        # oversized local-scan tasks), which is exactly the driver
+        # bottleneck this engine avoids elsewhere.
+        src = _events_stream(spark, sf)
+        deduped = stream_dedup(src.unionByName(src), ["event_id"]).select(
+            "event_id", "ts", "event_type", F.round("value", 2).alias("value")
+        )
+        q_dedup = (
+            deduped.writeStream.format("parquet")
+            .option("path", ddir)
+            .option("checkpointLocation", dckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # 'incr': incremental HISTORY dedup (streaming/incremental.py)
+        isrc = (
+            spark.readStream.schema(d1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q_incr = dedup_against_history(
+            isrc,
+            out_dir=os.path.join(di, "out"),
+            history_dir=os.path.join(di, "hist"),
+            checkpoint=os.path.join(di, "ckpt"),
+            trigger={"availableNow": True},
+        )
+        # 'upsert': update-mode aggregate -> foreachBatch MERGE
+        usrc = (
+            spark.readStream.schema(e3.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(udir)
+        )
+        q_upsert = (
+            usrc.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+            .writeStream.outputMode("update")
             .foreachBatch(_merge_batch)
             .option("checkpointLocation", os.path.join(du, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
-        await_drained(q4, 300)
+        # 'restart': kill the query MID-INPUT (after ≥2 of the 4
+        # one-file batches committed) while the other three drain;
+        # wherever the stop lands, the checkpointed file sink must make
+        # the restart land every row EXACTLY ONCE — reference operator
+        # #10's at-least-once upgraded to exactly-once
+        # (`stepist/flow/libs/simple_queue.py:42-47`)
+        q1 = start_run()
+        deadline = time.time() + 120
+        while q1.isActive and time.time() < deadline:
+            lp = q1.lastProgress
+            if lp is not None and lp["batchId"] >= 1:
+                break
+            time.sleep(0.02)
+        q1.stop()
+        if not q1.awaitTermination(60):
+            raise TimeoutError("s05 restart: stopped query did not terminate in 60s")
+        q2 = start_run()
+        part_wall = _await_concurrent(
+            {"dedup": q_dedup, "incr": q_incr, "upsert": q_upsert, "restart": q2}, t0
+        )
+    record_part_wall("s05_stream_dedup", part_wall)
+
+    # ---- assemble the tag union off the materialized sinks -----------------
+    dedup_part = spark.read.parquet(ddir).select(
+        F.lit("dedup").alias("part"),
+        F.col("event_id").alias("id"),
+        "ts",
+        F.col("event_type").alias("k"),
+        "value",
+    )
+    restart_part = spark.read.parquet(out_dir).select(
+        F.lit("restart").alias("part"),
+        F.col("event_id").alias("id"),
+        "ts",
+        F.col("event_type").alias("k"),
+        "value",
+    )
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    incr_part = spark.read.parquet(os.path.join(di, "out")).select(
+        F.lit("incr").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast(ts_type).alias("ts"),
+        F.md5(F.col("text")).alias("k"),
+        F.lit(None).cast("double").alias("value"),
+    )
     upsert_part = spark.read.parquet(state["dir"]).select(
         F.lit("upsert").alias("part"),
         F.col("n").alias("id"),
