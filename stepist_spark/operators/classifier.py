@@ -207,3 +207,101 @@ def perplexity_score(
         F.coalesce(F.col("logp_scaled"), F.lit(0)).alias("logp_scaled"),
         F.when(F.col("n_bigrams") > 0, F.exp(-avg)).alias("ppl"),
     )
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    dim: int = 4096,
+) -> DataFrame:
+    """DSIR importance-weight feature table (Xie, Santurkar, Ma &
+    Liang, "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023 — public): per hashed token bucket, the
+    add-one-smoothed log-ratio ``ln(p_target(b) / p_raw(b))``. A raw
+    document's importance weight is the sum of these over its token
+    buckets (:func:`dsir_score`) — the importance-sampling twin of the
+    Rocchio classifier above (generative ratio vs discriminative
+    margin; same hashing trick, same scoring shape).
+
+    Shape: one explode + hash aggregate per corpus (map-side combine —
+    the shuffle carries ≤ dim rows per partition); the ratio table is
+    built over the full dim-row support via ``spark.range(dim)`` so
+    buckets unseen in either corpus still carry their smoothing-floor
+    ratio. Exact arithmetic: ``lr_scaled = floor(ln(((ct+1)·(R+dim)) /
+    ((cr+1)·(T+dim)))·1e6)`` — one ln of a ratio of exact
+    decimal(38,0)/HUGEINT products (the t23/KL/PSI log pattern).
+
+    Output: ``bucket, ct, cr, lr_scaled`` (dim rows — broadcast it at
+    scoring time, like the classifier weight table)."""
+    from pyspark.sql import Window
+
+    from stepist_spark.operators.cumulative import whole_frame
+
+    def _bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.explode(hashed_buckets(F.col(text_col), dim)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    support = target.sparkSession.range(dim).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    joined = (
+        support.join(_bucket_counts(target, "ct"), "bucket", "left")
+        .join(_bucket_counts(raw, "cr"), "bucket", "left")
+        .fillna(0, ["ct", "cr"])
+    )
+    w_all = whole_frame().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    joined = joined.withColumn("_T", F.sum("ct").over(w_all)).withColumn(
+        "_R", F.sum("cr").over(w_all)
+    )
+    num = (F.col("ct") + 1).cast(dec) * (F.col("_R") + dim).cast(dec)
+    den = (F.col("cr") + 1).cast(dec) * (F.col("_T") + dim).cast(dec)
+    return joined.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.floor(F.log(num.cast("double") / den.cast("double")) * F.lit(SCALE))
+        .cast("bigint")
+        .alias("lr_scaled"),
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance weight: the sum of
+    :func:`dsir_log_ratios` bucket log-ratios over the document's
+    token occurrences (integer-scaled BEFORE the sum — order-free).
+    In the paper the weight gates sampling via Gumbel top-k; compose
+    with ``sampling.weighted_priority_sample`` for that step.
+
+    Shape: explode → broadcast-join the dim-row ratio table → per-doc
+    sum that collapses map-side (one shuffled row per document).
+    Output: ``id_col, n_feats, dsir_scaled`` (0 for token-less docs).
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(hashed_buckets(F.col(text_col), dim)).alias("bucket")
+    )
+    scored = (
+        ex.join(F.broadcast(log_ratios.select("bucket", "lr_scaled")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lr_scaled").cast("bigint").alias("dsir_scaled"),
+        )
+    )
+    return docs.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        F.coalesce(F.col("dsir_scaled"), F.lit(0)).alias("dsir_scaled"),
+    )

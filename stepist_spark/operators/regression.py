@@ -948,3 +948,119 @@ SELECT feature, n, n_values, mi_scaled,
            AS mi
 FROM _agg
 """
+
+
+def weight_of_evidence(
+    df: DataFrame,
+    category_col: str,
+    label_col,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Weight of Evidence per category + the Information Value total
+    (standard credit-scoring feature diagnostics, Siddiqi 2006 —
+    public): ``WoE_i = ln((g_i/G)/(b_i/B))`` and ``IV = Σ (g_i/G −
+    b_i/B)·WoE_i`` for a binary label over a categorical feature —
+    the monotone-risk twin of mutual_information's ranking.
+
+    Scale shape: raw rows collapse in ONE conditional hash aggregate
+    to the |categories|-row cell frame; G/B totals and the IV sum are
+    whole_frame windows over that bounded frame. Exact arithmetic:
+    ``woe_scaled = floor(ln((g_i·B)/(b_i·G))·scale)`` — one ln of a
+    ratio of exact decimal(38,0)/HUGEINT products (the t23/KL/PSI log
+    pattern) — and each IV term is ``(g_i·B − b_i·G)·woe_scaled DIV
+    (G·B)``, an exact integer division whose operands share sign (the
+    diff and the WoE flip together), so Spark DIV and DuckDB ``//``
+    truncate identically. Categories with an empty cell get NULL WoE
+    and contribute 0 to IV (the unsmoothed convention; documented).
+
+    Output: ``category, g, b, woe_scaled, woe, iv_term_scaled,
+    iv_scaled, iv`` (iv columns repeated per row — the frame is tiny).
+    """
+    from pyspark.sql import Window
+
+    from stepist_spark.operators.cumulative import whole_frame
+
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    cells = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).cast("bigint").alias("g"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("bigint").alias("b"),
+    )
+    w_all = whole_frame().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    cells = (
+        cells.withColumn("_G", F.sum("g").over(w_all).cast(dec))
+        .withColumn("_B", F.sum("b").over(w_all).cast(dec))
+        .withColumn("_num", F.col("g").cast(dec) * F.col("_B"))
+        .withColumn("_den", F.col("b").cast(dec) * F.col("_G"))
+    )
+    woe_scaled = F.when(
+        (F.col("g") > 0) & (F.col("b") > 0),
+        F.floor(
+            F.log(F.col("_num").cast("double") / F.col("_den").cast("double"))
+            * scale
+        ).cast("bigint"),
+    )
+    cells = cells.withColumn("woe_scaled", woe_scaled)
+    term = F.coalesce(
+        F.expr("CAST(((_num - _den) * woe_scaled) DIV (_G * _B) AS BIGINT)"),
+        F.lit(0),
+    )
+    cells = cells.withColumn("iv_term_scaled", term).withColumn(
+        "iv_scaled", F.sum("iv_term_scaled").over(w_all).cast("bigint")
+    )
+    return cells.select(
+        "category",
+        "g",
+        "b",
+        "woe_scaled",
+        F.round(F.col("woe_scaled").cast("double") / scale, 6).alias("woe"),
+        "iv_term_scaled",
+        "iv_scaled",
+        F.round(F.col("iv_scaled").cast("double") / scale, 6).alias("iv"),
+    )
+
+
+def weight_of_evidence_sql(
+    table_sql: str, category_expr: str, label_expr: str, scale: int = 10**6
+) -> str:
+    """DuckDB mirror of :func:`weight_of_evidence` — identical HUGEINT
+    products, ln/floor sequence, and truncating integer division."""
+    return f"""
+WITH _cells AS (
+    SELECT ({category_expr}) AS category,
+           CAST(sum(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END) AS BIGINT) AS g,
+           CAST(sum(CASE WHEN ({label_expr}) THEN 0 ELSE 1 END) AS BIGINT) AS b
+    FROM ({table_sql}) GROUP BY 1
+),
+_tot AS (
+    SELECT *,
+        CAST(sum(g) OVER () AS HUGEINT) AS _G,
+        CAST(sum(b) OVER () AS HUGEINT) AS _B,
+        CAST(g AS HUGEINT) * CAST(sum(b) OVER () AS HUGEINT) AS _num,
+        CAST(b AS HUGEINT) * CAST(sum(g) OVER () AS HUGEINT) AS _den
+    FROM _cells
+),
+_woe AS (
+    SELECT *,
+        CASE WHEN g > 0 AND b > 0
+             THEN CAST(floor(ln(CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE))
+                             * {scale}) AS BIGINT) END AS woe_scaled
+    FROM _tot
+),
+_terms AS (
+    SELECT *,
+        coalesce(CAST(((_num - _den) * woe_scaled) // (_G * _B) AS BIGINT), 0)
+            AS iv_term_scaled
+    FROM _woe
+)
+SELECT category, g, b, woe_scaled,
+       round(CAST(woe_scaled AS DOUBLE) / {scale}, 6) AS woe,
+       iv_term_scaled,
+       CAST(sum(iv_term_scaled) OVER () AS BIGINT) AS iv_scaled,
+       round(CAST(sum(iv_term_scaled) OVER () AS DOUBLE) / {scale}, 6) AS iv
+FROM _terms
+"""

@@ -2196,6 +2196,28 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("kappa_scaled").alias("v"),
         F.lit(None).cast("boolean").alias("keep"),
     )
+    # DSIR importance weights (operators/classifier.py): the
+    # importance-resampling twin of the 'clf' margin — target = the
+    # src0 slice, raw = the whole corpus; per-doc hashed-unigram
+    # log-ratio sums, exact integers end-to-end
+    dsir_target = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("source") == "src0")
+        .select("text")
+    )
+    ds = clf.dsir_score(
+        docs,
+        clf.dsir_log_ratios(dsir_target, docs, dim=CLF_DIM),
+        "doc_id",
+        "text",
+        dim=CLF_DIM,
+    ).select(
+        F.lit("dsir").alias("part"),
+        "doc_id",
+        F.col("n_feats").alias("n"),
+        F.col("dsir_scaled").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
     return (
         c.unionByName(p)
         .unionByName(auc)
@@ -2203,6 +2225,7 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(cal)
         .unionByName(auc_src)
         .unionByName(kap)
+        .unionByName(ds)
     )
 
 
@@ -2307,6 +2330,27 @@ sagg AS (
     SELECT source, sum(gp) AS np, sum(g) AS n,
            sum(gp * (2 * c + g + 1)) AS r2p
     FROM srk GROUP BY source
+),
+dtex AS (
+    SELECT unnest(list_transform({toks}, t -> ({h}) % {CLF_DIM})) AS bucket
+    FROM documents WHERE source = 'src0'
+),
+dtc AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS ct FROM dtex GROUP BY bucket),
+drc AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS cr FROM ex GROUP BY bucket),
+dlr AS (
+    SELECT s.bucket,
+        CAST(floor(ln(
+            CAST((coalesce(ct, 0) + 1)
+                 * ((SELECT sum(cr) FROM drc) + {CLF_DIM}) AS DOUBLE)
+            / CAST((coalesce(cr, 0) + 1)
+                   * ((SELECT sum(ct) FROM dtc) + {CLF_DIM}) AS DOUBLE))
+            * 1000000) AS BIGINT) AS lr
+    FROM (SELECT unnest(range(0, {CLF_DIM})) AS bucket) s
+    LEFT JOIN dtc USING (bucket) LEFT JOIN drc USING (bucket)
+),
+dsc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nf, CAST(sum(lr) AS BIGINT) AS sc
+    FROM ex JOIN dlr USING (bucket) GROUP BY doc_id
 )
 SELECT 'clf' AS part, d.doc_id, coalesce(s.n_toks, 0) AS n,
        coalesce(s.margin, 0) AS v, coalesce(s.margin, 0) >= 0 AS keep
@@ -2333,6 +2377,9 @@ UNION ALL
 SELECT 'auc:' || source, CAST(n - np AS BIGINT), CAST(np AS BIGINT),
        CAST(r2p - np * (np + 1) AS BIGINT), CAST(NULL AS BOOLEAN)
 FROM sagg
+UNION ALL
+SELECT 'dsir', d.doc_id, coalesce(nf, 0), coalesce(sc, 0), CAST(NULL AS BOOLEAN)
+FROM documents d LEFT JOIN dsc USING (doc_id)
 """
 
 

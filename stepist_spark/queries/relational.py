@@ -509,7 +509,34 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n"),
         F.col("gini").alias("sum_val"),
     )
-    return roll.unionByName(cub).unionByName(gs).unionByName(te).unionByName(gi)
+    # WoE / Information Value rides along (operators/regression.py):
+    # order-priority risk profile against the 'F' (fulfilled) status —
+    # one conditional cell aggregate, exact HUGEINT-product log terms
+    from stepist_spark.operators.regression import weight_of_evidence
+
+    wo = weight_of_evidence(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    ).select(
+        F.lit("woe").alias("gset"),
+        F.col("category").alias("key1"),
+        F.concat_ws(
+            ":",
+            F.col("g").cast("string"),
+            F.col("b").cast("string"),
+            F.col("woe_scaled").cast("string"),
+            F.col("iv_term_scaled").cast("string"),
+            F.col("iv_scaled").cast("string"),
+        ).alias("key2"),
+        (F.col("g") + F.col("b")).alias("n"),
+        F.col("woe").alias("sum_val"),
+    )
+    return (
+        roll.unionByName(cub)
+        .unionByName(gs)
+        .unionByName(te)
+        .unionByName(gi)
+        .unionByName(wo)
+    )
 
 
 def _q09_tenc_sql() -> str:
@@ -538,6 +565,19 @@ def _q09_gini_sql() -> str:
 
 _Q09_GINI_SQL = _q09_gini_sql()
 
+
+def _q09_woe_sql() -> str:
+    from stepist_spark.operators.regression import weight_of_evidence_sql
+
+    return weight_of_evidence_sql(
+        "SELECT o_orderpriority, o_orderstatus FROM orders",
+        "o_orderpriority",
+        "o_orderstatus = 'F'",
+    )
+
+
+_Q09_WOE_SQL = _q09_woe_sql()
+
 Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
@@ -558,6 +598,13 @@ SELECT 'gini', o_orderpriority,
        CAST(total_cents AS VARCHAR) || ':' || CAST(s_scaled AS VARCHAR),
        n, gini
 FROM ({_Q09_GINI_SQL})
+UNION ALL
+SELECT 'woe', category,
+       concat_ws(':', CAST(g AS VARCHAR), CAST(b AS VARCHAR),
+                 CAST(woe_scaled AS VARCHAR), CAST(iv_term_scaled AS VARCHAR),
+                 CAST(iv_scaled AS VARCHAR)),
+       g + b, woe
+FROM ({_Q09_WOE_SQL})
 """
 
 
@@ -2539,11 +2586,55 @@ def q22_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
     )
+    # 'km' — Kaplan-Meier conversion-latency survival (operators/
+    # survival.py): per user, DAYS from first signup to the first
+    # purchase at-or-after it; users who never purchase are right-
+    # censored at the corpus max ts (reusing the tsplit driver read).
+    # Exact integer-µs day truncation; the curve is the running
+    # floor(ln((n−d)/n)·1e6) integer sum per user-segment — value-
+    # counts frame bounded by |segments|×|span days| at any SF.
+    from stepist_spark.operators.survival import kaplan_meier
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t1"))
+        .join(su, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"))
+    )
+    units = su.join(pu, "user_id", "left").select(
+        (F.col("user_id") % 3).cast("string").alias("seg"),
+        F.expr(f"(coalesce(t1, {mx}L) - t0) DIV 86400000000").alias("dur_days"),
+        F.col("t1").isNotNull().cast("bigint").alias("ev_flag"),
+    )
+    km = kaplan_meier(units, "dur_days", "ev_flag", ["seg"]).select(
+        F.lit("km").alias("part"),
+        F.concat_ws(
+            ":",
+            "seg",
+            F.col("t").cast("string"),
+            F.col("d").cast("string"),
+            F.col("c").cast("string"),
+        ).alias("wkey"),
+        F.col("n_risk").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("s_log_scaled").alias("sum_k"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+    )
     nulls = [F.lit(None).cast("double").alias("z"),
              F.lit(None).cast("boolean").alias("is_anomaly")]
     return (
         t.select("*", *nulls)
         .unionByName(ts.select("*", *nulls))
+        .unionByName(km.select("*", *nulls))
         .unionByName(s.select("*", *nulls))
         .unionByName(fu.select("*", *nulls))
         .unionByName(tr.select("*", *nulls))
@@ -2639,6 +2730,26 @@ def _q22m_sql() -> str:
 
     dc = decayed_counts_sql(
         "SELECT event_type, ts FROM events", ["event_type"], "ts", half_life_days=7
+    )
+    from stepist_spark.operators.survival import kaplan_meier_sql
+
+    km = kaplan_meier_sql(
+        """
+WITH su AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t1
+       FROM events e JOIN su USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts::TIMESTAMP) >= su.t0
+       GROUP BY e.user_id),
+mx AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS m FROM events)
+SELECT CAST(su.user_id % 3 AS VARCHAR) AS seg,
+       (coalesce(pu.t1, mx.m) - su.t0) // 86400000000 AS dur_days,
+       CASE WHEN pu.t1 IS NULL THEN 0 ELSE 1 END AS ev_flag
+FROM su LEFT JOIN pu USING (user_id), mx
+""",
+        "dur_days",
+        "ev_flag",
+        [("seg", "seg")],
     )
     from stepist_spark.operators.timeseries import period_over_period_sql
 
@@ -2764,6 +2875,14 @@ FROM (
                  max(epoch_us(ts::TIMESTAMP)) AS mx FROM events)
 )
 GROUP BY split
+UNION ALL
+SELECT 'km',
+       seg || ':' || CAST(t AS VARCHAR) || ':' || CAST(d AS VARCHAR)
+           || ':' || CAST(c AS VARCHAR),
+       n_risk, CAST(NULL AS DOUBLE), s_log_scaled,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM ({km})
 """
 
 
@@ -3099,6 +3218,32 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_a").alias("n1"),
         F.col("n_b").alias("n2"),
     )
+    # CUPED variance-reduced readout rides the SAME A/B cohorts
+    # (operators/abtest.py): l_quantity as the pre-period covariate for
+    # the extendedprice metric — ONE pooled sufficient-statistics
+    # aggregate; θ, adjusted means and ρ² are fixed IEEE sequences over
+    # exact decimal sums
+    from stepist_spark.operators.abtest import cuped_adjusted
+
+    cu = cuped_adjusted(
+        li_ab, "l_returnflag", "A", "N", "l_extendedprice", "l_quantity"
+    ).select(
+        F.lit("cuped").alias("part"),
+        F.lit("A:N").alias("k1"),
+        F.col("theta").alias("d1"),
+        F.col("adj_mean_a").alias("d2"),
+        F.col("adj_mean_b").alias("d3"),
+        F.col("rho2").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("sum_a").cast("string"),
+            F.col("sum_b").cast("string"),
+            F.col("cov_sum_a").cast("string"),
+            F.col("cov_sum_b").cast("string"),
+        ).alias("s1"),
+        F.col("n_a").alias("n1"),
+        F.col("n_b").alias("n2"),
+    )
     # decision-stump feature ranking rides along (operators/
     # regression.py): Gini-impurity decrease of purchase-vs-rest on
     # the user-segment and hour-of-day features — exact integer DIV
@@ -3255,6 +3400,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(qb)
         .unionByName(wt)
         .unionByName(pz)
+        .unionByName(cu)
         .unionByName(sg)
         .unionByName(mi)
         .unionByName(ps)
@@ -3401,6 +3547,22 @@ def _q25_propz_sql() -> str:
 
 
 _Q25_PROPZ_SQL = _q25_propz_sql()
+
+
+def _q25_cuped_sql() -> str:
+    from stepist_spark.operators.abtest import cuped_adjusted_sql
+
+    return cuped_adjusted_sql(
+        "SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem",
+        "l_returnflag",
+        "A",
+        "N",
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+_Q25_CUPED_SQL = _q25_cuped_sql()
 
 
 def _q25_gain_sql() -> str:
@@ -3554,6 +3716,12 @@ UNION ALL
 SELECT 'propz', 'A:N', z_stat, rate_a, rate_b, CAST(NULL AS DOUBLE),
        CAST(s_a AS VARCHAR) || ':' || CAST(s_b AS VARCHAR), n_a, n_b
 FROM ({_Q25_PROPZ_SQL})
+UNION ALL
+SELECT 'cuped', 'A:N', theta, adj_mean_a, adj_mean_b, rho2,
+       CAST(sum_a AS VARCHAR) || ':' || CAST(sum_b AS VARCHAR)
+           || ':' || CAST(cov_sum_a AS VARCHAR) || ':' || CAST(cov_sum_b AS VARCHAR),
+       n_a, n_b
+FROM ({_Q25_CUPED_SQL})
 UNION ALL
 SELECT 'gain', feature, gain, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE),

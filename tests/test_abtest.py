@@ -53,3 +53,83 @@ class TestPropZ:
         df = spark.createDataFrame([("A", True), ("B", True)], "g string, y boolean")
         r = two_proportion_ztest(df, "g", "A", "B", "y").collect()[0]
         assert r["z_stat"] is None
+
+
+def _cuped_ref(rows):
+    """rows: (group, y, x) in original units; scale=100 both."""
+    ys = [round(y * 100) for _, y, _ in rows]
+    xs = [round(x * 100) for _, _, x in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    covn = n * sxy - sx * sy
+    varxn = n * sxx - sx * sx
+    varyn = n * syy - sy * sy
+    theta = covn / varxn
+    xbar = sx / n
+    out = {}
+    for g in ("A", "B"):
+        idx = [i for i, r in enumerate(rows) if r[0] == g]
+        na = len(idx)
+        sya = sum(ys[i] for i in idx)
+        sxa = sum(xs[i] for i in idx)
+        out[g] = (sya / na - theta * (sxa / na - xbar)) / 100.0
+    rho2 = covn * covn / (varxn * varyn)
+    return theta, out, rho2
+
+
+class TestCuped:
+    ROWS = [
+        ("A", 10.0, 5.0), ("A", 12.0, 7.0), ("A", 9.0, 4.0), ("A", 11.5, 6.5),
+        ("B", 8.0, 5.5), ("B", 9.5, 6.0), ("B", 7.0, 3.5), ("B", 10.0, 7.5),
+        ("C", 99.0, 1.0),  # excluded arm
+    ]
+
+    def test_matches_closed_form(self, spark):
+        from stepist_spark.operators.abtest import cuped_adjusted
+
+        df = spark.createDataFrame(self.ROWS, "g string, y double, x double")
+        r = cuped_adjusted(df, "g", "A", "B", "y", "x").collect()[0]
+        theta, adj, rho2 = _cuped_ref([t for t in self.ROWS if t[0] != "C"])
+        assert (r["n_a"], r["n_b"]) == (4, 4)
+        assert abs(r["theta"] - theta) < 1e-5
+        assert abs(r["adj_mean_a"] - adj["A"]) < 1e-5
+        assert abs(r["adj_mean_b"] - adj["B"]) < 1e-5
+        assert abs(r["rho2"] - rho2) < 1e-5
+        # adjustment moves toward the covariate-corrected value but the
+        # pooled-mean identity holds: weighted adj means == weighted raw
+        raw = (r["mean_a"] * 4 + r["mean_b"] * 4) / 8
+        adj_pool = (r["adj_mean_a"] * 4 + r["adj_mean_b"] * 4) / 8
+        assert abs(raw - adj_pool) < 1e-5
+
+    def test_degenerate_constant_covariate(self, spark):
+        from stepist_spark.operators.abtest import cuped_adjusted
+
+        rows = [("A", 1.0, 5.0), ("A", 2.0, 5.0), ("B", 3.0, 5.0)]
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        r = cuped_adjusted(df, "g", "A", "B", "y", "x").collect()[0]
+        assert r["theta"] is None and r["adj_mean_a"] is None and r["rho2"] is None
+        assert r["mean_a"] is not None  # raw means still reported
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.abtest import cuped_adjusted, cuped_adjusted_sql
+
+        rows = [
+            ("A" if i % 2 == 0 else "B", float(i % 17) + 0.25, float(i % 7) + 0.5)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        p = str(tmp_path / "cuped.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in cuped_adjusted(df, "g", "A", "B", "y", "x").collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            cuped_adjusted_sql(
+                f"SELECT * FROM '{p}/*.parquet'", "g", "A", "B", "y", "x"
+            )
+        ).fetchall()
+        assert got == want

@@ -181,3 +181,84 @@ class TestBigramLm:
             for r in perplexity_score(docs.repartition(7), m2).collect()
         )
         assert a == b
+
+
+class TestDsir:
+    def test_identical_corpora_score_zero(self, spark):
+        from stepist_spark.operators.classifier import dsir_log_ratios, dsir_score
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta beta delta")], "doc_id bigint, text string"
+        )
+        lr = dsir_log_ratios(docs, docs, dim=64)
+        # target == raw: every bucket ratio is exactly 1 -> floor(ln 1 * 1e6) = 0
+        assert lr.filter("lr_scaled != 0").count() == 0
+        scored = {r["doc_id"]: r for r in dsir_score(docs, lr, dim=64).collect()}
+        assert scored[1]["dsir_scaled"] == 0 and scored[1]["n_feats"] == 3
+        assert scored[2]["dsir_scaled"] == 0 and scored[2]["n_feats"] == 3
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        from stepist_spark.operators.classifier import dsir_log_ratios, dsir_score
+
+        dim = 256
+        target_texts = ["spark shuffle join", "join agg shuffle", "spark spark join"]
+        raw_texts = [
+            (1, "spark shuffle join window"),
+            (2, "python loop collect driver"),
+            (3, "join join shuffle"),
+        ]
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+        def counts(texts):
+            out = {}
+            for t in texts:
+                for tok in t.lower().split():
+                    b = bucket(tok)
+                    out[b] = out.get(b, 0) + 1
+            return out
+
+        tc = counts(target_texts)
+        rc = counts(t for _, t in raw_texts)
+        T, R = sum(tc.values()), sum(rc.values())
+
+        def lr(b):
+            return math.floor(
+                math.log(
+                    ((tc.get(b, 0) + 1) * (R + dim)) / ((rc.get(b, 0) + 1) * (T + dim))
+                )
+                * 1e6
+            )
+
+        expected = {
+            i: sum(lr(bucket(tok)) for tok in t.lower().split())
+            for i, t in raw_texts
+        }
+        target = spark.createDataFrame([(t,) for t in target_texts], "text string")
+        raw = spark.createDataFrame(raw_texts, "doc_id bigint, text string")
+        table = dsir_log_ratios(target, raw, dim=dim)
+        got = {
+            r["doc_id"]: r["dsir_scaled"]
+            for r in dsir_score(raw, table, dim=dim).collect()
+        }
+        assert got == expected
+        # target-like docs outrank off-target docs
+        assert got[1] > got[2] and got[3] > got[2]
+
+    def test_empty_doc_scores_zero(self, spark):
+        from stepist_spark.operators.classifier import dsir_log_ratios, dsir_score
+
+        target = spark.createDataFrame([("a b",)], "text string")
+        raw = spark.createDataFrame(
+            [(1, "a"), (2, "")], "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_feats"], r["dsir_scaled"])
+            for r in dsir_score(raw, dsir_log_ratios(target, raw, dim=32), dim=32).collect()
+        }
+        assert got[2] == (0, 0)
+        assert got[1][0] == 1

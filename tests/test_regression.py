@@ -354,3 +354,61 @@ class TestMutualInformation:
 
         assert abs(got["sig"] - math.log(2)) < 1e-3  # I = H(y) = ln 2
         assert got["noise"] < 0.01
+
+
+class TestWeightOfEvidence:
+    def test_matches_reference(self, spark):
+        import math
+
+        from stepist_spark.operators.regression import weight_of_evidence
+
+        # cat x: 30 good / 10 bad;  cat y: 10 good / 50 bad
+        rows = (
+            [("x", True)] * 30 + [("x", False)] * 10
+            + [("y", True)] * 10 + [("y", False)] * 50
+        )
+        df = spark.createDataFrame(rows, "c string, lab boolean")
+        out = {r["category"]: r for r in weight_of_evidence(df, "c", "lab").collect()}
+        G, B = 40, 60
+        for cat, g, b in [("x", 30, 10), ("y", 10, 50)]:
+            woe_scaled = math.floor(math.log((g * B) / (b * G)) * 1e6)
+            term = ((g * B - b * G) * woe_scaled) // (G * B)
+            r = out[cat]
+            assert (r["g"], r["b"], r["woe_scaled"], r["iv_term_scaled"]) == (
+                g, b, woe_scaled, term,
+            )
+        iv = sum(r["iv_term_scaled"] for r in out.values())
+        assert all(r["iv_scaled"] == iv for r in out.values())
+        assert iv > 0  # IV is non-negative by construction
+
+    def test_zero_cell_null_woe(self, spark):
+        from stepist_spark.operators.regression import weight_of_evidence
+
+        rows = [("x", True)] * 5 + [("y", True)] * 2 + [("y", False)] * 3
+        df = spark.createDataFrame(rows, "c string, lab boolean")
+        out = {r["category"]: r for r in weight_of_evidence(df, "c", "lab").collect()}
+        assert out["x"]["woe_scaled"] is None
+        assert out["x"]["iv_term_scaled"] == 0  # excluded from IV, not infinite
+        assert out["y"]["woe_scaled"] is not None
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.regression import (
+            weight_of_evidence,
+            weight_of_evidence_sql,
+        )
+
+        rows = [(str(i % 5), i % 3 == 0) for i in range(500)]
+        df = spark.createDataFrame(rows, "c string, lab boolean")
+        p = str(tmp_path / "woe.parquet")
+        df.write.parquet(p)
+        got = sorted(tuple(r) for r in weight_of_evidence(df, "c", "lab").collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                weight_of_evidence_sql(f"SELECT * FROM '{p}/*.parquet'", "c", "lab")
+            ).fetchall()
+        )
+        assert got == want
