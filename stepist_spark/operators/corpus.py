@@ -591,3 +591,277 @@ SELECT n_tokens, n_types, f1, f2,
        round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS p0
 FROM _vr WHERE n_tokens IS NOT NULL
 """
+
+
+def js_shift_from_counts(gt: DataFrame, min_count: int = 1) -> DataFrame:
+    """Per-group Jensen-Shannon divergence of each group's token
+    distribution vs the REST of the corpus (Lin, IEEE-IT 1991 —
+    public): the SYMMETRIC, bounded (≤ ln 2) companion of
+    :func:`distribution_shift_from_counts`'s KL — the right metric
+    when neither side is the "reference" (e.g. comparing two crawl
+    dumps), and immune to KL's blowup on near-zero q cells.
+
+    Same input contract — a per-(group, token) count frame ``(grp,
+    tok, c)``, e.g. summed off the t16 postings pass — and the same
+    add-one smoothing over the shared global vocabulary. With
+    ``a = c_p+1, b = c_q+1, Dp = N_p+|V|, Dq = N_q+|V|``:
+    ``ln(p_i/m_i) = ln(2·a·Dq / (a·Dq + b·Dp))`` — exact
+    decimal(38,0)/HUGEINT products, ONE double division and ONE ln per
+    cell, floor-scaled to an integer BEFORE the a-weighted sum (the
+    distribution_shift discipline), so both one-sided sums are
+    order-free bigints. ``js = (Σ_p/Dp + Σ_q/Dq) / 2e6`` is then a
+    fixed IEEE sequence over those exact integers.
+
+    Output: ``grp, n_tokens, vocab_v, js_p_scaled, js_q_scaled,
+    js_scaled, js`` (js_scaled = floor(js·1e6); js 6-dp)."""
+    vocab = (
+        gt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("c_all"))
+        .filter(F.col("c_all") >= min_count)
+    )
+    gv = gt.join(vocab.select("tok"), "tok").groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_p")
+    )
+    from stepist_spark.operators.cumulative import whole_frame
+
+    gv = gv.select(
+        "grp", "n_p", F.sum("n_p").over(whole_frame()).cast("bigint").alias("n_all")
+    )
+    v_count = vocab.select(F.count(F.lit(1)).cast("bigint").alias("v"))
+    support = vocab.crossJoin(F.broadcast(gv)).crossJoin(F.broadcast(v_count))
+    cells = support.join(
+        gt.withColumnsRenamed({"c": "c_p"}), ["grp", "tok"], "left"
+    ).select(
+        "grp",
+        "n_p",
+        "n_all",
+        "v",
+        F.coalesce(F.col("c_p"), F.lit(0)).cast("bigint").alias("c_p"),
+        "c_all",
+    )
+    dec = "decimal(38,0)"
+    a = (F.col("c_p") + 1).cast(dec)
+    b = ((F.col("c_all") - F.col("c_p")) + 1).cast(dec)
+    dp = (F.col("n_p") + F.col("v")).cast(dec)
+    dq = ((F.col("n_all") - F.col("n_p")) + F.col("v")).cast(dec)
+    mix = a * dq + b * dp
+
+    def _side(w_num, w_den, weight):
+        return (
+            F.floor(
+                F.log(
+                    (F.lit(2).cast(dec) * w_num * w_den).cast("double")
+                    / mix.cast("double")
+                )
+                * F.lit(1_000_000)
+            ).cast("bigint")
+            * weight.cast("bigint")
+        )
+
+    out = cells.groupBy("grp", "n_p", "v").agg(
+        F.sum(_side(a, dq, a)).cast("bigint").alias("js_p_scaled"),
+        F.sum(_side(b, dp, b)).cast("bigint").alias("js_q_scaled"),
+    )
+    # Dq = (n_all - n_p) + v is not carried through the groupBy; rebuild
+    # it from the broadcast totals instead of widening the group key
+    out = out.join(F.broadcast(gv.select("grp", "n_all")), "grp")
+    half = (
+        F.col("js_p_scaled").cast("double")
+        / (F.col("n_p") + F.col("v")).cast("double")
+        + F.col("js_q_scaled").cast("double")
+        / ((F.col("n_all") - F.col("n_p")) + F.col("v")).cast("double")
+    ) / F.lit(2.0)
+    return out.select(
+        "grp",
+        F.col("n_p").alias("n_tokens"),
+        F.col("v").alias("vocab_v"),
+        "js_p_scaled",
+        "js_q_scaled",
+        F.floor(half).cast("bigint").alias("js_scaled"),
+        F.round(half / F.lit(1_000_000.0), 6).alias("js"),
+    )
+
+
+def js_shift_sql(table: str, text_expr: str, group_expr: str, min_count: int = 1) -> str:
+    """DuckDB mirror of :func:`js_shift_from_counts` fed from a raw
+    corpus (same tokenize → per-(group, token) counts as
+    distribution_shift_sql), same smoothing/products/floor scaling."""
+    from stepist_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_expr)
+    return f"""
+WITH _js_tok AS (
+    SELECT ({group_expr}) AS grp, unnest({tk}) AS tok FROM {table}
+),
+_js_gt AS (
+    SELECT grp, tok, CAST(count(*) AS BIGINT) AS c FROM _js_tok GROUP BY grp, tok
+),
+_js_vocab AS (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS c_all
+    FROM _js_gt GROUP BY tok HAVING sum(c) >= {min_count}
+),
+_js_gv AS (
+    SELECT grp, CAST(sum(c) AS BIGINT) AS n_p
+    FROM _js_gt JOIN _js_vocab USING (tok) GROUP BY grp
+),
+_js_tot AS (
+    SELECT grp, n_p, CAST(sum(n_p) OVER () AS BIGINT) AS n_all FROM _js_gv
+),
+_js_v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM _js_vocab),
+_js_cells AS (
+    SELECT t.grp, t.n_p, t.n_all, v.v, _js_vocab.tok,
+           coalesce(g.c, 0) AS c_p, _js_vocab.c_all
+    FROM _js_vocab CROSS JOIN _js_tot t CROSS JOIN _js_v v
+    LEFT JOIN _js_gt g ON g.grp = t.grp AND g.tok = _js_vocab.tok
+),
+_js_terms AS (
+    SELECT grp, n_p, v, n_all,
+        CAST(floor(ln(
+            CAST(2::HUGEINT * (c_p + 1) * ((n_all - n_p) + v) AS DOUBLE)
+            / CAST((c_p + 1)::HUGEINT * ((n_all - n_p) + v)
+                   + ((c_all - c_p) + 1)::HUGEINT * (n_p + v) AS DOUBLE)
+        ) * 1000000) AS BIGINT) * (c_p + 1) AS tp,
+        CAST(floor(ln(
+            CAST(2::HUGEINT * ((c_all - c_p) + 1) * (n_p + v) AS DOUBLE)
+            / CAST((c_p + 1)::HUGEINT * ((n_all - n_p) + v)
+                   + ((c_all - c_p) + 1)::HUGEINT * (n_p + v) AS DOUBLE)
+        ) * 1000000) AS BIGINT) * ((c_all - c_p) + 1) AS tq
+    FROM _js_cells
+),
+_js_out AS (
+    SELECT grp, n_p, v, n_all,
+           CAST(sum(tp) AS BIGINT) AS js_p_scaled,
+           CAST(sum(tq) AS BIGINT) AS js_q_scaled
+    FROM _js_terms GROUP BY grp, n_p, v, n_all
+)
+SELECT grp, n_p AS n_tokens, v AS vocab_v, js_p_scaled, js_q_scaled,
+       CAST(floor((CAST(js_p_scaled AS DOUBLE) / CAST(n_p + v AS DOUBLE)
+                   + CAST(js_q_scaled AS DOUBLE)
+                     / CAST((n_all - n_p) + v AS DOUBLE)) / 2.0) AS BIGINT)
+           AS js_scaled,
+       round((CAST(js_p_scaled AS DOUBLE) / CAST(n_p + v AS DOUBLE)
+              + CAST(js_q_scaled AS DOUBLE)
+                / CAST((n_all - n_p) + v AS DOUBLE)) / 2.0 / 1000000.0, 6) AS js
+FROM _js_out
+"""
+
+
+def zipf_slope(
+    counts: DataFrame, token_col: str = "tok", count_col: str = "n_occurrences"
+) -> DataFrame:
+    """Zipf rank-frequency fit (Zipf 1949 — public): the OLS slope of
+    ``ln(frequency)`` against ``ln(rank)`` over the vocabulary — the
+    classic corpus-health diagnostic (natural language sits near −1;
+    boilerplate-heavy or templated corpora flatten, OCR noise
+    steepens the tail).
+
+    Scale shape: ranking rides :mod:`operators.cumulative`'s
+    ``global_row_number`` partition-offset machinery (the vocabulary
+    frame is NOT provably small — no single-task window), then ONE
+    map-side-combined aggregate collects the exact decimal(38,0)
+    sufficient statistics of the log-log fit (the grouped_ols
+    discipline: x/y are floor(ln·1e6) integers, so every sum is
+    exact; slope and r² drop to double once, in a fixed IEEE
+    sequence).
+
+    Output (one row): ``n_vocab, slope_scaled, r2_scaled, slope, r2``
+    (scaled = floor(v·1e6) bigints; doubles 6-dp; NULL fit when the
+    vocabulary has < 2 distinct tokens or zero x-variance)."""
+    from stepist_spark.operators.cumulative import global_row_number
+
+    ranked = global_row_number(
+        counts.select(
+            F.col(token_col).alias("_tok"),
+            F.col(count_col).cast("bigint").alias("_c"),
+        ).withColumn("_neg", -F.col("_c")),
+        ["_neg", "_tok"],
+        out_col="_rank",
+    )
+    dec = "decimal(38,0)"
+    xy = ranked.select(
+        F.floor(F.log(F.col("_rank").cast("double")) * F.lit(1_000_000))
+        .cast(dec)
+        .alias("_x"),
+        F.floor(F.log(F.col("_c").cast("double")) * F.lit(1_000_000))
+        .cast(dec)
+        .alias("_y"),
+    )
+    stats = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast(dec).alias("sx"),
+        F.sum("_y").cast(dec).alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast(dec).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast(dec).alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast(dec).alias("sxy"),
+    )
+    covn = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast(dec)
+        .cast("double")
+    )
+    varxn = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast(dec)
+        .cast("double")
+    )
+    varyn = (
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast(dec)
+        .cast("double")
+    )
+    slope = covn / varxn
+    r2 = covn * covn / (varxn * varyn)
+    ok = (F.col("n") >= 2) & (varxn > 0)
+    okr = ok & (varyn > 0)
+    return stats.select(
+        F.col("n").alias("n_vocab"),
+        F.when(ok, F.floor(slope * F.lit(1_000_000)).cast("bigint")).alias(
+            "slope_scaled"
+        ),
+        F.when(okr, F.floor(r2 * F.lit(1_000_000)).cast("bigint")).alias("r2_scaled"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(okr, F.round(r2, 6)).alias("r2"),
+    )
+
+
+def zipf_slope_sql(counts_sql: str, token_expr: str = "tok", count_expr: str = "n_occurrences") -> str:
+    """DuckDB mirror of :func:`zipf_slope` over the same counts frame
+    (the oracle's window rank is the semantic twin of the
+    partition-offset rank — the total order is identical)."""
+    return f"""
+WITH _zc AS (
+    SELECT ({token_expr}) AS tok, CAST(({count_expr}) AS BIGINT) AS c
+    FROM ({counts_sql})
+),
+_zr AS (
+    SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r
+    FROM _zc
+),
+_zxy AS (
+    SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+           CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+    FROM _zr
+),
+_zs AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM _zxy
+),
+_zf AS (
+    SELECT n,
+        CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+    FROM _zs
+)
+SELECT n AS n_vocab,
+       CASE WHEN n >= 2 AND varxn > 0
+            THEN CAST(floor(covn / varxn * 1000000) AS BIGINT) END AS slope_scaled,
+       CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+            THEN CAST(floor(covn * covn / (varxn * varyn) * 1000000) AS BIGINT)
+       END AS r2_scaled,
+       CASE WHEN n >= 2 AND varxn > 0 THEN round(covn / varxn, 6) END AS slope,
+       CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+            THEN round(covn * covn / (varxn * varyn), 6) END AS r2
+FROM _zf
+"""

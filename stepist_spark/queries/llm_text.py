@@ -1041,6 +1041,32 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_tokens").alias("n2"),
         F.col("chao1_scaled").alias("score_scaled"),
     )
+    # symmetric drift companion (round 8): Jensen-Shannon divergence
+    # per source vs rest off the SAME per-(source, token) count frame
+    # as 'kl' — bounded ≤ ln 2, robust where KL blows up
+    js = corpus_ops.js_shift_from_counts(gt, min_count=5).select(
+        F.lit("js").alias("part"),
+        F.col("grp").alias("tok"),
+        F.col("js_p_scaled").alias("qid"),
+        F.col("js_q_scaled").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("n_tokens").alias("n1"),
+        F.col("vocab_v").alias("n2"),
+        F.col("js_scaled").alias("score_scaled"),
+    )
+    # Zipf rank-frequency fit (round 8): log-log OLS slope over the
+    # SAME vocabulary counts ('vocab''s v frame) — ranking rides the
+    # partition-offset global_row_number, sums are exact decimals
+    zp = corpus_ops.zipf_slope(v, "tok", "n_occurrences").select(
+        F.lit("zipf").alias("part"),
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(None).cast("bigint").alias("qid"),
+        F.col("r2_scaled").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("n_vocab").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("slope_scaled").alias("score_scaled"),
+    )
     rq = ranking.ranking_quality(bm_raw, rel_col="n_terms_hit", k=5).select(
         F.lit("rankq").alias("part"),
         F.lit(None).cast("string").alias("tok"),
@@ -1059,6 +1085,8 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(fused)
         .unionByName(rq)
         .unionByName(vr)
+        .unionByName(js)
+        .unionByName(zp)
     )
 
 
@@ -1126,9 +1154,19 @@ def _t16_sql() -> str:
         rel_expr="n_terms_hit",
         k=5,
     )
-    from stepist_spark.operators.corpus import vocabulary_richness_sql
+    from stepist_spark.operators.corpus import (
+        js_shift_sql,
+        vocabulary_richness_sql,
+        zipf_slope_sql,
+    )
 
     vocabest = vocabulary_richness_sql("SELECT text FROM documents")
+    js = js_shift_sql("documents", "text", "source", 5)
+    zipf = zipf_slope_sql(
+        f"""SELECT _tok AS tok, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
+GROUP BY _tok HAVING count(*) >= 2"""
+    )
     return f"""
 SELECT 'vocab' AS part, tok, CAST(NULL AS BIGINT) AS qid,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS rank,
@@ -1162,6 +1200,14 @@ UNION ALL
 SELECT 'vocabest', CAST(NULL AS VARCHAR), f1, f2, CAST(NULL AS BIGINT),
        n_types, n_tokens, chao1_scaled
 FROM ({vocabest})
+UNION ALL
+SELECT 'js', grp, js_p_scaled, js_q_scaled, CAST(NULL AS BIGINT),
+       n_tokens, vocab_v, js_scaled
+FROM ({js})
+UNION ALL
+SELECT 'zipf', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), r2_scaled,
+       CAST(NULL AS BIGINT), n_vocab, CAST(NULL AS BIGINT), slope_scaled
+FROM ({zipf})
 """
 
 

@@ -390,3 +390,142 @@ class TestNfcNormalize:
             ).fetchall()
         )
         assert got == duck
+
+
+class TestJsShift:
+    def _gt(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, tok string, c bigint")
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from stepist_spark.operators.corpus import js_shift_from_counts
+
+        rows = [
+            ("a", "x", 5), ("a", "y", 3), ("a", "z", 1),
+            ("b", "x", 2), ("b", "y", 6), ("b", "w", 4),
+        ]
+        out = {r["grp"]: r for r in js_shift_from_counts(self._gt(spark, rows)).collect()}
+        vocab = {"x", "y", "z", "w"}
+        tot = {}
+        for g, t, c in rows:
+            tot[t] = tot.get(t, 0) + c
+        for grp in ("a", "b"):
+            mine = {t: c for g, t, c in rows if g == grp}
+            n_p = sum(mine.values())
+            n_all = sum(tot.values())
+            v = len(vocab)
+            dp, dq = n_p + v, (n_all - n_p) + v
+            sp = sq = 0
+            for t in sorted(vocab):
+                a = mine.get(t, 0) + 1
+                b = (tot[t] - mine.get(t, 0)) + 1
+                mix = a * dq + b * dp
+                sp += math.floor(math.log(2 * a * dq / mix) * 1e6) * a
+                sq += math.floor(math.log(2 * b * dp / mix) * 1e6) * b
+            r = out[grp]
+            assert (r["n_tokens"], r["vocab_v"]) == (n_p, v)
+            assert (r["js_p_scaled"], r["js_q_scaled"]) == (sp, sq)
+            assert r["js_scaled"] == math.floor((sp / dp + sq / dq) / 2.0)
+            # JS is bounded by ln 2 and (here) strictly positive
+            assert 0 < r["js"] < math.log(2) + 1e-6
+
+    def test_symmetry_two_groups(self, spark):
+        # with exactly two groups, p-vs-rest and q-vs-rest are the SAME
+        # comparison from opposite sides: js must match
+        from stepist_spark.operators.corpus import js_shift_from_counts
+
+        rows = [("a", "x", 9), ("a", "y", 1), ("b", "x", 1), ("b", "y", 9)]
+        out = {r["grp"]: r for r in js_shift_from_counts(self._gt(spark, rows)).collect()}
+        assert out["a"]["js_scaled"] == out["b"]["js_scaled"]
+
+    def test_identical_groups_near_zero(self, spark):
+        from stepist_spark.operators.corpus import js_shift_from_counts
+
+        rows = [("a", "x", 5), ("a", "y", 5), ("b", "x", 5), ("b", "y", 5)]
+        out = js_shift_from_counts(self._gt(spark, rows)).collect()
+        for r in out:
+            assert abs(r["js"]) < 1e-4
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.corpus import js_shift_from_counts, js_shift_sql
+        from stepist_spark.functions.text import tokens as _tokens
+
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 3}", "alpha beta " + ("gamma " * (i % 4)) + f"tok{i % 7}")
+             for i in range(60)],
+            "doc_id bigint, source string, text string",
+        )
+        p = str(tmp_path / "jsdocs.parquet")
+        docs.write.parquet(p)
+        gt = docs.select(
+            F.col("source").alias("grp"), F.explode(_tokens(F.col("text"))).alias("tok")
+        ).groupBy("grp", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        got = sorted(tuple(r) for r in js_shift_from_counts(gt, min_count=2).collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                js_shift_sql(f"(SELECT * FROM '{p}/*.parquet')", "text", "source", 2)
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestZipfSlope:
+    def test_perfect_zipf_slope(self, spark):
+        # counts c_r = round(C / r) follow slope ~ -1 on log-log
+        from stepist_spark.operators.corpus import zipf_slope
+
+        rows = [(f"t{r}", max(1, round(100000 / r))) for r in range(1, 200)]
+        df = spark.createDataFrame(rows, "tok string, n_occurrences bigint")
+        r = zipf_slope(df).collect()[0]
+        assert r["n_vocab"] == 199
+        assert abs(r["slope"] + 1.0) < 0.01
+        assert r["r2"] > 0.999
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from stepist_spark.operators.corpus import zipf_slope
+
+        rows = [("a", 50), ("b", 20), ("c", 20), ("d", 5), ("e", 1)]
+        df = spark.createDataFrame(rows, "tok string, n_occurrences bigint")
+        r = zipf_slope(df).collect()[0]
+        # rank order: count desc, token asc -> a,b,c,d,e
+        xs = [math.floor(math.log(i + 1) * 1e6) for i in range(5)]
+        ys = [math.floor(math.log(c) * 1e6) for _, c in rows]
+        n = 5
+        sx, sy = sum(xs), sum(ys)
+        covn = n * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+        varxn = n * sum(x * x for x in xs) - sx * sx
+        varyn = n * sum(y * y for y in ys) - sy * sy
+        assert r["slope_scaled"] == math.floor(covn / varxn * 1e6)
+        assert r["r2_scaled"] == math.floor(covn * covn / (varxn * varyn) * 1e6)
+
+    def test_degenerate_single_token(self, spark):
+        from stepist_spark.operators.corpus import zipf_slope
+
+        df = spark.createDataFrame([("a", 10)], "tok string, n_occurrences bigint")
+        r = zipf_slope(df).collect()[0]
+        assert r["slope"] is None and r["r2"] is None and r["n_vocab"] == 1
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.corpus import zipf_slope, zipf_slope_sql
+
+        rows = [(f"w{i}", 1 + (i * 13) % 97) for i in range(300)]
+        df = spark.createDataFrame(rows, "tok string, n_occurrences bigint")
+        p = str(tmp_path / "zipf.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in zipf_slope(df).collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            zipf_slope_sql(f"SELECT * FROM '{p}/*.parquet'")
+        ).fetchall()
+        assert got == want
