@@ -777,12 +777,26 @@ def zipf_slope(
         ["_neg", "_tok"],
         out_col="_rank",
     )
+    return _loglog_fit(ranked, "_rank", "_c", "n_vocab")
+
+
+def _loglog_fit(
+    df: DataFrame, x_col: str, y_col: str, n_alias: str
+) -> DataFrame:
+    """Shared tail of the power-law fits (:func:`zipf_slope`,
+    :func:`heaps_fit`): OLS of ``ln(y)`` on ``ln(x)`` over positive
+    integer columns. x/y become floor(ln·1e6) integers so every
+    sufficient statistic is an exact decimal(38,0)/HUGEINT sum; the
+    slope and r² drop to double once, in a fixed IEEE sequence (the
+    grouped_ols discipline). Output (one row): ``{n_alias},
+    slope_scaled, r2_scaled, slope, r2`` (NULL fit when < 2 points or
+    zero x-variance)."""
     dec = "decimal(38,0)"
-    xy = ranked.select(
-        F.floor(F.log(F.col("_rank").cast("double")) * F.lit(1_000_000))
+    xy = df.filter((F.col(x_col) > 0) & (F.col(y_col) > 0)).select(
+        F.floor(F.log(F.col(x_col).cast("double")) * F.lit(1_000_000))
         .cast(dec)
         .alias("_x"),
-        F.floor(F.log(F.col("_c").cast("double")) * F.lit(1_000_000))
+        F.floor(F.log(F.col(y_col).cast("double")) * F.lit(1_000_000))
         .cast(dec)
         .alias("_y"),
     )
@@ -814,7 +828,7 @@ def zipf_slope(
     ok = (F.col("n") >= 2) & (varxn > 0)
     okr = ok & (varyn > 0)
     return stats.select(
-        F.col("n").alias("n_vocab"),
+        F.col("n").alias(n_alias),
         F.when(ok, F.floor(slope * F.lit(1_000_000)).cast("bigint")).alias(
             "slope_scaled"
         ),
@@ -822,6 +836,185 @@ def zipf_slope(
         F.when(ok, F.round(slope, 6)).alias("slope"),
         F.when(okr, F.round(r2, 6)).alias("r2"),
     )
+
+
+def heaps_fit(postings: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978 — public): OLS of
+    ``ln V(N)`` on ``ln N`` where V(N) is the distinct-type count
+    after the first N token occurrences in doc-id order — the
+    corpus-growth planning twin of :func:`vocabulary_richness`'s
+    Chao1/Good-Turing point estimates (β well under 1 says vocabulary
+    is saturating; β near 1 says every new shard still brings new
+    types).
+
+    Input: an inverted index ``(doc_id, tok, tf)`` (ranking.
+    doc_postings output — the same shared pass as BM25/vocabulary).
+    Shape: one min-aggregate (each type attributed to its FIRST doc),
+    one per-doc aggregate, and a cumulative over the |docs|-row frame
+    via cumulative.ordered_cumsum — no single-task window, no second
+    corpus pass. Exactness: V_d/N_d are exact bigints; the log-log
+    tail is :func:`_loglog_fit`'s integer discipline.
+
+    Output (one row): ``n_docs, slope_scaled, r2_scaled, slope, r2``
+    (slope = the Heaps exponent β)."""
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    new_types = (
+        postings.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    )
+    doc_tokens = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("_n")
+    )
+    per_doc = doc_tokens.join(new_types, "doc_id", "left").select(
+        "doc_id", "_n", F.coalesce(F.col("_v"), F.lit(0)).alias("_v")
+    )
+    cum = ordered_cumsum(per_doc, "doc_id", ["_n", "_v"])
+    return _loglog_fit(cum, "cum__n", "cum__v", "n_docs")
+
+
+def heaps_fit_sql(table: str, id_expr: str, text_expr: str) -> str:
+    """DuckDB mirror of :func:`heaps_fit` from the raw corpus (same
+    first-doc attribution, cumulative, and integer log-log tail)."""
+    from stepist_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_expr)
+    return f"""
+WITH _hp_tok AS (
+    SELECT ({id_expr}) AS doc_id, unnest({tk}) AS tok FROM {table}
+),
+_hp_first AS (
+    SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS _v
+    FROM (SELECT tok, min(doc_id) AS first_doc FROM _hp_tok GROUP BY tok)
+    GROUP BY first_doc
+),
+_hp_n AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS _n FROM _hp_tok GROUP BY doc_id
+),
+_hp_cum AS (
+    SELECT sum(_n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           sum(coalesce(_v, 0)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+    FROM _hp_n LEFT JOIN _hp_first USING (doc_id)
+),
+_hp_xy AS (
+    SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+           CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+    FROM _hp_cum WHERE cn > 0 AND cv > 0
+),
+_hp_s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM _hp_xy
+),
+_hp_f AS (
+    SELECT n,
+        CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+    FROM _hp_s
+)
+SELECT n AS n_docs,
+       CASE WHEN n >= 2 AND varxn > 0
+            THEN CAST(floor(covn / varxn * 1000000) AS BIGINT) END AS slope_scaled,
+       CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+            THEN CAST(floor(covn * covn / (varxn * varyn) * 1000000) AS BIGINT)
+       END AS r2_scaled,
+       CASE WHEN n >= 2 AND varxn > 0 THEN round(covn / varxn, 6) END AS slope,
+       CASE WHEN n >= 2 AND varxn > 0 AND varyn > 0
+            THEN round(covn * covn / (varxn * varyn), 6) END AS r2
+FROM _hp_f
+"""
+
+
+def coverage_curve(
+    counts: DataFrame,
+    ks: "Sequence[int]" = (10, 100, 1000),
+    token_col: str = "tok",
+    count_col: str = "exact",
+) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer/vocab sizing input): for
+    each requested vocabulary size k, the share of TOTAL token mass
+    covered by the k most frequent types — the empirical curve behind
+    "a 32k vocab covers 99.7% of occurrences" decisions.
+
+    Shape: rank + cumulative over the vocabulary counts frame ride the
+    cumulative.py partition-offset machinery (open vocabularies are
+    not provably small); the k probe points join via a broadcast
+    |ks|-row frame. A k beyond the vocabulary clamps to the full
+    vocabulary (coverage 1.0). Exactness: covered/total are exact
+    bigints, the ratio one 6-dp division.
+
+    Output: one row per k — ``k, k_effective, covered, total,
+    coverage``."""
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    staged = counts.select(
+        F.col(token_col).alias("_tok"),
+        F.col(count_col).cast("bigint").alias("_c"),
+    ).withColumn("_neg", -F.col("_c"))
+    cum = ordered_cumsum(
+        staged, ["_neg", "_tok"], ["_c"], tot_prefix="tot_"
+    )
+    from stepist_spark.operators.cumulative import global_row_number
+
+    ranked = global_row_number(cum, ["_neg", "_tok"], out_col="_r", tot_col="_V")
+    ks_df = counts.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(set(int(k) for k in ks))], "k bigint"
+    )
+    # clamp k to |V| BEFORE the probe join so it stays a broadcast HASH
+    # equi-join (a least(k, _V) condition on the join itself compiles
+    # to BroadcastNestedLoopJoin — harmless at |ks| rows but banned by
+    # the catalog plan-hygiene sweep); _V rides a 1-row aggregate frame
+    vtot = ranked.agg(F.max("_V").alias("_V"))
+    probes = ks_df.crossJoin(F.broadcast(vtot)).select(
+        "k", F.least(F.col("k"), F.col("_V")).alias("_r")
+    )
+    return (
+        F.broadcast(probes)
+        .join(ranked, "_r")
+        .select(
+            "k",
+            F.col("_r").alias("k_effective"),
+            F.col("cum__c").alias("covered"),
+            F.col("tot__c").alias("total"),
+            F.round(
+                F.col("cum__c").cast("double") / F.col("tot__c").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+def coverage_curve_sql(
+    counts_sql: str,
+    ks: "Sequence[int]" = (10, 100, 1000),
+    token_expr: str = "tok",
+    count_expr: str = "exact",
+) -> str:
+    """DuckDB mirror of :func:`coverage_curve`."""
+    ks_rows = ", ".join(f"({int(k)})" for k in sorted(set(int(k) for k in ks)))
+    return f"""
+WITH _cv_c AS (
+    SELECT ({token_expr}) AS tok, CAST(({count_expr}) AS BIGINT) AS c
+    FROM ({counts_sql})
+),
+_cv_r AS (
+    SELECT c,
+        CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r,
+        CAST(sum(c) OVER (ORDER BY c DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(sum(c) OVER () AS BIGINT) AS total,
+        CAST(count(*) OVER () AS BIGINT) AS v
+    FROM _cv_c
+),
+_cv_k AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES {ks_rows}) t(k))
+SELECT k, r AS k_effective, cum AS covered, total,
+       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+FROM _cv_k JOIN _cv_r ON r = least(k, v)
+"""
 
 
 def zipf_slope_sql(counts_sql: str, token_expr: str = "tok", count_expr: str = "n_occurrences") -> str:

@@ -1067,6 +1067,19 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("slope_scaled").alias("score_scaled"),
     )
+    # Heaps'-law vocabulary growth (round 8): β of V(N) over the SAME
+    # postings pass — first-doc type attribution + ordered_cumsum, the
+    # corpus-growth planning twin of 'vocabest'
+    hp = corpus_ops.heaps_fit(postings).select(
+        F.lit("heaps").alias("part"),
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(None).cast("bigint").alias("qid"),
+        F.col("r2_scaled").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.col("n_docs").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("slope_scaled").alias("score_scaled"),
+    )
     rq = ranking.ranking_quality(bm_raw, rel_col="n_terms_hit", k=5).select(
         F.lit("rankq").alias("part"),
         F.lit(None).cast("string").alias("tok"),
@@ -1087,6 +1100,7 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(vr)
         .unionByName(js)
         .unionByName(zp)
+        .unionByName(hp)
     )
 
 
@@ -1162,6 +1176,9 @@ def _t16_sql() -> str:
 
     vocabest = vocabulary_richness_sql("SELECT text FROM documents")
     js = js_shift_sql("documents", "text", "source", 5)
+    from stepist_spark.operators.corpus import heaps_fit_sql
+
+    heaps = heaps_fit_sql("documents", "doc_id", "text")
     zipf = zipf_slope_sql(
         f"""SELECT _tok AS tok, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM (SELECT unnest({TX.tokens_sql('text')}) AS _tok FROM documents)
@@ -1208,6 +1225,10 @@ UNION ALL
 SELECT 'zipf', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), r2_scaled,
        CAST(NULL AS BIGINT), n_vocab, CAST(NULL AS BIGINT), slope_scaled
 FROM ({zipf})
+UNION ALL
+SELECT 'heaps', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), r2_scaled,
+       CAST(NULL AS BIGINT), n_docs, CAST(NULL AS BIGINT), slope_scaled
+FROM ({heaps})
 """
 
 
@@ -1593,11 +1614,37 @@ def t19_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.col("approx_count").cast("bigint").alias("n1"),
         F.col("exact").cast("bigint").alias("n2"),
     )
-    return top.unionByName(cells).unionByName(est)
+    # vocabulary coverage curve (round 8, operators/corpus.py): token
+    # mass covered by the top-k types off the SAME exact vocab frame —
+    # the tokenizer/vocab sizing input; rank + cumulative ride the
+    # partition-offset machinery
+    from stepist_spark.operators.corpus import coverage_curve
+
+    cov = coverage_curve(vocab, ks=(10, 100, 1000)).select(
+        F.lit("cover").alias("part"),
+        F.concat_ws(
+            ":", F.col("k").cast("string"), F.col("k_effective").cast("string")
+        ).alias("item"),
+        F.col("covered").alias("n1"),
+        F.col("total").alias("n2"),
+    )
+    return top.unionByName(cells).unionByName(est).unionByName(cov)
+
+
+def _t19_cover_sql() -> str:
+    from stepist_spark.operators.corpus import coverage_curve_sql
+
+    return coverage_curve_sql(
+        f"SELECT tok, CAST(count(*) AS BIGINT) AS exact "
+        f"FROM (SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents) "
+        f"GROUP BY tok",
+        ks=(10, 100, 1000),
+    )
 
 
 def _t19_sql() -> str:
     toks = f"SELECT unnest({TX.tokens_sql('text')}) AS tok FROM documents"
+    cover = _t19_cover_sql()
 
     def pos_union(src: str) -> str:
         # one md5 per token, positions re-derived per depth from the
@@ -1641,6 +1688,10 @@ FROM cells
 UNION ALL
 SELECT 'est', v.tok, e.e, v.exact
 FROM vocab v JOIN est e ON e.tok = v.tok
+UNION ALL
+SELECT 'cover', CAST(k AS VARCHAR) || ':' || CAST(k_effective AS VARCHAR),
+       covered, total
+FROM ({cover})
 """
 
 

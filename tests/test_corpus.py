@@ -529,3 +529,108 @@ class TestZipfSlope:
             zipf_slope_sql(f"SELECT * FROM '{p}/*.parquet'")
         ).fetchall()
         assert got == want
+
+
+class TestHeapsFit:
+    def _postings(self, spark, docs):
+        from stepist_spark.operators.ranking import doc_postings
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        return doc_postings(df, "doc_id", "text")
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from stepist_spark.operators.corpus import heaps_fit
+
+        docs = [
+            (1, "a b c"),
+            (2, "a b d d"),
+            (3, "e"),
+            (4, "a e f g"),
+        ]
+        r = heaps_fit(self._postings(spark, docs)).collect()[0]
+        # cumulative (N, V) in doc order
+        seen, N, pts = set(), 0, []
+        for _, text in docs:
+            toks = text.split()
+            N += len(toks)
+            seen |= set(toks)
+            pts.append((N, len(seen)))
+        xs = [math.floor(math.log(n) * 1e6) for n, _ in pts]
+        ys = [math.floor(math.log(v) * 1e6) for _, v in pts]
+        k = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        covn = k * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+        varxn = k * sum(x * x for x in xs) - sx * sx
+        assert r["n_docs"] == k
+        assert r["slope_scaled"] == math.floor(covn / varxn * 1e6)
+
+    def test_sublinear_growth_beta_below_one(self, spark):
+        from stepist_spark.operators.corpus import heaps_fit
+
+        # heavy token reuse -> vocabulary saturates -> beta well under 1
+        docs = [(i, "common filler tokens every doc " + f"new{i % 7}") for i in range(1, 60)]
+        r = heaps_fit(self._postings(spark, docs)).collect()[0]
+        assert 0 < r["slope"] < 0.6
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.corpus import heaps_fit, heaps_fit_sql
+
+        docs = [
+            (i, " ".join(f"t{(i * j) % 23}" for j in range(1, 1 + i % 6)))
+            for i in range(1, 120)
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        p = str(tmp_path / "heaps.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in heaps_fit(self._postings(spark, docs)).collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            heaps_fit_sql(f"(SELECT * FROM '{p}/*.parquet')", "doc_id", "text")
+        ).fetchall()
+        assert got == want
+
+
+class TestCoverageCurve:
+    def test_known_masses(self, spark):
+        from stepist_spark.operators.corpus import coverage_curve
+
+        rows = [("a", 50), ("b", 30), ("c", 15), ("d", 5)]
+        df = spark.createDataFrame(rows, "tok string, exact bigint")
+        out = {r["k"]: r for r in coverage_curve(df, ks=(1, 2, 10)).collect()}
+        assert (out[1]["covered"], out[1]["total"]) == (50, 100)
+        assert out[2]["covered"] == 80
+        # k beyond the vocabulary clamps to full coverage
+        assert (out[10]["k_effective"], out[10]["covered"]) == (4, 100)
+        assert out[10]["coverage"] == 1.0
+
+    def test_tie_break_deterministic(self, spark):
+        from stepist_spark.operators.corpus import coverage_curve
+
+        # equal counts: rank order falls back to token asc
+        rows = [("z", 10), ("a", 10), ("m", 10)]
+        df = spark.createDataFrame(rows, "tok string, exact bigint")
+        out = {r["k"]: r for r in coverage_curve(df, ks=(1, 2)).collect()}
+        assert out[1]["covered"] == 10 and out[2]["covered"] == 20
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.corpus import coverage_curve, coverage_curve_sql
+
+        rows = [(f"w{i}", 1 + (i * 31) % 113) for i in range(500)]
+        df = spark.createDataFrame(rows, "tok string, exact bigint")
+        p = str(tmp_path / "cov.parquet")
+        df.write.parquet(p)
+        got = sorted(tuple(r) for r in coverage_curve(df, ks=(10, 100, 1000)).collect())
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                coverage_curve_sql(f"SELECT * FROM '{p}/*.parquet'", ks=(10, 100, 1000))
+            ).fetchall()
+        )
+        assert got == want

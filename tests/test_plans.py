@@ -240,6 +240,9 @@ class TestCatalogHygiene:
         "t23_model_gates",      # broadcast 1-row vocab-size cross join
         "t25_resample_shuffle", # broadcast 1-row group-min cross join
         "t16_vocabulary",       # BM25: broadcast 1-row corpus-stats cross join
+        "t19_frequent_tokens",  # coverage_curve: |ks| probes × broadcast 1-row
+                                # vocab-total cross join (the probe join itself
+                                # is a broadcast HASH equi-join)
         "q04_semi_anti_join",   # fk_report: broadcast 1-row count cross joins
         "q36_salted_agg",       # skew_report: broadcast 1-row grand-total cross
                                 # join onto the ≤top_n heavy-hitter rows (the
