@@ -311,105 +311,154 @@ GROUP BY user_id, sess
 # inside the streaming query would be pushed below the watermark
 # operator and silently delete the sentinels at the scan).
 def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.queries import record_part_wall
     from stepist_spark.session import load_table
     from stepist_spark.streaming.joins import interval_join
-    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import stream_shuffle_partitions
 
     ev = load_table(spark, sf, "events")
+
     # withWatermark demands TIMESTAMP (ltz) event time; the session tz
     # is UTC, so casting the ntz column preserves the wall clock.
-    # The user_id % 4 cohort bounds buffered state (the gate certifies
+    # The user_id % 4 cohorts bound buffered state (the gate certifies
     # the join machinery, not full-corpus throughput — r01 subsets the
-    # same way); both sides and the oracle share the predicate.
-    p_rows = ev.filter(
-        (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == 0)
-    ).select(
-        "event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"),
-        F.col("value").cast("double").alias("value"),
-    )
-    s_rows = ev.filter(
-        (F.col("event_type") == "signup") & (F.col("user_id") % 4 == 0)
-    ).select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
+    # same way); each part's two sides and the oracle share a cohort.
+    def sides(mod: int):
+        p = ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == mod)
+        ).select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        s = ev.filter(
+            (F.col("event_type") == "signup") & (F.col("user_id") % 4 == mod)
+        ).select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
+        return p, s
+
     d = fresh_scratch(spark, "s03_outer")
-    pdir, sdir = (os.path.join(d, x) for x in ("p", "s"))
-    os.makedirs(pdir), os.makedirs(sdir)
-    # stage the REAL rows first (one events scan per side)...
-    write_stream_file(p_rows, pdir, "real.parquet", _MTIME0)
-    write_stream_file(s_rows, sdir, "real.parquet", _MTIME0)
-    # ...then derive the sentinel timestamp from the STAGED files (the
+    parts = {"lo": ("leftOuter", 0), "fo": ("fullOuter", 1)}
+    dirs: dict[str, tuple[str, str]] = {}
+    maxes = []
+    p_schema = s_schema = None
+    for tag, (_how, mod) in parts.items():
+        p_rows, s_rows = sides(mod)
+        p_schema, s_schema = p_rows.schema, s_rows.schema
+        pdir, sdir = (os.path.join(d, f"{x}_{tag}") for x in ("p", "s"))
+        os.makedirs(pdir), os.makedirs(sdir)
+        # stage the REAL rows first (one events scan per side)...
+        write_stream_file(p_rows, pdir, "real.parquet", _MTIME0)
+        write_stream_file(s_rows, sdir, "real.parquet", _MTIME0)
+        dirs[tag] = (pdir, sdir)
+        maxes.append(spark.read.parquet(pdir).select(F.max("p_ts").alias("m")))
+        maxes.append(spark.read.parquet(sdir).select(F.max("s_ts").alias("m")))
+    # ...then derive ONE sentinel timestamp from the STAGED files (the
     # sentinel only needs to outrun the staged rows' max event time —
-    # reading the two single-file frames back replaces what used to be
-    # a third full events scan + driver agg) and stage the sentinels as
+    # reading the single-file frames back replaces what used to be a
+    # third full events scan + driver agg) and stage the sentinels as
     # second same-mtime files: availableNow with no maxFilesPerTrigger
     # reads the whole directory in batch 0, so file layout within the
     # batch is irrelevant.
-    staged_p = spark.read.parquet(pdir)
-    staged_s = spark.read.parquet(sdir)
+    m0 = maxes[0]
+    for m in maxes[1:]:
+        m0 = m0.unionByName(m)
     far = (
-        staged_p.select(F.max("p_ts").alias("m"))
-        .unionByName(staged_s.select(F.max("s_ts").alias("m")))
-        .agg((F.max("m") + F.expr("INTERVAL 30 DAYS")).alias("far"))
+        m0.agg((F.max("m") + F.expr("INTERVAL 30 DAYS")).alias("far"))
         .collect()[0]["far"]
     )
-    # the per-stream watermark is the MIN across streams, so BOTH
-    # sides carry the sentinel
-    write_stream_file(
-        spark.createDataFrame(
-            [(-1, -1, far, 0.0)],
-            "event_id bigint, user_id bigint, p_ts timestamp, value double",
-        ),
-        pdir, "sentinel.parquet", _MTIME0,
-    )
-    write_stream_file(
-        spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp"),
-        sdir, "sentinel.parquet", _MTIME0,
-    )
+    for tag in parts:
+        pdir, sdir = dirs[tag]
+        # the per-stream watermark is the MIN across streams, so BOTH
+        # sides carry the sentinel
+        write_stream_file(
+            spark.createDataFrame(
+                [(-1, -1, far, 0.0)],
+                "event_id bigint, user_id bigint, p_ts timestamp, value double",
+            ),
+            pdir, "sentinel.parquet", _MTIME0,
+        )
+        write_stream_file(
+            spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp"),
+            sdir, "sentinel.parquet", _MTIME0,
+        )
 
-    purchases = spark.readStream.schema(p_rows.schema).parquet(pdir)
-    signups = spark.readStream.schema(s_rows.schema).parquet(sdir)
-    joined = interval_join(
-        purchases,
-        signups,
-        on="user_id",
-        left_ts="p_ts",
-        right_ts="s_ts",
-        lower="6 hours",
-        upper="0 seconds",
-        watermark="6 hours",
-        how="leftOuter",
-    )
-    out = joined.select(
-        "event_id", "user_id", "p_ts", "s_ts", F.round("value", 2).alias("value")
-    )
-    sink = f"s03_sink_{next(_SINK_IDS)}"
+    # 'lo' — the round-5 LEFT OUTER certification: matched rows
+    # reproduce the inner result AND every unmatched purchase emits a
+    # null signup once the watermark proves no match can arrive.
+    # 'fo' (round 8) — FULL OUTER on a disjoint cohort: the state
+    # store must ALSO flush right-side signups that never matched any
+    # purchase — a different eviction/emission branch than left-outer.
+    # Both queries drain CONCURRENTLY (the s05 discipline).
     # 8 state partitions, measured: at 10× sf0.1 inputs, 8 and 16 tie
     # (~5.5s) and 32 is 1.5× WORSE — with 2-3 availableNow triggers the
     # per-partition state-store instances cost more than the extra
     # parallelism buys. A real cluster keyspace sizes this up via
     # stream_shuffle_partitions (state partitioning is fixed at first
     # trigger by the checkpoint).
+    sinks: dict[str, str] = {}
     with stream_shuffle_partitions(spark, 8):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drained(q, 300)
+        t0 = time.perf_counter()
+        queries = {}
+        for tag, (how, _mod) in parts.items():
+            pdir, sdir = dirs[tag]
+            purchases = spark.readStream.schema(p_schema).parquet(pdir)
+            signups = spark.readStream.schema(s_schema).parquet(sdir)
+            joined = interval_join(
+                purchases,
+                signups,
+                on="user_id",
+                left_ts="p_ts",
+                right_ts="s_ts",
+                lower="6 hours",
+                upper="0 seconds",
+                watermark="6 hours",
+                how=how,
+            )
+            out = joined.select(
+                "event_id", "user_id", "p_ts", "s_ts",
+                F.round("value", 2).alias("value"),
+            )
+            sink = f"s03_{tag}_{next(_SINK_IDS)}"
+            sinks[tag] = sink
+            queries[tag] = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        part_wall = _await_concurrent(queries, t0)
+    record_part_wall("s03_stream_interval_join", part_wall)
     # sentinel filter AFTER the sink: in-query it would push below the
     # watermark operator and delete the sentinels at the scan
-    return spark.table(sink).filter(F.col("user_id") >= 0)
+    out = None
+    for tag in parts:
+        t = (
+            spark.table(sinks[tag])
+            .filter(F.col("user_id") >= 0)
+            .select(F.lit(tag).alias("part"), "*")
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
 
 
 S03_SQL = """
-WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts, value
-           FROM events WHERE event_type = 'purchase' AND user_id % 4 = 0),
-     s AS (SELECT user_id, ts::TIMESTAMP AS s_ts
-           FROM events WHERE event_type = 'signup' AND user_id % 4 = 0)
-SELECT p.event_id, p.user_id, p.p_ts, s.s_ts, round(p.value, 2) AS value
-FROM p LEFT JOIN s ON s.user_id = p.user_id
-   AND s.s_ts >= p.p_ts - INTERVAL 6 HOUR AND s.s_ts <= p.p_ts
+WITH p0 AS (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts, value
+            FROM events WHERE event_type = 'purchase' AND user_id % 4 = 0),
+     s0 AS (SELECT user_id, ts::TIMESTAMP AS s_ts
+            FROM events WHERE event_type = 'signup' AND user_id % 4 = 0),
+     p1 AS (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts, value
+            FROM events WHERE event_type = 'purchase' AND user_id % 4 = 1),
+     s1 AS (SELECT user_id, ts::TIMESTAMP AS s_ts
+            FROM events WHERE event_type = 'signup' AND user_id % 4 = 1)
+SELECT 'lo' AS part, p0.event_id, p0.user_id, p0.p_ts, s0.s_ts,
+       round(p0.value, 2) AS value
+FROM p0 LEFT JOIN s0 ON s0.user_id = p0.user_id
+   AND s0.s_ts >= p0.p_ts - INTERVAL 6 HOUR AND s0.s_ts <= p0.p_ts
+UNION ALL
+SELECT 'fo', p1.event_id, coalesce(p1.user_id, s1.user_id), p1.p_ts, s1.s_ts,
+       round(p1.value, 2)
+FROM p1 FULL JOIN s1 ON s1.user_id = p1.user_id
+   AND s1.s_ts >= p1.p_ts - INTERVAL 6 HOUR AND s1.s_ts <= p1.p_ts
 """
 
 

@@ -47,4 +47,12 @@ def interval_join(
         & (r[right_ts] >= F.expr(f"{left_ts} - interval {lower}"))
         & (r[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
     )
-    return l.join(r, cond, how).drop(r[on])
+    # right/full outer emit right-only rows whose LEFT key is NULL —
+    # surface the key as coalesce(l, r) so the join key is always
+    # populated (for inner/left the coalesce is the left key verbatim)
+    keep = (
+        [F.coalesce(l[on], r[on]).alias(on)]
+        + [l[c] for c in left.columns if c != on]
+        + [r[c] for c in right.columns if c != on]
+    )
+    return l.join(r, cond, how).select(*keep)
