@@ -318,21 +318,37 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
 
+    # ONE events scan feeds all four staged frames (2 parts × 2
+    # sides): the filtered union is cached, so the per-side writes
+    # below read memory, not parquet — staging measured 5.1s → ~2.5s
+    # at 10× sf0.1 with four separate scans vs one cached one.
+    ev_f = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "signup")
+            & ((F.col("user_id") % 4).isin(0, 1))
+        )
+        .select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ets"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
     # withWatermark demands TIMESTAMP (ltz) event time; the session tz
     # is UTC, so casting the ntz column preserves the wall clock.
     # The user_id % 4 cohorts bound buffered state (the gate certifies
     # the join machinery, not full-corpus throughput — r01 subsets the
     # same way); each part's two sides and the oracle share a cohort.
     def sides(mod: int):
-        p = ev.filter(
+        p = ev_f.filter(
             (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == mod)
         ).select(
-            "event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"),
-            F.col("value").cast("double").alias("value"),
+            "event_id", "user_id", F.col("ets").alias("p_ts"), "value",
         )
-        s = ev.filter(
+        s = ev_f.filter(
             (F.col("event_type") == "signup") & (F.col("user_id") % 4 == mod)
-        ).select("user_id", F.col("ts").cast("timestamp").alias("s_ts"))
+        ).select("user_id", F.col("ets").alias("s_ts"))
         return p, s
 
     d = fresh_scratch(spark, "s03_outer")
@@ -365,21 +381,32 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         m0.agg((F.max("m") + F.expr("INTERVAL 30 DAYS")).alias("far"))
         .collect()[0]["far"]
     )
-    for tag in parts:
-        pdir, sdir = dirs[tag]
-        # the per-stream watermark is the MIN across streams, so BOTH
-        # sides carry the sentinel
-        write_stream_file(
-            spark.createDataFrame(
-                [(-1, -1, far, 0.0)],
-                "event_id bigint, user_id bigint, p_ts timestamp, value double",
-            ),
-            pdir, "sentinel.parquet", _MTIME0,
-        )
-        write_stream_file(
-            spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp"),
-            sdir, "sentinel.parquet", _MTIME0,
-        )
+    # the per-stream watermark is the MIN across streams, so BOTH
+    # sides of BOTH parts carry the sentinel. Each sentinel file is
+    # WRITTEN once (one tiny Spark job per side) and file-copied into
+    # the other part's directory — stage_part is pure filesystem, so
+    # the 4 staged sentinels cost 2 jobs, not 4.
+    first, rest = list(parts)[0], list(parts)[1:]
+    write_stream_file(
+        spark.createDataFrame(
+            [(-1, -1, far, 0.0)],
+            "event_id bigint, user_id bigint, p_ts timestamp, value double",
+        ),
+        dirs[first][0], "sentinel.parquet", _MTIME0,
+    )
+    write_stream_file(
+        spark.createDataFrame([(-1, far)], "user_id bigint, s_ts timestamp"),
+        dirs[first][1], "sentinel.parquet", _MTIME0,
+    )
+    for tag in rest:
+        for side in (0, 1):
+            # COPY (stage_part moves — it would steal the first
+            # part's sentinel) then restamp the mtime
+            dest = os.path.join(dirs[tag][side], "sentinel.parquet")
+            shutil.copyfile(
+                os.path.join(dirs[first][side], "sentinel.parquet"), dest
+            )
+            os.utime(dest, (_MTIME0, _MTIME0))
 
     # 'lo' — the round-5 LEFT OUTER certification: matched rows
     # reproduce the inner result AND every unmatched purchase emits a
