@@ -671,3 +671,147 @@ SELECT {g}, CAST(sum(_c) AS BIGINT) AS n_events,
        round(CAST(sum(_c * _wt) AS DOUBLE) / {float(scale)}, 6) AS score
 FROM _w GROUP BY {g}
 """
+
+
+def ccf(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Cross-correlation function between two aligned series: Pearson r
+    between ``x_t`` and ``y_{t-k}`` for k = −max_lag..max_lag — the
+    lead-lag diagnostic (Box & Jenkins 1970, public): a peak at
+    POSITIVE k says y moves k steps BEFORE x (y leads); negative k
+    says x leads. Lag 0 is the plain contemporaneous correlation.
+
+    Same contract and shape as :func:`acf` (which is the x==y
+    diagonal): one row per (group, step) with INTEGER values — the
+    caller pre-aggregates raw facts to the series grain, so the
+    scale-bearing shuffle is upstream; ONE window pass materializes
+    all 2K+1 shifted columns, a stack unpivot and one hash aggregate
+    produce exact decimal(38,0)/HUGEINT sufficient statistics per
+    (group, lag), and the corr is the corr_matrix fixed IEEE formula,
+    6-dp. Pairs where the shifted value is NULL (series edges) are
+    excluded, matching acf.
+
+    Output: ``*group_cols, lag, n_pairs, corr``.
+    """
+    gcols = require_groups(group_cols, "ccf", "tag a constant series key first")
+    w = Window.partitionBy(*gcols).orderBy(F.col(order_col).asc())
+    x = F.col(x_col).cast("decimal(19,0)")
+    y = F.col(y_col).cast("decimal(19,0)")
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def _alias(k: int) -> str:
+        return f"_y{'m' if k < 0 else ''}{abs(k)}"
+
+    # negative k spelled as lead(): negative lag offsets are not
+    # portable (DuckDB binds lag/lead offsets as non-negative)
+    lagged = df.select(
+        *gcols,
+        x.alias("_x"),
+        *[
+            (F.lag(y, k) if k >= 0 else F.lead(y, -k)).over(w).alias(_alias(k))
+            for k in lags
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, _y)".format(
+        n=len(lags),
+        args=", ".join(f"{k}, {_alias(k)}" for k in lags),
+    )
+    pairs = lagged.selectExpr(*gcols, "_x", stack_expr).filter(
+        F.col("_y").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    agg = pairs.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_x").cast(dec).alias("_sx"),
+        F.sum("_y").cast(dec).alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).cast(dec).alias("_qx"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y").cast(dec)).cast(dec).alias("_qy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).cast(dec).alias("_xy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    qx = F.col("_qx").cast("double")
+    qy = F.col("_qy").cast("double")
+    xy = F.col("_xy").cast("double")
+    cov_n = nd * xy - sx * sy
+    vx_n = nd * qx - sx * sx
+    vy_n = nd * qy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx_n > 0) & (vy_n > 0),
+        F.round(cov_n / F.sqrt(vx_n * vy_n), 6),
+    )
+    return agg.select(
+        *gcols, F.col("lag").cast("bigint").alias("lag"), "n_pairs", corr.alias("corr")
+    )
+
+
+def ccf_sql(
+    series_sql: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`ccf` — identical HUGEINT sufficient
+    statistics and IEEE corr formula per (group, lag)."""
+    gcols = list(group_cols)
+    gsel = "".join(f"{g}, " for g in gcols)
+    part = ("PARTITION BY " + ", ".join(gcols)) if gcols else ""
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def _alias(k: int) -> str:
+        return f"_y{'m' if k < 0 else ''}{abs(k)}"
+
+    lag_cols = ", ".join(
+        (
+            f"lag(CAST({y_col} AS BIGINT), {k}) OVER ({part} ORDER BY {order_col})"
+            if k >= 0
+            else f"lead(CAST({y_col} AS BIGINT), {-k}) OVER ({part} ORDER BY {order_col})"
+        )
+        + f" AS {_alias(k)}"
+        for k in lags
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {gsel}{k} AS lag, _x, {_alias(k)} AS _y FROM _cl" for k in lags
+    )
+    gby = ", ".join(gcols + ["lag"])
+    return f"""
+WITH _cl AS (
+    SELECT {gsel}{order_col}, CAST({x_col} AS BIGINT) AS _x, {lag_cols}
+    FROM ({series_sql})
+),
+_cp AS (
+    SELECT * FROM ({unions}) _u WHERE _y IS NOT NULL
+),
+_ca AS (
+    SELECT {gsel}lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           sum(CAST(_x AS HUGEINT)) AS sx, sum(CAST(_y AS HUGEINT)) AS sy,
+           sum(CAST(_x AS HUGEINT) * _x) AS qx,
+           sum(CAST(_y AS HUGEINT) * _y) AS qy,
+           sum(CAST(_x AS HUGEINT) * _y) AS xy
+    FROM _cp GROUP BY {gby}
+)
+SELECT {gsel}CAST(lag AS BIGINT) AS lag, n_pairs,
+       CASE WHEN n_pairs >= 2
+             AND CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round(
+              (CAST(n_pairs AS DOUBLE) * CAST(xy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS corr
+FROM _ca
+"""

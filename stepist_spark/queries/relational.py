@@ -2108,6 +2108,39 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("corr").alias("d1"),
     )
+    # cross-correlation function rides the same day grain (round 8,
+    # operators/timeseries.py): lead-lag Pearson between daily
+    # purchase cents and daily click counts at k = -3..3 — acf's
+    # two-series generalization, one window pass over the |days| frame
+    from stepist_spark.operators.timeseries import ccf
+
+    two = (
+        load_table(spark, sf, "events")
+        .select(
+            F.to_date("ts").alias("d"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("px"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cy"),
+        )
+        .withColumn("g", F.lit("all"))
+    )
+    cc = ccf(two, ["g"], "d", "px", "cy", max_lag=3).select(
+        F.lit("ccf").alias("part"),
+        F.concat_ws(":", F.col("g"), F.col("lag").cast("string")).alias("k1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n_pairs").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("corr").alias("d1"),
+    )
     return (
         rj.unionByName(rb)
         .unionByName(aj)
@@ -2117,6 +2150,7 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(oh)
         .unionByName(cu)
         .unionByName(ac)
+        .unionByName(cc)
     )
 
 
@@ -2222,6 +2256,26 @@ def _q18_acf_sql() -> str:
 
 _Q18_ACF_SQL = _q18_acf_sql()
 
+
+def _q18_ccf_sql() -> str:
+    from stepist_spark.operators.timeseries import ccf_sql
+
+    return ccf_sql(
+        "SELECT 'all' AS g, CAST(ts AS DATE) AS d, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' "
+        "THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS px, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cy "
+        "FROM events GROUP BY CAST(ts AS DATE)",
+        ["g"],
+        "d",
+        "px",
+        "cy",
+        max_lag=3,
+    )
+
+
+_Q18_CCF_SQL = _q18_ccf_sql()
+
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
        CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
@@ -2281,6 +2335,11 @@ SELECT 'acf', event_type || ':' || CAST(lag AS VARCHAR),
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        n_pairs, CAST(NULL AS BIGINT), corr
 FROM ({_Q18_ACF_SQL})
+UNION ALL
+SELECT 'ccf', g || ':' || CAST(lag AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       n_pairs, CAST(NULL AS BIGINT), corr
+FROM ({_Q18_CCF_SQL})
 """
 
 

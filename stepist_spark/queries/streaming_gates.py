@@ -712,7 +712,13 @@ def _await_concurrent(queries, t0: float, timeout: float = 300.0) -> dict[str, f
     while pending:
         for name, q in list(pending.items()):
             if not q.isActive:
-                q.awaitTermination(5)
+                try:
+                    q.awaitTermination(5)  # surfaces the query's exception
+                except Exception:
+                    for other in pending.values():  # don't leak the rest
+                        if other is not q:
+                            other.stop()
+                    raise
                 done[name] = time.perf_counter() - t0
                 del pending[name]
         if pending:

@@ -366,3 +366,82 @@ class TestDecayedCounts:
             ).fetchall()
         )
         assert got == want
+
+
+class TestCcf:
+    def _df(self, spark, xs, ys):
+        rows = [("a", i, x, y) for i, (x, y) in enumerate(zip(xs, ys))]
+        return spark.createDataFrame(rows, "g string, t bigint, x bigint, y bigint")
+
+    def test_lag_zero_is_pearson(self, spark):
+        import math
+
+        from stepist_spark.operators.timeseries import ccf
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8]
+        out = {r["lag"]: r for r in ccf(self._df(spark, xs, ys), ["g"], "t", "x", "y").collect()}
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        cov = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+        vx = n * sum(a * a for a in xs) - sx * sx
+        vy = n * sum(b * b for b in ys) - sy * sy
+        assert abs(out[0]["corr"] - round(cov / math.sqrt(vx * vy), 6)) < 1e-9
+        assert out[0]["n_pairs"] == n
+
+    def test_shift_detection(self, spark):
+        from stepist_spark.operators.timeseries import ccf
+
+        # y_t = x_{t+2}: y anticipates x by two steps (y LEADS).
+        # corr(x_t, y_{t-k}) with y_{t-k} = x_{t-k+2} is exactly 1.0
+        # at k = +2 — the sign convention the docstring promises.
+        base = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+        ys = base[2:] + [0, 0]
+        out = {r["lag"]: r["corr"] for r in
+               ccf(self._df(spark, base, ys), ["g"], "t", "x", "y", max_lag=3).collect()}
+        peak = max((v, k) for k, v in out.items() if v is not None)
+        assert peak[1] == 2 and abs(peak[0] - 1.0) < 1e-6
+
+    def test_acf_diagonal(self, spark):
+        # ccf(x, x) at positive lags equals acf(x)
+        from stepist_spark.operators.timeseries import acf, ccf
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+        df = self._df(spark, xs, xs)
+        got = {r["lag"]: (r["n_pairs"], r["corr"]) for r in
+               ccf(df, ["g"], "t", "x", "y", max_lag=3).collect() if r["lag"] > 0}
+        want = {r["lag"]: (r["n_pairs"], r["corr"]) for r in
+                acf(df.select("g", "t", F.col("x").alias("v")), ["g"], "t", "v",
+                    max_lag=3).collect()}
+        assert got == want
+
+    def test_requires_groups(self, spark):
+        import pytest
+
+        from stepist_spark.operators.timeseries import ccf
+
+        with pytest.raises(ValueError):
+            ccf(self._df(spark, [1, 2], [3, 4]), [], "t", "x", "y")
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.timeseries import ccf, ccf_sql
+
+        rows = [
+            (f"g{i % 2}", i // 2, (i * 7) % 23, (i * 5) % 17) for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "g string, t bigint, x bigint, y bigint")
+        p = str(tmp_path / "ccf.parquet")
+        df.write.parquet(p)
+        got = sorted(
+            tuple(r) for r in ccf(df, ["g"], "t", "x", "y", max_lag=3).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                ccf_sql(f"SELECT * FROM '{p}/*.parquet'", ["g"], "t", "x", "y", 3)
+            ).fetchall()
+        )
+        assert got == want
