@@ -152,7 +152,12 @@ FROM lineitem WHERE l_quantity > 30 GROUP BY l_returnflag
 # one Arrow pass (round-2 VERDICT: the two-pass + join version shipped
 # every payload to Python twice).
 def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators.multimodal import profile_media
+    from stepist_spark.operators.multimodal import (
+        bmp_feature_decoder,
+        extract_features,
+        profile_media,
+        synthetic_bmp_media,
+    )
 
     docs = load_table(spark, sf, "documents")
     media = docs.select(
@@ -161,16 +166,64 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("image/png").alias("mime"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return profile_media(media, width=16, height=8).select(
-        "media_id", "kind", "n_bytes", "width", "height", "n_bytes_out"
+    prof = profile_media(media, width=16, height=8).select(
+        F.lit("profile").alias("part"),
+        "media_id", "kind", "n_bytes", "width", "height", "n_bytes_out",
+        F.lit(None).cast("string").alias("s1"),
     )
+    # 'bmp' (round 8) — the REAL-decode certification: distributed
+    # generation of genuine uncompressed 24-bit BMP payloads from a
+    # closed-form pixel formula, decoded back through the DECODER seam
+    # by the in-repo struct+numpy codec (bottom-up rows, BGR, 4-byte
+    # padding — w=13 keeps the padding non-trivial). The oracle
+    # recomputes every decoded statistic straight from the formula —
+    # no decoder on the oracle side — and the position-weighted wsum_r
+    # certifies GEOMETRY (channel sums alone are layout-invariant).
+    ids = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = extract_features(
+        synthetic_bmp_media(ids, width=13, height=7), decoder=bmp_feature_decoder
+    )
+    bmp = feats.select(
+        F.lit("bmp").alias("part"),
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.element_at("feature", 3).cast("bigint").cast("string"),
+            F.element_at("feature", 4).cast("bigint").cast("string"),
+            F.element_at("feature", 5).cast("bigint").cast("string"),
+            F.element_at("feature", 6).cast("bigint").cast("string"),
+        ).alias("s1"),
+    )
+    return prof.unionByName(bmp)
 
 
 M01_SQL = """
-SELECT doc_id AS media_id, 'image' AS kind,
+SELECT 'profile' AS part, doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       16 AS width, 8 AS height, CAST(128 AS BIGINT) AS n_bytes_out
+       16 AS width, 8 AS height, CAST(128 AS BIGINT) AS n_bytes_out,
+       CAST(NULL AS VARCHAR) AS s1
 FROM documents
+UNION ALL
+SELECT 'bmp', doc_id, 'image',
+       CAST(54 + ((13 * 3 + 3) // 4) * 4 * 7 AS BIGINT),
+       13, 7, CAST(NULL AS BIGINT),
+       CAST(sum((doc_id * 7 + 3 * x + 5 * y) % 256) AS BIGINT) || ':'
+           || CAST(sum((doc_id * 11 + x + 2 * y) % 256) AS BIGINT) || ':'
+           || CAST(sum((doc_id * 13 + 5 * x + y) % 256) AS BIGINT) || ':'
+           || CAST(sum((y * 13 + x + 1) * ((doc_id * 7 + 3 * x + 5 * y) % 256))
+                   AS BIGINT)
+FROM documents,
+     (SELECT unnest(generate_series(0, 12)) AS x),
+     (SELECT unnest(generate_series(0, 6)) AS y)
+WHERE doc_id % 10 = 0
+GROUP BY doc_id
 """
 
 

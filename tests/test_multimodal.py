@@ -398,3 +398,104 @@ class TestRealCodecDecode:
         back = Image.open(io.BytesIO(row.payload_out))
         assert back.size == (4, 2)
         assert row.decode_error is None
+
+
+class TestBmpCodec:
+    def _rgb(self, w=13, h=7, seed=40):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [
+                (seed * 7 + 3 * x + 5 * y) % 256,
+                (seed * 11 + x + 2 * y) % 256,
+                (seed * 13 + 5 * x + y) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+
+    def test_roundtrip_odd_width_padding(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+        rgb = self._rgb(w=13, h=7)  # stride 40 != 39: padding is real
+        bmp = encode_bmp24(rgb)
+        assert len(bmp) == 54 + 40 * 7
+        assert np.array_equal(decode_bmp24(bmp), rgb)
+
+    def test_roundtrip_aligned_width(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+        rgb = self._rgb(w=16, h=4)  # stride == w*3: no padding branch
+        assert np.array_equal(decode_bmp24(encode_bmp24(rgb)), rgb)
+
+    def test_geometry_checksum_detects_row_flip(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            bmp_feature_decoder,
+            encode_bmp24,
+        )
+
+        rgb = self._rgb()
+        f_ok = bmp_feature_decoder(encode_bmp24(rgb))
+        f_flip = bmp_feature_decoder(encode_bmp24(rgb[::-1]))
+        assert f_ok[2:5] == f_flip[2:5]  # channel sums are layout-blind
+        assert f_ok[5] != f_flip[5]      # the weighted sum is not
+
+    def test_corrupt_payloads_raise(self):
+        import pytest
+
+        from stepist_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+        bmp = encode_bmp24(self._rgb())
+        for bad in (None, b"", b"PNG" + bmp[3:], bmp[:60]):
+            with pytest.raises(ValueError):
+                decode_bmp24(bad)
+
+    def test_quarantine_through_extract_features(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.multimodal import (
+            bmp_feature_decoder,
+            extract_features,
+            synthetic_bmp_media,
+        )
+
+        ids = spark.range(4).select(F.col("id").alias("media_id"))
+        media = synthetic_bmp_media(ids, width=13, height=7)
+        # corrupt one payload: real decode must quarantine THAT row only
+        poisoned = media.withColumn(
+            "payload",
+            F.when(F.col("media_id") == 2, F.encode(F.lit("junk"), "utf-8"))
+            .otherwise(F.col("payload")),
+        )
+        rows = {
+            r["media_id"]: r
+            for r in extract_features(poisoned, decoder=bmp_feature_decoder).collect()
+        }
+        assert rows[2]["feature"] is None and "ValueError" in rows[2]["decode_error"]
+        for mid in (0, 1, 3):
+            assert rows[mid]["decode_error"] is None
+            assert rows[mid]["feature"][0] == 13.0 and rows[mid]["feature"][1] == 7.0
+
+    def test_pil_cross_codec_parity(self):
+        import importlib.util
+
+        import pytest
+
+        if importlib.util.find_spec("PIL") is None:
+            pytest.skip("PIL not installed — BMP cross-codec check skipped")
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from stepist_spark.operators.multimodal import encode_bmp24
+
+        rgb = self._rgb()
+        im = np.array(Image.open(io.BytesIO(encode_bmp24(rgb))).convert("RGB"))
+        assert np.array_equal(im, rgb)
