@@ -104,7 +104,8 @@ def main() -> None:
             "SPARK_GRAFT_BENCH_PARTS",
             "q25_percentile_histogram,t08_jaccard_pairs,"
             "q22_event_windows,q02_join_agg_topk,q13_scalar_string_suite,"
-            "t16_vocabulary,t23_model_gates,s05_stream_dedup",
+            "t16_vocabulary,t23_model_gates,s05_stream_dedup,"
+            "s03_stream_interval_join",
         ).split(",")
         if g
     ]

@@ -983,7 +983,13 @@ def weight_of_evidence(
     lab = (
         F.col(label_col) if isinstance(label_col, str) else label_col
     ).cast("boolean")
-    cells = df.groupBy(F.col(category_col).alias("category")).agg(
+    # NULL labels are EXCLUDED, not silently counted as "bad": a
+    # when(lab, 1).otherwise(0) pair routes NULL into the else branch,
+    # which would quietly fold unlabeled rows into b and bias every
+    # WoE/IV downstream (the temporal_split 'unknown' discipline).
+    cells = df.filter(lab.isNotNull()).groupBy(
+        F.col(category_col).alias("category")
+    ).agg(
         F.sum(F.when(lab, 1).otherwise(0)).cast("bigint").alias("g"),
         F.sum(F.when(lab, 0).otherwise(1)).cast("bigint").alias("b"),
     )
@@ -1034,7 +1040,7 @@ WITH _cells AS (
     SELECT ({category_expr}) AS category,
            CAST(sum(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END) AS BIGINT) AS g,
            CAST(sum(CASE WHEN ({label_expr}) THEN 0 ELSE 1 END) AS BIGINT) AS b
-    FROM ({table_sql}) GROUP BY 1
+    FROM ({table_sql}) WHERE ({label_expr}) IS NOT NULL GROUP BY 1
 ),
 _tot AS (
     SELECT *,

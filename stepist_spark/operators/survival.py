@@ -61,9 +61,19 @@ def kaplan_meier(
     """
     gcols = list(group_cols)
     ev = F.col(event_col).cast("bigint")
-    vc = df.groupBy(*gcols, F.col(duration_col).cast("bigint").alias("t")).agg(
-        F.sum(ev).alias("d"),
-        F.sum(F.lit(1) - ev).alias("c"),
+    # NULL durations/events are EXCLUDED explicitly: a NULL-keyed
+    # value-counts row would otherwise ride the cumulative windows
+    # under the engines' OPPOSITE default NULL orderings (Spark ASC =
+    # NULLS FIRST, DuckDB ASC = NULLS LAST) and silently skew n_risk
+    # on one side only. Unknown observation times carry no survival
+    # information; route them to a data-quality report upstream.
+    vc = (
+        df.filter(F.col(duration_col).isNotNull() & F.col(event_col).isNotNull())
+        .groupBy(*gcols, F.col(duration_col).cast("bigint").alias("t"))
+        .agg(
+            F.sum(ev).alias("d"),
+            F.sum(F.lit(1) - ev).alias("c"),
+        )
     )
     w_prev = grouped_frame(gcols, "t").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = grouped_frame(gcols, "t").rowsBetween(Window.unboundedPreceding, 0)
@@ -123,6 +133,7 @@ WITH _rows AS (
     SELECT CAST(({duration_expr}) AS BIGINT) AS t, {sel_g}
            CAST(({event_expr}) AS BIGINT) AS _e
     FROM ({table_sql})
+    WHERE ({duration_expr}) IS NOT NULL AND ({event_expr}) IS NOT NULL
 ),
 _vc AS (
     SELECT t, {gsel} CAST(sum(_e) AS BIGINT) AS d,

@@ -412,3 +412,15 @@ class TestWeightOfEvidence:
             ).fetchall()
         )
         assert got == want
+
+    def test_null_labels_excluded(self, spark):
+        from stepist_spark.operators.regression import weight_of_evidence
+
+        rows = [("x", True)] * 3 + [("x", False)] * 2 + [("x", None)] * 4 + [
+            ("y", True)
+        ] * 1 + [("y", False)] * 3
+        df = spark.createDataFrame(rows, "c string, lab boolean")
+        out = {r["category"]: r for r in weight_of_evidence(df, "c", "lab").collect()}
+        # NULL labels vanish rather than counting as "bad"
+        assert (out["x"]["g"], out["x"]["b"]) == (3, 2)
+        assert (out["y"]["g"], out["y"]["b"]) == (1, 3)

@@ -93,3 +93,14 @@ class TestKaplanMeier:
             ).fetchall()
         )
         assert got == want
+
+    def test_null_durations_excluded(self, spark):
+        # NULL observation times must not skew n_risk (Spark and DuckDB
+        # order NULLs on OPPOSITE ends of an ASC sort — a NULL-keyed
+        # value-counts row would diverge silently)
+        df = spark.createDataFrame(
+            [(1, 1), (None, 1), (2, None), (3, 0)], "dur bigint, ev bigint"
+        )
+        rows = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+        assert set(rows) == {1, 3}
+        assert rows[1]["n_risk"] == 2  # only the two fully-observed rows
