@@ -460,3 +460,131 @@ def synthetic_bmp_media(ids: DataFrame, width: int, height: int) -> DataFrame:
     return ids.mapInPandas(
         op, schema="media_id long, kind string, mime string, payload binary"
     )
+
+
+# The audio twin of the BMP codec: uncompressed 16-bit mono PCM WAV
+# (RIFF). Equally library-free — struct + numpy — with the real
+# container quirks (chunk walking: real-world WAVs carry LIST/fact
+# chunks between fmt and data). Gives the AUDIO decode seam its own
+# by-value certification (m01 'wav' part).
+
+def encode_wav16(samples, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 sample array as a canonical 44-byte-header
+    PCM WAV (mono, 16-bit, little-endian)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", n) + pcm
+    )
+
+
+def decode_wav16(payload: bytes):
+    """Decode a PCM 16-bit mono WAV into ``(sample_rate, int16
+    array)``. WALKS chunks (LIST/fact/etc. between fmt and data are
+    legal and common), STRICT about the format itself: raises
+    ValueError on anything that is not uncompressed 16-bit mono PCM —
+    through the quarantine boundary, like the BMP decoder."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        raise ValueError("not a WAV: too short")
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos, fmt_seen, rate = 12, False, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            if clen < 16 or body + 16 > len(payload):
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("WAV data chunk before fmt")
+            if body + clen > len(payload):
+                raise ValueError("truncated WAV data")
+            return rate, np.frombuffer(payload, dtype="<i2", count=clen // 2, offset=body)
+        # chunks are word-aligned: odd-length bodies carry a pad byte
+        pos = body + clen + (clen & 1)
+    raise ValueError("WAV: no data chunk")
+
+
+def wav_feature_decoder(payload: bytes) -> list[float]:
+    """DECODER-seam-compatible REAL audio decode: ``[sample_rate, n,
+    sum, abs_sum, wsum]`` exact integers as doubles; ``wsum`` weights
+    each sample by its 1-based position — sample ORDER certification,
+    the audio twin of the BMP geometry checksum."""
+    import numpy as np
+
+    rate, s = decode_wav16(payload)
+    s64 = s.astype(np.int64)
+    idx = np.arange(1, len(s64) + 1, dtype=np.int64)
+    return [
+        float(rate), float(len(s64)),
+        float(int(s64.sum())), float(int(np.abs(s64).sum())),
+        float(int((s64 * idx).sum())),
+    ]
+
+
+def synthetic_wav_media(
+    ids: DataFrame, n_samples: int, sample_rate: int
+) -> DataFrame:
+    """Distributed generator of REAL WAV payloads: sample i of media
+    ``id`` is ``((id·31 + i·7) % 65536) − 32768`` — closed-form, so an
+    oracle recomputes every decoded statistic with no decoder. The
+    emitted container exercises the chunk WALK: a 6-byte junk LIST
+    chunk sits between fmt and data (legal, and exactly what ffmpeg
+    and friends emit in the wild)."""
+    import struct
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            i = np.arange(n_samples, dtype=np.int64)
+            payloads = []
+            for mid in pdf["media_id"].astype("int64"):
+                s = ((mid * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                wav = encode_wav16(s, sample_rate)
+                # splice a junk LIST chunk between fmt and data: the
+                # canonical header is 12 (RIFF) + 24 (fmt) bytes
+                junk = struct.pack("<4sI", b"LIST", 6) + b"INFO\x00\x00"
+                wav = wav[:36] + junk + wav[36:]
+                # patch the RIFF size for the inserted chunk
+                wav = (
+                    wav[:4]
+                    + struct.pack("<I", len(wav) - 8)
+                    + wav[8:]
+                )
+                payloads.append(wav)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        op, schema="media_id long, kind string, mime string, payload binary"
+    )

@@ -201,7 +201,40 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at("feature", 6).cast("bigint").cast("string"),
         ).alias("s1"),
     )
-    return prof.unionByName(bmp)
+    # 'wav' (round 8) — the audio twin: REAL 16-bit PCM WAV payloads
+    # (with a spliced LIST chunk so the decode exercises chunk
+    # WALKING, not just the canonical 44-byte layout) decoded by the
+    # in-repo struct+numpy codec; oracle recomputes sample sums +
+    # the position-weighted order checksum from the closed form.
+    from stepist_spark.operators.multimodal import (
+        synthetic_wav_media,
+        wav_feature_decoder,
+    )
+
+    wav_ids = docs.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("media_id")
+    )
+    wfeats = extract_features(
+        synthetic_wav_media(wav_ids, n_samples=240, sample_rate=8000),
+        decoder=wav_feature_decoder,
+    )
+    wav = wfeats.select(
+        F.lit("wav").alias("part"),
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.element_at("feature", 2).cast("long").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.element_at("feature", 1).cast("bigint").cast("string"),
+            F.element_at("feature", 3).cast("bigint").cast("string"),
+            F.element_at("feature", 4).cast("bigint").cast("string"),
+            F.element_at("feature", 5).cast("bigint").cast("string"),
+        ).alias("s1"),
+    )
+    return prof.unionByName(bmp).unionByName(wav)
 
 
 M01_SQL = """
@@ -223,6 +256,17 @@ FROM documents,
      (SELECT unnest(generate_series(0, 12)) AS x),
      (SELECT unnest(generate_series(0, 6)) AS y)
 WHERE doc_id % 10 = 0
+GROUP BY doc_id
+UNION ALL
+SELECT 'wav', doc_id, 'audio',
+       CAST(44 + 14 + 2 * 240 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(240 AS BIGINT),
+       '8000:'
+           || CAST(sum((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) || ':'
+           || CAST(sum(abs((doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT) || ':'
+           || CAST(sum((i + 1) * ((doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT)
+FROM documents, (SELECT unnest(generate_series(0, 239)) AS i)
+WHERE doc_id % 10 = 5
 GROUP BY doc_id
 """
 

@@ -499,3 +499,104 @@ class TestBmpCodec:
         rgb = self._rgb()
         im = np.array(Image.open(io.BytesIO(encode_bmp24(rgb))).convert("RGB"))
         assert np.array_equal(im, rgb)
+
+
+class TestWavCodec:
+    def _samples(self, n=240, seed=45):
+        import numpy as np
+
+        i = np.arange(n, dtype=np.int64)
+        return ((seed * 31 + i * 7) % 65536 - 32768).astype("<i2")
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_wav16, encode_wav16
+
+        s = self._samples()
+        rate, back = decode_wav16(encode_wav16(s, 8000))
+        assert rate == 8000 and np.array_equal(back, s)
+
+    def test_chunk_walk_skips_junk(self):
+        import struct
+
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_wav16, encode_wav16
+
+        s = self._samples()
+        wav = encode_wav16(s, 16000)
+        junk = struct.pack("<4sI", b"LIST", 6) + b"INFO\x00\x00"
+        wav = wav[:36] + junk + wav[36:]
+        wav = wav[:4] + struct.pack("<I", len(wav) - 8) + wav[8:]
+        rate, back = decode_wav16(wav)
+        assert rate == 16000 and np.array_equal(back, s)
+
+    def test_odd_chunk_padding(self):
+        import struct
+
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_wav16, encode_wav16
+
+        # odd-length junk chunk: the walker must honor the pad byte
+        s = self._samples(8)
+        wav = encode_wav16(s, 8000)
+        junk = struct.pack("<4sI", b"LIST", 5) + b"INFOX" + b"\x00"
+        wav = wav[:36] + junk + wav[36:]
+        wav = wav[:4] + struct.pack("<I", len(wav) - 8) + wav[8:]
+        rate, back = decode_wav16(wav)
+        assert np.array_equal(back, s)
+
+    def test_unsupported_formats_raise(self):
+        import struct
+
+        import pytest
+
+        from stepist_spark.operators.multimodal import decode_wav16, encode_wav16
+
+        wav = encode_wav16(self._samples(), 8000)
+        # stereo: patch channels=2 in the fmt body (offset 12+8+2)
+        stereo = wav[:22] + struct.pack("<H", 2) + wav[24:]
+        for bad in (None, b"", b"RIFX" + wav[4:], stereo, wav[:50]):
+            with pytest.raises(ValueError):
+                decode_wav16(bad)
+
+    def test_order_checksum_detects_reversal(self):
+        from stepist_spark.operators.multimodal import (
+            encode_wav16,
+            wav_feature_decoder,
+        )
+
+        s = self._samples()
+        f_ok = wav_feature_decoder(encode_wav16(s, 8000))
+        f_rev = wav_feature_decoder(encode_wav16(s[::-1], 8000))
+        assert f_ok[2:4] == f_rev[2:4]  # sum/abs-sum are order-blind
+        assert f_ok[4] != f_rev[4]      # the weighted sum is not
+
+    def test_through_extract_features(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.multimodal import (
+            extract_features,
+            synthetic_wav_media,
+            wav_feature_decoder,
+        )
+
+        ids = spark.range(3).select((F.col("id") + 10).alias("media_id"))
+        rows = {
+            r["media_id"]: r
+            for r in extract_features(
+                synthetic_wav_media(ids, n_samples=32, sample_rate=8000),
+                decoder=wav_feature_decoder,
+            ).collect()
+        }
+        import numpy as np
+
+        for mid in (10, 11, 12):
+            i = np.arange(32, dtype=np.int64)
+            s = (mid * 31 + i * 7) % 65536 - 32768
+            f = rows[mid]["feature"]
+            assert rows[mid]["decode_error"] is None
+            assert f[:2] == [8000.0, 32.0]
+            assert f[2] == float(s.sum()) and f[4] == float((s * (i + 1)).sum())
