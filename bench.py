@@ -66,6 +66,24 @@ def main() -> None:
             time.sleep(0.1)
         wq.stop()
 
+    # Host-calibration probe (round-8 verdict #2): the host is bimodal
+    # (identical code benched 150s quiet vs 239s contended the same
+    # morning), so cross-round comparisons need a fixed pure-CPU
+    # yardstick IN the artifact. A seeded in-memory aggregate over
+    # spark.range(50M) — no IO, no Python workers, one exchange — timed
+    # min-of-3. Normalize round-over-round totals by the ratio of their
+    # calibration_sec before reading any regression as real.
+    from pyspark.sql.functions import xxhash64
+
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            (xxhash64(col("id")) % 97).alias("k")
+        ).groupBy("k").count().collect()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     # Per-query timings at sf0.1 carry seconds-scale jitter (round-2
@@ -105,7 +123,7 @@ def main() -> None:
             "q25_percentile_histogram,t08_jaccard_pairs,"
             "q22_event_windows,q02_join_agg_topk,q13_scalar_string_suite,"
             "t16_vocabulary,t23_model_gates,s05_stream_dedup,"
-            "s03_stream_interval_join",
+            "s03_stream_interval_join,m01_media_features,w01_sink_roundtrip",
         ).split(",")
         if g
     ]
@@ -120,8 +138,10 @@ def main() -> None:
         # streaming gates spend their time in the gate FUNCTION, not
         # the returned plan — a filter-by-part re-collect off the
         # already-materialized sinks would time ~0s. Those gates
-        # self-report per-part completion offsets (recorded during the
-        # timed runs above); prefer that attribution.
+        # self-report per-part {"start", "done"} offsets from the
+        # gate's t0 (recorded during the timed runs above; offsets,
+        # not durations — the parts drain CONCURRENTLY, so done-start
+        # still overlaps siblings); prefer that attribution.
         if gname in PART_WALL:
             parts_out[gname] = dict(PART_WALL[gname])
             continue
@@ -132,11 +152,20 @@ def main() -> None:
             from pyspark.sql.functions import col as _col
 
             tags = sorted(r["part"] for r in gdf.select("part").distinct().collect())
+            # parts are cheap relative to the main runs — min-of-N
+            # de-noises them the same way the headline timings are
+            # (round-8 verdict #3: single-shot part timings drifted 6×
+            # on the contended host)
+            part_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PART_RUNS", "2")))
             per: dict[str, float] = {}
             for tag in tags:
-                t0 = time.perf_counter()
-                gdf.filter(_col("part") == tag).collect()
-                per[tag] = round(time.perf_counter() - t0, 3)
+                best = None
+                for _ in range(part_runs):
+                    t0 = time.perf_counter()
+                    gdf.filter(_col("part") == tag).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                per[tag] = round(best, 3)
             parts_out[gname] = per
         except Exception as exc:
             failures[f"{gname}:parts"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -156,6 +185,10 @@ def main() -> None:
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "sf": sf,
+            # fixed pure-CPU probe (min-of-3): divide two rounds'
+            # values by their calibration_sec ratio before reading a
+            # delta as a plan change — the host is 1.3-2× bimodal
+            "calibration_sec": round(calib, 3),
         }
     )
     print(json.dumps(out, separators=(",", ":")))

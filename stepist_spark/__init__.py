@@ -14,6 +14,16 @@ multimodal columns) built Spark-first.
 Design stance: DataFrame-native, lazy, schema-first. Catalyst is the
 planner, Tungsten the engine, Structured Streaming the worker runtime.
 No row-at-a-time execution, no queue transport, no custom IR.
+
+Contributing — the window-hygiene contract: every new operator that
+windows or ranks picks its frame helper from the decision table at the
+top of ``stepist_spark/operators/cumulative.py`` (bounded frame →
+``whole_frame``/``grouped_frame``; raw rows → ``require_groups``;
+global order over unbounded data → ``ordered_cumsum`` family). Bare
+``Window.partitionBy()`` is lint-banned (``tests/test_plans.py``) and
+every gate plan is swept for single-task windows; new operators also
+ship a DuckDB ``*_sql`` mirror in the same module, a tag-union gate
+part, and a mirror-parity unit test.
 """
 
 from stepist_spark.session import get_spark, stop_spark

@@ -35,6 +35,35 @@ call sites order value-counts frames by their distinct value, or add
 an id tiebreak). With duplicate order keys an inclusive running sum is
 order-dependent on ANY engine (DuckDB included), so the contract is
 the same one the oracle mirrors already rely on.
+
+DECISION TABLE — which frame helper a new operator uses (this is the
+public operator contract; ``tests/test_plans.py`` lints bare
+``Window.partitionBy()`` and sweeps every gate plan, so picking wrong
+fails CI, but pick right the first time):
+
++---------------------------------------------+----------------------------+
+| the frame you are windowing over is…        | use                        |
++=============================================+============================+
+| BOUNDED by construction at 100 TB — value   | :func:`whole_frame`        |
+| counts, |bins|, |groups|, |digits|, per-    | (explicit lit(0) key)      |
+| partition registers; kilobytes provably     |                            |
++---------------------------------------------+----------------------------+
+| bounded PER GROUP, caller passes the group  | :func:`grouped_frame`      |
+| list and an EMPTY list must stay safe       | (empty → lit(0), visible)  |
+| (value-counts / per-group stats tables)     |                            |
++---------------------------------------------+----------------------------+
+| RAW ROWS grouped by caller columns — an     | :func:`require_groups`     |
+| empty group list would window the full      | then plain                 |
+| fact table in one task                      | ``Window.partitionBy(*g)`` |
++---------------------------------------------+----------------------------+
+| UNBOUNDED under a TOTAL ORDER — global      | :func:`ordered_cumsum` /   |
+| CDFs, ranks, tiles over row-scale data      | :func:`global_row_number` /|
+|                                             | :func:`global_ntile`       |
++---------------------------------------------+----------------------------+
+
+The question to ask is "how big is ONE frame at 100 TB?", never "how
+big is it in the test". If the answer needs the phrase "usually small",
+it is unbounded: use the partition-offset machinery.
 """
 
 from __future__ import annotations

@@ -405,8 +405,9 @@ def acf(
     bit-equal across engines — then 6-dp rounded.
 
     Output: ``*group_cols, lag, n_pairs, corr`` (corr NULL when n < 2
-    or a side has zero variance; pairs with a NULL lagged value are
-    excluded, i.e. the first k rows of each series).
+    or a side has zero variance; pairs where either side is NULL are
+    excluded — the first k rows of each series, plus any NULL-valued
+    observations — the pairwise-complete convention).
     """
     gcols = require_groups(
         group_cols, "acf", "tag a constant series key first"
@@ -423,7 +424,7 @@ def acf(
         args=", ".join(f"{k}, _y{k}" for k in range(1, max_lag + 1)),
     )
     pairs = lagged.selectExpr(*gcols, "_x", stack_expr).filter(
-        F.col("_y").isNotNull()
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
     )
     dec = "decimal(38,0)"
     agg = pairs.groupBy(*gcols, "lag").agg(
@@ -479,7 +480,7 @@ WITH _lagged AS (
     FROM ({series_sql})
 ),
 _pairs AS (
-    SELECT * FROM ({unions}) _u WHERE _y IS NOT NULL
+    SELECT * FROM ({unions}) _u WHERE _x IS NOT NULL AND _y IS NOT NULL
 ),
 _agg AS (
     SELECT {gsel}lag, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -694,8 +695,9 @@ def ccf(
     all 2K+1 shifted columns, a stack unpivot and one hash aggregate
     produce exact decimal(38,0)/HUGEINT sufficient statistics per
     (group, lag), and the corr is the corr_matrix fixed IEEE formula,
-    6-dp. Pairs where the shifted value is NULL (series edges) are
-    excluded, matching acf.
+    6-dp. Pairs where EITHER side is NULL are excluded — series edges
+    (shifted value NULL) and NULL-bearing x alike — matching acf and
+    the textbook pairwise-complete convention.
 
     Output: ``*group_cols, lag, n_pairs, corr``.
     """
@@ -723,7 +725,7 @@ def ccf(
         args=", ".join(f"{k}, {_alias(k)}" for k in lags),
     )
     pairs = lagged.selectExpr(*gcols, "_x", stack_expr).filter(
-        F.col("_y").isNotNull()
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
     )
     dec = "decimal(38,0)"
     agg = pairs.groupBy(*gcols, "lag").agg(
@@ -789,7 +791,7 @@ WITH _cl AS (
     FROM ({series_sql})
 ),
 _cp AS (
-    SELECT * FROM ({unions}) _u WHERE _y IS NOT NULL
+    SELECT * FROM ({unions}) _u WHERE _x IS NOT NULL AND _y IS NOT NULL
 ),
 _ca AS (
     SELECT {gsel}lag, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -32,13 +32,25 @@ class QuerySpec:
 # Per-part wall-clock attribution for gates whose cost lives in the
 # gate FUNCTION (streaming drains), not in the returned plan — bench's
 # filter-by-part re-collect would time ~0s for those (the sinks are
-# already materialized). Such gates deposit {part: seconds} here on
-# every run; bench.py prefers these over the plan-filter timing.
-PART_WALL: dict[str, dict[str, float]] = {}
+# already materialized). Such gates deposit {part: {"start": s,
+# "done": s}} offsets here on every run (both seconds from the gate's
+# t0); bench.py prefers these over the plan-filter timing. Offsets,
+# NOT durations: the parts drain concurrently, so "done" minus "start"
+# still includes time shared with sibling queries — the pair is the
+# honest attribution (a lone duration would let a cheap part that
+# finishes last absorb the whole group's wall clock).
+PART_WALL: dict[str, dict[str, dict[str, float]]] = {}
 
 
-def record_part_wall(gate: str, parts: dict[str, float]) -> None:
-    PART_WALL[gate] = {k: round(v, 3) for k, v in parts.items()}
+def record_part_wall(gate: str, parts: dict[str, float | dict[str, float]]) -> None:
+    PART_WALL[gate] = {
+        k: (
+            {kk: round(vv, 3) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else round(v, 3)
+        )
+        for k, v in parts.items()
+    }
 
 
 # The driver's correctness harness checks the FIRST 50 registry

@@ -425,6 +425,7 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     with stream_shuffle_partitions(spark, 8):
         t0 = time.perf_counter()
         queries = {}
+        starts: dict[str, float] = {}
         for tag, (how, _mod) in parts.items():
             pdir, sdir = dirs[tag]
             purchases = spark.readStream.schema(p_schema).parquet(pdir)
@@ -446,6 +447,7 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             )
             sink = f"s03_{tag}_{next(_SINK_IDS)}"
             sinks[tag] = sink
+            starts[tag] = time.perf_counter() - t0
             queries[tag] = (
                 out.writeStream.format("memory")
                 .queryName(sink)
@@ -453,7 +455,7 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-        part_wall = _await_concurrent(queries, t0)
+        part_wall = _await_concurrent(queries, t0, starts=starts)
     record_part_wall("s03_stream_interval_join", part_wall)
     # sentinel filter AFTER the sink: in-query it would push below the
     # watermark operator and delete the sentinels at the scan
@@ -696,18 +698,28 @@ GROUP BY 2
 #   micro-batch 2 replays batch 1's documents under shifted ids plus
 #   novel ones; only first-seen content may reach the output table —
 #   without the history anti-join the shifted copies land too.
-def _await_concurrent(queries, t0: float, timeout: float = 300.0) -> dict[str, float]:
+def _await_concurrent(
+    queries, t0: float, timeout: float = 300.0, starts: dict[str, float] | None = None
+) -> dict[str, dict[str, float]]:
     """Poll a set of CONCURRENT streaming queries to completion and
-    return each one's completion offset (seconds from ``t0``).
+    return ``{name: {"start": start_offset_s, "done": completion_offset_s}}``
+    (both seconds from ``t0``).
 
     ``awaitTermination`` would serialize attribution — a query that
     finished while an earlier one was being awaited records the
     awaiter's timestamp, not its own. Polling ``isActive`` keeps the
     per-part numbers honest; the post-inactive ``awaitTermination(5)``
     surfaces any query exception instead of letting the caller read a
-    partially-filled sink."""
+    partially-filled sink.
+
+    Both offsets are reported because for concurrently draining
+    queries a completion offset alone over-attributes: a cheap part
+    that happens to finish last would absorb the whole group's wall
+    clock. ``starts`` is the per-query start offset recorded by the
+    caller at ``.start()`` time (0.0 when omitted — started at t0)."""
+    starts = starts or {}
     pending = dict(queries)
-    done: dict[str, float] = {}
+    done: dict[str, dict[str, float]] = {}
     deadline = time.time() + timeout
     while pending:
         for name, q in list(pending.items()):
@@ -719,7 +731,10 @@ def _await_concurrent(queries, t0: float, timeout: float = 300.0) -> dict[str, f
                         if other is not q:
                             other.stop()
                     raise
-                done[name] = time.perf_counter() - t0
+                done[name] = {
+                    "start": starts.get(name, 0.0),
+                    "done": time.perf_counter() - t0,
+                }
                 del pending[name]
         if pending:
             if time.time() > deadline:
@@ -837,10 +852,12 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         # onto the driver (1.28M rows at sf1 — Spark warns on the
         # oversized local-scan tasks), which is exactly the driver
         # bottleneck this engine avoids elsewhere.
+        starts: dict[str, float] = {}
         src = _events_stream(spark, sf)
         deduped = stream_dedup(src.unionByName(src), ["event_id"]).select(
             "event_id", "ts", "event_type", F.round("value", 2).alias("value")
         )
+        starts["dedup"] = time.perf_counter() - t0
         q_dedup = (
             deduped.writeStream.format("parquet")
             .option("path", ddir)
@@ -855,6 +872,7 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(sdir)
         )
+        starts["incr"] = time.perf_counter() - t0
         q_incr = dedup_against_history(
             isrc,
             out_dir=os.path.join(di, "out"),
@@ -868,6 +886,7 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(udir)
         )
+        starts["upsert"] = time.perf_counter() - t0
         q_upsert = (
             usrc.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
@@ -883,6 +902,8 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         # the restart land every row EXACTLY ONCE — reference operator
         # #10's at-least-once upgraded to exactly-once
         # (`stepist/flow/libs/simple_queue.py:42-47`)
+        starts["restart"] = time.perf_counter() - t0  # the certification
+        # begins at the first (killed) run, not at the resumed q2
         q1 = start_run()
         deadline = time.time() + 120
         while q1.isActive and time.time() < deadline:
@@ -895,7 +916,9 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
             raise TimeoutError("s05 restart: stopped query did not terminate in 60s")
         q2 = start_run()
         part_wall = _await_concurrent(
-            {"dedup": q_dedup, "incr": q_incr, "upsert": q_upsert, "restart": q2}, t0
+            {"dedup": q_dedup, "incr": q_incr, "upsert": q_upsert, "restart": q2},
+            t0,
+            starts=starts,
         )
     record_part_wall("s05_stream_dedup", part_wall)
 

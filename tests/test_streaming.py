@@ -142,32 +142,65 @@ class TestBarrierReduce:
         (r,) = self._run_until_rows(spark, out, "t_reduced")
         assert json.loads(r["job_list"][0]) == {"total": 6}
 
+    @staticmethod
+    def _await_batch(q, pred, timeout=90):
+        """Poll recentProgress until some batch satisfies ``pred``; return
+        that progress dict. Load-robust: no assumption about how long any
+        individual micro-batch takes on a contended host."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            for p in q.recentProgress or []:
+                if p and pred(p):
+                    return p
+            if not q.isActive:
+                q.awaitTermination(5)  # surface the query's exception
+                raise AssertionError("query died before a matching batch")
+            time.sleep(0.2)
+        raise AssertionError("no matching micro-batch within timeout")
+
     def test_ttl_drops_incomplete_group(self, spark, tmp_path):
         """A group whose members arrive in batch 1 but never complete is
-        dropped after the TTL: later micro-batches emit nothing for it."""
+        dropped after the TTL: later micro-batches emit nothing for it.
+
+        Progress-polled, not sleep-timed (the blind sleep version flaked
+        under host load): we wait for the batch that INGESTED the first
+        member, then for an EMPTY batch that STARTED at least TTL later —
+        the state-store timeout sweep runs on batch boundaries, so that
+        empty batch proves the group was evaluated past its deadline."""
         d = tmp_path / "jobs"
         d.mkdir()
         (d / "b0.json").write_text(json.dumps({"hub_job_id": "late:2", "branch": "b1", "value": 1}))
         src = read_stream(spark, "json", str(d), schema=JOBS_SCHEMA, maxFilesPerTrigger=1)
-        out = barrier_reduce(src, ttl_sec=1)
+        ttl = 1
+        out = barrier_reduce(src, ttl_sec=ttl)
         ckpt = str(tmp_path / "ckpt")
         q = (
             out.writeStream.format("memory").queryName("t_ttl").outputMode("append")
-            .option("checkpointLocation", ckpt).trigger(processingTime="500 milliseconds").start()
+            .option("checkpointLocation", ckpt).trigger(processingTime="200 milliseconds").start()
         )
         try:
-            time.sleep(3)  # batch with the row runs; TTL (1s) passes
+            p1 = self._await_batch(q, lambda p: p.get("numInputRows", 0) >= 1)
+            expiry = time.time() + ttl + 0.5  # first member is in state NOW
+            while time.time() < expiry:
+                time.sleep(0.1)
+            # note the latest batch id, then wait for an empty batch that
+            # starts strictly after it — that batch ran wholly past the TTL
+            seen = max(
+                (p["batchId"] for p in q.recentProgress or []), default=p1["batchId"]
+            )
+            self._await_batch(
+                q,
+                lambda p: p["batchId"] > seen and p.get("numInputRows", 0) == 0,
+            )
             # second member arrives AFTER expiry: state was dropped, so
             # the count restarts at 1 and the barrier still never fires
             (d / "b1.json").write_text(
                 json.dumps({"hub_job_id": "late:2", "branch": "b2", "value": 2})
             )
-            deadline = time.time() + 30
-            while time.time() < deadline:
-                lp = q.lastProgress
-                if lp and lp.get("numInputRows") == 0 and spark.sql("SELECT * FROM t_ttl").count():
-                    break
-                time.sleep(0.5)
+            p2 = self._await_batch(q, lambda p: p.get("numInputRows", 0) >= 1 and p["batchId"] > seen)
+            # one more completed batch after the ingest, so any (wrong)
+            # barrier emission would have landed in the sink by now
+            self._await_batch(q, lambda p: p["batchId"] > p2["batchId"])
             assert spark.sql("SELECT * FROM t_ttl").count() == 0
         finally:
             q.stop()
