@@ -1,13 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
-operators with correct batch shapes, partition-friendly layouts. The
-actual media decode is STUBBED (`_decode_image_stub`): the container
-has no image/audio libraries, so decode produces a deterministic fake
-derived from the bytes; swap ``DECODER`` for a real backend (PIL,
-torchaudio, ffmpeg) in production. Everything downstream of decode
-(feature columns, resize metadata, frame sampling) exercises the real
-distributed path.
+operators with correct batch shapes, partition-friendly layouts — and so
+are three in-repo codecs that need nothing beyond the stdlib: 24-bit BMP
+(:func:`decode_bmp24`), PCM16 WAV with RIFF chunk walking
+(:func:`decode_wav16`), and non-interlaced 8-bit RGB/RGBA PNG with CRC
+verification and all five scanline filters (:func:`decode_png`, via
+stdlib ``zlib``). Formats that genuinely need external codec libraries
+(JPEG, MP3, video) stay behind the ``DECODER`` seam, whose default is
+the documented deterministic fake (`_decode_image_stub`); swap in PIL /
+torchaudio / ffmpeg in production — the Arrow plumbing, quarantine
+semantics, and gated accounting columns are unchanged by the swap.
 """
 
 from __future__ import annotations
@@ -541,6 +544,242 @@ def wav_feature_decoder(payload: bytes) -> list[float]:
         float(int(s64.sum())), float(int(np.abs(s64).sum())),
         float(int((s64 * idx).sum())),
     ]
+
+
+# The COMPRESSED member of the in-repo codec family: PNG (RFC 2083 /
+# ISO 15948) for non-interlaced 8-bit truecolor (RGB) and truecolor+
+# alpha (RGBA). Still stdlib-only — zlib carries both DEFLATE and the
+# CRC-32 — so the one compressed web format that needs no external
+# library gets a REAL decode: chunk walk with CRC verification,
+# multi-IDAT inflate, and all five scanline filters (None/Sub/Up/
+# Average/Paeth) unfiltered per spec. JPEG/MP3 genuinely need external
+# codecs and stay behind the documented DECODER seam.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px, cycle_filters: bool = True) -> bytes:
+    """Encode an ``(h, w, 3|4)`` uint8 array (top-down rows) as a real
+    non-interlaced 8-bit PNG (color type 2 or 6). When
+    ``cycle_filters`` (default), scanline ``y`` is written with filter
+    type ``y % 5`` — so any image with ≥5 rows forces a decoder
+    through every filter path (Sub/Up/Average/Paeth), which is the
+    point of this encoder as a certification source; ``False`` writes
+    the trivial all-None filtering."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("encode_png: expected an (h, w, 3|4) uint8 array")
+    h, w, ch = px.shape
+    raw = px.reshape(h, w * ch).astype(np.int64)
+    prior = np.zeros(w * ch, dtype=np.int64)
+    zero_left = np.zeros(ch, dtype=np.int64)
+    stream = bytearray()
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([zero_left, row[:-ch]])
+        f = (y % 5) if cycle_filters else 0
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (left + prior) // 2
+        else:  # 4 — Paeth(left, up, upleft)
+            upleft = np.concatenate([zero_left, prior[:-ch]])
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = row - pred
+        stream.append(f)
+        stream += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG into an ``(h, w,
+    3|4)`` uint8 array. REAL format handling: walks chunks verifying
+    every CRC-32, skips ancillary chunks, concatenates multiple IDATs
+    before one inflate, and unfilters all five scanline filter types
+    (Paeth included). STRICT otherwise — palette/gray/16-bit/interlaced
+    images and any corruption (bad signature, CRC mismatch, truncated
+    IDAT, stream-length mismatch, unknown filter byte) raise
+    ValueError, flowing through the ``_decode_quarantined`` boundary
+    that turns a corrupt payload into a quarantined row, not a dead
+    task."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, dims, idat, iend = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + clen + 4 > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = bytes(payload[body : body + clen])
+        (crc,) = struct.unpack_from(">I", payload, body + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color} "
+                    f"interlace={interlace}"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("unsupported PNG: zero dimension")
+            dims = (h, w, 3 if color == 2 else 4)
+        elif ctype == b"IDAT":
+            if dims is None:
+                raise ValueError("PNG IDAT before IHDR")
+            idat += data
+        elif ctype == b"IEND":
+            iend = True
+            break
+        pos = body + clen + 4  # ancillary chunks: CRC checked, body skipped
+    if dims is None or not iend:
+        raise ValueError("PNG missing IHDR/IEND")
+    h, w, ch = dims
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = w * ch
+    if len(stream) != h * (1 + stride):
+        raise ValueError("PNG scanline stream length mismatch")
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:
+            r = row
+        elif f == 1:
+            # recon[i] = filt[i] + recon[i-bpp]: a per-channel prefix
+            # sum (mod distributes over +, so one cumsum then %256)
+            r = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+        elif f == 2:
+            r = row + prior
+        elif f in (3, 4):
+            # Average/Paeth need the RECONSTRUCTED left pixel — march
+            # pixels sequentially, vectorized over the channel axis
+            rw, pr = row.reshape(w, ch), prior.reshape(w, ch)
+            out = np.empty((w, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for xp in range(w):
+                up = pr[xp]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                    )
+                left = (rw[xp] + pred) % 256
+                out[xp] = left
+                upleft = up
+            r = out.reshape(stride)
+        else:
+            raise ValueError(f"PNG unknown filter type {f}")
+        recon[y] = r % 256
+        prior = recon[y]
+    return recon.astype(np.uint8).reshape(h, w, ch)
+
+
+def png_feature_decoder(payload: bytes) -> list[float]:
+    """DECODER-seam-compatible REAL compressed-image decode: the same
+    ``[w, h, sum_r, sum_g, sum_b, wsum_r]`` contract as
+    :func:`bmp_feature_decoder` — ``wsum_r`` weights each pixel's R by
+    its 1-based top-down raster index, so only a decode that correctly
+    inflated AND unfiltered every scanline (the filters couple each row
+    to its neighbors) reproduces it."""
+    import numpy as np
+
+    px = decode_png(payload)
+    h, w, _ = px.shape
+    rgb = px[:, :, :3]
+    sums = rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    idx = np.arange(1, h * w + 1, dtype=np.int64)
+    wsum_r = int((rgb[:, :, 0].reshape(-1).astype(np.int64) * idx).sum())
+    return [
+        float(w), float(h),
+        float(int(sums[0])), float(int(sums[1])), float(int(sums[2])),
+        float(wsum_r),
+    ]
+
+
+def synthetic_png_media(ids: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed generator of REAL PNG payloads: pixels follow the
+    closed form ``r=(id·5+2x+7y)%256, g=(id·9+4x+3y)%256,
+    b=(id·17+x+6y)%256`` (x right, y down), so an oracle recomputes
+    every decoded statistic with no decoder — while the payload itself
+    is genuinely DEFLATE-compressed with the filter type cycling per
+    row (height ≥ 5 exercises all five on every image)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            y, x = np.mgrid[0:height, 0:width]
+            payloads = []
+            for mid in pdf["media_id"].astype("int64"):
+                r = (mid * 5 + 2 * x + 7 * y) % 256
+                g = (mid * 9 + 4 * x + 3 * y) % 256
+                b = (mid * 17 + x + 6 * y) % 256
+                payloads.append(
+                    encode_png(np.stack([r, g, b], axis=-1).astype(np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        op, schema="media_id long, kind string, mime string, payload binary"
+    )
 
 
 def synthetic_wav_media(

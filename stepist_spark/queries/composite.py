@@ -234,7 +234,43 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at("feature", 5).cast("bigint").cast("string"),
         ).alias("s1"),
     )
-    return prof.unionByName(bmp).unionByName(wav)
+    # 'png' (round 9) — the COMPRESSED-format certification: real
+    # DEFLATE-compressed PNGs from the same closed-form pixel
+    # discipline, with the scanline filter type CYCLING per row
+    # (h=6 ⇒ every image exercises None/Sub/Up/Average/Paeth), decoded
+    # by the stdlib-zlib in-repo codec (chunk CRC walk, multi-IDAT
+    # inflate, unfilter). n_bytes is NULL here — the compressed length
+    # is real but not closed-form, so the oracle certifies the DECODED
+    # statistics instead: dims + channel sums + the position-weighted
+    # wsum_r that only a correct inflate+unfilter reproduces.
+    from stepist_spark.operators.multimodal import (
+        png_feature_decoder,
+        synthetic_png_media,
+    )
+
+    png_ids = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id")
+    )
+    pfeats = extract_features(
+        synthetic_png_media(png_ids, width=11, height=6), decoder=png_feature_decoder
+    )
+    png = pfeats.select(
+        F.lit("png").alias("part"),
+        "media_id",
+        "kind",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.element_at("feature", 3).cast("bigint").cast("string"),
+            F.element_at("feature", 4).cast("bigint").cast("string"),
+            F.element_at("feature", 5).cast("bigint").cast("string"),
+            F.element_at("feature", 6).cast("bigint").cast("string"),
+        ).alias("s1"),
+    )
+    return prof.unionByName(bmp).unionByName(wav).unionByName(png)
 
 
 M01_SQL = """
@@ -267,6 +303,20 @@ SELECT 'wav', doc_id, 'audio',
            || CAST(sum((i + 1) * ((doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT)
 FROM documents, (SELECT unnest(generate_series(0, 239)) AS i)
 WHERE doc_id % 10 = 5
+GROUP BY doc_id
+UNION ALL
+SELECT 'png', doc_id, 'image',
+       CAST(NULL AS BIGINT),
+       11, 6, CAST(NULL AS BIGINT),
+       CAST(sum((doc_id * 5 + 2 * x + 7 * y) % 256) AS BIGINT) || ':'
+           || CAST(sum((doc_id * 9 + 4 * x + 3 * y) % 256) AS BIGINT) || ':'
+           || CAST(sum((doc_id * 17 + x + 6 * y) % 256) AS BIGINT) || ':'
+           || CAST(sum((y * 11 + x + 1) * ((doc_id * 5 + 2 * x + 7 * y) % 256))
+                   AS BIGINT)
+FROM documents,
+     (SELECT unnest(generate_series(0, 10)) AS x),
+     (SELECT unnest(generate_series(0, 5)) AS y)
+WHERE doc_id % 10 = 7
 GROUP BY doc_id
 """
 

@@ -600,3 +600,202 @@ class TestWavCodec:
             assert rows[mid]["decode_error"] is None
             assert f[:2] == [8000.0, 32.0]
             assert f[2] == float(s.sum()) and f[4] == float((s * (i + 1)).sum())
+
+
+class TestPngCodec:
+    """The compressed member of the in-repo codec family: stdlib-zlib
+    PNG (decode_png / encode_png). The encoder cycles the scanline
+    filter type per row, so any roundtrip with h >= 5 exercises every
+    decoder filter path (None/Sub/Up/Average/Paeth)."""
+
+    def _rgb(self, w=11, h=6, seed=37, alpha=False):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        chans = [
+            (seed * 5 + 2 * x + 7 * y) % 256,
+            (seed * 9 + 4 * x + 3 * y) % 256,
+            (seed * 17 + x + 6 * y) % 256,
+        ]
+        if alpha:
+            chans.append((seed * 3 + x + y) % 256)
+        return np.stack(chans, axis=-1).astype(np.uint8)
+
+    def test_roundtrip_all_filters_rgb(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_png, encode_png
+
+        px = self._rgb(w=11, h=6)  # 6 rows: filters 0,1,2,3,4,0
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_roundtrip_rgba_and_unfiltered(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_png, encode_png
+
+        px = self._rgb(w=5, h=7, alpha=True)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+        assert np.array_equal(
+            decode_png(encode_png(px, cycle_filters=False)), px
+        )
+
+    def test_roundtrip_random_and_edge_shapes(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(9)
+        for (h, w, ch) in [(1, 1, 3), (5, 1, 4), (2, 16, 3), (13, 9, 4)]:
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(px)), px), (h, w, ch)
+
+    def test_multi_idat_concatenation(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+            encode_png,
+        )
+
+        px = self._rgb()
+        payload = encode_png(px)
+        # split the single IDAT into two chunks — legal and common
+        pos = 8 + 8 + 13 + 4  # signature + IHDR chunk
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        rest = payload[pos + 8 + clen + 4 :]
+        cut = len(body) // 2
+        two = (
+            payload[:pos]
+            + _png_chunk(b"IDAT", body[:cut])
+            + _png_chunk(b"IDAT", body[cut:])
+            + rest
+        )
+        assert np.array_equal(decode_png(two), px)
+        # sanity: the split really produced a different byte stream
+        assert two != payload and zlib.decompress(body)  # body inflates alone
+
+    def test_ancillary_chunks_skipped_but_crc_checked(self):
+        import numpy as np
+        import pytest
+
+        from stepist_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+            encode_png,
+        )
+
+        px = self._rgb()
+        payload = encode_png(px)
+        pos = 8 + 8 + 13 + 4
+        spliced = (
+            payload[:pos] + _png_chunk(b"tEXt", b"Comment\x00hi") + payload[pos:]
+        )
+        assert np.array_equal(decode_png(spliced), px)
+        # corrupt the ancillary chunk's body: CRC must still be enforced
+        bad = bytearray(spliced)
+        bad[pos + 8] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))
+
+    def test_corrupt_payloads_raise(self):
+        import pytest
+
+        from stepist_spark.operators.multimodal import decode_png, encode_png
+
+        payload = encode_png(self._rgb())
+        flipped = bytearray(payload)
+        flipped[40] ^= 0x01  # inside IDAT: CRC mismatch
+        for bad in (None, b"", b"\x89PNG\r\n\x1a\nxx", payload[:30],
+                    payload[: len(payload) // 2], bytes(flipped)):
+            with pytest.raises(ValueError):
+                decode_png(bad)
+
+    def test_unknown_filter_byte_raises(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from stepist_spark.operators.multimodal import _png_chunk, decode_png
+
+        # hand-build a 1x1 RGB PNG whose single scanline uses filter 7
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+        stream = bytes([7, 1, 2, 3])
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(stream))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="filter"):
+            decode_png(payload)
+
+    def test_geometry_checksum_detects_row_flip(self):
+        from stepist_spark.operators.multimodal import (
+            encode_png,
+            png_feature_decoder,
+        )
+
+        px = self._rgb()
+        f_ok = png_feature_decoder(encode_png(px))
+        f_flip = png_feature_decoder(encode_png(px[::-1]))
+        assert f_ok[2:5] == f_flip[2:5]  # channel sums are layout-blind
+        assert f_ok[5] != f_flip[5]      # the weighted sum is not
+
+    def test_quarantine_through_extract_features(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.multimodal import (
+            extract_features,
+            png_feature_decoder,
+            synthetic_png_media,
+        )
+
+        ids = spark.range(4).select(F.col("id").alias("media_id"))
+        media = synthetic_png_media(ids, width=11, height=6)
+        # truncate one payload mid-IDAT: the real decode must
+        # quarantine THAT row only (round-8 verdict #4's "done" bar)
+        poisoned = media.withColumn(
+            "payload",
+            F.when(
+                F.col("media_id") == 2,
+                F.substring(F.col("payload"), 1, 60).cast("binary"),
+            ).otherwise(F.col("payload")),
+        )
+        rows = {
+            r["media_id"]: r
+            for r in extract_features(poisoned, decoder=png_feature_decoder).collect()
+        }
+        assert rows[2]["feature"] is None and "ValueError" in rows[2]["decode_error"]
+        for mid in (0, 1, 3):
+            assert rows[mid]["decode_error"] is None
+            assert rows[mid]["feature"][0] == 11.0 and rows[mid]["feature"][1] == 6.0
+
+    def test_pil_cross_codec_parity(self):
+        import importlib.util
+
+        import pytest
+
+        if importlib.util.find_spec("PIL") is None:
+            pytest.skip("PIL not installed — PNG cross-codec check skipped")
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from stepist_spark.operators.multimodal import decode_png, encode_png
+
+        px = self._rgb()
+        # our encoder -> PIL decoder
+        im = np.array(Image.open(io.BytesIO(encode_png(px))).convert("RGB"))
+        assert np.array_equal(im, px)
+        # PIL encoder -> our decoder
+        buf = io.BytesIO()
+        Image.fromarray(px).save(buf, format="PNG")
+        assert np.array_equal(decode_png(buf.getvalue()), px)
