@@ -381,3 +381,133 @@ SELECT n_a, n_b, s_a, s_b,
        END AS z_stat
 FROM _s
 """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two groups — the
+    NONPARAMETRIC companion of :func:`welch_ttest` (Mann & Whitney
+    1947, public): rank-based, so heavy tails and outliers that sink a
+    t-test leave it calibrated. Normal approximation with the standard
+    tie-corrected variance, no continuity correction (documented — the
+    ±0.5 shift is a convention choice and omitting it keeps the
+    cross-engine expression short).
+
+    Exactness without ranking rows: U doubles to an INTEGER —
+    ``2·U_a = Σ_v ca(v)·(2·cb_below(v) + cb(v))`` over the merged
+    distinct-value frame — so the statistic's numerator is an exact
+    decimal(38,0)/HUGEINT, as is the tie term ``Σ(t³−t)``. Only the
+    final z is floating point, one fixed IEEE sequence, 6 dp.
+
+    Spark-first shape, same as the KS test it complements: raw rows
+    collapse in ONE (group, cents) hash aggregate; ``cb_below`` is a
+    partition-offset cumulative over the distinct-value frame
+    (cumulative.ordered_cumsum — |distinct cents| can approach |rows|,
+    no single-task window); one final aggregate.
+
+    Output (one row): ``n_a, n_b, u2_a`` (exact 2·U for group_a),
+    ``tie_cubes`` (exact Σ(t³−t)), ``z_stat`` (6 dp; NULL when either
+    group is empty, n < 2, or every value is tied).
+    """
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    g = F.col(group_col)
+    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
+    counts = (
+        df.filter(g.isin([group_a, group_b]))
+        .select(g.alias("_g"), x.alias("v"))
+        .groupBy("_g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_v = counts.groupBy("v").agg(
+        F.sum(F.when(F.col("_g") == group_a, F.col("c")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_g") == group_b, F.col("c")).otherwise(0)).alias("cb"),
+    )
+    st = ordered_cumsum(per_v, "v", ["cb"], tot_prefix="n_")
+    d38 = "decimal(38,0)"
+    ca = F.col("ca").cast(d38)
+    cb = F.col("cb").cast(d38)
+    t = (F.col("ca") + F.col("cb")).cast(d38)
+    below_b = F.col("cum_cb").cast(d38) - cb  # strictly-below b count
+    agg = st.agg(
+        F.sum(ca).cast(d38).alias("_n_a"),
+        F.max(F.col("n_cb")).cast(d38).alias("_n_b"),
+        F.sum(ca * (below_b * F.lit(2) + cb)).cast(d38).alias("u2_a"),
+        F.sum(t * t * t - t).cast(d38).alias("tie_cubes"),
+    )
+    na = F.col("_n_a").cast("double")
+    nb = F.col("_n_b").cast("double")
+    nd = na + nb
+    td = F.col("tie_cubes").cast("double")
+    sig2 = na * nb / F.lit(12.0) * ((nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0))))
+    z = (F.col("u2_a").cast("double") - na * nb) / (F.lit(2.0) * F.sqrt(sig2))
+    valid = (F.col("_n_a") > 0) & (F.col("_n_b") > 0) & (sig2 > 0)
+    return agg.select(
+        F.col("_n_a").cast("bigint").alias("n_a"),
+        F.col("_n_b").cast("bigint").alias("n_b"),
+        "u2_a",
+        "tie_cubes",
+        F.when(valid, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+def mann_whitney_u_sql(
+    table_sql: str,
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+    value_expr: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`mann_whitney_u` — identical HUGEINT
+    sufficient statistics and IEEE z sequence."""
+    return f"""
+WITH _mwr AS (
+    SELECT ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS v
+    FROM ({table_sql})
+    WHERE ({group_expr}) IN ('{group_a}', '{group_b}')
+),
+_mwv AS (
+    SELECT v,
+           sum(CASE WHEN _g = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN _g = '{group_b}' THEN 1 ELSE 0 END) AS cb
+    FROM _mwr GROUP BY v
+),
+_mws AS (
+    SELECT ca, cb,
+           CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+               - CAST(cb AS HUGEINT) AS below_b
+    FROM _mwv
+),
+_mwa AS (
+    SELECT CAST(sum(CAST(ca AS HUGEINT)) AS HUGEINT) AS n_a,
+           CAST(sum(CAST(cb AS HUGEINT)) AS HUGEINT) AS n_b,
+           sum(CAST(ca AS HUGEINT) * (below_b * 2 + CAST(cb AS HUGEINT))) AS u2_a,
+           sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+               - CAST(ca + cb AS HUGEINT)) AS tie_cubes
+    FROM _mws
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       u2_a, tie_cubes,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - CAST(tie_cubes AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0
+            THEN round(
+              (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - CAST(tie_cubes AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))),
+              6)
+       END AS z_stat
+FROM _mwa
+"""

@@ -817,3 +817,172 @@ SELECT {gsel}CAST(lag AS BIGINT) AS lag, n_pairs,
        END AS corr
 FROM _ca
 """
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    slope_scale: int = 1_000_000,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen slope per group —
+    the robust "is this metric drifting" readout (Mann 1945, Kendall
+    1975; Theil 1950 / Sen 1968, all public): rank-based S statistic
+    with the standard tie-corrected variance, and the median of all
+    pairwise slopes as the outlier-proof trend estimate.
+
+    Contract like :func:`acf`: the caller pre-aggregates raw facts to
+    the series grain (one row per (group, step) with INTEGER order and
+    value columns), so the per-group frame is bounded by the series
+    span — the all-pairs self-join this test is defined over is then
+    |span|² per group, a deliberate bounded-frame computation, never a
+    row-scale cartesian. The scale-bearing shuffle is the upstream
+    collapse.
+
+    Exactness: S and the ×18 variance ``n(n−1)(2n+5) − Σt(t−1)(2t+5)``
+    are exact bigints; each pairwise slope is ``floor(dy·scale / dt)``
+    (one exact-operand IEEE division + floor, identical on both
+    engines); the doubled median ``sen2x_scaled`` (sum of the two
+    middle order statistics; 2× the middle one when the pair count is
+    odd) is an exact bigint — no interpolation convention to disagree
+    on. Only z is floating point, 6 dp, with the ±1 continuity
+    correction of the standard normal approximation.
+
+    Output: ``*group_cols, n_obs, s, var18, sen2x_scaled, z_stat``
+    (z NULL when var18 ≤ 0, i.e. fewer than 2 distinct steps or all
+    values tied).
+    """
+    gcols = require_groups(
+        group_cols, "mann_kendall_trend", "tag a constant series key first"
+    )
+    t = F.col(order_col).cast("bigint")
+    y = F.col(value_col).cast("bigint")
+    series = df.select(*gcols, t.alias("_t"), y.alias("_y"))
+
+    a = series.select(*gcols, F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
+    b = series.select(*gcols, F.col("_t").alias("_tb"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, on=list(gcols), how="inner").filter(F.col("_ta") < F.col("_tb"))
+    dy = F.col("_yb") - F.col("_ya")
+    dt = F.col("_tb") - F.col("_ta")
+    slope = F.floor(
+        (dy.cast("double") * F.lit(float(slope_scale))) / dt.cast("double")
+    ).cast("bigint")
+    pairs = pairs.select(
+        *gcols,
+        F.signum(dy.cast("double")).cast("bigint").alias("_sgn"),
+        slope.alias("_slope"),
+        "_ta",
+        "_tb",
+    )
+
+    # Theil-Sen: the doubled median over the bounded per-group pairs
+    # frame (require_groups guards the raw-row grouped window)
+    w = Window.partitionBy(*gcols).orderBy("_slope", "_ta", "_tb")
+    ranked = pairs.select(
+        *gcols,
+        "_sgn",
+        "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*gcols)).alias("_cnt"),
+    )
+    # lo = floor((cnt+1)/2), hi = floor((cnt+2)/2) — spelled with
+    # floor() on exact doubles for engine-portable integer division
+    lo = F.floor((F.col("_cnt").cast("double") + 1.0) / 2.0).cast("bigint")
+    hi = F.floor((F.col("_cnt").cast("double") + 2.0) / 2.0).cast("bigint")
+    pick = (F.col("_rn") == lo).cast("int") + (F.col("_rn") == hi).cast("int")
+    pair_stats = ranked.groupBy(*gcols).agg(
+        F.sum("_sgn").cast("bigint").alias("s"),
+        F.sum(F.col("_slope") * pick).cast("bigint").alias("sen2x_scaled"),
+    )
+
+    n_obs = series.groupBy(*gcols).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    ties = (
+        series.groupBy(*gcols, "_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_tc"))
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                F.col("_tc") * (F.col("_tc") - 1) * (2 * F.col("_tc") + 5)
+            ).cast("bigint").alias("_tie18")
+        )
+    )
+    out = n_obs.join(ties, on=list(gcols)).join(pair_stats, on=list(gcols))
+    n = F.col("n_obs")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("_tie18")).cast("bigint")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s").cast("double") - F.lit(1.0)) / sd)
+        .when(F.col("s") < 0, (F.col("s").cast("double") + F.lit(1.0)) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        *gcols,
+        "n_obs",
+        "s",
+        var18.alias("var18"),
+        "sen2x_scaled",
+        F.when(var18 > 0, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+def mann_kendall_trend_sql(
+    series_sql: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    slope_scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`mann_kendall_trend` — identical exact
+    integers and IEEE z sequence."""
+    gcols = list(group_cols)
+    gsel = "".join(f"{g}, " for g in gcols)
+    gby = ", ".join(gcols)
+    on = " AND ".join(f"a.{g} = b.{g}" for g in gcols)
+    agsel = "".join(f"a.{g}, " for g in gcols)
+    return f"""
+WITH _mks AS (
+    SELECT {gsel}CAST({order_col} AS BIGINT) AS _t, CAST({value_col} AS BIGINT) AS _y
+    FROM ({series_sql})
+),
+_mkp AS (
+    SELECT {agsel}
+           CAST(sign(CAST(b._y - a._y AS DOUBLE)) AS BIGINT) AS _sgn,
+           CAST(floor(CAST(b._y - a._y AS DOUBLE) * {float(slope_scale)}
+                      / CAST(b._t - a._t AS DOUBLE)) AS BIGINT) AS _slope,
+           a._t AS _ta, b._t AS _tb
+    FROM _mks a JOIN _mks b ON {on} AND a._t < b._t
+),
+_mkr AS (
+    SELECT *, row_number() OVER (PARTITION BY {gby} ORDER BY _slope, _ta, _tb) AS _rn,
+           count(*) OVER (PARTITION BY {gby}) AS _cnt
+    FROM _mkp
+),
+_mka AS (
+    SELECT {gsel}CAST(sum(_sgn) AS BIGINT) AS s,
+           CAST(sum(_slope * (CAST(_rn = CAST(floor((CAST(_cnt AS DOUBLE) + 1.0) / 2.0) AS BIGINT) AS INTEGER)
+                              + CAST(_rn = CAST(floor((CAST(_cnt AS DOUBLE) + 2.0) / 2.0) AS BIGINT) AS INTEGER)))
+                AS BIGINT) AS sen2x_scaled
+    FROM _mkr GROUP BY {gby}
+),
+_mkn AS (
+    SELECT {gsel}CAST(count(*) AS BIGINT) AS n_obs FROM _mks GROUP BY {gby}
+),
+_mkt AS (
+    SELECT {gsel}CAST(sum(_tc * (_tc - 1) * (2 * _tc + 5)) AS BIGINT) AS _tie18
+    FROM (SELECT {gsel}_y, CAST(count(*) AS BIGINT) AS _tc FROM _mks GROUP BY {gby}, _y) _c
+    GROUP BY {gby}
+)
+SELECT {gsel}n_obs, s,
+       CAST(n_obs * (n_obs - 1) * (2 * n_obs + 5) - _tie18 AS BIGINT) AS var18,
+       sen2x_scaled,
+       CASE WHEN n_obs * (n_obs - 1) * (2 * n_obs + 5) - _tie18 > 0
+            THEN round(
+              CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                        / sqrt(CAST(n_obs * (n_obs - 1) * (2 * n_obs + 5) - _tie18 AS DOUBLE) / 18.0)
+                   WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                        / sqrt(CAST(n_obs * (n_obs - 1) * (2 * n_obs + 5) - _tie18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 6)
+       END AS z_stat
+FROM _mkn JOIN _mkt USING ({gby}) JOIN _mka USING ({gby})
+"""

@@ -530,12 +530,29 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("g") + F.col("b")).alias("n"),
         F.col("woe").alias("sum_val"),
     )
+    # Mann-Whitney U rides along (operators/abtest.py): nonparametric
+    # order-value shift between open and fulfilled orders — rank-based
+    # via the exact doubled-U identity over the distinct-cents frame
+    from stepist_spark.operators.abtest import mann_whitney_u
+
+    mw = mann_whitney_u(orders, "o_orderstatus", "O", "F", "o_totalprice").select(
+        F.lit("mwu").alias("gset"),
+        F.lit("O:F").alias("key1"),
+        F.concat_ws(
+            ":",
+            F.col("u2_a").cast("string"),
+            F.col("tie_cubes").cast("string"),
+        ).alias("key2"),
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
+        F.col("z_stat").alias("sum_val"),
+    )
     return (
         roll.unionByName(cub)
         .unionByName(gs)
         .unionByName(te)
         .unionByName(gi)
         .unionByName(wo)
+        .unionByName(mw)
     )
 
 
@@ -578,6 +595,21 @@ def _q09_woe_sql() -> str:
 
 _Q09_WOE_SQL = _q09_woe_sql()
 
+
+def _q09_mwu_sql() -> str:
+    from stepist_spark.operators.abtest import mann_whitney_u_sql
+
+    return mann_whitney_u_sql(
+        "SELECT o_orderstatus, o_totalprice FROM orders",
+        "o_orderstatus",
+        "O",
+        "F",
+        "o_totalprice",
+    )
+
+
+_Q09_MWU_SQL = _q09_mwu_sql()
+
 Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
@@ -605,6 +637,11 @@ SELECT 'woe', category,
                  CAST(iv_scaled AS VARCHAR)),
        g + b, woe
 FROM ({_Q09_WOE_SQL})
+UNION ALL
+SELECT 'mwu', 'O:F',
+       CAST(u2_a AS VARCHAR) || ':' || CAST(tie_cubes AS VARCHAR),
+       CAST(n_a + n_b AS BIGINT), z_stat
+FROM ({_Q09_MWU_SQL})
 """
 
 
@@ -2141,6 +2178,34 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("corr").alias("d1"),
     )
+    # Mann-Kendall + Theil-Sen rides the SAME day grain (round 9,
+    # operators/timeseries.py): per-type monotone drift S/var18/z plus
+    # the doubled exact-integer Sen slope median — the robust "is this
+    # metric trending" readout over the bounded |days| frame
+    from stepist_spark.operators.timeseries import mann_kendall_trend
+
+    dtrend = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+        "v",
+    )
+    mk = mann_kendall_trend(dtrend, ["event_type"], "t", "v").select(
+        F.lit("trend").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.col("s").cast("string"),
+            F.col("var18").cast("string"),
+            F.col("sen2x_scaled").cast("string"),
+        ).alias("k1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts1"),
+        F.lit(None).cast("timestamp_ntz").alias("ts2"),
+        F.col("n_obs").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("z_stat").alias("d1"),
+    )
     return (
         rj.unionByName(rb)
         .unionByName(aj)
@@ -2151,6 +2216,7 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(cu)
         .unionByName(ac)
         .unionByName(cc)
+        .unionByName(mk)
     )
 
 
@@ -2276,6 +2342,23 @@ def _q18_ccf_sql() -> str:
 
 _Q18_CCF_SQL = _q18_ccf_sql()
 
+
+def _q18_trend_sql() -> str:
+    from stepist_spark.operators.timeseries import mann_kendall_trend_sql
+
+    return mann_kendall_trend_sql(
+        "SELECT event_type, "
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t, "
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)",
+        ["event_type"],
+        "t",
+        "v",
+    )
+
+
+_Q18_TREND_SQL = _q18_trend_sql()
+
 Q18M_SQL = f"""
 SELECT 'range' AS part, band AS k1,
        CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
@@ -2340,6 +2423,14 @@ SELECT 'ccf', g || ':' || CAST(lag AS VARCHAR),
        CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        n_pairs, CAST(NULL AS BIGINT), corr
 FROM ({_Q18_CCF_SQL})
+UNION ALL
+SELECT 'trend',
+       event_type || ':' || CAST(s AS VARCHAR)
+           || ':' || CAST(var18 AS VARCHAR)
+           || ':' || CAST(sen2x_scaled AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       n_obs, CAST(NULL AS BIGINT), z_stat
+FROM ({_Q18_TREND_SQL})
 """
 
 

@@ -133,3 +133,69 @@ class TestCuped:
             )
         ).fetchall()
         assert got == want
+
+
+def _mwu_ref(xs, ys):
+    from collections import Counter
+
+    u = sum(
+        (1.0 if x > y else 0.5 if x == y else 0.0) for x in xs for y in ys
+    )
+    n1, n2 = len(xs), len(ys)
+    n = n1 + n2
+    tie = sum(t**3 - t for t in Counter(xs + ys).values())
+    sig2 = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - n1 * n2 / 2) / math.sqrt(sig2)
+    return u, z
+
+
+class TestMannWhitney:
+    def test_matches_closed_form(self, spark):
+        from stepist_spark.operators.abtest import mann_whitney_u
+
+        xs = [10.25, 11.50, 9.75, 12.00, 10.00, 11.25, 9.75]
+        ys = [8.50, 9.00, 7.75, 8.25, 9.75, 10.25]
+        rows = [("A", x) for x in xs] + [("B", y) for y in ys] + [("C", 99.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney_u(df, "g", "A", "B", "v").collect()[0]
+        u, z = _mwu_ref(xs, ys)
+        assert (r["n_a"], r["n_b"]) == (7, 6)
+        assert float(r["u2_a"]) == 2 * u
+        assert abs(r["z_stat"] - z) < 1e-5
+
+    def test_all_tied_is_null(self, spark):
+        from stepist_spark.operators.abtest import mann_whitney_u
+
+        rows = [("A", 5.0)] * 3 + [("B", 5.0)] * 4
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney_u(df, "g", "A", "B", "v").collect()[0]
+        assert float(r["u2_a"]) == 2 * (3 * 4 * 0.5)  # all half-ties
+        assert r["z_stat"] is None  # zero variance
+
+    def test_empty_group_is_null(self, spark):
+        from stepist_spark.operators.abtest import mann_whitney_u
+
+        df = spark.createDataFrame([("A", 1.0), ("A", 2.0)], "g string, v double")
+        r = mann_whitney_u(df, "g", "A", "B", "v").collect()[0]
+        assert r["z_stat"] is None
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.abtest import mann_whitney_u, mann_whitney_u_sql
+
+        rows = [
+            ("A" if i % 3 == 0 else "B", float(i % 23) + (0.25 if i % 2 else 0.75))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        p = str(tmp_path / "mwu.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in mann_whitney_u(df, "g", "A", "B", "v").collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            mann_whitney_u_sql(f"SELECT * FROM '{p}/*.parquet'", "g", "A", "B", "v")
+        ).fetchall()
+        assert [tuple(map(float, g)) for g in got] == [
+            tuple(map(float, w)) for w in want
+        ]

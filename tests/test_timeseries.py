@@ -445,3 +445,104 @@ class TestCcf:
             ).fetchall()
         )
         assert got == want
+
+
+def _mk_ref(ts, ys, scale=1_000_000):
+    import math
+    from collections import Counter
+
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    sd = math.sqrt(var18 / 18) if var18 > 0 else None
+    z = None if sd is None else ((s - 1) / sd if s > 0 else (s + 1) / sd if s < 0 else 0.0)
+    slopes = sorted(
+        math.floor((ys[j] - ys[i]) * scale / (ts[j] - ts[i]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    m = len(slopes)
+    sen2x = slopes[(m - 1) // 2] + slopes[m // 2]
+    return s, var18, sen2x, z
+
+
+class TestMannKendall:
+    def _df(self, spark, series):
+        rows = [(g, t, y) for g, pts in series.items() for t, y in pts]
+        return spark.createDataFrame(rows, "g string, t long, y long")
+
+    def test_matches_closed_form(self, spark):
+        from stepist_spark.operators.timeseries import mann_kendall_trend
+
+        ts = [0, 1, 2, 3, 5, 8, 9]
+        ys = [10, 12, 11, 15, 15, 18, 17]
+        df = self._df(spark, {"a": list(zip(ts, ys))})
+        (r,) = mann_kendall_trend(df, ["g"], "t", "y").collect()
+        s, var18, sen2x, z = _mk_ref(ts, ys)
+        assert (r["n_obs"], r["s"], r["var18"], r["sen2x_scaled"]) == (
+            7, s, var18, sen2x,
+        )
+        assert abs(r["z_stat"] - z) < 1e-5
+
+    def test_monotone_series_and_grouping(self, spark):
+        from stepist_spark.operators.timeseries import mann_kendall_trend
+
+        up = [(t, 10 + 3 * t) for t in range(6)]
+        down = [(t, 50 - 2 * t) for t in range(6)]
+        df = self._df(spark, {"up": up, "down": down})
+        rows = {r["g"]: r for r in mann_kendall_trend(df, ["g"], "t", "y").collect()}
+        assert rows["up"]["s"] == 15 and rows["down"]["s"] == -15  # all pairs agree
+        assert rows["up"]["z_stat"] > 0 > rows["down"]["z_stat"]
+        # constant slope: the pairwise-slope median IS the slope (×2×1e6)
+        assert rows["up"]["sen2x_scaled"] == 2 * 3_000_000
+        assert rows["down"]["sen2x_scaled"] == 2 * -2_000_000
+
+    def test_flat_series_zero_variance_null(self, spark):
+        from stepist_spark.operators.timeseries import mann_kendall_trend
+
+        df = self._df(spark, {"flat": [(t, 7) for t in range(5)]})
+        (r,) = mann_kendall_trend(df, ["g"], "t", "y").collect()
+        assert r["s"] == 0 and r["z_stat"] is None  # all ties: var18 == 0
+        assert r["sen2x_scaled"] == 0
+
+    def test_empty_groups_raise(self, spark):
+        import pytest
+
+        from stepist_spark.operators.timeseries import mann_kendall_trend
+
+        df = self._df(spark, {"a": [(0, 1)]})
+        with pytest.raises(ValueError, match="mann_kendall_trend"):
+            mann_kendall_trend(df, [], "t", "y")
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.timeseries import (
+            mann_kendall_trend,
+            mann_kendall_trend_sql,
+        )
+
+        series = {
+            "a": [(t, (t * 7) % 13 + t) for t in range(25)],
+            "b": [(t * 2, 40 - t + (t % 5)) for t in range(20)],
+        }
+        df = self._df(spark, series)
+        p = str(tmp_path / "mk.parquet")
+        df.write.parquet(p)
+        got = sorted(
+            tuple(r) for r in mann_kendall_trend(df, ["g"], "t", "y").collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                mann_kendall_trend_sql(
+                    f"SELECT * FROM '{p}/*.parquet'", ["g"], "t", "y"
+                )
+            ).fetchall()
+        )
+        assert got == want
