@@ -511,3 +511,145 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        END AS z_stat
 FROM _mwa
 """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Kruskal-Wallis H across ALL groups of a metric — the k-group
+    generalization of :func:`mann_whitney_u` (Kruskal & Wallis 1952,
+    public): one rank-based omnibus "did ANY arm shift" before
+    pairwise tests, with the standard tie correction.
+
+    Exactness: each group's DOUBLED rank sum ``2·R_g = Σ_v c_g(v)·
+    (2·below(v) + t(v) + 1)`` and the tie term ``Σ(t³−t)`` are exact
+    decimal(38,0)/HUGEINT integers from the distinct-value frame (the
+    mann_whitney_u machinery, one partition-offset cumulative). The
+    cross-group ``Σ R_g²/n_g`` is inherently fractional, so it is
+    folded in DOUBLES over the |groups|-bounded frame in a FIXED order
+    (sorted by group, left fold — Spark ``aggregate`` HOF == DuckDB
+    ``list_reduce``), making the float identical on both engines.
+
+    Output: one row per group — ``<group_col>, n_g, r2x`` (exact
+    2·R_g) — plus the shared ``n, h, h_tie`` (6 dp; h_tie NULL when
+    n < 2 or every value is tied) attached via a broadcast 1-row
+    cross join (the target_encode scalar pattern).
+    """
+    g = F.col(group_col)
+    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    counts = (
+        df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+        .select(g.alias("_g"), x.alias("v"))
+        .groupBy("_g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_v = counts.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    st = ordered_cumsum(per_v, "v", ["t"]).select(
+        "v", "t", (F.col("cum_t") - F.col("t")).alias("below")
+    )
+    d38 = "decimal(38,0)"
+    joined = counts.join(st, on="v")
+    groups = joined.groupBy("_g").agg(
+        F.sum("c").cast("bigint").alias("n_g"),
+        F.sum(
+            F.col("c").cast(d38)
+            * (F.col("below").cast(d38) * 2 + F.col("t").cast(d38) + 1)
+        ).cast(d38).alias("r2x"),
+    )
+    t38 = F.col("t").cast(d38)
+    ties = per_v.agg(F.sum(t38 * t38 * t38 - t38).cast(d38).alias("_tie"))
+    folded = groups.agg(
+        F.sum("n_g").cast("bigint").alias("_n"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_g", "r2x", "n_g"))),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (e["r2x"].cast("double") * e["r2x"].cast("double"))
+            / (F.lit(4.0) * e["n_g"].cast("double")),
+        ).alias("_srn"),
+    ).crossJoin(ties)
+    nd = F.col("_n").cast("double")
+    h = F.lit(12.0) * F.col("_srn") / (nd * (nd + F.lit(1.0))) - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    cd = F.lit(1.0) - F.col("_tie").cast("double") / (nd * nd * nd - nd)
+    stats = folded.select(
+        F.col("_n").alias("n"),
+        F.when(F.col("_n") >= 2, F.round(h, 6)).alias("h"),
+        F.when((F.col("_n") >= 2) & (cd > 0), F.round(h / cd, 6)).alias("h_tie"),
+    )
+    return groups.select(F.col("_g").alias(group_col), "n_g", "r2x").crossJoin(
+        F.broadcast(stats)
+    )
+
+
+def kruskal_wallis_sql(
+    table_sql: str,
+    group_expr: str,
+    value_expr: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`kruskal_wallis` — identical HUGEINT
+    rank sums and the same sorted left-fold for the float H."""
+    return f"""
+WITH _kwr AS (
+    SELECT ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS v
+    FROM ({table_sql})
+    WHERE ({group_expr}) IS NOT NULL AND ({value_expr}) IS NOT NULL
+),
+_kwc AS (
+    SELECT _g, v, CAST(count(*) AS BIGINT) AS c FROM _kwr GROUP BY _g, v
+),
+_kwt AS (
+    SELECT v, CAST(sum(c) AS BIGINT) AS t FROM _kwc GROUP BY v
+),
+_kwb AS (
+    SELECT v, t,
+           CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS HUGEINT) - t
+               AS below
+    FROM _kwt
+),
+_kwg AS (
+    SELECT _g, CAST(sum(c) AS BIGINT) AS n_g,
+           sum(CAST(c AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + t + 1)) AS r2x
+    FROM _kwc JOIN _kwb USING (v) GROUP BY _g
+),
+_kwsum AS (
+    SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           list_reduce(
+               list_transform(
+                   list(struct_pack(r2x := r2x, n_g := n_g) ORDER BY _g),
+                   e -> CAST(e.r2x AS DOUBLE) * CAST(e.r2x AS DOUBLE)
+                        / (4.0 * CAST(e.n_g AS DOUBLE))),
+               (x, y) -> x + y) AS srn
+    FROM _kwg
+),
+_kwtie AS (
+    SELECT sum(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT)) AS tie FROM _kwt
+),
+_kwh AS (
+    SELECT n,
+           CASE WHEN n >= 2 THEN round(
+               12.0 * srn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) END AS h,
+           CASE WHEN n >= 2
+                 AND 1.0 - CAST(tie AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(n AS DOUBLE)) > 0
+                THEN round(
+                  (12.0 * srn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                  / (1.0 - CAST(tie AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(n AS DOUBLE))), 6) END AS h_tie
+    FROM _kwsum, _kwtie
+)
+SELECT _g AS grp, n_g, r2x, n, h, h_tie
+FROM _kwg, _kwh
+"""

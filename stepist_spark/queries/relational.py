@@ -546,6 +546,18 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
         F.col("z_stat").alias("sum_val"),
     )
+    # Kruskal-Wallis rides along (operators/abtest.py): the k-group
+    # rank omnibus over order totals across ALL five priorities —
+    # exact doubled rank sums per group, sorted-fold float H
+    from stepist_spark.operators.abtest import kruskal_wallis
+
+    kw = kruskal_wallis(orders, "o_orderpriority", "o_totalprice").select(
+        F.lit("kw").alias("gset"),
+        F.col("o_orderpriority").alias("key1"),
+        F.col("r2x").cast("string").alias("key2"),
+        F.col("n_g").alias("n"),
+        F.col("h_tie").alias("sum_val"),
+    )
     return (
         roll.unionByName(cub)
         .unionByName(gs)
@@ -553,6 +565,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(gi)
         .unionByName(wo)
         .unionByName(mw)
+        .unionByName(kw)
     )
 
 
@@ -610,6 +623,19 @@ def _q09_mwu_sql() -> str:
 
 _Q09_MWU_SQL = _q09_mwu_sql()
 
+
+def _q09_kw_sql() -> str:
+    from stepist_spark.operators.abtest import kruskal_wallis_sql
+
+    return kruskal_wallis_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+_Q09_KW_SQL = _q09_kw_sql()
+
 Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
@@ -642,6 +668,9 @@ SELECT 'mwu', 'O:F',
        CAST(u2_a AS VARCHAR) || ':' || CAST(tie_cubes AS VARCHAR),
        CAST(n_a + n_b AS BIGINT), z_stat
 FROM ({_Q09_MWU_SQL})
+UNION ALL
+SELECT 'kw', grp, CAST(r2x AS VARCHAR), n_g, h_tie
+FROM ({_Q09_KW_SQL})
 """
 
 

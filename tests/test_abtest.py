@@ -199,3 +199,93 @@ class TestMannWhitney:
         assert [tuple(map(float, g)) for g in got] == [
             tuple(map(float, w)) for w in want
         ]
+
+
+def _kw_ref(groups):
+    """groups: {name: [cents...]} — textbook H with the same sorted
+    left-fold convention the operator documents."""
+    from collections import Counter
+    from itertools import groupby as _gb
+
+    allv = sorted(c for xs in groups.values() for c in xs)
+    n = len(allv)
+    ranks, i = {}, 0
+    for v, grp in _gb(allv):
+        m = len(list(grp))
+        ranks[v] = i + (m + 1) / 2
+        i += m
+    srn = 0.0
+    for g in sorted(groups):
+        r2 = 2 * sum(ranks[c] for c in groups[g])
+        srn += r2 * r2 / (4.0 * len(groups[g]))
+    tie = sum(t**3 - t for t in Counter(allv).values())
+    h = 12.0 * srn / (n * (n + 1)) - 3.0 * (n + 1)
+    c = 1.0 - tie / (n**3 - n)
+    return h, (h / c if c > 0 else None)
+
+
+class TestKruskalWallis:
+    def test_matches_closed_form(self, spark):
+        from stepist_spark.operators.abtest import kruskal_wallis
+
+        data = {
+            "A": [10.25, 11.50, 9.75, 12.00, 10.00],
+            "B": [8.50, 9.00, 7.75, 9.75, 8.25],
+            "C": [10.25, 13.00, 12.50, 11.75],
+        }
+        rows = [(g, v) for g, xs in data.items() for v in xs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["g"]: r for r in kruskal_wallis(df, "g", "v").collect()}
+        h, hc = _kw_ref({g: [round(v * 100) for v in xs] for g, xs in data.items()})
+        assert set(out) == {"A", "B", "C"}
+        assert all(r["n"] == 14 for r in out.values())
+        assert abs(out["A"]["h"] - h) < 1e-6
+        assert abs(out["A"]["h_tie"] - hc) < 1e-6
+        # exact doubled rank sums: Σ over all groups == N(N+1)
+        assert sum(int(r["r2x"]) for r in out.values()) == 14 * 15
+
+    def test_two_groups_squares_mwu_z(self, spark):
+        """With k=2 and no ties, H == z² of the Mann-Whitney test."""
+        from stepist_spark.operators.abtest import kruskal_wallis, mann_whitney_u
+
+        rows = [("A", float(i) + 0.25) for i in range(9)] + [
+            ("B", float(i) + 0.5) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (kw,) = {r["h"] for r in kruskal_wallis(df, "g", "v").collect()},
+        z = mann_whitney_u(df, "g", "A", "B", "v").collect()[0]["z_stat"]
+        assert abs(list(kw)[0] - z * z) < 1e-4
+
+    def test_all_tied_null_h_tie(self, spark):
+        from stepist_spark.operators.abtest import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("A", 5.0)] * 3 + [("B", 5.0)] * 2, "g string, v double"
+        )
+        out = kruskal_wallis(df, "g", "v").collect()
+        assert all(r["h_tie"] is None for r in out)
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.abtest import kruskal_wallis, kruskal_wallis_sql
+
+        rows = [
+            (["A", "B", "C", "D"][i % 4], float(i % 19) + (0.25 if i % 3 else 0.5))
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        p = str(tmp_path / "kw.parquet")
+        df.write.parquet(p)
+        got = sorted(
+            (r["g"], r["n_g"], int(r["r2x"]), r["n"], r["h"], r["h_tie"])
+            for r in kruskal_wallis(df, "g", "v").collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            (w[0], w[1], int(w[2]), w[3], w[4], w[5])
+            for w in con.execute(
+                kruskal_wallis_sql(f"SELECT * FROM '{p}/*.parquet'", "g", "v")
+            ).fetchall()
+        )
+        assert got == want
