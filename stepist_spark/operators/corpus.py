@@ -1058,3 +1058,136 @@ SELECT n AS n_vocab,
             THEN round(covn * covn / (varxn * varyn), 6) END AS r2
 FROM _zf
 """
+
+
+def log_odds_tokens(
+    gt: DataFrame, min_count: int = 1, k: int = 5, scale: int = 10**6
+) -> DataFrame:
+    """Per-group CHARACTERISTIC tokens by prior-smoothed log-odds z —
+    the "Fightin' Words" method (Monroe, Colaresi & Quinn, Political
+    Analysis 2008, public): for each group vs the rest of the corpus,
+    ``δ_w = ln((y+1)/(n_i+V−y−1)) − ln((y'+1)/(n_j+V−y'−1))`` with the
+    uniform Dirichlet α=1 prior (the corpus module's add-one
+    discipline), ``σ²_w ≈ 1/(y+1) + 1/(y'+1)``, ``z = δ/σ`` — the
+    variance term is what plain log-ratio keyword lists miss: rare
+    tokens stop dominating.
+
+    Same ``(grp, tok, c)`` input contract as the KL/JS shift operators
+    — feed it the shared postings pass, never re-tokenize. Only cells
+    with ``c > 0`` are scored (a token absent from the group has δ < 0
+    and can never enter the top-k), which keeps each group's frame at
+    its OWN vocabulary instead of the full support crossJoin the
+    symmetric divergences need.
+
+    Exactness: the log argument is a ratio of two exact
+    decimal(38,0)/HUGEINT products (``(a·d_j) / (b·d_i)``), one ln and
+    one division per cell; δ and z floor-scale to integers. Top-k per
+    group by (z_scaled desc, tok asc) — deterministic k-boundary.
+
+    Output: ``grp, tok, rank, c, c_all, delta_scaled, z_scaled``.
+    """
+    from stepist_spark.operators.cumulative import whole_frame
+    from stepist_spark.operators.topk import grouped_topk
+
+    vocab = (
+        gt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("c_all"))
+        .filter(F.col("c_all") >= min_count)
+    )
+    gv = gt.join(vocab.select("tok"), "tok").groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_p")
+    )
+    gv = gv.select(
+        "grp", "n_p", F.sum("n_p").over(whole_frame()).cast("bigint").alias("n_all")
+    )
+    v_count = vocab.select(F.count(F.lit(1)).cast("bigint").alias("v"))
+    cells = (
+        gt.join(vocab, "tok")
+        .join(F.broadcast(gv), "grp")
+        .crossJoin(F.broadcast(v_count))
+    )
+    dec = "decimal(38,0)"
+    a = (F.col("c") + 1).cast(dec)
+    b = ((F.col("c_all") - F.col("c")) + 1).cast(dec)
+    di = (F.col("n_p") + F.col("v")).cast(dec) - a
+    dj = ((F.col("n_all") - F.col("n_p")) + F.col("v")).cast(dec) - b
+    delta = F.log((a * dj).cast("double") / (b * di).cast("double"))
+    sig2 = F.lit(1.0) / a.cast("double") + F.lit(1.0) / b.cast("double")
+    z = delta / F.sqrt(sig2)
+    scored = cells.filter((di > 0) & (dj > 0)).select(
+        "grp",
+        "tok",
+        F.col("c").cast("bigint").alias("c"),
+        "c_all",
+        F.floor(delta * F.lit(scale)).cast("bigint").alias("delta_scaled"),
+        F.floor(z * F.lit(scale)).cast("bigint").alias("z_scaled"),
+    )
+    return grouped_topk(
+        scored,
+        ["grp"],
+        [F.col("z_scaled").desc(), F.col("tok").asc()],
+        k,
+        rank_col="rank",
+    ).select("grp", "tok", "rank", "c", "c_all", "delta_scaled", "z_scaled")
+
+
+def log_odds_sql(
+    table: str,
+    text_expr: str,
+    group_expr: str,
+    min_count: int = 1,
+    k: int = 5,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`log_odds_tokens` fed from a raw corpus
+    (same tokenize → per-(group, token) counts as js_shift_sql)."""
+    from stepist_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_expr)
+    return f"""
+WITH _lo_tok AS (
+    SELECT ({group_expr}) AS grp, unnest({tk}) AS tok FROM {table}
+),
+_lo_gt AS (
+    SELECT grp, tok, CAST(count(*) AS BIGINT) AS c FROM _lo_tok GROUP BY grp, tok
+),
+_lo_vocab AS (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS c_all
+    FROM _lo_gt GROUP BY tok HAVING sum(c) >= {min_count}
+),
+_lo_gv AS (
+    SELECT grp, CAST(sum(c) AS BIGINT) AS n_p
+    FROM _lo_gt JOIN _lo_vocab USING (tok) GROUP BY grp
+),
+_lo_tot AS (
+    SELECT grp, n_p, CAST(sum(n_p) OVER () AS BIGINT) AS n_all FROM _lo_gv
+),
+_lo_v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM _lo_vocab),
+_lo_cells AS (
+    SELECT g.grp, g.tok, g.c, vb.c_all, t.n_p, t.n_all, v.v,
+           CAST(g.c + 1 AS HUGEINT) AS a,
+           CAST((vb.c_all - g.c) + 1 AS HUGEINT) AS b,
+           CAST(t.n_p + v.v AS HUGEINT) - (g.c + 1) AS di,
+           CAST((t.n_all - t.n_p) + v.v AS HUGEINT) - ((vb.c_all - g.c) + 1) AS dj
+    FROM _lo_gt g
+    JOIN _lo_vocab vb USING (tok)
+    JOIN _lo_tot t ON t.grp = g.grp
+    CROSS JOIN _lo_v v
+),
+_lo_z AS (
+    SELECT grp, tok, c, c_all,
+           CAST(floor(ln(CAST(a * dj AS DOUBLE) / CAST(b * di AS DOUBLE))
+                      * {scale}) AS BIGINT) AS delta_scaled,
+           CAST(floor(ln(CAST(a * dj AS DOUBLE) / CAST(b * di AS DOUBLE))
+                      / sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE))
+                      * {scale}) AS BIGINT) AS z_scaled
+    FROM _lo_cells WHERE di > 0 AND dj > 0
+),
+_lo_r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY grp ORDER BY z_scaled DESC, tok ASC) AS rank
+    FROM _lo_z
+)
+SELECT grp, tok, rank, c, c_all, delta_scaled, z_scaled
+FROM _lo_r WHERE rank <= {k}
+"""

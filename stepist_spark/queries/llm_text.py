@@ -1080,6 +1080,20 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.col("slope_scaled").alias("score_scaled"),
     )
+    # Fightin' Words characteristic tokens (round 9): per-source
+    # prior-smoothed log-odds z off the SAME (source, token) count
+    # frame as 'kl'/'js' — the variance term keeps rare tokens from
+    # dominating the keyword list
+    lo = corpus_ops.log_odds_tokens(gt, min_count=5, k=5).select(
+        F.lit("lodds").alias("part"),
+        F.concat_ws(":", F.col("grp"), F.col("tok")).alias("tok"),
+        F.col("delta_scaled").alias("qid"),
+        F.col("c_all").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("c").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.col("z_scaled").alias("score_scaled"),
+    )
     rq = ranking.ranking_quality(bm_raw, rel_col="n_terms_hit", k=5).select(
         F.lit("rankq").alias("part"),
         F.lit(None).cast("string").alias("tok"),
@@ -1101,6 +1115,7 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(js)
         .unionByName(zp)
         .unionByName(hp)
+        .unionByName(lo)
     )
 
 
@@ -1176,6 +1191,9 @@ def _t16_sql() -> str:
 
     vocabest = vocabulary_richness_sql("SELECT text FROM documents")
     js = js_shift_sql("documents", "text", "source", 5)
+    from stepist_spark.operators.corpus import log_odds_sql
+
+    lodds = log_odds_sql("documents", "text", "source", min_count=5, k=5)
     from stepist_spark.operators.corpus import heaps_fit_sql
 
     heaps = heaps_fit_sql("documents", "doc_id", "text")
@@ -1229,6 +1247,10 @@ UNION ALL
 SELECT 'heaps', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), r2_scaled,
        CAST(NULL AS BIGINT), n_docs, CAST(NULL AS BIGINT), slope_scaled
 FROM ({heaps})
+UNION ALL
+SELECT 'lodds', grp || ':' || tok, delta_scaled, c_all,
+       CAST(rank AS BIGINT), c, CAST(NULL AS BIGINT), z_scaled
+FROM ({lodds})
 """
 
 

@@ -634,3 +634,102 @@ class TestCoverageCurve:
             ).fetchall()
         )
         assert got == want
+
+
+class TestLogOdds:
+    def _gt(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, tok string, c bigint")
+
+    ROWS = [
+        ("a", "x", 9), ("a", "y", 3), ("a", "z", 1),
+        ("b", "x", 2), ("b", "y", 6), ("b", "w", 5),
+    ]
+
+    def _ref(self, rows):
+        import math
+
+        tot, mine = {}, {}
+        for g, t, c in rows:
+            tot[t] = tot.get(t, 0) + c
+            mine.setdefault(g, {})[t] = c
+        n_all = sum(tot.values())
+        v = len(tot)
+        out = {}
+        for g, m in mine.items():
+            n_p = sum(m.values())
+            for t, c in m.items():
+                a, b = c + 1, (tot[t] - c) + 1
+                di, dj = n_p + v - a, (n_all - n_p) + v - b
+                if di <= 0 or dj <= 0:
+                    continue
+                delta = math.log((a * dj) / (b * di))
+                z = delta / math.sqrt(1.0 / a + 1.0 / b)
+                out[(g, t)] = (
+                    math.floor(delta * 1e6),
+                    math.floor(z * 1e6),
+                )
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from stepist_spark.operators.corpus import log_odds_tokens
+
+        got = {
+            (r["grp"], r["tok"]): (r["delta_scaled"], r["z_scaled"])
+            for r in log_odds_tokens(self._gt(spark, self.ROWS), k=10).collect()
+        }
+        assert got == self._ref(self.ROWS)
+
+    def test_over_represented_token_tops_the_list(self, spark):
+        from stepist_spark.operators.corpus import log_odds_tokens
+
+        out = log_odds_tokens(self._gt(spark, self.ROWS), k=1).collect()
+        top = {r["grp"]: r["tok"] for r in out}
+        assert top["a"] == "x"  # 9-vs-2: a's most characteristic token
+        assert top["b"] == "w"  # b-exclusive token
+        assert all(r["rank"] == 1 for r in out)
+
+    def test_topk_boundary_deterministic(self, spark):
+        from stepist_spark.operators.corpus import log_odds_tokens
+
+        # two tokens with IDENTICAL counts in the same group: the tok
+        # tiebreak must cut the k-boundary alphabetically
+        rows = [("a", "m", 4), ("a", "n", 4), ("b", "q", 4)]
+        out = [
+            r["tok"]
+            for r in log_odds_tokens(self._gt(spark, rows), k=1).collect()
+            if r["grp"] == "a"
+        ]
+        assert out == ["m"]
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from stepist_spark.functions.text import tokens as tx_tokens
+        from stepist_spark.operators.corpus import log_odds_sql, log_odds_tokens
+
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "alpha beta beta gamma"),
+                (2, "s1", "alpha alpha delta"),
+                (3, "s2", "beta gamma gamma gamma"),
+                (4, "s2", "delta delta epsilon alpha"),
+                (5, "s3", "zeta zeta zeta alpha beta"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        p = str(tmp_path / "lodds.parquet")
+        docs.write.parquet(p)
+        gt = (
+            docs.select("source", F.explode(tx_tokens(F.col("text"))).alias("tok"))
+            .groupBy(F.col("source").alias("grp"), "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        got = sorted(tuple(r) for r in log_odds_tokens(gt, k=3).collect())
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                log_odds_sql(f"(SELECT * FROM '{p}/*.parquet')", "text", "source", k=3)
+            ).fetchall()
+        )
+        assert got == want
