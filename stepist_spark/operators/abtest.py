@@ -653,3 +653,126 @@ _kwh AS (
 SELECT _g AS grp, n_g, r2x, n, h, h_tie
 FROM _kwg, _kwh
 """
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_cond: Column,
+    post_cond: Column,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences — the 2×2 natural-experiment readout
+    (Card & Krueger AER'94 canonical form, public): the treatment
+    effect is the treated group's pre→post change MINUS the control
+    group's, removing any shared time trend a naive pre/post compare
+    absorbs. SE from the four cell variances (the Welch discipline —
+    no pooling assumption).
+
+    One conditional sufficient-statistics aggregate over the facts
+    (n/Σx/Σx² per cell, exact scaled decimal(38,0) integers); the
+    estimate, its SE, and t are one fixed IEEE sequence — the
+    cuped/welch shape, so one scan at any scale.
+
+    Output (one row): per-cell ``n_t1, n_t0, n_c1, n_c0`` and exact
+    ``s_t1, s_t0, s_c1, s_c0`` sums, plus ``did`` (original units,
+    6 dp) and ``t_stat`` (NULL when any cell has n < 2).
+    """
+    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+    cells = {
+        "t1": treat_cond & post_cond,
+        "t0": treat_cond & ~post_cond,
+        "c1": ~treat_cond & post_cond,
+        "c0": ~treat_cond & ~post_cond,
+    }
+    aggs = []
+    for tag, cond in cells.items():
+        aggs.append(F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"n_{tag}"))
+        aggs.append(F.sum(F.when(cond, x)).cast("decimal(38,0)").alias(f"s_{tag}"))
+        aggs.append(
+            F.sum(F.when(cond, x * x)).cast("decimal(38,0)").alias(f"q_{tag}")
+        )
+    stats = df.agg(*aggs)
+
+    def _m(tag):
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast("double")
+
+    def _v(tag):  # sample variance via the exact-integer numerator
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        q = F.col(f"q_{tag}").cast("double")
+        return (n * q - s * s) / (n * (n - F.lit(1.0)))
+
+    did = (_m("t1") - _m("t0")) - (_m("c1") - _m("c0"))
+    se = F.sqrt(
+        _v("t1") / F.col("n_t1").cast("double")
+        + _v("t0") / F.col("n_t0").cast("double")
+        + _v("c1") / F.col("n_c1").cast("double")
+        + _v("c0") / F.col("n_c0").cast("double")
+    )
+    valid = (
+        (F.col("n_t1") >= 2)
+        & (F.col("n_t0") >= 2)
+        & (F.col("n_c1") >= 2)
+        & (F.col("n_c0") >= 2)
+    )
+    return stats.select(
+        "n_t1", "n_t0", "n_c1", "n_c0",
+        "s_t1", "s_t0", "s_c1", "s_c0",
+        F.when(valid, F.round(did / F.lit(float(scale)), 6)).alias("did"),
+        F.when(valid & (se > 0), F.round(did / se, 6)).alias("t_stat"),
+    )
+
+
+def diff_in_diff_sql(
+    table_sql: str,
+    treat_expr: str,
+    post_expr: str,
+    value_expr: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`diff_in_diff` — identical HUGEINT cell
+    sums and IEEE sequence."""
+    cells = {
+        "t1": f"({treat_expr}) AND ({post_expr})",
+        "t0": f"({treat_expr}) AND NOT ({post_expr})",
+        "c1": f"NOT ({treat_expr}) AND ({post_expr})",
+        "c0": f"NOT ({treat_expr}) AND NOT ({post_expr})",
+    }
+    sums = []
+    for tag, cond in cells.items():
+        sums.append(f"CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_{tag}")
+        sums.append(f"sum(CASE WHEN {cond} THEN CAST(_x AS HUGEINT) END) AS s_{tag}")
+        sums.append(
+            f"sum(CASE WHEN {cond} THEN CAST(_x AS HUGEINT) * _x END) AS q_{tag}"
+        )
+    m = {
+        t: f"(CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE))" for t in cells
+    }
+    v = {
+        t: (
+            f"((CAST(n_{t} AS DOUBLE) * CAST(q_{t} AS DOUBLE)"
+            f" - CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE))"
+            f" / (CAST(n_{t} AS DOUBLE) * (CAST(n_{t} AS DOUBLE) - 1.0)))"
+        )
+        for t in cells
+    }
+    did = f"(({m['t1']} - {m['t0']}) - ({m['c1']} - {m['c0']}))"
+    se = (
+        f"sqrt({v['t1']} / CAST(n_t1 AS DOUBLE) + {v['t0']} / CAST(n_t0 AS DOUBLE)"
+        f" + {v['c1']} / CAST(n_c1 AS DOUBLE) + {v['c0']} / CAST(n_c0 AS DOUBLE))"
+    )
+    valid = "n_t1 >= 2 AND n_t0 >= 2 AND n_c1 >= 2 AND n_c0 >= 2"
+    return f"""
+WITH _dd_r AS (
+    SELECT *, CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS _x
+    FROM ({table_sql})
+),
+_dd_s AS (
+    SELECT {", ".join(sums)} FROM _dd_r
+)
+SELECT n_t1, n_t0, n_c1, n_c0, s_t1, s_t0, s_c1, s_c0,
+       CASE WHEN {valid} THEN round({did} / {float(scale)}, 6) END AS did,
+       CASE WHEN {valid} AND {se} > 0 THEN round({did} / {se}, 6) END AS t_stat
+FROM _dd_s
+"""

@@ -1070,3 +1070,130 @@ SELECT category, g, b, woe_scaled,
        round(CAST(sum(iv_term_scaled) OVER () AS DOUBLE) / {scale}, 6) AS iv
 FROM _terms
 """
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Spearman rank correlation between two metric columns — Pearson
+    on the tie-averaged ranks (Spearman 1904, public): the monotone-
+    association readout that outliers and nonlinear-but-monotone
+    relationships can't distort, the rank twin of
+    :func:`corr_matrix`'s Pearson.
+
+    No per-row ranking window: each column's DOUBLED tie-averaged rank
+    is an exact integer looked up from its distinct-value frame —
+    ``2·r(v) = 2·below(v) + t(v) + 1`` via one
+    ``cumulative.ordered_cumsum`` per column (|distinct values| can
+    approach |rows|, so no single-task window) — and joins back to the
+    fact rows by value (two hash joins). Pearson's sufficient
+    statistics over the doubled ranks accumulate exactly in
+    decimal(38,0); doubling cancels in the correlation. The final rho
+    is the corr_matrix fixed IEEE sequence, 6 dp.
+
+    Output (one row): ``n, sxx2, syy2, sxy2`` (exact doubled-rank
+    sums of squares/products) and ``rho`` (NULL when n < 2 or either
+    side is all ties). Rows where either column is NULL are excluded
+    (pairwise-complete).
+    """
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    rows = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.floor(F.col(x_col) * scale + F.lit(0.5)).cast("bigint").alias("vx"),
+        F.floor(F.col(y_col) * scale + F.lit(0.5)).cast("bigint").alias("vy"),
+    )
+
+    def _rank_frame(col: str):
+        vc = rows.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        st = ordered_cumsum(vc, col, ["t"])
+        return st.select(
+            col,
+            ((F.col("cum_t") - F.col("t")) * 2 + F.col("t") + 1)
+            .cast("bigint")
+            .alias(f"r2{col[-1]}"),
+        )
+
+    ranked = rows.join(_rank_frame("vx"), "vx").join(_rank_frame("vy"), "vy")
+    dec = "decimal(38,0)"
+    rx = F.col("r2x").cast(dec)
+    ry = F.col("r2y").cast(dec)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx).cast(dec).alias("_sx"),
+        F.sum(ry).cast(dec).alias("_sy"),
+        F.sum(rx * rx).cast(dec).alias("sxx2"),
+        F.sum(ry * ry).cast(dec).alias("syy2"),
+        F.sum(rx * ry).cast(dec).alias("sxy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    qx = F.col("sxx2").cast("double")
+    qy = F.col("syy2").cast("double")
+    xy = F.col("sxy2").cast("double")
+    cov_n = nd * xy - sx * sy
+    vx_n = nd * qx - sx * sx
+    vy_n = nd * qy - sy * sy
+    rho = F.when(
+        (F.col("n") >= 2) & (vx_n > 0) & (vy_n > 0),
+        F.round(cov_n / F.sqrt(vx_n * vy_n), 6),
+    )
+    return agg.select("n", "sxx2", "syy2", "sxy2", rho.alias("rho"))
+
+
+def spearman_corr_sql(
+    table_sql: str,
+    x_expr: str,
+    y_expr: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`spearman_corr` — identical HUGEINT
+    doubled-rank sums and IEEE rho sequence."""
+    return f"""
+WITH _sp_r AS (
+    SELECT CAST(floor(({x_expr}) * {scale} + 0.5) AS BIGINT) AS vx,
+           CAST(floor(({y_expr}) * {scale} + 0.5) AS BIGINT) AS vy
+    FROM ({table_sql})
+    WHERE ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL
+),
+_sp_x AS (
+    SELECT vx, CAST((CAST(sum(count(*)) OVER (ORDER BY vx ROWS UNBOUNDED PRECEDING)
+                     AS HUGEINT) - count(*)) * 2 + count(*) + 1 AS HUGEINT) AS r2x
+    FROM _sp_r GROUP BY vx
+),
+_sp_y AS (
+    SELECT vy, CAST((CAST(sum(count(*)) OVER (ORDER BY vy ROWS UNBOUNDED PRECEDING)
+                     AS HUGEINT) - count(*)) * 2 + count(*) + 1 AS HUGEINT) AS r2y
+    FROM _sp_r GROUP BY vy
+),
+_sp_j AS (
+    SELECT r2x, r2y FROM _sp_r JOIN _sp_x USING (vx) JOIN _sp_y USING (vy)
+),
+_sp_a AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(r2x) AS sx, sum(r2y) AS sy,
+           sum(r2x * r2x) AS sxx2, sum(r2y * r2y) AS syy2,
+           sum(r2x * r2y) AS sxy2
+    FROM _sp_j
+)
+SELECT n, sxx2, syy2, sxy2,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round(
+              (CAST(n AS DOUBLE) * CAST(sxy2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS rho
+FROM _sp_a
+"""

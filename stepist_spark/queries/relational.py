@@ -3567,6 +3567,64 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_boot").alias("n1"),
         F.col("lo_rank").alias("n2"),
     )
+    # Spearman rank correlation rides along (round 9, operators/
+    # regression.py): the monotone twin of 'corr' — doubled tie-
+    # averaged ranks from two value-frame cumulatives, exact
+    # decimal(38,0) rank sums, corr_matrix IEEE rho
+    from stepist_spark.operators.regression import spearman_corr
+
+    sp = spearman_corr(li3, "l_quantity", "l_extendedprice").select(
+        F.lit("spear").alias("part"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("rho").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("sxx2").cast("string"),
+            F.col("syy2").cast("string"),
+            F.col("sxy2").cast("string"),
+        ).alias("s1"),
+        F.col("n").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+    )
+    # difference-in-differences rides along (round 9, operators/
+    # abtest.py): returned-vs-kept lineitems across the 1995-06-17
+    # ship-date cutover — one conditional cell aggregate, exact sums
+    from stepist_spark.operators.abtest import diff_in_diff
+
+    li_dd = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    dd = diff_in_diff(
+        li_dd,
+        F.col("l_returnflag") == "A",
+        F.col("l_shipdate") >= F.lit("1995-06-17 00:00:00").cast("timestamp_ntz"),
+        "l_extendedprice",
+    ).select(
+        F.lit("did").alias("part"),
+        F.concat_ws(
+            ":",
+            F.col("n_t1").cast("string"),
+            F.col("n_t0").cast("string"),
+            F.col("n_c1").cast("string"),
+            F.col("n_c0").cast("string"),
+        ).alias("k1"),
+        F.col("did").alias("d1"),
+        F.col("t_stat").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.concat_ws(
+            ":",
+            F.col("s_t1").cast("string"),
+            F.col("s_t0").cast("string"),
+            F.col("s_c1").cast("string"),
+            F.col("s_c0").cast("string"),
+        ).alias("s1"),
+        (F.col("n_t1") + F.col("n_t0")).cast("bigint").alias("n1"),
+        (F.col("n_c1") + F.col("n_c0")).cast("bigint").alias("n2"),
+    )
     return (
         pc.unionByName(hi)
         .unionByName(mm)
@@ -3586,6 +3644,8 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pcc)
         .unionByName(boot)
         .unionByName(bootci)
+        .unionByName(sp)
+        .unionByName(dd)
     )
 
 
@@ -3827,6 +3887,33 @@ def _q25_ci_sql() -> str:
 _Q25_CI_SQL = _q25_ci_sql()
 
 
+def _q25_spear_sql() -> str:
+    from stepist_spark.operators.regression import spearman_corr_sql
+
+    return spearman_corr_sql(
+        "SELECT l_quantity, l_extendedprice FROM lineitem",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+_Q25_SPEAR_SQL = _q25_spear_sql()
+
+
+def _q25_did_sql() -> str:
+    from stepist_spark.operators.abtest import diff_in_diff_sql
+
+    return diff_in_diff_sql(
+        "SELECT l_returnflag, l_shipdate, l_extendedprice FROM lineitem",
+        "l_returnflag = 'A'",
+        "l_shipdate >= TIMESTAMP '1995-06-17 00:00:00'",
+        "l_extendedprice",
+    )
+
+
+_Q25_DID_SQL = _q25_did_sql()
+
+
 Q25M_SQL = f"""
 SELECT 'pct' AS part, k1, d1, d2, d3, d4, s1, n1, n2 FROM (
   SELECT l_returnflag AS k1, CAST(median_qty AS DOUBLE) AS d1,
@@ -3933,6 +4020,22 @@ SELECT 'bootci', CAST(NULL AS VARCHAR), lo_mean, hi_mean,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
        n_boot, lo_rank
 FROM ({_Q25_CI_SQL})
+UNION ALL
+SELECT 'spear', CAST(NULL AS VARCHAR), rho,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(sxx2 AS VARCHAR) || ':' || CAST(syy2 AS VARCHAR)
+           || ':' || CAST(sxy2 AS VARCHAR),
+       n, CAST(NULL AS BIGINT)
+FROM ({_Q25_SPEAR_SQL})
+UNION ALL
+SELECT 'did',
+       CAST(n_t1 AS VARCHAR) || ':' || CAST(n_t0 AS VARCHAR)
+           || ':' || CAST(n_c1 AS VARCHAR) || ':' || CAST(n_c0 AS VARCHAR),
+       did, t_stat, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(s_t1 AS VARCHAR) || ':' || CAST(s_t0 AS VARCHAR)
+           || ':' || CAST(s_c1 AS VARCHAR) || ':' || CAST(s_c0 AS VARCHAR),
+       CAST(n_t1 + n_t0 AS BIGINT), CAST(n_c1 + n_c0 AS BIGINT)
+FROM ({_Q25_DID_SQL})
 """
 
 

@@ -289,3 +289,69 @@ class TestKruskalWallis:
             ).fetchall()
         )
         assert got == want
+
+
+class TestDiffInDiff:
+    def _rows(self):
+        # planted effect: +2.0 only in the treated-post cell
+        return [
+            (i % 2 == 0, i % 3 == 0,
+             float(i % 23) + 0.25 + (2.0 if (i % 2 == 0 and i % 3 == 0) else 0.0))
+            for i in range(300)
+        ]
+
+    def test_matches_closed_form(self, spark):
+        import statistics
+
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import diff_in_diff
+
+        rows = self._rows()
+        cells = {}
+        for t, p, v in rows:
+            cells.setdefault(("t" if t else "c") + ("1" if p else "0"), []).append(
+                round(v * 100)
+            )
+        m = {k: sum(v) / len(v) for k, v in cells.items()}
+        var = {k: statistics.variance(v) for k, v in cells.items()}
+        did = ((m["t1"] - m["t0"]) - (m["c1"] - m["c0"])) / 100.0
+        se = math.sqrt(sum(var[k] / len(cells[k]) for k in cells))
+        t_ref = ((m["t1"] - m["t0"]) - (m["c1"] - m["c0"])) / se
+        df = spark.createDataFrame(rows, "treat boolean, post boolean, v double")
+        (r,) = diff_in_diff(df, F.col("treat"), F.col("post"), "v").collect()
+        assert abs(r["did"] - did) < 1e-6
+        assert abs(r["t_stat"] - t_ref) < 1e-6
+        assert r["n_t1"] == len(cells["t1"])
+        # the planted +2.0 is recovered (shared trend cancelled)
+        assert abs(r["did"] - 2.0) < 0.01 or r["did"] > 1.0
+
+    def test_small_cell_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import diff_in_diff
+
+        rows = [(True, True, 1.0), (True, False, 2.0), (True, False, 3.0),
+                (False, True, 4.0), (False, True, 5.0), (False, False, 6.0),
+                (False, False, 7.0)]
+        df = spark.createDataFrame(rows, "treat boolean, post boolean, v double")
+        (r,) = diff_in_diff(df, F.col("treat"), F.col("post"), "v").collect()
+        assert r["did"] is None and r["t_stat"] is None  # t1 cell has n=1
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import diff_in_diff, diff_in_diff_sql
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "treat boolean, post boolean, v double")
+        p = str(tmp_path / "did.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in diff_in_diff(df, F.col("treat"), F.col("post"), "v").collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            diff_in_diff_sql(f"SELECT * FROM '{p}/*.parquet'", "treat", "post", "v")
+        ).fetchall()
+        assert [tuple(map(float, g)) for g in got] == [tuple(map(float, w)) for w in want]

@@ -424,3 +424,85 @@ class TestWeightOfEvidence:
         # NULL labels vanish rather than counting as "bad"
         assert (out["x"]["g"], out["x"]["b"]) == (3, 2)
         assert (out["y"]["g"], out["y"]["b"]) == (1, 3)
+
+
+class TestSpearman:
+    def _ref(self, rows, scale=100):
+        import math
+        from itertools import groupby
+
+        xs = [round(x * scale) for x, _ in rows]
+        ys = [round(y * scale) for _, y in rows]
+
+        def ranks(vs):
+            s = sorted(vs)
+            r, i = {}, 0
+            for v, g in groupby(s):
+                m = len(list(g))
+                r[v] = i + (m + 1) / 2
+                i += m
+            return [r[v] for v in vs]
+
+        rx, ry = ranks(xs), ranks(ys)
+        n = len(rx)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        return cov / math.sqrt(vx * vy)
+
+    def test_matches_closed_form_with_ties(self, spark):
+        from stepist_spark.operators.regression import spearman_corr
+
+        rows = [(1.0, 2.0), (2.0, 4.0), (2.0, 3.0), (3.0, 9.0), (4.0, 9.0), (5.0, 1.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        (r,) = spearman_corr(df, "x", "y").collect()
+        assert r["n"] == 6
+        assert abs(r["rho"] - self._ref(rows)) < 1e-6
+        # doubled-rank sum identity: Σ2r == n(n+1) on each axis
+        # (not output directly, but sxx2 >= the no-ties minimum)
+        assert int(r["sxy2"]) > 0
+
+    def test_perfect_monotone_is_one(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.regression import spearman_corr
+
+        rows = [(float(i), float(i * i)) for i in range(1, 9)]  # nonlinear, monotone
+        df = spark.createDataFrame(rows, "x double, y double")
+        (r,) = spearman_corr(df, "x", "y").collect()
+        assert r["rho"] == 1.0
+        (r2,) = spearman_corr(
+            df.select("x", (-F.col("y")).alias("y")), "x", "y"
+        ).collect()
+        assert r2["rho"] == -1.0
+
+    def test_null_rows_excluded_and_degenerate_null(self, spark):
+        from stepist_spark.operators.regression import spearman_corr
+
+        rows = [(1.0, 2.0), (2.0, None), (None, 3.0), (4.0, 5.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        (r,) = spearman_corr(df, "x", "y").collect()
+        assert r["n"] == 2  # pairwise-complete
+        const = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+        (rc,) = spearman_corr(const, "x", "y").collect()
+        assert rc["rho"] is None  # y all ties: zero rank variance
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.regression import spearman_corr, spearman_corr_sql
+
+        rows = [
+            (float(i % 13) + 0.25 * (i % 2), float((i * 7) % 19) + 0.5 * (i % 3))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        p = str(tmp_path / "sp.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in spearman_corr(df, "x", "y").collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            spearman_corr_sql(f"SELECT * FROM '{p}/*.parquet'", "x", "y")
+        ).fetchall()
+        assert [tuple(map(float, g)) for g in got] == [tuple(map(float, w)) for w in want]
