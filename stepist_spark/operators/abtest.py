@@ -776,3 +776,233 @@ SELECT n_t1, n_t0, n_c1, n_c0, s_t1, s_t0, s_c1, s_c0,
        CASE WHEN {valid} AND {se} > 0 THEN round({did} / {se}, 6) END AS t_stat
 FROM _dd_s
 """
+
+
+def welch_ttest_sliced(
+    df: DataFrame,
+    slice_cols: list[str],
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-slice Welch t — :func:`welch_ttest` grouped by segment
+    columns, the "run the experiment readout on every slice" shape
+    that makes multiple-testing control (:func:`bh_discoveries`)
+    necessary in the first place. ONE conditional aggregate grouped by
+    the slices; per-slice exact decimal(38,0) sums; the same fixed
+    IEEE t sequence as the global test.
+
+    Output: ``*slice_cols, n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+    t_stat`` (t NULL when either arm of the slice has n < 2 or zero
+    pooled variance)."""
+    from stepist_spark.operators.cumulative import require_groups
+
+    scols = require_groups(slice_cols, "welch_ttest_sliced", "use welch_ttest")
+    g = F.col(group_col)
+    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+    in_a = g == group_a
+    in_b = g == group_b
+    stats = df.filter(in_a | in_b).groupBy(*scols).agg(
+        F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
+        F.sum(F.when(in_a, x)).cast("decimal(38,0)").alias("sum_a"),
+        F.sum(F.when(in_b, x)).cast("decimal(38,0)").alias("sum_b"),
+        F.sum(F.when(in_a, x * x)).cast("decimal(38,0)").alias("sumsq_a"),
+        F.sum(F.when(in_b, x * x)).cast("decimal(38,0)").alias("sumsq_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sum_a").cast("double")
+    sb = F.col("sum_b").cast("double")
+    qa = F.col("sumsq_a").cast("double")
+    qb = F.col("sumsq_b").cast("double")
+    va = (na * qa - sa * sa) / (na * (na - F.lit(1.0)))
+    vb = (nb * qb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    valid = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return stats.select(
+        *scols,
+        "n_a", "n_b", "sum_a", "sum_b", "sumsq_a", "sumsq_b",
+        F.when(valid, F.round(t, 6)).alias("t_stat"),
+    )
+
+
+def welch_ttest_sliced_sql(
+    table_sql: str,
+    slice_exprs: list[str],
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+    value_expr: str,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`welch_ttest_sliced`."""
+    s = ", ".join(slice_exprs)
+    return f"""
+WITH _ws_r AS (
+    SELECT {s}, ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS _x
+    FROM ({table_sql})
+    WHERE ({group_expr}) IN ('{group_a}', '{group_b}')
+),
+_ws_s AS (
+    SELECT {s},
+        CAST(count(CASE WHEN _g = '{group_a}' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(count(CASE WHEN _g = '{group_b}' THEN 1 END) AS BIGINT) AS n_b,
+        sum(CASE WHEN _g = '{group_a}' THEN CAST(_x AS HUGEINT) END) AS sum_a,
+        sum(CASE WHEN _g = '{group_b}' THEN CAST(_x AS HUGEINT) END) AS sum_b,
+        sum(CASE WHEN _g = '{group_a}' THEN CAST(_x AS HUGEINT) * _x END) AS sumsq_a,
+        sum(CASE WHEN _g = '{group_b}' THEN CAST(_x AS HUGEINT) * _x END) AS sumsq_b
+    FROM _ws_r GROUP BY {s}
+)
+SELECT {s}, n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2
+             AND ((CAST(n_a AS DOUBLE) * CAST(sumsq_a AS DOUBLE)
+                   - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                 / CAST(n_a AS DOUBLE)
+                 + ((CAST(n_b AS DOUBLE) * CAST(sumsq_b AS DOUBLE)
+                     - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE))
+                    / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                 / CAST(n_b AS DOUBLE) > 0
+            THEN round((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / sqrt(((CAST(n_a AS DOUBLE) * CAST(sumsq_a AS DOUBLE)
+                                - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE))
+                               / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                              / CAST(n_a AS DOUBLE)
+                              + ((CAST(n_b AS DOUBLE) * CAST(sumsq_b AS DOUBLE)
+                                  - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE))
+                                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                              / CAST(n_b AS DOUBLE)), 6)
+       END AS t_stat
+FROM _ws_s
+"""
+
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (public,
+# |error| <= 1.5e-7): elementary ops + exp only, so both engines
+# evaluate the IDENTICAL expression tree — the repo-standard way to
+# get a normal CDF without scipy on either side.
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _p_two_sided(t: Column) -> Column:
+    """Two-sided normal-approximation p-value of a test statistic:
+    ``p = 1 − erf(|t|/√2)`` via A&S 7.1.26 (documented ≤1.5e-7 error —
+    the normal reference is itself the large-n approximation of the
+    t distribution, standard for experiment readouts at event-log n)."""
+    x = F.abs(t) / F.lit(1.4142135623730951)
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    a1, a2, a3, a4, a5 = _AS_ERF
+    poly = (
+        F.lit(a1) * u
+        + F.lit(a2) * u * u
+        + F.lit(a3) * u * u * u
+        + F.lit(a4) * u * u * u * u
+        + F.lit(a5) * u * u * u * u * u
+    )
+    return poly * F.exp(-(x * x))
+
+
+def _p_two_sided_sql(t: str) -> str:
+    a1, a2, a3, a4, a5 = _AS_ERF
+    x = f"(abs({t}) / 1.4142135623730951)"
+    u = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"({a1} * {u} + {a2} * {u} * {u} + {a3} * {u} * {u} * {u}"
+        f" + {a4} * {u} * {u} * {u} * {u}"
+        f" + {a5} * {u} * {u} * {u} * {u} * {u})"
+    )
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+def bh_discoveries(
+    stats: DataFrame,
+    key_cols: list[str],
+    stat_col: str = "t_stat",
+    fdr_q: float = 0.10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of test statistics
+    (Benjamini & Hochberg, JRSS-B 1995, public) — the multiple-testing
+    step every "test the metric on all N slices" readout needs: rank
+    the two-sided p-values ascending, find the largest i with
+    ``p_(i) ≤ q·i/m``, reject hypotheses 1..i.
+
+    Input contract: a PER-HYPOTHESIS stats frame (one row per slice —
+    |slices|-bounded by construction, e.g. :func:`welch_ttest_sliced`
+    output), so the rank window is a :func:`whole_frame` over a
+    provably small frame. NULL statistics (untestable slices) are
+    EXCLUDED from the family — they neither spend nor receive FDR
+    budget. p is the normal-approximation two-sided p via the A&S
+    erf polynomial (≤1.5e-7, identical expression both engines).
+
+    Output: ``*key_cols, <stat_col>, p_scaled`` (floor(p·scale)),
+    ``p_rank, m, rejected``.
+    """
+    from stepist_spark.operators.cumulative import whole_frame
+
+    tested = stats.filter(F.col(stat_col).isNotNull())
+    p = _p_two_sided(F.col(stat_col))
+    base = tested.select(
+        *key_cols, stat_col, p.alias("_p")
+    )
+    w = whole_frame(F.col("_p").asc(), *[F.col(c).asc() for c in key_cols])
+    ranked = base.select(
+        *key_cols,
+        stat_col,
+        "_p",
+        F.row_number().over(w).alias("p_rank"),
+        F.count(F.lit(1)).over(whole_frame()).alias("m"),
+    )
+    passes = F.col("_p") * F.col("m").cast("double") <= F.lit(fdr_q) * F.col(
+        "p_rank"
+    ).cast("double")
+    flagged = ranked.select(
+        *key_cols, stat_col, "_p", "p_rank", "m", passes.alias("_pass")
+    )
+    kstar = F.max(F.when(F.col("_pass"), F.col("p_rank"))).over(whole_frame())
+    return flagged.select(
+        *key_cols,
+        stat_col,
+        F.floor(F.col("_p") * F.lit(scale)).cast("bigint").alias("p_scaled"),
+        F.col("p_rank").cast("bigint").alias("p_rank"),
+        F.col("m").cast("bigint").alias("m"),
+        (F.col("p_rank") <= F.coalesce(kstar, F.lit(0))).alias("rejected"),
+    )
+
+
+def bh_discoveries_sql(
+    stats_sql: str,
+    key_exprs: list[str],
+    stat_col: str = "t_stat",
+    fdr_q: float = 0.10,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`bh_discoveries`."""
+    keys = ", ".join(key_exprs)
+    p = _p_two_sided_sql(stat_col)
+    return f"""
+WITH _bh_t AS (
+    SELECT {keys}, {stat_col}, {p} AS _p
+    FROM ({stats_sql}) WHERE {stat_col} IS NOT NULL
+),
+_bh_r AS (
+    SELECT *, row_number() OVER (ORDER BY _p ASC, {keys}) AS p_rank,
+           count(*) OVER () AS m
+    FROM _bh_t
+),
+_bh_f AS (
+    SELECT *, (_p * CAST(m AS DOUBLE) <= {fdr_q} * CAST(p_rank AS DOUBLE)) AS _pass
+    FROM _bh_r
+)
+SELECT {keys}, {stat_col},
+       CAST(floor(_p * {scale}) AS BIGINT) AS p_scaled,
+       CAST(p_rank AS BIGINT) AS p_rank, CAST(m AS BIGINT) AS m,
+       p_rank <= coalesce(max(CASE WHEN _pass THEN p_rank END) OVER (), 0) AS rejected
+FROM _bh_f
+"""

@@ -558,6 +558,27 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_g").alias("n"),
         F.col("h_tie").alias("sum_val"),
     )
+    # Benjamini-Hochberg FDR over per-priority Welch readouts rides
+    # along (round 9, operators/abtest.py): the multiple-testing step
+    # a test-every-slice readout needs — A&S-erf normal p-values,
+    # step-up rejection over the |slices|-bounded family
+    from stepist_spark.operators.abtest import bh_discoveries, welch_ttest_sliced
+
+    wsl = welch_ttest_sliced(
+        orders, ["o_orderpriority"], "o_orderstatus", "O", "F", "o_totalprice"
+    )
+    bh = bh_discoveries(wsl, ["o_orderpriority"], "t_stat", fdr_q=0.10).select(
+        F.lit("bh").alias("gset"),
+        F.col("o_orderpriority").alias("key1"),
+        F.concat_ws(
+            ":",
+            F.col("p_scaled").cast("string"),
+            F.col("p_rank").cast("string"),
+            F.col("rejected").cast("int").cast("string"),
+        ).alias("key2"),
+        F.col("m").alias("n"),
+        F.col("t_stat").alias("sum_val"),
+    )
     return (
         roll.unionByName(cub)
         .unionByName(gs)
@@ -566,6 +587,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(wo)
         .unionByName(mw)
         .unionByName(kw)
+        .unionByName(bh)
     )
 
 
@@ -636,6 +658,23 @@ def _q09_kw_sql() -> str:
 
 _Q09_KW_SQL = _q09_kw_sql()
 
+
+def _q09_bh_sql() -> str:
+    from stepist_spark.operators.abtest import bh_discoveries_sql, welch_ttest_sliced_sql
+
+    wsl = welch_ttest_sliced_sql(
+        "SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders",
+        ["o_orderpriority"],
+        "o_orderstatus",
+        "O",
+        "F",
+        "o_totalprice",
+    )
+    return bh_discoveries_sql(wsl, ["o_orderpriority"], "t_stat", fdr_q=0.10)
+
+
+_Q09_BH_SQL = _q09_bh_sql()
+
 Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
@@ -671,6 +710,12 @@ FROM ({_Q09_MWU_SQL})
 UNION ALL
 SELECT 'kw', grp, CAST(r2x AS VARCHAR), n_g, h_tie
 FROM ({_Q09_KW_SQL})
+UNION ALL
+SELECT 'bh', o_orderpriority,
+       CAST(p_scaled AS VARCHAR) || ':' || CAST(p_rank AS VARCHAR)
+           || ':' || CAST(CAST(rejected AS INTEGER) AS VARCHAR),
+       m, t_stat
+FROM ({_Q09_BH_SQL})
 """
 
 

@@ -355,3 +355,89 @@ class TestDiffInDiff:
             diff_in_diff_sql(f"SELECT * FROM '{p}/*.parquet'", "treat", "post", "v")
         ).fetchall()
         assert [tuple(map(float, g)) for g in got] == [tuple(map(float, w)) for w in want]
+
+
+class TestBenjaminiHochberg:
+    def test_p_matches_erfc_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import bh_discoveries
+
+        stats = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.5), ("c", 0.0), ("d", -3.2)],
+            "k string, t_stat double",
+        )
+        out = {r["k"]: r for r in bh_discoveries(stats, ["k"], fdr_q=0.05).collect()}
+        for k, t in [("a", 1.0), ("b", 2.5), ("c", 0.0), ("d", -3.2)]:
+            p_ref = math.erfc(abs(t) / math.sqrt(2))
+            # A&S 7.1.26 is accurate to 1.5e-7
+            assert abs(out[k]["p_scaled"] / 1e6 - p_ref) < 1e-5, (k, t)
+
+    def test_step_up_rejection_set(self, spark):
+        from stepist_spark.operators.abtest import bh_discoveries
+
+        # hand-picked z's: p ~ [.0016, .012, .046, .317, .617]
+        stats = spark.createDataFrame(
+            [("a", 3.16), ("b", 2.5), ("c", 2.0), ("d", 1.0), ("e", 0.5)],
+            "k string, t_stat double",
+        )
+        out = {r["k"]: r for r in bh_discoveries(stats, ["k"], fdr_q=0.10).collect()}
+        # BH at q=.10, m=5: crit = .02, .04, .06, .08, .10 ->
+        # p1<=.02 T, p2<=.04 T, p3(.0455)<=.06 T, p4 F, p5 F; k*=3
+        rejected = {k for k, r in out.items() if r["rejected"]}
+        assert rejected == {"a", "b", "c"}
+        assert all(r["m"] == 5 for r in out.values())
+
+    def test_step_up_rescues_below_threshold_ranks(self, spark):
+        from stepist_spark.operators.abtest import bh_discoveries
+
+        # classic step-UP property: p2 fails its own crit but a LATER
+        # rank passes, so p2 is still rejected (k* dominates)
+        stats = spark.createDataFrame(
+            [("a", 3.3), ("b", 2.0), ("c", 2.1), ("d", 2.05)],
+            "k string, t_stat double",
+        )
+        out = {r["k"]: r for r in bh_discoveries(stats, ["k"], fdr_q=0.20).collect()}
+        # m=4, crits .05 .10 .15 .20; ps ~ .00097 .0357 .0404 .0455
+        assert {k for k, r in out.items() if r["rejected"]} == {"a", "b", "c", "d"}
+
+    def test_null_stats_excluded_from_family(self, spark):
+        from stepist_spark.operators.abtest import bh_discoveries
+
+        stats = spark.createDataFrame(
+            [("a", 3.16), ("b", None), ("c", 0.5)], "k string, t_stat double"
+        )
+        out = bh_discoveries(stats, ["k"], fdr_q=0.10).collect()
+        assert {r["k"] for r in out} == {"a", "c"}  # b dropped
+        assert all(r["m"] == 2 for r in out)  # family size excludes b
+
+    def test_sliced_welch_and_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.abtest import (
+            bh_discoveries,
+            bh_discoveries_sql,
+            welch_ttest_sliced,
+            welch_ttest_sliced_sql,
+        )
+
+        rows = []
+        for s in range(6):
+            shift = 3.0 if s < 3 else 0.0
+            for i in range(60):
+                rows.append((f"s{s}", "A", float(i % 17) + 0.25 + shift))
+                rows.append((f"s{s}", "B", float(i % 17) + 0.35))
+        df = spark.createDataFrame(rows, "slice string, g string, v double")
+        p = str(tmp_path / "bh.parquet")
+        df.write.parquet(p)
+        st = welch_ttest_sliced(df, ["slice"], "g", "A", "B", "v")
+        got = sorted(
+            tuple(r) for r in bh_discoveries(st, ["slice"], fdr_q=0.10).collect()
+        )
+        con = duckdb.connect()
+        ssql = welch_ttest_sliced_sql(
+            f"SELECT * FROM '{p}/*.parquet'", ["slice"], "g", "A", "B", "v"
+        )
+        want = sorted(con.execute(bh_discoveries_sql(ssql, ["slice"], "t_stat", 0.10)).fetchall())
+        assert [tuple(map(str, a)) for a in got] == [tuple(map(str, b)) for b in want]
+        assert {r[0] for r in got if r[-1]} == {"s0", "s1", "s2"}
