@@ -448,3 +448,75 @@ WITH RECURSIVE _walk(node, cost, hops) AS (
 )
 SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM _walk GROUP BY node
 """
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peel (Seidman 1983, public): repeatedly delete vertices
+    of degree < k until none remain; the surviving subgraph is the
+    k-core — the dense-backbone extraction behind spam-subgraph
+    isolation, community seeding, and graph-based corpus curation
+    (near-clique dup groups survive, sparse link chains peel away).
+
+    A FIXED number of peel ``rounds`` (the pagerank fixed-iteration
+    discipline — the DuckDB oracle replays the identical rounds as
+    nested CTEs, so results hash-match whether or not the peel has
+    converged; pick rounds ≥ the graph's observed peel depth and the
+    result IS the exact k-core, which a drained extra round certifies:
+    a converged peel is a fixpoint, so extra rounds are no-ops). Each
+    round is one degree aggregate + two semi-joins keyed on the edge
+    endpoints — work ∝ |E| per round, never |V|².
+
+    Expects SYMMETRIZED edges (both directions present, as
+    :func:`pagerank`'s callers build); degree is then the out-degree.
+    Output: ``node, deg_core`` — surviving vertices with their degree
+    INSIDE the core after the last round.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_s")
+        )
+        e = (
+            e.join(alive, "_s", "left_semi")
+            .join(alive.select(F.col("_s").alias("_d")), "_d", "left_semi")
+            .localCheckpoint(eager=False)  # keep the per-round lineage flat
+        )
+    return e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_core")
+    )
+
+
+def kcore_membership_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int,
+) -> str:
+    """DuckDB mirror of :func:`kcore_membership` — the identical fixed
+    peel rounds as nested CTEs (edges must be symmetrized)."""
+    ctes = [f"_kc0 AS (SELECT src AS _s, dst AS _d FROM ({edges_sql}))"]
+    for r in range(1, rounds + 1):
+        prev = f"_kc{r - 1}"
+        ctes.append(
+            f"_ka{r} AS (SELECT _s FROM {prev} GROUP BY _s "
+            f"HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"_kc{r} AS (SELECT e._s, e._d FROM {prev} e "
+            f"JOIN _ka{r} a ON e._s = a._s "
+            f"JOIN _ka{r} b ON e._d = b._s)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT _s AS node, CAST(count(*) AS BIGINT) AS deg_core "
+        f"FROM _kc{rounds} GROUP BY _s"
+    )

@@ -1024,12 +1024,23 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cost").cast("bigint").alias("v1"),
         F.lit(None).cast("bigint").alias("v2"),
     )
+    # k-core peel over the SAME trade graph (round 9, operators/
+    # graphs.py): the dense-backbone extraction — k=8 cascades for 3
+    # peel rounds on this graph at both test scales, so 4 fixed rounds
+    # include one drained round certifying the fixpoint
+    kc = graphs.kcore_membership(edges, k=8, rounds=4).select(
+        F.lit("kcore").alias("part"),
+        F.col("node").cast("bigint").alias("node"),
+        F.col("deg_core").cast("bigint").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
     return (
         cl.unionByName(prp)
         .unionByName(tri)
         .unionByName(no)
         .unionByName(bfs)
         .unionByName(sssp)
+        .unionByName(kc)
     )
 
 
@@ -1042,6 +1053,12 @@ def _c03_sql() -> str:
     )
 
     base = (100 - 85) * _PR_SCALE // 100
+    # the k-core mirror is its own WITH chain; it nests as a FROM
+    # subquery (own CTE scope — the outer RECURSIVE modifier does not
+    # leak in) reading the outer g_edges CTE
+    from stepist_spark.operators.graphs import kcore_membership_sql
+
+    _kcore_inner = kcore_membership_sql("SELECT src, dst FROM g_edges", k=8, rounds=4)
     return f"""
 WITH RECURSIVE {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
 bands AS ({_bands_sql()}),
@@ -1193,6 +1210,9 @@ FROM bfs_walk GROUP BY node
 UNION ALL
 SELECT 'sssp', node, CAST(min(cost) AS BIGINT), CAST(NULL AS BIGINT)
 FROM sssp_walk GROUP BY node
+UNION ALL
+SELECT 'kcore', node, deg_core, CAST(NULL AS BIGINT)
+FROM ({_kcore_inner}) kc
 """
 
 

@@ -263,3 +263,71 @@ class TestCheapestPathsBounded:
             ).fetchall()
         )
         assert got == want
+
+
+class TestKCore:
+    def _edges(self, spark):
+        # a 4-clique (3-core), a chain tail that peels away, a triangle
+        edges = []
+        clique = [1, 2, 3, 4]
+        for i in clique:
+            for j in clique:
+                if i != j:
+                    edges.append((i, j))
+        edges += [(4, 5), (5, 4), (5, 6), (6, 5), (6, 7), (7, 6)]
+        edges += [(10, 11), (11, 10), (11, 12), (12, 11), (12, 10), (10, 12)]
+        return spark.createDataFrame(edges, "src long, dst long"), edges
+
+    def test_peel_levels(self, spark):
+        from stepist_spark.operators.graphs import kcore_membership
+
+        df, _ = self._edges(spark)
+        two = {r["node"]: r["deg_core"] for r in kcore_membership(df, 2, rounds=5).collect()}
+        assert set(two) == {1, 2, 3, 4, 10, 11, 12}  # chain peeled
+        assert two[10] == 2 and two[1] == 3
+        three = {r["node"] for r in kcore_membership(df, 3, rounds=5).collect()}
+        assert three == {1, 2, 3, 4}  # triangle (deg 2) peels at k=3
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        from stepist_spark.operators.graphs import kcore_membership
+
+        # path 1-2-3-4-5: at k=2 the endpoints peel first, then the
+        # cascade unzips the whole path — one round is NOT enough
+        path = []
+        for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]:
+            path += [(a, b), (b, a)]
+        df = spark.createDataFrame(path, "src long, dst long")
+        after1 = kcore_membership(df, 2, rounds=1).count()
+        final = kcore_membership(df, 2, rounds=4).count()
+        assert after1 > 0 and final == 0  # converged peel is empty
+
+    def test_fixpoint_extra_rounds_noop(self, spark):
+        from stepist_spark.operators.graphs import kcore_membership
+
+        df, _ = self._edges(spark)
+        a = sorted(tuple(r) for r in kcore_membership(df, 2, rounds=5).collect())
+        b = sorted(tuple(r) for r in kcore_membership(df, 2, rounds=8).collect())
+        assert a == b
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.graphs import (
+            kcore_membership,
+            kcore_membership_sql,
+        )
+
+        df, edges = self._edges(spark)
+        p = str(tmp_path / "kc.parquet")
+        df.write.parquet(p)
+        con = duckdb.connect()
+        for k in (2, 3):
+            got = sorted(
+                tuple(r) for r in kcore_membership(df, k, rounds=5).collect()
+            )
+            want = sorted(
+                con.execute(
+                    kcore_membership_sql(f"SELECT * FROM '{p}/*.parquet'", k, 5)
+                ).fetchall()
+            )
+            assert got == want, k
