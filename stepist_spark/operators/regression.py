@@ -1110,7 +1110,13 @@ def spearman_corr(
 
     def _rank_frame(col: str):
         vc = rows.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        st = ordered_cumsum(vc, col, ["t"])
+        # materialize="none": each rank frame is consumed exactly once
+        # (the join back), and its upstream is one hash agg over a
+        # 2-column parquet projection — recomputing that across the
+        # cumsum's three internal passes beats checkpointing the
+        # |distinct values| frame (measured 3.8s vs 11.9s at sf0.1 on
+        # the 1M-distinct cents column)
+        st = ordered_cumsum(vc, col, ["t"], materialize="none")
         return st.select(
             col,
             ((F.col("cum_t") - F.col("t")) * 2 + F.col("t") + 1)
