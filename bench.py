@@ -191,7 +191,29 @@ def main() -> None:
             "calibration_sec": round(calib, 3),
         }
     )
-    print(json.dumps(out, separators=(",", ":")))
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
+    # The driver archives only a ~2 KB TAIL of stdout, which truncates
+    # the per-gate dict (round-9 verdict #6 lost the top-level queries
+    # map). Persist the FULL line to bench_full_r{N}.json in the repo
+    # root — N inferred as (max existing BENCH_r*.json) + 1, i.e. the
+    # round currently being built — so per-gate round-over-round diffs
+    # never depend on the driver's truncation. Committed per round.
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH")
+        if not full_path:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n = (max(rounds) if rounds else 0) + 1
+            full_path = os.path.join(repo, f"bench_full_r{n:02d}.json")
+        with open(full_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # never let persistence kill the bench line
+        print(f"bench_full write failed: {exc}", file=sys.stderr)
     spark.stop()
     sys.exit(1 if failures else 0)
 

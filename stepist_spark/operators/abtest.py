@@ -412,8 +412,10 @@ def mann_whitney_u(
     no single-task window); one final aggregate.
 
     Output (one row): ``n_a, n_b, u2_a`` (exact 2·U for group_a),
-    ``tie_cubes`` (exact Σ(t³−t)), ``z_stat`` (6 dp; NULL when either
-    group is empty, n < 2, or every value is tied).
+    ``tie_cubes`` (exact Σ(t³−t)), ``z_stat`` (6 dp; NULL exactly when
+    either group is empty or the tie-corrected variance is zero, i.e.
+    every observation shares one value — note tiny-but-distinct groups
+    such as n_a = n_b = 1 DO emit a z, since sig2 = 0.25 there).
     """
     from stepist_spark.operators.cumulative import ordered_cumsum
 
@@ -593,9 +595,16 @@ def kruskal_wallis_sql(
     group_expr: str,
     value_expr: str,
     scale: int = 100,
+    group_name: str = "grp",
 ) -> str:
     """DuckDB mirror of :func:`kruskal_wallis` — identical HUGEINT
-    rank sums and the same sorted left-fold for the float H."""
+    rank sums and the same sorted left-fold for the float H.
+
+    ``group_expr`` may be any SQL expression, so the group column is
+    emitted under ``group_name`` (default ``grp`` for backward
+    compatibility) — pass the Spark side's ``group_col`` to get the
+    symmetric output schema other ``*_sql`` mirrors have by default.
+    """
     return f"""
 WITH _kwr AS (
     SELECT ({group_expr}) AS _g,
@@ -650,7 +659,7 @@ _kwh AS (
                         - CAST(n AS DOUBLE))), 6) END AS h_tie
     FROM _kwsum, _kwtie
 )
-SELECT _g AS grp, n_g, r2x, n, h, h_tie
+SELECT _g AS {group_name}, n_g, r2x, n, h, h_tie
 FROM _kwg, _kwh
 """
 

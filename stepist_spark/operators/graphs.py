@@ -472,8 +472,15 @@ def kcore_membership(
     round is one degree aggregate + two semi-joins keyed on the edge
     endpoints — work ∝ |E| per round, never |V|².
 
-    Expects SYMMETRIZED edges (both directions present, as
-    :func:`pagerank`'s callers build); degree is then the out-degree.
+    Expects a SIMPLE SYMMETRIZED graph: both directions present (as
+    :func:`pagerank`'s callers build), no self-loops, no duplicate
+    edges — degree is then the out-degree. Self-loops or duplicates
+    WOULD inflate degrees and deviate from the textbook k-core (the
+    DuckDB mirror deviates identically, so gates stay consistent, but
+    the answer would be wrong for such inputs); callers with raw edge
+    lists must ``filter(src != dst).distinct()`` first — kept out of
+    this operator so already-simple pipelines don't pay an extra |E|
+    shuffle per call.
     Output: ``node, deg_core`` — surviving vertices with their degree
     INSIDE the core after the last round.
     """

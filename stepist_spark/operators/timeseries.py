@@ -851,7 +851,12 @@ def mann_kendall_trend(
 
     Output: ``*group_cols, n_obs, s, var18, sen2x_scaled, z_stat``
     (z NULL when var18 ≤ 0, i.e. fewer than 2 distinct steps or all
-    values tied).
+    values tied). Requires n_obs ≥ 2 per group: a single-observation
+    group has an empty pairs frame, so the inner join with pair_stats
+    DROPS it from the output entirely (no pairwise slope exists to
+    report). The DuckDB mirror behaves identically, so parity holds;
+    callers wanting degenerate groups surfaced should pre-filter or
+    pad series to ≥ 2 steps.
     """
     gcols = require_groups(
         group_cols, "mann_kendall_trend", "tag a constant series key first"

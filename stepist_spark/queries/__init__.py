@@ -42,14 +42,11 @@ class QuerySpec:
 PART_WALL: dict[str, dict[str, dict[str, float]]] = {}
 
 
-def record_part_wall(gate: str, parts: dict[str, float | dict[str, float]]) -> None:
+def record_part_wall(gate: str, parts: dict[str, dict[str, float]]) -> None:
+    # {start, done} offset pairs ONLY — no bare-float fallback, so the
+    # annotation above is exactly the JSON shape bench.py consumers see
     PART_WALL[gate] = {
-        k: (
-            {kk: round(vv, 3) for kk, vv in v.items()}
-            if isinstance(v, dict)
-            else round(v, 3)
-        )
-        for k, v in parts.items()
+        k: {kk: round(vv, 3) for kk, vv in v.items()} for k, v in parts.items()
     }
 
 
