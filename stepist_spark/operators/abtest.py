@@ -390,6 +390,7 @@ def mann_whitney_u(
     group_b: str,
     value_col: str,
     scale: int = 100,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) between two groups — the
     NONPARAMETRIC companion of :func:`welch_ttest` (Mann & Whitney
@@ -416,22 +417,52 @@ def mann_whitney_u(
     either group is empty or the tie-corrected variance is zero, i.e.
     every observation shares one value — note tiny-but-distinct groups
     such as n_a = n_b = 1 DO emit a z, since sig2 = 0.25 there).
+
+    ``value_counts``: optional pre-built (group, scaled-value, count)
+    frame — columns ``(group_col, v, c)`` with ``v`` already scaled
+    exactly as this function would (``floor(value·scale + 0.5)``) —
+    the ``token_counts=``/``base_banded=`` reuse pattern: a gate
+    computing several rank statistics over the SAME fact column builds
+    ONE hash-agg base pass (and materializes it) instead of each
+    statistic rescanning the raw rows. When provided, ``df``/
+    ``value_col``/``scale`` are ignored. The marginal sums are exact
+    integers either way, so results are hash-identical to the
+    self-scanning path.
     """
     from stepist_spark.operators.cumulative import ordered_cumsum
 
-    g = F.col(group_col)
-    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
-    counts = (
-        df.filter(g.isin([group_a, group_b]))
-        .select(g.alias("_g"), x.alias("v"))
-        .groupBy("_g", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        counts = value_counts.filter(
+            F.col(group_col).isin([group_a, group_b])
+        ).select(F.col(group_col).alias("_g"), "v", F.col("c").cast("bigint"))
+    else:
+        g = F.col(group_col)
+        x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.filter(g.isin([group_a, group_b]))
+            .select(g.alias("_g"), x.alias("v"))
+            .groupBy("_g", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+    # localCheckpoint stays right even on the value_counts path: the
+    # cumsum machinery reads per_v three times (range sampling,
+    # offsets, main) and re-deriving the marginal per pass measured
+    # SLOWER than one tiny checkpoint (1.5s vs 1.3s at sf0.1)
     per_v = counts.groupBy("v").agg(
         F.sum(F.when(F.col("_g") == group_a, F.col("c")).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("_g") == group_b, F.col("c")).otherwise(0)).alias("cb"),
     )
     st = ordered_cumsum(per_v, "v", ["cb"], tot_prefix="n_")
+    return _mwu_output(st)
+
+
+def _mwu_output(st: DataFrame) -> DataFrame:
+    """The Mann-Whitney tail: fold a cumulated distinct-value frame
+    (``ca, cb, cum_cb, n_cb``) into the one-row output. Shared by
+    :func:`mann_whitney_u` and :func:`rank_stats_shared` — the frame
+    may carry EXTRA rows with ca = cb = 0 (values seen only in other
+    groups): every aggregate term there is exactly zero, so the
+    statistics are unchanged by construction."""
     d38 = "decimal(38,0)"
     ca = F.col("ca").cast(d38)
     cb = F.col("cb").cast(d38)
@@ -520,6 +551,7 @@ def kruskal_wallis(
     group_col: str,
     value_col: str,
     scale: int = 100,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Kruskal-Wallis H across ALL groups of a metric — the k-group
     generalization of :func:`mann_whitney_u` (Kruskal & Wallis 1952,
@@ -539,21 +571,39 @@ def kruskal_wallis(
     2·R_g) — plus the shared ``n, h, h_tie`` (6 dp; h_tie NULL when
     n < 2 or every value is tied) attached via a broadcast 1-row
     cross join (the target_encode scalar pattern).
+
+    ``value_counts``: optional pre-built ``(group_col, v, c)`` frame,
+    the :func:`mann_whitney_u` reuse contract — NULL groups/values
+    already excluded, ``v`` scaled as here. When provided, ``df``/
+    ``value_col``/``scale`` are ignored; results are hash-identical.
     """
-    g = F.col(group_col)
-    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
     from stepist_spark.operators.cumulative import ordered_cumsum
 
-    counts = (
-        df.filter(g.isNotNull() & F.col(value_col).isNotNull())
-        .select(g.alias("_g"), x.alias("v"))
-        .groupBy("_g", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        counts = value_counts.select(
+            F.col(group_col).alias("_g"), "v", F.col("c").cast("bigint")
+        )
+    else:
+        g = F.col(group_col)
+        x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+            .select(g.alias("_g"), x.alias("v"))
+            .groupBy("_g", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     per_v = counts.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
     st = ordered_cumsum(per_v, "v", ["t"]).select(
         "v", "t", (F.col("cum_t") - F.col("t")).alias("below")
     )
+    return _kw_output(counts, st, group_col)
+
+
+def _kw_output(counts: DataFrame, st: DataFrame, group_col: str) -> DataFrame:
+    """The Kruskal-Wallis tail: join per-(group, value) ``counts``
+    (``_g, v, c``) against the cumulated ALL-group distinct-value
+    frame ``st`` (``v, t, below``) and fold H. Shared by
+    :func:`kruskal_wallis` and :func:`rank_stats_shared`."""
     d38 = "decimal(38,0)"
     joined = counts.join(st, on="v")
     groups = joined.groupBy("_g").agg(
@@ -564,7 +614,7 @@ def kruskal_wallis(
         ).cast(d38).alias("r2x"),
     )
     t38 = F.col("t").cast(d38)
-    ties = per_v.agg(F.sum(t38 * t38 * t38 - t38).cast(d38).alias("_tie"))
+    ties = st.agg(F.sum(t38 * t38 * t38 - t38).cast(d38).alias("_tie"))
     folded = groups.agg(
         F.sum("n_g").cast("bigint").alias("_n"),
         F.aggregate(
@@ -662,6 +712,54 @@ _kwh AS (
 SELECT _g AS {group_name}, n_g, r2x, n, h, h_tie
 FROM _kwg, _kwh
 """
+
+
+def rank_stats_shared(
+    base_counts: DataFrame,
+    mwu_group_col: str,
+    group_a: str,
+    group_b: str,
+    kw_group_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Mann-Whitney U AND Kruskal-Wallis H over the SAME fact column
+    from ONE shared cumulative — the rank-statistics-family fusion
+    (round-10 verdict #2): both tests need a running total over the
+    ordered distinct-value domain, so computing them separately pays
+    the range exchange (plus its sampling pass and materialization)
+    twice for the same ordering.
+
+    ``base_counts``: the gate's base pass — ``(mwu_group_col,
+    kw_group_col, v, c)`` with ``v`` pre-scaled (``floor(value·scale +
+    0.5)``), typically one hash aggregate over the facts, materialized
+    by the caller. ONE ``ordered_cumsum`` over the merged domain then
+    carries BOTH running sums (``cb`` for the U statistic's
+    below-counts, ``t`` for the H statistic's rank offsets) as two sum
+    columns of the same pass.
+
+    Hash-identical to the standalone operators by construction:
+    MWU's aggregates are unchanged by domain rows where ca = cb = 0
+    (every term is exactly zero — see :func:`_mwu_output`), and KW
+    consumes the same all-group totals it builds itself.
+
+    Returns ``(mwu_df, kw_df)`` with the standalone operators' exact
+    output schemas (kw's group column named ``kw_group_col``).
+    """
+    from stepist_spark.operators.cumulative import ordered_cumsum
+
+    ga = F.col(mwu_group_col)
+    per_v = base_counts.groupBy("v").agg(
+        F.sum(F.when(ga == group_a, F.col("c")).otherwise(0)).alias("ca"),
+        F.sum(F.when(ga == group_b, F.col("c")).otherwise(0)).alias("cb"),
+        F.sum("c").cast("bigint").alias("t"),
+    )
+    st = ordered_cumsum(per_v, "v", ["cb", "t"], tot_prefix="n_")
+    mwu_df = _mwu_output(st)
+    kw_counts = base_counts.groupBy(
+        F.col(kw_group_col).alias("_g"), "v"
+    ).agg(F.sum("c").cast("bigint").alias("c"))
+    st_kw = st.select("v", "t", (F.col("cum_t") - F.col("t")).alias("below"))
+    kw_df = _kw_output(kw_counts, st_kw, kw_group_col)
+    return mwu_df, kw_df
 
 
 def diff_in_diff(
@@ -795,6 +893,7 @@ def welch_ttest_sliced(
     group_b: str,
     value_col: str,
     scale: int = 100,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-slice Welch t — :func:`welch_ttest` grouped by segment
     columns, the "run the experiment readout on every slice" shape
@@ -805,22 +904,51 @@ def welch_ttest_sliced(
 
     Output: ``*slice_cols, n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
     t_stat`` (t NULL when either arm of the slice has n < 2 or zero
-    pooled variance)."""
+    pooled variance).
+
+    ``value_counts``: optional pre-built ``(*slice_cols, group_col, v,
+    c)`` frame (the :func:`mann_whitney_u` reuse contract, ``v``
+    scaled as here) — the sufficient statistics become exact-integer
+    weighted sums of the counts (``Σx = Σ v·c``, ``Σx² = Σ v²·c``),
+    identical values, so the t hashes unchanged."""
     from stepist_spark.operators.cumulative import require_groups
 
     scols = require_groups(slice_cols, "welch_ttest_sliced", "use welch_ttest")
     g = F.col(group_col)
-    x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
-    in_a = g == group_a
-    in_b = g == group_b
-    stats = df.filter(in_a | in_b).groupBy(*scols).agg(
-        F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
-        F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
-        F.sum(F.when(in_a, x)).cast("decimal(38,0)").alias("sum_a"),
-        F.sum(F.when(in_b, x)).cast("decimal(38,0)").alias("sum_b"),
-        F.sum(F.when(in_a, x * x)).cast("decimal(38,0)").alias("sumsq_a"),
-        F.sum(F.when(in_b, x * x)).cast("decimal(38,0)").alias("sumsq_b"),
-    )
+    if value_counts is not None:
+        in_a = g == group_a
+        in_b = g == group_b
+        c = F.col("c").cast("decimal(19,0)")
+        v = F.col("v").cast("decimal(19,0)")
+        stats = value_counts.filter(in_a | in_b).groupBy(*scols).agg(
+            F.sum(F.when(in_a, F.col("c"))).cast("bigint").alias("n_a"),
+            F.sum(F.when(in_b, F.col("c"))).cast("bigint").alias("n_b"),
+            F.sum(F.when(in_a, v * c)).cast("decimal(38,0)").alias("sum_a"),
+            F.sum(F.when(in_b, v * c)).cast("decimal(38,0)").alias("sum_b"),
+            F.sum(F.when(in_a, v * v * c)).cast("decimal(38,0)").alias("sumsq_a"),
+            F.sum(F.when(in_b, v * v * c)).cast("decimal(38,0)").alias("sumsq_b"),
+        )
+        # empty arms surface as NULL counts under the sum-of-counts
+        # path (COUNT CASE gives 0) — normalize so the t guard and the
+        # output ints match the raw path exactly
+        stats = stats.select(
+            *scols,
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            "sum_a", "sum_b", "sumsq_a", "sumsq_b",
+        )
+    else:
+        x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+        in_a = g == group_a
+        in_b = g == group_b
+        stats = df.filter(in_a | in_b).groupBy(*scols).agg(
+            F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
+            F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
+            F.sum(F.when(in_a, x)).cast("decimal(38,0)").alias("sum_a"),
+            F.sum(F.when(in_b, x)).cast("decimal(38,0)").alias("sum_b"),
+            F.sum(F.when(in_a, x * x)).cast("decimal(38,0)").alias("sumsq_a"),
+            F.sum(F.when(in_b, x * x)).cast("decimal(38,0)").alias("sumsq_b"),
+        )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     sa = F.col("sum_a").cast("double")

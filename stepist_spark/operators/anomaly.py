@@ -912,7 +912,7 @@ GROUP BY {g}, n, p_lo_cents, p_hi_cents
 """
 
 
-def gini_coefficient(df, group_cols, value_col: str) -> DataFrame:
+def gini_coefficient(df, group_cols, value_col: str, value_counts=None) -> DataFrame:
     """Gini concentration coefficient per group over NON-NEGATIVE
     values (Gini 1912, public) — the inequality / revenue-concentration
     metric: 0 = perfectly equal, →1 = one row holds everything.
@@ -926,16 +926,29 @@ def gini_coefficient(df, group_cols, value_col: str) -> DataFrame:
     sequence over exact integers, round 6 (NULL when T = 0).
 
     Output: ``*group_cols, n, total_cents, s_scaled, gini``.
+
+    ``value_counts``: optional pre-built ``(*group_cols, v, c)`` frame
+    (``v`` = cents, exactly ``floor(value·100 + 0.5)``) — the
+    rank-statistics-family reuse contract (see
+    :func:`~stepist_spark.operators.abtest.mann_whitney_u`): one base
+    hash-agg pass feeds every sibling statistic over the same fact
+    column. When provided, ``df``/``value_col`` are ignored; results
+    are hash-identical (all sums are exact integers of the counts).
     """
     from pyspark.sql import Window
 
     group_cols = list(group_cols)
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-    counts = (
-        df.select(*group_cols, cents.alias("v"))
-        .groupBy(*group_cols, "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        counts = value_counts.select(
+            *group_cols, "v", F.col("c").cast("bigint").alias("c")
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.select(*group_cols, cents.alias("v"))
+            .groupBy(*group_cols, "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     # grouped_frame: empty group_cols stays an explicit lit(0)
     # whole-frame window over the BOUNDED value-counts table
     w_prev = grouped_frame(group_cols, F.col("v").asc()).rowsBetween(

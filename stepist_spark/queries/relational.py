@@ -482,6 +482,27 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+    # ---- the shared rank-statistics base pass (round 10, verdict #2):
+    # mwu/kw/gini all work over value-counts of the SAME fact column
+    # (o_totalprice cents) — ONE (status, priority, cents) hash agg,
+    # materialized once, feeds every sibling's marginal instead of each
+    # statistic re-scanning orders and re-materializing its own frame.
+    # All downstream statistics are exact-integer functions of these
+    # counts, so hashes are unchanged by construction.
+    _cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    vc_base = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("o_orderstatus"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            _cents.alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    prio_vc = vc_base.groupBy("o_orderpriority", "v").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
     # smoothed target encoding rides along (operators/regression.py):
     # per-priority mean order value with the global prior, exact
     # decimal products, one division
@@ -498,7 +519,9 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     # exact rank-weighted sums from the value-counts frame
     from stepist_spark.operators.anomaly import gini_coefficient
 
-    gi = gini_coefficient(orders, ["o_orderpriority"], "o_totalprice").select(
+    gi = gini_coefficient(
+        orders, ["o_orderpriority"], "o_totalprice", value_counts=prio_vc
+    ).select(
         F.lit("gini").alias("gset"),
         F.col("o_orderpriority").alias("key1"),
         F.concat_ws(
@@ -530,12 +553,16 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("g") + F.col("b")).alias("n"),
         F.col("woe").alias("sum_val"),
     )
-    # Mann-Whitney U rides along (operators/abtest.py): nonparametric
-    # order-value shift between open and fulfilled orders — rank-based
-    # via the exact doubled-U identity over the distinct-cents frame
-    from stepist_spark.operators.abtest import mann_whitney_u
+    # Mann-Whitney U and Kruskal-Wallis ride along (operators/
+    # abtest.py) FUSED: both rank statistics consume ONE shared
+    # cumulative over the distinct-cents domain (rank_stats_shared) —
+    # one range exchange instead of two, fed from the gate's base pass
+    from stepist_spark.operators.abtest import rank_stats_shared
 
-    mw = mann_whitney_u(orders, "o_orderstatus", "O", "F", "o_totalprice").select(
+    mw_raw, kw_raw = rank_stats_shared(
+        vc_base, "o_orderstatus", "O", "F", "o_orderpriority"
+    )
+    mw = mw_raw.select(
         F.lit("mwu").alias("gset"),
         F.lit("O:F").alias("key1"),
         F.concat_ws(
@@ -546,12 +573,10 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
         F.col("z_stat").alias("sum_val"),
     )
-    # Kruskal-Wallis rides along (operators/abtest.py): the k-group
-    # rank omnibus over order totals across ALL five priorities —
-    # exact doubled rank sums per group, sorted-fold float H
-    from stepist_spark.operators.abtest import kruskal_wallis
-
-    kw = kruskal_wallis(orders, "o_orderpriority", "o_totalprice").select(
+    # Kruskal-Wallis: the k-group rank omnibus over order totals
+    # across ALL five priorities — exact doubled rank sums per group,
+    # sorted-fold float H, riding the SAME fused cumulative as mwu
+    kw = kw_raw.select(
         F.lit("kw").alias("gset"),
         F.col("o_orderpriority").alias("key1"),
         F.col("r2x").cast("string").alias("key2"),
@@ -565,7 +590,8 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.abtest import bh_discoveries, welch_ttest_sliced
 
     wsl = welch_ttest_sliced(
-        orders, ["o_orderpriority"], "o_orderstatus", "O", "F", "o_totalprice"
+        orders, ["o_orderpriority"], "o_orderstatus", "O", "F", "o_totalprice",
+        value_counts=vc_base,
     )
     bh = bh_discoveries(wsl, ["o_orderpriority"], "t_stat", fdr_q=0.10).select(
         F.lit("bh").alias("gset"),

@@ -357,6 +357,104 @@ class TestDiffInDiff:
         assert [tuple(map(float, g)) for g in got] == [tuple(map(float, w)) for w in want]
 
 
+class TestSharedRankStats:
+    """The value_counts= reuse inputs and the fused rank_stats_shared
+    pass (round-10 verdict #2) must be bit-identical to the
+    self-scanning operators."""
+
+    def _df(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (rng.choice("OFP"), rng.choice(["hi", "md", "lo"]),
+             round(rng.uniform(5, 40), 2))
+            for _ in range(600)
+        ]
+        return spark.createDataFrame(rows, "s string, p string, v double")
+
+    def _base(self, df):
+        from pyspark.sql import functions as F
+
+        cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint")
+        return df.groupBy("s", "p", cents.alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    def test_value_counts_paths_match_self_scan(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import (
+            kruskal_wallis,
+            mann_whitney_u,
+            welch_ttest_sliced,
+        )
+
+        df = self._df(spark)
+        base = self._base(df)
+        svc = base.groupBy(F.col("s"), "v").agg(
+            F.sum("c").cast("bigint").alias("c")
+        )
+        pvc = base.groupBy(F.col("p"), "v").agg(
+            F.sum("c").cast("bigint").alias("c")
+        )
+        direct = mann_whitney_u(df, "s", "O", "F", "v").collect()
+        reused = mann_whitney_u(
+            df, "s", "O", "F", "v", value_counts=svc
+        ).collect()
+        assert direct == reused
+        d_kw = sorted(map(tuple, kruskal_wallis(df, "p", "v").collect()))
+        r_kw = sorted(
+            map(tuple, kruskal_wallis(df, "p", "v", value_counts=pvc).collect())
+        )
+        assert d_kw == r_kw
+        d_w = sorted(map(tuple, welch_ttest_sliced(
+            df, ["p"], "s", "O", "F", "v").collect()))
+        r_w = sorted(map(tuple, welch_ttest_sliced(
+            df, ["p"], "s", "O", "F", "v", value_counts=base).collect()))
+        assert d_w == r_w
+
+    def test_gini_value_counts_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.anomaly import gini_coefficient
+
+        df = self._df(spark)
+        pvc = self._base(df).groupBy(F.col("p"), "v").agg(
+            F.sum("c").cast("bigint").alias("c")
+        )
+        direct = sorted(map(tuple, gini_coefficient(df, ["p"], "v").collect()))
+        reused = sorted(map(tuple, gini_coefficient(
+            df, ["p"], "v", value_counts=pvc).collect()))
+        assert direct == reused
+
+    def test_fused_matches_standalone(self, spark):
+        from stepist_spark.operators.abtest import (
+            kruskal_wallis,
+            mann_whitney_u,
+            rank_stats_shared,
+        )
+
+        df = self._df(spark)
+        base = self._base(df)
+        mw_f, kw_f = rank_stats_shared(base, "s", "O", "F", "p")
+        assert mw_f.collect() == mann_whitney_u(df, "s", "O", "F", "v").collect()
+        # the fused frame carries the full value domain (P-only values
+        # appear with ca = cb = 0) — mwu statistics must be unchanged
+        got = sorted(map(tuple, kw_f.collect()))
+        want = sorted(map(tuple, kruskal_wallis(df, "p", "v").collect()))
+        assert got == want
+        assert kw_f.columns == kruskal_wallis(df, "p", "v").columns
+
+    def test_fused_empty_arm(self, spark):
+        from stepist_spark.operators.abtest import rank_stats_shared
+
+        df = self._df(spark).filter("s <> 'O'")
+        mw_f, _ = rank_stats_shared(self._base(df), "s", "O", "F", "p")
+        row = mw_f.collect()[0]
+        assert row["n_a"] == 0 and row["z_stat"] is None
+
+
 class TestBenjaminiHochberg:
     def test_p_matches_erfc_reference(self, spark):
         from pyspark.sql import functions as F
