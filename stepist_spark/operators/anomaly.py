@@ -340,6 +340,7 @@ def grouped_median_mad(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT per-group discrete median and MAD (median absolute
     deviation) — the robust-statistics pair for outlier thresholds
@@ -359,6 +360,14 @@ def grouped_median_mad(
     |distinct values| rows, not |rows|.
 
     Output: ``*group_cols, median, mad, n``.
+
+    ``value_counts``: optional pre-built ``(*group_cols, value_col,
+    c)`` frame with RAW (unscaled) distinct values — the
+    rank-statistics-family reuse contract: one materialized base pass
+    feeds every sibling statistic over the same column. When provided,
+    ``df`` is ignored and the internal checkpoint is skipped (the
+    caller's base is the cache); counts aggregate identically, so
+    results are hash-identical.
     """
     from pyspark.sql import Window
 
@@ -385,10 +394,21 @@ def grouped_median_mad(
             F.min(col).alias("_med"), F.max("_n").alias("n")
         )
 
-    vals = df.select(*group_cols, F.col(value_col).alias("_v"))
-    vcounts = vals.groupBy(*group_cols, "_v").agg(F.count(F.lit(1)).alias("_cnt"))
-    # both passes (median, then MAD) read the value counts: materialize
-    vcounts = vcounts.localCheckpoint(eager=False)
+    if value_counts is not None:
+        vcounts = value_counts.select(
+            *group_cols,
+            F.col(value_col).alias("_v"),
+            F.col("c").alias("_cnt"),
+        )
+    else:
+        vals = df.select(*group_cols, F.col(value_col).alias("_v"))
+        vcounts = vals.groupBy(*group_cols, "_v").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        # both passes (median, then MAD) read the value counts:
+        # materialize (skipped on the reuse path — the caller's base
+        # already is the cache)
+        vcounts = vcounts.localCheckpoint(eager=False)
     med = _median_of_counts(vcounts, "_v").withColumnRenamed("_med", "median")
     dcounts = (
         _join_on_groups(vcounts, med.select(*group_cols, "median"), group_cols)
@@ -442,6 +462,7 @@ def grouped_weighted_median(
     group_cols: list[str],
     value_col: str,
     weight_col: str,
+    weight_counts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT per-group LOWER WEIGHTED MEDIAN: the smallest value v with
     cumulative weight(<= v) * 2 >= total weight — importance-weighted
@@ -459,12 +480,23 @@ def grouped_weighted_median(
     sort of the raw rows.
 
     Output: ``*group_cols, weighted_median, total_weight``.
+
+    ``weight_counts``: optional pre-built ``(*group_cols, value_col,
+    w)`` frame — per-(group, distinct value) bigint WEIGHT SUMS, the
+    rank-statistics-family reuse contract. When provided, ``df``/
+    ``weight_col`` are ignored; weight sums aggregate identically, so
+    results are hash-identical.
     """
     from pyspark.sql import Window
 
-    wc = df.groupBy(*group_cols, value_col).agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("_w")
-    )
+    if weight_counts is not None:
+        wc = weight_counts.select(
+            *group_cols, value_col, F.col("w").cast("bigint").alias("_w")
+        )
+    else:
+        wc = df.groupBy(*group_cols, value_col).agg(
+            F.sum(F.col(weight_col).cast("bigint")).alias("_w")
+        )
     # grouped_frame: empty group_cols stays an explicit lit(0)
     # whole-frame window over the BOUNDED value-counts table
     wcum = grouped_frame(group_cols, F.col(value_col).asc()).rowsBetween(
@@ -796,6 +828,7 @@ def winsorized_stats(
     value_col: str,
     lo: tuple = (5, 100),
     hi: tuple = (95, 100),
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Winsorized (percentile-clamped) aggregates per group — the
     outlier-robust mean every metrics pipeline reports alongside the
@@ -815,16 +848,25 @@ def winsorized_stats(
 
     Output: ``*group_cols, n, p_lo_cents, p_hi_cents,
     sum_wins_cents, mean_wins``.
+
+    ``value_counts``: optional pre-built ``(*group_cols, v, c)`` frame
+    with ``v`` in cents (``floor(value·100 + 0.5)``) — the
+    rank-statistics-family reuse contract; hash-identical results.
     """
     from pyspark.sql import Window
 
     group_cols = list(group_cols)
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-    counts = (
-        df.select(*group_cols, cents.alias("v"))
-        .groupBy(*group_cols, "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        counts = value_counts.select(
+            *group_cols, "v", F.col("c").cast("bigint").alias("c")
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.select(*group_cols, cents.alias("v"))
+            .groupBy(*group_cols, "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     # grouped_frame: empty group_cols stays an explicit lit(0)
     # whole-frame window over the BOUNDED value-counts table
     w_ord = grouped_frame(group_cols, F.col("v").asc()).rowsBetween(
@@ -1017,6 +1059,7 @@ def quantile_buckets(
     group_cols,
     value_col: str,
     n_buckets: int = 10,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Equal-frequency (quantile) bucket MAP per group: each distinct
     value gets the bucket of its upper CDF position — the feature-
@@ -1027,16 +1070,25 @@ def quantile_buckets(
     over the value-counts frame (ties share a bucket by construction —
     same value, same cum). Raw rows are touched once by the count
     aggregate. Output: ``*group_cols, v_cents, c, bucket``.
+
+    ``value_counts``: optional pre-built ``(*group_cols, v_cents, c)``
+    frame (cents-scaled) — the rank-statistics-family reuse contract;
+    hash-identical results.
     """
     from pyspark.sql import Window
 
     group_cols = list(group_cols)
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-    counts = (
-        df.select(*group_cols, cents.alias("v_cents"))
-        .groupBy(*group_cols, "v_cents")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        counts = value_counts.select(
+            *group_cols, "v_cents", F.col("c").cast("bigint").alias("c")
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.select(*group_cols, cents.alias("v_cents"))
+            .groupBy(*group_cols, "v_cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     # grouped_frame: empty group_cols stays an explicit lit(0)
     # whole-frame window over the BOUNDED value-counts table
     w_ord = grouped_frame(group_cols, F.col("v_cents").asc()).rowsBetween(
@@ -1192,6 +1244,7 @@ def grouped_percentile_cont(
     group_cols,
     value_col: str,
     quantiles=((1, 4), (1, 2), (19, 20)),
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """ANSI ``PERCENTILE_CONT`` per group, EXACTLY: the linearly-
     interpolated quantile at rational positions ``q = a/b`` — the
@@ -1210,16 +1263,27 @@ def grouped_percentile_cont(
     Output: ``*group_cols, q_num, q_den, n, v_scaled_num, value``
     (v_scaled_num = the exact bigint numerator in cents·b units;
     value = v_scaled_num/(100·b), 6 dp).
+
+    ``value_counts``: optional pre-built ``(*group_cols, v, c)`` frame
+    (cents-scaled) — the rank-statistics-family reuse contract;
+    hash-identical results. Especially valuable here: the cumulated
+    frame is consumed 2·|quantiles| times (lo/hi order statistics per
+    quantile), each re-deriving the counts without it.
     """
     from pyspark.sql import Window
 
     group_cols = list(group_cols)
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-    vc = (
-        df.select(*group_cols, cents.alias("v"))
-        .groupBy(*group_cols, "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        vc = value_counts.select(
+            *group_cols, "v", F.col("c").cast("bigint").alias("c")
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        vc = (
+            df.select(*group_cols, cents.alias("v"))
+            .groupBy(*group_cols, "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     # grouped_frame: empty group_cols stays an explicit lit(0)
     # whole-frame window over the BOUNDED value-counts table
     w_ord = grouped_frame(group_cols, F.col("v").asc()).rowsBetween(

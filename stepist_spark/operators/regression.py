@@ -318,6 +318,7 @@ def ks_two_sample(
     value_col: str,
     group_a,
     group_b,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between the value
     distributions of two groups — the standard distribution-drift test
@@ -337,16 +338,28 @@ def ks_two_sample(
     no single-task window), and the argmax row is picked with ONE
     ``max_by`` hash aggregate instead of a global-rank window. Output
     one row: ``n_a, n_b, v_at_max_cents, d_scaled, ks``.
+
+    ``value_counts``: optional pre-built ``(group_col, v, c)`` frame
+    (cents-scaled) — the rank-statistics-family reuse contract;
+    hash-identical results.
     """
     from stepist_spark.operators.cumulative import ordered_cumsum
 
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-    counts = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
-        .select(F.col(group_col).alias("_g"), cents.alias("v"))
-        .groupBy("_g", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        counts = value_counts.filter(
+            F.col(group_col).isin([group_a, group_b])
+        ).select(
+            F.col(group_col).alias("_g"), "v",
+            F.col("c").cast("bigint").alias("c"),
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.filter(F.col(group_col).isin([group_a, group_b]))
+            .select(F.col(group_col).alias("_g"), cents.alias("v"))
+            .groupBy("_g", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     ca = F.sum(F.when(F.col("_g") == group_a, F.col("c")).otherwise(0))
     cb = F.sum(F.when(F.col("_g") == group_b, F.col("c")).otherwise(0))
     per_v = counts.groupBy("v").agg(ca.alias("ca"), cb.alias("cb"))
@@ -662,6 +675,7 @@ def psi_drift(
     value_col: str,
     n_bins: int = 10,
     scale: int = 10**6,
+    value_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Population Stability Index between a reference cohort and a
     comparison cohort of a numeric column — the standard production
@@ -687,15 +701,25 @@ def psi_drift(
     onto the comparison value counts. Output: one row per bin
     ``(bin, hi_cents, c_ref, c_cmp, term_scaled, psi)`` with the same
     psi on every row (a window over the ≤n_bins frame).
+
+    ``value_counts``: optional pre-built ``(group_col, v, c)`` frame
+    (cents-scaled) — the rank-statistics-family reuse contract;
+    hash-identical results.
     """
     g = F.col(group_col)
-    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-    vc = (
-        df.filter(g.isin(ref_group, cmp_group))
-        .select((g == ref_group).alias("_is_ref"), cents.alias("v"))
-        .groupBy("_is_ref", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if value_counts is not None:
+        vc = value_counts.filter(g.isin(ref_group, cmp_group)).select(
+            (g == ref_group).alias("_is_ref"), "v",
+            F.col("c").cast("bigint").alias("c"),
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        vc = (
+            df.filter(g.isin(ref_group, cmp_group))
+            .select((g == ref_group).alias("_is_ref"), cents.alias("v"))
+            .groupBy("_is_ref", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     ref = vc.filter(F.col("_is_ref")).drop("_is_ref")
     cmp_ = vc.filter(~F.col("_is_ref")).drop("_is_ref")
     # reference CDF over |distinct cents| rows — unbounded for a
@@ -1077,6 +1101,8 @@ def spearman_corr(
     x_col: str,
     y_col: str,
     scale: int = 100,
+    x_counts: DataFrame | None = None,
+    y_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Spearman rank correlation between two metric columns — Pearson
     on the tie-averaged ranks (Spearman 1904, public): the monotone-
@@ -1098,6 +1124,15 @@ def spearman_corr(
     sums of squares/products) and ``rho`` (NULL when n < 2 or either
     side is all ties). Rows where either column is NULL are excluded
     (pairwise-complete).
+
+    ``x_counts``/``y_counts``: optional pre-built UNGROUPED ``(v, c)``
+    value-counts frames for each column (cents-scaled with this
+    ``scale``, over exactly the pairwise-complete rows) — the
+    rank-statistics-family reuse contract: the cumsum's three internal
+    passes then re-derive from the caller's materialized base instead
+    of re-aggregating the fact rows. Hash-identical results. The PAIR
+    frame still scans ``df`` once — pair ranks can't ride
+    single-column counts.
     """
     from stepist_spark.operators.cumulative import ordered_cumsum
 
@@ -1107,15 +1142,24 @@ def spearman_corr(
         F.floor(F.col(x_col) * scale + F.lit(0.5)).cast("bigint").alias("vx"),
         F.floor(F.col(y_col) * scale + F.lit(0.5)).cast("bigint").alias("vy"),
     )
+    given = {"vx": x_counts, "vy": y_counts}
 
     def _rank_frame(col: str):
-        vc = rows.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        pre = given[col]
+        if pre is not None:
+            vc = pre.select(
+                F.col("v").alias(col), F.col("c").cast("bigint").alias("t")
+            )
+        else:
+            vc = rows.groupBy(col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("t")
+            )
         # materialize="none": each rank frame is consumed exactly once
         # (the join back), and its upstream is one hash agg over a
-        # 2-column parquet projection — recomputing that across the
-        # cumsum's three internal passes beats checkpointing the
-        # |distinct values| frame (measured 3.8s vs 11.9s at sf0.1 on
-        # the 1M-distinct cents column)
+        # 2-column parquet projection (or the caller's cached counts) —
+        # recomputing that across the cumsum's three internal passes
+        # beats checkpointing the |distinct values| frame (measured
+        # 3.8s vs 11.9s at sf0.1 on the 1M-distinct cents column)
         st = ordered_cumsum(vc, col, ["t"], materialize="none")
         return st.select(
             col,

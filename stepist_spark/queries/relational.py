@@ -3248,6 +3248,41 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     li3 = load_table(spark, sf, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
+    # ---- the shared rank-statistics base passes (round 10, verdict
+    # #2): TWO materialized hash-agg bases — (flag, qty) RAW-value
+    # counts and (flag, price-cents) counts — feed every value-counts
+    # statistic below (mad/qbucket/pctc off quantity; winsor/ks/psi
+    # off price) instead of each part re-aggregating the raw rows: at
+    # scale the fact table is scanned TWICE for seven statistics, and
+    # every downstream number is an exact-integer function of the
+    # counts, so hashes are unchanged by construction. (wmed keeps its
+    # own pass — it aggregates quantity WEIGHTS at raw-price grain,
+    # not row counts, and keying it off cents would change the emitted
+    # value type; spear's pair ranks can't ride single-column counts.)
+    qty_base = (
+        li3.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    qty_cents = (
+        qty_base.select(
+            "l_returnflag",
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+            .cast("bigint").alias("v"),
+            "c",
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    price_cents = (
+        li3.groupBy(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # robust statistics ride along (operators/anomaly.py): exact
     # discrete per-group median + MAD — always an actual data value,
     # bit-identical across engines regardless of tie order
@@ -3257,6 +3292,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         li3.select("l_returnflag", "l_quantity"),
         ["l_returnflag"],
         "l_quantity",
+        value_counts=qty_base,
     ).select(
         F.lit("mad").alias("part"),
         F.col("l_returnflag").alias("k1"),
@@ -3365,6 +3401,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         li3.select("l_returnflag", "l_extendedprice"),
         ["l_returnflag"],
         "l_extendedprice",
+        value_counts=price_cents,
     ).select(
         F.lit("winsor").alias("part"),
         F.col("l_returnflag").alias("k1"),
@@ -3391,6 +3428,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         "l_extendedprice",
         "A",
         "N",
+        value_counts=price_cents,
     ).select(
         F.lit("ks").alias("part"),
         F.concat_ws(
@@ -3415,6 +3453,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         ["l_returnflag"],
         "l_quantity",
         n_buckets=4,
+        value_counts=qty_cents.withColumnRenamed("v", "v_cents"),
     ).select(
         F.lit("qbucket").alias("part"),
         F.col("l_returnflag").alias("k1"),
@@ -3553,7 +3592,8 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.anomaly import grouped_percentile_cont
 
     pcc = grouped_percentile_cont(
-        li3.select("l_returnflag", "l_quantity"), ["l_returnflag"], "l_quantity"
+        li3.select("l_returnflag", "l_quantity"), ["l_returnflag"], "l_quantity",
+        value_counts=qty_cents,
     ).select(
         F.lit("pctc").alias("part"),
         F.concat_ws(
@@ -3576,7 +3616,10 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # hypothesis test above
     from stepist_spark.operators.regression import psi_drift
 
-    ps = psi_drift(li_ab, "l_returnflag", "A", "N", "l_extendedprice").select(
+    ps = psi_drift(
+        li_ab, "l_returnflag", "A", "N", "l_extendedprice",
+        value_counts=price_cents,
+    ).select(
         F.lit("psi").alias("part"),
         F.col("bin").cast("string").alias("k1"),
         F.col("psi").alias("d1"),
@@ -3644,7 +3687,11 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # decimal(38,0) rank sums, corr_matrix IEEE rho
     from stepist_spark.operators.regression import spearman_corr
 
-    sp = spearman_corr(li3, "l_quantity", "l_extendedprice").select(
+    sp = spearman_corr(
+        li3, "l_quantity", "l_extendedprice",
+        x_counts=qty_cents.groupBy("v").agg(F.sum("c").cast("bigint").alias("c")),
+        y_counts=price_cents.groupBy("v").agg(F.sum("c").cast("bigint").alias("c")),
+    ).select(
         F.lit("spear").alias("part"),
         F.lit(None).cast("string").alias("k1"),
         F.col("rho").alias("d1"),

@@ -704,3 +704,70 @@ class TestEmptyGroupHygiene:
                 df.withColumn("op", F.lit("I")).withColumn("seq", F.col("id")),
                 [], "seq", "op",
             )
+
+
+class TestValueCountsReuse:
+    """The rank-statistics-family value_counts= reuse inputs (round-10
+    verdict #2) must be bit-identical to the self-scanning paths."""
+
+    def _df(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (rng.choice("ABN"), float(rng.randint(1, 30)),
+             round(rng.uniform(10, 900), 2))
+            for _ in range(500)
+        ]
+        return spark.createDataFrame(rows, "g string, q double, p double")
+
+    def test_all_reuse_paths_match(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.anomaly import (
+            grouped_median_mad,
+            grouped_percentile_cont,
+            grouped_weighted_median,
+            quantile_buckets,
+            winsorized_stats,
+        )
+
+        df = self._df(spark)
+        raw_q = df.groupBy("g", "q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        cents_q = (
+            df.select("g", F.floor(F.col("q") * 100 + F.lit(0.5))
+              .cast("bigint").alias("v"))
+            .groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        cents_p = (
+            df.select("g", F.floor(F.col("p") * 100 + F.lit(0.5))
+              .cast("bigint").alias("v"))
+            .groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        weights = df.groupBy("g", "p").agg(
+            F.sum(F.col("q").cast("bigint")).alias("w")
+        )
+
+        def rows(d):
+            return sorted(map(tuple, d.collect()))
+
+        assert rows(grouped_median_mad(df, ["g"], "q")) == rows(
+            grouped_median_mad(df, ["g"], "q", value_counts=raw_q)
+        )
+        assert rows(winsorized_stats(df, ["g"], "p")) == rows(
+            winsorized_stats(df, ["g"], "p", value_counts=cents_p)
+        )
+        assert rows(quantile_buckets(df, ["g"], "q", n_buckets=4)) == rows(
+            quantile_buckets(
+                df, ["g"], "q", n_buckets=4,
+                value_counts=cents_q.withColumnRenamed("v", "v_cents"),
+            )
+        )
+        assert rows(grouped_percentile_cont(df, ["g"], "q")) == rows(
+            grouped_percentile_cont(df, ["g"], "q", value_counts=cents_q)
+        )
+        assert rows(grouped_weighted_median(df, ["g"], "p", "q")) == rows(
+            grouped_weighted_median(
+                df, ["g"], "p", "q", weight_counts=weights
+            )
+        )

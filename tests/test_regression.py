@@ -506,3 +506,54 @@ class TestSpearman:
             spearman_corr_sql(f"SELECT * FROM '{p}/*.parquet'", "x", "y")
         ).fetchall()
         assert [tuple(map(float, g)) for g in got] == [tuple(map(float, w)) for w in want]
+
+
+class TestValueCountsReuse:
+    """ks/psi/spearman value_counts= reuse paths (round-10 verdict #2)
+    must be bit-identical to the self-scanning paths."""
+
+    def _df(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [
+            (rng.choice("ABN"), float(rng.randint(1, 30)),
+             round(rng.uniform(10, 900), 2))
+            for _ in range(500)
+        ]
+        return spark.createDataFrame(rows, "g string, q double, p double")
+
+    def test_reuse_paths_match(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.regression import (
+            ks_two_sample,
+            psi_drift,
+            spearman_corr,
+        )
+
+        df = self._df(spark)
+        cents_p = (
+            df.select("g", F.floor(F.col("p") * 100 + F.lit(0.5))
+              .cast("bigint").alias("v"))
+            .groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        xq = (
+            df.select(F.floor(F.col("q") * 100 + F.lit(0.5))
+              .cast("bigint").alias("v"))
+            .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        yp = cents_p.groupBy("v").agg(F.sum("c").cast("bigint").alias("c"))
+
+        def rows(d):
+            return sorted(map(tuple, d.collect()))
+
+        assert rows(ks_two_sample(df, "g", "p", "A", "N")) == rows(
+            ks_two_sample(df, "g", "p", "A", "N", value_counts=cents_p)
+        )
+        assert rows(psi_drift(df, "g", "A", "N", "p")) == rows(
+            psi_drift(df, "g", "A", "N", "p", value_counts=cents_p)
+        )
+        assert rows(spearman_corr(df, "q", "p")) == rows(
+            spearman_corr(df, "q", "p", x_counts=xq, y_counts=yp)
+        )
