@@ -827,3 +827,620 @@ def synthetic_wav_media(
     return ids.mapInPandas(
         op, schema="media_id long, kind string, mime string, payload binary"
     )
+
+
+# The COMPRESSED-PHOTO codec: baseline sequential JPEG (ITU T.81 —
+# public spec), stdlib+numpy only. This is the format a real web
+# corpus is actually full of; with it, the DECODER seam's real-codec
+# family covers BMP (raw), WAV (raw audio), PNG (lossless compressed)
+# and JPEG (lossy compressed) — only licensed audio codecs (MP3/AAC)
+# remain behind the pluggable seam. Scope: 8-bit baseline DCT, 1- or
+# 3-component (YCbCr), 4:4:4 / 4:2:0 sampling, canonical DHT huffman
+# tables read FROM THE STREAM (the encoder embeds simple fixed-length
+# canonical tables — any valid tables are spec-legal, and the decoder
+# must parse DHT either way), DRI/RSTn restart markers, APPn/COM skip.
+# JPEG is LOSSY, so unlike BMP/PNG the certification is a per-pixel
+# QUANTIZATION-TOLERANCE gate against the closed-form source (m01
+# 'jpg'), not exact sums — the source patterns are wrap-free gradients
+# so geometry errors (flips, swapped chroma, bad IDCT) blow the
+# tolerance by construction.
+
+_JPEG_QL = [  # Annex K luminance base quantization (quality 50)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # Annex K chrominance base quantization
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_zigzag() -> list:
+    """The standard zigzag scan as (row, col) pairs, generated (not
+    transcribed) from the diagonal rule: even diagonals run bottom-left
+    to top-right, odd ones the reverse."""
+    out = []
+    for s in range(15):
+        if s % 2 == 0:
+            rows = range(min(s, 7), max(0, s - 7) - 1, -1)
+        else:
+            rows = range(max(0, s - 7), min(s, 7) + 1)
+        out.extend((u, s - u) for u in rows)
+    return out
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+# Encoder-side canonical huffman tables: every DC category (0..11)
+# gets a 4-bit code, every AC (run, size) symbol plus EOB/ZRL an
+# 8-bit code. Kraft-valid (12/16 and 162/256), spec-legal, and
+# deliberately TRIVIAL — the tables travel in DHT, so the decoder
+# exercises real canonical-table construction either way, and no
+# hand-transcribed 162-byte Annex K list can silently corrupt a
+# rarely-hit symbol.
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # counts for code lengths 1..16
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8
+
+
+def _canonical_codes(bits, vals):
+    """Canonical huffman assignment (T.81 Annex C): returns
+    ``{symbol: (code, length)}``."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int):
+    """IJG quality scaling of the Annex K base tables → two natural-
+    order 8x8 int arrays (clamped to 1..255)."""
+    import numpy as np
+
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QL, _JPEG_QC):
+        q = [(v * scale + 50) // 100 for v in base]
+        out.append(
+            np.array([min(255, max(1, v)) for v in q], dtype=np.int32).reshape(8, 8)
+        )
+    return out
+
+
+def _dct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8).reshape(8, 1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def pad_align(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def raw_marker(self, byte2: int) -> None:
+        self.pad_align()
+        self.buf += bytes((0xFF, byte2))
+
+
+def _encode_block(wr, qblock, pred, codes_dc, codes_ac) -> int:
+    """Huffman-encode one quantized block (natural-order 8x8 ints);
+    returns the new DC predictor."""
+    zz = [int(qblock[u, v]) for u, v in _ZIGZAG]
+    diff = zz[0] - pred
+    mag = abs(diff)
+    size = mag.bit_length()
+    code, length = codes_dc[size]
+    wr.put(code, length)
+    if size:
+        wr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        c = zz[k]
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = codes_ac[0xF0]
+            wr.put(zc, zl)
+            run -= 16
+        mag = abs(c)
+        size = mag.bit_length()
+        code, length = codes_ac[(run << 4) | size]
+        wr.put(code, length)
+        wr.put(c if c >= 0 else c + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ec, el = codes_ac[0x00]
+        wr.put(ec, el)
+    return zz[0]
+
+
+def encode_jpeg(
+    rgb,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as a baseline
+    sequential JFIF JPEG (SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS/EOI), with
+    IJG-quality-scaled Annex K quantization tables, 4:4:4 or 4:2:0
+    chroma (``subsampling``), and optional restart markers every
+    ``restart_interval`` MCUs."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    samp = 2 if subsampling == "420" else 1
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mcu = 8 * samp
+    pw, ph = -w % mcu, -h % mcu
+    planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in (yy, cb, cr)]
+    if samp == 2:  # 2x2 box average to half-resolution chroma
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    ql, qc = _quality_tables(quality)
+    m = _dct_mat()
+    codes_dc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    codes_ac = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        head += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        head += bytes(int(q[u, v]) for u, v in _ZIGZAG)
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    head += bytes((1, (samp << 4) | samp, 0))  # Y
+    head += bytes((2, 0x11, 1))  # Cb
+    head += bytes((3, 0x11, 1))  # Cr
+    for tc_th, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_SYMS),
+        (0x01, _JPEG_DC_BITS, _JPEG_DC_SYMS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_SYMS),
+        (0x11, _JPEG_AC_BITS, _JPEG_AC_SYMS),
+    ):
+        head += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        head += bytes(bits) + bytes(vals)
+    if restart_interval:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    head += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    head += bytes((1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+    n_mcux = planes[0].shape[1] // mcu
+    n_mcuy = planes[0].shape[0] // mcu
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    qtabs = [ql, qc, qc]
+    sampling = [(samp, samp), (1, 1), (1, 1)]
+    mcu_idx = 0
+    rst = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                wr.raw_marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0, 0, 0]
+            for ci, plane in enumerate(planes):
+                hs, vs = sampling[ci]
+                dc_codes = codes_dc
+                ac_codes = codes_ac
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = m @ block @ m.T
+                        qd = np.rint(coef / qtabs[ci]).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            wr, qd, preds[ci], dc_codes, ac_codes
+                        )
+            mcu_idx += 1
+    wr.pad_align()
+    return bytes(head) + bytes(wr.buf) + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are consumed by :meth:`expect_restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy data at 0xFF")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG entropy data")
+
+    def expect_restart(self, n: int) -> None:
+        self.acc = 0
+        self.nbits = 0  # restart markers are byte-aligned
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n % 8:
+            raise ValueError(
+                f"expected RST{n % 8}, found "
+                f"{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        self.pos += 2
+
+
+def _jpeg_decode_table(bits, vals):
+    """DHT canonical tables → ``{(length, code): symbol}``."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, 1 or 3
+    components, sampling factors 1 or 2, single interleaved scan,
+    optional DRI/RSTn, APPn/COM skipped, every DQT/DHT read from the
+    stream) into an ``(h, w, 3)`` uint8 RGB array. STRICT: raises
+    ValueError on anything outside this envelope — progressive /
+    arithmetic / 12-bit / multi-scan payloads quarantine per row via
+    ``_decode_quarantined``, they do not kill the task."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    sof = None
+    dri = 0
+    pos = 2
+    data = bytes(payload)
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {data[pos]:02X}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT — possibly several tables per marker
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quantization table")
+                if o + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                t = np.zeros((8, 8), dtype=np.int32)
+                for k, (u, v) in enumerate(_ZIGZAG):
+                    t[u, v] = seg[o + 1 + k]
+                qt[tq] = t
+                o += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_decode_table(
+                    bits, vals
+                )
+                o += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("unsupported sample precision")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF type 0xFF{marker:02X} (not baseline)")
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cid] = (tt >> 4, tt & 15)
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+
+    h, w, comps = sof
+    if len(sel) != len(comps):
+        raise ValueError("scan does not cover all components")
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    n_mcux = -(-w // mcu_w)
+    n_mcuy = -(-h // mcu_h)
+    m = _dct_mat()
+    planes = []
+    for c in comps:
+        pw = n_mcux * c["h"] * 8
+        ph = n_mcuy * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        td, ta = sel[c["id"]]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing huffman table for scan")
+    rd = _JpegBitReader(data, pos)
+    preds = [0] * len(comps)
+    rst = 0
+    mcu_idx = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if dri and mcu_idx and mcu_idx % dri == 0:
+                rd.expect_restart(rst)
+                rst += 1
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = sel[c["id"]]
+                tdc, tac = huff_dc[td], huff_ac[ta]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        size = rd.huff(tdc)
+                        if size > 11:
+                            raise ValueError("invalid DC category")
+                        diff = _jpeg_extend(rd.bits(size), size)
+                        preds[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = rd.huff(tac)
+                            if sym == 0x00:
+                                break
+                            run, sz = sym >> 4, sym & 15
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError("invalid AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _jpeg_extend(rd.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        for kk, (u, v) in enumerate(_ZIGZAG):
+                            coef[u, v] = zz[kk] * q[u, v]
+                        block = m.T @ coef @ m + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_idx += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        yy = np.clip(full[0], 0, 255)
+        return np.dstack([yy, yy, yy]).round().astype(np.uint8)
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = yy + 1.402 * cr
+    g = yy - 0.344136 * cb - 0.714136 * cr
+    b = yy + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]).round(), 0, 255).astype(np.uint8)
+
+
+def jpeg_feature_decoder(payload: bytes) -> list[float]:
+    """DECODER-seam-compatible REAL JPEG decode (``bytes ->
+    list[float]``): the BMP/PNG contract ``[w, h, sum_r, sum_g, sum_b,
+    wsum_r]`` over the DECODED pixels — exact integers of a
+    deterministic decode, but (JPEG being lossy) not closed-form
+    recomputable; gate-level certification goes through
+    :func:`jpeg_roundtrip_features` instead."""
+    import numpy as np
+
+    px = decode_jpeg(payload)
+    h, w, _ = px.shape
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    idx = np.arange(1, h * w + 1, dtype=np.int64)
+    wsum_r = int((px[:, :, 0].reshape(-1).astype(np.int64) * idx).sum())
+    return [
+        float(w), float(h),
+        float(int(sums[0])), float(int(sums[1])), float(int(sums[2])),
+        float(wsum_r),
+    ]
+
+
+def _jpeg_closed_form(mid: int, width: int, height: int):
+    """The m01 'jpg' ground-truth pattern: WRAP-FREE gradients (the
+    base offsets are %64 and the slopes keep every channel below 256
+    for the gate's dims), so quantization error stays small and any
+    geometry error — flip, chroma swap, bad IDCT scale — blows the
+    tolerance. Mirrored literally by the oracle SQL."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = (mid * 37) % 64 + 2 * x + 9 * y
+    g = (mid * 23) % 64 + 3 * x + 5 * y
+    b = (mid * 41) % 64 + x + 4 * y
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+#: per-pixel tolerance for the roundtrip gate: quantization error of
+#: the quality-80..94 tables on wrap-free gradients plus 4:2:0 box-
+#: average/replication error (chroma slope ≤ 9/px → ≤ ~12 RGB) stays
+#: well under this; flips/swaps/IDCT bugs produce errors ≥ ~60.
+_JPEG_TOL = 32
+
+
+def jpeg_roundtrip_features(ids: DataFrame, width: int, height: int) -> DataFrame:
+    """The m01 'jpg' certification op: distributed generation of REAL
+    baseline-JPEG payloads from the closed-form gradients — with the
+    quantization strength, chroma mode and restart interval all
+    CYCLING by media_id (quality 80/87/94 by id%3, 4:2:0 vs 4:4:4 by
+    id%2, DRI=2 on id%4==0) so every encoder/decoder path is exercised
+    across any ≥4 ids — followed by a REAL decode and a per-pixel
+    comparison against the closed form. Emits exact decoded dims plus
+    ``ok`` = 1 iff every pixel of every channel is within
+    ``_JPEG_TOL`` of the source; the oracle predicts (w, h, mode,
+    quality, n_px, ok=1) from the parameters alone."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"].astype("int64"):
+                src = _jpeg_closed_form(int(mid), width, height)
+                quality = 80 + (int(mid) % 3) * 7
+                mode = "420" if mid % 2 == 0 else "444"
+                dri = 2 if mid % 4 == 0 else 0
+                payload = encode_jpeg(
+                    src, quality=quality, subsampling=mode, restart_interval=dri
+                )
+                px = decode_jpeg(payload)
+                ok = int(
+                    px.shape[:2] == (height, width)
+                    and int(
+                        np.abs(
+                            px.astype(np.int64) - src.astype(np.int64)
+                        ).max()
+                    )
+                    <= _JPEG_TOL
+                )
+                rows.append(
+                    (int(mid), px.shape[1], px.shape[0], mode, quality,
+                     width * height, ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mode", "quality",
+                    "n_px", "ok",
+                ],
+            )
+
+    return ids.mapInPandas(
+        op,
+        schema=(
+            "media_id long, width int, height int, mode string, "
+            "quality int, n_px long, ok int"
+        ),
+    )

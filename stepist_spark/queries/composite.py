@@ -270,7 +270,42 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at("feature", 6).cast("bigint").cast("string"),
         ).alias("s1"),
     )
-    return prof.unionByName(bmp).unionByName(wav).unionByName(png)
+    # 'jpg' (round 10) — the LOSSY-format certification: real baseline
+    # sequential JPEGs (huffman + DCT + 4:2:0/4:4:4 chroma) from
+    # wrap-free closed-form gradients, with quality (80/87/94),
+    # chroma mode and restart interval all CYCLING by media_id.
+    # JPEG is lossy, so the gate is a per-pixel QUANTIZATION-TOLERANCE
+    # check against the closed form (ok=1 iff max |Δ| ≤ 32 — measured
+    # roundtrip error is 2-6 while a row flip scores 118), plus the
+    # exact decoded dims; the oracle predicts every column from the
+    # parameters alone.
+    from stepist_spark.operators.multimodal import jpeg_roundtrip_features
+
+    jpg_ids = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("media_id")
+    )
+    jpg = jpeg_roundtrip_features(jpg_ids, width=20, height=14).select(
+        F.lit("jpg").alias("part"),
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.col("mode"),
+            F.col("quality").cast("string"),
+            F.col("n_px").cast("string"),
+            F.col("ok").cast("string"),
+        ).alias("s1"),
+    )
+    return (
+        prof.unionByName(bmp)
+        .unionByName(wav)
+        .unionByName(png)
+        .unionByName(jpg)
+    )
 
 
 M01_SQL = """
@@ -318,6 +353,14 @@ FROM documents,
      (SELECT unnest(generate_series(0, 5)) AS y)
 WHERE doc_id % 10 = 7
 GROUP BY doc_id
+UNION ALL
+SELECT 'jpg', doc_id, 'image',
+       CAST(NULL AS BIGINT),
+       20, 14, CAST(NULL AS BIGINT),
+       (CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END) || ':'
+           || CAST(80 + (doc_id % 3) * 7 AS VARCHAR) || ':280:1'
+FROM documents
+WHERE doc_id % 10 = 3
 """
 
 

@@ -799,3 +799,172 @@ class TestPngCodec:
         buf = io.BytesIO()
         Image.fromarray(px).save(buf, format="PNG")
         assert np.array_equal(decode_png(buf.getvalue()), px)
+
+
+class TestJpegCodec:
+    """The LOSSY member of the in-repo codec family: baseline
+    sequential JPEG (encode_jpeg / decode_jpeg), stdlib+numpy. The
+    certification discipline is a quantization-TOLERANCE roundtrip
+    against wrap-free gradients (exact equality is impossible for a
+    lossy codec); geometry bugs blow the tolerance by construction."""
+
+    def _grad(self, mid=5, w=20, h=14):
+        from stepist_spark.operators.multimodal import _jpeg_closed_form
+
+        return _jpeg_closed_form(mid, w, h)
+
+    def _err(self, a, b):
+        import numpy as np
+
+        return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+    def test_roundtrip_444_and_420_within_tolerance(self):
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        src = self._grad()
+        for quality, mode in [(94, "444"), (80, "420"), (87, "420")]:
+            px = decode_jpeg(encode_jpeg(src, quality=quality, subsampling=mode))
+            assert px.shape == src.shape
+            assert self._err(px, src) <= _JPEG_TOL
+
+    def test_constant_image_exact(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        const = np.full((16, 16, 3), 130, np.uint8)
+        assert self._err(decode_jpeg(encode_jpeg(const, quality=90)), const) == 0
+
+    def test_odd_dims_pad_and_crop(self):
+        from stepist_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        src = self._grad(mid=9, w=9, h=5)  # 4:2:0 pads to 16x16, crops back
+        px = decode_jpeg(encode_jpeg(src, quality=90, subsampling="420"))
+        assert px.shape == (5, 9, 3)
+        assert self._err(px, src) <= 16
+
+    def test_restart_markers_roundtrip(self):
+        from stepist_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        src = self._grad(mid=4, w=24, h=16)
+        payload = encode_jpeg(src, quality=90, subsampling="444", restart_interval=2)
+        assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+        assert self._err(decode_jpeg(payload), src) <= 16
+        # 420 as well: 24x16 is one MCU row of 2, DRI=1 restarts between
+        p2 = encode_jpeg(src, quality=90, subsampling="420", restart_interval=1)
+        assert self._err(decode_jpeg(p2), src) <= 16
+
+    def test_geometry_bugs_blow_tolerance(self):
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        src = self._grad()
+        px = decode_jpeg(encode_jpeg(src, quality=94))
+        assert self._err(px[::-1], src) > _JPEG_TOL  # row flip
+        assert self._err(px[:, :, ::-1], src) > _JPEG_TOL  # channel swap
+
+    def test_rejects_malformed(self):
+        import pytest
+
+        from stepist_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"NOPE")
+        payload = encode_jpeg(self._grad(), quality=90)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(payload[: len(payload) // 2])
+        # flip SOF0 -> SOF2 (progressive): must refuse, not misdecode
+        idx = payload.index(b"\xff\xc0")
+        prog = payload[:idx] + b"\xff\xc2" + payload[idx + 2 :]
+        with pytest.raises(ValueError, match="not baseline"):
+            decode_jpeg(prog)
+
+    def test_corrupt_payload_quarantines_through_seam(self, spark):
+        from stepist_spark.operators.multimodal import (
+            encode_jpeg,
+            extract_features,
+            jpeg_feature_decoder,
+        )
+
+        good = encode_jpeg(self._grad(), quality=90)
+        media = spark.createDataFrame(
+            [
+                (1, "image", "image/jpeg", bytearray(good)),
+                (2, "image", "image/jpeg", bytearray(good[:40])),
+            ],
+            "media_id long, kind string, mime string, payload binary",
+        )
+        out = {
+            r["media_id"]: r
+            for r in extract_features(media, decoder=jpeg_feature_decoder).collect()
+        }
+        assert out[1]["decode_error"] is None
+        assert out[1]["feature"][:2] == [20.0, 14.0]
+        assert out[2]["decode_error"] is not None and out[2]["feature"] is None
+
+    def test_roundtrip_gate_op(self, spark):
+        from stepist_spark.operators.multimodal import jpeg_roundtrip_features
+
+        ids = spark.createDataFrame([(i,) for i in range(8)], "media_id long")
+        rows = {r["media_id"]: r for r in
+                jpeg_roundtrip_features(ids, width=20, height=14).collect()}
+        assert len(rows) == 8
+        for mid, r in rows.items():
+            assert (r["width"], r["height"], r["n_px"], r["ok"]) == (20, 14, 280, 1)
+            assert r["mode"] == ("420" if mid % 2 == 0 else "444")
+            assert r["quality"] == 80 + (mid % 3) * 7
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="PIL not installed in this environment",
+)
+class TestJpegPilCross:
+    """Cross-codec checks wherever PIL exists: our encode must decode
+    under PIL within the same tolerance, and a PIL-encoded baseline
+    JPEG must decode under our decoder."""
+
+    def test_pil_decodes_our_encode(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            _jpeg_closed_form,
+            encode_jpeg,
+        )
+
+        src = _jpeg_closed_form(5, 20, 14)
+        for mode in ("444", "420"):
+            payload = encode_jpeg(src, quality=90, subsampling=mode)
+            px = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            assert px.shape == src.shape
+            assert int(np.abs(px.astype(np.int64) - src.astype(np.int64)).max()) <= _JPEG_TOL
+
+    def test_our_decoder_reads_pil_encode(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            _jpeg_closed_form,
+            decode_jpeg,
+        )
+
+        src = _jpeg_closed_form(7, 20, 14)
+        buf = io.BytesIO()
+        Image.fromarray(src).save(buf, format="JPEG", quality=92)
+        px = decode_jpeg(buf.getvalue())
+        assert px.shape == src.shape
+        assert int(np.abs(px.astype(np.int64) - src.astype(np.int64)).max()) <= _JPEG_TOL
