@@ -529,3 +529,128 @@ class TestStreamStaticJoin:
         # the only stateful operator is the aggregation, not the join
         prog = q.lastProgress
         assert prog is not None and len(prog["stateOperators"]) == 1
+
+
+class TestTaskRetryExactlyOnce:
+    """Round-9 verdict #5: certify exactly-once at TASK granularity —
+    the level the reference's queue redelivery operates at
+    (`stepist/flow/libs/simple_queue.py:42-47`). s05's 'restart' part
+    kills a whole QUERY; here an Arrow batch inside the foreachBatch
+    MERGE job fails on its FIRST task attempt (every task of micro-
+    batch 1, via TaskContext.attemptNumber), the task RETRIES, and the
+    file-backed materialized view must still equal the full-data
+    oracle — no duplicated and no dropped rows.
+
+    Runs in a SUBPROCESS: task retry needs master local[N, F] with
+    F > 1 (the shared session's local[*] treats the first task failure
+    as fatal), and a JVM's master is fixed at SparkContext creation.
+    """
+
+    def test_flaky_arrow_batch_retries_without_duplicates(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+        import textwrap
+
+        script = tmp_path / "retry_eo.py"
+        script.write_text(textwrap.dedent("""
+            import glob, os, sys
+            sys.path.insert(0, %(repo)r)
+            work = %(work)r
+            from pyspark.sql import SparkSession, functions as F
+
+            spark = (
+                SparkSession.builder.master("local[4, 2]")  # 2 task attempts
+                .appName("task_retry_eo")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .config("spark.sql.session.timeZone", "UTC")
+                .getOrCreate()
+            )
+            rows = [(i, chr(65 + i %% 4), (i * 7) %% 1000) for i in range(200)]
+            full = spark.createDataFrame(rows, "event_id long, event_type string, cents long")
+            in_dir = os.path.join(work, "in"); os.makedirs(in_dir)
+            for tag, cond, mt in (("a", 0, 1.6e9), ("b", 1, 1.6e9 + 60)):
+                tmp = os.path.join(work, "w_" + tag)
+                full.filter(F.col("event_id") %% 2 == cond).repartition(1) \\
+                    .write.parquet(tmp)
+                part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                dest = os.path.join(in_dir, tag + ".parquet")
+                os.rename(part, dest); os.utime(dest, (mt, mt))
+
+            attempts_log = os.path.join(work, "attempts")
+            os.makedirs(attempts_log)
+            from stepist_spark.operators import cdc as _cdc
+            state = {"dir": None}
+
+            def merge(batch_df, batch_id):
+                import pandas as pd  # noqa: F401
+
+                def flaky(batches):
+                    from pyspark import TaskContext
+                    ctx = TaskContext.get()
+                    att, pid = ctx.attemptNumber(), ctx.partitionId()
+                    with open(os.path.join(
+                            attempts_log, f"b{batch_id}_p{pid}_a{att}"), "w"):
+                        pass
+                    if batch_id == 1 and att == 0:
+                        raise ValueError("injected first-attempt failure")
+                    yield from batches
+
+                src = batch_df.mapInPandas(flaky, schema=batch_df.schema)
+                if state["dir"] is None:
+                    prev = batch_df.sparkSession.createDataFrame(
+                        [], "event_type string, n bigint, cents bigint")
+                else:
+                    prev = batch_df.sparkSession.read.parquet(state["dir"])
+                changes = src.select(
+                    "event_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("cents").cast("bigint").alias("cents"),
+                    F.lit(int(batch_id)).alias("seq"), F.lit("U").alias("op"))
+                merged = _cdc.apply_changes(prev, changes, ["event_type"], "seq", "op")
+                out = os.path.join(work, f"tgt_{batch_id}")
+                merged.write.mode("overwrite").parquet(out)
+                state["dir"] = out
+
+            q = (
+                spark.readStream.schema(full.schema)
+                .option("maxFilesPerTrigger", 1).parquet(in_dir)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+                .writeStream.outputMode("update").foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(180), "drain timed out"
+
+            got = sorted(
+                (r["event_type"], r["n"], r["cents"])
+                for r in spark.read.parquet(state["dir"])
+                    .select("event_type", "n", "cents").collect()
+            )
+            want = sorted(
+                (r["event_type"], r["n"], r["cents"])
+                for r in full.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+                    .collect()
+            )
+            assert got == want, f"MV diverged after task retry: {got} != {want}"
+            logged = sorted(os.listdir(attempts_log))
+            # the injection actually fired: batch 1 has attempt-0 AND
+            # attempt-1 records; batch 0 only attempt-0
+            assert any(f.startswith("b1_") and f.endswith("_a0") for f in logged)
+            assert any(f.startswith("b1_") and f.endswith("_a1") for f in logged)
+            assert not any(f.startswith("b0_") and f.endswith("_a1") for f in logged)
+            print("RETRY-EO-OK", len(logged))
+            spark.stop()
+        """) % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "work": str(tmp_path / "work")})
+        (tmp_path / "work").mkdir()
+        env = dict(os.environ)
+        res = subprocess.run(
+            [sys.executable, str(script)], capture_output=True, text=True,
+            timeout=420, env=env,
+        )
+        assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+        assert "RETRY-EO-OK" in res.stdout
