@@ -714,6 +714,148 @@ FROM _kwg, _kwh
 """
 
 
+def one_way_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    value_counts: DataFrame | None = None,
+) -> DataFrame:
+    """One-way ANOVA F across ALL groups of a metric (Fisher 1925,
+    public) — the PARAMETRIC omnibus companion of
+    :func:`kruskal_wallis`: same "did ANY arm shift" question, answered
+    on means instead of ranks, plus the ``eta²`` effect size
+    (SSB/SST — how much of the variance the grouping explains).
+
+    Exactness (the welch/kw disciplines combined): per-group ``n_g,
+    s_g = Σx, q_g = Σx²`` are exact decimal(38,0)/HUGEINT integers
+    from ONE grouped aggregate; the inherently fractional
+    ``Σ s_g²/n_g`` folds in DOUBLES over the |groups|-bounded frame in
+    a FIXED sorted order (Spark ``aggregate`` HOF == DuckDB
+    ``list_reduce``), so SSB/SSW/F/eta² are one engine-identical IEEE
+    sequence, 6 dp.
+
+    Output: one row per group — ``<group_col>, n_g, s_g, q_g`` — plus
+    the shared ``k, n, f_stat, eta2`` attached via a broadcast 1-row
+    cross join (the kruskal_wallis scalar pattern; f/eta² NULL when
+    k < 2, n ≤ k, or SSW/SST is non-positive).
+
+    ``value_counts``: optional pre-built ``(group_col, v, c)`` frame —
+    the :func:`mann_whitney_u` reuse contract (``Σx = Σ v·c``,
+    ``Σx² = Σ v²·c`` are the same exact integers); hash-identical.
+    """
+    d38 = "decimal(38,0)"
+    if value_counts is not None:
+        v = F.col("v").cast("decimal(19,0)")
+        c = F.col("c").cast("decimal(19,0)")
+        groups = value_counts.groupBy(F.col(group_col).alias("_g")).agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(v * c).cast(d38).alias("s_g"),
+            F.sum(v * v * c).cast(d38).alias("q_g"),
+        )
+    else:
+        g = F.col(group_col)
+        x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+        groups = (
+            df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+            .groupBy(g.alias("_g"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_g"),
+                F.sum(x).cast(d38).alias("s_g"),
+                F.sum(x * x).cast(d38).alias("q_g"),
+            )
+        )
+    folded = groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum("n_g").cast("bigint").alias("_n"),
+        F.sum("s_g").cast(d38).alias("_s"),
+        F.sum("q_g").cast(d38).alias("_q"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_g", "s_g", "n_g"))),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (e["s_g"].cast("double") * e["s_g"].cast("double"))
+            / e["n_g"].cast("double"),
+        ).alias("_fold"),
+    )
+    nd = F.col("_n").cast("double")
+    kd = F.col("_k").cast("double")
+    grand = F.col("_s").cast("double") * F.col("_s").cast("double") / nd
+    ssb = F.col("_fold") - grand
+    ssw = F.col("_q").cast("double") - F.col("_fold")
+    sst = F.col("_q").cast("double") - grand
+    f = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    ok = (F.col("_k") >= 2) & (F.col("_n") > F.col("_k"))
+    stats = folded.select(
+        F.col("_k").alias("k"),
+        F.col("_n").alias("n"),
+        F.when(ok & (ssw > 0), F.round(f, 6)).alias("f_stat"),
+        F.when(ok & (sst > 0), F.round(ssb / sst, 6)).alias("eta2"),
+    )
+    return groups.select(F.col("_g").alias(group_col), "n_g", "s_g", "q_g").crossJoin(
+        F.broadcast(stats)
+    )
+
+
+def one_way_anova_sql(
+    table_sql: str,
+    group_expr: str,
+    value_expr: str,
+    scale: int = 100,
+    group_name: str = "grp",
+) -> str:
+    """DuckDB mirror of :func:`one_way_anova` — identical HUGEINT
+    sufficient statistics and the same sorted left-fold. The group
+    column is emitted under ``group_name`` (the kruskal_wallis_sql
+    convention)."""
+    return f"""
+WITH _aor AS (
+    SELECT ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS HUGEINT) AS x
+    FROM ({table_sql})
+    WHERE ({group_expr}) IS NOT NULL AND ({value_expr}) IS NOT NULL
+),
+_aog AS (
+    SELECT _g, CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(x) AS HUGEINT) AS s_g,
+           CAST(sum(x * x) AS HUGEINT) AS q_g
+    FROM _aor GROUP BY _g
+),
+_aos AS (
+    SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+           CAST(sum(s_g) AS HUGEINT) AS s, CAST(sum(q_g) AS HUGEINT) AS q,
+           list_reduce(
+               list_transform(
+                   list(struct_pack(s_g := s_g, n_g := n_g) ORDER BY _g),
+                   e -> CAST(e.s_g AS DOUBLE) * CAST(e.s_g AS DOUBLE)
+                        / CAST(e.n_g AS DOUBLE)),
+               (x, y) -> x + y) AS fold
+    FROM _aog
+),
+_aoh AS (
+    SELECT k, n,
+           CASE WHEN k >= 2 AND n > k
+                 AND CAST(q AS DOUBLE) - fold > 0
+                THEN round(
+                  ((fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                  / ((CAST(q AS DOUBLE) - fold) / (CAST(n AS DOUBLE)
+                     - CAST(k AS DOUBLE))), 6) END AS f_stat,
+           CASE WHEN k >= 2 AND n > k
+                 AND CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE) > 0
+                THEN round(
+                  (fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                  / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)), 6) END AS eta2
+    FROM _aos
+)
+SELECT _g AS {group_name}, n_g, s_g, q_g, k, n, f_stat, eta2
+FROM _aog, _aoh
+"""
+
+
 def rank_stats_shared(
     base_counts: DataFrame,
     mwu_group_col: str,

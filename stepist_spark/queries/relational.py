@@ -573,6 +573,27 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n"),
         F.col("z_stat").alias("sum_val"),
     )
+    # one-way ANOVA F + eta² rides along (round 10, operators/
+    # abtest.py): the PARAMETRIC omnibus twin of 'kw' over the same
+    # priorities — exact per-group n/Σx/Σx² off the shared base, the
+    # kw sorted-fold for the fractional Σs²/n, one IEEE F sequence
+    from stepist_spark.operators.abtest import one_way_anova
+
+    av = one_way_anova(
+        orders, "o_orderpriority", "o_totalprice", value_counts=prio_vc
+    ).select(
+        F.lit("anova").alias("gset"),
+        F.col("o_orderpriority").alias("key1"),
+        F.concat_ws(
+            ":",
+            F.col("s_g").cast("string"),
+            F.col("q_g").cast("string"),
+            F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5))
+            .cast("bigint").cast("string"),
+        ).alias("key2"),
+        F.col("n_g").alias("n"),
+        F.col("f_stat").alias("sum_val"),
+    )
     # Kruskal-Wallis: the k-group rank omnibus over order totals
     # across ALL five priorities — exact doubled rank sums per group,
     # sorted-fold float H, riding the SAME fused cumulative as mwu
@@ -612,6 +633,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(gi)
         .unionByName(wo)
         .unionByName(mw)
+        .unionByName(av)
         .unionByName(kw)
         .unionByName(bh)
     )
@@ -701,6 +723,19 @@ def _q09_bh_sql() -> str:
 
 _Q09_BH_SQL = _q09_bh_sql()
 
+
+def _q09_anova_sql() -> str:
+    from stepist_spark.operators.abtest import one_way_anova_sql
+
+    return one_way_anova_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+_Q09_ANOVA_SQL = _q09_anova_sql()
+
 Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
@@ -733,6 +768,12 @@ SELECT 'mwu', 'O:F',
        CAST(u2_a AS VARCHAR) || ':' || CAST(tie_cubes AS VARCHAR),
        CAST(n_a + n_b AS BIGINT), z_stat
 FROM ({_Q09_MWU_SQL})
+UNION ALL
+SELECT 'anova', grp,
+       CAST(s_g AS VARCHAR) || ':' || CAST(q_g AS VARCHAR) || ':'
+           || CAST(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+       n_g, f_stat
+FROM ({_Q09_ANOVA_SQL})
 UNION ALL
 SELECT 'kw', grp, CAST(r2x AS VARCHAR), n_g, h_tie
 FROM ({_Q09_KW_SQL})

@@ -539,3 +539,102 @@ class TestBenjaminiHochberg:
         want = sorted(con.execute(bh_discoveries_sql(ssql, ["slice"], "t_stat", 0.10)).fetchall())
         assert [tuple(map(str, a)) for a in got] == [tuple(map(str, b)) for b in want]
         assert {r[0] for r in got if r[-1]} == {"s0", "s1", "s2"}
+
+
+class TestOneWayAnova:
+    def _data(self):
+        return {
+            "A": [10.25, 11.50, 9.75, 12.00, 10.00],
+            "B": [8.50, 9.00, 7.75, 9.75, 8.25],
+            "C": [10.25, 13.00, 12.50, 11.75],
+        }
+
+    def _ref(self, data):
+        # closed-form over scaled ints with the same sorted fold
+        groups = {g: [round(v * 100) for v in xs] for g, xs in sorted(data.items())}
+        n = sum(len(xs) for xs in groups.values())
+        k = len(groups)
+        s = sum(sum(xs) for xs in groups.values())
+        q = sum(x * x for xs in groups.values() for x in xs)
+        fold = 0.0
+        for g in sorted(groups):
+            sg = sum(groups[g])
+            fold += float(sg) * float(sg) / float(len(groups[g]))
+        grand = float(s) * float(s) / n
+        ssb, ssw, sst = fold - grand, q - fold, q - grand
+        return (ssb / (k - 1)) / (ssw / (n - k)), ssb / sst
+
+    def test_matches_closed_form(self, spark):
+        from stepist_spark.operators.abtest import one_way_anova
+
+        data = self._data()
+        rows = [(g, v) for g, xs in data.items() for v in xs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["g"]: r for r in one_way_anova(df, "g", "v").collect()}
+        f, eta2 = self._ref(data)
+        assert set(out) == {"A", "B", "C"}
+        r = out["A"]
+        assert (r["k"], r["n"]) == (3, 14)
+        assert abs(r["f_stat"] - f) < 1e-6
+        assert abs(r["eta2"] - eta2) < 1e-6
+        assert 0.0 <= r["eta2"] <= 1.0
+        # exact sufficient statistics
+        assert int(out["B"]["s_g"]) == sum(round(v * 100) for v in data["B"])
+
+    def test_degenerate_edges(self, spark):
+        from stepist_spark.operators.abtest import one_way_anova
+
+        # all values tied: SSW = SSB = 0 -> NULL f and NULL eta2
+        tied = spark.createDataFrame(
+            [("A", 5.0)] * 3 + [("B", 5.0)] * 3, "g string, v double"
+        )
+        r = one_way_anova(tied, "g", "v").collect()[0]
+        assert r["f_stat"] is None and r["eta2"] is None
+        # single group: k < 2 -> NULL
+        one = spark.createDataFrame([("A", 1.0), ("A", 2.0)], "g string, v double")
+        r = one_way_anova(one, "g", "v").collect()[0]
+        assert r["k"] == 1 and r["f_stat"] is None
+
+    def test_value_counts_path_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import one_way_anova
+
+        data = self._data()
+        rows = [(g, v) for g, xs in data.items() for v in xs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        vc = (
+            df.select("g", F.floor(F.col("v") * 100 + F.lit(0.5))
+              .cast("bigint").alias("v"))
+            .groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        direct = sorted(map(tuple, one_way_anova(df, "g", "v").collect()))
+        reused = sorted(
+            map(tuple, one_way_anova(df, "g", "v", value_counts=vc).collect())
+        )
+        assert direct == reused
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.abtest import one_way_anova, one_way_anova_sql
+
+        rows = [
+            (f"g{i % 5}", float((i * 13) % 97) + 0.25 * (i % 4)) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        p = str(tmp_path / "anova.parquet")
+        df.write.parquet(p)
+        got = sorted(
+            (r["g"], r["n_g"], int(r["s_g"]), int(r["q_g"]), r["k"], r["n"],
+             r["f_stat"], r["eta2"])
+            for r in one_way_anova(df, "g", "v").collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            (w[0], w[1], int(w[2]), int(w[3]), w[4], w[5], w[6], w[7])
+            for w in con.execute(
+                one_way_anova_sql(f"SELECT * FROM '{p}/*.parquet'", "g", "v")
+            ).fetchall()
+        )
+        assert got == want
