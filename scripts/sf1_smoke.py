@@ -88,10 +88,30 @@ def build(spark, out_dir: str) -> None:
         print(f"  scaled {t} x{K}")
 
 
+def _calibration(spark) -> float:
+    """bench.py's fixed pure-CPU probe (min-of-3): records host health
+    IN the artifact so cross-run sf1 comparisons can be normalized."""
+    from pyspark.sql.functions import col, xxhash64
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).select(
+            (xxhash64(col("id")) % 97).alias("k")
+        ).groupBy("k").count().collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--warm", action="store_true",
+        help="run each gate twice and report cold + warm seconds",
+    )
     args = ap.parse_args()
 
     from stepist_spark.session import get_spark, warehouse_root
@@ -108,6 +128,8 @@ def main() -> None:
         build(spark, out_dir)
         print(f"build done in {time.time() - t0:.1f}s")
 
+    calib_pre = _calibration(spark)
+    print(f"calibration_sec (pre): {calib_pre}", flush=True)
     only = {s.strip() for s in args.only.split(",") if s.strip()}
     results: dict[str, dict] = {}
     for name, fn in entry.queries().items():
@@ -118,15 +140,35 @@ def main() -> None:
             n = fn(spark, out_dir).count()
             dt = time.time() - t0
             results[name] = {"sec": round(dt, 2), "rows": n}
-            print(f"{name:30s} {dt:7.2f}s  {n} rows", flush=True)
+            if args.warm:
+                t1 = time.time()
+                fn(spark, out_dir).count()
+                results[name]["warm_sec"] = round(time.time() - t1, 2)
+            print(
+                f"{name:30s} {dt:7.2f}s"
+                + (f"  warm {results[name]['warm_sec']:7.2f}s" if args.warm else "")
+                + f"  {n} rows",
+                flush=True,
+            )
         except Exception as e:  # keep going: the summary shows all failures
             dt = time.time() - t0
             results[name] = {"sec": round(dt, 2), "error": str(e)[:200]}
             print(f"{name:30s} {dt:7.2f}s  ERROR {str(e)[:120]}", flush=True)
+    calib_post = _calibration(spark)
     total = sum(r["sec"] for r in results.values())
     errs = [k for k, r in results.items() if "error" in r]
     print(json.dumps({"sf": 1.0, "total_sec": round(total, 1),
-                      "n_queries": len(results), "errors": errs}))
+                      "warm_total_sec": round(
+                          sum(r.get("warm_sec", 0) for r in results.values()), 1)
+                      if args.warm else None,
+                      "n_queries": len(results), "errors": errs,
+                      "calibration_pre": calib_pre,
+                      "calibration_post": calib_post}))
+    with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "sf1_results.json"
+    ), "w") as fh:
+        json.dump({"results": results, "calibration_pre": calib_pre,
+                   "calibration_post": calib_post}, fh, indent=1)
 
 
 if __name__ == "__main__":
