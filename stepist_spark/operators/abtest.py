@@ -803,13 +803,28 @@ def one_way_anova_sql(
     value_expr: str,
     scale: int = 100,
     group_name: str = "grp",
+    counts_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of :func:`one_way_anova` — identical HUGEINT
     sufficient statistics and the same sorted left-fold. The group
     column is emitted under ``group_name`` (the kruskal_wallis_sql
-    convention)."""
-    return f"""
-WITH _aor AS (
+    convention).
+
+    ``counts_sql``: optional mirror of the ``value_counts=`` reuse
+    path — a query producing ``(_g, v, c)`` with ``v`` already scaled;
+    when given, ``table_sql``/``group_expr``/``value_expr`` are
+    ignored (pass empty strings)."""
+    if counts_sql is not None:
+        agg_stage = f"""
+_aog AS (
+    SELECT _g, CAST(sum(c) AS BIGINT) AS n_g,
+           CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s_g,
+           CAST(sum(CAST(v AS HUGEINT) * v * c) AS HUGEINT) AS q_g
+    FROM ({counts_sql}) GROUP BY _g
+),"""
+    else:
+        agg_stage = f"""
+_aor AS (
     SELECT ({group_expr}) AS _g,
            CAST(floor(({value_expr}) * {scale} + 0.5) AS HUGEINT) AS x
     FROM ({table_sql})
@@ -820,7 +835,9 @@ _aog AS (
            CAST(sum(x) AS HUGEINT) AS s_g,
            CAST(sum(x * x) AS HUGEINT) AS q_g
     FROM _aor GROUP BY _g
-),
+),"""
+    return f"""
+WITH {agg_stage}
 _aos AS (
     SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
            CAST(sum(s_g) AS HUGEINT) AS s, CAST(sum(q_g) AS HUGEINT) AS q,
@@ -854,6 +871,113 @@ _aoh AS (
 SELECT _g AS {group_name}, n_g, s_g, q_g, k, n, f_stat, eta2
 FROM _aog, _aoh
 """
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    value_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974, public — the median-centered Levene): one-way ANOVA on the
+    absolute deviations from each group's MEDIAN, the robust "are the
+    arms' SPREADS equal" check that should precede any pooled-variance
+    readout (heavy tails wreck the mean-centered original; the median
+    variant stays calibrated).
+
+    COMPOSED from two certified pieces: the per-group discrete lower
+    median comes from a cumulative over the (group, value) counts
+    frame (the grouped_median_mad rank rule, ``(n+1) DIV 2``), the
+    deviations collapse to a derived |v − med| counts frame — exact
+    integers — and :func:`one_way_anova` runs on that frame through
+    its ``value_counts=`` path. Raw rows are touched by ONE count
+    aggregate; everything after works on the bounded counts frame.
+
+    Output: the :func:`one_way_anova` schema over the deviations —
+    ``<group_col>, n_g, s_g, q_g, k, n, f_stat, eta2`` (s_g/q_g are
+    exact Σ|z| and Σz² in scaled units).
+
+    ``value_counts``: optional pre-built ``(group_col, v, c)`` frame
+    (the reuse contract, ``v`` pre-scaled); hash-identical.
+    """
+    from pyspark.sql import Window
+
+    from stepist_spark.operators.cumulative import grouped_frame
+
+    if value_counts is not None:
+        counts = value_counts.select(
+            F.col(group_col).alias("_g"), "v", F.col("c").cast("bigint").alias("c")
+        )
+    else:
+        g = F.col(group_col)
+        x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint")
+        counts = (
+            df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+            .select(g.alias("_g"), x.alias("v"))
+            .groupBy("_g", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            # consumed twice (median pass + deviation join): materialize
+            .localCheckpoint(eager=False)
+        )
+    w_ord = grouped_frame(["_g"], F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = grouped_frame(["_g"])
+    st = counts.select(
+        "_g", "v",
+        F.sum("c").over(w_ord).alias("_cum"),
+        F.sum("c").over(w_all).alias("_n"),
+    )
+    med = (
+        st.filter(F.col("_cum") >= F.expr("(_n + 1) DIV 2"))
+        .groupBy("_g")
+        .agg(F.min("v").alias("_med"))
+    )
+    z_counts = (
+        counts.join(med, "_g")
+        .groupBy("_g", F.abs(F.col("v") - F.col("_med")).alias("v"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .select(F.col("_g").alias(group_col), "v", "c")
+    )
+    return one_way_anova(df, group_col, value_col, value_counts=z_counts)
+
+
+def brown_forsythe_sql(
+    table_sql: str,
+    group_expr: str,
+    value_expr: str,
+    scale: int = 100,
+    group_name: str = "grp",
+) -> str:
+    """DuckDB mirror of :func:`brown_forsythe` — the identical median
+    rule and deviation counts feeding one_way_anova_sql's counts
+    path."""
+    counts_sql = f"""
+WITH _bfc AS (
+    SELECT ({group_expr}) AS _g,
+           CAST(floor(({value_expr}) * {scale} + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM ({table_sql})
+    WHERE ({group_expr}) IS NOT NULL AND ({value_expr}) IS NOT NULL
+    GROUP BY 1, 2
+),
+_bfs AS (
+    SELECT _g, v, c,
+           sum(c) OVER (PARTITION BY _g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY _g) AS n
+    FROM _bfc
+),
+_bfm AS (SELECT _g, min(v) AS med FROM _bfs WHERE cum >= (n + 1) // 2 GROUP BY _g)
+SELECT cc._g AS _g, abs(cc.v - mm.med) AS v, CAST(sum(cc.c) AS BIGINT) AS c
+FROM _bfc cc JOIN _bfm mm USING (_g)
+GROUP BY cc._g, abs(cc.v - mm.med)
+"""
+    return one_way_anova_sql(
+        "", "", "", group_name=group_name, counts_sql=counts_sql
+    )
 
 
 def rank_stats_shared(

@@ -407,3 +407,83 @@ SELECT CAST(n AS BIGINT) AS n, CAST(agree_n AS BIGINT) AS agree_n,
        END AS kappa_scaled
 FROM _kt, _kp
 """
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+) -> DataFrame:
+    """McNemar's paired test on two classifiers over the SAME examples
+    (McNemar 1947, public) — the standard "is model A actually better
+    than model B" readout: accuracy deltas on shared eval sets are
+    dominated by the examples BOTH models get right/wrong, so only the
+    DISCORDANT pairs carry evidence. ``b`` = A right & B wrong, ``c``
+    = A wrong & B right; the continuity-corrected statistic is
+    ``chi2 = max(|b−c|−1, 0)² / (b+c)``.
+
+    One conditional hash aggregate over the examples (the welch
+    shape): n/n_both/b/c are exact bigints; chi² is ONE double
+    division of exact integers, 6 dp (NULL when b+c = 0 — no
+    discordant pairs, the test is undefined). NULL labels or
+    predictions are excluded.
+
+    Output (one row): ``n, n_both_right, b, c, chi2``.
+    """
+    y = F.col(label_col)
+    a_ok = F.col(pred_a_col) == y
+    b_ok = F.col(pred_b_col) == y
+    rows = df.filter(
+        y.isNotNull() & F.col(pred_a_col).isNotNull() & F.col(pred_b_col).isNotNull()
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((a_ok & b_ok).cast("bigint")).cast("bigint").alias("n_both_right"),
+        F.sum((a_ok & ~b_ok).cast("bigint")).cast("bigint").alias("b"),
+        F.sum((~a_ok & b_ok).cast("bigint")).cast("bigint").alias("c"),
+    )
+    num = F.greatest(F.abs(F.col("b") - F.col("c")) - F.lit(1), F.lit(0)).cast(
+        "double"
+    )
+    chi2 = num * num / (F.col("b") + F.col("c")).cast("double")
+    return agg.select(
+        "n",
+        "n_both_right",
+        "b",
+        "c",
+        F.when(F.col("b") + F.col("c") > 0, F.round(chi2, 6)).alias("chi2"),
+    )
+
+
+def mcnemar_test_sql(
+    table_sql: str,
+    label_expr: str,
+    pred_a_expr: str,
+    pred_b_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`mcnemar_test` — identical exact counts
+    and the same one-division IEEE chi²."""
+    return f"""
+WITH _mn AS (
+    SELECT (({pred_a_expr}) = ({label_expr})) AS a_ok,
+           (({pred_b_expr}) = ({label_expr})) AS b_ok
+    FROM ({table_sql})
+    WHERE ({label_expr}) IS NOT NULL AND ({pred_a_expr}) IS NOT NULL
+      AND ({pred_b_expr}) IS NOT NULL
+),
+_ma AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both_right,
+           CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM _mn
+)
+SELECT n, n_both_right, b, c,
+       CASE WHEN b + c > 0 THEN round(
+           CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+           * CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+           / CAST(b + c AS DOUBLE), 6) END AS chi2
+FROM _ma
+"""

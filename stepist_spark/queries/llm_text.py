@@ -2337,6 +2337,37 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dsir_scaled").alias("v"),
         F.lit(None).cast("boolean").alias("keep"),
     )
+    # McNemar's paired test rides along (round 10, operators/
+    # evaluation.py): classifier-keep vs a perplexity-threshold gate
+    # as the two paired models over the SAME documents against the
+    # language label — only DISCORDANT examples carry evidence, so
+    # (b, c, n_both_right) are the certified statistics (chi² is a
+    # pure function of b and c, unit-test-certified). The per-bigram
+    # threshold −3.404 (scaled 1e6, near the corpus median) makes the
+    # ppl gate a real second classifier, not a constant.
+    from stepist_spark.operators.evaluation import mcnemar_test
+
+    _PPL_T = -3_404_000
+    pair = (
+        docs.select("doc_id", (F.col("lang") == "en").alias("y"))
+        .join(scored.select("doc_id", "margin_scaled"), "doc_id", "left")
+        .join(ppl.select("doc_id", "n_bigrams", "logp_scaled"), "doc_id", "left")
+        .select(
+            "y",
+            (F.coalesce("margin_scaled", F.lit(0)) >= 0).alias("pa"),
+            (
+                F.coalesce("logp_scaled", F.lit(0))
+                >= F.coalesce("n_bigrams", F.lit(0)) * F.lit(_PPL_T)
+            ).alias("pb"),
+        )
+    )
+    mc = mcnemar_test(pair, "y", "pa", "pb").select(
+        F.lit("mcnemar").alias("part"),
+        F.col("b").alias("doc_id"),
+        F.col("n_both_right").alias("n"),
+        F.col("c").alias("v"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
     return (
         c.unionByName(p)
         .unionByName(auc)
@@ -2345,6 +2376,7 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(auc_src)
         .unionByName(kap)
         .unionByName(ds)
+        .unionByName(mc)
     )
 
 
@@ -2359,6 +2391,14 @@ def _t23_sql() -> str:
     # are visible inside later subqueries)
     _CAL_SQL = calibration_bins_sql("SELECT y, sc FROM lab", "y", "sc", 10)
     _KAP_SQL = cohens_kappa_sql("SELECT y, pred FROM lab", "y", "pred")
+    from stepist_spark.operators.evaluation import mcnemar_test_sql
+
+    _MCN_SQL = mcnemar_test_sql(
+        """SELECT l.y, l.pred AS pa,
+                  coalesce(p.logp, 0) >= coalesce(p.n_bigrams, 0) * -3404000 AS pb
+           FROM lab l LEFT JOIN ppl p USING (doc_id)""",
+        "y", "pa", "pb",
+    )
     return f"""
 WITH buckets AS (
     SELECT doc_id, (lang = 'en') AS pos,
@@ -2499,6 +2539,9 @@ FROM sagg
 UNION ALL
 SELECT 'dsir', d.doc_id, coalesce(nf, 0), coalesce(sc, 0), CAST(NULL AS BOOLEAN)
 FROM documents d LEFT JOIN dsc USING (doc_id)
+UNION ALL
+SELECT 'mcnemar', b, n_both_right, c, CAST(NULL AS BOOLEAN)
+FROM ({_MCN_SQL})
 """
 
 

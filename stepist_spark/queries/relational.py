@@ -594,6 +594,28 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_g").alias("n"),
         F.col("f_stat").alias("sum_val"),
     )
+    # Brown-Forsythe (median-centered Levene) rides along (round 10,
+    # operators/abtest.py): are the arms' SPREADS equal — one-way
+    # ANOVA on |v − median_g| deviations, composed from the grouped-
+    # median rank rule and one_way_anova's counts path, off the SAME
+    # shared base
+    from stepist_spark.operators.abtest import brown_forsythe
+
+    lv = brown_forsythe(
+        orders, "o_orderpriority", "o_totalprice", value_counts=prio_vc
+    ).select(
+        F.lit("levene").alias("gset"),
+        F.col("o_orderpriority").alias("key1"),
+        F.concat_ws(
+            ":",
+            F.col("s_g").cast("string"),
+            F.col("q_g").cast("string"),
+            F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5))
+            .cast("bigint").cast("string"),
+        ).alias("key2"),
+        F.col("n_g").alias("n"),
+        F.col("f_stat").alias("sum_val"),
+    )
     # Kruskal-Wallis: the k-group rank omnibus over order totals
     # across ALL five priorities — exact doubled rank sums per group,
     # sorted-fold float H, riding the SAME fused cumulative as mwu
@@ -634,6 +656,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(wo)
         .unionByName(mw)
         .unionByName(av)
+        .unionByName(lv)
         .unionByName(kw)
         .unionByName(bh)
     )
@@ -736,6 +759,19 @@ def _q09_anova_sql() -> str:
 
 _Q09_ANOVA_SQL = _q09_anova_sql()
 
+
+def _q09_levene_sql() -> str:
+    from stepist_spark.operators.abtest import brown_forsythe_sql
+
+    return brown_forsythe_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+_Q09_LEVENE_SQL = _q09_levene_sql()
+
 Q09_SQL = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
@@ -774,6 +810,12 @@ SELECT 'anova', grp,
            || CAST(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
        n_g, f_stat
 FROM ({_Q09_ANOVA_SQL})
+UNION ALL
+SELECT 'levene', grp,
+       CAST(s_g AS VARCHAR) || ':' || CAST(q_g AS VARCHAR) || ':'
+           || CAST(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+       n_g, f_stat
+FROM ({_Q09_LEVENE_SQL})
 UNION ALL
 SELECT 'kw', grp, CAST(r2x AS VARCHAR), n_g, h_tie
 FROM ({_Q09_KW_SQL})

@@ -638,3 +638,99 @@ class TestOneWayAnova:
             ).fetchall()
         )
         assert got == want
+
+
+class TestBrownForsythe:
+    def _data(self):
+        # g B has ~3x the spread of A; C is tight
+        return {
+            "A": [10.0, 11.0, 9.5, 10.5, 10.25, 9.75],
+            "B": [5.0, 14.0, 2.5, 16.0, 8.0, 12.5],
+            "C": [7.0, 7.25, 6.75, 7.1],
+        }
+
+    def _ref(self, data):
+        # median-centered Levene via the same lower-median rule
+        devs = {}
+        for g, xs in data.items():
+            cents = sorted(round(v * 100) for v in xs)
+            med = cents[(len(cents) + 1) // 2 - 1]
+            devs[g] = [abs(c - med) for c in cents]
+        n = sum(len(z) for z in devs.values())
+        k = len(devs)
+        s = sum(sum(z) for z in devs.values())
+        q = sum(x * x for z in devs.values() for x in z)
+        fold = 0.0
+        for g in sorted(devs):
+            sg = sum(devs[g])
+            fold += float(sg) * float(sg) / len(devs[g])
+        grand = float(s) * float(s) / n
+        return (fold - grand) / (k - 1) / ((q - fold) / (n - k))
+
+    def test_matches_closed_form_and_detects_spread(self, spark):
+        from stepist_spark.operators.abtest import brown_forsythe
+
+        data = self._data()
+        rows = [(g, v) for g, xs in data.items() for v in xs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["g"]: r for r in brown_forsythe(df, "g", "v").collect()}
+        assert abs(out["A"]["f_stat"] - self._ref(data)) < 1e-6
+        assert out["A"]["f_stat"] > 4.0  # the planted spread difference
+
+    def test_equal_spreads_small_f(self, spark):
+        from stepist_spark.operators.abtest import brown_forsythe
+
+        rows = [
+            (g, base + d)
+            for g, base in (("A", 10.0), ("B", 50.0), ("C", 90.0))
+            for d in (-1.0, -0.5, 0.0, 0.5, 1.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = brown_forsythe(df, "g", "v").collect()[0]
+        # identical deviation profiles: SSB == 0 exactly
+        assert r["f_stat"] == 0.0
+
+    def test_value_counts_path_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import brown_forsythe
+
+        data = self._data()
+        rows = [(g, v) for g, xs in data.items() for v in xs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        vc = (
+            df.select("g", F.floor(F.col("v") * 100 + F.lit(0.5))
+              .cast("bigint").alias("v"))
+            .groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        direct = sorted(map(tuple, brown_forsythe(df, "g", "v").collect()))
+        reused = sorted(
+            map(tuple, brown_forsythe(df, "g", "v", value_counts=vc).collect())
+        )
+        assert direct == reused
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.abtest import brown_forsythe, brown_forsythe_sql
+
+        rows = [
+            (f"g{i % 4}", float((i * 29) % 83) * (1 + i % 4) / 3.0 + 0.25 * (i % 5))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        p = str(tmp_path / "bf.parquet")
+        df.write.parquet(p)
+        got = sorted(
+            (r["g"], r["n_g"], int(r["s_g"]), int(r["q_g"]), r["k"], r["n"],
+             r["f_stat"], r["eta2"])
+            for r in brown_forsythe(df, "g", "v").collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            (w[0], w[1], int(w[2]), int(w[3]), w[4], w[5], w[6], w[7])
+            for w in con.execute(
+                brown_forsythe_sql(f"SELECT * FROM '{p}/*.parquet'", "g", "v")
+            ).fetchall()
+        )
+        assert got == want

@@ -199,3 +199,62 @@ class TestCohensKappa:
         # pe_num comes back as Decimal from both engines; compare as int
         norm = lambda rs: [(r[0], r[1], int(r[2]), r[3]) for r in rs]
         assert norm(got) == norm(duck)
+
+
+class TestMcNemar:
+    def test_matches_closed_form(self, spark):
+        from stepist_spark.operators.evaluation import mcnemar_test
+
+        # 100 examples: pa right on 60, pb right on 50; b=25, c=15
+        rows = []
+        for i in range(100):
+            y = True
+            pa = i < 60
+            pb = (35 <= i < 85)  # both right on 35..59 (25), b: 0..34? recompute
+            rows.append((y, pa, pb))
+        df = spark.createDataFrame(rows, "y boolean, pa boolean, pb boolean")
+        r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+        b = sum(1 for y, pa, pb in rows if (pa == y) and (pb != y))
+        c = sum(1 for y, pa, pb in rows if (pa != y) and (pb == y))
+        assert (r["b"], r["c"]) == (b, c)
+        assert r["n"] == 100
+        want = (abs(b - c) - 1) ** 2 / (b + c)
+        assert abs(r["chi2"] - want) < 1e-6
+
+    def test_no_discordant_pairs_is_null(self, spark):
+        from stepist_spark.operators.evaluation import mcnemar_test
+
+        df = spark.createDataFrame(
+            [(True, True, True), (False, False, False)],
+            "y boolean, pa boolean, pb boolean",
+        )
+        r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+        assert r["chi2"] is None and r["n_both_right"] == 2
+
+    def test_continuity_floor_at_zero(self, spark):
+        from stepist_spark.operators.evaluation import mcnemar_test
+
+        # b == c: max(|b-c|-1, 0) == 0, chi2 exactly 0
+        rows = [(True, True, False), (True, False, True)]
+        df = spark.createDataFrame(rows, "y boolean, pa boolean, pb boolean")
+        r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+        assert r["chi2"] == 0.0
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.evaluation import (
+            mcnemar_test,
+            mcnemar_test_sql,
+        )
+
+        rows = [(i % 2 == 0, i % 3 == 0, i % 5 == 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "y boolean, pa boolean, pb boolean")
+        p = str(tmp_path / "mcn.parquet")
+        df.write.parquet(p)
+        got = [tuple(r) for r in mcnemar_test(df, "y", "pa", "pb").collect()]
+        con = duckdb.connect()
+        want = con.execute(
+            mcnemar_test_sql(f"SELECT * FROM '{p}/*.parquet'", "y", "pa", "pb")
+        ).fetchall()
+        assert got == want
