@@ -305,3 +305,107 @@ def dsir_score(
         F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
         F.coalesce(F.col("dsir_scaled"), F.lit(0)).alias("dsir_scaled"),
     )
+
+
+def cross_validated_margins(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    k: int = 3,
+    dim: int = 4096,
+) -> DataFrame:
+    """k-fold CROSS-VALIDATED classifier margins: every document is
+    scored by a model trained WITHOUT its fold — the honest estimate
+    of :func:`train_quality_classifier`'s filter quality (in-sample
+    margins flatter the classifier because each document voted for its
+    own bucket weights; CV removes that leak by construction).
+
+    Folds are the portable md5 bucket of the id (``word_hash32 % k``,
+    the hash_split discipline), so the assignment — and therefore
+    every margin — is deterministic and engine-portable. k trainings
+    each see (k−1)/k of the corpus; each fold's scoring joins ITS
+    model's broadcast weight table. Total cost ≈ k× one training pass,
+    all hash aggregates (the train/score shapes unchanged).
+
+    Output: ``id_col, fold, n_toks, margin_scaled, keep`` — one row
+    per document, exact integers end-to-end.
+    """
+    from stepist_spark.functions import hashing
+
+    fold = (hashing.word_hash32(F.col(id_col).cast("string")) % k).alias("_fold")
+    base = docs.select(id_col, text_col, label_col, fold).localCheckpoint(
+        eager=False
+    )
+    out = None
+    for f in range(k):
+        weights = train_quality_classifier(
+            base.filter(F.col("_fold") != f), text_col, label_col, dim=dim
+        )
+        scored = score_documents(
+            base.filter(F.col("_fold") == f), weights, id_col, text_col, dim=dim
+        ).select(id_col, F.lit(f).cast("int").alias("fold"),
+                 "n_toks", "margin_scaled", "keep")
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def cross_validated_margins_sql(
+    table_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    label_expr: str = "label",
+    k: int = 3,
+    dim: int = 4096,
+) -> str:
+    """DuckDB mirror of :func:`cross_validated_margins` — the same
+    md5 folds, k per-fold trainings and scorings unioned."""
+    from stepist_spark.functions import hashing
+    from stepist_spark.functions.text import tokens_sql
+
+    h = hashing.word_hash32_sql("t")
+    toks = tokens_sql(text_expr)
+    fold = f"({hashing.word_hash32_sql(f'CAST({id_expr} AS VARCHAR)')} % {k})"
+    parts = []
+    for f in range(k):
+        # fold membership LEFT JOIN: a token-less document must still
+        # emit (n_toks 0, margin 0) — Spark's explode_outer keeps it
+        parts.append(f"""
+SELECT {f} AS fold, d.doc_id,
+       coalesce(s.n_toks, 0) AS n_toks,
+       coalesce(s.margin_scaled, 0) AS margin_scaled
+FROM (SELECT ({id_expr}) AS doc_id FROM ({table_sql}) WHERE {fold} = {f}) d
+LEFT JOIN (
+SELECT doc_id,
+       CAST(count(bucket) AS BIGINT) AS n_toks,
+       CAST(coalesce(sum(w), 0) AS BIGINT) AS margin_scaled
+FROM (
+    SELECT ({id_expr}) AS doc_id,
+           unnest(list_transform({toks}, t -> ({h}) % {dim})) AS bucket
+    FROM ({table_sql}) WHERE {fold} = {f}
+) ex_{f}
+LEFT JOIN (
+    SELECT bucket, cp * 1000000 // np - cn * 1000000 // nn AS w
+    FROM (
+        SELECT bucket,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        FROM (
+            SELECT ({label_expr}) AS pos,
+                   unnest(list_transform({toks}, t -> ({h}) % {dim})) AS bucket
+            FROM ({table_sql}) WHERE {fold} <> {f}
+        ) GROUP BY bucket
+    ) pb_{f},
+    (
+        SELECT sum(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN ({label_expr}) THEN 0 ELSE 1 END) AS nn
+        FROM ({table_sql}) WHERE {fold} <> {f}
+    ) ct_{f}
+) w_{f} USING (bucket)
+GROUP BY doc_id
+) s USING (doc_id)""")
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        f"SELECT doc_id, fold, n_toks, margin_scaled, "
+        f"margin_scaled >= 0 AS keep FROM ({body})"
+    )

@@ -281,7 +281,11 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
     # parameters alone.
     from stepist_spark.operators.multimodal import jpeg_roundtrip_features
 
-    jpg_ids = docs.filter(F.col("doc_id") % 10 == 3).select(
+    # modulus 25, residue 3: successive ids (3, 28, 53, 78, …)
+    # ALTERNATE parity and cycle mod 3 and mod 4, so every
+    # quality × chroma × restart combination appears every 12 ids —
+    # an even modulus would fix the parity and silence the 4:2:0 path
+    jpg_ids = docs.filter(F.col("doc_id") % 25 == 3).select(
         F.col("doc_id").alias("media_id")
     )
     jpg = jpeg_roundtrip_features(jpg_ids, width=20, height=14).select(
@@ -360,7 +364,7 @@ SELECT 'jpg', doc_id, 'image',
        (CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END) || ':'
            || CAST(80 + (doc_id % 3) * 7 AS VARCHAR) || ':280:1'
 FROM documents
-WHERE doc_id % 10 = 3
+WHERE doc_id % 25 = 3
 """
 
 

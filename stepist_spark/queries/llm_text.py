@@ -2368,6 +2368,23 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c").alias("v"),
         F.lit(None).cast("boolean").alias("keep"),
     )
+    # k-fold CROSS-VALIDATED margins ride along (round 10, operators/
+    # classifier.py): every document scored by a model trained WITHOUT
+    # its md5 fold — the honest (leak-free) estimate of the 'clf'
+    # filter's quality; 3 trainings over 2/3 of the corpus each, all
+    # hash aggregates. fold is derivable from doc_id (word_hash32 % 3),
+    # so the per-doc (n_toks, margin, keep) triple certifies the whole
+    # CV pipeline.
+    cv = clf.cross_validated_margins(
+        docs.select("doc_id", "text", (F.col("lang") == "en").alias("label")),
+        "doc_id", "text", "label", k=3, dim=CLF_DIM,
+    ).select(
+        F.lit("cv").alias("part"),
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n"),
+        F.col("margin_scaled").alias("v"),
+        F.col("keep"),
+    )
     return (
         c.unionByName(p)
         .unionByName(auc)
@@ -2377,6 +2394,7 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(kap)
         .unionByName(ds)
         .unionByName(mc)
+        .unionByName(cv)
     )
 
 
@@ -2398,6 +2416,12 @@ def _t23_sql() -> str:
                   coalesce(p.logp, 0) >= coalesce(p.n_bigrams, 0) * -3404000 AS pb
            FROM lab l LEFT JOIN ppl p USING (doc_id)""",
         "y", "pa", "pb",
+    )
+    from stepist_spark.operators.classifier import cross_validated_margins_sql
+
+    _CV_SQL = cross_validated_margins_sql(
+        "SELECT doc_id, text, (lang = 'en') AS label FROM documents",
+        "doc_id", "text", "label", k=3, dim=CLF_DIM,
     )
     return f"""
 WITH buckets AS (
@@ -2542,6 +2566,9 @@ FROM documents d LEFT JOIN dsc USING (doc_id)
 UNION ALL
 SELECT 'mcnemar', b, n_both_right, c, CAST(NULL AS BOOLEAN)
 FROM ({_MCN_SQL})
+UNION ALL
+SELECT 'cv', doc_id, n_toks, margin_scaled, keep
+FROM ({_CV_SQL})
 """
 
 

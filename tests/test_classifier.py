@@ -262,3 +262,77 @@ class TestDsir:
         }
         assert got[2] == (0, 0)
         assert got[1][0] == 1
+
+
+class TestCrossValidatedMargins:
+    def _docs(self, spark):
+        rows = [
+            (i, f"w{i % 13} w{i % 5} common tok{i % 3}", i % 2 == 0)
+            for i in range(90)
+        ] + [(990, "zzzuniq qqquniq xxxuniq", True)]
+        return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+    def test_partition_and_fold_assignment(self, spark):
+        from stepist_spark.functions import hashing
+        from stepist_spark.operators.classifier import cross_validated_margins
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        out = cross_validated_margins(docs, k=3, dim=64)
+        rows = out.collect()
+        assert len(rows) == 91  # every doc exactly once
+        assert len({r["doc_id"] for r in rows}) == 91
+        want_fold = {
+            r["doc_id"]: r["f"]
+            for r in docs.select(
+                "doc_id",
+                (hashing.word_hash32(F.col("doc_id").cast("string")) % 3).alias("f"),
+            ).collect()
+        }
+        assert all(r["fold"] == want_fold[r["doc_id"]] for r in rows)
+
+    def test_no_leakage_for_unique_tokens(self, spark):
+        from stepist_spark.operators.classifier import (
+            cross_validated_margins,
+            score_documents,
+            train_quality_classifier,
+        )
+
+        docs = self._docs(spark)
+        cv = {r["doc_id"]: r for r in
+              cross_validated_margins(docs, k=3, dim=4096).collect()}
+        # doc 990's tokens appear NOWHERE else: its fold's model never
+        # saw them, so every bucket weight it touches is unseen -> 0
+        assert cv[990]["margin_scaled"] == 0
+        # in-sample scoring DOES leak: the same doc's margin is
+        # positive because its own tokens trained positive weights
+        w = train_quality_classifier(docs, dim=4096)
+        ins = {r["doc_id"]: r for r in
+               score_documents(docs, w, dim=4096).collect()}
+        assert ins[990]["margin_scaled"] > 0
+
+    def test_matches_duckdb_mirror(self, spark, tmp_path):
+        import duckdb
+
+        from stepist_spark.operators.classifier import (
+            cross_validated_margins,
+            cross_validated_margins_sql,
+        )
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "cv.parquet")
+        docs.write.parquet(p)
+        got = sorted(
+            (r["doc_id"], r["fold"], r["n_toks"], r["margin_scaled"], r["keep"])
+            for r in cross_validated_margins(docs, k=3, dim=64).collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            (w[0], w[1], w[2], w[3], w[4])
+            for w in con.execute(
+                cross_validated_margins_sql(
+                    f"SELECT * FROM '{p}/*.parquet'", k=3, dim=64
+                )
+            ).fetchall()
+        )
+        assert got == want
