@@ -123,7 +123,8 @@ def main() -> None:
             "q25_percentile_histogram,t08_jaccard_pairs,"
             "q22_event_windows,q02_join_agg_topk,q13_scalar_string_suite,"
             "t16_vocabulary,t23_model_gates,s05_stream_dedup,"
-            "s03_stream_interval_join,m01_media_features,w01_sink_roundtrip",
+            "s03_stream_interval_join,m01_media_features,w01_sink_roundtrip,"
+            "q09_grouping_multi",
         ).split(",")
         if g
     ]

@@ -447,7 +447,7 @@ FROM (
 # q09 — rollup + cube + grouping sets in one tag-unioned gate (merged
 # former q09/q10/q20): each block runs the distinct multi-grouping
 # operator (DataFrame rollup, DataFrame cube, SQL GROUPING SETS) with a
-# harmonized (gset, key1, key2, n, sum_val) output schema.
+# harmonized (part, key1, key2, n, sum_val) output schema.
 def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
@@ -455,7 +455,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_val"))
         .select(
-            F.lit("rollup").alias("gset"),
+            F.lit("rollup").alias("part"),
             F.col("l_returnflag").alias("key1"),
             F.col("l_linestatus").alias("key2"),
             "n",
@@ -466,7 +466,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_val"))
         .select(
-            F.lit("cube").alias("gset"),
+            F.lit("cube").alias("part"),
             F.col("o_orderpriority").alias("key1"),
             F.col("o_orderstatus").alias("key2"),
             "n",
@@ -476,7 +476,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     li.createOrReplaceTempView("_gs_lineitem")
     gs = spark.sql(
         """
-        SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+        SELECT 'gsets' AS part, l_returnflag AS key1, l_linestatus AS key2,
                count(*) AS n, round(sum(l_extendedprice), 2) AS sum_val
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -509,7 +509,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators.regression import target_encode
 
     te = target_encode(orders, "o_orderpriority", "o_totalprice", m=10).select(
-        F.lit("tenc").alias("gset"),
+        F.lit("tenc").alias("part"),
         F.col("category").alias("key1"),
         F.concat_ws(":", F.col("sum_cents").cast("string")).alias("key2"),
         F.col("n"),
@@ -522,7 +522,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     gi = gini_coefficient(
         orders, ["o_orderpriority"], "o_totalprice", value_counts=prio_vc
     ).select(
-        F.lit("gini").alias("gset"),
+        F.lit("gini").alias("part"),
         F.col("o_orderpriority").alias("key1"),
         F.concat_ws(
             ":",
@@ -540,7 +540,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     wo = weight_of_evidence(
         orders, "o_orderpriority", F.col("o_orderstatus") == "F"
     ).select(
-        F.lit("woe").alias("gset"),
+        F.lit("woe").alias("part"),
         F.col("category").alias("key1"),
         F.concat_ws(
             ":",
@@ -563,7 +563,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         vc_base, "o_orderstatus", "O", "F", "o_orderpriority"
     )
     mw = mw_raw.select(
-        F.lit("mwu").alias("gset"),
+        F.lit("mwu").alias("part"),
         F.lit("O:F").alias("key1"),
         F.concat_ws(
             ":",
@@ -582,7 +582,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     av = one_way_anova(
         orders, "o_orderpriority", "o_totalprice", value_counts=prio_vc
     ).select(
-        F.lit("anova").alias("gset"),
+        F.lit("anova").alias("part"),
         F.col("o_orderpriority").alias("key1"),
         F.concat_ws(
             ":",
@@ -604,7 +604,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     lv = brown_forsythe(
         orders, "o_orderpriority", "o_totalprice", value_counts=prio_vc
     ).select(
-        F.lit("levene").alias("gset"),
+        F.lit("levene").alias("part"),
         F.col("o_orderpriority").alias("key1"),
         F.concat_ws(
             ":",
@@ -620,7 +620,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
     # across ALL five priorities — exact doubled rank sums per group,
     # sorted-fold float H, riding the SAME fused cumulative as mwu
     kw = kw_raw.select(
-        F.lit("kw").alias("gset"),
+        F.lit("kw").alias("part"),
         F.col("o_orderpriority").alias("key1"),
         F.col("r2x").cast("string").alias("key2"),
         F.col("n_g").alias("n"),
@@ -637,7 +637,7 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
         value_counts=vc_base,
     )
     bh = bh_discoveries(wsl, ["o_orderpriority"], "t_stat", fdr_q=0.10).select(
-        F.lit("bh").alias("gset"),
+        F.lit("bh").alias("part"),
         F.col("o_orderpriority").alias("key1"),
         F.concat_ws(
             ":",
@@ -773,15 +773,15 @@ def _q09_levene_sql() -> str:
 _Q09_LEVENE_SQL = _q09_levene_sql()
 
 Q09_SQL = f"""
-SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+SELECT 'rollup' AS part, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_quantity), 2) AS sum_val
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 UNION ALL
-SELECT 'cube' AS gset, o_orderpriority AS key1, o_orderstatus AS key2,
+SELECT 'cube' AS part, o_orderpriority AS key1, o_orderstatus AS key2,
        count(*) AS n, round(sum(o_totalprice), 2) AS sum_val
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 UNION ALL
-SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+SELECT 'gsets' AS part, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n, round(sum(l_extendedprice), 2) AS sum_val
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 UNION ALL
