@@ -25,6 +25,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # 1-min loadavg at start AND end (round-10 verdict #6): calibration
+    # is a point sample at the start; the host is bimodal WITHIN a run,
+    # so a quiet start + loaded end explains late-gate stretch that the
+    # calibration ratio alone can't.
+    load_before = os.getloadavg()
 
     from stepist_spark.queries import all_queries
     from stepist_spark.session import get_spark, load_table
@@ -190,6 +195,7 @@ def main() -> None:
             # values by their calibration_sec ratio before reading a
             # delta as a plan change — the host is 1.3-2× bimodal
             "calibration_sec": round(calib, 3),
+            "loadavg_1min": [round(load_before[0], 2), round(os.getloadavg()[0], 2)],
         }
     )
     line = json.dumps(out, separators=(",", ":"))
@@ -211,6 +217,14 @@ def main() -> None:
             ]
             n = (max(rounds) if rounds else 0) + 1
             full_path = os.path.join(repo, f"bench_full_r{n:02d}.json")
+            # never clobber (round-10 ADVICE): a verification rerun
+            # after BENCH_r{n-1}.json was committed would otherwise
+            # land on the NEXT round's name and be silently overwritten
+            # by that round's genuine run — suffix reruns instead
+            k = 1
+            while os.path.exists(full_path):
+                full_path = os.path.join(repo, f"bench_full_r{n:02d}_rerun{k}.json")
+                k += 1
         with open(full_path, "w") as fh:
             fh.write(line + "\n")
     except OSError as exc:  # never let persistence kill the bench line

@@ -43,6 +43,23 @@ from stepist_spark.queries import QuerySpec
 
 _SINK_IDS = itertools.count()
 
+# Per-query micro-batch summaries from the most recent _await_concurrent
+# drain, keyed by part name — overwritten per call; read by
+# scripts/s05_probe.py-style regression probes, never by gates.
+LAST_PROGRESS: dict[str, list[dict]] = {}
+
+
+def _progress_dict(rp) -> dict:
+    """Normalize a StreamingQueryProgress (object or raw JSON string —
+    the PySpark return type changed across versions) to a plain dict."""
+    import json as _json
+
+    if isinstance(rp, dict):
+        return rp
+    if isinstance(rp, str):
+        return _json.loads(rp)
+    return _json.loads(rp.json)
+
 
 def fresh_scratch(spark: SparkSession, name: str) -> str:
     """A CLEAN per-invocation scratch dir for gates that stage stream
@@ -716,7 +733,14 @@ def _await_concurrent(
     queries a completion offset alone over-attributes: a cheap part
     that happens to finish last would absorb the whole group's wall
     clock. ``starts`` is the per-query start offset recorded by the
-    caller at ``.start()`` time (0.0 when omitted — started at t0)."""
+    caller at ``.start()`` time (0.0 when omitted — started at t0).
+
+    As each query finishes, a per-micro-batch summary (batchId, input
+    rows, trigger/addBatch durations, state rows/memory) is captured
+    into the module-level ``LAST_PROGRESS`` — the raw material any
+    future drain-wall regression probe needs (the round-10 s03 lesson:
+    the micro-batch SHAPE, not the wall number, is what distinguishes
+    a plan regression from host stretch)."""
     starts = starts or {}
     pending = dict(queries)
     done: dict[str, dict[str, float]] = {}
@@ -735,6 +759,25 @@ def _await_concurrent(
                     "start": starts.get(name, 0.0),
                     "done": time.perf_counter() - t0,
                 }
+                LAST_PROGRESS[name] = [
+                    {
+                        "batchId": p.get("batchId"),
+                        "numInputRows": p.get("numInputRows"),
+                        "triggerMs": (p.get("durationMs") or {}).get(
+                            "triggerExecution"
+                        ),
+                        "addBatchMs": (p.get("durationMs") or {}).get("addBatch"),
+                        "stateRows": sum(
+                            so.get("numRowsTotal", 0)
+                            for so in (p.get("stateOperators") or [])
+                        ),
+                        "stateMemory": sum(
+                            so.get("memoryUsedBytes", 0)
+                            for so in (p.get("stateOperators") or [])
+                        ),
+                    }
+                    for p in (_progress_dict(rp) for rp in q.recentProgress)
+                ]
                 del pending[name]
         if pending:
             if time.time() > deadline:
