@@ -41,6 +41,26 @@ MINHASH_B = [
 SIMHASH_BITS = 32
 
 
+def ensure_minhash_coeffs(n: int) -> None:
+    """Extend the universal-hash family deterministically past the 12
+    literal seeds — corpus-scale banding wants 100+ hashes
+    (see operators/dedup.lsh_params_for_threshold), and a fixed
+    12-entry list was the cap. a_i = md5("minhash_a:i")[:8] forced odd
+    (< 2^30, nonzero ⇒ a valid universal-hash multiplier), b_i likewise
+    from "minhash_b:i". The first 12 entries are NEVER regenerated, so
+    every existing gate hash is stable; cross-engine parity is free
+    because the VALUES are injected as literals into both the Spark
+    expressions and the DuckDB oracle SQL."""
+    import hashlib
+
+    while len(MINHASH_A) < n:
+        i = len(MINHASH_A)
+        ha = int(hashlib.md5(f"minhash_a:{i}".encode()).hexdigest()[:8], 16)
+        hb = int(hashlib.md5(f"minhash_b:{i}".encode()).hexdigest()[:8], 16)
+        MINHASH_A.append((ha % (1 << 30)) | 1)
+        MINHASH_B.append(hb % (1 << 30))
+
+
 def word_hash32(col: Column) -> Column:
     """32-bit portable string hash: first 8 hex chars of md5 → bigint."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
@@ -53,10 +73,12 @@ def word_hash32_sql(expr: str) -> str:
 
 def minhash_of_hash(h: Column, i: int) -> Column:
     """i-th universal hash applied to an existing 32-bit hash."""
+    ensure_minhash_coeffs(i + 1)
     return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
 
 
 def minhash_of_hash_sql(h_expr: str, i: int) -> str:
+    ensure_minhash_coeffs(i + 1)
     return f"(({MINHASH_A[i]}::BIGINT * {h_expr} + {MINHASH_B[i]}) % {MINHASH_P})"
 
 
@@ -77,8 +99,7 @@ def minhash_signature(
     """
     from stepist_spark.session import spread
 
-    if n_hashes > len(MINHASH_A):
-        raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
+    ensure_minhash_coeffs(n_hashes)
     tok = spread(df).select(id_col, F.explode(F.col(tokens_col)).alias("_tok"))
     # materialize the base hash ONCE per token: aggregate expressions get
     # no common-subexpression elimination, so inlining word_hash32 into

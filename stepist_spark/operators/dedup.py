@@ -27,6 +27,74 @@ from stepist_spark.functions.text import tokens
 _LAST_BANDED: list = []
 
 
+def lsh_candidate_probability(s: float, n_hashes: int, bands: int) -> float:
+    """Closed-form probability that a document pair with true Jaccard
+    similarity ``s`` becomes an LSH candidate under ``bands`` bands of
+    ``n_hashes // bands`` minhash rows each: ``1 - (1 - s^r)^b``.
+
+    Each of the r rows in a band matches independently with probability
+    s (the defining MinHash property), a band matches iff ALL its rows
+    do (s^r), and the pair is a candidate iff ANY band matches — the
+    OR-of-ANDs S-curve. Steeper r suppresses low-similarity collisions
+    polynomially: at the repo's (8, 4) default (r=2), P(0.3) ≈ 0.31,
+    while (64, 16) (r=4) gives P(0.3) ≈ 0.12 and (128, 16) (r=8)
+    P(0.3) ≈ 0.001 — the round-10 sf1 sweep measured exactly this as
+    t08's 6.0× candidate growth at 10× data. Use
+    :func:`lsh_params_for_threshold` to pick (n_hashes, bands) for a
+    target cutoff at corpus scale.
+    """
+    r = n_hashes // bands
+    if r * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    return 1.0 - (1.0 - s**r) ** bands
+
+
+def lsh_params_for_threshold(
+    threshold: float,
+    max_hashes: int = 256,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(n_hashes, bands)`` whose band S-curve best separates at
+    a target Jaccard ``threshold`` — the parameter-sizing discipline
+    for corpus-scale dedup (gate defaults stay at (8, 4) for the
+    test-scale oracle; at 100 TB candidate volume is governed by the
+    S-curve tail below the threshold, so size the banding from the
+    cutoff, not from habit).
+
+    Minimizes ``fp_weight · ∫₀ᵗ P(s) ds + fn_weight · ∫ₜ¹ (1-P(s)) ds``
+    over all (bands, rows) with ``bands · rows ≤ max_hashes`` — the
+    false-positive mass below the cutoff plus the false-negative mass
+    above it, each integrated by the midpoint rule. Probability mass is
+    uniform in s, the standard neutral prior for this sizing (the
+    datasketch-style optimization, reimplemented from the closed form).
+
+    Returns ``(n_hashes, bands)`` with ``n_hashes = bands · rows``.
+    Deterministic: ties break toward fewer hashes, then fewer bands
+    (cheaper signatures first).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    steps = 200
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, max_hashes + 1):
+        for rows in range(1, max_hashes // bands + 1):
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = 1.0 - (1.0 - s**rows) ** bands
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            err = (fp_weight * fp + fn_weight * fn) / steps
+            key = (err, bands * rows, bands)
+            if best is None or key < best:
+                best = key
+                out = (bands * rows, bands)
+    return out
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: content md5 → member count +
     canonical (min) id. Output: ``content_hash, n_dups, canonical_id``
@@ -171,6 +239,16 @@ def minhash_lsh_candidates(
     (band_index, band-value struct) — shuffle partitioned by band
     value, so only colliding docs meet. Output: ``id_a < id_b`` pairs,
     distinct.
+
+    Parameter sizing at corpus scale: the (8, 4) default is r=2 per
+    band — a LOOSE S-curve whose tail admits P(0.3-Jaccard) ≈ 0.31
+    collisions (measured: 37% of sf0.1 candidates were sub-threshold,
+    and r=2 additionally MISSED true pairs r=4 catches — see
+    scripts/lsh_growth_probe.py and the README growth table). Size
+    (n_hashes, bands) from the target cutoff with
+    :func:`lsh_params_for_threshold`; r ≥ 4 at corpus density. The
+    hash family extends past the 12 literal seeds on demand
+    (``hashing.ensure_minhash_coeffs``).
 
     Skew story (round-6 verdict #6 — duplicate-heavy corpora make some
     (band, signature) buckets hot): at test scale the banded frame

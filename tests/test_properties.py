@@ -684,3 +684,73 @@ class TestJlProperties:
             v64 = np.array(v, dtype=np.float32).astype(np.float64)
             q = np.array([round(x * JL_SCALE) for x in v64], dtype=np.int64)
             assert got[i] == (S @ q).astype("int64").tolist(), (i, v)
+
+
+class TestExtendedMinhashFamily:
+    """The universal-hash family extends deterministically past the 12
+    literal seeds (round-11: corpus-scale banding wants 100+ hashes;
+    see dedup.lsh_params_for_threshold). The first 12 must stay
+    byte-stable — every committed gate hash depends on them."""
+
+    FIRST12_A = [
+        536870909, 433494437, 297, 374761393,
+        268435399, 190979111, 99990001, 715827883,
+        613651349, 512927357, 413158523, 314606891,
+    ]
+
+    def test_first_twelve_seeds_never_regenerated(self):
+        hashing.ensure_minhash_coeffs(256)
+        assert hashing.MINHASH_A[:12] == self.FIRST12_A
+
+    def test_extended_coeffs_valid_and_distinct(self):
+        hashing.ensure_minhash_coeffs(256)
+        a, b = hashing.MINHASH_A[:256], hashing.MINHASH_B[:256]
+        assert len(set(zip(a, b))) == 256
+        for i in range(12, 256):
+            # odd nonzero multiplier < 2^30: a valid universal-hash a_i
+            # whose a*h + b stays < 2^62 (no ANSI bigint overflow)
+            assert a[i] % 2 == 1 and 0 < a[i] < 2**30
+            assert 0 <= b[i] < 2**30
+            # derivation is position-keyed md5 — recompute independently
+            ha = int(hashlib.md5(f"minhash_a:{i}".encode()).hexdigest()[:8], 16)
+            hb = int(hashlib.md5(f"minhash_b:{i}".encode()).hexdigest()[:8], 16)
+            assert a[i] == (ha % (1 << 30)) | 1
+            assert b[i] == hb % (1 << 30)
+
+    def test_extended_index_spark_formula(self, spark):
+        h = 987654321
+        df = spark.createDataFrame([(h,)], "h long")
+        for i in (12, 31, 63):
+            (r,) = df.select(hashing.minhash_of_hash(F.col("h"), i).alias("v")).collect()
+            expected = (
+                hashing.MINHASH_A[i] * h + hashing.MINHASH_B[i]
+            ) % hashing.MINHASH_P
+            assert r["v"] == expected
+
+    def test_minhash_signature_16_hashes_duckdb_parity(self, spark):
+        # cross-engine parity ABOVE the old 12-hash cap: the Spark
+        # signature and the DuckDB mirror must agree at every index
+        import duckdb
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "the quick brown fox naps under the lazy dog",
+        ]
+        df = spark.createDataFrame(
+            [(i, t.split(" ")) for i, t in enumerate(texts)],
+            "doc_id bigint, toks array<string>",
+        )
+        got = {
+            r["doc_id"]: [r[f"mh{i}"] for i in range(16)]
+            for r in hashing.minhash_signature(df, "doc_id", "toks", n_hashes=16).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, toks VARCHAR[])")
+        con.executemany(
+            "INSERT INTO docs VALUES (?, ?)",
+            [(i, t.split(" ")) for i, t in enumerate(texts)],
+        )
+        sql = hashing.minhash_signature_sql("docs", "doc_id", "toks", n_hashes=16)
+        for row in con.execute(sql).fetchall():
+            assert list(row[1:]) == got[row[0]], row[0]

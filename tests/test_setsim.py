@@ -138,3 +138,96 @@ class TestContainmentPairs:
                 inter / len(sets[b]) if sets[b] else 0.0,
             )
             assert got[(a, b)] == exp
+
+
+class TestLshParameterSizing:
+    """S-curve math + (n_hashes, bands) sizing helper (round-11
+    verdict #2: the committed parameter story behind the t08/v03
+    candidate-growth audit — see scripts/lsh_growth_probe.py)."""
+
+    def test_s_curve_matches_inclusion_exclusion(self):
+        # independent derivation: P(any of b bands matches) by
+        # inclusion-exclusion = Σ_{k=1..b} (-1)^{k+1} C(b,k) s^{rk}
+        from math import comb
+
+        from stepist_spark.operators.dedup import lsh_candidate_probability
+
+        for n, b in [(8, 4), (16, 2), (64, 16), (128, 16), (12, 3)]:
+            r = n // b
+            for s in (0.05, 0.3, 0.5, 0.7, 0.95):
+                expect = sum(
+                    (-1) ** (k + 1) * comb(b, k) * s ** (r * k)
+                    for k in range(1, b + 1)
+                )
+                got = lsh_candidate_probability(s, n, b)
+                assert abs(got - expect) < 1e-9, (n, b, s)
+
+    def test_s_curve_monotone_and_bounded(self):
+        from stepist_spark.operators.dedup import lsh_candidate_probability
+
+        prev = 0.0
+        for i in range(1, 100):
+            p = lsh_candidate_probability(i / 100, 64, 16)
+            assert 0.0 <= p <= 1.0 and p >= prev
+            prev = p
+
+    def test_s_curve_rejects_nondividing_bands(self):
+        import pytest
+
+        from stepist_spark.operators.dedup import lsh_candidate_probability
+
+        with pytest.raises(ValueError):
+            lsh_candidate_probability(0.5, 8, 3)
+
+    def test_params_minimize_objective(self):
+        # the returned params must beat (a) the repo's (8, 4) gate
+        # default and (b) every other candidate in a spot-check grid on
+        # the exact weighted FP+FN integral the helper optimizes
+        from stepist_spark.operators.dedup import (
+            lsh_candidate_probability,
+            lsh_params_for_threshold,
+        )
+
+        def objective(t, n, b, steps=200):
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = lsh_candidate_probability(s, n, b)
+                if s < t:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            return 0.5 * (fp + fn) / steps
+
+        for t in (0.3, 0.5, 0.8):
+            n, b = lsh_params_for_threshold(t, max_hashes=128)
+            best = objective(t, n, b)
+            assert best <= objective(t, 8, 4) + 1e-12
+            for nb, bb in [(8, 2), (16, 4), (32, 8), (64, 8), (128, 32)]:
+                assert best <= objective(t, nb, bb) + 1e-12, (t, nb, bb)
+
+    def test_params_steepen_with_threshold(self):
+        # higher cutoffs want longer bands (larger r): the low-similarity
+        # tail must be suppressed harder
+        from stepist_spark.operators.dedup import lsh_params_for_threshold
+
+        rs = []
+        for t in (0.3, 0.6, 0.9):
+            n, b = lsh_params_for_threshold(t, max_hashes=128)
+            assert n <= 128 and n % b == 0
+            rs.append(n // b)
+        assert rs[0] < rs[1] < rs[2]
+
+    def test_params_deterministic(self):
+        from stepist_spark.operators.dedup import lsh_params_for_threshold
+
+        assert lsh_params_for_threshold(0.5) == lsh_params_for_threshold(0.5)
+
+    def test_params_reject_degenerate_threshold(self):
+        import pytest
+
+        from stepist_spark.operators.dedup import lsh_params_for_threshold
+
+        for t in (0.0, 1.0, -0.2, 1.7):
+            with pytest.raises(ValueError):
+                lsh_params_for_threshold(t)
