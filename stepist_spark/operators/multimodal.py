@@ -1394,8 +1394,12 @@ def jpeg_roundtrip_features(ids: DataFrame, width: int, height: int) -> DataFram
     baseline-JPEG payloads from the closed-form gradients — with the
     quantization strength, chroma mode and restart interval all
     CYCLING by media_id (quality 80/87/94 by id%3, 4:2:0 vs 4:4:4 by
-    id%2, DRI=2 on id%4==0) so every encoder/decoder path is exercised
-    across any ≥4 ids — followed by a REAL decode and a per-pixel
+    id%2, DRI=2 on id%4==1 — an ODD residue, so restart-bearing images
+    are 4:4:4: at 20×14 that is 3×2 = 6 MCUs and RSTn markers actually
+    fire at MCUs 2 and 4, where the even residue's 4:2:0 images have
+    only 2 MCUs and would never reach a restart boundary — round-10
+    ADVICE) so every encoder/decoder path is exercised across any ≥4
+    consecutive gate ids — followed by a REAL decode and a per-pixel
     comparison against the closed form. Emits exact decoded dims plus
     ``ok`` = 1 iff every pixel of every channel is within
     ``_JPEG_TOL`` of the source; the oracle predicts (w, h, mode,
@@ -1411,7 +1415,7 @@ def jpeg_roundtrip_features(ids: DataFrame, width: int, height: int) -> DataFram
                 src = _jpeg_closed_form(int(mid), width, height)
                 quality = 80 + (int(mid) % 3) * 7
                 mode = "420" if mid % 2 == 0 else "444"
-                dri = 2 if mid % 4 == 0 else 0
+                dri = 2 if mid % 4 == 1 else 0
                 payload = encode_jpeg(
                     src, quality=quality, subsampling=mode, restart_interval=dri
                 )

@@ -588,8 +588,14 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
             ":",
             F.col("s_g").cast("string"),
             F.col("q_g").cast("string"),
-            F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5))
-            .cast("bigint").cast("string"),
+            # coalesce the scaled eta2 to a -1 sentinel BEFORE concat:
+            # Spark's concat_ws SKIPS null elements while the DuckDB
+            # mirror's || propagates NULL — degenerate inputs (k<2,
+            # n<=k, zero SST) would silently diverge (round-10 ADVICE)
+            F.coalesce(
+                F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5)).cast("bigint"),
+                F.lit(-1),
+            ).cast("string"),
         ).alias("key2"),
         F.col("n_g").alias("n"),
         F.col("f_stat").alias("sum_val"),
@@ -610,8 +616,14 @@ def q09_grouping_multi(spark: SparkSession, sf: str) -> DataFrame:
             ":",
             F.col("s_g").cast("string"),
             F.col("q_g").cast("string"),
-            F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5))
-            .cast("bigint").cast("string"),
+            # coalesce the scaled eta2 to a -1 sentinel BEFORE concat:
+            # Spark's concat_ws SKIPS null elements while the DuckDB
+            # mirror's || propagates NULL — degenerate inputs (k<2,
+            # n<=k, zero SST) would silently diverge (round-10 ADVICE)
+            F.coalesce(
+                F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5)).cast("bigint"),
+                F.lit(-1),
+            ).cast("string"),
         ).alias("key2"),
         F.col("n_g").alias("n"),
         F.col("f_stat").alias("sum_val"),
@@ -807,13 +819,13 @@ FROM ({_Q09_MWU_SQL})
 UNION ALL
 SELECT 'anova', grp,
        CAST(s_g AS VARCHAR) || ':' || CAST(q_g AS VARCHAR) || ':'
-           || CAST(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+           || CAST(COALESCE(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT), -1) AS VARCHAR),
        n_g, f_stat
 FROM ({_Q09_ANOVA_SQL})
 UNION ALL
 SELECT 'levene', grp,
        CAST(s_g AS VARCHAR) || ':' || CAST(q_g AS VARCHAR) || ':'
-           || CAST(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+           || CAST(COALESCE(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT), -1) AS VARCHAR),
        n_g, f_stat
 FROM ({_Q09_LEVENE_SQL})
 UNION ALL

@@ -595,6 +595,45 @@ class TestOneWayAnova:
         r = one_way_anova(one, "g", "v").collect()[0]
         assert r["k"] == 1 and r["f_stat"] is None
 
+    def test_degenerate_key2_engine_parity(self, spark, tmp_path):
+        # round-10 ADVICE: the q09 gate concatenates the scaled eta2
+        # into key2; on degenerate data eta2 is NULL and Spark's
+        # concat_ws SKIPS nulls while DuckDB's || PROPAGATES them — the
+        # gate now coalesces to a -1 sentinel on BOTH engines. Prove
+        # the two key2 strings agree on a single-group (k < 2) input.
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.abtest import one_way_anova, one_way_anova_sql
+
+        one = spark.createDataFrame([("A", 1.0), ("A", 2.0)], "g string, v double")
+        got = (
+            one_way_anova(one, "g", "v")
+            .select(
+                F.concat_ws(
+                    ":",
+                    F.col("s_g").cast("string"),
+                    F.col("q_g").cast("string"),
+                    F.coalesce(
+                        F.floor(F.col("eta2") * 1_000_000 + F.lit(0.5)).cast("bigint"),
+                        F.lit(-1),
+                    ).cast("string"),
+                ).alias("key2")
+            )
+            .collect()[0]["key2"]
+        )
+        p = str(tmp_path / "one.parquet")
+        one.write.parquet(p)
+        con = duckdb.connect()
+        (want,) = con.execute(
+            "SELECT CAST(s_g AS VARCHAR) || ':' || CAST(q_g AS VARCHAR) || ':' "
+            "|| CAST(COALESCE(CAST(floor(eta2 * 1000000 + 0.5) AS BIGINT), -1) "
+            "AS VARCHAR) FROM ("
+            + one_way_anova_sql(f"SELECT * FROM '{p}/*.parquet'", "g", "v")
+            + ")"
+        ).fetchone()
+        assert got == want and got.endswith(":-1")
+
     def test_value_counts_path_matches(self, spark):
         from pyspark.sql import functions as F
 

@@ -858,6 +858,31 @@ class TestJpegCodec:
         p2 = encode_jpeg(src, quality=90, subsampling="420", restart_interval=1)
         assert self._err(decode_jpeg(p2), src) <= 16
 
+    def test_gate_parameter_rule_fires_restarts(self):
+        # round-10 ADVICE: the m01 'jpg' gate's DRI rule must land on
+        # ids whose geometry actually REACHES a restart boundary. The
+        # rule is DRI=2 on id%4==1 (odd ⇒ 4:4:4 ⇒ 3×2 = 6 MCUs at the
+        # gate's 20×14 dims ⇒ restarts at MCUs 2 and 4) — reproduce the
+        # gate's exact parameter derivation and assert RSTn bytes are
+        # present in the emitted stream and the roundtrip still passes.
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            _jpeg_closed_form,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        mid = 53  # a real gate id: 53 % 25 == 3 and 53 % 4 == 1
+        src = _jpeg_closed_form(mid, 20, 14)
+        quality = 80 + (mid % 3) * 7
+        mode = "420" if mid % 2 == 0 else "444"
+        dri = 2 if mid % 4 == 1 else 0
+        assert (mode, dri) == ("444", 2)
+        payload = encode_jpeg(src, quality=quality, subsampling=mode, restart_interval=dri)
+        # 6 MCUs / DRI=2 ⇒ restarts after MCUs 2 and 4: RST0 then RST1
+        assert b"\xff\xd0" in payload and b"\xff\xd1" in payload
+        assert self._err(decode_jpeg(payload), src) <= _JPEG_TOL
+
     def test_geometry_bugs_blow_tolerance(self):
         from stepist_spark.operators.multimodal import (
             _JPEG_TOL,
