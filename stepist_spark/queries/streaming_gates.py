@@ -593,6 +593,17 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
             0,
             int(not st["active"]) * 10_000 + int(st["input_rows"] or 0),
             int(st["batch_id"] is not None),
+        ), (
+            # 'state' (round 11): the state-store introspection VALUE-
+            # gated — hop 2's complete-mode tumbling agg holds exactly
+            # one state row per (k, window) group: 3 residues × 2 two-
+            # minute windows over minutes 0-2 = 6; memory must be a
+            # positive byte count (provider-dependent magnitude, so
+            # gated as an indicator bit)
+            "state",
+            0,
+            int(st["state_rows"] or 0),
+            int((st["state_memory_bytes"] or 0) > 0),
         )],
         "part string, k bigint, n bigint, sum_value bigint",
     ).select(
@@ -689,6 +700,8 @@ FROM (SELECT unnest(generate_series(0, 599)) AS value)
 GROUP BY 2, 5, 6
 UNION ALL
 SELECT 'status', 0, 10600, 1, NULL, NULL
+UNION ALL
+SELECT 'state', 0, 6, 1, NULL, NULL
 UNION ALL
 SELECT 'env' AS part, CAST(user_id % 10 AS BIGINT) AS k, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,

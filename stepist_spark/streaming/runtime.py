@@ -37,6 +37,51 @@ def await_drained(q: StreamingQuery, timeout: float = 300.0) -> None:
             )
 
 
+#: provider name -> Spark state-store provider class. "hdfs" is
+#: Spark's default in-JVM-heap map (fine for test-scale state);
+#: "rocksdb" is the bundled RocksDB provider — off-heap + on-disk, the
+#: scale path once interval-join/dedup state outgrows executor heap
+#: (at 100 TB the in-memory provider is the first streaming OOM).
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider: str | None):
+    """Temporarily select the state-store provider while a streaming
+    query STARTS. Like the shuffle-partition count, the provider is
+    fixed per query at its first micro-batch and recorded in the
+    checkpoint — restarting an existing checkpoint under a different
+    provider is an error Spark itself raises, so set this BEFORE the
+    first start, not mid-flight."""
+    if provider is None:
+        yield
+        return
+    try:
+        cls = STATE_STORE_PROVIDERS[provider]
+    except KeyError:
+        raise ValueError(
+            f"unknown state_store {provider!r}; one of {sorted(STATE_STORE_PROVIDERS)}"
+        ) from None
+    old = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, cls)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, old)
+
+
 @contextmanager
 def stream_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily set ``spark.sql.shuffle.partitions`` while a
@@ -81,12 +126,25 @@ class StreamFlow:
         self,
         source: DataFrame,
         pipeline: Pipeline | Step | Callable[[DataFrame], DataFrame] | None = None,
+        state_store: str | None = None,
     ):
         if not source.isStreaming:
             raise ValueError("StreamFlow needs a streaming DataFrame (spark.readStream)")
+        if state_store is not None and state_store not in STATE_STORE_PROVIDERS:
+            raise ValueError(
+                f"unknown state_store {state_store!r}; "
+                f"one of {sorted(STATE_STORE_PROVIDERS)}"
+            )
         self.source = source
         self.pipeline = pipeline
+        self.state_store = state_store
         self._query: StreamingQuery | None = None
+
+    def _start(self, writer) -> StreamingQuery:
+        """Start a configured writer under this flow's state-store
+        provider (a start-time session conf, captured per query)."""
+        with state_store_provider(self.source.sparkSession, self.state_store):
+            return writer()
 
     def _transformed(self) -> DataFrame:
         p = self.pipeline
@@ -105,13 +163,13 @@ class StreamFlow:
         output_mode: str = "append",
         trigger: dict[str, Any] | None = None,
     ) -> StreamingQuery:
-        self._query = (
+        self._query = self._start(
             self._transformed()
             .writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(**(trigger or {"availableNow": True}))
-            .start()
+            .start
         )
         return self._query
 
@@ -133,7 +191,7 @@ class StreamFlow:
         )
         if trigger:
             writer = writer.trigger(**trigger)
-        self._query = writer.start(path)
+        self._query = self._start(lambda: writer.start(path))
         return self._query
 
     def to_foreach_batch(
@@ -149,7 +207,7 @@ class StreamFlow:
         )
         if trigger:
             writer = writer.trigger(**trigger)
-        self._query = writer.start()
+        self._query = self._start(writer.start)
         return self._query
 
     # -- lifecycle ----------------------------------------------------------
@@ -176,12 +234,25 @@ class StreamFlow:
             total_in = sum(int(p.get("numInputRows") or 0) for p in rp)
         except Exception:
             pass
+        # state-store rollup (round-10 verdict #4): rows/memory across
+        # the query's stateful operators from the LAST progress — the
+        # numbers that say whether interval-join/dedup state is growing
+        # toward the provider's limit (pair with state_store="rocksdb"
+        # once they outgrow executor heap)
+        so = (lp or {}).get("stateOperators") or []
         return {
             "active": self._query.isActive,
             "status": self._query.status,
             "rows_per_sec": (lp or {}).get("processedRowsPerSecond"),
             "batch_id": (lp or {}).get("batchId"),
             "input_rows": total_in,
+            "state_rows": sum(int(s.get("numRowsTotal") or 0) for s in so) if so else None,
+            "state_rows_updated": (
+                sum(int(s.get("numRowsUpdated") or 0) for s in so) if so else None
+            ),
+            "state_memory_bytes": (
+                sum(int(s.get("memoryUsedBytes") or 0) for s in so) if so else None
+            ),
         }
 
     def stop(self) -> None:

@@ -654,3 +654,129 @@ class TestTaskRetryExactlyOnce:
         )
         assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
         assert "RETRY-EO-OK" in res.stdout
+
+
+class TestStateStoreProviders:
+    """RocksDB state-store provider (round-10 verdict #4): the scale
+    path once interval-join/dedup state outgrows executor heap. Both
+    providers must drain IDENTICAL output, the provider conf must not
+    leak past query start, and StreamFlow.status() must expose the
+    state rows/memory by value."""
+
+    def _dedup_drain(self, spark, tmp_path, provider, tag):
+        # s05-class state: the events slice unioned with itself through
+        # dropDuplicates — every row arrives twice, must land once
+        from stepist_spark.session import load_table
+        from stepist_spark.streaming.dedup import stream_dedup
+        from stepist_spark.streaming.runtime import stream_shuffle_partitions
+
+        ev = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .filter(F.col("event_id") % 3 == 0)
+            .select("event_id", "event_type")
+        )
+        d = str(tmp_path / f"in_{tag}")
+        ev.repartition(2).write.parquet(d)
+        src = spark.readStream.schema(ev.schema).parquet(d)
+        flow = StreamFlow(
+            src.unionByName(src),
+            lambda df: stream_dedup(df, ["event_id"]),
+            state_store=provider,
+        )
+        with stream_shuffle_partitions(spark, 4):
+            flow.drain(f"ss_{tag}")
+        rows = sorted(
+            (r["event_id"], r["event_type"])
+            for r in spark.table(f"ss_{tag}").collect()
+        )
+        return flow, rows, ev.count()
+
+    def test_both_providers_identical_dedup_drain(self, spark, tmp_path):
+        f_h, rows_h, n = self._dedup_drain(spark, tmp_path, "hdfs", "h")
+        f_r, rows_r, _ = self._dedup_drain(spark, tmp_path, "rocksdb", "r")
+        assert rows_h == rows_r and len(rows_h) == n
+        # the rocksdb run must have ACTUALLY used rocksdb (custom
+        # metrics are provider-specific), and the hdfs run must not
+        cm_r = (f_r.query.lastProgress.get("stateOperators") or [{}])[0].get(
+            "customMetrics", {}
+        )
+        cm_h = (f_h.query.lastProgress.get("stateOperators") or [{}])[0].get(
+            "customMetrics", {}
+        )
+        assert any(k.startswith("rocksdb") for k in cm_r)
+        assert not any(k.startswith("rocksdb") for k in cm_h)
+
+    def test_both_providers_identical_interval_join(self, spark, tmp_path):
+        # s03-class state: stream-stream interval join buffered in the
+        # state store — same rows under both providers, == batch join
+        import json as _json
+
+        from stepist_spark.streaming.joins import interval_join
+        from stepist_spark.streaming.runtime import (
+            state_store_provider,
+            stream_shuffle_partitions,
+        )
+
+        od, cd = tmp_path / "o", tmp_path / "c"
+        od.mkdir(); cd.mkdir()
+        orders = [
+            {"k": i, "ots": f"2024-01-01 10:{i % 50:02d}:00", "amount": i}
+            for i in range(40)
+        ]
+        clicks = [
+            {"k": i, "cts": f"2024-01-01 10:{(i % 50) + 2:02d}:00", "page": f"p{i}"}
+            for i in range(40)
+        ]
+        (od / "o.json").write_text("\n".join(_json.dumps(r) for r in orders))
+        (cd / "c.json").write_text("\n".join(_json.dumps(r) for r in clicks))
+
+        def run(provider, tag):
+            o = read_stream(
+                spark, "json", str(od), schema="k LONG, ots STRING, amount LONG"
+            ).withColumn("ots", F.to_timestamp("ots"))
+            c = read_stream(
+                spark, "json", str(cd), schema="k LONG, cts STRING, page STRING"
+            ).withColumn("cts", F.to_timestamp("cts"))
+            j = interval_join(o, c, "k", "ots", "cts", lower="0 minutes", upper="5 minutes")
+            with stream_shuffle_partitions(spark, 4), state_store_provider(spark, provider):
+                q = (
+                    j.writeStream.format("memory").queryName(f"ssj_{tag}")
+                    .outputMode("append").trigger(availableNow=True).start()
+                )
+            _drain(q)
+            return sorted(
+                (r["k"], r["page"]) for r in spark.table(f"ssj_{tag}").collect()
+            )
+
+        got_h, got_r = run("hdfs", "h2"), run("rocksdb", "r2")
+        assert got_h == got_r and len(got_h) == 40
+
+    def test_status_state_metrics_by_value(self, spark, tmp_path):
+        # the dedup state holds EXACTLY one row per distinct key —
+        # status() must report that number, and a positive memory size
+        flow, rows, n = self._dedup_drain(spark, tmp_path, "rocksdb", "v")
+        st = flow.status()
+        assert st["state_rows"] == n == len(rows)
+        assert st["state_memory_bytes"] > 0
+        assert st["input_rows"] >= n
+
+    def test_unknown_provider_rejected(self, spark):
+        from stepist_spark.streaming.runtime import state_store_provider
+
+        df = spark.readStream.format("rate").load()
+        with pytest.raises(ValueError, match="unknown state_store"):
+            StreamFlow(df, state_store="rocksdbx")
+        with pytest.raises(ValueError, match="unknown state_store"):
+            with state_store_provider(spark, "nope"):
+                pass
+
+    def test_provider_conf_never_leaks(self, spark):
+        from stepist_spark.streaming.runtime import (
+            _PROVIDER_CONF,
+            state_store_provider,
+        )
+
+        before = spark.conf.get(_PROVIDER_CONF, "UNSET")
+        with state_store_provider(spark, "rocksdb"):
+            assert spark.conf.get(_PROVIDER_CONF).endswith("RocksDBStateStoreProvider")
+        assert spark.conf.get(_PROVIDER_CONF, "UNSET") == before
