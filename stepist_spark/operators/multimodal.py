@@ -1448,3 +1448,246 @@ def jpeg_roundtrip_features(ids: DataFrame, width: int, height: int) -> DataFram
             "quality int, n_px long, ok int"
         ),
     )
+
+
+# The VIDEO member of the in-repo codec family (round-11 verdict #3):
+# MJPEG-in-AVI, composed from three already-certified pieces — the
+# RIFF chunk walk (the WAV discipline above), the baseline JPEG codec,
+# and the m01 tolerance-certification pattern. MJPEG is the one video
+# format expressible without licensed codecs: every frame is an
+# independent baseline JPEG inside a '00dc' movi chunk, so the decode
+# seam's remaining stub list is exactly "licensed audio/video codecs"
+# (MP3/H.26x). Reference analog: none (the reference moves opaque
+# payloads through queues, `stepist/flow/libs/simple_queue.py:62-77`);
+# this is the BASELINE.json multimodal-columns requirement.
+
+
+def encode_avi_mjpeg(
+    frames,
+    fps: int = 10,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an ``(n, h, w, 3)`` uint8 RGB frame stack as an MJPEG
+    AVI: RIFF('AVI ') → LIST hdrl (avih + LIST strl (strh 'vids'/
+    'MJPG' + strf BITMAPINFOHEADER biCompression='MJPG')) → LIST movi
+    ('00dc' chunks, one baseline JPEG per frame, word-aligned) → idx1
+    (one AVIIF_KEYFRAME entry per frame — every MJPEG frame is a
+    keyframe). dwRate/dwScale = fps/1 exactly."""
+    import struct
+
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n, h, w, _ = frames.shape
+    payloads = [
+        encode_jpeg(
+            f, quality=quality, subsampling=subsampling,
+            restart_interval=restart_interval,
+        )
+        for f in frames
+    ]
+    max_len = max((len(p) for p in payloads), default=0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_len * fps,     # dwMaxBytesPerSec (upper bound)
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n, 0, 1,           # dwTotalFrames, dwInitialFrames, dwStreams
+        max_len, w, h,     # dwSuggestedBufferSize, dwWidth, dwHeight
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_len, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc (the common
+    # convention): the first '00dc' header lands at offset 4
+    idx_entries, off = [], 4
+    for p in payloads:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """Decode an MJPEG AVI into ``(fps, (n, h, w, 3) uint8 frames)``.
+
+    WALKS chunks (unknown LIST/JUNK chunks between the required ones
+    are legal and skipped), STRICT about the format itself — raises
+    ValueError on anything that is not an MJPEG video AVI (bad
+    RIFF/'AVI ' magic, no avih, a non-'MJPG' stream handler, a frame
+    whose decoded dims disagree with the header, a frame count that
+    contradicts avih's dwTotalFrames, truncation) — through the
+    quarantine boundary, like the BMP/WAV/PNG/JPEG decoders."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("not an AVI: too short")
+    data = bytes(payload)
+    riff, _size, avi = struct.unpack_from("<4sI4s", data, 0)
+    if riff != b"RIFF" or avi != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/'AVI ' magic")
+
+    dims = {}
+    fps = None
+    handler_ok = False
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, handler_ok
+        while pos + 8 <= end:
+            cid, clen = struct.unpack_from("<4sI", data, pos)
+            body = pos + 8
+            if body + clen > end:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body + 4, body + clen)  # skip the list-type fourcc
+            elif cid == b"avih":
+                if clen < 40:
+                    raise ValueError("truncated avih")
+                vals = struct.unpack_from("<10I", data, body)
+                dims["n"], dims["w"], dims["h"] = vals[4], vals[8], vals[9]
+            elif cid == b"strh":
+                if clen < 48:
+                    raise ValueError("truncated strh")
+                fcc_type, fcc_handler = data[body : body + 4], data[body + 4 : body + 8]
+                if fcc_type == b"vids":
+                    if fcc_handler not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"unsupported AVI video handler {fcc_handler!r}"
+                        )
+                    handler_ok = True
+                    scale, rate = struct.unpack_from("<II", data, body + 20)
+                    if scale == 0 or rate % scale:
+                        raise ValueError("non-integer AVI frame rate")
+                    fps = rate // scale
+            elif cid in (b"00dc", b"00db"):
+                frames.append(decode_jpeg(data[body : body + clen]))
+            pos = body + clen + (clen & 1)
+
+    walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]))
+    if not dims:
+        raise ValueError("AVI: no avih header")
+    if not handler_ok:
+        raise ValueError("AVI: no MJPG video stream")
+    if len(frames) != dims["n"]:
+        raise ValueError(
+            f"AVI: header declares {dims['n']} frames, movi carries {len(frames)}"
+        )
+    if not frames:
+        raise ValueError("AVI: zero frames")
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (dims["h"], dims["w"]):
+            raise ValueError(
+                f"AVI frame {i} dims {f.shape[:2]} != header ({dims['h']}, {dims['w']})"
+            )
+    return fps, np.stack(frames)
+
+
+def _avi_closed_form(mid: int, f: int, width: int, height: int):
+    """Per-frame wrap-free gradient for the AVI roundtrip gate. The
+    frame index contributes a 40/frame base step in EVERY channel, so
+    a reordered/duplicated/swapped frame compared against its index's
+    form scores ≥ 40-8 — deterministically above ``_JPEG_TOL`` — while
+    the in-frame slopes (≤ 5/px) stay comfortably quantization-safe.
+    Bounded: base < 48 + 40·(n_frames−1), safe for n_frames ≤ 3 at
+    channel max 47 + 80 + 122 = 249 < 256 (no wrap)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = (mid * 7) % 48 + 40 * f + 3 * x + 5 * y
+    g = (mid * 23) % 48 + 40 * f + 2 * x + 4 * y
+    b = (mid * 41) % 48 + 40 * f + x + 3 * y
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def avi_roundtrip_features(
+    ids: DataFrame, width: int, height: int, n_frames: int = 3
+) -> DataFrame:
+    """The m01 'avi' certification op: distributed generation of REAL
+    MJPEG-AVI payloads from the per-frame closed-form gradients — with
+    quality (80/87/94 by id%3), chroma mode (4:2:0/4:4:4 by id%2),
+    restart interval (DRI=2 on id%4==1, the odd residue so restarts
+    actually fire — the jpg-gate rule) and fps (5..9 by id%5) all
+    cycling by media_id — followed by a REAL decode and per-pixel
+    comparison of EVERY frame against its OWN index's closed form
+    (frame-ORDER certification by value: the 40/frame base step makes
+    any permutation blow the tolerance). Emits decoded dims, frame
+    count and fps; ``ok`` = 1 iff fps survived the header roundtrip
+    exactly and every pixel of every frame is within ``_JPEG_TOL``.
+    The oracle predicts (w, h, mode, quality, fps, n_frames, ok=1)
+    from the parameters alone."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"].astype("int64"):
+                mid = int(mid)
+                src = np.stack(
+                    [_avi_closed_form(mid, f, width, height) for f in range(n_frames)]
+                )
+                quality = 80 + (mid % 3) * 7
+                mode = "420" if mid % 2 == 0 else "444"
+                dri = 2 if mid % 4 == 1 else 0
+                fps = 5 + (mid % 5)
+                payload = encode_avi_mjpeg(
+                    src, fps=fps, quality=quality, subsampling=mode,
+                    restart_interval=dri,
+                )
+                got_fps, px = decode_avi_mjpeg(payload)
+                ok = int(
+                    got_fps == fps
+                    and px.shape == (n_frames, height, width, 3)
+                    and int(
+                        np.abs(px.astype(np.int64) - src.astype(np.int64)).max()
+                    )
+                    <= _JPEG_TOL
+                )
+                rows.append(
+                    (mid, px.shape[2], px.shape[1], mode, quality, got_fps,
+                     n_frames, ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mode", "quality", "fps",
+                    "n_frames", "ok",
+                ],
+            )
+
+    return ids.mapInPandas(
+        op,
+        schema=(
+            "media_id long, width int, height int, mode string, "
+            "quality int, fps int, n_frames int, ok int"
+        ),
+    )

@@ -304,11 +304,43 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
             F.col("ok").cast("string"),
         ).alias("s1"),
     )
+    # 'avi' (round 11) — the VIDEO certification: real MJPEG-in-AVI
+    # payloads (RIFF hdrl/movi/idx1 walk + one baseline JPEG per
+    # frame) from per-frame closed-form gradients, quality/chroma/DRI/
+    # fps all cycling by media_id under modulus 49 (coprime to 2,3,4
+    # AND 5, so every parameter actually cycles — the jpg gate's
+    # odd-modulus lesson generalized). ok=1 certifies per-pixel
+    # tolerance of EVERY frame against its OWN index's form (the
+    # 40/frame base step makes any frame reorder score ≥ 40-8 > TOL)
+    # plus the exact fps header roundtrip.
+    from stepist_spark.operators.multimodal import avi_roundtrip_features
+
+    avi_ids = docs.filter(F.col("doc_id") % 49 == 7).select(
+        F.col("doc_id").alias("media_id")
+    )
+    avi = avi_roundtrip_features(avi_ids, width=20, height=14, n_frames=3).select(
+        F.lit("avi").alias("part"),
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.col("mode"),
+            F.col("quality").cast("string"),
+            F.col("fps").cast("string"),
+            F.col("n_frames").cast("string"),
+            F.col("ok").cast("string"),
+        ).alias("s1"),
+    )
     return (
         prof.unionByName(bmp)
         .unionByName(wav)
         .unionByName(png)
         .unionByName(jpg)
+        .unionByName(avi)
     )
 
 
@@ -365,6 +397,15 @@ SELECT 'jpg', doc_id, 'image',
            || CAST(80 + (doc_id % 3) * 7 AS VARCHAR) || ':280:1'
 FROM documents
 WHERE doc_id % 25 = 3
+UNION ALL
+SELECT 'avi', doc_id, 'video',
+       CAST(NULL AS BIGINT),
+       20, 14, CAST(NULL AS BIGINT),
+       (CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END) || ':'
+           || CAST(80 + (doc_id % 3) * 7 AS VARCHAR) || ':'
+           || CAST(5 + doc_id % 5 AS VARCHAR) || ':3:1'
+FROM documents
+WHERE doc_id % 49 = 7
 """
 
 

@@ -993,3 +993,173 @@ class TestJpegPilCross:
         px = decode_jpeg(buf.getvalue())
         assert px.shape == src.shape
         assert int(np.abs(px.astype(np.int64) - src.astype(np.int64)).max()) <= _JPEG_TOL
+
+
+class TestAviMjpegCodec:
+    """The VIDEO member of the in-repo codec family (round-11 verdict
+    #3): MJPEG-in-AVI — the RIFF chunk walk (WAV discipline) carrying
+    one baseline JPEG per '00dc' frame. Certification = per-frame
+    quantization tolerance against each frame's OWN closed form; the
+    40/frame base step makes any reorder blow the tolerance."""
+
+    def _stack(self, mid=7, w=20, h=14, n=3):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import _avi_closed_form
+
+        return np.stack([_avi_closed_form(mid, f, w, h) for f in range(n)])
+
+    def _err(self, a, b):
+        import numpy as np
+
+        return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+    def test_roundtrip_within_tolerance_both_chromas(self):
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        src = self._stack()
+        for mode in ("444", "420"):
+            fps, px = decode_avi_mjpeg(
+                encode_avi_mjpeg(src, fps=7, quality=90, subsampling=mode)
+            )
+            assert fps == 7 and px.shape == src.shape
+            assert self._err(px, src) <= _JPEG_TOL
+
+    def test_frame_order_certified_by_value(self):
+        # any permutation of decoded frames scores >= 40 - quantization
+        # against the per-index closed forms — order is IN the gate
+        import itertools
+
+        from stepist_spark.operators.multimodal import (
+            _JPEG_TOL,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        src = self._stack()
+        _, px = decode_avi_mjpeg(encode_avi_mjpeg(src, fps=5, quality=94))
+        for perm in itertools.permutations(range(3)):
+            err = self._err(px[list(perm)], src)
+            if perm == (0, 1, 2):
+                assert err <= _JPEG_TOL
+            else:
+                assert err > _JPEG_TOL, perm
+
+    def test_restart_markers_inside_frames(self):
+        from stepist_spark.operators.multimodal import encode_avi_mjpeg
+
+        src = self._stack()
+        payload = encode_avi_mjpeg(
+            src, fps=5, quality=90, subsampling="444", restart_interval=2
+        )
+        assert b"\xff\xd0" in payload
+
+    def test_idx1_entries_point_at_frames(self):
+        import struct
+
+        from stepist_spark.operators.multimodal import encode_avi_mjpeg
+
+        src = self._stack(n=3)
+        data = encode_avi_mjpeg(src, fps=5)
+        # find movi list and idx1 chunk
+        movi_at = data.find(b"movi")
+        idx_at = data.find(b"idx1")
+        assert movi_at > 0 and idx_at > movi_at
+        (ilen,) = struct.unpack_from("<I", data, idx_at + 4)
+        assert ilen == 16 * 3
+        for i in range(3):
+            cid, flags, off, size = struct.unpack_from(
+                "<4sIII", data, idx_at + 8 + 16 * i
+            )
+            assert cid == b"00dc" and flags == 0x10
+            # offset is relative to the 'movi' fourcc
+            hdr = movi_at + off
+            assert data[hdr : hdr + 4] == b"00dc"
+            (clen,) = struct.unpack_from("<I", data, hdr + 4)
+            assert clen == size
+            assert data[hdr + 8 : hdr + 10] == b"\xff\xd8"  # SOI of that frame
+
+    def test_chunk_walk_skips_junk(self):
+        import struct
+
+        from stepist_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        src = self._stack()
+        data = bytearray(encode_avi_mjpeg(src, fps=5))
+        junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+        movi_at = data.find(b"LIST", 12)
+        # insert before the FIRST LIST (hdrl) and fix the RIFF size
+        data[12:12] = junk
+        struct.pack_into("<I", data, 4, struct.unpack_from("<I", data, 4)[0] + len(junk))
+        fps, px = decode_avi_mjpeg(bytes(data))
+        assert fps == 5 and px.shape == src.shape and movi_at > 0
+
+    def test_quarantine_errors(self):
+        import struct
+
+        import pytest as _pytest
+
+        from stepist_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        src = self._stack()
+        good = encode_avi_mjpeg(src, fps=5)
+        with _pytest.raises(ValueError, match="too short"):
+            decode_avi_mjpeg(good[:8])
+        with _pytest.raises(ValueError, match="magic"):
+            decode_avi_mjpeg(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+        # non-MJPG handler: patch the strh fccHandler
+        bad = bytearray(good)
+        at = bad.find(b"vidsMJPG")
+        bad[at + 4 : at + 8] = b"H264"
+        with _pytest.raises(ValueError, match="handler"):
+            decode_avi_mjpeg(bytes(bad))
+        # header/movi frame-count contradiction: bump avih dwTotalFrames
+        bad = bytearray(good)
+        avih_at = bad.find(b"avih")
+        struct.pack_into("<I", bad, avih_at + 8 + 16, 5)
+        with _pytest.raises(ValueError, match="declares 5 frames"):
+            decode_avi_mjpeg(bytes(bad))
+        # truncated movi chunk
+        with _pytest.raises(ValueError, match="truncated|frames"):
+            decode_avi_mjpeg(good[: len(good) // 2])
+
+    def test_encoder_input_validation(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from stepist_spark.operators.multimodal import encode_avi_mjpeg
+
+        with _pytest.raises(ValueError, match=r"\(n, h, w, 3\)"):
+            encode_avi_mjpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+        with _pytest.raises(ValueError, match="fps"):
+            encode_avi_mjpeg(np.zeros((1, 8, 8, 3), dtype=np.uint8), fps=0)
+
+    def test_gate_op_shape_and_ok(self, spark):
+        from stepist_spark.operators.multimodal import avi_roundtrip_features
+
+        ids = spark.createDataFrame(
+            [(7,), (56,), (105,), (154,)], "media_id long"
+        )
+        rows = {
+            r["media_id"]: r
+            for r in avi_roundtrip_features(ids, width=20, height=14).collect()
+        }
+        assert len(rows) == 4
+        for mid, r in rows.items():
+            assert (r["width"], r["height"], r["n_frames"], r["ok"]) == (20, 14, 3, 1)
+            assert r["quality"] == 80 + (mid % 3) * 7
+            assert r["mode"] == ("420" if mid % 2 == 0 else "444")
+            assert r["fps"] == 5 + (mid % 5)
+        # the four ids exercise both chroma modes and distinct fps
+        assert {r["mode"] for r in rows.values()} == {"420", "444"}
+        assert len({r["fps"] for r in rows.values()}) >= 3
