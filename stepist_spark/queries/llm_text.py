@@ -2597,21 +2597,69 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+# Fixed unigram-LM piece table for the t24 'unigram' part (round 11):
+# trained ONCE by operators/unigram.train_unigram on the sf0.01
+# documents corpus (vocab_size=48, seed_size=192, max_piece_len=4,
+# em_iters=2) and committed — the gate certifies the Viterbi DP
+# (integer-scaled scores, struct-lexicographic tie-break, backtrace)
+# through the SAME JVM expression training uses; training itself is
+# certified by tests/test_unigram.py's parity against a pure-Python
+# reference (the EM/prune loop is iterative corpus-wide argmax work —
+# not one SQL statement). Scores are floor(log(p)·1e6) bigints: every
+# engine comparison is exact integer arithmetic.
+UNIGRAM_PIECES: dict[str, int] = {
+    "a": -2827516, "b": -11011192, "batc": -4168509, "big": -4235826,
+    "c": -11011192, "co": -4171716, "cust": -4171716, "d": -4167442,
+    "data": -4199948, "e": -2262253, "f": -4261261, "filt": -4172787,
+    "g": -3117620, "h": -2802973, "i": -11011192, "j": -11011192,
+    "join": -4140101, "k": -4213252, "l": -11011192, "line": -4197748,
+    "lumn": -4171716, "m": -11011192, "mall": -4178160, "merg": -4188995,
+    "n": -11011192, "o": -3111668, "omer": -4171716, "ow": -3499668,
+    "p": -7753096, "park": -4231270, "part": -4233546, "q": -11011192,
+    "quer": -4241550, "r": -2401602, "ream": -4222220, "roup": -4233546,
+    "s": -2422795, "scan": -4169577, "slow": -4188995, "t": -2863904,
+    "tabl": -4199948, "u": -7753096, "v": -11011192, "valu": -4212136,
+    "vect": -4195552, "w": -11011192, "wind": -4224475, "y": -3534154,
+}
+UNIGRAM_MAX_PIECE_LEN = 4
+
+
 def t24_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.operators import bpe
+    from stepist_spark.operators import bpe, unigram
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 29 == 0)
     empty_seg = spark.createDataFrame([], "word string, sym array<string>")
     seg = bpe.bpe_segment(docs, empty_seg, BPE_MERGES, "doc_id", "text")
-    return seg.select(
+    # ONE word stream feeds both tokenizers: the BPE fold and the
+    # unigram Viterbi DP segment the same (doc_id, pos, word) rows
+    words = seg.select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word", "sym")
+    bpe_part = words.select(
+        F.lit("bpe").alias("part"),
         "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
+        "pos",
         "word",
         F.array_join(F.col("sym"), " ").alias("segmented"),
+        F.lit(None).cast("bigint").alias("lp"),
     )
+    uni = unigram.viterbi_segment(
+        words.drop("sym"), UNIGRAM_PIECES, "word", UNIGRAM_MAX_PIECE_LEN
+    )
+    uni_part = uni.select(
+        F.lit("unigram").alias("part"),
+        "doc_id",
+        "pos",
+        "word",
+        F.array_join(F.col("sym"), " ").alias("segmented"),
+        # fold the piece count into the certified value: lp is already
+        # exact, n_pieces rides its low digits (|lp| < 1e12, count < 1e3)
+        (F.col("logp_scaled") * 1000 - F.col("n_pieces")).alias("lp"),
+    )
+    return bpe_part.unionByName(uni_part)
 
 
 def _t24_sql() -> str:
+    from stepist_spark.operators.unigram import viterbi_segment_sql
+
     sep = "chr(1)"
     sym = "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))"
     for left, right in BPE_MERGES:
@@ -2623,6 +2671,7 @@ def _t24_sql() -> str:
             f"ELSE acc || {sep} || x END)"
         )
         sym = f"string_split({enc}, {sep})"
+    uni = viterbi_segment_sql("word", UNIGRAM_PIECES, UNIGRAM_MAX_PIECE_LEN)
     return f"""
 WITH ws AS (
     SELECT doc_id, i - 1 AS pos, list_extract(tk, i) AS word
@@ -2631,10 +2680,19 @@ WITH ws AS (
         FROM (SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
               WHERE doc_id % 29 = 0)
     )
+),
+ud AS (
+    SELECT doc_id, pos, word, {uni['dp']} AS dparr FROM ws
 )
-SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
-       array_to_string({sym}, ' ') AS segmented
+SELECT 'bpe' AS part, doc_id, CAST(pos AS BIGINT) AS pos, word,
+       array_to_string({sym}, ' ') AS segmented,
+       CAST(NULL AS BIGINT) AS lp
 FROM ws
+UNION ALL
+SELECT 'unigram' AS part, doc_id, CAST(pos AS BIGINT) AS pos, word,
+       array_to_string({uni['seg']}, ' ') AS segmented,
+       ({uni['score']}) * 1000 - ({uni['np']}) AS lp
+FROM ud
 """
 
 
