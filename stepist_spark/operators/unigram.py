@@ -13,10 +13,13 @@ Scale shape (the bpe.py contract): the corpus-wide pass happens ONCE
 the word-frequency frame (the memoized join — all repeats of a word
 contribute through one row's count) + one hash-aggregate of piece
 counts; the driver holds only vocab-sized state (the piece table IS
-the tokenizer artifact, a few KB). Viterbi runs as a pure JVM
-HOF-fold DP — no Python UDF — and the SAME expression serves training
-and the t24 'unigram' gate, whose DuckDB oracle replays the identical
-DP via ``viterbi_segment_sql``.
+the tokenizer artifact, a few KB). The Viterbi DP exists in three
+exactly-equal forms (integer arithmetic end-to-end, equality
+unit-proven): a declarative JVM HOF-fold expression, the DuckDB
+replay ``viterbi_segment_sql`` (the t24 'unigram' oracle), and an
+Arrow-batched twin (the hot-path default — the nested per-position
+lambdas of the JVM form fall out of whole-stage codegen and run
+interpreted, the repo's documented numpy-twin case).
 
 Cross-engine portability: piece scores are INTEGER-scaled log-probs
 (``floor(log(p)·10⁶)`` — the t23 'ppl' fixed-point discipline), so
@@ -127,22 +130,64 @@ def viterbi_segment(
     pieces: dict[str, int],
     word_col: str = "word",
     max_piece_len: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Best-path unigram segmentation of a word column under integer-
-    scaled piece log-probs — one pure-JVM expression, no shuffle, no
-    UDF. Adds ``sym array<string>, logp_scaled bigint, n_pieces int``.
-    Unknown single characters cost :data:`UNK_LOGP` each, so every
-    word (incl. OOV alphabets) segments deterministically."""
-    w = F.col(word_col)
-    dp = _dp_expr(w, pieces, max_piece_len)
-    out = df.withColumn("_dp", dp)
-    last = F.element_at(F.col("_dp"), (F.length(w) + 1).cast("int"))
-    return out.select(
-        *df.columns,
-        _backtrace_expr(w, F.col("_dp")).alias("sym"),
-        last["s"].alias("logp_scaled"),
-        (-last["mk"]).cast("int").alias("n_pieces"),
+    scaled piece log-probs. Adds ``sym array<string>, logp_scaled
+    bigint, n_pieces int``. Unknown single characters cost
+    :data:`UNK_LOGP` each, so every word (incl. OOV alphabets)
+    segments deterministically.
+
+    Two implementations computing IDENTICAL integers (equality
+    unit-proven, so the choice never moves a gate hash):
+
+    - ``impl="jvm"`` — the declarative HOF-fold DP (:func:`_dp_expr` +
+      :func:`_backtrace_expr`): no Python anywhere, and the exact
+      expression :func:`viterbi_segment_sql` mirrors. Its nested
+      per-position lambdas fall OUT of whole-stage codegen and run
+      interpreted (~55 µs/word measured at t24's sf0.1 shape).
+    - ``impl="arrow"`` (default) — the numpy-twin discipline (the
+      repo's documented escape hatch for large per-row expression
+      trees): an Arrow-batched pandas iterator running
+      :func:`viterbi_py` per word — the same integer DP, same
+      tie-break tuple, ~10× less per-word overhead.
+    """
+    if impl == "jvm":
+        w = F.col(word_col)
+        dp = _dp_expr(w, pieces, max_piece_len)
+        out = df.withColumn("_dp", dp)
+        last = F.element_at(F.col("_dp"), (F.length(w) + 1).cast("int"))
+        return out.select(
+            *df.columns,
+            _backtrace_expr(w, F.col("_dp")).alias("sym"),
+            last["s"].alias("logp_scaled"),
+            (-last["mk"]).cast("int").alias("n_pieces"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r}; 'arrow' or 'jvm'")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sym", T.ArrayType(T.StringType())),
+            T.StructField("logp_scaled", T.LongType()),
+            T.StructField("n_pieces", T.IntegerType()),
+        ]
     )
+
+    def op(batches):
+        for pdf in batches:
+            cols = pdf[word_col].map(
+                lambda w: viterbi_py(w, pieces, max_piece_len)
+            )
+            pdf = pdf.copy()
+            pdf["sym"] = cols.map(lambda t: t[2])
+            pdf["logp_scaled"] = cols.map(lambda t: t[0])
+            pdf["n_pieces"] = cols.map(lambda t: t[1])
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema)
 
 
 def viterbi_segment_sql(

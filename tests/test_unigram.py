@@ -66,6 +66,23 @@ class TestViterbiSegment:
         (r,) = viterbi_segment(df, PIECES, max_piece_len=3).collect()
         assert list(r["sym"]) == ["the"] and r["n_pieces"] == 1
 
+    def test_jvm_and_arrow_impls_identical(self, spark):
+        # the impl choice must NEVER move a gate hash: both paths run
+        # the same integer DP with the same tie-break tuple
+        words = _rand_words(seed=23) + ["the", "zq", "a"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        jvm = {
+            r["word"]: (r["logp_scaled"], r["n_pieces"], list(r["sym"]))
+            for r in viterbi_segment(df, PIECES, max_piece_len=3, impl="jvm").collect()
+        }
+        arrow = {
+            r["word"]: (r["logp_scaled"], r["n_pieces"], list(r["sym"]))
+            for r in viterbi_segment(df, PIECES, max_piece_len=3, impl="arrow").collect()
+        }
+        assert jvm == arrow
+        with pytest.raises(ValueError, match="unknown impl"):
+            viterbi_segment(df, PIECES, impl="numpy")
+
     def test_duckdb_mirror_exact(self, spark):
         import duckdb
 
