@@ -11,7 +11,11 @@ streaming machinery itself, not just the window expression:
   mode equals the batch grid oracle; tag-unioned with the streaming
   count-barrier (complete groups fire once, the deliberately
   incomplete group never) and, round 6, STREAMING session windows —
-  the gap-merge state path vs the lag-based gaps-and-islands oracle.
+  the gap-merge state path vs the lag-based gaps-and-islands oracle;
+  round 11 adds 'topk' — streaming grouped top-k on the
+  transformWithState arbitrary-state API (O(k) RocksDB ListState per
+  key) folded across three staged micro-batches vs the batch
+  row_number oracle.
 - s03: a stream-stream inner interval join — the state-store-buffered
   join with watermark eviction bounds — equals the batch range join.
 - s04: the reference's queue-consumption path
@@ -268,7 +272,65 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         F.col("window_start").cast(ntz).alias("window_start"),
         F.col("window_end").cast(ntz).alias("window_end"),
     )
-    return slide.unionByName(barrier).unionByName(session)
+    # ---- 'topk' part ------------------------------------------------------
+    # Streaming grouped top-k (round 11): O(k) state per key folded
+    # across THREE mtime-ordered staged micro-batches
+    # (maxFilesPerTrigger=1) — the final standings must equal the batch
+    # row_number() <= 3, which only holds if state genuinely carries
+    # and re-sorts across batches. The drain runs under the RocksDB
+    # provider, putting the round-11 state_store_provider path on a
+    # gate's critical path (provider engagement itself is asserted in
+    # test_streaming; here it must produce hash-identical standings).
+    from stepist_spark.streaming.runtime import state_store_provider
+    from stepist_spark.streaming.topk import latest_topk, stream_topk
+
+    tev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") % 4 == 0)
+        .select("event_type", "event_id", "value")
+        # one scan, three staged slices: each write_stream_file below
+        # re-executes its input plan, so checkpoint the 3-column slice
+        # once instead of re-scanning events per staged batch
+        .localCheckpoint()
+    )
+    tdir = fresh_scratch(spark, "s02_topk")
+    for i in range(3):
+        write_stream_file(
+            tev.filter(F.col("event_id") % 3 == i),
+            tdir,
+            f"b{i}.parquet",
+            _MTIME0 + i,
+        )
+    tsrc = (
+        spark.readStream.schema(tev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tdir)
+    )
+    tk = stream_topk(tsrc, "event_type", "value", 3, "event_id")
+    tsink = f"s02_topk_{next(_SINK_IDS)}"
+    with stream_shuffle_partitions(spark, 8), state_store_provider(spark, "rocksdb"):
+        q4 = (
+            tk.writeStream.format("memory")
+            .queryName(tsink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q4, 300)
+    topk = latest_topk(spark.table(tsink), "event_type").select(
+        F.lit("topk").alias("part"),
+        # leader identity certified alongside rank: key carries the id
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")).alias(
+            "event_type"
+        ),
+        F.col("rank").cast("bigint").alias("n"),
+        # a single double passed through (no cross-row sum) — exact in
+        # both engines, including through the Arrow/pandas hop
+        F.col("value").alias("sum_value"),
+        F.lit(None).cast(ntz).alias("window_start"),
+        F.lit(None).cast(ntz).alias("window_end"),
+    )
+    return slide.unionByName(barrier).unionByName(session).unionByName(topk)
 
 
 # Epoch-aligned 2h/1h sliding windows = the two hour-truncated starts
@@ -307,6 +369,15 @@ FROM (
     )
 )
 GROUP BY user_id, sess
+UNION ALL
+SELECT 'topk', event_type || ':' || CAST(event_id AS VARCHAR), rank, value,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM (
+    SELECT event_type, event_id, value, row_number() OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+    FROM events WHERE user_id % 4 = 0
+)
+WHERE rank <= 3
 """
 
 

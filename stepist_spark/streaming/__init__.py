@@ -19,6 +19,8 @@ Here the same capabilities are Structured Streaming:
 - count-barrier w/ TTL → ``barrier_reduce`` (stateful, real timeouts)
 - event-time windows   → ``windowed_agg``/``session_agg`` (+watermark),
                          which the reference cannot express at all
+- grouped leaders      → ``stream_topk`` (O(k) state per key, RocksDB
+                         provider ready)
 """
 
 from stepist_spark.streaming.barrier import barrier_reduce
@@ -26,6 +28,7 @@ from stepist_spark.streaming.dedup import stream_dedup
 from stepist_spark.streaming.incremental import dedup_against_history
 from stepist_spark.streaming.joins import interval_join
 from stepist_spark.streaming.runtime import StreamFlow
+from stepist_spark.streaming.topk import latest_topk, stream_topk
 from stepist_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 __all__ = [
@@ -33,7 +36,9 @@ __all__ = [
     "barrier_reduce",
     "dedup_against_history",
     "interval_join",
+    "latest_topk",
     "stream_dedup",
+    "stream_topk",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",
