@@ -1691,3 +1691,397 @@ def avi_roundtrip_features(
             "quality int, fps int, n_frames int, ok int"
         ),
     )
+
+
+# The PALETTE-INDEXED member of the in-repo codec family (round 11):
+# GIF89a with a real variable-width LZW coder — the one common
+# web-image format still missing from the seam (LZW's patents expired
+# 2003/2004; the format is fully public, Appendix F of the GIF89a
+# spec). Unlike JPEG, GIF is LOSSLESS on its index raster, so the
+# certification is EXACT (the BMP/PNG discipline, not the jpg/avi
+# tolerance gate), and it exercises three decode paths no other codec
+# covers: variable-width LZW with code-table growth + CLEAR resets,
+# the 4-pass interlace row shuffle, and multi-image (animated)
+# streams with per-frame Graphic Control Extensions. Reference
+# analog: none (opaque queue payloads, `stepist/flow/libs/
+# simple_queue.py:62-77`); this is the BASELINE.json
+# multimodal-columns requirement.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_rows(height: int) -> list:
+    """Row output order of a GIF interlaced image (4 passes)."""
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, height, step))
+    return order
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-flavor LZW over a flat index sequence. ``mcs`` is the LZW
+    minimum code size (2..8); codes start at ``mcs+1`` bits, grow when
+    the ENCODER's next free code no longer fits (next == 2^width + 1 —
+    the encoder's table stays one entry ahead of the decoder's, hence
+    the +1 asymmetry vs the decoder's growth rule), cap at 12 bits,
+    and a CLEAR resets the table when code 4096 would be needed. Bits
+    pack LSB-first (GIF's bit order)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear, width)
+    seq = ()
+    for px in indices:
+        px = int(px)
+        if px >= clear:
+            raise ValueError(f"index {px} exceeds palette for mcs={mcs}")
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if nxt == 4096:
+            # table full: reset mid-stream (the deferred-clear path)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            nxt = eoi + 1
+            width = mcs + 1
+        else:
+            table[cand] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int):
+    """Decode a GIF LZW byte stream back to exactly ``n_expected``
+    indices. STRICT: raises ValueError on codes beyond the table
+    (except the standard KwKwK next-code case), missing EOI, or a
+    pixel count mismatch. Decoder width rule: grow when ITS next free
+    code reaches 2^width (one behind the encoder — see encoder
+    docstring)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = []
+    width = mcs + 1
+    table = [(i,) for i in range(clear)] + [(), ()]
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"first LZW code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + (table[prev][0],)  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(table[prev] + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+        if len(out) > n_expected:
+            raise ValueError(
+                f"LZW produced {len(out)}+ pixels, expected {n_expected}"
+            )
+    if len(out) != n_expected:
+        raise ValueError(f"LZW produced {len(out)} pixels, expected {n_expected}")
+    return out
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap a byte stream into GIF data sub-blocks (<=255 bytes each,
+    length-prefixed, 0x00-terminated)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames, palette, delay_cs: int = 0, interlace: bool = False) -> bytes:
+    """Encode one or more ``(h, w)`` uint8 index rasters as a GIF89a:
+    logical screen descriptor + global color table + (animated: a
+    Netscape loop extension) + per frame a Graphic Control Extension
+    (the ``delay_cs`` hundredths-of-a-second header roundtrip) and an
+    image descriptor with real LZW data, interlaced row order when
+    ``interlace``. ``palette`` is an ``(n, 3)`` uint8 array with n a
+    power of two in 2..256; every index must be < n."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all GIF frames must share one size")
+    palette = np.asarray(palette, dtype=np.uint8)
+    n_colors = palette.shape[0]
+    if n_colors & (n_colors - 1) or not 2 <= n_colors <= 256:
+        raise ValueError(f"palette size {n_colors} not a power of two in 2..256")
+    depth = n_colors.bit_length() - 1  # log2
+    mcs = max(2, depth)  # LZW minimum code size (spec floor of 2)
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, color resolution = depth
+    packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    out.extend(struct.pack("<HHBBB", w, h, packed, 0, 0))
+    out.extend(palette.tobytes())
+    if len(frames) > 1:
+        # Netscape 2.0 looping application extension (loop forever)
+        out.extend(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for frame in frames:
+        # GCE: size 4, packed (no disposal/transparency), delay,
+        # transparent index, block terminator
+        out.extend(struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0))
+        out.extend(
+            struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+        )
+        if interlace:
+            frame = frame[_gif_interlace_rows(h), :]
+        out.append(mcs)
+        out.extend(_gif_subblocks(_gif_lzw_encode(frame.reshape(-1), mcs)))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode a GIF87a/89a into ``(frames, palette, delay_cs,
+    interlaced)`` — frames a list of ``(h, w)`` uint8 index rasters
+    (de-interlaced, in stream order), palette ``(n, 3)`` uint8.
+    STRICT within the supported envelope: unknown EXTENSIONS are
+    skipped by the sub-block walk (the AVI JUNK discipline), but bad
+    magic, a missing global color table, local color tables, frame
+    offsets, size mismatches, LZW violations, truncation, or a
+    missing trailer raise ValueError through the quarantine
+    boundary."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 13:
+        raise ValueError("not a GIF: too short for header")
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad magic")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("unsupported GIF: no global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    if len(payload) < pos + 3 * n_colors:
+        raise ValueError("truncated GIF: global color table")
+    palette = np.frombuffer(
+        payload, dtype=np.uint8, count=3 * n_colors, offset=pos
+    ).reshape(n_colors, 3)
+    pos += 3 * n_colors
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF: sub-block length")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            if p + n > len(payload):
+                raise ValueError("truncated GIF: sub-block body")
+            p += n
+
+    frames = []
+    delay_cs = 0
+    interlaced = False
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: extension label")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("bad GIF graphic control extension")
+                delay_cs = struct.unpack_from("<H", payload, pos + 2)[0]
+                pos = skip_subblocks(pos)
+            else:
+                pos = skip_subblocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if (left, top) != (0, 0) or (fw, fh) != (w, h):
+            raise ValueError("unsupported GIF: frame offset or size mismatch")
+        if fpacked & 0x80:
+            raise ValueError("unsupported GIF: local color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: LZW min code size")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"bad GIF LZW min code size {mcs}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: image sub-block length")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(payload):
+                raise ValueError("truncated GIF: image sub-block body")
+            lzw.extend(payload[pos : pos + n])
+            pos += n
+        idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh)
+        frame = np.array(idx, dtype=np.uint8).reshape(fh, fw)
+        if fpacked & 0x40:
+            interlaced = True
+            de = np.empty_like(frame)
+            de[_gif_interlace_rows(fh), :] = frame
+            frame = de
+        if frame.max(initial=0) >= n_colors:
+            raise ValueError("GIF index beyond palette")
+        frames.append(frame)
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return frames, palette, delay_cs, interlaced
+
+
+def gif_roundtrip_features(ids: DataFrame, width: int, height: int) -> DataFrame:
+    """The m01 'gif' certification op: REAL GIF89a payloads from
+    closed-form index rasters — ``idx(x,y,f) = (id*7 + 3x + 5y + 37f)
+    % 2^depth`` with palette ``pal[i] = ((3i+id)%256, (5i+2id)%256,
+    (7i)%256)`` — with the bit DEPTH (4 by id%3==0 else 8 — two LZW
+    min-code-size regimes), INTERLACE (id odd — the 4-pass row
+    shuffle), FRAME COUNT (3 by id%5==0 else 1 — animated vs static
+    block sequence) and the delay header (4 + id%6) all cycling by
+    media_id; every parameter modulus (2, 3, 5, 6) is coprime to the
+    gate's 49 — delay was mod 7 at first, and 7 | 49 froze it (the
+    avi lesson, relearned).
+    GIF is lossless on indices, so everything certifies EXACTLY:
+    ``sum_idx`` (the LZW round-trip), position+frame-weighted
+    ``wsum_idx`` (de-interlace geometry AND frame order — the 37/frame
+    step makes every frame's form distinct at both depths), and the
+    palette-mapped ``sum_r`` (the color-table read). The oracle
+    recomputes all three straight from the closed forms."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"].astype("int64"):
+                mid = int(mid)
+                depth = 4 if mid % 3 == 0 else 8
+                interlace = mid % 2 == 1
+                n_frames = 3 if mid % 5 == 0 else 1
+                delay = 4 + mid % 6
+                src = [
+                    ((mid * 7 + 3 * x + 5 * y + 37 * f) % (1 << depth)).astype(
+                        np.uint8
+                    )
+                    for f in range(n_frames)
+                ]
+                i = np.arange(1 << depth, dtype=np.int64)
+                pal = np.stack(
+                    [(3 * i + mid) % 256, (5 * i + 2 * mid) % 256, (7 * i) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                payload = encode_gif(src, pal, delay_cs=delay, interlace=interlace)
+                frames, dpal, ddelay, dinter = decode_gif(payload)
+                exact = (
+                    len(frames) == n_frames
+                    and ddelay == delay
+                    and dinter == interlace
+                    and np.array_equal(dpal, pal)
+                    and all(np.array_equal(a, b) for a, b in zip(frames, src))
+                )
+                stack = np.stack(frames).astype(np.int64)
+                pos_w = (
+                    np.arange(1, stack.size + 1, dtype=np.int64).reshape(stack.shape)
+                )
+                rows.append(
+                    (
+                        mid, frames[0].shape[1], frames[0].shape[0], depth,
+                        int(dinter), len(frames), ddelay,
+                        int(stack.sum()), int((stack * pos_w).sum()),
+                        int(pal[stack.reshape(-1), 0].astype(np.int64).sum()),
+                        int(exact),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "depth", "interlaced",
+                    "n_frames", "delay_cs", "sum_idx", "wsum_idx", "sum_r",
+                    "ok",
+                ],
+            )
+
+    return ids.mapInPandas(
+        op,
+        schema=(
+            "media_id long, width int, height int, depth int, interlaced int, "
+            "n_frames int, delay_cs int, sum_idx long, wsum_idx long, "
+            "sum_r long, ok int"
+        ),
+    )

@@ -335,12 +335,49 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
             F.col("ok").cast("string"),
         ).alias("s1"),
     )
+    # 'gif' (round 11) — the PALETTE-INDEXED certification: real GIF89a
+    # payloads with a real variable-width LZW coder, EXACT on the index
+    # raster (the BMP/PNG discipline — no tolerance needed), with bit
+    # depth (4 by id%3==0 else 8 — two LZW min-code-size regimes),
+    # 4-pass INTERLACE (odd ids), frame count (3 by id%5==0 else 1 —
+    # animated vs static block sequences) and the GCE delay header all
+    # cycling under modulus 49 residue 11 (coprime to 2, 3 AND 5).
+    # sum_idx certifies the LZW round-trip, the position+frame-weighted
+    # wsum_idx certifies de-interlace geometry AND frame order, sum_r
+    # certifies the global-color-table read; the oracle recomputes all
+    # three from the closed forms.
+    from stepist_spark.operators.multimodal import gif_roundtrip_features
+
+    gif_ids = docs.filter(F.col("doc_id") % 49 == 11).select(
+        F.col("doc_id").alias("media_id")
+    )
+    gif = gif_roundtrip_features(gif_ids, width=17, height=9).select(
+        F.lit("gif").alias("part"),
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.col("depth").cast("string"),
+            F.col("interlaced").cast("string"),
+            F.col("n_frames").cast("string"),
+            F.col("delay_cs").cast("string"),
+            F.col("sum_idx").cast("string"),
+            F.col("wsum_idx").cast("string"),
+            F.col("sum_r").cast("string"),
+            F.col("ok").cast("string"),
+        ).alias("s1"),
+    )
     return (
         prof.unionByName(bmp)
         .unionByName(wav)
         .unionByName(png)
         .unionByName(jpg)
         .unionByName(avi)
+        .unionByName(gif)
     )
 
 
@@ -406,6 +443,28 @@ SELECT 'avi', doc_id, 'video',
            || CAST(5 + doc_id % 5 AS VARCHAR) || ':3:1'
 FROM documents
 WHERE doc_id % 49 = 7
+UNION ALL
+SELECT 'gif', doc_id, 'image',
+       CAST(NULL AS BIGINT), 17, 9, CAST(NULL AS BIGINT),
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 8 END AS VARCHAR) || ':'
+           || CAST(doc_id % 2 AS VARCHAR) || ':'
+           || CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS VARCHAR) || ':'
+           || CAST(4 + doc_id % 6 AS VARCHAR) || ':'
+           || CAST(sum(idx) AS BIGINT) || ':'
+           || CAST(sum((f * 153 + y * 17 + x + 1) * idx) AS BIGINT) || ':'
+           || CAST(sum((3 * idx + doc_id) % 256) AS BIGINT) || ':1'
+FROM (
+    SELECT doc_id, x, y, f,
+           (doc_id * 7 + 3 * x + 5 * y + 37 * f)
+               % (CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 256 END) AS idx
+    FROM documents,
+         (SELECT unnest(generate_series(0, 16)) AS x),
+         (SELECT unnest(generate_series(0, 8)) AS y),
+         (SELECT unnest(generate_series(0, 2)) AS f)
+    WHERE doc_id % 49 = 11
+      AND f < CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END
+)
+GROUP BY doc_id
 """
 
 

@@ -1163,3 +1163,165 @@ class TestAviMjpegCodec:
         # the four ids exercise both chroma modes and distinct fps
         assert {r["mode"] for r in rows.values()} == {"420", "444"}
         assert len({r["fps"] for r in rows.values()}) >= 3
+
+
+class TestGifCodec:
+    """The PALETTE-INDEXED member of the codec family (round 11):
+    GIF89a with a real variable-width LZW coder. Lossless on the index
+    raster, so every check is EXACT; covers the three decode paths no
+    other codec exercises — LZW table growth + CLEAR reset, the 4-pass
+    interlace shuffle, and multi-image (animated) block sequences."""
+
+    def _pal(self, depth, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(1 << depth, 3)).astype(np.uint8)
+
+    def test_roundtrip_matrix(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(11)
+        for nf in (1, 3):
+            for inter in (False, True):
+                for depth in (2, 4, 8):
+                    frames = [
+                        rng.integers(0, 1 << depth, size=(9, 17)).astype(np.uint8)
+                        for _ in range(nf)
+                    ]
+                    pal = self._pal(depth)
+                    p = encode_gif(frames, pal, delay_cs=7, interlace=inter)
+                    df, dpal, dd, di = decode_gif(p)
+                    assert len(df) == nf and dd == 7 and di == inter
+                    assert np.array_equal(dpal, pal)
+                    for a, b in zip(df, frames):
+                        assert np.array_equal(a, b)
+
+    def test_lzw_growth_and_clear_reset(self):
+        # 128x128 random bytes force the code table through every
+        # width 9..12 AND past 4096 entries (the mid-stream CLEAR
+        # reset); exact roundtrip proves encoder/decoder width rules
+        # stay in sync through both transitions
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            _gif_lzw_decode,
+            _gif_lzw_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 256, size=128 * 128).astype(np.uint8)
+        enc = _gif_lzw_encode(idx, 8)
+        assert _gif_lzw_decode(enc, 8, idx.size) == list(idx)
+        # compressible input (long runs) exercises multi-symbol entries
+        runs = np.repeat(np.arange(16, dtype=np.uint8), 200)
+        enc2 = _gif_lzw_encode(runs, 4)
+        assert len(enc2) < runs.size // 4  # actually compresses
+        assert _gif_lzw_decode(enc2, 4, runs.size) == list(runs)
+
+    def test_interlace_is_really_deinterlaced(self):
+        # the interlaced payload stores rows in pass order — decoding
+        # it as if sequential would scramble geometry; equality of the
+        # full raster proves the de-interlace map is applied
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            _gif_interlace_rows,
+            decode_gif,
+            encode_gif,
+        )
+
+        assert _gif_interlace_rows(9) == [0, 8, 4, 2, 6, 1, 3, 5, 7]
+        frame = np.arange(9 * 17, dtype=np.uint8).reshape(9, 17) % 256
+        p_seq = encode_gif([frame], self._pal(8), interlace=False)
+        p_int = encode_gif([frame], self._pal(8), interlace=True)
+        assert p_seq != p_int  # the stored row order genuinely differs
+        assert np.array_equal(decode_gif(p_int)[0][0], frame)
+
+    def test_frame_order_certified(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_gif, encode_gif
+
+        frames = [
+            np.full((4, 5), 10 * f, dtype=np.uint8) for f in range(3)
+        ]
+        p = encode_gif(frames, self._pal(8))
+        got = decode_gif(p)[0]
+        assert [int(f[0, 0]) for f in got] == [0, 10, 20]  # stream order kept
+
+    def test_unknown_extension_skipped(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import decode_gif, encode_gif
+
+        frame = np.arange(20, dtype=np.uint8).reshape(4, 5)
+        good = encode_gif([frame], self._pal(8))
+        hdr = 13 + 3 * 256
+        spliced = good[:hdr] + b"\x21\xfehello\x00"[:2] + b"\x05hello\x00" + good[hdr:]
+        assert np.array_equal(decode_gif(spliced)[0][0], frame)
+
+    def test_quarantine_errors(self):
+        import numpy as np
+        import pytest
+
+        from stepist_spark.operators.multimodal import decode_gif, encode_gif
+
+        frame = np.arange(20, dtype=np.uint8).reshape(4, 5)
+        good = encode_gif([frame], self._pal(8))
+        with pytest.raises(ValueError, match="magic"):
+            decode_gif(b"NOTG" + good[4:])
+        with pytest.raises(ValueError, match="trailer"):
+            decode_gif(good[:-1])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(good[:40])
+        bad = bytearray(good)
+        bad[10] &= 0x7F  # clear the GCT flag
+        with pytest.raises(ValueError, match="global color table"):
+            decode_gif(bytes(bad))
+        # a corrupt LZW byte must be a *named* error, not garbage output
+        lzw_pos = len(good) - 10
+        bad2 = bytearray(good)
+        bad2[lzw_pos] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_gif(bytes(bad2))
+
+    def test_encoder_validation(self):
+        import numpy as np
+        import pytest
+
+        from stepist_spark.operators.multimodal import encode_gif
+
+        with pytest.raises(ValueError, match="at least one"):
+            encode_gif([], self._pal(8))
+        with pytest.raises(ValueError, match="power of two"):
+            encode_gif([np.zeros((2, 2), np.uint8)], np.zeros((5, 3), np.uint8))
+        with pytest.raises(ValueError, match="one size"):
+            encode_gif(
+                [np.zeros((2, 2), np.uint8), np.zeros((3, 2), np.uint8)],
+                self._pal(8),
+            )
+        with pytest.raises(ValueError, match="exceeds palette"):
+            encode_gif([np.full((2, 2), 20, np.uint8)], self._pal(4))
+
+    def test_gate_op_parameter_cycling(self, spark):
+        from pyspark.sql import Row
+
+        from stepist_spark.operators.multimodal import gif_roundtrip_features
+
+        # ids stepping by 49 from residue 11 — the gate's exact rule
+        ids = spark.createDataFrame(
+            [Row(media_id=11 + 49 * i) for i in range(6)]
+        )
+        rows = {r["media_id"]: r for r in gif_roundtrip_features(ids, 17, 9).collect()}
+        assert all(r["ok"] == 1 for r in rows.values())
+        assert {r["depth"] for r in rows.values()} == {4, 8}
+        assert {r["interlaced"] for r in rows.values()} == {0, 1}
+        assert {r["n_frames"] for r in rows.values()} == {1, 3}
+        assert len({r["delay_cs"] for r in rows.values()}) >= 3
+        for mid, r in rows.items():
+            assert r["depth"] == (4 if mid % 3 == 0 else 8)
+            assert r["interlaced"] == mid % 2
+            assert r["n_frames"] == (3 if mid % 5 == 0 else 1)
