@@ -80,14 +80,18 @@ def main() -> None:
     # calibration_sec before reading any regression as real.
     from pyspark.sql.functions import xxhash64
 
-    calib = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(50_000_000).select(
-            (xxhash64(col("id")) % 97).alias("k")
-        ).groupBy("k").count().collect()
-        dt = time.perf_counter() - t0
-        calib = dt if calib is None else min(calib, dt)
+    def calibrate() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).select(
+                (xxhash64(col("id")) % 97).alias("k")
+            ).groupBy("k").count().collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    calib = calibrate()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -195,6 +199,11 @@ def main() -> None:
             # values by their calibration_sec ratio before reading a
             # delta as a plan change — the host is 1.3-2× bimodal
             "calibration_sec": round(calib, 3),
+            # the probe re-run AFTER the sweep (round-11 lesson: the
+            # r11 inflation was invisible to the start-only sample —
+            # the host entered its slow mode mid-run; sf1_smoke's
+            # pre/post pair is what made that legible)
+            "calibration_post_sec": round(calibrate(), 3),
             "loadavg_1min": [round(load_before[0], 2), round(os.getloadavg()[0], 2)],
         }
     )

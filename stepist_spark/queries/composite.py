@@ -371,6 +371,36 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
             F.col("ok").cast("string"),
         ).alias("s1"),
     )
+    # 'ima' (round 11) — the COMPRESSED-AUDIO certification: real IMA
+    # ADPCM-in-WAV payloads (4-bit adaptive quantizer, per-block
+    # predictor/step headers, fact-chunk-bounded partial final block)
+    # from a closed-form int16 triangle whose slope the quantizer
+    # tracks; slope/period/block-align/sample-rate cycle under moduli
+    # 2, 3, 5, 6 — all coprime to 49. ok=1 certifies every decoded
+    # sample within _IMA_TOL of its own index's closed form (measured
+    # roundtrip 280, TOL 384) plus exact length + rate roundtrip; the
+    # oracle predicts every hashed column from the parameters.
+    from stepist_spark.operators.multimodal import ima_roundtrip_features
+
+    ima_ids = docs.filter(F.col("doc_id") % 49 == 17).select(
+        F.col("doc_id").alias("media_id")
+    )
+    ima = ima_roundtrip_features(ima_ids, n_samples=600).select(
+        F.lit("ima").alias("part"),
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_samples").alias("n_bytes_out"),
+        F.concat_ws(
+            ":",
+            F.col("sample_rate").cast("string"),
+            F.col("block_align").cast("string"),
+            F.col("n_blocks").cast("string"),
+            F.col("ok").cast("string"),
+        ).alias("s1"),
+    )
     return (
         prof.unionByName(bmp)
         .unionByName(wav)
@@ -378,6 +408,7 @@ def m01_media_features(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(jpg)
         .unionByName(avi)
         .unionByName(gif)
+        .unionByName(ima)
     )
 
 
@@ -465,6 +496,15 @@ FROM (
       AND f < CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END
 )
 GROUP BY doc_id
+UNION ALL
+SELECT 'ima', doc_id, 'audio',
+       CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(600 AS BIGINT),
+       CAST(8000 + 100 * (doc_id % 6) AS VARCHAR) || ':'
+           || CAST(CASE WHEN doc_id % 2 = 0 THEN 132 ELSE 260 END AS VARCHAR) || ':'
+           || CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS VARCHAR) || ':1'
+FROM documents
+WHERE doc_id % 49 = 17
 """
 
 

@@ -1325,3 +1325,156 @@ class TestGifCodec:
             assert r["depth"] == (4 if mid % 3 == 0 else 8)
             assert r["interlaced"] == mid % 2
             assert r["n_frames"] == (3 if mid % 5 == 0 else 1)
+
+
+class TestImaAdpcmCodec:
+    """The COMPRESSED-AUDIO member of the codec family (round 11):
+    IMA ADPCM in WAV (tag 0x0011). Lossy 4:1, so certification =
+    tolerance tracking of a bounded-slope closed form + exact
+    length/rate/geometry; corruption scope is measured and documented
+    at _IMA_TOL (low-step nibble flips can hide — unlike JPEG)."""
+
+    def _tri(self, mid, n=600):
+        import numpy as np
+
+        i = np.arange(n, dtype=np.int64)
+        c = 64 + 32 * (mid % 3)
+        period = 64 + 32 * (mid % 5)
+        return (c * (np.abs((i + mid) % period - period // 2) - period // 4)).astype(
+            np.int16
+        )
+
+    def test_roundtrip_tracks_within_tol(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            _IMA_TOL,
+            decode_wav_ima,
+            encode_wav_ima,
+        )
+
+        for mid in (11, 60, 109, 158, 207):
+            src = self._tri(mid)
+            align = 132 if mid % 2 == 0 else 260
+            rate = 8000 + 100 * (mid % 6)
+            dec, drate = decode_wav_ima(encode_wav_ima(src, rate, block_align=align))
+            assert drate == rate and dec.size == src.size
+            err = int(np.abs(dec.astype(np.int64) - src.astype(np.int64)).max())
+            assert err <= _IMA_TOL, (mid, err)
+
+    def test_partial_final_block_length_exact(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            decode_wav_ima,
+            encode_wav_ima,
+        )
+
+        # 600 samples at spb=257 -> blocks of 257+257+86: the fact
+        # chunk must clip the padded tail exactly
+        src = self._tri(11)
+        payload = encode_wav_ima(src, 8000, block_align=132)
+        dec, _ = decode_wav_ima(payload)
+        assert dec.size == 600
+        # a single full block roundtrips too (no partial path)
+        one = self._tri(4)[:257]
+        dec1, _ = decode_wav_ima(encode_wav_ima(one, 8000, block_align=132))
+        assert dec1.size == 257
+
+    def test_detected_corruption_class(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            _IMA_TOL,
+            decode_wav_ima,
+            encode_wav_ima,
+        )
+
+        src = self._tri(11)
+        p = bytearray(encode_wav_ima(src, 8000, block_align=260))
+        p[p.find(b"data") + 8 + 50] ^= 0xFF  # early-block flip: desyncs
+        dec, _ = decode_wav_ima(bytes(p))
+        err = int(np.abs(dec.astype(np.int64) - src.astype(np.int64)).max())
+        assert err > _IMA_TOL
+
+    def test_unknown_chunk_skipped(self):
+        import numpy as np
+
+        from stepist_spark.operators.multimodal import (
+            decode_wav_ima,
+            encode_wav_ima,
+        )
+
+        src = self._tri(60)
+        good = encode_wav_ima(src, 8000, block_align=132)
+        # splice a LIST chunk between fmt and fact (the WAV discipline)
+        fmt_end = good.find(b"fact")
+        spliced = good[:fmt_end] + b"LIST\x04\x00\x00\x00INFO" + good[fmt_end:]
+        dec, _ = decode_wav_ima(spliced)
+        ref, _ = decode_wav_ima(good)
+        assert np.array_equal(dec, ref)
+
+    def test_quarantine_errors(self):
+        import struct
+
+        import pytest
+
+        from stepist_spark.operators.multimodal import (
+            decode_wav_ima,
+            encode_wav_ima,
+        )
+
+        good = encode_wav_ima(self._tri(11), 8000, block_align=132)
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav_ima(b"XXXX" + good[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav_ima(good[:60])
+        # PCM tag must be rejected (this is the IMA decoder)
+        bad = bytearray(good)
+        off = bad.find(b"fmt ") + 8
+        struct.pack_into("<H", bad, off, 0x0001)
+        with pytest.raises(ValueError, match="unsupported WAV"):
+            decode_wav_ima(bytes(bad))
+        # inconsistent samples_per_block vs block_align
+        bad2 = bytearray(good)
+        struct.pack_into("<H", bad2, off + 18, 999)
+        with pytest.raises(ValueError, match="inconsistent IMA geometry"):
+            decode_wav_ima(bytes(bad2))
+        # missing fact: excise it (4 id + 4 len + 4 count = 12 bytes)
+        f = good.find(b"fact")
+        nofact = good[:f] + good[f + 12 :]
+        with pytest.raises(ValueError, match="fact"):
+            decode_wav_ima(nofact)
+        # bad step index in a block header
+        bad3 = bytearray(good)
+        bad3[bad3.find(b"data") + 8 + 2] = 99
+        with pytest.raises(ValueError, match="step index"):
+            decode_wav_ima(bytes(bad3))
+
+    def test_encoder_validation(self):
+        import numpy as np
+        import pytest
+
+        from stepist_spark.operators.multimodal import encode_wav_ima
+
+        with pytest.raises(ValueError, match="non-empty"):
+            encode_wav_ima(np.array([], dtype=np.int16), 8000)
+        with pytest.raises(ValueError, match="multiple of 4"):
+            encode_wav_ima(np.zeros(10, np.int16), 8000, block_align=130)
+
+    def test_gate_op_parameter_cycling(self, spark):
+        from pyspark.sql import Row
+
+        from stepist_spark.operators.multimodal import ima_roundtrip_features
+
+        ids = spark.createDataFrame(
+            [Row(media_id=17 + 49 * i) for i in range(6)]
+        )
+        rows = {r["media_id"]: r for r in ima_roundtrip_features(ids).collect()}
+        assert all(r["ok"] == 1 for r in rows.values())
+        assert {r["block_align"] for r in rows.values()} == {132, 260}
+        assert {r["n_blocks"] for r in rows.values()} == {2, 3}
+        assert len({r["sample_rate"] for r in rows.values()}) >= 3
+        for mid, r in rows.items():
+            assert r["block_align"] == (132 if mid % 2 == 0 else 260)
+            assert r["sample_rate"] == 8000 + 100 * (mid % 6)
