@@ -64,19 +64,24 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
-def _minhash_sig_sql(corpus_sql: str, shingle_k: int | None = None) -> str:
+def _minhash_sig_sql(
+    corpus_sql: str, shingle_k: int | None = None, n_hashes: int = N_HASHES
+) -> str:
     """Signature CTE body shared by the LSH/jaccard oracles.
 
     ``shingle_k`` mirrors the operator's shingle-based MinHash (see
     dedup.minhash_lsh_candidates: single-token MinHash degenerates on a
     small vocabulary); None hashes raw tokens (t06's signature demo).
+    ``n_hashes`` widens the sig CTE (mh0..mh{n-1}) — a SUPERSET: the
+    first N_HASHES columns are identical values, so widening for t08's
+    'steep' part cannot move any existing band's hashes.
     """
     unit = TX.tokens_sql("text")
     if shingle_k is not None:
         unit = hashing.shingles_sql(unit, shingle_k)
     h = hashing.word_hash32_sql("_tok")
     aggs = ", ".join(
-        f"min({hashing.minhash_of_hash_sql(h, i)}) AS mh{i}" for i in range(N_HASHES)
+        f"min({hashing.minhash_of_hash_sql(h, i)}) AS mh{i}" for i in range(n_hashes)
     )
     return f"""
 corpus AS ({corpus_sql}),
@@ -101,6 +106,24 @@ def _bands_sql() -> str:
 _CAND_JOIN_SQL = (
     "bands a JOIN bands b ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 "
     "AND a._id < b._id"
+)
+
+
+def _bands16_sql() -> str:
+    """The r=4 band split over the widened signature (mh0..mh15, 4
+    bands of 4 rows) — the steeper S-curve posture t08's 'steep' part
+    certifies; mirrors dedup.minhash_lsh_candidates(n_hashes=16,
+    bands=4) row-for-row."""
+    parts = []
+    for b in range(4):
+        cols = ", ".join(f"mh{b * 4 + r} AS h{r}" for r in range(4))
+        parts.append(f"SELECT _id, {b} AS band, {cols} FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+_CAND16_JOIN_SQL = (
+    "bands16 a JOIN bands16 b ON a.band = b.band AND a.h0 = b.h0 "
+    "AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a._id < b._id"
 )
 
 
@@ -365,8 +388,32 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard_tok"),
         _jac().alias("jaccard_shingle"),
     )
+    # 'steep' — the r=4 banding POSTURE certified by value (round 11):
+    # the round-11 LSH audit showed the default (8, 4) ⇒ r=2 S-curve
+    # is the catalog's candidate-volume governor at corpus scale (37%
+    # sub-threshold candidates at sf0.1, AND missed true pairs). This
+    # part runs the SAME operator at (16, 4) ⇒ r=4 — the posture the
+    # audit recommends — and hash-certifies its candidate set + exact
+    # shingle Jaccard against an oracle that replays the full 16-hash
+    # pipeline, which also certifies the md5-extended hash family
+    # (ensure_minhash_coeffs, coeffs 12..15) through a gate rather
+    # than unit tests alone.
+    steep_c = dedup.minhash_lsh_candidates(
+        corpus, "doc_id", "text", 16, 4
+    )
+    steep = dedup.pair_set_stats(sh_sets, steep_c).select(
+        F.lit("steep").alias("part"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard_tok"),
+        _jac().alias("jaccard_shingle"),
+    )
     return (
-        lsh.unionByName(pp).unionByName(cn).unionByName(oc).unionByName(incr)
+        lsh.unionByName(pp)
+        .unionByName(cn)
+        .unionByName(oc)
+        .unionByName(incr)
+        .unionByName(steep)
     )
 
 
@@ -379,8 +426,9 @@ def _jac_sql(a: str, b: str) -> str:
 
 
 T08_SQL = f"""
-WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3)},
+WITH {_minhash_sig_sql(NEAR_DUP_CORPUS_SQL, shingle_k=3, n_hashes=16)},
 bands AS ({_bands_sql()}),
+bands16 AS ({_bands16_sql()}),
 cands AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND_JOIN_SQL}),
 sets_t AS (SELECT doc_id AS _sid, list_distinct({TX.tokens_sql('text')}) AS _set FROM corpus),
 sets_s AS (SELECT doc_id AS _sid,
@@ -443,6 +491,16 @@ SELECT 'cosine' AS part, id_a, id_b,
 FROM cands
 JOIN sets_t ta ON ta._sid = id_a
 JOIN sets_t tb ON tb._sid = id_b
+UNION ALL
+-- steep part: the r=4 banding posture (16 hashes, 4 bands of 4) —
+-- the full widened pipeline replayed, certifying the md5-extended
+-- hash family (coeffs 12..15) by value
+SELECT 'steep' AS part, id_a, id_b,
+       CAST(NULL AS DOUBLE) AS jaccard_tok,
+       {_jac_sql('sa._set', 'sb._set')} AS jaccard_shingle
+FROM (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM {_CAND16_JOIN_SQL}) sc
+JOIN sets_s sa ON sa._sid = id_a
+JOIN sets_s sb ON sb._sid = id_b
 """
 
 

@@ -231,3 +231,91 @@ class TestLshParameterSizing:
         for t in (0.0, 1.0, -0.2, 1.7):
             with pytest.raises(ValueError):
                 lsh_params_for_threshold(t)
+
+
+class TestSteepBandingPosture:
+    """t08 'steep' (round 11): the r=4 posture the LSH audit
+    recommends, run through the SAME operator at (16, 4) and certified
+    by the gate oracle. These tests pin the two empirical claims the
+    posture rests on, on a deterministic planted corpus."""
+
+    def _corpus(self, spark):
+        from pyspark.sql import Row
+
+        base = [
+            Row(doc_id=i, text=" ".join(f"tok{i}_{j}" for j in range(12)))
+            for i in range(40)
+        ]
+        # high-Jaccard plants: same 12 shingle-tokens + one suffix token
+        plants = [
+            Row(doc_id=i + 2_000_000, text=base[i].text + " zz")
+            for i in range(0, 40, 4)
+        ]
+        return spark.createDataFrame(base + plants)
+
+    def test_true_pairs_kept_at_r4(self, spark):
+        from stepist_spark.operators.dedup import minhash_lsh_candidates
+
+        df = self._corpus(spark)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(df, "doc_id", "text", 16, 4).collect()
+        }
+        # every planted near-identical pair must survive the steeper
+        # curve: at s ~= 10/13 shingle-Jaccard, P(candidate) at r=4 is
+        # 1-(1-s^4)^4 ~= 0.86 per the S-curve — and on THIS fixed hash
+        # family/corpus the outcome is deterministic, pinned here
+        for i in range(0, 40, 4):
+            assert (i, i + 2_000_000) in got
+
+    def test_r4_cuts_subthreshold_candidates(self, spark):
+        from pyspark.sql import functions as F
+
+        from stepist_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            pair_set_stats,
+        )
+        from stepist_spark.functions import hashing
+        from stepist_spark.functions import text as TX
+
+        spark_df = self._corpus(spark)
+        # add low-overlap noise docs sharing a few common tokens so the
+        # loose r=2 curve has sub-threshold pairs to admit
+        from pyspark.sql import Row
+
+        noise = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=10_000 + i,
+                    text="common alpha beta "
+                    + " ".join(f"n{i}_{j}" for j in range(9)),
+                )
+                for i in range(30)
+            ]
+        )
+        df = spark_df.unionByName(noise)
+        sh_sets = df.select(
+            F.col("doc_id").alias("_sid"),
+            F.array_distinct(
+                hashing.shingles(TX.tokens(F.col("text")), 3)
+            ).alias("_set"),
+        )
+
+        def sub_frac(n_hashes, bands):
+            cands = minhash_lsh_candidates(df, "doc_id", "text", n_hashes, bands)
+            stats = pair_set_stats(sh_sets, cands).collect()
+            if not stats:
+                return 0.0, 0
+            sub = sum(
+                1
+                for r in stats
+                if r["inter"] * 2 < (r["n_a"] + r["n_b"] - r["inter"])
+            )
+            return sub / len(stats), len(stats)
+
+        frac2, n2 = sub_frac(8, 4)
+        frac4, n4 = sub_frac(16, 4)
+        # the deterministic corpus gives a stable outcome: the steeper
+        # curve admits a strictly smaller sub-threshold FRACTION
+        assert n2 > 0 and n4 > 0
+        assert frac4 <= frac2
