@@ -151,6 +151,25 @@ def banded_signatures(
         "_id", hashing.shingles(F.col("_tk"), shingle_k).alias("_toks")
     )
     sig = hashing.minhash_signature(toks, "_id", "_toks", n_hashes=n_hashes)
+    return bands_from_signature(sig, n_hashes, bands)
+
+
+def bands_from_signature(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Banded rows ``(_id, bk)`` from a PRECOMPUTED minhash signature
+    frame (``_id, mh0..mh{n_hashes-1}``) — the signature-reuse seam.
+
+    The universal-hash family is prefix-stable (coefficient i never
+    depends on n_hashes: the first 12 are frozen literals, the rest
+    md5-position-keyed — ``hashing.ensure_minhash_coeffs``), so ONE
+    wide signature pass can feed SEVERAL bandings: a 16-hash frame
+    yields both the (8, 4) r=2 banding (reading mh0..mh7) and the
+    (16, 4) r=4 banding byte-identically to separate
+    :func:`banded_signatures` runs — one tokenize+shingle+hash pass
+    instead of one per banding (round-11 optimization; parity pinned
+    by tests/test_lsh_reuse.py)."""
+    rows_per_band = n_hashes // bands
+    if rows_per_band * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
     band_structs = F.array(
         *[
             F.struct(
@@ -161,6 +180,38 @@ def banded_signatures(
         ]
     )
     return sig.select("_id", F.explode(band_structs).alias("bk"))
+
+
+def candidates_from_banded(banded: DataFrame) -> DataFrame:
+    """Distinct ``id_a < id_b`` candidate pairs from a banded table —
+    the self-join tail of :func:`minhash_lsh_candidates`, exposed so a
+    caller holding a shared banded/signature frame can skip the
+    tokenize+hash rebuild (caller is responsible for persisting the
+    upstream; the skew story is the parent's)."""
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bk") == F.col("r.bk")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def candidates_between_banded(
+    base_banded: DataFrame, new_banded: DataFrame
+) -> DataFrame:
+    """Distinct ``(base_id, new_id)`` candidate pairs from two banded
+    tables — the join tail of :func:`minhash_lsh_candidates_between`,
+    exposed for the same signature-reuse seam."""
+    return (
+        base_banded.alias("b")
+        .join(new_banded.alias("n"), F.col("b.bk") == F.col("n.bk"))
+        .select(F.col("b._id").alias("base_id"), F.col("n._id").alias("new_id"))
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates_between(
@@ -206,12 +257,7 @@ def minhash_lsh_candidates_between(
             n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
         )
     )
-    return (
-        bb.alias("b")
-        .join(nb.alias("n"), F.col("b.bk") == F.col("n.bk"))
-        .select(F.col("b._id").alias("base_id"), F.col("n._id").alias("new_id"))
-        .distinct()
-    )
+    return candidates_between_banded(bb, nb)
 
 
 def minhash_lsh_candidates(
@@ -285,13 +331,7 @@ def minhash_lsh_candidates(
         except Exception:
             pass
     _LAST_BANDED.append(banded)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(right, (F.col("l.bk") == F.col("r.bk")) & (F.col("l._id") < F.col("r._id")))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
-    )
+    return candidates_from_banded(banded)
 
 
 def jaccard_pairs(

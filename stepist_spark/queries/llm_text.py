@@ -294,22 +294,38 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.session import spread
 
     corpus = _docs_with_near_dups(spark, sf)
-    # one materialization of the (id, id) candidate pairs feeds every
-    # verification consumer — without it each branch re-runs the
-    # shingle→minhash→band build
-    cands = dedup.minhash_lsh_candidates(
-        corpus, "doc_id", "text", N_HASHES, BANDS
-    ).localCheckpoint(eager=False)
-    # tokenize once per SET UNIT, join the pairs once per unit, and
-    # derive every score (tok/shingle Jaccard, both containment
-    # directions) from the shared (inter, n_a, n_b) statistics —
-    # instead of one tokenize+join pipeline per score
+    # ONE tokenize→shingle→16-hash signature pass feeds EVERY banding
+    # in this gate (round-11 optimization; guide §1.2 "don't compute
+    # things twice" / §2.3 shuffle fewer bytes). The universal-hash
+    # family is prefix-stable, so the (8, 4) default banding reads
+    # mh0..mh7 of the SAME checkpointed frame the (16, 4) 'steep'
+    # banding reads in full, and the 'incr' part's two sides are row
+    # filters of the same banded table. Previously the gate ran FOUR
+    # tokenize+hash passes (self-cands 8h, both incr sides 8h, steep
+    # 16h) plus a fifth tokenize for the set statistics — the before
+    # plan scanned documents 38×, the after plan reads the signature
+    # checkpoint (equivalence pinned by tests/test_lsh_reuse.py).
     toked = spread(corpus).select(
         F.col("doc_id").alias("_sid"), TX.tokens(F.col("text")).alias("_tk")
     )
+    shingled = toked.select(
+        F.col("_sid").alias("_id"), hashing.shingles(F.col("_tk"), 3).alias("_toks")
+    )
+    sig16 = hashing.minhash_signature(
+        shingled, "_id", "_toks", n_hashes=16
+    ).localCheckpoint(eager=False)
+    banded8 = dedup.bands_from_signature(sig16, N_HASHES, BANDS)
+    # one materialization of the (id, id) candidate pairs feeds every
+    # verification consumer — without it each branch re-runs the band
+    # self-join
+    cands = dedup.candidates_from_banded(banded8).localCheckpoint(eager=False)
+    # token/shingle SETS off the same tokenize pass: join the pairs
+    # once per set unit and derive every score (tok/shingle Jaccard,
+    # both containment directions) from the shared (inter, n_a, n_b)
+    # statistics — instead of one tokenize+join pipeline per score
     tok_sets = toked.select("_sid", F.array_distinct("_tk").alias("_set"))
-    sh_sets = toked.select(
-        "_sid", F.array_distinct(hashing.shingles(F.col("_tk"), 3)).alias("_set")
+    sh_sets = shingled.select(
+        F.col("_id").alias("_sid"), F.array_distinct("_toks").alias("_set")
     )
     # (id, id, 3 ints) rows: cheap to materialize, consumed twice
     tok_stats = dedup.pair_set_stats(tok_sets, cands).localCheckpoint(eager=False)
@@ -376,10 +392,12 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # the accumulated base — candidates come from the cross-frame band
     # join (dedup.minhash_lsh_candidates_between), verified with the
     # same shared shingle-set statistics.
-    base = corpus.filter(F.col("doc_id") < 2_000_000)
-    newb = corpus.filter(F.col("doc_id") >= 2_000_000)
-    ic = dedup.minhash_lsh_candidates_between(
-        newb, base, "doc_id", "text", N_HASHES, BANDS
+    # the two sides are row filters of the SAME shared banded table —
+    # banding is per-document, so filtering commutes with it (pinned by
+    # tests/test_lsh_reuse.py against minhash_lsh_candidates_between)
+    ic = dedup.candidates_between_banded(
+        banded8.filter(F.col("_id") < 2_000_000),
+        banded8.filter(F.col("_id") >= 2_000_000),
     ).select(F.col("base_id").alias("id_a"), F.col("new_id").alias("id_b"))
     incr = dedup.pair_set_stats(sh_sets, ic).select(
         F.lit("incr").alias("part"),
@@ -398,9 +416,7 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # pipeline, which also certifies the md5-extended hash family
     # (ensure_minhash_coeffs, coeffs 12..15) through a gate rather
     # than unit tests alone.
-    steep_c = dedup.minhash_lsh_candidates(
-        corpus, "doc_id", "text", 16, 4
-    )
+    steep_c = dedup.candidates_from_banded(dedup.bands_from_signature(sig16, 16, 4))
     steep = dedup.pair_set_stats(sh_sets, steep_c).select(
         F.lit("steep").alias("part"),
         "id_a",
@@ -2284,7 +2300,16 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text", "lang")
     labeled = docs.select("text", (F.col("lang") == "en").alias("label"))
     weights = clf.train_quality_classifier(labeled, "text", "label", dim=CLF_DIM)
-    scored = clf.score_documents(docs, weights, "doc_id", "text", dim=CLF_DIM)
+    # lazy localCheckpoint (round-11 optimization, guide §2.3/§1.2):
+    # the scored frame feeds SEVEN union branches (clf, auc, cm, cal,
+    # auc:src*, kappa, mcnemar) and the ppl frame three — without the
+    # checkpoint each branch's column pruning makes the subtrees
+    # non-identical, exchange reuse never fires, and the tokenize+
+    # explode+score pipeline re-executes per branch (the before plan
+    # had 84 parquet scans of documents; see plans/r11/)
+    scored = clf.score_documents(
+        docs, weights, "doc_id", "text", dim=CLF_DIM
+    ).localCheckpoint(eager=False)
     c = scored.select(
         F.lit("clf").alias("part"),
         "doc_id",
@@ -2293,7 +2318,9 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
         F.col("keep").alias("keep"),
     )
     model = clf.train_bigram_lm(docs, "text")
-    ppl = clf.perplexity_score(docs, model, "doc_id", "text")
+    ppl = clf.perplexity_score(docs, model, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
     p = ppl.select(
         F.lit("ppl").alias("part"),
         "doc_id",
