@@ -139,39 +139,26 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 #   incomplete-barrier drop (`stepist/flow/workers/
 #   reducer_engine.py:21-44`), driver-certified (round-3 VERDICT #2).
 def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
-    from stepist_spark.streaming.barrier import barrier_reduce
-    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
+    from stepist_spark.queries import record_part_wall
     from stepist_spark.session import load_table
-    from stepist_spark.streaming.windows import sliding_agg
-
-    agg = sliding_agg(
-        _events_stream(spark, sf),
-        "ts",
-        "2 hours",
-        "1 hour",
-        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
-        group_by=["event_type"],
+    from stepist_spark.streaming.barrier import barrier_reduce
+    from stepist_spark.streaming.runtime import (
+        state_store_provider,
+        stream_shuffle_partitions,
     )
-    sink = f"s02_sink_{next(_SINK_IDS)}"
-    with stream_shuffle_partitions(spark, 8):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drained(q, 300)
-    slide = spark.table(sink).select(
-        F.lit("slide").alias("part"),
-        "event_type",
-        F.col("n").cast("bigint").alias("n"),
-        "sum_value",
-        "window_start",
-        "window_end",
-    )
+    from stepist_spark.streaming.topk import latest_topk, stream_topk
+    from stepist_spark.streaming.windows import session_agg, sliding_agg
 
-    # ---- 'barrier' part -------------------------------------------------
+    # The four certifications are INDEPENDENT pipelines (separate
+    # sources, sinks, state stores), so — the s05 discipline, applied
+    # here in round 11 — all batch staging runs first, then the four
+    # availableNow drains START TOGETHER and drain CONCURRENTLY: each
+    # drain is mostly fixed per-trigger cost (planning, state commits,
+    # sink commits), so sequential drains made this gate's wall the SUM
+    # of four drains instead of their MAX (guide §2.6 overlap-
+    # independent-jobs, restated for streaming queries).
+
+    # ---- 'barrier' staging ------------------------------------------------
     sub = F.col("user_id") % 8 == 0
     ev = load_table(spark, sf, "events").filter(sub)
     # exact per-type counts: a bounded driver read (≤ |event types|
@@ -195,95 +182,7 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         branch = (F.col("event_type") == t, F.lit(f"{t}:{expect}"))
         key = F.when(*branch) if key is None else key.when(*branch)
 
-    src = (
-        _events_stream(spark, sf)
-        .filter(sub)
-        .select(key.alias("hub_job_id"), "user_id")
-    )
-    fired = barrier_reduce(
-        src,
-        group_key="hub_job_id",
-        payload_cols=["user_id"],
-        # completeness, not expiry, decides here; None (NoTimeout) lets
-        # availableNow terminate instead of spinning no-data batches
-        # against a pending wall-clock timer
-        ttl_sec=None,
-        reduce_fn=lambda gk, rows: {"total": sum(r["user_id"] for r in rows)},
-    )
-    bsink = f"s02_barrier_{next(_SINK_IDS)}"
-    with stream_shuffle_partitions(spark, 8):
-        q2 = (
-            fired.writeStream.format("memory")
-            .queryName(bsink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drained(q2, 300)
-    ntz = spark.table(sink).schema["window_start"].dataType.simpleString()
-    barrier = spark.table(bsink).select(
-        F.lit("barrier").alias("part"),
-        # strip ONLY the trailing ':<N>' segment — mirrors the
-        # rsplit-based parse in barrier_reduce (a key whose id itself
-        # contains ':' must survive intact)
-        F.regexp_replace(F.col("group_key"), ":[0-9]+$", "").alias("event_type"),
-        F.col("n").cast("bigint").alias("n"),
-        # in-state reduction result, proving payload delivery (exact:
-        # integer user_id sums are far below 2^53)
-        F.get_json_object(F.col("job_list")[0], "$.total")
-        .cast("double")
-        .alias("sum_value"),
-        F.lit(None).cast(ntz).alias("window_start"),
-        F.lit(None).cast(ntz).alias("window_end"),
-    )
-
-    # ---- 'session' part ---------------------------------------------------
-    # STREAMING session windows (round 6): gap-merged variable-length
-    # windows use a DEDICATED state-store merge path (sessions extend
-    # and coalesce as events arrive) that tumbling/sliding never
-    # exercise; complete mode needs no watermark under availableNow.
-    # Batch session semantics are q22's 'session' part — this certifies
-    # the same gap-merge through the streaming engine.
-    from stepist_spark.streaming.windows import session_agg
-
-    ssrc = _events_stream(spark, sf).filter(F.col("user_id") % 16 == 0)
-    sagg = session_agg(
-        ssrc,
-        "ts",
-        "30 minutes",
-        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
-        group_by=["user_id"],
-    )
-    ssink = f"s02_session_{next(_SINK_IDS)}"
-    with stream_shuffle_partitions(spark, 8):
-        q3 = (
-            sagg.writeStream.format("memory")
-            .queryName(ssink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drained(q3, 300)
-    session = spark.table(ssink).select(
-        F.lit("session").alias("part"),
-        F.col("user_id").cast("string").alias("event_type"),
-        F.col("n").cast("bigint").alias("n"),
-        "sum_value",
-        F.col("window_start").cast(ntz).alias("window_start"),
-        F.col("window_end").cast(ntz).alias("window_end"),
-    )
-    # ---- 'topk' part ------------------------------------------------------
-    # Streaming grouped top-k (round 11): O(k) state per key folded
-    # across THREE mtime-ordered staged micro-batches
-    # (maxFilesPerTrigger=1) — the final standings must equal the batch
-    # row_number() <= 3, which only holds if state genuinely carries
-    # and re-sorts across batches. The drain runs under the RocksDB
-    # provider, putting the round-11 state_store_provider path on a
-    # gate's critical path (provider engagement itself is asserted in
-    # test_streaming; here it must produce hash-identical standings).
-    from stepist_spark.streaming.runtime import state_store_provider
-    from stepist_spark.streaming.topk import latest_topk, stream_topk
-
+    # ---- 'topk' staging ---------------------------------------------------
     tev = (
         load_table(spark, sf, "events")
         .filter(F.col("user_id") % 4 == 0)
@@ -301,22 +200,140 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
             f"b{i}.parquet",
             _MTIME0 + i,
         )
+
+    # ---- the four streaming queries ---------------------------------------
+    # 'slide': overlapping event-time windows in complete mode vs the
+    # batch grid oracle.
+    agg = sliding_agg(
+        _events_stream(spark, sf),
+        "ts",
+        "2 hours",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["event_type"],
+    )
+    # 'barrier': completeness, not expiry, decides; None (NoTimeout)
+    # lets availableNow terminate instead of spinning no-data batches
+    # against a pending wall-clock timer.
+    src = (
+        _events_stream(spark, sf)
+        .filter(sub)
+        .select(key.alias("hub_job_id"), "user_id")
+    )
+    fired = barrier_reduce(
+        src,
+        group_key="hub_job_id",
+        payload_cols=["user_id"],
+        ttl_sec=None,
+        reduce_fn=lambda gk, rows: {"total": sum(r["user_id"] for r in rows)},
+    )
+    # 'session' (round 6): gap-merged variable-length windows use a
+    # DEDICATED state-store merge path that tumbling/sliding never
+    # exercise; complete mode needs no watermark under availableNow.
+    # Batch session semantics are q22's 'session' part — this certifies
+    # the same gap-merge through the streaming engine.
+    ssrc = _events_stream(spark, sf).filter(F.col("user_id") % 16 == 0)
+    sagg = session_agg(
+        ssrc,
+        "ts",
+        "30 minutes",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["user_id"],
+    )
+    # 'topk' (round 11): O(k) state per key folded across THREE
+    # mtime-ordered staged micro-batches (maxFilesPerTrigger=1) — the
+    # final standings must equal the batch row_number() <= 3, which
+    # only holds if state genuinely carries and re-sorts across
+    # batches. The drain runs under the RocksDB provider.
     tsrc = (
         spark.readStream.schema(tev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(tdir)
     )
     tk = stream_topk(tsrc, "event_type", "value", 3, "event_id")
+
+    sink = f"s02_sink_{next(_SINK_IDS)}"
+    bsink = f"s02_barrier_{next(_SINK_IDS)}"
+    ssink = f"s02_session_{next(_SINK_IDS)}"
     tsink = f"s02_topk_{next(_SINK_IDS)}"
-    with stream_shuffle_partitions(spark, 8), state_store_provider(spark, "rocksdb"):
-        q4 = (
-            tk.writeStream.format("memory")
-            .queryName(tsink)
+    with stream_shuffle_partitions(spark, 8):
+        t0 = time.perf_counter()
+        starts: dict[str, float] = {}
+        starts["slide"] = time.perf_counter() - t0
+        q1 = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        starts["barrier"] = time.perf_counter() - t0
+        q2 = (
+            fired.writeStream.format("memory")
+            .queryName(bsink)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        await_drained(q4, 300)
+        starts["session"] = time.perf_counter() - t0
+        q3 = (
+            sagg.writeStream.format("memory")
+            .queryName(ssink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the provider class is a start-time conf captured by the
+        # query's cloned session at .start() — scoping it to this one
+        # start is safe with the three sibling queries already running
+        with state_store_provider(spark, "rocksdb"):
+            starts["topk"] = time.perf_counter() - t0
+            q4 = (
+                tk.writeStream.format("memory")
+                .queryName(tsink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        part_wall = _await_concurrent(
+            {"slide": q1, "barrier": q2, "session": q3, "topk": q4},
+            t0,
+            starts=starts,
+        )
+    record_part_wall("s02_sliding_window", part_wall)
+
+    ntz = spark.table(sink).schema["window_start"].dataType.simpleString()
+    slide = spark.table(sink).select(
+        F.lit("slide").alias("part"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        "window_start",
+        "window_end",
+    )
+    barrier = spark.table(bsink).select(
+        F.lit("barrier").alias("part"),
+        # strip ONLY the trailing ':<N>' segment — mirrors the
+        # rsplit-based parse in barrier_reduce (a key whose id itself
+        # contains ':' must survive intact)
+        F.regexp_replace(F.col("group_key"), ":[0-9]+$", "").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        # in-state reduction result, proving payload delivery (exact:
+        # integer user_id sums are far below 2^53)
+        F.get_json_object(F.col("job_list")[0], "$.total")
+        .cast("double")
+        .alias("sum_value"),
+        F.lit(None).cast(ntz).alias("window_start"),
+        F.lit(None).cast(ntz).alias("window_end"),
+    )
+    session = spark.table(ssink).select(
+        F.lit("session").alias("part"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        "sum_value",
+        F.col("window_start").cast(ntz).alias("window_start"),
+        F.col("window_end").cast(ntz).alias("window_end"),
+    )
     topk = latest_topk(spark.table(tsink), "event_type").select(
         F.lit("topk").alias("part"),
         # leader identity certified alongside rank: key carries the id
@@ -588,9 +605,21 @@ FROM p1 FULL JOIN s1 ON s1.user_id = p1.user_id
 # still certify the multi-trigger loop; each extra trigger costs a full
 # state commit round, so the gate doesn't buy coverage with more.)
 def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from stepist_spark.pipeline import with_meta
+    from stepist_spark.queries import record_part_wall
+    from stepist_spark.session import load_table, stream_events
+    from stepist_spark.sources.envelope import from_envelope, to_envelope
     from stepist_spark.streaming import StreamFlow
-    from stepist_spark.streaming.runtime import stream_shuffle_partitions
+    from stepist_spark.streaming.runtime import await_drained, stream_shuffle_partitions
     from stepist_spark.streaming.windows import tumbling_agg
+
+    # Round-11 optimization (guide §2.6 overlap-independent-jobs): the
+    # gate holds TWO independent two-hop topologies — the rate→files→
+    # windows chain and the envelope producer→wire→consumer chain.
+    # Within each chain hop 2 consumes hop 1's files (inherently
+    # sequential), but ACROSS chains there is no dependency: both hop
+    # 1s now run concurrently, then both hop 2s drain concurrently —
+    # formerly all four ran back-to-back.
 
     d = fresh_scratch(spark, "s04_hop")
     hop_dir, ckpt1 = os.path.join(d, "hop"), os.path.join(d, "ckpt1")
@@ -611,14 +640,37 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
             F.col("timestamp").cast("timestamp_ntz").alias("ts"),
         )
 
-    # hop 1: generated source -> checkpointed exactly-once FILE SINK.
-    # The value<600 filter caps the committed rows at exactly 600, so
-    # the drain point is unambiguous no matter how many extra rate
-    # batches fire before stop().
+    # env chain staging: the expected envelope count (bounded driver
+    # read) that certifies hop A's exactly-once commit
+    denv = fresh_scratch(spark, "s04_env")
+    env_dir, eckpt = os.path.join(denv, "wire"), os.path.join(denv, "eckpt")
+    exp_rows = (
+        load_table(spark, sf, "events").filter(F.col("event_id") % 37 == 0).count()
+    )
+
+    def produce(df: DataFrame) -> DataFrame:
+        sl = df.filter(F.col("event_id") % 37 == 0).select(
+            "event_id",
+            "user_id",
+            # integers on the wire: a double's JSON round-trip is an
+            # engine-specific shortest-repr question; cents are exact
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        return to_envelope(with_meta(sl, hub_job_id="s04env"), key_col="user_id")
+
+    # hop 1 (rate chain): generated source -> checkpointed exactly-once
+    # FILE SINK. The value<600 filter caps the committed rows at
+    # exactly 600, so the drain point is unambiguous no matter how many
+    # extra rate batches fire before stop().
+    # hop A (env chain): producer stream -> wire envelopes, started
+    # CONCURRENTLY with hop 1 — its availableNow drain overlaps the
+    # rate source's fixed-interval trigger loop.
     hop1 = StreamFlow(src, bound)
+    hop_a = StreamFlow(stream_events(spark, sf), produce)
     written = 0
     with stream_shuffle_partitions(spark, 4):
         hop1.to_files(hop_dir, checkpoint=ckpt1, trigger={"processingTime": "0 seconds"})
+        qa = hop_a.to_files(env_dir, checkpoint=eckpt, trigger={"availableNow": True})
         deadline = time.time() + 120
         while time.time() < deadline:
             try:
@@ -628,13 +680,22 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
             if written == 600:
                 break
             time.sleep(0.1)
-    hop1.stop()
+        hop1.stop()
+        await_drained(qa)
     if written != 600:
         raise TimeoutError(f"s04 hop-1 committed {written}/600 rows before timeout")
+    committed = spark.read.parquet(env_dir).count()
+    if committed != exp_rows:
+        raise RuntimeError(f"s04 env hop-1 committed {committed}/{exp_rows} envelopes")
 
-    # hop 2: an INDEPENDENT worker consumes hop 1's files (the
-    # reference's chained-queue topology, one queue per step,
+    # hop 2 (rate chain): an INDEPENDENT worker consumes hop 1's files
+    # (the reference's chained-queue topology, one queue per step,
     # `stepist/flow/steps/next_step.py:22-31`) and windows them.
+    # hop B (env chain): the consumer stream parses hop A's envelopes
+    # back and aggregates; meta round-trip certified BY VALUE (the
+    # consumer's group key collapses to -1 whenever `_meta.hub_job_id`
+    # did not survive the wire, and the oracle never emits k=-1 —
+    # round-6 verdict #2). Both second hops drain CONCURRENTLY.
     hop2_src = spark.readStream.schema("k bigint, value bigint, ts timestamp_ntz").parquet(hop_dir)
     flow2 = StreamFlow(
         hop2_src,
@@ -646,9 +707,43 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
             group_by=["k"],
         ),
     )
+    env_src = spark.readStream.schema("key string, value string").parquet(env_dir)
+
+    def consume(df: DataFrame) -> DataFrame:
+        parsed = from_envelope(
+            df,
+            "event_id BIGINT, user_id BIGINT, cents BIGINT",
+            meta_schema="hub_job_id STRING",
+        )
+        k = (
+            F.when(
+                F.col("_meta.hub_job_id") == "s04env", F.col("user_id") % 10
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+        )
+        return parsed.groupBy(k.alias("k")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_value"),
+        )
+
+    hop_b = StreamFlow(env_src, consume)
     sink = f"s04_sink_{next(_SINK_IDS)}"
+    env_sink = f"s04_env_{next(_SINK_IDS)}"
     with stream_shuffle_partitions(spark, 4):
-        flow2.drain(sink, output_mode="complete")
+        t0 = time.perf_counter()
+        starts = {"win": 0.0}
+        q_win = flow2.to_memory(
+            sink, output_mode="complete", trigger={"availableNow": True}
+        )
+        starts["env"] = time.perf_counter() - t0
+        q_env = hop_b.to_memory(
+            env_sink, output_mode="complete", trigger={"availableNow": True}
+        )
+        part_wall = _await_concurrent(
+            {"win": q_win, "env": q_env}, t0, starts=starts
+        )
+    record_part_wall("s04_rate_windows", part_wall)
     # introspection (reference `jobs_count`/`monitor_steps`,
     # `stepist/flow/steps/step.py:154-164`): after the drain the flow
     # must report inactive with a recorded final batch — deterministic
@@ -685,72 +780,10 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     win = spark.table(sink).select(
         F.lit("win").alias("part"), "k", "n", "sum_value", "window_start", "window_end"
     )
-
     # 'env' — the reference's DEFINING deployment topology end-to-end
     # (producer -> queue -> worker, `stepist/flow/libs/simple_queue.py:
-    # 49-77`, `stepist/flow/steps/step.py:125-152`): a producer stream
-    # serializes rows + session meta into the wire envelope and commits
-    # them to a broker-shaped directory; an INDEPENDENT consumer stream
-    # parses the envelopes back and aggregates. Meta round-trip is
-    # certified BY VALUE: the consumer's group key collapses to -1
-    # whenever `_meta.hub_job_id` did not survive the wire, and the
-    # oracle never emits k=-1. (Round-6 verdict #2 — previously only
-    # covered tests-only in test_streaming.)
-    from stepist_spark.pipeline import with_meta
-    from stepist_spark.session import load_table, stream_events
-    from stepist_spark.sources.envelope import from_envelope, to_envelope
-    from stepist_spark.streaming.runtime import await_drained
-
-    denv = fresh_scratch(spark, "s04_env")
-    env_dir, eckpt = os.path.join(denv, "wire"), os.path.join(denv, "eckpt")
-    exp_rows = (
-        load_table(spark, sf, "events").filter(F.col("event_id") % 37 == 0).count()
-    )
-
-    def produce(df: DataFrame) -> DataFrame:
-        sl = df.filter(F.col("event_id") % 37 == 0).select(
-            "event_id",
-            "user_id",
-            # integers on the wire: a double's JSON round-trip is an
-            # engine-specific shortest-repr question; cents are exact
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-        )
-        return to_envelope(with_meta(sl, hub_job_id="s04env"), key_col="user_id")
-
-    hop_a = StreamFlow(stream_events(spark, sf), produce)
-    with stream_shuffle_partitions(spark, 4):
-        qa = hop_a.to_files(
-            env_dir, checkpoint=eckpt, trigger={"availableNow": True}
-        )
-        await_drained(qa)
-    committed = spark.read.parquet(env_dir).count()
-    if committed != exp_rows:
-        raise RuntimeError(f"s04 env hop-1 committed {committed}/{exp_rows} envelopes")
-
-    env_src = spark.readStream.schema("key string, value string").parquet(env_dir)
-
-    def consume(df: DataFrame) -> DataFrame:
-        parsed = from_envelope(
-            df,
-            "event_id BIGINT, user_id BIGINT, cents BIGINT",
-            meta_schema="hub_job_id STRING",
-        )
-        k = (
-            F.when(
-                F.col("_meta.hub_job_id") == "s04env", F.col("user_id") % 10
-            )
-            .otherwise(F.lit(-1))
-            .cast("bigint")
-        )
-        return parsed.groupBy(k.alias("k")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("cents").cast("bigint").alias("sum_value"),
-        )
-
-    hop_b = StreamFlow(env_src, consume)
-    env_sink = f"s04_env_{next(_SINK_IDS)}"
-    with stream_shuffle_partitions(spark, 4):
-        hop_b.drain(env_sink, output_mode="complete")
+    # 49-77`, `stepist/flow/steps/step.py:125-152`), staged as hop A /
+    # hop B above.
     env = spark.table(env_sink).select(
         F.lit("env").alias("part"),
         "k",
