@@ -133,7 +133,11 @@ def main() -> None:
             "q22_event_windows,q02_join_agg_topk,q13_scalar_string_suite,"
             "t16_vocabulary,t23_model_gates,s05_stream_dedup,"
             "s03_stream_interval_join,m01_media_features,w01_sink_roundtrip,"
-            "q09_grouping_multi",
+            # round 11: s01/s02/s04 now drain concurrently and
+            # self-report PART_WALL start/done offsets like s03/s05 —
+            # additive entries, nothing removed or renamed
+            "q09_grouping_multi,s01_streaming_hourly,s02_sliding_window,"
+            "s04_rate_windows",
         ).split(",")
         if g
     ]

@@ -1012,6 +1012,11 @@ def t16_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
     # smoothed KL of each source's token distribution vs the rest of
     # the corpus, fed from the SAME postings pass (no re-tokenize) —
     # the doc_id->source map joins co-partitioned on doc_id
+    # NO localCheckpoint here (round-11 measurement): gt feeds three
+    # drift parts (kl, js, lodds) but re-running the cheap join+agg
+    # over the postings checkpoint beats materializing this frame —
+    # 8.2s vs 9.4s whole-gate min-of-3 at sf0.1 (the q25 li3 result
+    # again: checkpoint only pays when the shared base is expensive)
     gt = (
         postings.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy(F.col("source").alias("grp"), "tok")
@@ -1364,8 +1369,17 @@ def t18_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     # ONE tokenize+shingle pass each, shared by the exact path and the
     # Bloom path (at 100 TB the corpus explode dominates; never do it
     # twice for two membership tests over the same shingles)
-    corpus_sh = corpus_ops.shingle_set(corpus, "doc_id", "text", 8)
-    bench_sh_ids = corpus_ops.shingle_set(bench, "doc_id", "text", 8)
+    # lazy localCheckpoints (round 11): each shingle frame feeds THREE
+    # consumers (exact audit, Bloom path, clean removal) — without the
+    # checkpoint the tokenize+shingle+explode+distinct pass re-ran per
+    # consumer; the frames are flat (_id, sh) rows, the cheap-to-
+    # materialize shape (not string arrays)
+    corpus_sh = corpus_ops.shingle_set(corpus, "doc_id", "text", 8).localCheckpoint(
+        eager=False
+    )
+    bench_sh_ids = corpus_ops.shingle_set(bench, "doc_id", "text", 8).localCheckpoint(
+        eager=False
+    )
     exact = corpus_ops.ngram_contamination(
         corpus,
         bench,

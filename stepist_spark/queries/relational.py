@@ -1124,9 +1124,13 @@ def q21_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     from stepist_spark.operators import sketches
 
     li = load_table(spark, sf, "lineitem")
+    # lazy localCheckpoint (round 11): the fine register table feeds
+    # BOTH the fine estimate and the rolled-up merge — the md5-per-row
+    # register build is the expensive term and ran twice; the
+    # materialized frame is |groups|×2^p rows (tiny)
     fine_regs = sketches.portable_hll_registers(
         li, ["l_returnflag", "l_linestatus"], "l_partkey"
-    )
+    ).localCheckpoint(eager=False)
     fine = sketches.portable_hll_estimate(
         fine_regs, ["l_returnflag", "l_linestatus"]
     ).select(
