@@ -378,15 +378,22 @@ def v05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cent1 = similarity.ivf_refine(
         emb, cent0, "vec_id", "embedding", iters=1, portable=True
     )
-    refined = similarity.ivf_topk(
-        emb,
-        queries,
-        "vec_id",
-        "embedding",
-        k=K,
-        n_probe=N_PROBE,
-        centroids=cent1,
-    ).withColumn("part", F.lit("refined"))
+    # lazy localCheckpoint (round 11): the refined top-k list feeds
+    # BOTH the 'refined' part and the recall join below — the whole
+    # assign+probe+window pipeline ran twice for a |queries|×K frame
+    refined = (
+        similarity.ivf_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=K,
+            n_probe=N_PROBE,
+            centroids=cent1,
+        )
+        .withColumn("part", F.lit("refined"))
+        .localCheckpoint(eager=False)
+    )
     # 'recall' — the ANN acceptance metric: refined-IVF recall@K per
     # query against the exact brute-force top-K (operators/
     # similarity.recall_at_k) — n_hits packed into neighbor_id,

@@ -445,45 +445,53 @@ def s03_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     # The user_id % 4 cohorts bound buffered state (the gate certifies
     # the join machinery, not full-corpus throughput — r01 subsets the
     # same way); each part's two sides and the oracle share a cohort.
-    def sides(mod: int):
-        p = ev_f.filter(
-            (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == mod)
-        ).select(
-            "event_id", "user_id", F.col("ets").alias("p_ts"), "value",
-        )
-        s = ev_f.filter(
-            (F.col("event_type") == "signup") & (F.col("user_id") % 4 == mod)
-        ).select("user_id", F.col("ets").alias("s_ts"))
-        return p, s
-
     d = fresh_scratch(spark, "s03_outer")
     parts = {"lo": ("leftOuter", 0), "fo": ("fullOuter", 1)}
     dirs: dict[str, tuple[str, str]] = {}
-    maxes = []
-    p_schema = s_schema = None
-    for tag, (_how, mod) in parts.items():
-        p_rows, s_rows = sides(mod)
-        p_schema, s_schema = p_rows.schema, s_rows.schema
+    for tag in parts:
         pdir, sdir = (os.path.join(d, f"{x}_{tag}") for x in ("p", "s"))
         os.makedirs(pdir), os.makedirs(sdir)
-        # stage the REAL rows first (one events scan per side)...
-        write_stream_file(p_rows, pdir, "real.parquet", _MTIME0)
-        write_stream_file(s_rows, sdir, "real.parquet", _MTIME0)
         dirs[tag] = (pdir, sdir)
-        maxes.append(spark.read.parquet(pdir).select(F.max("p_ts").alias("m")))
-        maxes.append(spark.read.parquet(sdir).select(F.max("s_ts").alias("m")))
-    # ...then derive ONE sentinel timestamp from the STAGED files (the
-    # sentinel only needs to outrun the staged rows' max event time —
-    # reading the single-file frames back replaces what used to be a
-    # third full events scan + driver agg) and stage the sentinels as
-    # second same-mtime files: availableNow with no maxFilesPerTrigger
-    # reads the whole directory in batch 0, so file layout within the
-    # batch is irrelevant.
-    m0 = maxes[0]
-    for m in maxes[1:]:
-        m0 = m0.unionByName(m)
+    # ONE partitioned write per SIDE stages BOTH parts' real files
+    # (round 11, the s01 'late' staging trick): the cohort id is the
+    # partition column, so two jobs over the cached union replace four
+    # single-file writes that each re-read it. Partition columns are
+    # stripped from the data files, so the staged schemas are unchanged.
+    p_all = ev_f.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ets").alias("p_ts"), "value",
+        (F.col("user_id") % 4).alias("_mod"),
+    )
+    s_all = ev_f.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ets").alias("s_ts"),
+        (F.col("user_id") % 4).alias("_mod"),
+    )
+    p_schema = p_all.drop("_mod").schema
+    s_schema = s_all.drop("_mod").schema
+    import glob as _glob
+
+    for side, frame in ((0, p_all), (1, s_all)):
+        tmp = os.path.join(d, f"_staged_{side}")
+        frame.repartition(1).write.partitionBy("_mod").parquet(tmp)
+        for tag, (_how, mod) in parts.items():
+            found = _glob.glob(os.path.join(tmp, f"_mod={mod}", "part-*.parquet"))
+            dest_dir = dirs[tag][side]
+            if found:
+                stage_part(found[0], os.path.join(dest_dir, "real.parquet"), _MTIME0)
+            else:  # degenerate cohort (no rows at this sf): keep the
+                # former behavior of an empty staged file
+                write_stream_file(
+                    spark.createDataFrame([], p_schema if side == 0 else s_schema),
+                    dest_dir, "real.parquet", _MTIME0,
+                )
+        shutil.rmtree(tmp)
+    # The sentinel only needs to outrun the staged rows' max event
+    # time, and the four staged frames PARTITION ev_f exactly — so one
+    # aggregate over the cached union replaces the former four staged-
+    # file read-backs. Sentinels are staged as second same-mtime files:
+    # availableNow with no maxFilesPerTrigger reads the whole directory
+    # in batch 0, so file layout within the batch is irrelevant.
     far = (
-        m0.agg((F.max("m") + F.expr("INTERVAL 30 DAYS")).alias("far"))
+        ev_f.agg((F.max("ets") + F.expr("INTERVAL 30 DAYS")).alias("far"))
         .collect()[0]["far"]
     )
     # the per-stream watermark is the MIN across streams, so BOTH
