@@ -56,6 +56,14 @@ def welch_ttest(
         _msum(in_a, x * x, "sumsq_a"),
         _msum(in_b, x * x, "sumsq_b"),
     )
+    return _welch_output(stats, scale)
+
+
+def _welch_output(stats: DataFrame, scale: int) -> DataFrame:
+    """:func:`welch_ttest`'s IEEE output projection over its exact
+    sufficient-statistics frame (``n_a, n_b, sum_a, sum_b, sumsq_a,
+    sumsq_b``) — split out so :func:`ab_readout_fused` can feed the
+    byte-identical expression sequence from a shared aggregate."""
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     sa = F.col("sum_a").cast("double")
@@ -197,6 +205,13 @@ def cuped_adjusted(
         F.sum(F.when(in_a, y)).cast("decimal(38,0)").alias("sy_a"),
         F.sum(F.when(in_b, y)).cast("decimal(38,0)").alias("sy_b"),
     )
+    return _cuped_output(stats, scale, cov_scale)
+
+
+def _cuped_output(stats: DataFrame, scale: int, cov_scale: int) -> DataFrame:
+    """:func:`cuped_adjusted`'s IEEE output projection over its exact
+    sufficient-statistics frame (``n, sx, sy, sxx, syy, sxy, n_a, n_b,
+    sx_a, sx_b, sy_a, sy_b``) — split out for :func:`ab_readout_fused`."""
     n = F.col("n").cast("double")
     # n·Σxy − Σx·Σy etc. stay EXACT in decimal(38,0) before the one
     # double cast — the corr_matrix discipline
@@ -323,6 +338,13 @@ def two_proportion_ztest(
         F.sum(F.when(in_a, y)).cast("bigint").alias("s_a"),
         F.sum(F.when(in_b, y)).cast("bigint").alias("s_b"),
     )
+    return _propz_output(stats)
+
+
+def _propz_output(stats: DataFrame) -> DataFrame:
+    """:func:`two_proportion_ztest`'s IEEE output projection over its
+    exact frame (``n_a, n_b, s_a, s_b``) — split out for
+    :func:`ab_readout_fused`."""
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     pa = F.col("s_a").cast("double") / na
@@ -381,6 +403,97 @@ SELECT n_a, n_b, s_a, s_b,
        END AS z_stat
 FROM _s
 """
+
+
+def ab_readout_fused(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    covariate_col: str,
+    success_col: "str | Column",
+    scale: int = 100,
+    cov_scale: int = 100,
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """One fused sufficient-statistics pass for the A/B readout trio —
+    returns ``(welch, propz, cuped)`` frames value-identical to
+    :func:`welch_ttest`, :func:`two_proportion_ztest` and
+    :func:`cuped_adjusted` over the same ``df``/groups by construction:
+
+    - the three originals each run ONE conditional aggregate over the
+      identical ``filter(g IN (a, b))`` row set; the fused aggregate
+      computes the union of their sum/count columns in a single pass
+      (welch's Σy/Σy² per arm ARE cuped's sy_a/sy_b and ride the same
+      expressions; only propz's success sums and cuped's pooled
+      cross-moments are extra columns),
+    - every sum is the same exact decimal(38,0)/bigint expression, and
+      exact sums are partitioning/order-independent,
+    - the three outputs are produced by the originals' own split-out
+      IEEE projections (``_welch_output``/``_propz_output``/
+      ``_cuped_output``) over the shared one-row frame, so the
+      floating-point expression sequences are byte-identical.
+
+    The one-row stats frame is lazily localCheckpointed: three
+    consumers, one fact-table scan at any SF (guide §2.3) instead of
+    three."""
+    g = F.col(group_col)
+    y = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("decimal(19,0)")
+    x = F.floor(F.col(covariate_col) * cov_scale + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("boolean").cast("int")
+    in_a = g == group_a
+    in_b = g == group_b
+
+    def _d38(expr: Column, alias: str) -> Column:
+        return F.sum(expr).cast("decimal(38,0)").alias(alias)
+
+    stats = df.filter(in_a | in_b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(in_a, F.lit(1))).cast("bigint").alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).cast("bigint").alias("n_b"),
+        # welch sum_a/sum_b == cuped sy_a/sy_b (same expression)
+        _d38(F.when(in_a, y), "sy_a"),
+        _d38(F.when(in_b, y), "sy_b"),
+        # welch per-arm sum of squares
+        _d38(F.when(in_a, y * y), "syy_a"),
+        _d38(F.when(in_b, y * y), "syy_b"),
+        # cuped pooled moments
+        _d38(x, "sx"),
+        _d38(y, "sy"),
+        _d38(x * x, "sxx"),
+        _d38(y * y, "syy"),
+        _d38(x * y, "sxy"),
+        _d38(F.when(in_a, x), "sx_a"),
+        _d38(F.when(in_b, x), "sx_b"),
+        # propz success counts
+        F.sum(F.when(in_a, s)).cast("bigint").alias("s_a"),
+        F.sum(F.when(in_b, s)).cast("bigint").alias("s_b"),
+    ).localCheckpoint(eager=False)
+    welch = _welch_output(
+        stats.select(
+            "n_a",
+            "n_b",
+            F.col("sy_a").alias("sum_a"),
+            F.col("sy_b").alias("sum_b"),
+            F.col("syy_a").alias("sumsq_a"),
+            F.col("syy_b").alias("sumsq_b"),
+        ),
+        scale,
+    )
+    propz = _propz_output(stats.select("n_a", "n_b", "s_a", "s_b"))
+    cuped = _cuped_output(
+        stats.select(
+            "n", "sx", "sy", "sxx", "syy", "sxy",
+            "n_a", "n_b", "sx_a", "sx_b", "sy_a", "sy_b",
+        ),
+        scale,
+        cov_scale,
+    )
+    return welch, propz, cuped
 
 
 def mann_whitney_u(

@@ -2323,6 +2323,9 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
     # IEEE formula
     from stepist_spark.operators.timeseries import acf
 
+    # the tiny (|types|×|days|) daily frame feeds TWO consumers (acf
+    # and the Mann-Kendall trend below) — materialize it once instead
+    # of re-running the events scan+aggregate per branch (guide §2.3)
     daily = (
         load_table(spark, sf, "events")
         .select(
@@ -2332,6 +2335,7 @@ def q18_temporal_joins(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.sum("c").alias("v"))
+        .localCheckpoint(eager=False)
     )
     ac = acf(daily, ["event_type"], "d", "v", max_lag=5).select(
         F.lit("acf").alias("part"),
@@ -3571,10 +3575,21 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # z on a quantity-threshold conversion, both between returnflag
     # cohorts A and N — ONE conditional sufficient-statistics aggregate
     # each, exact decimal sums, fixed IEEE formula
-    from stepist_spark.operators.abtest import two_proportion_ztest, welch_ttest
+    from stepist_spark.operators.abtest import ab_readout_fused
 
     li_ab = li3
-    wt = welch_ttest(li_ab, "l_returnflag", "A", "N", "l_extendedprice").select(
+    # welch/propz/cuped ride ONE fused sufficient-statistics aggregate
+    # (guide §2.3): the three parts previously each ran their own
+    # conditional aggregate over the identical A/N row set — three fact
+    # scans for one row of exact sums each. ab_readout_fused computes
+    # the union of the sums in a single pass and replays each part's
+    # original IEEE output projection, so values are identical by
+    # construction (pinned by tests/test_abtest_fused.py).
+    wt_f, pz_f, cu_f = ab_readout_fused(
+        li_ab, "l_returnflag", "A", "N",
+        "l_extendedprice", "l_quantity", F.col("l_quantity") >= 25,
+    )
+    wt = wt_f.select(
         F.lit("welch").alias("part"),
         F.lit("A:N").alias("k1"),
         F.col("t_stat").alias("d1"),
@@ -3591,9 +3606,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_a").alias("n1"),
         F.col("n_b").alias("n2"),
     )
-    pz = two_proportion_ztest(
-        li_ab, "l_returnflag", "A", "N", F.col("l_quantity") >= 25
-    ).select(
+    pz = pz_f.select(
         F.lit("propz").alias("part"),
         F.lit("A:N").alias("k1"),
         F.col("z_stat").alias("d1"),
@@ -3611,11 +3624,7 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # the extendedprice metric — ONE pooled sufficient-statistics
     # aggregate; θ, adjusted means and ρ² are fixed IEEE sequences over
     # exact decimal sums
-    from stepist_spark.operators.abtest import cuped_adjusted
-
-    cu = cuped_adjusted(
-        li_ab, "l_returnflag", "A", "N", "l_extendedprice", "l_quantity"
-    ).select(
+    cu = cu_f.select(
         F.lit("cuped").alias("part"),
         F.lit("A:N").alias("k1"),
         F.col("theta").alias("d1"),
