@@ -931,6 +931,13 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # drains; overlapped, the wall is max(parts), not sum).
 
     # ---- staging (batch jobs, before any stream starts) --------------------
+    # Round-11 optimization (guide §2.6 overlap-independent-jobs, the
+    # w01 pattern): the three staged inputs target DISJOINT directories
+    # and share no lineage, so their writes run from a small thread
+    # pool instead of back-to-back; every stream still starts only
+    # after ALL staging has completed, exactly as before.
+    from concurrent.futures import ThreadPoolExecutor
+
     ev = (
         load_table(spark, sf, "events")
         .filter(F.col("user_id") % 4 == 2)
@@ -938,7 +945,6 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     d = fresh_scratch(spark, "s05_restart")
     in_dir, out_dir, ckpt = (os.path.join(d, p) for p in ("in", "out", "ckpt"))
-    ev.repartition(4).write.parquet(in_dir)
 
     # 'incr' input: batch 2 replays batch 1's documents under shifted
     # ids plus novel ones; only first-seen content may land.
@@ -951,8 +957,6 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     di = fresh_scratch(spark, "s05_incr")
     sdir = os.path.join(di, "stream")
     os.makedirs(sdir, exist_ok=True)
-    write_stream_file(d1, sdir, "a.parquet", _MTIME0)
-    write_stream_file(batch2, sdir, "b.parquet", _MTIME0 + 60)
 
     # 'upsert' input: two micro-batches both touch most keys, so batch
     # 2's MERGE must OVERRIDE batch 1's partial totals — an append-
@@ -969,8 +973,31 @@ def s05_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     du = fresh_scratch(spark, "s05_upsert")
     udir = os.path.join(du, "in")
     os.makedirs(udir, exist_ok=True)
-    write_stream_file(e3.filter(F.col("event_id") % 2 == 0), udir, "a.parquet", _MTIME0)
-    write_stream_file(e3.filter(F.col("event_id") % 2 == 1), udir, "b.parquet", _MTIME0 + 60)
+
+    def _stage_restart() -> None:
+        ev.repartition(4).write.parquet(in_dir)
+
+    def _stage_incr() -> None:
+        # mtime order WITHIN the stream dir is the micro-batch order —
+        # sequential within the stage, independent of the other stages
+        write_stream_file(d1, sdir, "a.parquet", _MTIME0)
+        write_stream_file(batch2, sdir, "b.parquet", _MTIME0 + 60)
+
+    def _stage_upsert() -> None:
+        write_stream_file(
+            e3.filter(F.col("event_id") % 2 == 0), udir, "a.parquet", _MTIME0
+        )
+        write_stream_file(
+            e3.filter(F.col("event_id") % 2 == 1), udir, "b.parquet", _MTIME0 + 60
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        for _fut in [
+            _pool.submit(_stage_restart),
+            _pool.submit(_stage_incr),
+            _pool.submit(_stage_upsert),
+        ]:
+            _fut.result()
 
     # ---- start all four pipelines, drain concurrently ----------------------
     def start_run():
