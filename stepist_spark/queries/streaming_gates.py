@@ -649,12 +649,11 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     # env chain staging: the expected envelope count (bounded driver
-    # read) that certifies hop A's exactly-once commit
+    # read) that certifies hop A's exactly-once commit — computed AFTER
+    # both hop-1 streams start, so the batch count job overlaps their
+    # trigger loops (guide §2.6) instead of serializing ahead of them
     denv = fresh_scratch(spark, "s04_env")
     env_dir, eckpt = os.path.join(denv, "wire"), os.path.join(denv, "eckpt")
-    exp_rows = (
-        load_table(spark, sf, "events").filter(F.col("event_id") % 37 == 0).count()
-    )
 
     def produce(df: DataFrame) -> DataFrame:
         sl = df.filter(F.col("event_id") % 37 == 0).select(
@@ -675,21 +674,32 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
     # rate source's fixed-interval trigger loop.
     hop1 = StreamFlow(src, bound)
     hop_a = StreamFlow(stream_events(spark, sf), produce)
-    written = 0
     with stream_shuffle_partitions(spark, 4):
-        hop1.to_files(hop_dir, checkpoint=ckpt1, trigger={"processingTime": "0 seconds"})
+        q1 = hop1.to_files(hop_dir, checkpoint=ckpt1, trigger={"processingTime": "0 seconds"})
         qa = hop_a.to_files(env_dir, checkpoint=eckpt, trigger={"availableNow": True})
+        exp_rows = (
+            load_table(spark, sf, "events").filter(F.col("event_id") % 37 == 0).count()
+        )
+        # Drain detection off the query's OWN progress counters (driver-
+        # side dict reads — round 11, guide §1.5/§2.6): the file sink
+        # reports numOutputRows=-1, but rate-micro-batch emits values
+        # sequentially at 200 input rows per batch, so total input ≥ 600
+        # is exactly "batch 2 (values 400-599) committed" — every
+        # value<600 row is in the sink. The former loop launched a full
+        # read.parquet().count() JOB every 0.1s against the live sink,
+        # contending with the very trigger loop it was watching. The
+        # authoritative file count below still gates the commit by value.
         deadline = time.time() + 120
         while time.time() < deadline:
-            try:
-                written = spark.read.parquet(hop_dir).count()
-            except Exception:
-                written = 0
-            if written == 600:
+            fed = sum(
+                int(p.get("numInputRows") or 0) for p in (q1.recentProgress or [])
+            )
+            if fed >= 600:
                 break
-            time.sleep(0.1)
+            time.sleep(0.05)
         hop1.stop()
         await_drained(qa)
+    written = spark.read.parquet(hop_dir).count()
     if written != 600:
         raise TimeoutError(f"s04 hop-1 committed {written}/600 rows before timeout")
     committed = spark.read.parquet(env_dir).count()
