@@ -161,12 +161,50 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     # ---- 'barrier' staging ------------------------------------------------
     sub = F.col("user_id") % 8 == 0
     ev = load_table(spark, sf, "events").filter(sub)
-    # exact per-type counts: a bounded driver read (≤ |event types|
-    # rows) that parameterizes the barrier keys, like p02's counters
-    counts = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+
+    # Round-11 optimization (guide §2.6, the s05/w01 pattern): the
+    # 'barrier' count collect and the 'topk' checkpoint+stage writes
+    # touch disjoint slices and share no lineage — run the two staging
+    # stages from a thread pool; every stream still starts only after
+    # BOTH have completed, exactly as before.
+    def _stage_barrier() -> dict:
+        # exact per-type counts: a bounded driver read (≤ |event types|
+        # rows) that parameterizes the barrier keys, like p02's counters
+        return {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    tdir = fresh_scratch(spark, "s02_topk")
+
+    def _stage_topk() -> DataFrame:
+        tev = (
+            load_table(spark, sf, "events")
+            .filter(F.col("user_id") % 4 == 0)
+            .select("event_type", "event_id", "value")
+            # one scan, three staged slices: each write_stream_file below
+            # re-executes its input plan, so checkpoint the 3-column slice
+            # once instead of re-scanning events per staged batch
+            .localCheckpoint()
+        )
+        # mtime order WITHIN the stream dir is the micro-batch order —
+        # sequential within the stage, independent of the barrier stage
+        for i in range(3):
+            write_stream_file(
+                tev.filter(F.col("event_id") % 3 == i),
+                tdir,
+                f"b{i}.parquet",
+                _MTIME0 + i,
+            )
+        return tev
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fb, _ft = _pool.submit(_stage_barrier), _pool.submit(_stage_topk)
+        counts, tev = _fb.result(), _ft.result()
     if not counts:
         # degenerate dataset (custom sf with no user_id % 8 == 0 rows):
         # fail loudly with context instead of min() of an empty dict
@@ -181,25 +219,6 @@ def s02_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         expect = n + 1 if t == sabotaged else n
         branch = (F.col("event_type") == t, F.lit(f"{t}:{expect}"))
         key = F.when(*branch) if key is None else key.when(*branch)
-
-    # ---- 'topk' staging ---------------------------------------------------
-    tev = (
-        load_table(spark, sf, "events")
-        .filter(F.col("user_id") % 4 == 0)
-        .select("event_type", "event_id", "value")
-        # one scan, three staged slices: each write_stream_file below
-        # re-executes its input plan, so checkpoint the 3-column slice
-        # once instead of re-scanning events per staged batch
-        .localCheckpoint()
-    )
-    tdir = fresh_scratch(spark, "s02_topk")
-    for i in range(3):
-        write_stream_file(
-            tev.filter(F.col("event_id") % 3 == i),
-            tdir,
-            f"b{i}.parquet",
-            _MTIME0 + i,
-        )
 
     # ---- the four streaming queries ---------------------------------------
     # 'slide': overlapping event-time windows in complete mode vs the
