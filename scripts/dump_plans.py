@@ -30,8 +30,10 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", round_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -40,6 +42,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dump_plans")
     jvm = spark.sparkContext._jvm
+    failed: list[str] = []
     for name, spec in all_queries().items():
         if only and name not in only:
             continue
@@ -53,11 +56,17 @@ def main() -> None:
             txt = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # keep dumping the rest
             txt = f"EXPLAIN FAILED: {type(exc).__name__}: {exc}\n"
+            failed.append(name)
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(txt)
         print(f"wrote {path} ({len(txt)} bytes)")
     spark.stop()
+    # a failure marker is NOT a plan artifact — exit non-zero so a
+    # broken dump can't ship unnoticed (round-11 ADVICE)
+    if failed:
+        print(f"EXPLAIN FAILED for: {', '.join(failed)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -710,8 +710,12 @@ def s04_rate_windows(spark: SparkSession, sf: str) -> DataFrame:
         # authoritative file count below still gates the commit by value.
         deadline = time.time() + 120
         while time.time() < deadline:
+            # _progress_dict: PySpark's progress type is a plain class
+            # (not a dict subclass) on 3.4/3.5 — normalize before .get
+            # (round-11 ADVICE)
             fed = sum(
-                int(p.get("numInputRows") or 0) for p in (q1.recentProgress or [])
+                int(_progress_dict(p).get("numInputRows") or 0)
+                for p in (q1.recentProgress or [])
             )
             if fed >= 600:
                 break
