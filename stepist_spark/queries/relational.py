@@ -3585,6 +3585,17 @@ def q25_percentile_histogram(spark: SparkSession, sf: str) -> DataFrame:
     # the union of the sums in a single pass and replays each part's
     # original IEEE output projection, so values are identical by
     # construction (pinned by tests/test_abtest_fused.py).
+    # Round-12 NEGATIVE result (measured, reverted): extending this
+    # fusion to ols+corr+did via one (returnflag, post-cutover)-grouped
+    # grand aggregate (and a lighter ols+corr flag-grouped variant) was
+    # built, value-pinned, and measured SLOWER at sf0.1 — in-session
+    # alternation, warm rounds: originals 4.0-4.4s vs grand 4.7-5.2s vs
+    # ols+corr 4.4-4.9s for the six frames. The separate global
+    # aggregates are lean flat-agg stages that already execute
+    # CONCURRENTLY inside the gate's single union job, while a grouped
+    # base pays a per-row hash-map probe plus a checkpoint barrier the
+    # consumers must wait on; scan savings (24→21 gate scans) did not
+    # meet the round-12 bar (wall-neutral only with ≥2× scan cut).
     wt_f, pz_f, cu_f = ab_readout_fused(
         li_ab, "l_returnflag", "A", "N",
         "l_extendedprice", "l_quantity", F.col("l_quantity") >= 25,
