@@ -1153,6 +1153,8 @@ def _order_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from stepist_spark.operators import clusters, dedup, graphs
     from stepist_spark.queries.llm_text import BANDS, N_HASHES, _docs_with_near_dups
 
@@ -1161,12 +1163,6 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     cands = dedup.minhash_lsh_candidates(
         corpus, "doc_id", "text", N_HASHES, BANDS
     ).localCheckpoint(eager=False)
-    cl = clusters.dup_clusters(cands).select(
-        F.lit("cluster").alias("part"),
-        F.col("doc_id").cast("bigint").alias("node"),
-        F.col("cluster_id").cast("bigint").alias("v1"),
-        F.col("n_members").cast("bigint").alias("v2"),
-    )
     # ONE orders⋈lineitem pass builds the whole trade graph (round-11
     # optimization, guide §2.4 remove-shuffles): the weighted graph's
     # (src, dst, w) aggregate has exactly one row per distinct pair, so
@@ -1176,67 +1172,107 @@ def c03_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # in_degrees/bfs/kcore scan it, sssp consumes the weights.
     wedges = _weighted_order_graph(spark, sf).localCheckpoint(eager=False)
     edges = wedges.select("src", "dst")
-    pr = graphs.pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
-    prp = pr.join(graphs.in_degrees(edges), "node").select(
-        F.lit("pagerank").alias("part"),
-        F.col("node").cast("bigint").alias("node"),
-        F.col("rank").cast("bigint").alias("v1"),
-        F.col("in_deg").cast("bigint").alias("v2"),
-    )
-    # triangle participation over the SAME near-dup candidate graph:
-    # dup groups are near-cliques, so the counts discriminate structure
-    tri = graphs.triangle_counts(cands).select(
-        F.lit("triangle").alias("part"),
-        F.col("node").cast("bigint").alias("node"),
-        F.col("n_triangles").cast("bigint").alias("v1"),
-        F.lit(None).cast("bigint").alias("v2"),
-    )
-    # neighborhood-overlap link scores over the SAME candidate graph
-    # (operators/graphs.py): common-neighbor counts + degrees packed
-    # into one exact bigint (20 bits each — jaccard is a pure function
-    # of the three certified integers)
-    no = graphs.neighborhood_overlap(cands, "id_a", "id_b").select(
-        F.lit("overlap").alias("part"),
-        F.col("a").cast("bigint").alias("node"),
-        F.col("b").cast("bigint").alias("v1"),
-        (
-            F.col("common") * F.lit(1 << 40)
-            + F.col("deg_a") * F.lit(1 << 20)
-            + F.col("deg_b")
-        ).cast("bigint").alias("v2"),
-    )
-    # bounded-depth BFS from a seed customer set over the SAME trade
-    # graph (operators/graphs.py): min hop distance within 3 hops
     seeds = (
         load_table(spark, sf, "customer")
         .filter(F.col("c_custkey") < 5)
         .select(F.col("c_custkey").cast("bigint").alias("node"))
     )
-    bfs = graphs.bfs_depths(edges, seeds, max_depth=3).select(
-        F.lit("bfs").alias("part"),
-        F.col("node").cast("bigint").alias("node"),
-        F.col("depth").cast("bigint").alias("v1"),
-        F.lit(None).cast("bigint").alias("v2"),
-    )
+
+    # The seven graph families are INDEPENDENT given the two shared
+    # checkpointed bases, but their iterative rounds execute as
+    # blocking checkpoint jobs while each operator is being BUILT —
+    # serial in gate-function order (measured solo at sf0.1: cluster
+    # 3.1s, pagerank 3.5s, triangle 1.3s, overlap 0.9s, bfs 1.4s, sssp
+    # 1.0s, kcore 1.3s ≈ the whole 10.5s gate wall). Build them from a
+    # thread pool instead so the per-round jobs of different families
+    # back-fill each other's stage tails (guide §2.6, the w01/s05
+    # pattern). The shared bases are materialized FIRST (one cheap
+    # count each, concurrently) so no two families race to compute the
+    # same checkpoint. Per-family round order is unchanged
+    # (single-threaded within a family), so results are identical.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: f.count(), (cands, wedges)))
+
+    def _cluster() -> DataFrame:
+        return clusters.dup_clusters(cands).select(
+            F.lit("cluster").alias("part"),
+            F.col("doc_id").cast("bigint").alias("node"),
+            F.col("cluster_id").cast("bigint").alias("v1"),
+            F.col("n_members").cast("bigint").alias("v2"),
+        )
+
+    def _pagerank() -> DataFrame:
+        pr = graphs.pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+        return pr.join(graphs.in_degrees(edges), "node").select(
+            F.lit("pagerank").alias("part"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("rank").cast("bigint").alias("v1"),
+            F.col("in_deg").cast("bigint").alias("v2"),
+        )
+
+    # triangle participation over the SAME near-dup candidate graph:
+    # dup groups are near-cliques, so the counts discriminate structure
+    def _triangle() -> DataFrame:
+        return graphs.triangle_counts(cands).select(
+            F.lit("triangle").alias("part"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("n_triangles").cast("bigint").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
+
+    # neighborhood-overlap link scores over the SAME candidate graph
+    # (operators/graphs.py): common-neighbor counts + degrees packed
+    # into one exact bigint (20 bits each — jaccard is a pure function
+    # of the three certified integers)
+    def _overlap() -> DataFrame:
+        return graphs.neighborhood_overlap(cands, "id_a", "id_b").select(
+            F.lit("overlap").alias("part"),
+            F.col("a").cast("bigint").alias("node"),
+            F.col("b").cast("bigint").alias("v1"),
+            (
+                F.col("common") * F.lit(1 << 40)
+                + F.col("deg_a") * F.lit(1 << 20)
+                + F.col("deg_b")
+            ).cast("bigint").alias("v2"),
+        )
+
+    # bounded-depth BFS from a seed customer set over the SAME trade
+    # graph (operators/graphs.py): min hop distance within 3 hops
+    def _bfs() -> DataFrame:
+        return graphs.bfs_depths(edges, seeds, max_depth=3).select(
+            F.lit("bfs").alias("part"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("depth").cast("bigint").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
+
     # bounded Bellman-Ford over the SAME trade graph, weighted by the
     # exact per-pair trade count (operators/graphs.py): min landed
     # cost within 3 weighted hops from the same seed customers
-    sssp = graphs.cheapest_paths_bounded(wedges, seeds, max_hops=3).select(
-        F.lit("sssp").alias("part"),
-        F.col("node").cast("bigint").alias("node"),
-        F.col("cost").cast("bigint").alias("v1"),
-        F.lit(None).cast("bigint").alias("v2"),
-    )
+    def _sssp() -> DataFrame:
+        return graphs.cheapest_paths_bounded(wedges, seeds, max_hops=3).select(
+            F.lit("sssp").alias("part"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("cost").cast("bigint").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
+
     # k-core peel over the SAME trade graph (round 9, operators/
     # graphs.py): the dense-backbone extraction — k=8 cascades for 3
     # peel rounds on this graph at both test scales, so 4 fixed rounds
     # include one drained round certifying the fixpoint
-    kc = graphs.kcore_membership(edges, k=8, rounds=4).select(
-        F.lit("kcore").alias("part"),
-        F.col("node").cast("bigint").alias("node"),
-        F.col("deg_core").cast("bigint").alias("v1"),
-        F.lit(None).cast("bigint").alias("v2"),
-    )
+    def _kcore() -> DataFrame:
+        return graphs.kcore_membership(edges, k=8, rounds=4).select(
+            F.lit("kcore").alias("part"),
+            F.col("node").cast("bigint").alias("node"),
+            F.col("deg_core").cast("bigint").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
+
+    builders = (_cluster, _pagerank, _triangle, _overlap, _bfs, _sssp, _kcore)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [pool.submit(b) for b in builders]
+        cl, prp, tri, no, bfs, sssp, kc = [f.result() for f in futures]
     return (
         cl.unionByName(prp)
         .unionByName(tri)
