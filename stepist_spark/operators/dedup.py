@@ -448,6 +448,7 @@ def set_similarity_join(
     t_num: int = 1,
     t_den: int = 2,
     shingle_k: int | None = None,
+    elems: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al. WWW'08,
@@ -471,29 +472,37 @@ def set_similarity_join(
     decision path; the reported ``jaccard`` is one final division.
 
     Output: ``id_a, id_b, jaccard`` with id_a < id_b.
+
+    ``elems``: optional pre-built flat ``(_sid, _h)`` element table
+    (one row per DISTINCT xxhash64-hashed set element per doc — e.g.
+    an explode of a caller's already-hashed set arrays). Skips this
+    operator's own tokenize→hash→distinct pass; hash-identical results
+    by construction (the reuse-contract discipline of the
+    rank-statistics family).
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     from stepist_spark.session import spread
 
-    toked = spread(df).select(
-        F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_tk")
-    )
-    unit = hashing.shingles(F.col("_tk"), shingle_k) if shingle_k else F.col("_tk")
-    # EVERYTHING downstream runs on 64-bit hashes of the set elements,
-    # never the strings: one flat (doc, hash) ELEMENT TABLE is the only
-    # materialization (8 bytes/element), and the set arrays, lengths,
-    # frequencies, and prefixes all derive from it — the text is
-    # tokenized exactly once. A cross-doc hash collision could in
-    # principle perturb a pair's intersection count — probability
-    # ~|set|²/2^64 ≈ 1e-13 per pair, negligible even across 100 TB of
-    # candidate pairs.
-    elems = (
-        toked.select("_sid", F.explode(unit).alias("_t"))
-        .select("_sid", F.xxhash64("_t").alias("_h"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if elems is None:
+        toked = spread(df).select(
+            F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_tk")
+        )
+        unit = (
+            hashing.shingles(F.col("_tk"), shingle_k) if shingle_k else F.col("_tk")
+        )
+        # EVERYTHING downstream runs on 64-bit hashes of the set elements,
+        # never the strings: one flat (doc, hash) ELEMENT TABLE is the only
+        # materialization (8 bytes/element), and the set arrays, lengths,
+        # frequencies, and prefixes all derive from it — the text is
+        # tokenized exactly once. A cross-doc hash collision could in
+        # principle perturb a pair's intersection count — probability
+        # ~|set|²/2^64 ≈ 1e-13 per pair, negligible even across 100 TB of
+        # candidate pairs.
+        elems = toked.select("_sid", F.explode(unit).alias("_t")).select(
+            "_sid", F.xxhash64("_t").alias("_h")
+        ).distinct()
+    elems = elems.localCheckpoint(eager=False)
     lens = elems.groupBy("_sid").agg(F.count(F.lit(1)).alias("_len"))
     dfreq = elems.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     from pyspark.sql import Window

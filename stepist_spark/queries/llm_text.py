@@ -311,21 +311,76 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     shingled = toked.select(
         F.col("_sid").alias("_id"), hashing.shingles(F.col("_tk"), 3).alias("_toks")
     )
-    sig16 = hashing.minhash_signature(
-        shingled, "_id", "_toks", n_hashes=16
-    ).localCheckpoint(eager=False)
-    banded8 = dedup.bands_from_signature(sig16, N_HASHES, BANDS)
-    # one materialization of the (id, id) candidate pairs feeds every
-    # verification consumer — without it each branch re-runs the band
-    # self-join
-    cands = dedup.candidates_from_banded(banded8).localCheckpoint(eager=False)
+
+    # Round 12 (guide §2.6): the gate's checkpoint materializations are
+    # blocking jobs that ran back-to-back in source order (~6s of the
+    # 9s gate was this serial build phase). The minhash/banding chain
+    # and the hashed-set chain are independent (both re-tokenize from
+    # the same lazy lineage), and the ppjoin part needs only the hashed
+    # sets — so the two chains build in a 2-thread pool and ppjoin
+    # starts the moment the sets are ready, overlapping the LSH chain.
+    def _build_lsh():
+        sig16 = hashing.minhash_signature(
+            shingled, "_id", "_toks", n_hashes=16
+        ).localCheckpoint(eager=False)
+        banded8 = dedup.bands_from_signature(sig16, N_HASHES, BANDS)
+        # one materialization of the (id, id) candidate pairs feeds
+        # every verification consumer — without it each branch re-runs
+        # the band self-join
+        cands = dedup.candidates_from_banded(banded8).localCheckpoint(eager=False)
+        cands.count()  # materialize inside this thread, not at collect
+        return sig16, banded8, cands
+
+    def _build_sets():
+        sh = shingled.select(
+            F.col("_id").alias("_sid"),
+            F.transform(F.array_distinct("_toks"), lambda t: F.xxhash64(t)).alias(
+                "_set"
+            ),
+        ).localCheckpoint(eager=False)
+        sh.count()  # materialize inside this thread
+        return sh
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        f_lsh = pool.submit(_build_lsh)
+        f_sets = pool.submit(_build_sets)
+        sh_sets = f_sets.result()
+        # ppjoin rides the SAME hashed element universe: its flat
+        # (_sid, _h) element table is an explode of the checkpointed
+        # hashed sets — no second tokenize→shingle→hash→distinct pass
+        f_pp = pool.submit(
+            lambda: dedup.set_similarity_join(
+                corpus, "doc_id", "text", t_num=1, t_den=2, shingle_k=3,
+                elems=sh_sets.select("_sid", F.explode("_set").alias("_h")),
+            )
+        )
+        sig16, banded8, cands = f_lsh.result()
+        pp_verified = f_pp.result()
+    finally:
+        pool.shutdown(wait=True)
     # token/shingle SETS off the same tokenize pass: join the pairs
     # once per set unit and derive every score (tok/shingle Jaccard,
     # both containment directions) from the shared (inter, n_a, n_b)
-    # statistics — instead of one tokenize+join pipeline per score
-    tok_sets = toked.select("_sid", F.array_distinct("_tk").alias("_set"))
-    sh_sets = shingled.select(
-        F.col("_id").alias("_sid"), F.array_distinct("_toks").alias("_set")
+    # statistics — instead of one tokenize+join pipeline per score.
+    # Round 12 (guide §2.3 narrower types): the set elements are
+    # xxhash64-hashed to int64 BEFORE the pair joins — per-element
+    # array work (array_intersect/array_distinct) on 64-bit ints is an
+    # order of magnitude cheaper than on shingle strings, the join
+    # shuffles ~5× fewer bytes, and the compact bigint arrays make the
+    # shingle sets cheap to materialize, so ONE checkpointed frame now
+    # feeds all three shingle-stat consumers (lsh, incr, steep) where
+    # each previously re-ran tokenize→shingle→distinct. Jaccard/
+    # containment values are unchanged unless two distinct shingles of
+    # the same document pair collide in 64 bits (~10⁻⁷ at corpus
+    # scale); the DuckDB oracle still computes on the raw string sets,
+    # so the sf0.01/sf0.1 parity gates certify collision-freeness on
+    # the actual data.
+    tok_sets = toked.select(
+        "_sid",
+        F.transform(F.array_distinct("_tk"), lambda t: F.xxhash64(t)).alias("_set"),
     )
     # (id, id, 3 ints) rows: cheap to materialize, consumed twice
     tok_stats = dedup.pair_set_stats(tok_sets, cands).localCheckpoint(eager=False)
@@ -347,9 +402,7 @@ def t08_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         _jac().alias("jaccard_tok"),
         _jac("s_").alias("jaccard_shingle"),
     )
-    pp = dedup.set_similarity_join(
-        corpus, "doc_id", "text", t_num=1, t_den=2, shingle_k=3
-    ).select(
+    pp = pp_verified.select(
         F.lit("ppjoin").alias("part"),
         "id_a",
         "id_b",
