@@ -2366,27 +2366,48 @@ def t23_model_gates(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf, "documents")).select("doc_id", "text", "lang")
     labeled = docs.select("text", (F.col("lang") == "en").alias("label"))
-    weights = clf.train_quality_classifier(labeled, "text", "label", dim=CLF_DIM)
-    # lazy localCheckpoint (round-11 optimization, guide §2.3/§1.2):
+
+    # lazy localCheckpoints (round-11 optimization, guide §2.3/§1.2):
     # the scored frame feeds SEVEN union branches (clf, auc, cm, cal,
     # auc:src*, kappa, mcnemar) and the ppl frame three — without the
     # checkpoint each branch's column pruning makes the subtrees
     # non-identical, exchange reuse never fires, and the tokenize+
     # explode+score pipeline re-executes per branch (the before plan
-    # had 84 parquet scans of documents; see plans/r11/)
-    scored = clf.score_documents(
-        docs, weights, "doc_id", "text", dim=CLF_DIM
-    ).localCheckpoint(eager=False)
+    # had 84 parquet scans of documents; see plans/r11/).
+    # Round 12 (guide §2.6): the two checkpoint chains are independent
+    # (classifier train→score vs bigram-LM train→perplexity) but their
+    # upstream jobs ran back-to-back as blocking checkpoint
+    # materializations — build them from a 2-thread pool so the two
+    # tokenize pipelines overlap.
+    def _build_scored():
+        weights = clf.train_quality_classifier(labeled, "text", "label", dim=CLF_DIM)
+        frame = clf.score_documents(
+            docs, weights, "doc_id", "text", dim=CLF_DIM
+        ).localCheckpoint(eager=False)
+        frame.count()  # materialize inside this thread, not at collect
+        return frame
+
+    def _build_ppl():
+        model = clf.train_bigram_lm(docs, "text")
+        frame = clf.perplexity_score(docs, model, "doc_id", "text").localCheckpoint(
+            eager=False
+        )
+        frame.count()
+        return frame
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_scored = _pool.submit(_build_scored)
+        _f_ppl = _pool.submit(_build_ppl)
+        scored = _f_scored.result()
+        ppl = _f_ppl.result()
     c = scored.select(
         F.lit("clf").alias("part"),
         "doc_id",
         F.col("n_toks").cast("bigint").alias("n"),
         F.col("margin_scaled").alias("v"),
         F.col("keep").alias("keep"),
-    )
-    model = clf.train_bigram_lm(docs, "text")
-    ppl = clf.perplexity_score(docs, model, "doc_id", "text").localCheckpoint(
-        eager=False
     )
     p = ppl.select(
         F.lit("ppl").alias("part"),

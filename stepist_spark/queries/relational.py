@@ -2645,7 +2645,23 @@ def _q22_events(spark: SparkSession, sf: str) -> DataFrame:
     columnar parquet scans it saves. Parquet scans stay the shared
     substrate; at cluster scale the same sharing is the storage
     layer's job (bucketed/partitioned staging tables), not a runtime
-    checkpoint."""
+    checkpoint.
+
+    Round-12 closure of that recommendation: the in-gate BUCKETED
+    staging table WAS built and measured — one user_id-bucketed,
+    (user_id, ts)-sorted catalog write per invocation, bucket count =
+    the session shuffle-partition setting. The mechanism works exactly
+    as the round-11 root-cause predicted: the user-keyed parts plan
+    with ZERO exchanges (probed: session_stats 1 Exchange → 0,
+    SelectedBucketsCount in the scan) and vectorization + per-branch
+    pruning are kept. The gate is still ~20% SLOWER at sf0.1
+    (interleaved A/B, warm: staged {12.3, 12.7, 14.2}s vs plain
+    {10.0, 10.1, 11.2}s) — the sorted bucketed write of the full
+    table costs more than ten ~100k-row exchanges. Conclusion: the
+    sharing only pays when the staging write is amortized across MANY
+    queries (a persistent warehouse staging table maintained by the
+    ingest layer), never inside a single gate at any SF where the
+    per-part exchange is this small. Reverted; plain load stays."""
     return load_table(spark, sf, "events")
 
 
