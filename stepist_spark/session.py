@@ -251,6 +251,20 @@ def stream_events(spark: SparkSession, sf_dir: str):
     return src
 
 
+#: Size floor for one spread() task: one task per this many INPUT file
+#: bytes (compressed parquet; text expands ~4× in memory, so this is
+#: ~¼ MB of in-flight data plus the CPU-dense derived work per task).
+#: Round-12 anti-scaling fix: a fixed defaultParallelism target put
+#: ~18 KB/task under the sub-MB corpora at test SFs — 32 task launches
+#: per stage for microseconds of work each, which is why four gates ran
+#: ~2× FASTER on 8 cores than 32 (r11 verdict #7). Deriving the target
+#: from input SIZE (capped at defaultParallelism) removes that floor
+#: while staying a no-op at real scale, where the cap always binds.
+_SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", str(64 * 1024))
+)
+
+
 def spread(df, min_partitions: int | None = None):
     """Round-robin repartition ONLY when the input is under-partitioned.
 
@@ -259,16 +273,38 @@ def spread(df, min_partitions: int | None = None):
     multiplies rows ~100× but the work stays on 2 cores. At real scale
     the scan already has thousands of partitions and this is a no-op —
     it never *reduces* partitioning.
+
+    The fan-out target is SIZE-ADAPTIVE: one partition per
+    ``_SPREAD_BYTES_PER_TASK`` input bytes, capped at
+    ``defaultParallelism`` (callers that know better pass
+    ``min_partitions`` and skip the size heuristic).
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    files: list[str] | None
     try:
         # cheap under-partitioning proxy: input file count. Avoids the
         # full plan→RDD conversion getNumPartitions() would force; errs
         # toward repartitioning (a small shuffle) when files are few
         # but large, and no-ops when the scan already fans out.
-        n_inputs = len(df.inputFiles())
+        files = df.inputFiles()
+        n_inputs = len(files)
     except Exception:
+        files = None
         n_inputs = df.rdd.getNumPartitions()
+    if n_inputs >= target:
+        return df
+    if files and min_partitions is None:
+        total = 0
+        for f in files:
+            path = f[7:] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                total = None  # non-local path — keep the parallelism target
+                break
+        if total is not None:
+            target = min(target, max(1, -(-total // _SPREAD_BYTES_PER_TASK)))
     if n_inputs >= target:
         return df
     return df.repartition(target)
